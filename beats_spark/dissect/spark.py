@@ -49,9 +49,9 @@ def cast_for(data_type: str, col: Column) -> Column:
     v = F.rtrim(col)
     if data_type in ("integer", "long"):
         tgt = _SPARK_TYPES[data_type]
-        hex_val = F.conv(F.regexp_replace(v, r"^0[xX]", ""), 16, 10).cast(tgt)
+        hex_val = F.conv(F.regexp_replace(v, r"^0[xX]", ""), 16, 10).try_cast(tgt)
         return F.when(v.rlike(r"^0[xX][0-9a-fA-F]+$"), hex_val).otherwise(
-            v.cast(tgt)
+            v.try_cast(tgt)
         )
     if data_type == "boolean":
         return F.when(v.isin("1", "t", "T", "TRUE", "true", "True"), F.lit(True)).when(
@@ -63,7 +63,7 @@ def cast_for(data_type: str, col: Column) -> Column:
             | v.contains(":"),
             v,
         ).otherwise(F.lit(None).cast("string"))
-    return v.cast(_SPARK_TYPES.get(data_type, T.StringType()))
+    return v.try_cast(_SPARK_TYPES.get(data_type, T.StringType()))
 
 
 def dissect_map_col(col: Column, tokenizer: str, trim_values: str = "none",

@@ -1,0 +1,366 @@
+"""Field-shape and scalar processors (``libbeat/processors/actions/``).
+
+Flat-column convention: a beats nested path ``a.b`` materializes as the
+column ``a_b`` (declared schemas beat dynamic maps for Catalyst pruning;
+SURVEY.md §1.5). ``target``-style options join with ``_``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from . import ProcResult, register
+
+MANDATORY = ("@timestamp", "type")  # include_fields.go:70 keeps these
+
+
+def _tname(target: str, key: str) -> str:
+    return f"{target}_{key}" if target else key
+
+
+@register("add_fields")
+def add_fields(cfg: Mapping[str, Any]):
+    """Literal fields under ``target`` (default ``fields``), deep-merge →
+    flat prefixed columns (``actions/addfields/add_fields.go:60-64``)."""
+    target = cfg.get("target", "fields")
+    fields = cfg.get("fields", {})
+
+    def make(df: DataFrame) -> ProcResult:
+        assigns = {}
+        for k, v in fields.items():
+            name = _tname(target, k)
+            assigns[name] = F.lit(v)
+        return ProcResult(assigns=assigns)
+    return make
+
+
+@register("add_labels")
+def add_labels(cfg: Mapping[str, Any]):
+    """Flattened literals under ``labels`` (``add_labels.go``)."""
+    return add_fields({"target": "labels", "fields": cfg.get("labels", {})})
+
+
+@register("add_tags")
+def add_tags(cfg: Mapping[str, Any]):
+    """Append literals to the string-array ``tags`` (``add_tags.go:77``,
+    no dedup)."""
+    tags = [str(t) for t in cfg.get("tags", [])]
+    target = cfg.get("target", "tags")
+
+    def make(df: DataFrame) -> ProcResult:
+        lit_arr = F.array(*[F.lit(t) for t in tags])
+        if target in df.columns:
+            col = F.concat(F.coalesce(F.col(target), F.array().cast("array<string>")), lit_arr)
+        else:
+            col = lit_arr
+        return ProcResult(assigns={target: col})
+    return make
+
+
+@register("include_fields")
+def include_fields(cfg: Mapping[str, Any]):
+    """Keep only listed columns plus mandatory ones
+    (``include_fields.go:70``). Select-style → not when-able."""
+    fields = list(cfg.get("fields", []))
+
+    def make(df: DataFrame) -> ProcResult:
+        keep = [c for c in df.columns
+                if c in fields or c in MANDATORY
+                or any(c.startswith(f + "_") for f in fields)]
+
+        def reshape(d: DataFrame) -> DataFrame:
+            return d.select(*keep)
+        return ProcResult(reshape=reshape)
+    return make
+
+
+@register("drop_fields")
+def drop_fields(cfg: Mapping[str, Any]):
+    """Delete listed columns; prefix subtrees too (``drop_fields.go:93``,
+    ``ignore_missing`` is implicit — dropping a missing column is a
+    no-op here)."""
+    fields = list(cfg.get("fields", []))
+
+    def make(df: DataFrame) -> ProcResult:
+        doomed = [c for c in df.columns
+                  if c in fields or any(c.startswith(f + "_") for f in fields)]
+        return ProcResult(drops=doomed)
+    return make
+
+
+@register("rename")
+def rename(cfg: Mapping[str, Any]):
+    """Move ``from``→``to`` (``rename.go:75``). With ``overwrite: false``
+    (default) an existing target makes the rename a no-op for that pair
+    (the reference fails the event; in batch we keep the row intact)."""
+    pairs = cfg.get("fields", [])
+    overwrite = bool(cfg.get("overwrite", False))
+
+    def make(df: DataFrame) -> ProcResult:
+        assigns, drops = {}, []
+        for p in pairs:
+            src, dst = p["from"], p["to"]
+            if src not in df.columns:
+                continue  # ignore_missing
+            if dst in df.columns and not overwrite:
+                continue
+            assigns[dst] = F.col(src)
+            drops.append(src)
+        return ProcResult(assigns=assigns, drops=drops)
+    return make
+
+
+@register("copy_fields")
+def copy_fields(cfg: Mapping[str, Any]):
+    """Copy ``from``→``to`` keeping the original (``copy_fields.go:71``)."""
+    pairs = cfg.get("fields", [])
+
+    def make(df: DataFrame) -> ProcResult:
+        assigns = {}
+        for p in pairs:
+            if p["from"] in df.columns:
+                assigns[p["to"]] = F.col(p["from"])
+        return ProcResult(assigns=assigns)
+    return make
+
+
+@register("truncate_fields")
+def truncate_fields(cfg: Mapping[str, Any]):
+    """Cut strings to ``max_characters`` (or ``max_bytes`` as a byte
+    budget), tag ``truncated`` in log_flags (``truncate_fields.go:84``)."""
+    fields = list(cfg.get("fields", []))
+    max_chars = cfg.get("max_characters")
+    max_bytes = cfg.get("max_bytes")
+
+    def make(df: DataFrame) -> ProcResult:
+        assigns = {}
+        changed = None
+        for f in fields:
+            if f not in df.columns:
+                continue
+            col = F.col(f)
+            if max_chars is not None:
+                over = F.length(col) > int(max_chars)
+                cut = F.substring(col, 1, int(max_chars))
+            else:
+                over = F.octet_length(col) > int(max_bytes)
+                # byte-budget cut: decode the first max_bytes of utf-8
+                cut = F.decode(
+                    F.substring(F.encode(col, "utf-8"), 1, int(max_bytes)),
+                    "utf-8")
+            assigns[f] = F.when(over, cut).otherwise(col)
+            changed = over if changed is None else (changed | over)
+        if changed is not None:
+            prev = (F.coalesce(F.col("log_flags"), F.array().cast("array<string>"))
+                    if "log_flags" in df.columns
+                    else F.array().cast("array<string>"))
+            assigns["log_flags"] = F.when(
+                changed, F.array_union(prev, F.array(F.lit("truncated")))
+            ).otherwise(prev)
+        return ProcResult(assigns=assigns)
+    return make
+
+
+def _case_builder(fn):
+    def builder(cfg: Mapping[str, Any]):
+        fields = list(cfg.get("fields", []))
+        include_values = bool(cfg.get("include_values", True))
+
+        def make(df: DataFrame) -> ProcResult:
+            assigns = {}
+            if include_values:
+                for f in fields:
+                    if f in df.columns:
+                        assigns[f] = fn(F.col(f))
+            return ProcResult(assigns=assigns)
+        return make
+    return builder
+
+
+# lowercase/uppercase of field *values* (the name-casing half of
+# alterFieldProcessor.go:91 is meaningless with declared schemas —
+# callers control their column names)
+register("lowercase")(_case_builder(F.lower))
+register("uppercase")(_case_builder(F.upper))
+
+
+@register("append")
+def append(cfg: Mapping[str, Any]):
+    """Append values/fields to an array field, optional dedup
+    (``actions/append.go:75``)."""
+    target = cfg["target_field"]
+    values = cfg.get("values", [])
+    src_fields = cfg.get("fields", [])
+    allow_dup = bool(cfg.get("allow_duplicate", True))
+
+    def make(df: DataFrame) -> ProcResult:
+        parts = []
+        if target in df.columns:
+            base = F.col(target)
+            parts.append(F.when(base.isNull(), F.array().cast("array<string>"))
+                         .otherwise(base.cast("array<string>")))
+        for f in src_fields:
+            if f in df.columns:
+                parts.append(F.array(F.col(f).cast("string")))
+        if values:
+            parts.append(F.array(*[F.lit(str(v)) for v in values]))
+        if not parts:
+            return ProcResult()
+        col = F.concat(*parts) if len(parts) > 1 else parts[0]
+        if not allow_dup:
+            col = F.array_distinct(col)
+        return ProcResult(assigns={target: col})
+    return make
+
+
+@register("drop_event")
+def drop_event(cfg: Mapping[str, Any]):
+    """Remove the row (``drop_event.go:41-44``); meaningful with
+    ``when:`` — keep = false rows are filtered (the router counts them
+    via metrics, §2.6)."""
+    def make(df: DataFrame) -> ProcResult:
+        return ProcResult(keep=F.lit(False))
+    return make
+
+
+@register("convert")
+def convert(cfg: Mapping[str, Any]):
+    """Typed casts with copy/rename modes (``convert/convert.go:74``,
+    config ``convert/config.go:34-46``). Failed casts yield null; with
+    ``fail_on_error`` the reference rolls back — here nulls + tag."""
+    fields = cfg.get("fields", [])
+    mode = cfg.get("mode", "copy")
+    _types = {"integer": "int", "long": "bigint", "float": "float",
+              "double": "double", "string": "string", "boolean": "boolean",
+              "ip": "string"}
+
+    def make(df: DataFrame) -> ProcResult:
+        assigns, drops = {}, []
+        for spec in fields:
+            src = spec["from"]
+            dst = spec.get("to", src)
+            typ = spec.get("type", "string")
+            if src not in df.columns:
+                continue
+            assigns[dst] = F.col(src).try_cast(_types[typ])
+            if mode == "rename" and dst != src:
+                drops.append(src)
+        return ProcResult(assigns=assigns, drops=drops)
+    return make
+
+
+@register("replace")
+def replace(cfg: Mapping[str, Any]):
+    """Regex find/replace list (``actions/replace.go:84``)."""
+    fields = cfg.get("fields", [])
+
+    def make(df: DataFrame) -> ProcResult:
+        assigns = {}
+        for spec in fields:
+            f = spec["field"]
+            if f in df.columns:
+                assigns[f] = F.regexp_replace(
+                    F.col(f), spec["pattern"], spec["replacement"])
+        return ProcResult(assigns=assigns)
+    return make
+
+
+@register("add_formatted_index")
+def add_formatted_index(cfg: Mapping[str, Any]):
+    """Render a format string into the routing override column
+    ``meta_raw_index`` (``add_formatted_index.go:61-77``; consumed by
+    routing.route(meta_override=...))."""
+    from ..fmtstr import compile_fmtstr
+    template = cfg["index"]
+    ts_field = cfg.get("timestamp_field", "@timestamp")
+
+    def make(df: DataFrame) -> ProcResult:
+        ts = ts_field if ts_field in df.columns else df.columns[0]
+        return ProcResult(assigns={
+            "meta_raw_index": compile_fmtstr(template, timestamp_field=ts)})
+    return make
+
+
+@register("fingerprint")
+def fingerprint(cfg: Mapping[str, Any]):
+    """Stable hash of ordered field values →``fingerprint``
+    (``fingerprint/fingerprint.go:72``). Methods md5/sha1/sha256/sha384/
+    sha512/xxhash map to JVM-side hash functions; sha2 family via
+    ``F.sha2``. Field values join with ``|`` like the reference's
+    writeFields."""
+    fields = sorted(cfg.get("fields", []))
+    method = cfg.get("method", "sha256")
+    target = cfg.get("target_field", "fingerprint")
+
+    def make(df: DataFrame) -> ProcResult:
+        cat = F.concat_ws("|", *[F.col(f).cast("string") for f in fields])
+        if method == "md5":
+            col = F.md5(cat)
+        elif method == "sha1":
+            col = F.sha1(cat)
+        elif method in ("sha256", "sha384", "sha512"):
+            col = F.sha2(cat, int(method[3:]))
+        elif method == "xxhash":
+            col = F.lower(F.hex(F.xxhash64(cat)))
+        else:
+            raise ValueError(f"unknown fingerprint method {method!r}")
+        return ProcResult(assigns={target: col})
+    return make
+
+
+@register("add_id")
+def add_id(cfg: Mapping[str, Any]):
+    """ES-style random id → ``meta__id`` (``add_id/add_id.go:64``)."""
+    target = cfg.get("target_field", "meta__id")
+
+    def make(df: DataFrame) -> ProcResult:
+        return ProcResult(assigns={target: F.uuid()})
+    return make
+
+
+@register("timestamp")
+def timestamp(cfg: Mapping[str, Any]):
+    """Parse ``field`` with a layout list into UTC ``target_field``
+    (``timestamp/timestamp.go:87-160``): first matching layout wins →
+    ``coalesce(to_timestamp(fmt1), to_timestamp(fmt2), …)``; IANA
+    ``timezone`` applied via to_utc_timestamp."""
+    src = cfg["field"]
+    layouts = cfg.get("layouts", [])
+    target = cfg.get("target_field", "@timestamp")
+    tz = cfg.get("timezone", "UTC")
+
+    def make(df: DataFrame) -> ProcResult:
+        tries = [F.try_to_timestamp(F.col(src), F.lit(lay)) for lay in layouts]
+        tries.append(F.try_to_timestamp(F.col(src)))  # default parser last
+        parsed = F.coalesce(*tries)
+        if tz and tz != "UTC":
+            parsed = F.to_utc_timestamp(parsed, tz)
+        return ProcResult(assigns={target: parsed})
+    return make
+
+
+@register("rate_limit")
+def rate_limit(cfg: Mapping[str, Any]):
+    """Token-bucket analog (``ratelimit/rate_limit.go:103``): keep at
+    most N rows per (optional key-fields ×) 1-second event-time window,
+    deterministically — row_number over the window ≤ limit. The
+    reference drops above-rate events at arrival time; event-time
+    windows are the batch equivalent."""
+    from pyspark.sql import Window
+    limit_spec = str(cfg.get("limit", "100/s"))
+    n = int(limit_spec.split("/")[0])
+    key_fields = list(cfg.get("fields", []))
+    ts_field = cfg.get("timestamp_field", "@timestamp")
+
+    def make(df: DataFrame) -> ProcResult:
+        keys = [F.window(F.col(ts_field), "1 second")]
+        keys += [F.col(f) for f in key_fields]
+
+        def reshape(d: DataFrame) -> DataFrame:
+            w = Window.partitionBy(*keys).orderBy(F.col(ts_field))
+            return (d.withColumn("__rl", F.row_number().over(w))
+                     .filter(F.col("__rl") <= n).drop("__rl"))
+        return ProcResult(reshape=reshape)
+    return make

@@ -1,0 +1,217 @@
+"""Enrichment processors — the join surface (SURVEY.md §2.5).
+
+The reference does point lookups against side state (dns cache, generic
+KV cache, sid tables, geoip in ES ingest). In Spark every one of these
+is a **broadcast left join** against a lookup DataFrame: the TTL'd LRU
+cache of ``dns/cache.go`` is simply the broadcast table itself, shipped
+once per executor instead of filled per miss. At 100 TB the lookup side
+stays small (hosts, langs, SIDs), so broadcast avoids shuffling the
+fact table entirely.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from . import ProcResult, register
+
+__all__ = ["broadcast_enrich", "registered_domain_col", "url_host"]
+
+
+def url_host(col: Column) -> Column:
+    """Host part of a URL, JVM-side (``parse_url``)."""
+    return F.parse_url(col, F.lit("HOST"))
+
+
+def broadcast_enrich(
+    df: DataFrame,
+    lookup: DataFrame,
+    on: str,
+    lookup_key: str,
+    fields: Mapping[str, str],
+    action: str = "append",
+    tag_on_failure: str | None = None,
+) -> DataFrame:
+    """Generic broadcast-join enrich used by dns/cache/translate_*.
+
+    ``fields`` maps lookup column → output column. ``action`` mirrors
+    ``dns/config.go:32-51``: ``append`` keeps an existing non-null
+    output value, ``replace`` overwrites. ``tag_on_failure`` appends a
+    tag to ``log_flags`` for rows with no lookup match.
+    """
+    sel = [F.col(lookup_key).alias("__k")] + [
+        F.col(src).alias(f"__v_{i}") for i, src in enumerate(fields)]
+    right = lookup.select(*sel).dropDuplicates(["__k"])
+    joined = df.join(F.broadcast(right), df[on] == F.col("__k"), "left")
+
+    assigns = {}
+    for i, (src, dst) in enumerate(fields.items()):
+        new = F.col(f"__v_{i}")
+        if action == "append" and dst in df.columns:
+            assigns[dst] = F.coalesce(F.col(dst), new)
+        else:
+            assigns[dst] = new
+    if tag_on_failure:
+        miss = F.col("__k").isNull()
+        prev = (F.coalesce(F.col("log_flags"), F.array().cast("array<string>"))
+                if "log_flags" in df.columns else F.array().cast("array<string>"))
+        assigns["log_flags"] = F.when(
+            miss, F.array_union(prev, F.array(F.lit(tag_on_failure)))
+        ).otherwise(prev)
+    out = joined.withColumns(assigns)
+    return out.drop("__k", *[f"__v_{i}" for i in range(len(fields))])
+
+
+@register("dns")
+def dns(cfg: Mapping[str, Any]):
+    """dns lookup processor (``dns/dns.go:80``): resolve fields via a
+    provided lookup table (host → ip), append/replace, tag_on_failure.
+    cfg: ``lookup`` (DataFrame with host/ip-ish columns), ``fields``
+    {src_col: dst_col}, ``lookup_key``, ``value_field``."""
+    lookup = cfg["lookup"]
+    fields = cfg["fields"]
+    lookup_key = cfg.get("lookup_key", "host")
+    value_field = cfg.get("value_field", "ip")
+    action = cfg.get("action", "append")
+    tag = cfg.get("tag_on_failure")
+
+    def make(df: DataFrame) -> ProcResult:
+        def reshape(d: DataFrame) -> DataFrame:
+            out = d
+            for src, dst in fields.items():
+                out = broadcast_enrich(
+                    out, lookup, on=src, lookup_key=lookup_key,
+                    fields={value_field: dst}, action=action,
+                    tag_on_failure=tag)
+            return out
+        return ProcResult(reshape=reshape)
+    return make
+
+
+@register("cache")
+def cache(cfg: Mapping[str, Any]):
+    """Generic KV enrich (``cache/cache.go:128``). ``get``: broadcast
+    join the store on key_field → target_field. ``put`` is the store
+    *builder* — in batch it is ``groupBy(key).agg(last(value))`` run by
+    the caller (see ``build_cache_store``)."""
+    get = cfg.get("get")
+    lookup = cfg["store"]
+
+    def make(df: DataFrame) -> ProcResult:
+        def reshape(d: DataFrame) -> DataFrame:
+            key = get["key_field"]
+            tgt = get["target_field"]
+            value_cols = [c for c in lookup.columns if c != "key"]
+            return broadcast_enrich(
+                d, lookup, on=key, lookup_key="key",
+                fields={c: f"{tgt}_{c}" for c in value_cols},
+                action="replace" if get.get("overwrite_keys") else "append",
+            )
+        return ProcResult(reshape=reshape)
+    return make
+
+
+def build_cache_store(df: DataFrame, key_field: str, value_fields: list,
+                      ts_field: str | None = None) -> DataFrame:
+    """The ``put`` half of the cache processor: last write per key wins
+    (``cache/cache.go`` put semantics with TTL dropped — batch snapshot)."""
+    aggs = [F.last(F.col(v), ignorenulls=True).alias(v) for v in value_fields]
+    src = df
+    if ts_field is not None:
+        src = df.orderBy(ts_field)
+    return (src.groupBy(F.col(key_field).alias("key")).agg(*aggs))
+
+
+@register("translate_sid")
+def translate_sid(cfg: Mapping[str, Any]):
+    """SID → account fields via broadcast table
+    (``translate_sid/translatesid.go:75``)."""
+    lookup = cfg["lookup"]
+    src = cfg["field"]
+    mapping = cfg.get("fields", {"account_name": "account_name"})
+    key = cfg.get("lookup_key", "sid")
+
+    def make(df: DataFrame) -> ProcResult:
+        def reshape(d: DataFrame) -> DataFrame:
+            return broadcast_enrich(d, lookup, on=src, lookup_key=key,
+                                    fields=mapping, action="replace")
+        return ProcResult(reshape=reshape)
+    return make
+
+
+@register("add_host_metadata")
+def add_host_metadata(cfg: Mapping[str, Any]):
+    """host.* is constant per run (``add_host_metadata.go:119``) → lit
+    columns; values supplied by the caller (no /etc probing in an
+    engine)."""
+    info = cfg.get("host", {"name": "spark-driver", "os_family": "linux"})
+
+    def make(df: DataFrame) -> ProcResult:
+        return ProcResult(assigns={
+            f"host_{k}": F.lit(v) for k, v in info.items()})
+    return make
+
+
+@register("add_locale")
+def add_locale(cfg: Mapping[str, Any]):
+    """Timezone offset literal (``add_locale/add_locale.go:88``); the
+    engine is UTC-pinned so the offset is +00:00 unless configured."""
+    offset = cfg.get("offset", "+00:00")
+
+    def make(df: DataFrame) -> ProcResult:
+        return ProcResult(assigns={"event_timezone": F.lit(offset)})
+    return make
+
+
+@register("registered_domain")
+def registered_domain(cfg: Mapping[str, Any]):
+    """eTLD+1 extraction (``registered_domain/registered_domain.go:76``).
+    With a ``suffixes`` list (public-suffix subset) the longest matching
+    suffix wins — compiled to a when-chain ordered by label count, all
+    JVM-side."""
+    src = cfg["field"]
+    target = cfg.get("target_field", "registered_domain")
+    subdomain_target = cfg.get("target_subdomain_field")
+    suffixes = cfg.get("suffixes", _DEFAULT_SUFFIXES)
+
+    def make(df: DataFrame) -> ProcResult:
+        return ProcResult(assigns=registered_domain_col(
+            F.col(src), target, subdomain_target, suffixes))
+    return make
+
+
+# a deterministic public-suffix subset; callers pass the full list when
+# they ship one (publicsuffix.org data, not bundled)
+_DEFAULT_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "com", "org", "net", "edu", "gov", "mil", "int", "io", "co", "de",
+    "fr", "uk", "jp", "cn", "ru", "br", "in", "au", "info", "biz", "dev",
+    "app", "ai",
+]
+
+
+def registered_domain_col(host: Column, target: str,
+                          subdomain_target: str | None,
+                          suffixes: list) -> dict:
+    """when-chain: longest (most labels, then longest string) suffix
+    first, registered domain = label before suffix + suffix."""
+    ordered = sorted(suffixes, key=lambda s: (-s.count("."), -len(s)))
+    rd = F.lit(None).cast("string")
+    chain = None
+    for s in ordered:
+        esc = s.replace(".", r"\.")
+        pat = r"([^.]+\." + esc + r")$"
+        ext = F.regexp_extract(host, pat, 1)
+        hit = (ext != "") & (host != s)
+        piece = F.when(hit, ext)
+        chain = piece if chain is None else chain.when(hit, ext)
+    rd = chain.otherwise(F.lit(None)) if chain is not None else rd
+    out = {target: rd}
+    if subdomain_target:
+        out[subdomain_target] = F.when(
+            rd.isNotNull() & (host != rd),
+            F.substring(host, F.lit(1), F.length(host) - F.length(rd) - 1))
+    return out

@@ -1,0 +1,116 @@
+"""Output routing: the reference's ``outil.Selector`` compiled to one
+deterministic ``when``-chain producing a ``sink`` column.
+
+Reference semantics (``libbeat/outputs/outil/select.go``):
+
+- a selector is an ordered rule list; **first non-empty string wins**
+  (``select.go:209-213``, eval ``:341-354``)
+- rule kinds: constant (``:185-190``), event format string with
+  optional default (``:194-207``), conditional ``when:`` guard
+  (``:217-222``), mapping table value→replacement with fallback
+  (``:226-250``)
+- built from ``index``/``indices`` (ES, ``idxmgmt/index_support.go:194``)
+  or ``topic``/``topics`` (Kafka, ``outputs/kafka/kafka.go:93-101``)
+- per-event ``@metadata`` overrides take precedence
+  (``idxmgmt/index_support.go:330-347``)
+
+Here: each rule compiles to ``(guard, value)`` Columns; empty strings
+become null so ``F.coalesce`` over guarded values reproduces
+first-non-empty-wins. Constant-only selectors fold to literals in
+Catalyst, matching the reference's ``IsConst`` pre-resolution.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Mapping, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .conditions import compile_condition
+from .fmtstr import compile_fmtstr
+
+__all__ = ["compile_selector", "route", "Rule"]
+
+
+def _non_empty(col: Column) -> Column:
+    return F.when(col == "", F.lit(None)).otherwise(col)
+
+
+def _compile_rule(rule: Mapping[str, Any], key: str,
+                  timestamp_field: str) -> Column:
+    """One selector rule → nullable string Column (null = no match)."""
+    template = rule[key]
+    value = compile_fmtstr(str(template), timestamp_field=timestamp_field)
+
+    mappings = rule.get("mappings")
+    if mappings:
+        pairs = []
+        for k, v in mappings.items():
+            pairs.extend([F.lit(str(k)), F.lit(str(v))])
+        value = F.element_at(F.create_map(*pairs), value)
+
+    default = rule.get("default")
+    if default is not None:
+        value = F.coalesce(value, F.lit(str(default)))
+
+    value = _non_empty(value)
+
+    when = rule.get("when")
+    if when is not None:
+        guard = compile_condition(when)
+        value = F.when(guard, value)
+    return value
+
+
+Rule = Mapping[str, Any]
+
+
+def compile_selector(
+    rules: Sequence[Rule],
+    key: str = "index",
+    default: Optional[str] = None,
+    lowercase: bool = False,
+    timestamp_field: str = "@timestamp",
+) -> Column:
+    """Ordered rules → the selected sink name per row.
+
+    ``rules`` mirror the ``indices:``/``topics:`` config: each item has
+    the value under ``key`` plus optional ``when``, ``default``,
+    ``mappings``. A plain string rule is shorthand for a constant.
+    """
+    compiled: List[Column] = []
+    for rule in rules:
+        if isinstance(rule, str):
+            compiled.append(_non_empty(compile_fmtstr(rule, timestamp_field)))
+        else:
+            compiled.append(_compile_rule(rule, key, timestamp_field))
+    if default is not None:
+        compiled.append(F.lit(default))
+    out = compiled[0] if len(compiled) == 1 else F.coalesce(*compiled)
+    if lowercase:
+        out = F.lower(out)
+    return out
+
+
+def route(
+    df: DataFrame,
+    rules: Sequence[Rule],
+    key: str = "index",
+    default: Optional[str] = None,
+    sink_col: str = "sink",
+    meta_override: Optional[str] = None,
+    lowercase: bool = False,
+    timestamp_field: str = "@timestamp",
+) -> DataFrame:
+    """Attach the routed sink name. ``meta_override`` names a column
+    (e.g. ``meta_raw_index`` written by add_formatted_index) that wins
+    over the selector when non-null (``index_support.go:330-347``)."""
+    sel = compile_selector(rules, key=key, default=default,
+                           lowercase=lowercase,
+                           timestamp_field=timestamp_field)
+    if meta_override and meta_override in df.columns:
+        sel = F.coalesce(
+            F.lower(F.col(meta_override)) if lowercase else F.col(meta_override),
+            sel,
+        )
+    return df.withColumn(sink_col, sel)

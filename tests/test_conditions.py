@@ -1,0 +1,96 @@
+"""Condition-compiler corpus, mirroring
+``libbeat/conditions/conditions_test.go`` case tables."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from beats_spark.conditions import compile_condition
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # (id, type, status, code, ip, msg, tags)
+        (1, "http", "OK", 200, "10.1.2.3", "GET /index.html", ["prod"]),
+        (2, "http", "ERR", 500, "192.168.1.5", "POST /login failed", ["prod"]),
+        (3, "dns", "OK", 0, "8.8.8.8", "query example.com", ["test"]),
+        (4, "http", "OK", 404, "127.0.0.1", "GET /missing", None),
+        (5, None, "OK", 301, "172.16.0.9", None, ["prod", "canary"]),
+    ]
+    return spark.createDataFrame(
+        rows, "id int, type string, status string, code int, ip string, "
+              "msg string, tags array<string>")
+
+
+def ids(df, cond):
+    return sorted(r.id for r in df.filter(cond).select("id").collect())
+
+
+def test_equals_string(events):
+    assert ids(events, compile_condition({"equals": {"type": "http"}})) == [1, 2, 4]
+
+
+def test_equals_int_and_multi_field_conjunctive(events):
+    c = compile_condition({"equals": {"type": "http", "code": 200}})
+    assert ids(events, c) == [1]
+
+
+def test_equals_missing_value_is_false(events):
+    assert ids(events, compile_condition({"equals": {"type": "nope"}})) == []
+
+
+def test_contains(events):
+    assert ids(events, compile_condition({"contains": {"msg": "GET"}})) == [1, 4]
+
+
+def test_regexp(events):
+    c = compile_condition({"regexp": {"msg": r"^GET /\w+$"}})
+    assert ids(events, c) == [4]
+
+
+def test_range_conjunctive(events):
+    c = compile_condition({"range": {"code": {"gte": 400, "lt": 500}}})
+    assert ids(events, c) == [4]
+
+
+def test_has_fields(events):
+    assert ids(events, compile_condition({"has_fields": ["type", "msg"]})) == [1, 2, 3, 4]
+
+
+def test_network_private(events):
+    c = compile_condition({"network": {"ip": "private"}})
+    assert ids(events, c) == [1, 2, 5]
+
+
+def test_network_cidr_list_is_or(events):
+    c = compile_condition({"network": {"ip": ["127.0.0.0/8", "8.8.8.0/24"]}})
+    assert ids(events, c) == [3, 4]
+
+
+def test_network_public(events):
+    assert ids(events, compile_condition({"network": {"ip": "public"}})) == [3]
+
+
+def test_network_loopback(events):
+    assert ids(events, compile_condition({"network": {"ip": "loopback"}})) == [4]
+
+
+def test_and_or_not(events):
+    c = compile_condition({
+        "and": [
+            {"equals": {"type": "http"}},
+            {"or": [
+                {"range": {"code": {"gte": 500}}},
+                {"not": {"equals": {"status": "OK"}}},
+            ]},
+        ]
+    })
+    assert ids(events, c) == [2]
+
+
+def test_condition_is_plan_side_no_python(events):
+    """The compiled condition must stay JVM-side (no Python UDF nodes)."""
+    df = events.filter(compile_condition({"network": {"ip": "private"}}))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
