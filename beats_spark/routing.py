@@ -57,7 +57,7 @@ def _compile_rule(rule: Mapping[str, Any], key: str,
 
     when = rule.get("when")
     if when is not None:
-        guard = compile_condition(when)
+        guard = when if isinstance(when, Column) else compile_condition(when)
         value = F.when(guard, value)
     return value
 

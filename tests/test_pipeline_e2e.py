@@ -1,0 +1,148 @@
+"""Golden end-to-end test of the flagship pipeline (FIXTURES.md §3):
+per-sink count equality, byte-identical extracted messages per url, and
+watermark resume."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from beats_spark import fixtures
+from beats_spark.pipeline import run_pipeline, build_routed, SINKS
+
+N_PAGES = 600
+
+
+@pytest.fixture(scope="module")
+def frames(spark, tmp_path_factory):
+    pages_dir = str(tmp_path_factory.mktemp("pages"))
+    fixtures.pages(spark, N_PAGES, partitions=4).write.mode("overwrite")\
+        .parquet(pages_dir)
+    pages = spark.read.parquet(pages_dir)
+    return pages, fixtures.host_meta(spark), fixtures.lang_meta(spark)
+
+
+@pytest.fixture(scope="module")
+def run(spark, frames, tmp_path_factory):
+    pages, hm, lm = frames
+    out = str(tmp_path_factory.mktemp("out"))
+    res = run_pipeline(spark, pages, hm, lm, out)
+    return res, out
+
+
+def oracle_expectations(spark, frames):
+    """Independent per-sink oracle computed from the fixture recipe, not
+    through the pipeline code: 2 events per page; corrupt second lines →
+    deadletter; lang zz → dropped; else sink_hint (en/de→es, fr/es/zh→ls)."""
+    pages, _, _ = frames
+    per_page = pages.select(
+        "url", "lang",
+        (F.split("text", "\n")[3].startswith("!!")).alias("corrupt"))
+    rows = per_page.collect()
+    exp = {s: 0 for s in SINKS}
+    hint = {"en": "sink_es", "de": "sink_es", "fr": "sink_ls",
+            "es": "sink_ls", "zh": "sink_ls"}
+    for r in rows:
+        for idx in (0, 1):
+            if idx == 1 and r.corrupt:
+                exp["sink_deadletter"] += 1
+            elif r.lang == "zz":
+                exp["sink_dropped"] += 1
+            else:
+                exp[hint[r.lang]] += 1
+    return exp
+
+
+def test_sink_counts_match_oracle(spark, frames, run):
+    res, out = run
+    routed = spark.read.parquet(os.path.join(out, "runs", res.run_id, "routed"))
+    got = {r.sink: r["count"] for r in routed.groupBy("sink").count().collect()}
+    exp = oracle_expectations(spark, frames)
+    assert got == {k: v for k, v in exp.items() if v > 0}
+    assert routed.count() == 2 * N_PAGES
+
+
+def test_metrics_counters(spark, run):
+    res, out = run
+    assert res.metrics["events.total"] == 2 * N_PAGES
+    acked = sum(v for k, v in res.metrics.items() if k.endswith("events.acked"))
+    assert acked == 2 * N_PAGES
+    assert res.metrics["events.failed"] == \
+        res.metrics["output.sink_deadletter.events.acked"]
+    # metrics table persisted
+    mdf = spark.read.parquet(os.path.join(out, "metrics"))
+    assert mdf.filter(F.col("run_id") == res.run_id).count() == len(res.metrics)
+
+
+def test_byte_identical_messages_per_url(spark, frames, run):
+    """BASELINE.json gate: extracted text per url matches an independent
+    reconstruction byte-for-byte."""
+    pages, _, _ = frames
+    res, out = run
+    routed = spark.read.parquet(os.path.join(out, "runs", res.run_id, "routed"))
+
+    # oracle: first event = lines 0-2 joined, second = lines 3-4 joined
+    lines = F.split("text", "\n")
+    exp = pages.select(
+        "url",
+        F.array_join(F.slice(lines, 1, 3), "\n").alias("m0"),
+        F.array_join(F.slice(lines, 4, 2), "\n").alias("m1"))
+    joined = (routed.groupBy("url")
+              .pivot("msg_idx", [0, 1]).agg(F.first("message"))
+              .join(exp, "url"))
+    mismatches = joined.filter(
+        (F.col("0") != F.col("m0")) | (F.col("1") != F.col("m1"))).count()
+    assert mismatches == 0
+
+
+def test_parsed_fields_typed(spark, run):
+    res, out = run
+    routed = spark.read.parquet(os.path.join(out, "runs", res.run_id, "routed"))
+    ok = routed.filter(F.col("sink") == "sink_es").limit(5).collect()
+    for r in ok:
+        assert isinstance(r.bytes, int)
+        assert r.event_ts is not None
+        assert r.level in ("info", "warn", "error")
+        assert r.geo_country is not None or "host_meta_miss" in r.log_flags
+
+
+def test_enrich_miss_tagged(spark, run):
+    res, out = run
+    routed = spark.read.parquet(os.path.join(out, "runs", res.run_id, "routed"))
+    # the two uncovered hosts must be tagged
+    miss = routed.filter(F.array_contains("log_flags", "host_meta_miss"))
+    hosts = {r.host for r in miss.select("host").distinct().collect()}
+    # null host = deadletter rows whose dissect failed; also a miss
+    assert hosts - {None} <= set(fixtures.HOSTS[-2:]) and hosts - {None}
+
+
+def test_resume_skips_processed_snapshot(spark, frames, run):
+    pages, hm, lm = frames
+    res, out = run
+    res2 = run_pipeline(spark, pages, hm, lm, out)
+    assert res2.skipped
+    # different snapshot (subset) still runs
+    res3 = run_pipeline(spark, pages.limit(10), hm, lm, out,
+                        snapshot_id="other-snap")
+    assert not res3.skipped
+
+
+def test_lineage_written(spark, run):
+    res, out = run
+    lin = spark.read.parquet(os.path.join(out, "lineage"))\
+        .filter(F.col("run_id") == res.run_id)
+    per_sink = {r.sink: r.total for r in
+                lin.groupBy("sink").agg(F.sum("count").alias("total")).collect()}
+    assert per_sink["sink_es"] == res.metrics["output.sink_es.events.acked"]
+
+
+def test_single_python_stage_in_plan(spark, frames):
+    """Scale guard: the whole parse stage must collapse into ONE
+    ArrowEvalPython node (multiline + dissect are two UDFs but must not
+    multiply), and the enrich joins must be broadcasts."""
+    pages, hm, lm = frames
+    plan = build_routed(pages, hm, lm)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
