@@ -1,0 +1,57 @@
+"""Training-data pipeline operators over web-scale document/embedding
+tables: deduplication, similarity search, text analysis, multimodal
+column plumbing.
+
+These are not in the reference (Beats ships events; it does not dedup
+or embed them) — they are the large-scale data-curation layer the
+north_star's 10^12-page table needs before training use. Everything is
+expressed as JVM-side DataFrame ops (hash/groupBy/join/higher-order
+array functions) so Catalyst plans them; Python appears only in the
+clearly-marked multimodal decode stubs and the n-gram language-ID
+profile UDF.
+"""
+
+from .dedup import (
+    dedup_exact,
+    exact_dup_groups,
+    minhash_signature,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    simhash_pairs,
+)
+from .similarity import (
+    cosine_similarity,
+    cosine_topk,
+    dot,
+    l2_norm,
+    lsh_signature,
+    lsh_cosine_topk,
+    normalize,
+)
+from .textstats import (
+    lang_id_stopword,
+    lang_id_ngram,
+    doc_fingerprint,
+    text_stats,
+    token_count,
+)
+from .multimodal import (
+    attach_media_meta,
+    extract_image_features,
+    sample_video_frames,
+    set_decoder,
+)
+
+__all__ = [
+    "dedup_exact", "exact_dup_groups", "minhash_signature",
+    "minhash_lsh_pairs", "ngram_jaccard_pairs", "shingles", "simhash",
+    "simhash_pairs",
+    "cosine_similarity", "cosine_topk", "dot", "l2_norm", "normalize",
+    "lsh_signature", "lsh_cosine_topk",
+    "lang_id_stopword", "lang_id_ngram", "doc_fingerprint", "text_stats",
+    "token_count",
+    "attach_media_meta", "extract_image_features", "sample_video_frames",
+    "set_decoder",
+]

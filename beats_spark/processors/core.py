@@ -351,15 +351,20 @@ def rate_limit(cfg: Mapping[str, Any]):
     from pyspark.sql import Window
     limit_spec = str(cfg.get("limit", "100/s"))
     n = int(limit_spec.split("/")[0])
+    unit = {"s": "1 second", "m": "1 minute", "h": "1 hour"}[
+        limit_spec.split("/")[1] if "/" in limit_spec else "s"]
     key_fields = list(cfg.get("fields", []))
     ts_field = cfg.get("timestamp_field", "@timestamp")
+    # extra order columns for a deterministic winner under ts ties
+    order_by = list(cfg.get("order_by", []))
 
     def make(df: DataFrame) -> ProcResult:
-        keys = [F.window(F.col(ts_field), "1 second")]
+        keys = [F.window(F.col(ts_field), unit)]
         keys += [F.col(f) for f in key_fields]
 
         def reshape(d: DataFrame) -> DataFrame:
-            w = Window.partitionBy(*keys).orderBy(F.col(ts_field))
+            w = Window.partitionBy(*keys).orderBy(
+                F.col(ts_field), *[F.col(c) for c in order_by])
             return (d.withColumn("__rl", F.row_number().over(w))
                      .filter(F.col("__rl") <= n).drop("__rl"))
         return ProcResult(reshape=reshape)

@@ -1,0 +1,808 @@
+"""The driver-contract query catalog: one entry per implemented
+operator family (SURVEY.md §2 + the training-data curation ops), each
+with a DuckDB-runnable oracle SQL string that must match row-for-row.
+
+Parity rules used throughout (Spark ⇄ DuckDB):
+
+- hashes: md5/sha256 hex strings are identical on both engines;
+- counts: Spark ``count`` and DuckDB ``count`` are both int64; DuckDB
+  ``sum(BIGINT)`` is HUGEINT so oracles CAST back to BIGINT; Spark
+  ``F.size``/DuckDB ``len`` sizes are cast to bigint explicitly;
+- money sums: per-row cents (``round(x*100) → bigint``) summed exactly,
+  divided by 100.0 at the end — exact cross-engine equality instead of
+  float-accumulation luck;
+- doubles in output: rounded (4-6 decimals) on both sides;
+- top-k / row_number: always a deterministic total order (value then
+  id), and ranking happens on the *rounded* score so both engines rank
+  identical inputs.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .conditions import compile_condition
+from .dissect.spark import apply_dissect
+from .functions.grok import grok_extract
+from .functions.multiline import multiline_join_col
+from .processors import compile_processors
+from .routing import route
+from .fmtstr import compile_fmtstr
+from .dataops import (
+    cosine_topk, exact_dup_groups, dedup_exact, lsh_cosine_topk,
+    minhash_lsh_pairs, ngram_jaccard_pairs, simhash, simhash_pairs,
+    lang_id_stopword, lang_id_ngram, text_stats, token_count,
+    doc_fingerprint,
+)
+from .dataops.dedup import tokens
+from .dataops.textstats import quality_score
+from .dataops.multimodal import sample_video_frames
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: Dict[str, str] = {}
+
+
+def query(name: str, oracle: Optional[str] = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# §2.2 conditions
+# =====================================================================
+
+@query("conditions_filter", oracle="""
+SELECT event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+WHERE value >= 50 AND value < 150
+  AND (event_type = 'click' OR event_type LIKE '%purch%')
+  AND NOT user_id = 13
+GROUP BY event_type
+""")
+def conditions_filter(spark, sf_dir):
+    """Condition compiler: range + or(equals, contains) + not."""
+    ev = _t(spark, sf_dir, "events")
+    cond = compile_condition({"and": [
+        {"range": {"value": {"gte": 50, "lt": 150}}},
+        {"or": [{"equals": {"event_type": "click"}},
+                {"contains": {"event_type": "purch"}}]},
+        {"not": {"equals": {"user_id": 13}}},
+    ]})
+    return (ev.filter(cond)
+              .groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("value"), 2).alias("total_value")))
+
+
+# =====================================================================
+# §2.7 routing (outil selector: first-match-wins, mappings, default)
+# =====================================================================
+
+_ROUTER_RULES = [
+    {"index": "sink_err", "when": {"equals": {"event_type": "error"}}},
+    {"index": "%{[event_type]}",
+     "mappings": {"purchase": "sink_commerce", "signup": "sink_commerce"}},
+]
+
+
+@query("router_fanout", oracle="""
+SELECT CASE WHEN event_type = 'error' THEN 'sink_err'
+            WHEN event_type IN ('purchase', 'signup') THEN 'sink_commerce'
+            ELSE 'sink_default' END AS sink,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY sink
+""")
+def router_fanout(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    routed = route(ev, _ROUTER_RULES, default="sink_default")
+    return (routed.groupBy("sink")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.round(F.sum("value"), 2).alias("total_value")))
+
+
+@query("fmtstr_index", oracle="""
+SELECT 'logs-' || event_type || '-' || strftime(ts, '%Y.%m.%d') AS idx,
+       count(*) AS n
+FROM events GROUP BY idx
+""")
+def fmtstr_index(spark, sf_dir):
+    """Event format strings incl. %{+date} pattern (add_formatted_index)."""
+    ev = _t(spark, sf_dir, "events")
+    idx = compile_fmtstr("logs-%{[event_type]}-%{+yyyy.MM.dd}",
+                         timestamp_field="ts")
+    return (ev.select(idx.alias("idx"))
+              .groupBy("idx").agg(F.count(F.lit(1)).alias("n")))
+
+
+# =====================================================================
+# §2.3/2.4 processor chain
+# =====================================================================
+
+@query("processor_chain", oracle="""
+SELECT event_id,
+       'web' AS pipeline,
+       event_type AS etype,
+       CAST(trunc(value) AS BIGINT) AS val_long,
+       CASE WHEN length(props) > 6 THEN substr(props, 1, 6)
+            ELSE props END AS props_raw,
+       sha256(CAST(event_id AS VARCHAR) || '|' || event_type) AS fingerprint
+FROM events
+""")
+def processor_chain(spark, sf_dir):
+    """add_fields → copy → rename → convert → truncate → fingerprint →
+    drop_fields, via the chain compiler."""
+    ev = _t(spark, sf_dir, "events")
+    chain = compile_processors([
+        {"add_fields": {"target": "", "fields": {"pipeline": "web"}}},
+        {"copy_fields": {"fields": [{"from": "event_type", "to": "etype"}]}},
+        {"rename": {"fields": [{"from": "props", "to": "props_raw"}]}},
+        {"convert": {"fields": [
+            {"from": "value", "to": "val_long", "type": "long"}]}},
+        {"truncate_fields": {"fields": ["props_raw"], "max_characters": 6}},
+        {"fingerprint": {"fields": ["event_id", "event_type"],
+                         "method": "sha256"}},
+    ])
+    out = chain(ev)
+    return out.select("event_id", "pipeline", "etype", "val_long",
+                      "props_raw", "fingerprint")
+
+
+@query("decode_json", oracle="""
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_sum,
+       count(*) AS n
+FROM events GROUP BY event_type
+""")
+def decode_json(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    chain = compile_processors([
+        {"decode_json_fields": {"fields": ["props"], "target": "p",
+                                "schema": "k bigint"}}])
+    return (chain(ev).groupBy("event_type")
+            .agg(F.sum("p_k").alias("k_sum"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@query("rate_limit", oracle="""
+SELECT user_id, count(*) AS kept FROM (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id, date_trunc('minute', ts)
+                            ORDER BY ts, event_id) AS rn
+  FROM events) t
+WHERE rn <= 5 GROUP BY user_id
+""")
+def rate_limit_q(spark, sf_dir):
+    """rate_limit processor: ≤5 events per user per minute,
+    deterministic winners (ts, event_id order)."""
+    ev = _t(spark, sf_dir, "events")
+    chain = compile_processors([
+        {"rate_limit": {"limit": "5/m", "fields": ["user_id"],
+                        "timestamp_field": "ts",
+                        "order_by": ["event_id"]}}])
+    return (chain(ev).groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("kept")))
+
+
+# =====================================================================
+# §2.4 dissect / grok (tokenizers over a synthesized log line)
+# =====================================================================
+
+@query("dissect_extract", oracle="""
+WITH lines AS (
+  SELECT event_id,
+         'evt=' || event_type || ' user=' || CAST(user_id AS VARCHAR)
+         || ' bytes=' || CAST(event_id % 1000 AS VARCHAR) AS message
+  FROM events)
+SELECT regexp_extract(message, 'evt=([^ ]+) user=', 1) AS etype,
+       CAST(sum(CAST(regexp_extract(message, 'bytes=([0-9]+)$', 1)
+                     AS BIGINT)) AS BIGINT) AS bytes_sum,
+       count(DISTINCT regexp_extract(message, 'user=([0-9]+)', 1)) AS n_users,
+       count(*) AS n
+FROM lines GROUP BY etype
+""")
+def dissect_extract(spark, sf_dir):
+    """Dissect tokenizer (Arrow-batched) round-trip: synthesize a log
+    line from typed columns, tokenize it back, aggregate the typed
+    results."""
+    ev = _t(spark, sf_dir, "events")
+    line = F.concat(F.lit("evt="), F.col("event_type"),
+                    F.lit(" user="), F.col("user_id").cast("string"),
+                    F.lit(" bytes="), (F.col("event_id") % 1000).cast("string"))
+    df = ev.select(line.alias("message"))
+    df = apply_dissect(df, "evt=%{etype} user=%{uid} bytes=%{b|long}",
+                       field="message", target_prefix="")
+    return (df.groupBy("etype")
+              .agg(F.sum("b").alias("bytes_sum"),
+                   F.count_distinct(F.col("uid")).alias("n_users"),
+                   F.count(F.lit(1)).alias("n")))
+
+
+@query("grok_extract", oracle="""
+WITH lines AS (
+  SELECT 'GET /p/' || CAST(event_id AS VARCHAR) || ' '
+         || CAST(200 + (event_id % 4) * 100 AS VARCHAR) || ' '
+         || CAST(event_id % 5000 AS VARCHAR) AS message
+  FROM events)
+SELECT CAST(regexp_extract(message, ' ([0-9]+) [0-9]+$', 1) AS BIGINT)
+         AS status,
+       count(*) AS n,
+       CAST(sum(CAST(regexp_extract(message, ' ([0-9]+)$', 1) AS BIGINT))
+            AS BIGINT) AS bytes_sum
+FROM lines GROUP BY status
+""")
+def grok_extract_q(spark, sf_dir):
+    """Grok engine (pattern dictionary → typed regexp columns)."""
+    ev = _t(spark, sf_dir, "events")
+    line = F.concat(F.lit("GET /p/"), F.col("event_id").cast("string"),
+                    F.lit(" "),
+                    (F.lit(200) + (F.col("event_id") % 4) * 100).cast("string"),
+                    F.lit(" "), (F.col("event_id") % 5000).cast("string"))
+    df = ev.select(line.alias("message"))
+    df = grok_extract(
+        df, "message",
+        "%{WORD:method} %{NOTSPACE:path} %{NUMBER:status:int} "
+        "%{NUMBER:bytes:int}")
+    return (df.groupBy("status")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("bytes").alias("bytes_sum")))
+
+
+@query("multiline_join", oracle="""
+SELECT doc_id,
+       2 AS n_events,
+       'hdr ' || source ||
+         CASE WHEN doc_id % 2 = 0 THEN chr(10) || '  c1' ELSE '' END AS msg1,
+       'hdr2 ' || lang ||
+         CASE WHEN doc_id % 3 = 0 THEN chr(10) || '  c2' || chr(10) || '  c3'
+              ELSE '' END AS msg2
+FROM documents
+""")
+def multiline_join(spark, sf_dir):
+    """Multiline joiner byte-identity: continuation lines (leading
+    whitespace, match=after) join their event; joined messages must be
+    byte-identical with the first-principles reconstruction."""
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    text = F.concat(
+        F.lit("hdr "), F.col("source"),
+        F.when(i % 2 == 0, F.lit("\n  c1")).otherwise(F.lit("")),
+        F.lit("\nhdr2 "), F.col("lang"),
+        F.when(i % 3 == 0, F.lit("\n  c2\n  c3")).otherwise(F.lit("")))
+    msgs = multiline_join_col(text, pattern=r"^\s", negate=False,
+                              match="after")
+    return docs.select(
+        "doc_id",
+        F.size(msgs).alias("n_events"),
+        F.element_at(msgs, 1).alias("msg1"),
+        F.element_at(msgs, 2).alias("msg2"))
+
+
+# =====================================================================
+# §2.6 metrics / counters / timestamps
+# =====================================================================
+
+@query("pipeline_counters", oracle="""
+WITH routed AS (
+  SELECT CASE WHEN event_type = 'error' THEN 'sink_err'
+              WHEN event_type IN ('purchase', 'signup') THEN 'sink_commerce'
+              ELSE 'sink_default' END AS sink
+  FROM events)
+SELECT 'events.total' AS metric, count(*) AS value FROM routed
+UNION ALL
+SELECT 'events.published', count(*) FROM routed WHERE sink <> 'sink_err'
+UNION ALL
+SELECT 'events.dropped', count(*) FROM routed WHERE sink = 'sink_err'
+""")
+def pipeline_counters(spark, sf_dir):
+    """Beats pipeline monitoring counters as one metrics frame."""
+    ev = _t(spark, sf_dir, "events")
+    routed = route(ev, _ROUTER_RULES, default="sink_default")
+    agg = routed.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("sink") != "sink_err", 1).otherwise(0))
+         .cast("bigint").alias("published"),
+        F.sum(F.when(F.col("sink") == "sink_err", 1).otherwise(0))
+         .cast("bigint").alias("dropped"))
+    return agg.selectExpr(
+        "stack(3, 'events.total', total, 'events.published', published, "
+        "'events.dropped', dropped) as (metric, value)")
+
+
+@query("timestamp_hist", oracle="""
+SELECT date_trunc('hour', ts) AS hour,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY hour
+""")
+def timestamp_hist(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.count_distinct(F.col("user_id")).alias("n_users"),
+                   F.round(F.avg("value"), 4).alias("avg_value")))
+
+
+# =====================================================================
+# §2.5 enrichment (broadcast joins) + relational coverage
+# =====================================================================
+
+@query("enrich_join", oracle="""
+SELECT r_name,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+JOIN customer ON user_id = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""")
+def enrich_join(spark, sf_dir):
+    """Broadcast-join enrich: fact events × customer/nation/region dims
+    (the dns/geoip/add_fields emulation shape)."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    return (ev.join(F.broadcast(cust),
+                    ev["user_id"] == cust["c_custkey"])
+              .join(F.broadcast(nat),
+                    F.col("c_nationkey") == F.col("n_nationkey"))
+              .join(F.broadcast(reg),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+              .groupBy("r_name")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("value"), 2).alias("total_value"),
+                   F.count_distinct(F.col("user_id")).alias("n_users")))
+
+
+def _cents(col):
+    return F.round(col * 100).cast("bigint")
+
+
+@query("tpch_q1", oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         / 100.0 AS sum_base,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) / 100.0 AS sum_disc_price,
+       count(*) AS n
+FROM lineitem
+WHERE l_discount >= 0.02 AND l_discount <= 0.08
+GROUP BY l_returnflag, l_linestatus
+""")
+def tpch_q1(spark, sf_dir):
+    """Pricing-summary aggregation (map-side partial agg → tiny
+    shuffle); money summed as exact cents for cross-engine equality."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.filter((F.col("l_discount") >= 0.02)
+                      & (F.col("l_discount") <= 0.08))
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+                   (F.sum(_cents(F.col("l_extendedprice"))) / 100.0)
+                   .alias("sum_base"),
+                   (F.sum(_cents(disc_price)) / 100.0).alias("sum_disc_price"),
+                   F.count(F.lit(1)).alias("n")))
+
+
+@query("tpch_q3", oracle="""
+SELECT o_orderkey,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+       o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = (SELECT min(c_mktsegment) FROM customer)
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+""")
+def tpch_q3(spark, sf_dir):
+    """Shipping-priority join + deterministic top-k (revenue in exact
+    cents, ties broken by key)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    seg = cust.agg(F.min("c_mktsegment")).collect()[0][0]
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (cust.filter(F.col("c_mktsegment") == seg)
+                .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+                .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy("o_orderkey", "o_orderpriority")
+                .agg((F.sum(rev) / 100.0).alias("revenue"))
+                .select("o_orderkey", "revenue", "o_orderpriority")
+                .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+                .limit(10))
+
+
+@query("topk_hot_keys", oracle="""
+SELECT user_id, count(*) AS n FROM events
+GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20
+""")
+def topk_hot_keys(spark, sf_dir):
+    """Hot-key profile (the skew diagnostic): deterministic top-20."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+              .orderBy(F.col("n").desc(), F.col("user_id")).limit(20))
+
+
+# =====================================================================
+# dataops: dedup
+# =====================================================================
+
+@query("dedup_exact_groups", oracle="""
+SELECT md5(text) AS digest, min(doc_id) AS keeper, count(*) AS n_dups
+FROM documents GROUP BY digest
+""")
+def dedup_exact_groups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dup_groups(docs)
+
+
+@query("dedup_exact_keep", oracle="""
+SELECT doc_id, lang, source, n_chars FROM documents
+QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+""")
+def dedup_exact_keep(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_exact(docs).select("doc_id", "lang", "source", "n_chars")
+
+
+_SH_TOKS = ("list_filter(string_split_regex(lower(text), '\\s+'), "
+            "x -> x <> '')")
+_SH_BASE = f"""
+base AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+             i -> array_to_string(t[i:i+2], ' '))) AS sh
+  FROM (SELECT doc_id, {_SH_TOKS} AS t FROM documents)
+  WHERE len(t) >= 3)
+"""
+
+@query("dedup_minhash_lsh", oracle=f"""
+WITH {_SH_BASE},
+sigs AS (
+  SELECT id, sh,
+         list_transform(range(0, 16),
+           s -> list_min(list_transform(sh,
+                  x -> md5(CAST(s AS VARCHAR) || ':' || x)))) AS sig
+  FROM base),
+buckets AS (
+  SELECT id, sh, u.b AS band,
+         md5(array_to_string(sig[u.b*4+1:u.b*4+4], '|')) AS bucket
+  FROM sigs, unnest(range(0, 4)) AS u(b)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+SELECT id_a, id_b,
+       round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))),
+             6) AS jaccard
+FROM cand
+""")
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16)+LSH(4 bands) candidate pairs with exact-Jaccard
+    verification — band buckets are the only shuffle key."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, n=3, num_hashes=16, bands=4)
+
+
+@query("dedup_ngram_jaccard", oracle=f"""
+WITH {_SH_BASE},
+inv AS (SELECT id, unnest(sh) AS g FROM base),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+  GROUP BY a.id, b.id),
+sz AS (SELECT id, len(sh) AS sz FROM base)
+SELECT id_a, id_b,
+       round(CAST(inter AS DOUBLE) / (x.sz + y.sz - inter), 6) AS jaccard
+FROM inter JOIN sz x ON x.id = id_a JOIN sz y ON y.id = id_b
+WHERE CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) >= 0.12
+""")
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram-Jaccard similarity join via the inverted shingle
+    index."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.12)
+
+
+@query("dedup_simhash", oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+hs AS (
+  SELECT doc_id,
+         list_transform(t, tok ->
+           CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)) AS h,
+         len(t) AS cnt
+  FROM toks),
+bits AS (
+  SELECT doc_id,
+         list_transform(range(0, 60), j ->
+           CASE WHEN 2 * len(list_filter(h, x -> ((x >> j) & 1) = 1)) > cnt
+                THEN 1 ELSE 0 END) AS b
+  FROM hs)
+SELECT doc_id,
+       CAST(list_sum(list_transform(range(0, 60),
+              j -> (CAST(b[j+1] AS BIGINT) << j))) AS BIGINT) AS simhash
+FROM bits
+""")
+def dedup_simhash(spark, sf_dir):
+    """60-bit SimHash per document, bit-identical across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash(F.col("text")).alias("simhash"))
+
+
+@query("dedup_simhash_pairs")  # rows-only: banded-join candidate set
+def dedup_simhash_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=10)
+
+
+# =====================================================================
+# dataops: text analysis
+# =====================================================================
+
+@query("text_quality", oracle=f"""
+WITH t AS (SELECT doc_id, text, {_SH_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(toks) AS word_count,
+       round(CAST(list_sum(list_transform(toks, x -> length(x)))
+                  AS DOUBLE) / greatest(len(toks), 1), 6) AS avg_word_len,
+       round(CAST(len(list_filter(toks, x -> x IN
+         ('the','a','an','and','or','of','to','in','is','it','that','for',
+          'on','with','as','at','by','be','this','are','was'))) AS DOUBLE)
+         / greatest(len(toks), 1), 6) AS stopword_ratio,
+       round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                  AS DOUBLE) / greatest(length(text), 1), 6) AS alpha_ratio,
+       round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                  AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio
+FROM t
+""")
+def text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    s = text_stats(F.col("text"))
+    return docs.select(
+        "doc_id",
+        s["n_chars"].alias("n_chars"),
+        s["word_count"].cast("bigint").alias("word_count"),
+        s["avg_word_len"].alias("avg_word_len"),
+        s["stopword_ratio"].alias("stopword_ratio"),
+        s["alpha_ratio"].alias("alpha_ratio"),
+        s["punct_ratio"].alias("punct_ratio"))
+
+
+@query("token_count", oracle=f"""
+SELECT lang,
+       CAST(sum(len({_SH_TOKS})) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text,
+            '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT) AS bpe_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+""")
+def token_count_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy("lang")
+                .agg(F.sum(token_count(F.col("text"), "whitespace")
+                           .cast("bigint")).alias("ws_tokens"),
+                     F.sum(token_count(F.col("text"), "bpe")
+                           .cast("bigint")).alias("bpe_tokens"),
+                     F.count(F.lit(1)).alias("n_docs")))
+
+
+@query("doc_fingerprint", oracle=f"""
+WITH t AS (SELECT doc_id, {_SH_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       sha256(array_to_string(toks, ' ')) AS fp_sha256,
+       md5(array_to_string(toks, ' ')) AS fp_md5
+FROM t
+""")
+def doc_fingerprint_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        doc_fingerprint(F.col("text"), "sha256").alias("fp_sha256"),
+        doc_fingerprint(F.col("text"), "md5").alias("fp_md5"))
+
+
+@query("lang_id", oracle=f"""
+WITH s AS (
+  SELECT lang, {_SH_TOKS} AS t FROM documents),
+sc AS (
+  SELECT lang,
+    len(list_filter(t, x -> x IN ('der','die','und','das','ist'))) AS sde,
+    len(list_filter(t, x -> x IN ('the','and','of','to','is'))) AS sen,
+    len(list_filter(t, x -> x IN ('el','la','los','que','es'))) AS ses,
+    len(list_filter(t, x -> x IN ('le','la','et','les','est'))) AS sfr
+  FROM s)
+SELECT lang,
+       CASE WHEN greatest(sde, sen, ses, sfr) = 0 THEN 'und'
+            WHEN sde = greatest(sde, sen, ses, sfr) THEN 'de'
+            WHEN sen = greatest(sde, sen, ses, sfr) THEN 'en'
+            WHEN ses = greatest(sde, sen, ses, sfr) THEN 'es'
+            ELSE 'fr' END AS lang_pred,
+       count(*) AS n
+FROM sc GROUP BY lang, lang_pred
+""")
+def lang_id(spark, sf_dir):
+    """JVM-side stopword-marker language ID (argmax, lexicographic
+    tie-break)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select("lang",
+                        lang_id_stopword(F.col("text")).alias("lang_pred"))
+                .groupBy("lang", "lang_pred")
+                .agg(F.count(F.lit(1)).alias("n")))
+
+
+@query("lang_id_ngram")  # rows-only: pandas-UDF model-inference shape
+def lang_id_ngram_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select("lang", lang_id_ngram("text"))
+                .groupBy("lang", "lang_pred")
+                .agg(F.count(F.lit(1)).alias("n")))
+
+
+# =====================================================================
+# dataops: similarity search
+# =====================================================================
+
+_COS = ("round(list_dot_product(qv, cv) / "
+        "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), "
+        "6)")
+
+@query("ann_cosine_topk", oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+s AS (SELECT query_id, neighbor_id, {_COS} AS cosine
+      FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+r AS (SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM s)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+FROM r WHERE rn <= 5
+""")
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (broadcast queries, JVM-side dot
+    products, rank on the rounded score for determinism)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries, k=5)
+
+
+@query("ann_lsh_topk")  # rows-only: approximate bucket-join variant
+def ann_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_cosine_topk(emb, queries, k=5, num_planes=4)
+
+
+# =====================================================================
+# dataops: multimodal plumbing (stubbed decode, real Spark contract)
+# =====================================================================
+
+@query("multimodal_frames")  # rows-only: binary payload → frame rows
+def multimodal_frames(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    with_payload = docs.limit(200).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return sample_video_frames(with_payload, every_n=8)
+
+
+# =====================================================================
+# the flagship pipeline (parse → enrich → route) over derived pages
+# =====================================================================
+
+_LEVELS = ["info", "warn", "error", "debug"]
+
+
+def pages_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministically derive the Common-Crawl-style pages table
+    (url, warc_ts, html, text, lang — BASELINE.json input_hint) from
+    the shipped documents table: each page embeds two dissectable events
+    with continuation lines; doc_id % 50 == 0 corrupts the second."""
+    i = F.col("doc_id")
+    host = F.concat(F.col("source"), F.lit(".example.org"))
+    ts = F.timestamp_seconds(F.lit(1704067200) + i * 7)
+    ts_str = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    level = F.element_at(F.array(*[F.lit(x) for x in _LEVELS]),
+                         (i % 4).cast("int") + 1)
+    nbytes = (i * 37) % 100000
+    line1 = F.concat(
+        F.lit("ts="), ts_str, F.lit(" level="), level,
+        F.lit(" host="), host, F.lit(" bytes="), nbytes.cast("string"),
+        F.lit(" msg=\"doc "), i.cast("string"), F.lit(" fetched\""))
+    line2_ok = F.concat(
+        F.lit("ts="), ts_str, F.lit(" level="), level,
+        F.lit(" host="), host, F.lit(" bytes="),
+        (nbytes / 2).cast("long").cast("string"),
+        F.lit(" msg=\"doc "), i.cast("string"), F.lit(" rendered\""))
+    line2 = F.when(i % 50 == 0,
+                   F.lit("!!corrupt line with no key=value shape")) \
+             .otherwise(line2_ok)
+    text = F.concat_ws("\n", line1, F.lit("  at fetch.go:10"),
+                       line2, F.lit("  at render.go:99"))
+    return docs.select(
+        F.concat(F.lit("https://"), host, F.lit("/doc/"),
+                 i.cast("string")).alias("url"),
+        ts.alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        text.alias("text"),
+        F.col("lang").alias("lang"))
+
+
+def _flagship_lookups(spark: SparkSession, docs: DataFrame):
+    host_meta = (docs.select(
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host"))
+        .distinct()
+        .select("host",
+                F.upper(F.substring("host", 1, 2)).alias("geo_country"),
+                F.concat(F.lit("city-"), F.col("host")).alias("geo_city"),
+                F.abs(F.xxhash64("host") % 64000).alias("asn"),
+                F.lit("203.0.113.7").alias("resolved_ip"),
+                F.lit("example.org").alias("registered_domain")))
+    lang_meta = spark.createDataFrame(
+        [("en", "English", "sink_es"), ("de", "German", "sink_es"),
+         ("fr", "French", "sink_ls"), ("es", "Spanish", "sink_ls"),
+         ("zh", "Chinese", "sink_ls")],
+        "lang string, lang_label string, sink_hint string")
+    return host_meta, lang_meta
+
+
+@query("flagship_routed_counts", oracle="""
+WITH d AS (SELECT doc_id, lang FROM documents),
+e AS (SELECT doc_id, lang, 0 AS corrupt FROM d
+      UNION ALL
+      SELECT doc_id, lang, CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END
+      FROM d)
+SELECT CASE WHEN corrupt = 1 THEN 'sink_deadletter'
+            WHEN lang IN ('fr', 'es', 'zh') THEN 'sink_ls'
+            ELSE 'sink_es' END AS sink,
+       count(*) AS n
+FROM e GROUP BY sink
+""")
+def flagship_routed_counts(spark, sf_dir):
+    """End-to-end north_star pipeline: pages → multiline+dissect parse
+    → broadcast enrich → outil route; per-sink counts must equal the
+    first-principles oracle (the north_rule count-parity bar)."""
+    from .pipeline import build_routed
+    docs = _t(spark, sf_dir, "documents")
+    pages = pages_from_documents(docs)
+    host_meta, lang_meta = _flagship_lookups(spark, docs)
+    routed = build_routed(pages, host_meta, lang_meta)
+    return routed.groupBy("sink").agg(F.count(F.lit(1)).alias("n"))
+
+
+def flagship_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full routed event frame (entry() surface)."""
+    from .pipeline import build_routed
+    docs = _t(spark, sf_dir, "documents")
+    pages = pages_from_documents(docs)
+    host_meta, lang_meta = _flagship_lookups(spark, docs)
+    routed = build_routed(pages, host_meta, lang_meta)
+    return routed.select(
+        "url", "msg_idx", "sink", "message", "event_ts", "lang",
+        "level", "host", "bytes", "geo_country", "lang_label", "event_id")

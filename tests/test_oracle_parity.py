@@ -1,0 +1,88 @@
+"""Driver-contract parity: every ``queries()`` entry with an oracle
+must match the DuckDB result exactly (row count, column names, values)
+at sf0.001 — the same comparison the driver runs at sf0.01.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from beats_spark.queries import QUERIES, ORACLES
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def _compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), \
+        f"{name}: column mismatch {sorted(spark_pdf.columns)} vs " \
+        f"{sorted(oracle_pdf.columns)}"
+    assert len(spark_pdf) == len(oracle_pdf), \
+        f"{name}: row count {len(spark_pdf)} vs {len(oracle_pdf)}"
+    a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av):
+            ok = np.isclose(av.fillna(math.nan), bv.fillna(math.nan),
+                            rtol=0, atol=0, equal_nan=True)
+            assert ok.all(), (
+                f"{name}.{c}: {int((~ok).sum())} value mismatches, e.g. "
+                f"{av[~ok].head(3).tolist()} vs {bv[~ok].head(3).tolist()}")
+        else:
+            ok = (av.astype(str) == bv.astype(str))
+            assert ok.all(), (
+                f"{name}.{c}: {int((~ok).sum())} value mismatches, e.g. "
+                f"{av[~ok].head(3).tolist()} vs {bv[~ok].head(3).tolist()}")
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, ddb, name):
+    spark_pdf = QUERIES[name](spark, SF_DIR).toPandas()
+    oracle_pdf = ddb.execute(ORACLES[name]).df()
+    _compare(spark_pdf, oracle_pdf, name)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema) > 0
+
+
+def test_entry_smoke(spark):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.entry(spark)
+    assert df.count() > 0
+    assert set(mod.oracle_sql()) <= set(mod.queries())
