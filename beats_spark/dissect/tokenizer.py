@@ -251,6 +251,45 @@ class Dissector:
             if f.kind == INDIRECT and f.key not in refs:
                 raise TokenizerError(f"missing reference for key '{f.key}'")
 
+    # -- vectorizable fast path ---------------------------------------
+
+    def to_regex(self) -> Optional[Tuple[str, List[str]]]:
+        """``(pattern, group_keys)`` when the tokenizer is expressible
+        as one anchored lazy-capture regex — i.e. only normal/skip
+        fields, no fixed length, no greedy padding, no append/indirect.
+
+        Equivalence: ``str.find(next_delim)`` (leftmost next-delimiter,
+        ``dissect.go:103-165``) is exactly a lazy ``(.*?)`` followed by
+        the escaped delimiter; the tail capture is ``(.*)``; trailing
+        literal delimiters leave the remainder unanchored, matching the
+        tail-field rule at ``dissect.go:166-180``. Callers use this to
+        run the tokenizer as one C-speed vectorized ``str.extract``
+        over a whole Arrow batch instead of a per-message Python loop.
+        """
+        if self._trim is not None:
+            return None
+        for f in self._fields:
+            if f.kind not in (NORMAL, SKIP) or f.fixed or f.greedy:
+                return None
+        if any(self._greedy):
+            return None
+        # fields in token order (self._fields is ordinal-sorted, which
+        # equals token order when every ordinal is 0)
+        by_token = sorted(self._fields, key=lambda f: f.id)
+        parts = ["^", re.escape(self._delims[0])]
+        group_keys: List[str] = []
+        n_delims = len(self._delims)
+        for i, f in enumerate(by_token):
+            is_tail = (i + 1 >= n_delims)
+            if f.kind == NORMAL:
+                parts.append("(.*?)" if not is_tail else "(.*)")
+                group_keys.append(f.key)
+            else:
+                parts.append("(?:.*?)" if not is_tail else "(?:.*)")
+            if not is_tail:
+                parts.append(re.escape(self._delims[i + 1]))
+        return "(?s)" + "".join(parts), group_keys
+
     # -- extraction ---------------------------------------------------
 
     def _extract(self, s: str) -> Optional[List[Tuple[int, int]]]:

@@ -163,3 +163,4 @@ def compile_processors(
 from . import core as _core          # noqa: E402,F401
 from . import decode as _decode      # noqa: E402,F401
 from . import enrich as _enrich      # noqa: E402,F401
+from . import misc as _misc          # noqa: E402,F401

@@ -1,0 +1,277 @@
+"""Remaining processor inventory (SURVEY.md §2.3-2.6 tail): network
+hashes and direction, syslog-as-processor, structural moves, XML
+decode, timeseries hashing, data-stream naming, per-run metadata, and
+the user-extension (``script``) hook point.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Mapping
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+
+from . import ProcResult, register
+from ..conditions import cidr_match, ip_to_long
+
+__all__ = ["community_id_col"]
+
+
+# ------------------------------------------------------------- community_id
+
+_PROTO_NUM = {"icmp": 1, "tcp": 6, "udp": 17, "sctp": 132, "icmpv6": 58}
+
+
+def _be_bytes(col: Column, width_hex: int) -> Column:
+    """Big-endian fixed-width bytes of an integer column, JVM-side."""
+    return F.unhex(F.lpad(F.hex(col.cast("bigint")), width_hex, "0"))
+
+
+def community_id_col(src_ip: Column, src_port: Column, dst_ip: Column,
+                     dst_port: Column, proto: Column,
+                     seed: int = 0) -> Column:
+    """Community ID v1 flow hash (``communityid/communityid.go:90``):
+    ``"1:" + base64(sha1(seed . min_ep . max_ep . proto . 0 . ports))``
+    with the (ip, port) endpoint pair ordered so the flow hash is
+    direction-independent. Entirely JVM-side: IPv4 strings become
+    4-byte big-endian values via hex packing, sha1/base64 are built-ins
+    — no UDF in a per-flow hot path."""
+    proto_n = F.coalesce(
+        *[F.when(F.lower(proto) == name, F.lit(num))
+          for name, num in _PROTO_NUM.items()],
+        proto.try_cast("int"), F.lit(0))
+    s_ip, d_ip = ip_to_long(src_ip), ip_to_long(dst_ip)
+    flip = (s_ip > d_ip) | ((s_ip == d_ip) & (src_port > dst_port))
+    ip1 = F.when(flip, d_ip).otherwise(s_ip)
+    ip2 = F.when(flip, s_ip).otherwise(d_ip)
+    p1 = F.when(flip, dst_port).otherwise(src_port)
+    p2 = F.when(flip, src_port).otherwise(dst_port)
+    payload = F.concat(
+        _be_bytes(F.lit(seed), 4),
+        _be_bytes(ip1, 8), _be_bytes(ip2, 8),
+        _be_bytes(proto_n, 2), _be_bytes(F.lit(0), 2),
+        _be_bytes(p1, 4), _be_bytes(p2, 4))
+    return F.concat(F.lit("1:"), F.base64(F.unhex(F.sha1(payload))))
+
+
+@register("community_id")
+def community_id(cfg: Mapping[str, Any]):
+    fields = cfg.get("fields", {})
+    target = cfg.get("target", "network_community_id")
+    seed = int(cfg.get("seed", 0))
+
+    def make(df: DataFrame) -> ProcResult:
+        return ProcResult(assigns={target: community_id_col(
+            F.col(fields.get("source_ip", "source_ip")),
+            F.col(fields.get("source_port", "source_port")),
+            F.col(fields.get("destination_ip", "destination_ip")),
+            F.col(fields.get("destination_port", "destination_port")),
+            F.col(fields.get("transport", "network_transport")),
+            seed=seed)})
+    return make
+
+
+# ---------------------------------------------------- add_network_direction
+
+@register("add_network_direction")
+def add_network_direction(cfg: Mapping[str, Any]):
+    """inbound/outbound/internal/external by membership of src/dst in
+    the internal CIDR list (``actions/add_network_direction.go:65``)."""
+    src = cfg.get("source", "source_ip")
+    dst = cfg.get("destination", "destination_ip")
+    target = cfg.get("target", "network_direction")
+    nets = list(cfg.get("internal_networks", []))
+
+    def make(df: DataFrame) -> ProcResult:
+        def member(col: Column) -> Column:
+            out = F.lit(False)
+            for n in nets:
+                out = out | cidr_match(col, n)
+            return out
+        s_in, d_in = member(F.col(src)), member(F.col(dst))
+        col = (F.when(s_in & d_in, "internal")
+                .when(s_in, "outbound")
+                .when(d_in, "inbound")
+                .otherwise("external"))
+        return ProcResult(assigns={target: col})
+    return make
+
+
+# ------------------------------------------------------- syslog (processor)
+
+@register("syslog")
+def syslog(cfg: Mapping[str, Any]):
+    """RFC3164/RFC5424 parse as a processor (``syslog/syslog.go:141``),
+    delegating to the reader-stack implementation."""
+    from ..functions import syslog as sl
+    field = cfg.get("field", "message")
+    fmt = cfg.get("format", "auto")
+    year = cfg.get("year_from")
+
+    def make(df: DataFrame) -> ProcResult:
+        def reshape(d: DataFrame) -> DataFrame:
+            if fmt == "rfc3164":
+                return sl.parse_syslog_rfc3164(d, field=field, year_from=year)
+            if fmt == "rfc5424":
+                return sl.parse_syslog_rfc5424(d, field=field)
+            return sl.parse_syslog(d, field=field, year_from=year)
+        return ProcResult(reshape=reshape)
+    return make
+
+
+# ------------------------------------------------------------- move_fields
+
+@register("move_fields")
+def move_fields(cfg: Mapping[str, Any]):
+    """Re-parent columns under/out of a prefix
+    (``move_fields.go:52``): with flat prefixed columns this is a
+    deterministic rename sweep."""
+    frm = cfg.get("from", "")
+    to = cfg.get("to", "")
+    fields = list(cfg.get("fields", []))
+
+    def make(df: DataFrame) -> ProcResult:
+        assigns, drops = {}, []
+        for c in df.columns:
+            base = c[len(frm):] if frm and c.startswith(frm) else (
+                c if not frm else None)
+            if base is None:
+                continue
+            if fields and base not in fields:
+                continue
+            newname = f"{to}{base}"
+            if newname == c:
+                continue
+            assigns[newname] = F.col(c)
+            drops.append(c)
+        return ProcResult(assigns=assigns, drops=drops)
+    return make
+
+
+# -------------------------------------------------------------- decode_xml
+
+@register("decode_xml")
+def decode_xml(cfg: Mapping[str, Any]):
+    """XML string → flattened dot-path map<string,string>
+    (``decode_xml/decode_xml.go:88``) via stdlib ElementTree inside an
+    Arrow-batched UDF (Spark's from_xml needs a declared schema; the
+    reference is schemaless)."""
+    field = cfg["field"]
+    target = cfg.get("target_field", field)
+
+    @F.pandas_udf(T.MapType(T.StringType(), T.StringType()))
+    def _xml(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import xml.etree.ElementTree as ET
+
+        def flatten(elem, prefix, out):
+            for k, v in elem.attrib.items():
+                out[f"{prefix}{elem.tag}.{k}"] = v
+            kids = list(elem)
+            if not kids:
+                if elem.text and elem.text.strip():
+                    out[f"{prefix}{elem.tag}"] = elem.text.strip()
+                return
+            for kid in kids:
+                flatten(kid, f"{prefix}{elem.tag}.", out)
+
+        def one(v):
+            if v is None:
+                return None
+            try:
+                root = ET.fromstring(v)
+            except ET.ParseError:
+                return None
+            out: dict = {}
+            flatten(root, "", out)
+            return out
+        for s in it:
+            yield s.map(one)
+
+    def make(df: DataFrame) -> ProcResult:
+        if field not in df.columns:
+            return ProcResult()
+        return ProcResult(assigns={target: _xml(F.col(field))})
+    return make
+
+
+# ------------------------------------------------------------- timeseries
+
+@register("timeseries")
+def timeseries(cfg: Mapping[str, Any]):
+    """Dimension-hash instance key (``timeseries/timeseries.go:68``)."""
+    dims = list(cfg.get("fields", []))
+    target = cfg.get("target", "timeseries_instance")
+
+    def make(df: DataFrame) -> ProcResult:
+        cols = [F.col(d) for d in dims if d in df.columns]
+        return ProcResult(assigns={target: F.xxhash64(*cols)})
+    return make
+
+
+# ---------------------------------------------------------- add_data_stream
+
+@register("add_data_stream")
+def add_data_stream(cfg: Mapping[str, Any]):
+    """data_stream type/dataset/namespace + derived index name
+    (``add_data_stream/add_data_stream.go:68``)."""
+    ds_type = cfg.get("type", "logs")
+    dataset = cfg.get("dataset", "generic")
+    namespace = cfg.get("namespace", "default")
+
+    def make(df: DataFrame) -> ProcResult:
+        return ProcResult(assigns={
+            "data_stream_type": F.lit(ds_type),
+            "data_stream_dataset": F.lit(dataset),
+            "data_stream_namespace": F.lit(namespace),
+            "meta_raw_index": F.lit(f"{ds_type}-{dataset}-{namespace}"),
+        })
+    return make
+
+
+# ----------------------------------------------- per-run metadata literals
+
+def _lit_meta_builder(prefix: str, default: Mapping[str, Any]):
+    def builder(cfg: Mapping[str, Any]):
+        info = cfg.get("fields", default)
+
+        def make(df: DataFrame) -> ProcResult:
+            return ProcResult(assigns={
+                f"{prefix}_{k}": F.lit(v) for k, v in info.items()})
+        return make
+    return builder
+
+
+# constant-per-run attachments (probe results supplied by the caller):
+# add_cloud_metadata.go:123, add_observer_metadata.go:82
+register("add_cloud_metadata")(_lit_meta_builder(
+    "cloud", {"provider": "none"}))
+register("add_observer_metadata")(_lit_meta_builder(
+    "observer", {"type": "engine"}))
+
+
+# ------------------------------------------------ script (extension hook)
+
+@register("script")
+def script(cfg: Mapping[str, Any]):
+    """User-extension hook (``script/javascript/javascript.go:195``):
+    instead of a per-event JS VM, the hook is either ``columns`` — a
+    dict of output column → Column expression — or ``batch_fn`` +
+    ``schema`` applied through ``mapInPandas`` (Arrow-batched, the only
+    sanctioned way to run user Python per the no-per-row-Python rule).
+    """
+    columns = cfg.get("columns")
+    batch_fn = cfg.get("batch_fn")
+    schema = cfg.get("schema")
+
+    def make(df: DataFrame) -> ProcResult:
+        if columns:
+            return ProcResult(assigns=dict(columns))
+        if batch_fn is None:
+            return ProcResult()
+
+        def reshape(d: DataFrame) -> DataFrame:
+            return d.mapInPandas(batch_fn, schema or d.schema)
+        return ProcResult(reshape=reshape)
+    return make

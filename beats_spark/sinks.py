@@ -1,0 +1,134 @@
+"""Outputs and codecs (SURVEY.md §2.8).
+
+The reference's outputs are network clients with batching/retry; in
+batch Spark those concerns collapse into the write action (task retry,
+atomic commit). What remains meaningful — and is implemented here — is
+each output's *data shaping*:
+
+- codecs: ``json`` (``outputs/codec/json``) → ``to_json(struct(*))``;
+  ``format`` (``outputs/codec/format``) → fmtstr-compiled line.
+- ``fileout`` NDJSON with path format strings
+  (``outputs/fileout/file.go``, ``pathformatstring.go``): the rotation
+  knob becomes file sizing (``maxRecordsPerFile``); the path fmtstr
+  becomes a partition column so one write fans out per rendered path.
+- ``kafka`` partitioners ``random/round_robin/hash``
+  (``outputs/kafka/partition.go:64-115``): become the repartitioning
+  strategy + a ``key`` column.
+- ``elasticsearch`` dead-letter policy (``elasticsearch/client.go:
+  63-95``): rows failing a validity predicate route to a dead-letter
+  table instead of failing the job.
+- per-sink fan-out: ONE pass via ``partitionBy(sink)`` (the flagship
+  default, beats_spark.pipeline) or N filtered writes when sinks need
+  different shapes — ``write_sinks`` implements the latter.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Mapping, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .fmtstr import compile_fmtstr
+
+__all__ = [
+    "codec_json", "codec_format", "write_fileout", "kafka_shape",
+    "split_dead_letter", "write_sinks",
+]
+
+
+def codec_json(df: DataFrame, out_col: str = "value",
+               columns: Optional[Sequence[str]] = None) -> DataFrame:
+    """NDJSON codec: one JSON string per event
+    (``codec/json/json.go``). Column subset preserves the reference's
+    pruned-event encoding."""
+    cols = list(columns) if columns else df.columns
+    return df.withColumn(out_col, F.to_json(F.struct(*[F.col(c)
+                                                       for c in cols])))
+
+
+def codec_format(df: DataFrame, template: str, out_col: str = "value",
+                 timestamp_field: str = "@timestamp") -> DataFrame:
+    """Plain-text codec driven by an event format string
+    (``codec/format/format.go``)."""
+    return df.withColumn(
+        out_col, compile_fmtstr(template, timestamp_field=timestamp_field))
+
+
+def write_fileout(df: DataFrame, base_dir: str, path_template: str = "",
+                  codec: str = "json",
+                  template: str = "",
+                  max_records_per_file: int = 0,
+                  timestamp_field: str = "@timestamp") -> None:
+    """fileout: NDJSON (or format-codec) lines under
+    ``base_dir/<rendered path>/``. The path format string renders to a
+    partition column — one distributed write covers every distinct
+    rendered path (``fileout/pathformatstring.go``); size-based
+    rotation maps to ``maxRecordsPerFile``."""
+    if codec == "json":
+        shaped = codec_json(df)
+    elif codec == "format":
+        shaped = codec_format(df, template, timestamp_field=timestamp_field)
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
+    writer = shaped.select(
+        "value",
+        (compile_fmtstr(path_template, timestamp_field)
+         if path_template else F.lit("events")).alias("__path"))
+    w = writer.write.mode("append").partitionBy("__path")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.format("text").save(base_dir)
+
+
+def kafka_shape(df: DataFrame, topic_col: str = "sink",
+                partitioner: str = "hash",
+                key_fields: Optional[Sequence[str]] = None,
+                num_partitions: int = 32,
+                columns: Optional[Sequence[str]] = None) -> DataFrame:
+    """Shape a frame for a Kafka-like sink: (topic, key, value) with
+    the reference's partitioner semantics (``kafka/partition.go``):
+    ``hash`` co-locates by key fields, ``random``/``round_robin``
+    spread uniformly. The Spark analog of the partitioner is the
+    repartitioning applied before the write."""
+    vcols = list(columns) if columns else [c for c in df.columns
+                                           if c != topic_col]
+    value = F.to_json(F.struct(*[F.col(c) for c in vcols])).alias("value")
+    if partitioner == "hash" and key_fields:
+        key = F.concat_ws("|", *[F.col(f).cast("string")
+                                 for f in key_fields])
+        out = df.select(F.col(topic_col).alias("topic"),
+                        key.alias("key"), value)
+        return out.repartition(num_partitions, F.col("topic"), F.col("key"))
+    out = df.select(F.col(topic_col).alias("topic"),
+                    F.lit(None).cast("string").alias("key"), value)
+    return out.repartition(num_partitions)  # random/round_robin
+
+
+def split_dead_letter(df: DataFrame, valid: Column
+                      ) -> Dict[str, DataFrame]:
+    """ES-style dead-letter policy: rows failing the validity predicate
+    go to the dead-letter frame with the failure reason attached
+    instead of failing the batch (``elasticsearch/client.go:63-95``,
+    ``dead_letter_index.go``)."""
+    return {
+        "ok": df.filter(valid),
+        "dead_letter": df.filter(~F.coalesce(valid, F.lit(False))),
+    }
+
+
+def write_sinks(routed: DataFrame, out_dir: str,
+                sink_col: str = "sink",
+                shapes: Optional[Mapping[str, Any]] = None) -> None:
+    """Per-sink filtered writes — used instead of ``partitionBy`` when
+    sinks need different shapes (e.g. the ES-like sink keeps the full
+    event, the LS-like sink applies the json codec, dropped keeps only
+    counts). ``shapes`` maps sink name → transform(df) -> df."""
+    shapes = shapes or {}
+    names = [r[0] for r in routed.select(sink_col).distinct().collect()]
+    for name in names:
+        part = routed.filter(F.col(sink_col) == name)
+        shape = shapes.get(name)
+        if shape is not None:
+            part = shape(part)
+        part.write.mode("overwrite").parquet(os.path.join(out_dir, name))

@@ -1,0 +1,12 @@
+from .pipeline import (
+    PAGES_SCHEMA,
+    stream_routed,
+    run_stream_pipeline,
+    windowed_counters,
+    stateful_rate_limit,
+)
+
+__all__ = [
+    "PAGES_SCHEMA", "stream_routed", "run_stream_pipeline",
+    "windowed_counters", "stateful_rate_limit",
+]

@@ -1,0 +1,154 @@
+"""Structured Streaming form of the shipper pipeline (SURVEY.md §2.10).
+
+The reference's streaming semantics map as:
+
+- at-least-once + ACK-ordered cursor updates
+  (``input-logfile/publish.go:29-119``) → Structured Streaming source
+  offsets + idempotent ``foreachBatch`` sink commits = effectively-once;
+- statestore/registrar resume (``statestore/backend/memlog/store.go``)
+  → the query checkpoint directory: a restarted query skips every file
+  already committed to the offset log;
+- multiline flush timeout / rate-limit buckets (``multiline/pattern.go
+  :57``, ``ratelimit/token_bucket.go``) → event-time windows +
+  watermarks, and ``applyInPandasWithState`` for the token bucket;
+- the memqueue batch boundary (``queue/memqueue/config.go:28-44``) →
+  micro-batch triggers (``availableNow`` for drain-the-backlog runs,
+  processingTime for tailing).
+
+The same parse → enrich → route expression pipeline from
+``beats_spark.pipeline`` is reused verbatim — mapInPandas, broadcast
+joins and the when-chain router are all streaming-safe, so batch and
+streaming share one implementation (the design goal the reference gets
+by running the same processor chain under every input).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Optional, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..pipeline import build_routed, SINKS
+
+__all__ = ["PAGES_SCHEMA", "stream_routed", "run_stream_pipeline",
+           "windowed_counters", "stateful_rate_limit"]
+
+PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
+                "text string, lang string")
+
+
+def stream_routed(spark: SparkSession, input_path: str,
+                  host_meta: DataFrame, lang_meta: DataFrame,
+                  max_files_per_trigger: Optional[int] = None) -> DataFrame:
+    """Streaming pages source → routed event stream (lazy). The file
+    source is the harvester: each discovered file ≈ one harvested log,
+    offsets tracked in the checkpoint instead of the registry."""
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.parquet(input_path)
+    return build_routed(pages, host_meta, lang_meta)
+
+
+def run_stream_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    host_meta: DataFrame,
+    lang_meta: DataFrame,
+    out_dir: str,
+    checkpoint_dir: Optional[str] = None,
+    available_now: bool = True,
+):
+    """Start (and for availableNow: drain) the streaming pipeline.
+
+    Per micro-batch: one ``partitionBy(sink)`` parquet write plus a
+    metrics row per sink — the foreachBatch body is idempotent per
+    ``batch_id`` (overwrite of the batch's own output prefix), which
+    with the checkpoint offset log gives effectively-once delivery.
+    Returns the StreamingQuery (already awaited when available_now).
+    """
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    routed = stream_routed(spark, input_path, host_meta, lang_meta)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.write.mode("overwrite")
+                 .partitionBy("sink")
+                 .parquet(os.path.join(out_dir, "routed",
+                                       f"batch={batch_id}")))
+        counts = (batch_df.groupBy("sink")
+                  .agg(F.count(F.lit(1)).alias("value"))
+                  .withColumn("batch_id", F.lit(batch_id))
+                  .withColumn("metric", F.concat(F.lit("events.acked."),
+                                                 F.col("sink"))))
+        (counts.select("batch_id", "metric", "value")
+               .coalesce(1).write.mode("append")
+               .parquet(os.path.join(out_dir, "metrics")))
+
+    writer = (routed.writeStream
+              .foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.trigger(processingTime="10 seconds").start()
+
+
+def windowed_counters(routed: DataFrame, ts_col: str = "warc_ts",
+                      window: str = "1 minute",
+                      watermark: str = "2 minutes") -> DataFrame:
+    """Per-sink windowed event counts with a late-data watermark — the
+    streaming form of the pipeline counters (§2.6); late events beyond
+    the watermark are dropped exactly like the reference's monitoring
+    snapshots ignore late ACKs."""
+    return (routed
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("win"),
+                     F.col("sink"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("win.start").alias("win_start"), "sink", "n"))
+
+
+def stateful_rate_limit(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    limit_per_key: int,
+) -> DataFrame:
+    """Streaming token bucket (``ratelimit/token_bucket.go:37-65``) via
+    ``applyInPandasWithState``: per key, pass rows while the running
+    count within the current 1-second window stays under the limit;
+    state carries (window_epoch, used) across micro-batches."""
+    out_schema = events.schema
+    state_schema = "window_start long, used long"
+
+    def fn(key: Tuple, batches: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            win_start, used = state.get
+        else:
+            win_start, used = -1, 0
+        for pdf in batches:
+            pdf = pdf.sort_values(ts_col)
+            secs = (pdf[ts_col].astype("int64") // 1_000_000_000)
+            keep = []
+            for s in secs:
+                if s != win_start:
+                    win_start, used = int(s), 0
+                if used < limit_per_key:
+                    used += 1
+                    keep.append(True)
+                else:
+                    keep.append(False)
+            out = pdf[pd.Series(keep, index=pdf.index)]
+            if len(out):
+                yield out
+        state.update((win_start, used))
+
+    return (events.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout))

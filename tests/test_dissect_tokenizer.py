@@ -181,3 +181,43 @@ def test_reference_corpus_parity():
         assert got == expected, f"{case['name']}: {got} != {expected}"
         ran += 1
     assert ran >= 20
+
+
+class TestRegexFastPath:
+    """Dissector.to_regex must agree byte-for-byte with the find() loop."""
+
+    CASES = [
+        ('ts=%{ts} level=%{level} host=%{host} bytes=%{b|long} msg="%{m}"',
+         ['ts=2024-01-01T00:00:00Z level=info host=h bytes=12 msg="hi"',
+          'ts=1 level=2 host=3 bytes=4 msg="a b c"\n  cont line',
+          '!!corrupt', '', 'ts=x level=y', 'ts= level= host= bytes= msg=""']),
+        ("%{a} %{b}", ["hello world", "a b c", "x", "", " leading"]),
+        ("%{a}-%{}-%{c}", ["1-2-3", "1-2-3-4", "1-2", "--"]),
+        ("pre: %{x}", ["pre: tail here", "nope", "pre: ", "pre:"]),
+    ]
+
+    def test_equivalence(self):
+        import re as _re
+        import pandas as pd
+        from beats_spark.dissect.tokenizer import Dissector
+        for pat, samples in self.CASES:
+            d = Dissector(pat)
+            rx = d.to_regex()
+            assert rx is not None, pat
+            rx_pat, rx_keys = rx
+            ext = pd.Series(samples, dtype="object").str.extract(rx_pat)
+            ext.columns = rx_keys
+            for i, s in enumerate(samples):
+                kv = d.dissect_safe(s)
+                if kv is None:
+                    assert pd.isna(ext.iloc[i][rx_keys[0]]), (pat, s)
+                else:
+                    for k in rx_keys:
+                        got = ext.iloc[i][k]
+                        assert got == kv.get(k), (pat, s, k, got, kv)
+
+    def test_unsupported_patterns_fall_back(self):
+        from beats_spark.dissect.tokenizer import Dissector
+        for pat in ("%{a->} %{b}", "%{a#3}%{b}", "%{+a} %{+a}",
+                    "%{*ref} %{&ref}", "%{?skip} %{b}"):
+            assert Dissector(pat).to_regex() is None, pat

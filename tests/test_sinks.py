@@ -1,0 +1,69 @@
+"""Outputs/codecs: json + format codecs, fileout path fmtstr, kafka
+shaping, dead-letter split, per-sink writes."""
+
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from beats_spark.sinks import (
+    codec_json, codec_format, write_fileout, kafka_shape,
+    split_dead_letter, write_sinks,
+)
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(1, "click", 2.5), (2, "error", 0.5), (3, "view", 9.0)],
+        "id bigint, etype string, score double")
+
+
+def test_codec_json_roundtrip(spark):
+    row = codec_json(_df(spark)).collect()[0]
+    assert json.loads(row["value"]) == {"id": 1, "etype": "click",
+                                        "score": 2.5}
+
+
+def test_codec_format(spark):
+    row = codec_format(_df(spark), "ev=%{[etype]} id=%{[id]}").collect()[0]
+    assert row["value"] == "ev=click id=1"
+
+
+def test_write_fileout_path_template(spark, tmp_path):
+    out = str(tmp_path / "fileout")
+    write_fileout(_df(spark), out, path_template="logs-%{[etype]}")
+    dirs = {os.path.basename(p) for p in glob.glob(out + "/__path=*")}
+    assert dirs == {"__path=logs-click", "__path=logs-error",
+                    "__path=logs-view"}
+    lines = spark.read.text(out + "/__path=logs-click").collect()
+    assert json.loads(lines[0]["value"])["id"] == 1
+
+
+def test_kafka_shape_hash(spark):
+    shaped = kafka_shape(_df(spark).withColumn("sink", F.lit("t1")),
+                         partitioner="hash", key_fields=["etype"],
+                         num_partitions=4)
+    assert [f.name for f in shaped.schema] == ["topic", "key", "value"]
+    rows = shaped.collect()
+    assert {r["key"] for r in rows} == {"click", "error", "view"}
+    assert shaped.rdd.getNumPartitions() == 4
+
+
+def test_split_dead_letter(spark):
+    parts = split_dead_letter(_df(spark), F.col("score") > 1.0)
+    assert parts["ok"].count() == 2
+    assert parts["dead_letter"].count() == 1
+
+
+def test_write_sinks_shapes(spark, tmp_path):
+    out = str(tmp_path / "sinks")
+    routed = _df(spark).withColumn(
+        "sink", F.when(F.col("etype") == "error", "sink_err")
+                 .otherwise("sink_ok"))
+    write_sinks(routed, out,
+                shapes={"sink_ok": lambda d: codec_json(d, "value")})
+    ok = spark.read.parquet(os.path.join(out, "sink_ok"))
+    err = spark.read.parquet(os.path.join(out, "sink_err"))
+    assert ok.count() == 2 and "value" in ok.columns
+    assert err.count() == 1 and "value" not in err.columns

@@ -1,0 +1,92 @@
+"""Structured Streaming pipeline: drain-the-backlog run matches the
+batch pipeline, restart from checkpoint reprocesses nothing, stateful
+rate limit bounds per-key-per-second output."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.fixtures import pages, host_meta, lang_meta
+from beats_spark.pipeline import build_routed
+from beats_spark.streaming import (
+    run_stream_pipeline, stream_routed, windowed_counters,
+    stateful_rate_limit,
+)
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pages"))
+    pages(spark, 600, partitions=3).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_matches_batch_and_resumes(spark, pages_dir, tmp_path):
+    out = str(tmp_path / "out")
+    hm, lm = host_meta(spark), lang_meta(spark)
+
+    run_stream_pipeline(spark, pages_dir, hm, lm, out)
+    routed = spark.read.parquet(os.path.join(out, "routed", "batch=*"))
+    got = {r["sink"]: r["count"] for r in
+           routed.groupBy("sink").count().collect()}
+
+    expect = {r["sink"]: r["count"] for r in
+              build_routed(spark.read.parquet(pages_dir), hm, lm)
+              .groupBy("sink").count().collect()}
+    assert got == expect
+
+    metrics = spark.read.parquet(os.path.join(out, "metrics"))
+    acked = {r["metric"]: r["value"] for r in metrics.collect()}
+    assert acked[f"events.acked.sink_es"] == expect["sink_es"]
+
+    # resume: same checkpoint, no new files → no new batches written
+    before = set(glob.glob(os.path.join(out, "routed", "batch=*")))
+    run_stream_pipeline(spark, pages_dir, hm, lm, out)
+    after = set(glob.glob(os.path.join(out, "routed", "batch=*")))
+    assert before == after
+
+
+def test_windowed_counters_plan_is_streaming(spark, pages_dir):
+    hm, lm = host_meta(spark), lang_meta(spark)
+    routed = stream_routed(spark, pages_dir, hm, lm)
+    agg = windowed_counters(routed)
+    assert agg.isStreaming
+    assert [f.name for f in agg.schema] == ["win_start", "sink", "n"]
+
+
+def test_stateful_rate_limit(spark, tmp_path):
+    src_dir = str(tmp_path / "ev")
+    ck = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "ratelimited")
+    # 3 users × 20 events inside one second + 5 in the next second
+    rows = []
+    for u in range(3):
+        for i in range(20):
+            rows.append((u, 1_700_000_000_000_000 + i))       # second 0
+        for i in range(5):
+            rows.append((u, 1_700_000_001_000_000 + i))       # second 1
+    df = spark.createDataFrame(rows, "user_id bigint, us bigint") \
+              .select("user_id", F.timestamp_micros(F.col("us")).alias("ts"))
+    df.write.mode("overwrite").parquet(src_dir)
+
+    stream = (spark.readStream.schema("user_id bigint, ts timestamp")
+              .parquet(src_dir))
+    limited = stateful_rate_limit(stream, "user_id", "ts", limit_per_key=7)
+    q = (limited.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = spark.read.parquet(out_dir)
+    per_key_sec = (got.groupBy("user_id",
+                               F.date_trunc("second", "ts").alias("s"))
+                      .count().collect())
+    assert len(per_key_sec) == 6
+    for r in per_key_sec:
+        assert r["count"] <= 7
+    # second 0 saturates the limit, second 1 fits entirely
+    counts = sorted(r["count"] for r in per_key_sec)
+    assert counts == [5, 5, 5, 7, 7, 7]
