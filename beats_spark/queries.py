@@ -291,6 +291,143 @@ def multiline_join(spark, sf_dir):
         F.element_at(msgs, 2).alias("msg2"))
 
 
+@query("syslog_parse", oracle="""
+WITH lines AS (
+  SELECT '<' || CAST(8 + (event_id % 16) AS VARCHAR)
+         || '>1 2024-01-02T03:04:05 host' || CAST(user_id AS VARCHAR)
+         || ' app' || CAST(event_id % 3 AS VARCHAR) || ' '
+         || CAST(event_id AS VARCHAR)
+         || ' msg7 - event ' || event_type AS message
+  FROM events),
+p AS (
+  SELECT CAST(regexp_extract(message, '^<([0-9]+)>', 1) AS BIGINT) AS pri,
+         regexp_extract(message, '> ?1 [^ ]+ ([^ ]+)', 1) AS hostname,
+         regexp_extract(message, ' - event (.*)$', 1) AS msg
+  FROM lines)
+SELECT CAST(pri % 8 AS INT) AS severity,
+       CAST(pri // 8 AS INT) AS facility,
+       count(*) AS n,
+       count(DISTINCT hostname) AS n_hosts
+FROM p GROUP BY severity, facility
+""")
+def syslog_parse(spark, sf_dir):
+    """RFC5424 syslog parse (reader + processor form share the
+    implementation): priority → severity/facility arithmetic."""
+    from .functions.syslog import parse_syslog_rfc5424
+    ev = _t(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("<"), (8 + F.col("event_id") % 16).cast("string"),
+        F.lit(">1 2024-01-02T03:04:05 host"),
+        F.col("user_id").cast("string"),
+        F.lit(" app"), (F.col("event_id") % 3).cast("string"),
+        F.lit(" "), F.col("event_id").cast("string"),
+        F.lit(" msg7 - event "), F.col("event_type"))
+    df = parse_syslog_rfc5424(ev.select(line.alias("message")))
+    return (df.groupBy(
+                F.col("log_syslog_severity_code").alias("severity"),
+                F.col("log_syslog_facility_code").alias("facility"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.count_distinct(F.col("syslog_hostname"))
+                    .alias("n_hosts")))
+
+
+@query("registered_domain", oracle="""
+WITH h AS (
+  SELECT CASE WHEN doc_id % 3 = 0
+              THEN source || '.shop.co.uk'
+              ELSE source || '.example.com' END AS host
+  FROM documents)
+SELECT CASE WHEN host LIKE '%.co.uk'
+            THEN regexp_extract(host, '([^.]+\\.co\\.uk)$', 1)
+            ELSE regexp_extract(host, '([^.]+\\.com)$', 1) END
+         AS registered_domain,
+       count(*) AS n
+FROM h GROUP BY registered_domain
+""")
+def registered_domain_q(spark, sf_dir):
+    """eTLD+1 extraction: longest public-suffix match wins
+    (registered_domain/registered_domain.go:76)."""
+    docs = _t(spark, sf_dir, "documents")
+    host = F.when(F.col("doc_id") % 3 == 0,
+                  F.concat(F.col("source"), F.lit(".shop.co.uk"))) \
+            .otherwise(F.concat(F.col("source"), F.lit(".example.com")))
+    df = docs.select(host.alias("host"))
+    chain = compile_processors([
+        {"registered_domain": {"field": "host",
+                               "suffixes": ["co.uk", "com", "uk"]}}])
+    return (chain(df).groupBy("registered_domain")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@query("network_condition", oracle="""
+WITH ips AS (
+  SELECT CASE CAST(user_id % 4 AS INT)
+           WHEN 0 THEN '10.1.' || CAST(event_id % 200 AS VARCHAR) || '.9'
+           WHEN 1 THEN '192.168.4.' || CAST(event_id % 200 AS VARCHAR)
+           WHEN 2 THEN '8.8.8.' || CAST(event_id % 200 AS VARCHAR)
+           ELSE '172.20.1.' || CAST(event_id % 200 AS VARCHAR) END AS ip,
+         CAST(user_id % 4 AS INT) AS bucket
+  FROM events)
+SELECT bucket,
+       count(*) AS n,
+       CAST(sum(CASE WHEN bucket IN (0, 1, 3) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_private
+FROM ips GROUP BY bucket
+""")
+def network_condition(spark, sf_dir):
+    """network condition: IP-in-CIDR / named-network membership
+    compiled to mask arithmetic (conditions/network.go:44-139)."""
+    ev = _t(spark, sf_dir, "events")
+    b = (F.col("user_id") % 4).cast("int")
+    oct4 = (F.col("event_id") % 200).cast("string")
+    ip = (F.when(b == 0, F.concat(F.lit("10.1."), oct4, F.lit(".9")))
+           .when(b == 1, F.concat(F.lit("192.168.4."), oct4))
+           .when(b == 2, F.concat(F.lit("8.8.8."), oct4))
+           .otherwise(F.concat(F.lit("172.20.1."), oct4)))
+    df = ev.select(ip.alias("ip"), b.alias("bucket"))
+    is_private = compile_condition({"network": {"ip": "private"}})
+    return (df.groupBy("bucket")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.when(is_private, 1).otherwise(0))
+                    .cast("bigint").alias("n_private")))
+
+
+@query("decode_chain", oracle="""
+WITH enc AS (
+  SELECT event_id,
+         to_base64(CAST(event_type || ',' || CAST(user_id AS VARCHAR)
+                        AS BLOB)) AS payload
+  FROM events),
+dec AS (
+  SELECT event_id,
+         CAST(from_base64(payload) AS VARCHAR) AS csv
+  FROM enc)
+SELECT string_split(csv, ',')[1] AS etype,
+       CAST(sum(CAST(string_split(csv, ',')[2] AS BIGINT)) AS BIGINT)
+         AS uid_sum,
+       count(*) AS n
+FROM dec GROUP BY etype
+""")
+def decode_chain(spark, sf_dir):
+    """decode_base64_field → decode_csv_fields → extract_array chain."""
+    ev = _t(spark, sf_dir, "events")
+    payload = F.base64(F.encode(
+        F.concat(F.col("event_type"), F.lit(","),
+                 F.col("user_id").cast("string")), "utf-8"))
+    df = ev.select("event_id", payload.alias("payload"))
+    chain = compile_processors([
+        {"decode_base64_field": {"field": {"from": "payload",
+                                           "to": "csv"}}},
+        {"decode_csv_fields": {"fields": {"csv": "parts"}}},
+        {"extract_array": {"field": "parts",
+                           "mappings": {"etype": 0, "uid": 1}}},
+    ])
+    out = chain(df)
+    return (out.groupBy("etype")
+               .agg(F.sum(F.col("uid").cast("bigint")).alias("uid_sum"),
+                    F.count(F.lit(1)).alias("n")))
+
+
 # =====================================================================
 # §2.6 metrics / counters / timestamps
 # =====================================================================
