@@ -4,6 +4,7 @@ from .syslog import parse_syslog_rfc3164, parse_syslog_rfc5424, parse_syslog
 from .readers import (
     include_lines, exclude_lines, limit_message, strip_newline, split_lines,
 )
+from .parsers import compile_parsers, parse_container, parse_ndjson
 
 __all__ = [
     "multiline_join_col", "multiline_over_rows", "segment_lines",
@@ -11,4 +12,5 @@ __all__ = [
     "parse_syslog_rfc3164", "parse_syslog_rfc5424", "parse_syslog",
     "include_lines", "exclude_lines", "limit_message", "strip_newline",
     "split_lines",
+    "compile_parsers", "parse_container", "parse_ndjson",
 ]

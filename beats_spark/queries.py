@@ -696,6 +696,87 @@ def dedup_simhash_pairs(spark, sf_dir):
     return simhash_pairs(docs, max_hamming=10)
 
 
+@query("container_ndjson", oracle="""
+WITH lines AS (
+  SELECT CASE WHEN event_id % 2 = 0
+    THEN '{"log":"evt ' || CAST(event_id AS VARCHAR) || ' ' || event_type
+         || '\\n","stream":"' || CASE WHEN event_id % 4 = 0
+                                      THEN 'stdout' ELSE 'stderr' END
+         || '","time":"2024-01-02T03:04:05Z"}'
+    ELSE '2024-01-02T03:04:06 ' || CASE WHEN event_id % 4 = 1
+                                        THEN 'stdout' ELSE 'stderr' END
+         || ' F evt ' || CAST(event_id AS VARCHAR) || ' ' || event_type
+  END AS message
+  FROM events),
+parsed AS (
+  SELECT CASE WHEN message LIKE '{%'
+              THEN json_extract_string(message, '$.stream')
+              ELSE regexp_extract(message,
+                   '^[^ ]+ (stdout|stderr) ', 1) END AS stream,
+         CASE WHEN message LIKE '{%'
+              THEN rtrim(json_extract_string(message, '$.log'), chr(10))
+              ELSE regexp_extract(message,
+                   '^[^ ]+ (?:stdout|stderr) [PF] (.*)$', 1) END AS msg
+  FROM lines)
+SELECT stream,
+       regexp_extract(msg, 'evt [0-9]+ (.*)$', 1) AS etype,
+       count(*) AS n
+FROM parsed WHERE stream = 'stdout' OR stream = 'stderr'
+GROUP BY stream, etype
+""")
+def container_ndjson(spark, sf_dir):
+    """container parser: docker json-file AND CRI lines in one stream
+    (auto-detected), stream selection + log extraction
+    (readjson/docker_json.go, parser.go:105-117)."""
+    from .functions.parsers import parse_container
+    ev = _t(spark, sf_dir, "events")
+    docker = F.concat(
+        F.lit('{"log":"evt '), F.col("event_id").cast("string"),
+        F.lit(" "), F.col("event_type"), F.lit('\\n","stream":"'),
+        F.when(F.col("event_id") % 4 == 0, "stdout").otherwise("stderr"),
+        F.lit('","time":"2024-01-02T03:04:05Z"}'))
+    cri = F.concat(
+        F.lit("2024-01-02T03:04:06 "),
+        F.when(F.col("event_id") % 4 == 1, "stdout").otherwise("stderr"),
+        F.lit(" F evt "), F.col("event_id").cast("string"),
+        F.lit(" "), F.col("event_type"))
+    line = F.when(F.col("event_id") % 2 == 0, docker).otherwise(cri)
+    df = parse_container(ev.select(line.alias("message")))
+    return (df.groupBy(F.col("container_stream").alias("stream"),
+                       F.regexp_extract("message", r"evt [0-9]+ (.*)$", 1)
+                        .alias("etype"))
+              .agg(F.count(F.lit(1)).alias("n")))
+
+
+_EMB_COS = ("round(list_dot_product(va, vb) / "
+            "(sqrt(list_dot_product(va, va)) * "
+            "sqrt(list_dot_product(vb, vb))), 6)")
+
+@query("dedup_embedding", oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE vec_id < 150),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.e AS va, b.e AS vb
+      FROM v a JOIN v b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, {_EMB_COS} AS cosine
+FROM p WHERE {_EMB_COS} >= 0.2
+""")
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (brute force over a
+    bounded id range — the verification kernel the LSH variant reranks
+    with at scale)."""
+    from .dataops.similarity import cosine_similarity
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    return (pairs.select("id_a", "id_b", cos.alias("cosine"))
+                 .filter(F.col("cosine") >= 0.2))
+
+
 # =====================================================================
 # dataops: text analysis
 # =====================================================================

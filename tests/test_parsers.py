@@ -1,0 +1,92 @@
+"""Parser chain compiler (reader/parser/parser.go): multiline →
+ndjson → container → syslog → include_message composition."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.functions.parsers import (
+    compile_parsers, parse_container, parse_ndjson,
+)
+
+
+def test_parse_ndjson_schema_and_message_key(spark):
+    df = spark.createDataFrame(
+        [('{"msg":"hello","level":"info","n":3}',),
+         ("not json",), (None,)],
+        "message string")
+    out = parse_ndjson(df, schema="msg string, level string, n int",
+                       message_key="msg")
+    rows = out.collect()
+    assert rows[0]["message"] == "hello"
+    assert rows[0]["level"] == "info" and rows[0]["n"] == 3
+    assert "json_parsing_error" in rows[1]["log_flags"]
+    assert rows[1]["message"] == "not json"      # fallback keeps raw
+    assert rows[2]["log_flags"] == []
+
+
+def test_parse_container_streams(spark):
+    df = spark.createDataFrame(
+        [('{"log":"docker line\\n","stream":"stdout","time":"2024-01-02T03:04:05Z"}',),
+         ("2024-01-02T03:04:06Z stderr F cri line",)],
+        "message string")
+    out = parse_container(df)
+    rows = {r["container_stream"]: r for r in out.collect()}
+    assert rows["stdout"]["message"] == "docker line"
+    assert rows["stderr"]["message"] == "cri line"
+    assert rows["stdout"]["container_time"] is not None
+    only = parse_container(df, stream="stderr").collect()
+    assert len(only) == 1 and only[0]["message"] == "cri line"
+
+
+def test_compile_parsers_multiline_then_filter(spark):
+    # lines of one "file": multiline joins the traceback into its
+    # event, include_message keeps the error event only — byte-exact
+    lines = [
+        ("f1", 0, "ok request served"),
+        ("f1", 1, "boom: handler panicked"),
+        ("f1", 2, "  at deep.stack(frame.go:1)"),
+        ("f1", 3, "fine again"),
+    ]
+    df = spark.createDataFrame(lines,
+                               "path string, line_no int, message string")
+    chain = compile_parsers([
+        {"multiline": {"pattern": r"^\s", "match": "after"}},
+        {"include_message": {"patterns": ["boom"]}},
+    ], partition_cols=["path"])
+    rows = chain(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["message"] == \
+        "boom: handler panicked\n  at deep.stack(frame.go:1)"
+
+
+def test_compile_parsers_ndjson_then_filter(spark):
+    lines = [
+        ("f1", 0, '{"msg":"ok request","level":"info"}'),
+        ("f1", 1, '{"msg":"boom","level":"error"}'),
+    ]
+    df = spark.createDataFrame(lines,
+                               "path string, line_no int, message string")
+    chain = compile_parsers([
+        {"ndjson": {"schema": "msg string, level string",
+                    "message_key": "msg"}},
+        {"include_message": {"patterns": ["^boom$"]}},
+    ], partition_cols=["path"])
+    rows = chain(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["level"] == "error" and rows[0]["message"] == "boom"
+
+
+def test_compile_parsers_syslog(spark):
+    df = spark.createDataFrame(
+        [("f1", 0, "<13>Feb  5 17:32:18 host01 app: hello")],
+        "path string, line_no int, message string")
+    chain = compile_parsers([{"syslog": {"format": "rfc3164"}}],
+                            partition_cols=["path"])
+    row = chain(df).collect()[0]
+    assert row["log_syslog_severity_code"] == 5
+    assert row["syslog_hostname"] == "host01"
+
+
+def test_compile_parsers_rejects_unknown(spark):
+    with pytest.raises(ValueError):
+        compile_parsers([{"nope": {}}])
