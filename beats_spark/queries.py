@@ -568,6 +568,23 @@ def tpch_q3(spark, sf_dir):
                 .limit(10))
 
 
+@query("salted_agg", oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+FROM events GROUP BY event_type
+""")
+def salted_agg_q(spark, sf_dir):
+    """Two-phase salted aggregation (hot-key flattening) — must equal
+    the plain groupBy bit-for-bit; the salt only reshapes the shuffle."""
+    from .skew import salted_agg
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("v_c", _cents(F.col("value")))
+    return salted_agg(ev, ["event_type"],
+                      {"n": ("count", ""), "v_cents": ("sum", "v_c")},
+                      salts=8)
+
+
 @query("topk_hot_keys", oracle="""
 SELECT user_id, count(*) AS n FROM events
 GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20

@@ -1,0 +1,89 @@
+"""Skew handling for hot keys (north_rule: "skew from hot domains is
+handled with salted repartitioning and AQE").
+
+The flagship parse/enrich/route path is map-side, so Zipf-skewed hosts
+cost nothing there (no shuffle keyed on host). Skew bites where a
+*shuffle* is keyed on the hot column — host-keyed aggregations and
+joins. Two tools:
+
+- ``salted_agg``: two-phase aggregation — shuffle #1 on
+  ``(key, salt)`` spreads the hot key over N reducers computing
+  partial aggregates; shuffle #2 on ``key`` combines N tiny partials.
+  Exact same result as a plain groupBy for any algebraic aggregate.
+- AQE (``spark.sql.adaptive.skewJoin.enabled``) splits skewed join
+  partitions at runtime; bench/pipeline sessions enable it. Salting
+  remains for aggregations, which AQE skew handling does not cover.
+
+Salt factor guidance: ≈ ceil(hot_key_share × shuffle_partitions); the
+fixtures' hottest host carries ~26% of rows, so 8–16 salts fully
+flatten it at 32–64 partitions.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["salted_agg", "salted_repartition"]
+
+# (merge_fn, finish_fn): how partials combine, how the result is named
+_MERGEABLE = {
+    "count": (F.sum, "bigint"),
+    "sum": (F.sum, None),
+    "min": (F.min, None),
+    "max": (F.max, None),
+}
+
+
+def salted_repartition(df: DataFrame, key: str, salts: int = 16,
+                       partitions: int | None = None) -> DataFrame:
+    """Repartition by ``(key, salt)`` so one hot key spreads over
+    ``salts`` partitions — the pre-shuffle for any downstream
+    partition-local work keyed on ``key``."""
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), salts)
+    out = df.withColumn("__salt", salt)
+    if partitions:
+        return out.repartition(partitions, F.col(key), F.col("__salt"))
+    return out.repartition(F.col(key), F.col("__salt"))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Mapping[str, Tuple[str, str]],
+    salts: int = 16,
+) -> DataFrame:
+    """Exact two-phase salted aggregation.
+
+    ``aggs`` maps output column → (fn, input column) with fn in
+    count/sum/min/max (algebraic, so partials merge losslessly).
+    Phase 1 groups by (keys, salt): the hot key's rows split across
+    ``salts`` reducers. Phase 2 groups by keys over ≤ salts partial
+    rows per key — trivially balanced.
+    """
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                  salts).alias("__salt")
+
+    phase1_aggs = []
+    for out, (fn, col) in aggs.items():
+        if fn == "count":
+            phase1_aggs.append(F.count(F.lit(1)).alias(f"__p_{out}"))
+        elif fn in _MERGEABLE:
+            phase1_aggs.append(getattr(F, fn)(F.col(col))
+                               .alias(f"__p_{out}"))
+        else:
+            raise ValueError(
+                f"{fn!r} is not algebraic-mergeable; use plain groupBy "
+                f"or rewrite (avg = sum/count)")
+    phase1 = (df.withColumn("__salt", salt)
+                .groupBy(*keys, "__salt").agg(*phase1_aggs))
+
+    phase2_aggs = []
+    for out, (fn, _) in aggs.items():
+        merge, cast_to = _MERGEABLE[fn]
+        col = merge(F.col(f"__p_{out}"))
+        if cast_to:
+            col = col.cast(cast_to)
+        phase2_aggs.append(col.alias(out))
+    return phase1.groupBy(*keys).agg(*phase2_aggs)

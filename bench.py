@@ -104,6 +104,7 @@ def run_default() -> dict:
         QUERIES[name](spark, SF_DIR).write.format("noop").mode(
             "overwrite").save()
         qtimes[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {qtimes[name]}s", file=sys.stderr, flush=True)
 
     return {
         "metric": "flagship_pages_per_sec",
