@@ -162,3 +162,31 @@ def run_pipeline(
 
     wm.record(snapshot_id, run_id, result.metrics.get("events.total", 0))
     return result
+
+
+def run_pipeline_incremental(
+    spark: SparkSession,
+    pages_table,                      # beats_spark.catalog.Table
+    host_meta: DataFrame,
+    lang_meta: DataFrame,
+    out_dir: str,
+) -> PipelineRun:
+    """Catalog-driven resume: process ONLY the pages-table snapshots
+    not yet watermarked (the north_rule's "checkpointed per Iceberg
+    snapshot, resumes without reprocessing"). Each committed source
+    snapshot is acknowledged individually after the routed write, so a
+    crash mid-run re-processes at most the unacked snapshots — whose
+    output lands under a fresh idempotent run prefix."""
+    wm = Watermarks(out_dir)
+    processed = set(wm.processed_snapshots())
+    pages, todo_ids = pages_table.read_incremental(spark, processed)
+    if pages is None:
+        r = PipelineRun(run_id=new_run_id(), out_dir=out_dir, skipped=True)
+        return r
+    result = run_pipeline(
+        spark, pages, host_meta, lang_meta, out_dir,
+        snapshot_id=todo_ids[0], resume=False)
+    for sid in todo_ids[1:]:
+        wm.record(sid, f"{result.run_id}-{sid[:6]}",
+                  result.metrics.get("events.total", 0))
+    return result

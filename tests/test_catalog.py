@@ -1,0 +1,68 @@
+"""Catalog (parquet+manifest snapshot table) + incremental pipeline
+resume."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from beats_spark.catalog import Catalog
+from beats_spark.fixtures import pages, host_meta, lang_meta
+from beats_spark.pipeline import run_pipeline_incremental
+
+
+def test_snapshots_append_overwrite_timetravel(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    t = cat.table("events")
+    df1 = spark.range(0, 10).withColumnRenamed("id", "x")
+    df2 = spark.range(10, 15).withColumnRenamed("id", "x")
+    s1 = t.append(df1)
+    s2 = t.append(df2)
+    assert t.read(spark).count() == 15
+    assert t.read(spark, as_of=s1).count() == 10
+    snaps = t.snapshots()
+    assert [s.operation for s in snaps] == ["append", "append"]
+    assert snaps[1].parent_id == s1 and snaps[1].rows == 5
+
+    s3 = t.overwrite(spark.range(0, 3).withColumnRenamed("id", "x"))
+    assert t.read(spark).count() == 3
+    assert t.read(spark, as_of=s2).count() == 15
+    assert t.current_snapshot() == s3
+
+
+def test_read_incremental(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    t = cat.table("t")
+    s1 = t.append(spark.range(5))
+    df, ids = t.read_incremental(spark, set())
+    assert df.count() == 5 and ids == [s1]
+    s2 = t.append(spark.range(7))
+    df, ids = t.read_incremental(spark, {s1})
+    assert df.count() == 7 and ids == [s2]
+    df, ids = t.read_incremental(spark, {s1, s2})
+    assert df is None and ids == []
+
+
+def test_incremental_pipeline_resume(spark, tmp_path):
+    cat = Catalog(str(tmp_path / "cat"))
+    out = str(tmp_path / "out")
+    t = cat.table("pages")
+    hm, lm = host_meta(spark), lang_meta(spark)
+
+    t.append(pages(spark, 200))
+    r1 = run_pipeline_incremental(spark, t, hm, lm, out)
+    assert not r1.skipped and r1.metrics["events.total"] == 400
+
+    # nothing new → skipped, no reprocessing
+    r2 = run_pipeline_incremental(spark, t, hm, lm, out)
+    assert r2.skipped
+
+    # a new snapshot arrives → only ITS pages are processed
+    t.append(pages(spark, 50))
+    r3 = run_pipeline_incremental(spark, t, hm, lm, out)
+    assert not r3.skipped and r3.metrics["events.total"] == 100
+
+    # total routed rows across runs == both snapshots' events
+    import glob
+    total = sum(spark.read.parquet(p).count()
+                for p in glob.glob(os.path.join(out, "runs", "*", "routed")))
+    assert total == 500
