@@ -12,7 +12,8 @@ from typing import List, Optional
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["include_lines", "exclude_lines", "limit_message",
-           "strip_newline", "split_lines", "DEFAULT_MAX_BYTES"]
+           "strip_newline", "split_lines", "attach_file_meta",
+           "DEFAULT_MAX_BYTES"]
 
 DEFAULT_MAX_BYTES = 10 * 1024 * 1024  # reader/parser/parser.go:66-68
 
@@ -56,6 +57,19 @@ def limit_message(df: DataFrame, field: str,
             over, F.array_union(prev, F.array(F.lit("truncated")))
         ).otherwise(prev),
     })
+
+
+def attach_file_meta(df: DataFrame, path_col: str = "log_file_path",
+                     extra: Optional[dict] = None) -> DataFrame:
+    """filemeta reader (``readfile/metafields.go``; wired
+    ``input.go:492``): attach the source path (``input_file_name`` —
+    the file-backed analog of ``log.file.path``) plus caller-supplied
+    identity fields (device/inode/fingerprint/owner become literals or
+    derived columns in an engine)."""
+    out = df.withColumn(path_col, F.input_file_name())
+    for k, v in (extra or {}).items():
+        out = out.withColumn(k, v if isinstance(v, Column) else F.lit(v))
+    return out
 
 
 def split_lines(df: DataFrame, text_field: str, out_field: str = "line",

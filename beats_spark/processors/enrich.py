@@ -141,6 +141,40 @@ def translate_sid(cfg: Mapping[str, Any]):
     return make
 
 
+def _lookup_join_builder(default_field: str, default_key: str):
+    """Shared builder for the container/orchestrator/process metadata
+    processors — all are broadcast joins of a caller-supplied side
+    table keyed on an id column (``add_docker_metadata.go:147``,
+    ``add_kubernetes_metadata/kubernetes.go:335``,
+    ``add_process_metadata.go:207``,
+    ``translate_ldap_attribute.go:141``)."""
+    def builder(cfg: Mapping[str, Any]):
+        lookup = cfg["lookup"]
+        src = cfg.get("field", default_field)
+        key = cfg.get("lookup_key", default_key)
+        fields = cfg.get("fields") or {
+            c: c for c in lookup.columns if c != key}
+        action = cfg.get("action", "replace")
+        tag = cfg.get("tag_on_failure")
+
+        def make(df: DataFrame) -> ProcResult:
+            def reshape(d: DataFrame) -> DataFrame:
+                return broadcast_enrich(d, lookup, on=src, lookup_key=key,
+                                        fields=fields, action=action,
+                                        tag_on_failure=tag)
+            return ProcResult(reshape=reshape)
+        return make
+    return builder
+
+
+register("translate_ldap_attribute")(_lookup_join_builder("guid", "guid"))
+register("add_docker_metadata")(_lookup_join_builder("container_id",
+                                                     "container_id"))
+register("add_kubernetes_metadata")(_lookup_join_builder("pod_uid",
+                                                         "pod_uid"))
+register("add_process_metadata")(_lookup_join_builder("pid", "pid"))
+
+
 @register("add_host_metadata")
 def add_host_metadata(cfg: Mapping[str, Any]):
     """host.* is constant per run (``add_host_metadata.go:119``) → lit

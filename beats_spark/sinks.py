@@ -33,7 +33,7 @@ from .fmtstr import compile_fmtstr
 
 __all__ = [
     "codec_json", "codec_format", "write_fileout", "kafka_shape",
-    "split_dead_letter", "write_sinks",
+    "split_dead_letter", "write_sinks", "write_console", "write_discard",
 ]
 
 
@@ -103,6 +103,22 @@ def kafka_shape(df: DataFrame, topic_col: str = "sink",
     out = df.select(F.col(topic_col).alias("topic"),
                     F.lit(None).cast("string").alias("key"), value)
     return out.repartition(num_partitions)  # random/round_robin
+
+
+def write_console(df: DataFrame, n: int = 20, codec: str = "json",
+                  template: str = "") -> None:
+    """console output (``outputs/console``): NDJSON (or format codec)
+    to stdout — a debugging sink, driver-side by design."""
+    shaped = (codec_json(df) if codec == "json"
+              else codec_format(df, template))
+    for row in shaped.select("value").take(n):
+        print(row["value"])
+
+
+def write_discard(df: DataFrame) -> int:
+    """discard output (``outputs/discard``): consume and drop — the
+    throughput-test sink; returns the consumed row count."""
+    return df.count()
 
 
 def split_dead_letter(df: DataFrame, valid: Column
