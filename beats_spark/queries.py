@@ -1031,6 +1031,50 @@ def flagship_routed_counts(spark, sf_dir):
     return routed.groupBy("sink").agg(F.count(F.lit(1)).alias("n"))
 
 
+@query("flagship_messages", oracle="""
+WITH base AS (
+  SELECT doc_id, lang, source,
+         strftime(make_timestamp((1704067200 + doc_id * 7) * 1000000),
+                  '%Y-%m-%dT%H:%M:%SZ') AS ts_str,
+         (['info','warn','error','debug'])[CAST(doc_id % 4 AS INT) + 1]
+           AS level,
+         (doc_id * 37) % 100000 AS nbytes,
+         source || '.example.org' AS host
+  FROM documents),
+ev AS (
+  SELECT 'https://' || host || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         0 AS msg_idx,
+         'ts=' || ts_str || ' level=' || level || ' host=' || host
+         || ' bytes=' || CAST(nbytes AS VARCHAR)
+         || ' msg="doc ' || CAST(doc_id AS VARCHAR) || ' fetched"'
+         || chr(10) || '  at fetch.go:10' AS message
+  FROM base
+  UNION ALL
+  SELECT 'https://' || host || '/doc/' || CAST(doc_id AS VARCHAR),
+         1,
+         CASE WHEN doc_id % 50 = 0
+              THEN '!!corrupt line with no key=value shape'
+              ELSE 'ts=' || ts_str || ' level=' || level || ' host='
+                   || host || ' bytes='
+                   || CAST(CAST(trunc(nbytes / 2) AS BIGINT) AS VARCHAR)
+                   || ' msg="doc ' || CAST(doc_id AS VARCHAR)
+                   || ' rendered"' END
+         || chr(10) || '  at render.go:99'
+  FROM base)
+SELECT url, msg_idx, message FROM ev
+""")
+def flagship_messages(spark, sf_dir):
+    """THE byte-identity bar (north_rule / input_hint): per-url
+    extracted event text out of the full multiline+dissect pipeline
+    must equal, byte for byte, a first-principles reconstruction."""
+    from .pipeline import build_routed
+    docs = _t(spark, sf_dir, "documents")
+    pages = pages_from_documents(docs)
+    host_meta, lang_meta = _flagship_lookups(spark, docs)
+    routed = build_routed(pages, host_meta, lang_meta)
+    return routed.select("url", "msg_idx", "message")
+
+
 def flagship_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full routed event frame (entry() surface)."""
     from .pipeline import build_routed
