@@ -86,7 +86,7 @@ def segment_lines(
         out: List[str] = []
         buf: List[str] = []
         for ln in lines:
-            if rx.search(ln) is not None:
+            if (rx.search(ln) is not None) != negate:
                 buf.append(ln)
             else:
                 if buf:

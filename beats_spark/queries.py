@@ -459,6 +459,25 @@ def pipeline_counters(spark, sf_dir):
         "'events.dropped', dropped) as (metric, value)")
 
 
+@query("windowed_counts", oracle="""
+SELECT make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)
+                      * 1000000) AS win_start,
+       event_type,
+       count(*) AS n
+FROM events GROUP BY win_start, event_type
+""")
+def windowed_counts(spark, sf_dir):
+    """Tumbling event-time windows (the streaming counter shape,
+    batch-checkable: window() aligns to the epoch like
+    floor(epoch/size)*size)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window(F.col("ts"), "5 minutes").alias("w"),
+                       "event_type")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .select(F.col("w.start").alias("win_start"),
+                      "event_type", "n"))
+
+
 @query("timestamp_hist", oracle="""
 SELECT date_trunc('hour', ts) AS hour,
        count(*) AS n,
