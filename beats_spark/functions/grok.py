@@ -20,7 +20,7 @@ from typing import Dict, List, Optional, Tuple
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["GROK_PATTERNS", "Grok", "grok_extract"]
+__all__ = ["GROK_PATTERNS", "Grok", "grok_extract", "grok_extract_multi"]
 
 GROK_PATTERNS: Dict[str, str] = {
     "WORD": r"\b\w+\b",
@@ -150,6 +150,66 @@ def grok_extract(
                 else F.array().cast("array<string>"))
         assigns["log_flags"] = F.when(
             ~F.coalesce(matched, F.lit(False)),
+            F.array_union(prev, F.array(F.lit("grok_parsing_error")))
+        ).otherwise(prev)
+    return df.withColumns(assigns)
+
+
+def grok_extract_multi(
+    df: DataFrame,
+    field: str,
+    patterns: list,
+    prefix: str = "",
+    extra_patterns: Optional[Dict[str, str]] = None,
+    sanitize: bool = True,
+    mark_failures: bool = True,
+) -> DataFrame:
+    """Ordered pattern list, first match wins — the ES-ingest grok
+    shape Filebeat modules use (e.g.
+    ``filebeat/module/iis/access/ingest/pipeline.yml:10-43`` lists five
+    alternative layouts). Output column = coalesce over patterns in
+    order, taken from the FIRST pattern whose whole regex matches.
+    ``sanitize`` maps dotted ES field names to underscore columns."""
+    groks = [Grok(p, extra_patterns=extra_patterns) for p in patterns]
+    src = F.col(field)
+    matches = [src.rlike(g.regex) for g in groks]
+
+    def out_name(name: str) -> str:
+        n = name.replace(".", "_") if sanitize else name
+        return f"{prefix}{n}"
+
+    # ordered union of fields across patterns, keeping first-seen type
+    fields: Dict[str, str] = {}
+    for g in groks:
+        for name, typ in g.fields:
+            fields.setdefault(name, typ)
+
+    assigns = {}
+    for name, typ in fields.items():
+        col = None
+        for g, m in zip(groks, matches):
+            if name not in g.group_index:
+                continue
+            val = F.regexp_extract(src, g.regex, g.group_index[name])
+            piece = F.when(m, val)
+            col = piece if col is None else col.when(m, val)
+        # when-chain: first matching pattern that defines the field
+        col = col.otherwise(F.lit(None)) if col is not None else F.lit(None)
+        spark_t = _TYPE_MAP.get(typ, "string")
+        col = F.nullif(col, F.lit(""))
+        if spark_t != "string":
+            col = col.try_cast(spark_t)
+        assigns[out_name(name)] = col
+
+    if mark_failures:
+        any_match = matches[0]
+        for m in matches[1:]:
+            any_match = any_match | m
+        prev = (F.coalesce(F.col("log_flags"), F.array().cast("array<string>"))
+                if "log_flags" in df.columns
+                else F.array().cast("array<string>"))
+        assigns["log_flags"] = F.when(
+            ~F.coalesce(any_match, F.lit(False)),
             F.array_union(prev, F.array(F.lit("grok_parsing_error")))
         ).otherwise(prev)
     return df.withColumns(assigns)

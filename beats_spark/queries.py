@@ -64,7 +64,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 @query("conditions_filter", oracle="""
 SELECT event_type,
        count(*) AS n,
-       round(sum(value), 2) AS total_value
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS total_value
 FROM events
 WHERE value >= 50 AND value < 150
   AND (event_type = 'click' OR event_type LIKE '%purch%')
@@ -83,7 +84,8 @@ def conditions_filter(spark, sf_dir):
     return (ev.filter(cond)
               .groupBy("event_type")
               .agg(F.count(F.lit(1)).alias("n"),
-                   F.round(F.sum("value"), 2).alias("total_value")))
+                   (F.sum(_cents(F.col("value"))) / 100.0)
+                   .alias("total_value")))
 
 
 # =====================================================================
@@ -102,7 +104,8 @@ SELECT CASE WHEN event_type = 'error' THEN 'sink_err'
             WHEN event_type IN ('purchase', 'signup') THEN 'sink_commerce'
             ELSE 'sink_default' END AS sink,
        count(*) AS n,
-       round(sum(value), 2) AS total_value
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS total_value
 FROM events GROUP BY sink
 """)
 def router_fanout(spark, sf_dir):
@@ -110,7 +113,8 @@ def router_fanout(spark, sf_dir):
     routed = route(ev, _ROUTER_RULES, default="sink_default")
     return (routed.groupBy("sink")
                   .agg(F.count(F.lit(1)).alias("n"),
-                       F.round(F.sum("value"), 2).alias("total_value")))
+                       (F.sum(_cents(F.col("value"))) / 100.0)
+                       .alias("total_value")))
 
 
 @query("fmtstr_index", oracle="""
@@ -482,15 +486,20 @@ def windowed_counts(spark, sf_dir):
 SELECT date_trunc('hour', ts) AS hour,
        count(*) AS n,
        count(DISTINCT user_id) AS n_users,
-       round(avg(value), 4) AS avg_value
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 / count(*), 4) AS avg_value
 FROM events GROUP BY hour
 """)
 def timestamp_hist(spark, sf_dir):
+    """Hourly histogram; the mean is computed from an exact integer
+    cents sum so partial-aggregation order can't flip a rounding
+    boundary across engines."""
     ev = _t(spark, sf_dir, "events")
     return (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
               .agg(F.count(F.lit(1)).alias("n"),
                    F.count_distinct(F.col("user_id")).alias("n_users"),
-                   F.round(F.avg("value"), 4).alias("avg_value")))
+                   F.round(F.sum(_cents(F.col("value"))) / 100.0
+                           / F.count(F.lit(1)), 4).alias("avg_value")))
 
 
 # =====================================================================
@@ -500,7 +509,8 @@ def timestamp_hist(spark, sf_dir):
 @query("enrich_join", oracle="""
 SELECT r_name,
        count(*) AS n,
-       round(sum(value), 2) AS total_value,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS total_value,
        count(DISTINCT user_id) AS n_users
 FROM events
 JOIN customer ON user_id = c_custkey
@@ -523,7 +533,8 @@ def enrich_join(spark, sf_dir):
                     F.col("n_regionkey") == F.col("r_regionkey"))
               .groupBy("r_name")
               .agg(F.count(F.lit(1)).alias("n"),
-                   F.round(F.sum("value"), 2).alias("total_value"),
+                   (F.sum(_cents(F.col("value"))) / 100.0)
+                   .alias("total_value"),
                    F.count_distinct(F.col("user_id")).alias("n_users")))
 
 

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import math
 
+import os
+
 import duckdb
 import numpy as np
 import pandas as pd
@@ -14,7 +16,7 @@ import pytest
 
 from beats_spark.queries import QUERIES, ORACLES
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
