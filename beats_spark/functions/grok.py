@@ -39,7 +39,7 @@ GROK_PATTERNS: Dict[str, str] = {
     "IPV6": r"(?:[0-9A-Fa-f]{0,4}:){2,7}(?:[0-9A-Fa-f]{0,4}|(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?))",
     "IP": r"(?:(?:[0-9A-Fa-f]{0,4}:){2,7}[0-9A-Fa-f]{0,4})|(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)",
     "HOSTNAME": r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b",
-    "IPORHOST": r"(?:(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?))|(?:\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b)",
+    "IPORHOST": r"(?:(?:[0-9A-Fa-f]{0,4}:){2,7}(?:[0-9A-Fa-f]{0,4}|(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)))|(?:(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?))|(?:\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b)",
     "USERNAME": r"[a-zA-Z0-9._-]+",
     "USER": r"[a-zA-Z0-9._-]+",
     "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
@@ -97,13 +97,20 @@ class Grok:
                             for i, (name, _) in enumerate(self.fields)}
         re.compile(self.regex)  # fail fast on malformed output
 
+    @staticmethod
+    def _decap(text: str) -> str:
+        """Literal ``(`` groups in user patterns become non-capturing —
+        field group indexes must count ONLY named captures (ES grok
+        patterns freely use ``( … )?`` for optional segments)."""
+        return re.sub(r"(?<!\\)\((?!\?)", "(?:", text)
+
     def _expand(self, pattern: str, depth: int, capture: bool) -> str:
         if depth > 10:
             raise ValueError("grok pattern recursion too deep")
         out = []
         pos = 0
         for m in _REF_RE.finditer(pattern):
-            out.append(pattern[pos:m.start()])
+            out.append(self._decap(pattern[pos:m.start()]))
             name, field, typ = m.group(1), m.group(2), m.group(3)
             if name not in self._dict:
                 raise ValueError(f"unknown grok pattern %{{{name}}}")
@@ -114,7 +121,7 @@ class Grok:
             else:
                 out.append(f"(?:{sub})")
             pos = m.end()
-        out.append(pattern[pos:])
+        out.append(self._decap(pattern[pos:]))
         return "".join(out)
 
 
