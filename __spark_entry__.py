@@ -10,11 +10,19 @@ oracle SQL for each SQL-expressible entry.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from beats_spark.queries import QUERIES, ORACLES, flagship_events
+# the package lives beside this file; make imports robust however the
+# driver loads the module (spec-from-file, cwd elsewhere, …)
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from beats_spark.queries import QUERIES, ORACLES, flagship_events  # noqa: E402
 
 _SF0001 = "/root/testdata/sf0.001"
 

@@ -36,8 +36,6 @@ from .dataops import (
     lang_id_stopword, lang_id_ngram, text_stats, token_count,
     doc_fingerprint,
 )
-from .dataops.dedup import tokens
-from .dataops.textstats import quality_score
 from .dataops.multimodal import sample_video_frames
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
