@@ -69,9 +69,13 @@ def parse_pages(
             # python touches ONLY text; page-level columns fan out to
             # events via numpy repeat (no per-row boxing, timestamps
             # stay datetime64 end to end)
+            # note: a pandas-vectorized batch segmenter was measured
+            # SLOWER than this loop (pandas .str.contains is a cython
+            # loop, not SIMD) — see BENCH.md optimization log
             nested = [
-                segment_lines(t.split("\n"), pattern=pattern, negate=negate,
-                              match=match, max_lines=max_lines)
+                segment_lines(t.split("\n"), pattern=pattern,
+                              negate=negate, match=match,
+                              max_lines=max_lines)
                 if t is not None else []
                 for t in pdf["text"].tolist()]
             counts = np.fromiter((len(m) for m in nested), dtype=np.int64,
