@@ -52,6 +52,10 @@ def query(name: str, oracle: Optional[str] = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # every catalog query assumes UTC wall-clock semantics (the DuckDB
+    # oracles compute on naive timestamps); pin it so results don't
+    # depend on the host session's timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
