@@ -352,11 +352,22 @@ def simhash_pairs(
     chunks: int = 4,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 60-bit signature into
-    ``chunks`` 15-bit chunks; any pair within Hamming distance
+    ``chunks`` equal chunks; any pair within Hamming distance
     ``chunks-1`` shares ≥1 exact chunk (pigeonhole), so the candidate
     join is equality on (chunk index, chunk value) — no O(n²) scan.
     Verified with an exact popcount filter.
+
+    Completeness bound: pairs at Hamming distance > ``chunks-1`` may
+    share no chunk and would be silently missed — rejected explicitly
+    instead (raise), so callers pick ``chunks`` ≥ max_hamming+1.
     """
+    if max_hamming > chunks - 1:
+        raise ValueError(
+            f"banding into {chunks} chunks only guarantees candidates up "
+            f"to Hamming distance {chunks - 1}; raise `chunks` to at "
+            f"least {max_hamming + 1} for max_hamming={max_hamming}")
+    if _SIMHASH_BITS % chunks:
+        raise ValueError(f"chunks must divide {_SIMHASH_BITS}")
     w = _SIMHASH_BITS // chunks
     base = _spread(df).select(F.col(id_col).alias("id"),
                               simhash(F.col(text_col)).alias("sh"))

@@ -321,21 +321,23 @@ class Dissector:
                 if end == -1:
                     return None
             offset = end
-            if self._greedy[di]:
-                # consume repeated occurrences of the next delimiter
-                while True:
-                    lookahead = s.find(nxt, offset + 1) if nxt else -1
-                    if lookahead != offset + 1:
-                        break
-                    offset = lookahead
+            if self._greedy[di] and nxt:
+                # consume repeated WHOLE occurrences of the next
+                # delimiter (dissect.go:151-160 advances by delimiter
+                # length, not one character)
+                step = len(nxt)
+                while s.startswith(nxt, offset + step):
+                    offset += step
             positions[i] = (start, end)
             offset += len(nxt)
             i += 1
 
-        # tail field (dissect.go:166-180); mirror Go's zero-value map
-        # lookup when a trailing literal delimiter consumed the last slot
-        fld = self._fields[self._id_map.get(i, 0)]
-        if fld.fixed and offset + fld.length != n:
+        # tail field (dissect.go:166-180); a trailing literal delimiter
+        # consumed the last slot → Go's map lookup yields a zero-value
+        # token (not fixed, nothing to capture) — no checks apply
+        fld = (self._fields[self._id_map[i]]
+               if i in self._id_map else None)
+        if fld is not None and fld.fixed and offset + fld.length != n:
             return None
         if offset < n and i < self._n_fields:
             positions[i] = (offset, n)

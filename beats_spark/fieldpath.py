@@ -62,7 +62,25 @@ def put_field(df: DataFrame, path: str, col: Column) -> DataFrame:
     if field_type(df.schema, root) is not None and isinstance(
         df.schema[root].dataType, T.StructType
     ):
-        return df.withColumn(root, F.col(root).withField(".".join(rest), col))
+        # withField requires every intermediate struct to exist; walk
+        # down to the deepest existing struct and nest the remainder
+        # under it (mapstr.Put creates missing intermediates)
+        dtype: T.DataType = df.schema[root].dataType
+        known = [root]
+        i = 0
+        while i < len(rest) - 1:
+            if (isinstance(dtype, T.StructType)
+                    and rest[i] in dtype.fieldNames()
+                    and isinstance(dtype[rest[i]].dataType, T.StructType)):
+                known.append(rest[i])
+                dtype = dtype[rest[i]].dataType
+                i += 1
+            else:
+                break
+        tail = rest[i:]
+        target = _nest(tail[1:], col) if len(tail) > 1 else col
+        field_path = ".".join(known[1:] + [tail[0]])
+        return df.withColumn(root, F.col(root).withField(field_path, target))
     # root absent or scalar → replace with a fresh nested struct
     return df.withColumn(root, _nest(rest, col))
 

@@ -93,7 +93,13 @@ def parse_pages(
             if rx is not None:
                 ext = pd.Series(msgs, dtype="object").str.extract(rx_pat)
                 ext.columns = rx_keys
-                data["__ok"] = ext[rx_keys[0]].notna()
+                # dissect treats the empty message as a parse failure
+                # (dissect.go:57-62) even when the regex matches ''
+                nonempty = np.fromiter((len(m) > 0 for m in msgs),
+                                       dtype=bool, count=total)
+                ok = ext[rx_keys[0]].notna().to_numpy() & nonempty
+                data["__ok"] = ok
+                ext[~ok] = None      # failed rows carry no key values
                 for c, key in zip(key_cols, keys):
                     data[c] = (ext[key] if key in ext.columns
                                else pd.Series([None] * total,

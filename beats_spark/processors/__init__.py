@@ -44,6 +44,8 @@ Builder = Callable[[Mapping[str, Any]], Callable[[DataFrame], ProcResult]]
 
 registry: Dict[str, Builder] = {}
 
+_IF_SEQ = 0  # unique marker-column suffix per if/then/else level
+
 
 def register(name: str) -> Callable[[Builder], Builder]:
     def deco(b: Builder) -> Builder:
@@ -96,26 +98,39 @@ def build_processor(cfg: Mapping[str, Any]) -> Callable[[DataFrame], DataFrame]:
         cond_cfg = cfg.pop("if")
         then_cfg = cfg.pop("then")
         else_cfg = cfg.pop("else", None)
+        when_cfg = cfg.pop("when", None)
         # snapshot the condition before either branch mutates its inputs
         # (the reference evaluates Check(event) once per event,
-        # conditionals.go:186-200)
-        marker = {"equals": {"__if_cond": True}}
+        # conditionals.go:186-200). The marker column gets a UNIQUE name
+        # per if-level so nested if/then/else keeps the outer guard
+        # intact, and a sibling `when:` folds into the condition.
+        global _IF_SEQ
+        _IF_SEQ += 1
+        col_name = f"__if_cond_{_IF_SEQ}"
+        marker = {"equals": {col_name: True}}
+        # a sibling/propagated `when:` (e.g. the enclosing if's marker)
+        # must gate BOTH branches — the reference skips the whole
+        # if/then/else when the wrapper condition is false
+        then_guard = (marker if when_cfg is None
+                      else {"and": [when_cfg, marker]})
+        else_guard = ({"not": marker} if when_cfg is None
+                      else {"and": [when_cfg, {"not": marker}]})
         then_t = compile_processors(
             then_cfg if isinstance(then_cfg, list) else [then_cfg],
-            _guard=marker)
+            _guard=then_guard)
         else_t = None
         if else_cfg is not None:
             else_t = compile_processors(
                 else_cfg if isinstance(else_cfg, list) else [else_cfg],
-                _guard={"not": marker})
+                _guard=else_guard)
 
         def both(df: DataFrame) -> DataFrame:
-            df = df.withColumn(
-                "__if_cond", F.coalesce(compile_condition(cond_cfg), F.lit(False)))
+            cond = F.coalesce(compile_condition(cond_cfg), F.lit(False))
+            df = df.withColumn(col_name, cond)
             df = then_t(df)
             if else_t is not None:
                 df = else_t(df)
-            return df.drop("__if_cond")
+            return df.drop(col_name)
         return both
 
     when_cfg = cfg.pop("when", None)

@@ -77,13 +77,16 @@ def decode_csv_fields(cfg: Mapping[str, Any]):
     sep = cfg.get("separator", ",")
 
     def make(df: DataFrame) -> ProcResult:
+        import re as _re
         assigns = {}
         for src, dst in fields.items():
             if src not in df.columns:
                 continue
             # split respecting RFC quoting via from_csv into a wide-enough
             # struct is schema-bound; the common beats use is plain split.
-            assigns[dst] = F.split(F.col(src), F.lit(sep).cast("string"))
+            # The separator is a LITERAL rune in the reference — escape it
+            # so regex metacharacters ('|', '.') split correctly.
+            assigns[dst] = F.split(F.col(src), _re.escape(sep))
         return ProcResult(assigns=assigns)
     return make
 
@@ -154,8 +157,9 @@ def extract_field(cfg: Mapping[str, Any]):
     target = cfg.get("target", field)
 
     def make(df: DataFrame) -> ProcResult:
+        import re as _re
         return ProcResult(assigns={
-            target: F.split(F.col(field), F.lit(sep).cast("string")).getItem(index)})
+            target: F.split(F.col(field), _re.escape(sep)).getItem(index)})
     return make
 
 

@@ -234,12 +234,15 @@ def registered_domain_col(host: Column, target: str,
     first, registered domain = label before suffix + suffix."""
     ordered = sorted(suffixes, key=lambda s: (-s.count("."), -len(s)))
     rd = F.lit(None).cast("string")
+    # a host that IS a public suffix has no registered domain at all
+    # (registered_domain.go returns nothing for bare eTLDs)
+    is_suffix = host.isin(*suffixes)
     chain = None
     for s in ordered:
         esc = s.replace(".", r"\.")
         pat = r"([^.]+\." + esc + r")$"
         ext = F.regexp_extract(host, pat, 1)
-        hit = (ext != "") & (host != s)
+        hit = (ext != "") & ~is_suffix
         piece = F.when(hit, ext)
         chain = piece if chain is None else chain.when(hit, ext)
     rd = chain.otherwise(F.lit(None)) if chain is not None else rd

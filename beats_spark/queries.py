@@ -742,7 +742,7 @@ def dedup_simhash(spark, sf_dir):
 @query("dedup_simhash_pairs")  # rows-only: banded-join candidate set
 def dedup_simhash_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=10)
+    return simhash_pairs(docs, max_hamming=10, chunks=12)
 
 
 @query("container_ndjson", oracle="""

@@ -40,8 +40,9 @@ def salted_repartition(df: DataFrame, key: str, salts: int = 16,
                        partitions: int | None = None) -> DataFrame:
     """Repartition by ``(key, salt)`` so one hot key spreads over
     ``salts`` partitions — the pre-shuffle for any downstream
-    partition-local work keyed on ``key``."""
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), salts)
+    partition-local work keyed on ``key``. Deterministic salt (hash of
+    the full row) so task retries re-derive identical placement."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), salts)
     out = df.withColumn("__salt", salt)
     if partitions:
         return out.repartition(partitions, F.col(key), F.col("__salt"))
@@ -61,8 +62,15 @@ def salted_agg(
     Phase 1 groups by (keys, salt): the hot key's rows split across
     ``salts`` reducers. Phase 2 groups by keys over ≤ salts partial
     rows per key — trivially balanced.
+
+    The salt is a DETERMINISTIC hash of the row's own key+input values
+    — a task re-run after a shuffle-fetch failure must re-derive the
+    same salt per row, or recomputed partials would overlap/miss rows
+    consumed by surviving reducers (monotonically_increasing_id and
+    spark_partition_id both break under retry). Identical rows sharing
+    a salt is fine: they are interchangeable in any algebraic merge.
     """
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
                   salts).alias("__salt")
 
     phase1_aggs = []

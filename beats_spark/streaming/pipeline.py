@@ -84,9 +84,12 @@ def run_stream_pipeline(
                   .withColumn("batch_id", F.lit(batch_id))
                   .withColumn("metric", F.concat(F.lit("events.acked."),
                                                  F.col("sink"))))
+        # per-batch overwrite prefix — a replayed batch rewrites its own
+        # metrics instead of appending duplicates (effectively-once)
         (counts.select("batch_id", "metric", "value")
-               .coalesce(1).write.mode("append")
-               .parquet(os.path.join(out_dir, "metrics")))
+               .coalesce(1).write.mode("overwrite")
+               .parquet(os.path.join(out_dir, "metrics",
+                                     f"batch={batch_id}")))
 
     writer = (routed.writeStream
               .foreachBatch(write_batch)

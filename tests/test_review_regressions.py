@@ -1,0 +1,88 @@
+"""Regression tests for review findings: nested if/then/else guards,
+when-on-if, literal CSV separators, bare-eTLD registered_domain,
+simhash banding completeness guard, dissect tail/greedy fixes,
+deterministic salting."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.dissect.tokenizer import Dissector
+from beats_spark.processors import compile_processors
+
+
+def test_nested_if_else_keeps_outer_guard(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b")], "x bigint, g string")
+    chain = compile_processors([{
+        "if": {"equals": {"g": "a"}},
+        "then": [{
+            "if": {"range": {"x": {"lte": 1}}},
+            "then": [{"add_fields": {"target": "", "fields": {"tag": "a-low"}}}],
+            "else": [{"add_fields": {"target": "", "fields": {"tag": "a-high"}}}],
+        }],
+        "else": [{"add_fields": {"target": "", "fields": {"tag": "not-a"}}}],
+    }])
+    got = {r["x"]: r["tag"] for r in chain(df).collect()}
+    # rows outside the outer condition must NOT be touched by the inner
+    # else branch
+    assert got == {1: "a-low", 2: "a-high", 3: "not-a", 4: "not-a"}
+
+
+def test_when_on_if_processor(spark):
+    df = spark.createDataFrame(
+        [(1, True), (1, False)], "x bigint, enabled boolean")
+    chain = compile_processors([{
+        "if": {"equals": {"x": 1}},
+        "then": [{"add_fields": {"target": "", "fields": {"hit": "y"}}}],
+        "when": {"equals": {"enabled": True}},
+    }])
+    rows = {r["enabled"]: r["hit"] for r in chain(df).collect()}
+    assert rows[True] == "y" and rows[False] is None
+
+
+def test_csv_separator_is_literal(spark):
+    df = spark.createDataFrame([("a|b|c",)], "v string")
+    chain = compile_processors([
+        {"decode_csv_fields": {"fields": {"v": "parts"},
+                               "separator": "|"}}])
+    assert chain(df).collect()[0]["parts"] == ["a", "b", "c"]
+
+
+def test_registered_domain_bare_suffix_yields_null(spark):
+    df = spark.createDataFrame([("co.uk",), ("shop.co.uk",)],
+                               "host string")
+    chain = compile_processors([
+        {"registered_domain": {"field": "host",
+                               "suffixes": ["co.uk", "com", "uk"]}}])
+    got = {r["host"]: r["registered_domain"] for r in chain(df).collect()}
+    assert got["co.uk"] is None
+    assert got["shop.co.uk"] == "shop.co.uk"
+
+
+def test_simhash_pairs_rejects_unsound_banding(spark, sf_dir):
+    from beats_spark.dataops import simhash_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError, match="Hamming"):
+        simhash_pairs(docs, max_hamming=10, chunks=4)
+
+
+def test_dissect_fixed_tail_and_greedy_multichar():
+    assert Dissector("%{a#2} %{b} ").dissect("ab cd ") == \
+        {"a": "ab", "b": "cd"}
+    assert Dissector("%{a->}--%{b}").dissect("x---y") == \
+        {"a": "x", "b": "-y"}
+
+
+def test_salted_agg_salt_is_deterministic_expression(spark):
+    from beats_spark.skew import salted_agg
+    df = spark.createDataFrame([(i, i % 3, float(i)) for i in range(100)],
+                               "id bigint, k int, v double")
+    a = salted_agg(df, ["k"], {"n": ("count", ""), "s": ("sum", "v")},
+                   salts=8).collect()
+    b = salted_agg(df, ["k"], {"n": ("count", ""), "s": ("sum", "v")},
+                   salts=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    plain = {r["k"]: (r["n"], r["s"]) for r in
+             df.groupBy("k").agg(F.count(F.lit(1)).alias("n"),
+                                 F.sum("v").alias("s")).collect()}
+    assert {r["k"]: (r["n"], r["s"]) for r in a} == plain
