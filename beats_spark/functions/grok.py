@@ -114,11 +114,19 @@ class Grok:
             name, field, typ = m.group(1), m.group(2), m.group(3)
             if name not in self._dict:
                 raise ValueError(f"unknown grok pattern %{{{name}}}")
-            sub = self._expand(self._dict[name], depth + 1, capture=False)
             if field and capture:
+                # capture BEFORE expanding so the group order matches
+                # the left-to-right group numbering of the final regex
                 self.fields.append((field, typ or "string"))
+                sub = self._expand(self._dict[name], depth + 1,
+                                   capture=capture)
                 out.append(f"({sub})")
             else:
+                # ES grok still captures named refs nested inside
+                # pattern_definitions (e.g. nginx's NGINX_HOST), so
+                # expansion keeps capturing
+                sub = self._expand(self._dict[name], depth + 1,
+                                   capture=capture)
                 out.append(f"(?:{sub})")
             pos = m.end()
         out.append(self._decap(pattern[pos:]))

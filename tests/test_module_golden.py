@@ -62,13 +62,24 @@ CASES = [
 ]
 
 
-def _grok_patterns(pipeline_yml):
+def _grok_procs(pipeline_yml):
+    """All grok processors from the module pipeline, in order:
+    [(field, patterns, pattern_definitions), ...]."""
     with open(pipeline_yml) as f:
         doc = yaml.safe_load(f)
+    out = []
     for proc in doc["processors"]:
         if "grok" in proc:
-            return proc["grok"]["patterns"]
-    raise AssertionError("no grok processor in module pipeline")
+            g = proc["grok"]
+            out.append((g["field"], g["patterns"],
+                        g.get("pattern_definitions") or {}))
+    if not out:
+        raise AssertionError("no grok processor in module pipeline")
+    return out
+
+
+def _grok_patterns(pipeline_yml):
+    return _grok_procs(pipeline_yml)[0][1]
 
 
 @pytest.mark.skipif(not os.path.exists(REF),
@@ -101,3 +112,44 @@ def test_module_golden(spark, case):
                 (ecs_field, exp["event.original"][:60])
             checked += 1
     assert checked >= case["min_checked"]
+
+
+@pytest.mark.skipif(not os.path.exists(REF),
+                    reason="reference module data not mounted")
+def test_nginx_access_golden_two_stage(spark):
+    """nginx access: TWO chained grok stages (the pipeline greps
+    nginx.access.info out of the combined-log line, then parses
+    method/url/version from it) with module pattern_definitions."""
+    d = f"{REF}/nginx/access"
+    log = os.path.join(d, "test", "access.log")
+    with open(log + "-expected.json") as f:
+        expected = json.load(f)
+    procs = _grok_procs(os.path.join(d, "ingest", "pipeline.yml"))
+    (f1, pats1, defs1), (f2, pats2, defs2) = procs[0], procs[1]
+    assert f1 == "event.original" and f2 == "nginx.access.info"
+
+    df = spark.read.text(log).withColumnRenamed("value", "message")
+    df = grok_extract_multi(df, "message", pats1, extra_patterns=defs1)
+    df = grok_extract_multi(
+        df, "nginx_access_info",
+        [p for p in pats2 if p], extra_patterns=defs2,
+        mark_failures=False)
+    rows = {r["message"]: r for r in df.collect()}
+
+    fields = {
+        "http.response.status_code": "http_response_status_code",
+        "http.response.body.bytes": "http_response_body_bytes",
+        "user_agent.original": "user_agent_original",
+        "http.request.method": "http_request_method",
+    }
+    assert len(rows) == len(expected)
+    checked = 0
+    for exp in expected:
+        got = rows[exp["event.original"]]
+        for ecs_field, col in fields.items():
+            if ecs_field not in exp:
+                continue
+            assert got[col] == exp[ecs_field], \
+                (ecs_field, exp["event.original"][:60], got[col])
+            checked += 1
+    assert checked >= 8
