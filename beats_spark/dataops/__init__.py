@@ -37,6 +37,7 @@ from .textstats import (
     text_stats,
     token_count,
 )
+from .curate import curate, CurationResult
 from .multimodal import (
     attach_media_meta,
     extract_image_features,
@@ -54,4 +55,5 @@ __all__ = [
     "token_count",
     "attach_media_meta", "extract_image_features", "sample_video_frames",
     "set_decoder",
+    "curate", "CurationResult",
 ]

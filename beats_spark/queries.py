@@ -930,6 +930,70 @@ def lang_id_ngram_q(spark, sf_dir):
                 .agg(F.count(F.lit(1)).alias("n")))
 
 
+@query("curation_pipeline", oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, text, {_SH_TOKS} AS toks FROM documents),
+feat AS (
+  SELECT doc_id, lang, text,
+    round(CAST(len(list_filter(toks, x -> x IN
+      ('the','a','an','and','or','of','to','in','is','it','that','for',
+       'on','with','as','at','by','be','this','are','was'))) AS DOUBLE)
+      / greatest(len(toks), 1), 9) AS stop_r,
+    round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+               AS DOUBLE) / greatest(length(text), 1), 9) AS alpha_r,
+    round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+               AS DOUBLE) / greatest(length(text), 1), 9) AS punct_r,
+    round(CAST(list_sum(list_transform(toks, x -> length(x)))
+               AS DOUBLE) / greatest(len(toks), 1), 9) AS awl
+  FROM t),
+q AS (
+  SELECT doc_id, lang, text,
+    round(least(stop_r * 4, 1.0) * 0.3 + alpha_r * 0.4
+          + (1 - least(punct_r * 5, 1.0)) * 0.2
+          + (CASE WHEN awl >= 3 AND awl <= 10
+                  THEN 1.0 ELSE 0.5 END) * 0.1, 6) AS quality
+  FROM feat),
+stage2 AS (
+  SELECT doc_id, lang, text FROM q
+  WHERE quality >= 0.65 AND lang IN ('en', 'de', 'fr')
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+base AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(range(1, greatest(len(t2) - 2, 0) + 1),
+             i -> array_to_string(t2[i:i+2], ' '))) AS sh
+  FROM (SELECT doc_id, {_SH_TOKS} AS t2 FROM stage2)
+  WHERE len(t2) >= 3),
+sigs AS (
+  SELECT id, sh,
+         list_transform(range(0, 16),
+           s -> list_min(list_transform(sh,
+                  x -> md5(CAST(s AS VARCHAR) || ':' || x)))) AS sig
+  FROM base),
+buckets AS (
+  SELECT id, sh, u.b AS band,
+         md5(array_to_string(sig[u.b*4+1:u.b*4+4], '|')) AS bucket
+  FROM sigs, unnest(range(0, 4)) AS u(b)),
+losers AS (
+  SELECT DISTINCT b.id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+              6) >= 0.12)
+SELECT doc_id, lang FROM stage2
+WHERE doc_id NOT IN (SELECT id_b FROM losers)
+""")
+def curation_pipeline(spark, sf_dir):
+    """The full curation funnel — quality filter → language select →
+    exact dedup → MinHash near-dedup — checked as a SET: the oracle
+    reproduces the exact surviving doc_ids, not just counts."""
+    from .dataops.curate import curate
+    docs = _t(spark, sf_dir, "documents")
+    res = curate(docs, min_quality=0.65, langs=("en", "de", "fr"),
+                 near_dup_jaccard=0.12, with_metrics=False)
+    return res.kept.select("doc_id", "lang")
+
+
 # =====================================================================
 # dataops: similarity search
 # =====================================================================
