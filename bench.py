@@ -49,7 +49,8 @@ BENCH_QUERIES = [
     "container_ndjson", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding", "ann_cosine_topk",
     "text_quality", "token_count", "lang_id", "salted_agg",
-    "windowed_counts", "flagship_routed_counts", "flagship_messages",
+    "windowed_counts", "curation_pipeline",
+    "flagship_routed_counts", "flagship_messages",
 ]
 
 
