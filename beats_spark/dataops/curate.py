@@ -24,7 +24,7 @@ from typing import Dict, List, Optional, Sequence
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import minhash_lsh_pairs
-from .textstats import quality_score
+from .textstats import text_stats_arrow
 
 __all__ = ["curate", "CurationResult"]
 
@@ -55,8 +55,9 @@ def curate(
     if with_metrics:
         metrics["docs.total"] = docs.count()
 
-    # 1. quality (map-side, no shuffle)
-    scored = docs.withColumn("__q", quality_score(F.col(text_col)))
+    # 1. quality (map-side, no shuffle; fused Arrow kernel)
+    scored = docs.withColumn(
+        "__q", text_stats_arrow(text_col)["quality"])
     kept = scored.filter(F.col("__q") >= min_quality)
     if with_metrics:
         metrics["docs.quality_kept"] = kept.count()

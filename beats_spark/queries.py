@@ -848,16 +848,20 @@ SELECT doc_id,
 FROM t
 """)
 def text_quality(spark, sf_dir):
+    """Stats via the fused Arrow kernel (numerically identical to the
+    Column-expression text_stats; see dataops.textstats)."""
+    from .dataops.textstats import text_stats_arrow
     docs = _t(spark, sf_dir, "documents")
-    s = text_stats(F.col("text"))
-    return docs.select(
+    st = text_stats_arrow("text")
+    out = docs.select("doc_id", st.alias("__s"))
+    return out.select(
         "doc_id",
-        s["n_chars"].alias("n_chars"),
-        s["word_count"].cast("bigint").alias("word_count"),
-        s["avg_word_len"].alias("avg_word_len"),
-        s["stopword_ratio"].alias("stopword_ratio"),
-        s["alpha_ratio"].alias("alpha_ratio"),
-        s["punct_ratio"].alias("punct_ratio"))
+        F.col("__s.n_chars").alias("n_chars"),
+        F.col("__s.word_count").alias("word_count"),
+        F.col("__s.avg_word_len").alias("avg_word_len"),
+        F.col("__s.stopword_ratio").alias("stopword_ratio"),
+        F.col("__s.alpha_ratio").alias("alpha_ratio"),
+        F.col("__s.punct_ratio").alias("punct_ratio"))
 
 
 @query("token_count", oracle=f"""
