@@ -153,3 +153,33 @@ def test_nginx_access_golden_two_stage(spark):
                 (ecs_field, exp["event.original"][:60], got[col])
             checked += 1
     assert checked >= 8
+
+
+@pytest.mark.skipif(not os.path.exists(REF),
+                    reason="reference module data not mounted")
+def test_system_syslog_golden(spark):
+    """system/syslog files pipeline: SYSLOGTIMESTAMP/SYSLOGHOST grok
+    with a module pattern_definitions entry (GREEDYMULTILINE)."""
+    d = f"{REF}/system/syslog"
+    log = os.path.join(d, "test", "suse-syslog.log")
+    with open(log + "-expected.json") as f:
+        expected = json.load(f)
+    procs = _grok_procs(os.path.join(d, "ingest", "files.yml"))
+    field, pats, defs = procs[0]
+
+    df = spark.read.text(log).withColumnRenamed("value", "message")
+    df = grok_extract_multi(df, "message", pats, extra_patterns=defs)
+    rows = df.collect()
+    assert len(rows) == len(expected)
+    checked = 0
+    for got, exp in zip(rows, expected):
+        assert got["log_flags"] == []
+        for ecs_field, col in (("process.name", "process_name"),
+                               ("process.pid", "process_pid"),
+                               ("host.hostname", "host_hostname"),
+                               ("message", "system_syslog_message")):
+            if ecs_field not in exp:
+                continue
+            assert got[col] == exp[ecs_field], (ecs_field, got[col])
+            checked += 1
+    assert checked >= 6
