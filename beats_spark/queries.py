@@ -51,11 +51,47 @@ def query(name: str, oracle: Optional[str] = None):
     return deco
 
 
+_SHIPPED_SESSIONS: set = set()
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Executor Python workers do NOT inherit the driver's sys.path —
+    when the harness loads ``__spark_entry__`` by file path with no
+    PYTHONPATH, cloudpickled closures referencing ``beats_spark`` fail
+    to unpickle on workers. Ship the package zip via addPyFile once
+    per session (a no-op when PYTHONPATH already covers it)."""
+    key = id(spark)
+    if key in _SHIPPED_SESSIONS:
+        return
+    _SHIPPED_SESSIONS.add(key)
+    import os
+    import zipfile
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = os.path.join("/tmp", "beats_spark_pyfiles.zip")
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+            pkg = os.path.join(pkg_root, "beats_spark")
+            for base, _dirs, files in os.walk(pkg):
+                if "__pycache__" in base:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(base, f)
+                        z.write(full, os.path.relpath(full, pkg_root))
+        os.replace(tmp, zip_path)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # e.g. Spark Connect without SparkContext — PYTHONPATH rules
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # every catalog query assumes UTC wall-clock semantics (the DuckDB
     # oracles compute on naive timestamps); pin it so results don't
     # depend on the host session's timezone
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ensure_workers_can_import(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
