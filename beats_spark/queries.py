@@ -775,8 +775,38 @@ def dedup_simhash(spark, sf_dir):
     return docs.select("doc_id", simhash(F.col("text")).alias("simhash"))
 
 
-@query("dedup_simhash_pairs")  # rows-only: banded-join candidate set
+@query("dedup_simhash_pairs", oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+hs AS (
+  SELECT doc_id,
+         list_transform(t, tok ->
+           CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)) AS h,
+         len(t) AS cnt
+  FROM toks),
+shh AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 60), j ->
+           (CASE WHEN 2 * len(list_filter(h, x -> ((x >> j) & 1) = 1)) > cnt
+                 THEN CAST(1 AS BIGINT) << j ELSE 0 END))) AS BIGINT) AS sh
+  FROM hs),
+chunks AS (
+  SELECT doc_id, sh, u.c AS c, (sh >> (u.c * 5)) & 31 AS v
+  FROM shh, unnest(range(0, 12)) AS u(c)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.sh AS sha, b.sh AS shb
+  FROM chunks a JOIN chunks b
+    ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sha, shb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sha, shb)) <= 10
+""")
 def dedup_simhash_pairs(spark, sf_dir):
+    """Banded SimHash candidate pairs — chunk equality join + exact
+    popcount verify, oracle-checked like everything else."""
     docs = _t(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=10, chunks=12)
 
@@ -962,7 +992,27 @@ def lang_id(spark, sf_dir):
                 .agg(F.count(F.lit(1)).alias("n")))
 
 
-@query("lang_id_ngram")  # rows-only: pandas-UDF model-inference shape
+@query("lang_id_ngram", oracle="""
+WITH t AS (SELECT lang, ' ' || lower(text) || ' ' AS s FROM documents),
+g AS (SELECT lang,
+        list_distinct(list_transform(range(1, length(s) - 1),
+                                     i -> substr(s, i, 3))) AS grams
+      FROM t),
+sc AS (SELECT lang,
+  len(list_filter(grams, x -> x IN ('er ', 'en ', 'ch ', 'der', ' de', 'die', 'ie ', 'ein', 'sch', 'und'))) AS sde,
+  len(list_filter(grams, x -> x IN (' th', 'the', 'he ', ' an', 'and', 'nd ', ' of', 'of ', 'ion', ' to'))) AS sen,
+  len(list_filter(grams, x -> x IN (' de', 'de ', 'os ', ' la', 'la ', 'el ', ' el', 'que', ' qu', 'as '))) AS ses,
+  len(list_filter(grams, x -> x IN ('es ', ' de', 'de ', 'le ', 'ent', ' le', 'la ', ' la', 'tio', 'ne '))) AS sfr
+  FROM g)
+SELECT lang,
+       CASE WHEN greatest(sde, sen, ses, sfr) = 0 THEN 'und'
+            WHEN sde = greatest(sde, sen, ses, sfr) THEN 'de'
+            WHEN sen = greatest(sde, sen, ses, sfr) THEN 'en'
+            WHEN ses = greatest(sde, sen, ses, sfr) THEN 'es'
+            ELSE 'fr' END AS lang_pred,
+       count(*) AS n
+FROM sc GROUP BY lang, lang_pred
+""")
 def lang_id_ngram_q(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (docs.select("lang", lang_id_ngram("text"))
@@ -1064,8 +1114,26 @@ def ann_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, queries, k=5)
 
 
-@query("ann_lsh_topk")  # rows-only: approximate bucket-join variant
+@query("ann_lsh_topk", oracle="""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+sig AS (SELECT vec_id, e, CAST((CASE WHEN list_sum(list_transform(range(1, len(e)+1), i -> e[i] * (CASE WHEN (CAST('0x'||substr(md5('p0:'||CAST(i AS VARCHAR)),1,1) AS INT) % 2)=0 THEN 1.0 ELSE -1.0 END))) >= 0 THEN 1 ELSE 0 END) + (CASE WHEN list_sum(list_transform(range(1, len(e)+1), i -> e[i] * (CASE WHEN (CAST('0x'||substr(md5('p1:'||CAST(i AS VARCHAR)),1,1) AS INT) % 2)=0 THEN 1.0 ELSE -1.0 END))) >= 0 THEN 2 ELSE 0 END) + (CASE WHEN list_sum(list_transform(range(1, len(e)+1), i -> e[i] * (CASE WHEN (CAST('0x'||substr(md5('p2:'||CAST(i AS VARCHAR)),1,1) AS INT) % 2)=0 THEN 1.0 ELSE -1.0 END))) >= 0 THEN 4 ELSE 0 END) + (CASE WHEN list_sum(list_transform(range(1, len(e)+1), i -> e[i] * (CASE WHEN (CAST('0x'||substr(md5('p3:'||CAST(i AS VARCHAR)),1,1) AS INT) % 2)=0 THEN 1.0 ELSE -1.0 END))) >= 0 THEN 8 ELSE 0 END) AS INT) AS bucket FROM v),
+q AS (SELECT vec_id AS query_id, e AS qv, bucket FROM sig WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, e AS cv, bucket FROM sig),
+s AS (SELECT query_id, neighbor_id,
+             round(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                   6) AS cosine
+      FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id),
+r AS (SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM s)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+FROM r WHERE rn <= 5
+""")
 def ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (md5-parity hyperplanes are engine-portable, so
+    even the approximate variant has an exact oracle)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return lsh_cosine_topk(emb, queries, k=5, num_planes=4)
@@ -1075,10 +1143,28 @@ def ann_lsh_topk(spark, sf_dir):
 # dataops: multimodal plumbing (stubbed decode, real Spark contract)
 # =====================================================================
 
-@query("multimodal_frames")  # rows-only: binary payload → frame rows
+@query("multimodal_frames", oracle="""
+WITH d AS (
+  SELECT doc_id, text,
+         octet_length(encode(text)) AS n,
+         ascii(substr(text, 1, 1)) * 16777216
+         + ascii(substr(text, 2, 1)) * 65536
+         + ascii(substr(text, 3, 1)) * 256
+         + ascii(substr(text, 4, 1)) AS h
+  FROM documents WHERE doc_id < 200),
+m AS (SELECT doc_id, n, 1 + n % 32 AS n_frames FROM d)
+SELECT doc_id,
+       CAST(u.f AS INT) AS frame_idx,
+       CAST(trunc(n * u.f / greatest(n_frames, 1)) AS BIGINT) AS frame_ts_ms
+FROM m, unnest(range(0, n_frames, 8)) AS u(f)
+""")
 def multimodal_frames(spark, sf_dir):
+    """Binary-column frame sampling: the deterministic fake decoder's
+    metadata arithmetic is engine-portable, so even the stubbed
+    multimodal path gets an exact oracle (payload = utf-8 bytes of the
+    ASCII document text)."""
     docs = _t(spark, sf_dir, "documents")
-    with_payload = docs.limit(200).select(
+    with_payload = docs.filter(F.col("doc_id") < 200).select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     return sample_video_frames(with_payload, every_n=8)
 
