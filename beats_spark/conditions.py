@@ -129,18 +129,24 @@ def _any(cols: Sequence[Column]) -> Column:
 
 # ---------------------------------------------------------------- compiler
 
-def compile_condition(cfg: Mapping[str, Any]) -> Column:
-    """One condition dict → boolean Column (conditions.go:55-99)."""
+def compile_condition(cfg: Mapping[str, Any],
+                      schema: "T.StructType | None" = None) -> Column:
+    """One condition dict → boolean Column (conditions.go:55-99).
+
+    ``schema`` (optional) enables type-aware compilation: ``contains``
+    on an array<string> field matches when ANY element contains the
+    substring (``conditions/matcher.go:56-88``); without a schema the
+    string form is emitted."""
     if not isinstance(cfg, Mapping) or len(cfg) != 1:
         raise ValueError(f"condition must have exactly one key: {cfg!r}")
     (kind, body), = cfg.items()
 
     if kind == "and":
-        return _all([compile_condition(c) for c in body])
+        return _all([compile_condition(c, schema) for c in body])
     if kind == "or":
-        return _any([compile_condition(c) for c in body])
+        return _any([compile_condition(c, schema) for c in body])
     if kind == "not":
-        return ~compile_condition(body)
+        return ~compile_condition(body, schema)
 
     if kind == "equals":
         # typed equality; null field ≠ anything (Go: missing key → false)
@@ -150,10 +156,19 @@ def compile_condition(cfg: Mapping[str, Any]) -> Column:
         ])
 
     if kind == "contains":
+        from .fieldpath import field_type
         cols = []
         for f, v in body.items():
             c = F.col(f)
-            cols.append(c.contains(str(v)))
+            ft = field_type(schema, f) if schema is not None else None
+            if isinstance(ft, T.ArrayType):
+                # any element contains the substring (matcher.go:56-88);
+                # closure factory keeps the lambda unary for Catalyst
+                def _elem_contains(needle):
+                    return lambda x: x.contains(needle)
+                cols.append(F.exists(c, _elem_contains(str(v))))
+            else:
+                cols.append(c.contains(str(v)))
         return _all(cols)
 
     if kind == "regexp":
@@ -170,7 +185,16 @@ def compile_condition(cfg: Mapping[str, Any]) -> Column:
         return _all(cols)
 
     if kind == "has_fields":
-        return _all([F.col(f).isNotNull() for f in _as_list(body)])
+        from .fieldpath import field_type
+        cols = []
+        for f in _as_list(body):
+            if schema is not None and field_type(schema, f) is None:
+                # missing key → condition is false (has_fields.go:31),
+                # resolved at plan time instead of an analysis error
+                cols.append(F.lit(False))
+            else:
+                cols.append(F.col(f).isNotNull())
+        return _all(cols)
 
     if kind == "network":
         cols = []

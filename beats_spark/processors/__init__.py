@@ -145,7 +145,8 @@ def build_processor(cfg: Mapping[str, Any]) -> Callable[[DataFrame], DataFrame]:
         r = make(df)
         if when_cfg is None:
             return _apply(df, r)
-        return _apply_when(df, r, compile_condition(when_cfg))
+        return _apply_when(df, r, compile_condition(when_cfg,
+                                                    schema=df.schema))
 
     return transform
 
