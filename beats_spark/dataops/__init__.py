@@ -24,6 +24,7 @@ from .dedup import (
 from .similarity import (
     cosine_similarity,
     cosine_topk,
+    cosine_topk_blocked,
     dot,
     l2_norm,
     lsh_signature,
@@ -49,7 +50,8 @@ __all__ = [
     "dedup_exact", "exact_dup_groups", "minhash_signature",
     "minhash_lsh_pairs", "ngram_jaccard_pairs", "shingles", "simhash",
     "simhash_pairs",
-    "cosine_similarity", "cosine_topk", "dot", "l2_norm", "normalize",
+    "cosine_similarity", "cosine_topk", "cosine_topk_blocked",
+    "dot", "l2_norm", "normalize",
     "lsh_signature", "lsh_cosine_topk",
     "lang_id_stopword", "lang_id_ngram", "doc_fingerprint", "text_stats",
     "token_count",

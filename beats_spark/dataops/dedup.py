@@ -48,10 +48,17 @@ def _spread(df: DataFrame) -> DataFrame:
     input arrives in fewer partitions (a single small parquet file
     would otherwise serialize the whole op on one core). No-op at
     scale where the scan already has enough splits."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+        return df
+    except Exception:
+        # Spark Connect has no sparkContext / .rdd handle; fall back to
+        # an unconditional repartition to the shuffle-partition setting
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                         "200"))
+        return df.repartition(n)
 
 
 # ------------------------------------------------------------------ shingles

