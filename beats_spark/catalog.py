@@ -19,8 +19,14 @@ The fallback reproduces the Iceberg mechanics the pipeline depends on:
 
 Atomicity: a snapshot directory is written complete (Spark's own
 commit protocol) before the manifest line is appended; a crash between
-the two leaves an orphan directory that is never referenced — same
-"commit = metadata pointer swap" contract Iceberg has.
+the two leaves an orphan directory that is never referenced. The
+manifest itself is a LOCAL-filesystem file: concurrent committers on
+one host are serialized with an ``fcntl`` lock (parent re-read inside
+the lock, so no lost update), but that is as far as the fallback goes
+— a shared/object-store root (HDFS/S3) that Spark can write parquet
+to cannot hold this manifest; real multi-writer commits need the
+Iceberg mode and its catalog swap. Single local writer is the designed
+operating point.
 """
 
 from __future__ import annotations
@@ -119,12 +125,21 @@ class Table:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
         rows = df.sparkSession.read.parquet(path).count()
-        snap = Snapshot(snapshot_id=sid,
-                        parent_id=self.current_snapshot(),
-                        operation=operation, rows=rows,
-                        wall_time=time.time())
+        # serialize concurrent local committers: take the lock FIRST,
+        # then read the parent, so two writers can't both observe the
+        # same current_snapshot and record duplicate parent ids
+        import fcntl
         with open(self._manifest, "a") as f:
-            f.write(json.dumps(snap.__dict__) + "\n")
+            fcntl.flock(f, fcntl.LOCK_EX)
+            try:
+                snap = Snapshot(snapshot_id=sid,
+                                parent_id=self.current_snapshot(),
+                                operation=operation, rows=rows,
+                                wall_time=time.time())
+                f.write(json.dumps(snap.__dict__) + "\n")
+                f.flush()
+            finally:
+                fcntl.flock(f, fcntl.LOCK_UN)
         return sid
 
     def append(self, df: DataFrame,

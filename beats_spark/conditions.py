@@ -29,7 +29,9 @@ Semantics parity:
 from __future__ import annotations
 
 import ipaddress
-from typing import Any, Dict, List, Mapping, Sequence
+from typing import Any, Dict, Iterator, List, Mapping, Sequence
+
+import pandas as pd
 
 from pyspark.sql import Column, functions as F
 from pyspark.sql import types as T
@@ -52,58 +54,177 @@ def ip_to_long(col: Column) -> Column:
 
 _IPV4_RE = r"^((25[0-5]|2[0-4]\d|1?\d?\d)\.){3}(25[0-5]|2[0-4]\d|1?\d?\d)$"
 
-# named networks (conditions/network.go:44-55), IPv4 ranges expressed as
-# CIDR lists; IPv6 support is limited to what string prefixes can say.
+# named networks (conditions/network.go:44-55), the IPv4 half expressed
+# as CIDR lists so the hot path stays pure mask arithmetic. Go's
+# IsInterfaceLocalMulticast is IPv6-only (returns false for every v4
+# address), hence the empty list.
 _NAMED_V4 = {
     "loopback": ["127.0.0.0/8"],
     "private": ["10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16"],
     "multicast": ["224.0.0.0/4"],
-    "interface_local_multicast": ["224.0.0.0/24"],
+    "interface_local_multicast": [],
     "link_local_unicast": ["169.254.0.0/16"],
     "link_local_multicast": ["224.0.0.0/24"],
     "unspecified": ["0.0.0.0/32"],
 }
 
 
+# --- Go net.IP predicate mirror (used for the non-dotted-quad rows) ---
+
+def _go_ip_parse(v):
+    """Parse like ``net.ParseIP``: IPv4-mapped IPv6 collapses to the
+    IPv4 address (Go's To4 alignment); zones/garbage → None."""
+    try:
+        ip = ipaddress.ip_address(v)
+    except (ValueError, TypeError):
+        return None
+    if ip.version == 6 and ip.ipv4_mapped is not None:
+        return ip.ipv4_mapped
+    return ip
+
+
+def _go_named_pred(spec: str):
+    """The ``namedNetworks`` predicate table (network.go:44-55) over a
+    parsed ipaddress object, byte-faithful to the Go net.IP methods
+    (e.g. link_local_multicast v6 = ff?2::/16 on the scope nibble,
+    private v6 = fd00::/8 from the reference's ff00-masked constant)."""
+    v4bcast = ipaddress.ip_address("255.255.255.255")
+
+    def is_loopback(ip):
+        return ip.is_loopback
+
+    def is_unspecified(ip):
+        return int(ip) == 0
+
+    def is_ll_unicast(ip):
+        if ip.version == 4:
+            return ip in ipaddress.ip_network("169.254.0.0/16")
+        return ip in ipaddress.ip_network("fe80::/10")
+
+    def is_ll_multicast(ip):
+        if ip.version == 4:
+            return ip in ipaddress.ip_network("224.0.0.0/24")
+        b = ip.packed
+        return b[0] == 0xFF and (b[1] & 0x0F) == 0x02
+
+    def is_iface_multicast(ip):
+        if ip.version == 4:
+            return False
+        b = ip.packed
+        return b[0] == 0xFF and (b[1] & 0x0F) == 0x01
+
+    def is_multicast(ip):
+        return ip.is_multicast
+
+    def is_private(ip):
+        if ip.version == 4:
+            return any(ip in ipaddress.ip_network(c) for c in
+                       ("10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16"))
+        return ip.packed[0] == 0xFD  # privateIPv6: fd00::/8
+
+    def is_global_unicast(ip):
+        return not (ip == v4bcast or is_unspecified(ip)
+                    or is_loopback(ip) or is_multicast(ip)
+                    or is_ll_unicast(ip))
+
+    def is_public(ip):  # !isLocalOrPrivate (network.go:237-245)
+        return not (is_private(ip) or is_loopback(ip)
+                    or is_unspecified(ip) or ip == v4bcast
+                    or is_ll_unicast(ip) or is_ll_multicast(ip)
+                    or is_iface_multicast(ip))
+
+    table = {
+        "loopback": is_loopback,
+        "unspecified": is_unspecified,
+        "link_local_unicast": is_ll_unicast,
+        "link_local_multicast": is_ll_multicast,
+        "interface_local_multicast": is_iface_multicast,
+        "multicast": is_multicast,
+        "private": is_private,
+        "unicast": is_global_unicast,
+        "global_unicast": is_global_unicast,
+        "public": is_public,
+    }
+    return table[spec]
+
+
+def _ip_pred_udf(pred):
+    """Arrow-batched boolean UDF over an IP string column; unparseable
+    values are false (Go: ParseIP nil → no match)."""
+
+    @F.pandas_udf("boolean")
+    def _m(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        def one(v):
+            ip = _go_ip_parse(v)
+            return bool(pred(ip)) if ip is not None else False
+        for s in it:
+            yield s.map(one)
+    return _m
+
+
 def cidr_match(col: Column, cidr: str) -> Column:
-    """True when the IPv4 string in ``col`` is inside ``cidr``. The mask
-    arithmetic happens at compile time; per row it is one AND + EQ."""
+    """True when the IP string in ``col`` is inside ``cidr``.
+
+    IPv4 CIDR: compile-time mask arithmetic — one AND + EQ per row,
+    pure JVM, so the filter stays pushdown-eligible with zero Python
+    in the plan (the hot-path property; known divergence: Go's ParseIP
+    folds ``::ffff:a.b.c.d`` spellings into v4, which this fast path
+    does not see — the *named* network specs do handle them via the
+    Go-predicate kernel). IPv6 CIDR: Arrow kernel membership (``::``
+    expansion and v6 group math don't reduce to column arithmetic)."""
     net = ipaddress.ip_network(cidr, strict=False)
-    if net.version != 4:
-        raise ValueError(f"only IPv4 CIDRs compile to columns: {cidr}")
-    mask = int(net.netmask)
-    base = int(net.network_address)
-    valid = col.rlike(_IPV4_RE)
-    return valid & (ip_to_long(col).bitwiseAND(F.lit(mask)) == F.lit(base))
+    if net.version == 4:
+        mask = int(net.netmask)
+        base = int(net.network_address)
+        valid = col.rlike(_IPV4_RE)
+        return valid & (ip_to_long(col).bitwiseAND(F.lit(mask))
+                        == F.lit(base))
+
+    def in_net6(ip, _n=net):
+        return ip.version == 6 and ip in _n
+    return _ip_pred_udf(in_net6)(col)
 
 
 def _network_one(col: Column, spec: str) -> Column:
-    if spec in ("private", "loopback", "multicast", "unspecified",
-                "interface_local_multicast", "link_local_unicast",
-                "link_local_multicast"):
-        m = None
-        for c in _NAMED_V4[spec]:
-            mm = cidr_match(col, c)
-            m = mm if m is None else (m | mm)
-        return m
-    if spec in ("unicast", "global_unicast"):
-        # global unicast = not (unspecified|loopback|multicast|link-local)
-        bad = None
-        for name in ("unspecified", "loopback", "multicast",
-                     "link_local_unicast", "link_local_multicast"):
-            for c in _NAMED_V4[name]:
-                mm = cidr_match(col, c)
-                bad = mm if bad is None else (bad | mm)
-        return col.rlike(_IPV4_RE) & ~bad
-    if spec == "public":
-        # !isLocalOrPrivate (network.go:54): not private, loopback, ll
-        bad = None
-        for name in ("private", "loopback", "link_local_unicast",
-                     "link_local_multicast", "unspecified"):
-            for c in _NAMED_V4[name]:
-                mm = cidr_match(col, c)
-                bad = mm if bad is None else (bad | mm)
-        return col.rlike(_IPV4_RE) & ~bad
+    if spec in _NAMED_V4 or spec in ("unicast", "global_unicast",
+                                     "public"):
+        pred = _go_named_pred(spec)
+        valid4 = col.rlike(_IPV4_RE)
+        if spec in _NAMED_V4:
+            jvm = None
+            for c in _NAMED_V4[spec]:
+                n = ipaddress.ip_network(c)
+                mm = (ip_to_long(col).bitwiseAND(F.lit(int(n.netmask)))
+                      == F.lit(int(n.network_address)))
+                jvm = mm if jvm is None else (jvm | mm)
+            jvm = (valid4 & jvm) if jvm is not None else F.lit(False)
+        elif spec in ("unicast", "global_unicast"):
+            bad = None
+            for name in ("unspecified", "loopback", "multicast",
+                         "link_local_unicast"):
+                for c in _NAMED_V4[name]:
+                    n = ipaddress.ip_network(c)
+                    mm = (ip_to_long(col)
+                          .bitwiseAND(F.lit(int(n.netmask)))
+                          == F.lit(int(n.network_address)))
+                    bad = mm if bad is None else (bad | mm)
+            bad = bad | (col == "255.255.255.255")
+            jvm = valid4 & ~bad
+        else:  # public = !isLocalOrPrivate (network.go:237-245)
+            bad = None
+            for name in ("private", "loopback", "link_local_unicast",
+                         "link_local_multicast", "unspecified"):
+                for c in _NAMED_V4[name]:
+                    n = ipaddress.ip_network(c)
+                    mm = (ip_to_long(col)
+                          .bitwiseAND(F.lit(int(n.netmask)))
+                          == F.lit(int(n.network_address)))
+                    bad = mm if bad is None else (bad | mm)
+            bad = bad | (col == "255.255.255.255")
+            jvm = valid4 & ~bad
+        # non-dotted-quad rows (IPv6, v4-mapped, garbage) go through the
+        # Go-predicate kernel; dotted-quad rows stay pure JVM
+        return jvm | (~valid4.eqNullSafe(True) & _ip_pred_udf(pred)(col))
     return cidr_match(col, spec)
 
 

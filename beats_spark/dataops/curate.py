@@ -3,11 +3,17 @@ shipper pipeline — filter → dedup → near-dedup → select, with
 per-stage counters (the FineWeb/Gopher-style funnel).
 
 Every stage is the engine's own operator (quality_score, exact dedup
-window, MinHash+LSH pairs) composed lazily; one action drives the
-whole funnel, and the stage metrics ride the same cached frame instead
-of re-running the plan per stage. All decisions are deterministic
-(score thresholds on exact arithmetic, min-id winners), so the entire
-funnel is reproducible by a SQL oracle — the curated SET is checkable
+window, MinHash+LSH pairs) composed lazily. With metrics on, the
+quality-scored frame and the exact-dedup survivors are persisted so
+the Arrow scoring kernel runs exactly once: the stage counts cost one
+single-pass aggregation (total/quality/lang ride one scan of the
+cached frame) plus one count per shuffling stage — never a re-run of
+the scoring plan. (``observe()`` cannot carry these counters: the
+survivor frame is referenced twice by the LSH candidate self-join, so
+an upstream CollectMetrics node would fire once per branch and
+double-count.) All decisions are deterministic (score thresholds on
+exact arithmetic, min-id winners), so the entire funnel is
+reproducible by a SQL oracle — the curated SET is checkable
 row-for-row, not just counted.
 
 Scale notes: stage order puts the cheap map-side quality filter before
@@ -33,6 +39,15 @@ __all__ = ["curate", "CurationResult"]
 class CurationResult:
     kept: DataFrame
     metrics: Dict[str, int] = field(default_factory=dict)
+    _cached: List[DataFrame] = field(default_factory=list)
+
+    def unpersist(self) -> None:
+        """Release the frames persisted for metrics collection. Call
+        after the final action on ``kept`` (they also back ``kept``'s
+        plan, so dropping them earlier re-runs the scoring kernel)."""
+        for df in self._cached:
+            df.unpersist()
+        self._cached.clear()
 
 
 def curate(
@@ -52,31 +67,44 @@ def curate(
     verified pair (deterministic; chains resolve to "drop anything
     that loses at least one pairing")."""
     metrics: Dict[str, int] = {}
-    if with_metrics:
-        metrics["docs.total"] = docs.count()
+    cached: List[DataFrame] = []
 
     # 1. quality (map-side, no shuffle; fused Arrow kernel)
     scored = docs.withColumn(
         "__q", text_stats_arrow(text_col)["quality"])
-    kept = scored.filter(F.col("__q") >= min_quality)
+    q_ok = F.col("__q") >= min_quality
     if with_metrics:
-        metrics["docs.quality_kept"] = kept.count()
+        scored = scored.persist()
+        cached.append(scored)
+        aggs = [F.count(F.lit(1)).alias("total"),
+                F.sum(q_ok.cast("int")).alias("quality_kept")]
+        if langs:
+            aggs.append(F.sum((q_ok & F.col(lang_col).isin(*langs))
+                              .cast("int")).alias("lang_kept"))
+        row = scored.agg(*aggs).collect()[0]
+        metrics["docs.total"] = int(row["total"])
+        metrics["docs.quality_kept"] = int(row["quality_kept"])
+        if langs:
+            metrics["docs.lang_kept"] = int(row["lang_kept"])
+
+    kept = scored.filter(q_ok)
 
     # 2. language selection (map-side)
     if langs:
         kept = kept.filter(F.col(lang_col).isin(*langs))
-        if with_metrics:
-            metrics["docs.lang_kept"] = kept.count()
 
     # 3. exact dedup — shuffle carries (digest, id) only
     w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
     kept = (kept.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1).drop("__rn"))
     if with_metrics:
+        kept = kept.persist()
+        cached.append(kept)
         metrics["docs.exact_kept"] = kept.count()
 
     # 4. near-dedup: verified MinHash pairs above the threshold; every
-    # pair's larger id is dropped
+    # pair's larger id is dropped (both the pairs input and the
+    # anti-join left read the persisted survivors — no recompute)
     pairs = minhash_lsh_pairs(
         kept, id_col=id_col, text_col=text_col,
         num_hashes=minhash_hashes, bands=minhash_bands,
@@ -88,4 +116,5 @@ def curate(
         metrics["docs.dropped"] = (metrics["docs.total"]
                                    - metrics["docs.near_dup_kept"])
 
-    return CurationResult(kept=kept.drop("__q"), metrics=metrics)
+    return CurationResult(kept=kept.drop("__q"), metrics=metrics,
+                          _cached=cached)

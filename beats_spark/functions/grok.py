@@ -200,16 +200,26 @@ def grok_extract_multi(
         for name, typ in g.fields:
             fields.setdefault(name, typ)
 
+    # gate i = "pattern i matches AND no earlier pattern matches":
+    # ES-ingest first-match-wins takes ALL fields from the first
+    # matching pattern — a field the winner doesn't define stays null
+    # even if a later pattern both matches and defines it
+    gates = []
+    seen = None
+    for m in matches:
+        gates.append(m if seen is None else (m & ~seen))
+        seen = m if seen is None else (seen | m)
+
     assigns = {}
     for name, typ in fields.items():
         col = None
-        for g, m in zip(groks, matches):
+        for g, gate in zip(groks, gates):
             if name not in g.group_index:
                 continue
             val = F.regexp_extract(src, g.regex, g.group_index[name])
-            piece = F.when(m, val)
-            col = piece if col is None else col.when(m, val)
-        # when-chain: first matching pattern that defines the field
+            piece = F.when(gate, val)
+            col = piece if col is None else col.when(gate, val)
+        # when-chain over the gated patterns that define the field
         col = col.otherwise(F.lit(None)) if col is not None else F.lit(None)
         spark_t = _TYPE_MAP.get(typ, "string")
         col = F.nullif(col, F.lit(""))

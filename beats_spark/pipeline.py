@@ -173,10 +173,14 @@ def run_pipeline_incremental(
 ) -> PipelineRun:
     """Catalog-driven resume: process ONLY the pages-table snapshots
     not yet watermarked (the north_rule's "checkpointed per Iceberg
-    snapshot, resumes without reprocessing"). Each committed source
-    snapshot is acknowledged individually after the routed write, so a
-    crash mid-run re-processes at most the unacked snapshots — whose
-    output lands under a fresh idempotent run prefix."""
+    snapshot, resumes without reprocessing"). All unprocessed snapshots
+    are read and written as ONE combined run; their watermarks are all
+    recorded after that single routed write, so a crash mid-run
+    re-processes the whole unacked batch (output lands under a fresh
+    idempotent run prefix — no duplicate rows, coarser-than-per-snapshot
+    crash granularity). The combined ``events.total`` is recorded
+    against the FIRST snapshot id; trailing ids ack with count 0 so
+    per-snapshot counts are never inflated."""
     wm = Watermarks(out_dir)
     processed = set(wm.processed_snapshots())
     pages, todo_ids = pages_table.read_incremental(spark, processed)
@@ -187,6 +191,7 @@ def run_pipeline_incremental(
         spark, pages, host_meta, lang_meta, out_dir,
         snapshot_id=todo_ids[0], resume=False)
     for sid in todo_ids[1:]:
-        wm.record(sid, f"{result.run_id}-{sid[:6]}",
-                  result.metrics.get("events.total", 0))
+        # count 0: the combined batch total is already recorded against
+        # todo_ids[0]; repeating it per snapshot would inflate sums
+        wm.record(sid, f"{result.run_id}-{sid[:6]}", 0)
     return result

@@ -341,24 +341,115 @@ def timestamp(cfg: Mapping[str, Any]):
     return make
 
 
+_RL_WINDOW_S = {"s": 1, "m": 60, "h": 3600}
+
+
+def _rl_parse_limit(limit_spec: str):
+    parts = str(limit_spec).split("/")
+    n = int(parts[0])
+    unit = parts[1] if len(parts) > 1 else "s"
+    if unit not in _RL_WINDOW_S:
+        raise ValueError(
+            f"rate_limit: unknown unit {unit!r} in limit "
+            f"{limit_spec!r}; supported units: s, m, h")
+    return n, unit
+
+
+def token_bucket_filter(
+    df: DataFrame,
+    limit: str = "100/s",
+    fields: "list | None" = None,
+    ts_field: str = "@timestamp",
+    order_by: "list | None" = None,
+    burst_multiplier: float = 1.0,
+) -> DataFrame:
+    """Continuous-refill token bucket over event time, matching the
+    reference's algorithm (``ratelimit/token_bucket.go:37-65``): one
+    bucket per key starts full at ``depth = limit × burst_multiplier``;
+    each event first accrues ``elapsed × rate`` tokens since the
+    previous event of that key, then withdraws 1 if at least 1 token is
+    available (no cap on accrual — the reference only trims full
+    buckets during GC, which a batch scan never needs).
+
+    Event-time order (``ts_field``, then ``order_by``) stands in for
+    the reference's arrival order; tokens are tracked as integer
+    micro-tokens scaled by the rate window (``tokens × 1e6 ×
+    window_s``) so the arithmetic is exact and engine-independent —
+    the DuckDB recursive-CTE oracle reproduces it bit-for-bit.
+
+    Scale shape: ``applyInPandas`` per key group — the scan is
+    inherently sequential per key (same as the reference's per-key
+    bucket mutex) but keys parallelize across the cluster."""
+    import pandas as pd
+
+    n, unit = _rl_parse_limit(limit)
+    window_s = _RL_WINDOW_S[unit]
+    scale = 1_000_000 * window_s  # one token, in scaled units
+    depth = int(round(n * float(burst_multiplier) * scale))
+    keys = list(fields or [])
+    order = [ts_field] + list(order_by or [])
+    schema = df.schema
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        # datetime64[ns] → integer µs (exact; Spark timestamps are µs)
+        us = (pdf[ts_field].values.astype("datetime64[ns]")
+              .astype("int64") // 1000)
+        tokens = depth
+        prev = None
+        keep = []
+        for t in us:
+            if prev is not None:
+                tokens += (t - prev) * n  # accrue: elapsed_µs × n/window
+            prev = t
+            if tokens >= scale:
+                tokens -= scale
+                keep.append(True)
+            else:
+                keep.append(False)
+        return pdf[pd.Series(keep, index=pdf.index).values]
+
+    grouped = df.groupBy(*keys) if keys else df.groupBy(F.lit(1))
+    return grouped.applyInPandas(scan, schema=schema)
+
+
 @register("rate_limit")
 def rate_limit(cfg: Mapping[str, Any]):
-    """Token-bucket analog (``ratelimit/rate_limit.go:103``): keep at
-    most N rows per (optional key-fields ×) 1-second event-time window,
-    deterministically — row_number over the window ≤ limit. The
-    reference drops above-rate events at arrival time; event-time
-    windows are the batch equivalent."""
+    """Rate limiting (``ratelimit/rate_limit.go:103``). Two algorithms:
+
+    - ``token_bucket`` — the reference's continuous-refill bucket,
+      exact semantics via :func:`token_bucket_filter` (bursts that
+      straddle a window boundary are judged by accrued tokens, like
+      ``token_bucket.go:37-65``);
+    - ``window`` (default) — ≤N rows per (key × event-time window) via
+      ``row_number``, a pure-Catalyst approximation that differs from
+      the bucket exactly at window-straddling bursts; it stays the
+      default because it is SQL-reproducible without recursion and
+      shuffle-only (no Python stage)."""
     from pyspark.sql import Window
     limit_spec = str(cfg.get("limit", "100/s"))
-    n = int(limit_spec.split("/")[0])
-    unit = {"s": "1 second", "m": "1 minute", "h": "1 hour"}[
-        limit_spec.split("/")[1] if "/" in limit_spec else "s"]
+    n, unit_key = _rl_parse_limit(limit_spec)
+    unit = {"s": "1 second", "m": "1 minute", "h": "1 hour"}[unit_key]
     key_fields = list(cfg.get("fields", []))
     ts_field = cfg.get("timestamp_field", "@timestamp")
     # extra order columns for a deterministic winner under ts ties
     order_by = list(cfg.get("order_by", []))
+    algorithm = cfg.get("algorithm", "window")
+    burst = float(cfg.get("burst_multiplier", 1.0))
 
     def make(df: DataFrame) -> ProcResult:
+        if algorithm == "token_bucket":
+            def reshape_tb(d: DataFrame) -> DataFrame:
+                return token_bucket_filter(
+                    d, limit=limit_spec, fields=key_fields,
+                    ts_field=ts_field, order_by=order_by,
+                    burst_multiplier=burst)
+            return ProcResult(reshape=reshape_tb)
+        if algorithm != "window":
+            raise ValueError(
+                f"rate_limit: unknown algorithm {algorithm!r}; "
+                "supported: token_bucket, window")
+
         keys = [F.window(F.col(ts_field), unit)]
         keys += [F.col(f) for f in key_fields]
 

@@ -38,15 +38,189 @@ def dissect(cfg: Mapping[str, Any]):
     return make
 
 
+def _json_is_structured(s: str) -> bool:
+    """Mirror of ``isStructured`` (decode_json_fields.go:263): trimmed
+    text bracketed by {} or []."""
+    s = s.strip()
+    return len(s) > 1 and ((s[0] == "[" and s[-1] == "]")
+                           or (s[0] == "{" and s[-1] == "}"))
+
+
+class _ProcessingSkipped(ValueError):
+    """Mirror of ``errProcessingSkipped``: an array met with
+    ``process_array=False``."""
+
+
+def _json_unmarshal_deep(text: str, max_depth: int, process_array: bool):
+    """Recursive decode mirroring ``unmarshal``
+    (decode_json_fields.go:185-233): parse one layer, then — while
+    depth remains — re-parse any *string* member that looks structured
+    (plain nested objects from the same parse are left alone, exactly
+    like the reference, which only walks the top level of each decoded
+    layer). An array met with ``process_array=False`` raises skipped;
+    a nested skip keeps the original string in place."""
+    import json
+
+    out = json.loads(text)  # ValueError on bad JSON, like decodeJSON
+    depth = max_depth - 1
+    if depth == 0:
+        return out
+
+    def try_unmarshal(v):
+        if not isinstance(v, str) or not _json_is_structured(v):
+            return v
+        try:
+            return _json_unmarshal_deep(v, depth, process_array)
+        except ValueError:  # parse error OR skipped: keep the string
+            return v
+
+    if isinstance(out, dict):
+        return {k: try_unmarshal(v) for k, v in out.items()}
+    if isinstance(out, list):
+        if not process_array:
+            raise _ProcessingSkipped("processing skipped")
+        return [try_unmarshal(v) for v in out]
+    return out
+
+
+def _json_expand_dotted(obj: dict) -> dict:
+    """``expand_keys`` (jsontransform.ExpandFields): dotted keys become
+    nested objects, recursively. Best-effort on conflicts — when a
+    scalar already occupies a path segment the dotted key is left
+    as-is (the reference records an error instead)."""
+    def expand(o):
+        if isinstance(o, list):
+            return [expand(v) for v in o]
+        if not isinstance(o, dict):
+            return o
+        out: dict = {}
+        for k, v in o.items():
+            v = expand(v)
+            if "." not in k:
+                if isinstance(v, dict) and isinstance(out.get(k), dict):
+                    out[k] = _merge(out[k], v)
+                else:
+                    out[k] = v
+                continue
+            parts = k.split(".")
+            cur = out
+            ok = True
+            for p in parts[:-1]:
+                nxt = cur.get(p)
+                if nxt is None:
+                    nxt = cur[p] = {}
+                elif not isinstance(nxt, dict):
+                    ok = False
+                    break
+                cur = nxt
+            if ok:
+                leaf = parts[-1]
+                if isinstance(v, dict) and isinstance(cur.get(leaf), dict):
+                    cur[leaf] = _merge(cur[leaf], v)
+                else:
+                    cur[leaf] = v
+            else:
+                out[k] = v
+        return out
+
+    def _merge(a: dict, b: dict) -> dict:
+        m = dict(a)
+        for k, v in b.items():
+            if isinstance(v, dict) and isinstance(m.get(k), dict):
+                m[k] = _merge(m[k], v)
+            else:
+                m[k] = v
+        return m
+
+    return expand(obj)
+
+
+def decode_json_deep(col: Column, max_depth: int = 1,
+                     process_array: bool = False,
+                     expand_keys: bool = False,
+                     document_id: str = "") -> Column:
+    """Arrow-batched deep JSON decode with the reference's flag set
+    (``decode_json_fields.go:50-59``). Returns a struct:
+
+    - ``obj``: ``map<string,string>`` when the decoded value is an
+      object — scalar members as their literal text (the same rendering
+      ``from_json`` → map<string,string> uses), nested members as
+      canonical JSON (sorted keys, no spaces);
+    - ``raw``: canonical JSON of the whole decoded value (whatever its
+      type) — the ``target``-mode output;
+    - ``doc_id``: the ``document_id`` member (dotted paths supported),
+      removed from ``obj``/``raw`` like the reference moves it to
+      ``@metadata._id``.
+
+    Unparseable input → all-null struct (reference tags an error)."""
+    md, pa, ek, did = int(max_depth), bool(process_array), \
+        bool(expand_keys), str(document_id or "")
+
+    @F.pandas_udf("obj map<string,string>, raw string, doc_id string")
+    def _k(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        import json
+
+        def enc(v):
+            if isinstance(v, str):
+                return v
+            return json.dumps(v, separators=(",", ":"), sort_keys=True,
+                              ensure_ascii=False)
+
+        def pop_path(d, path):
+            parts = path.split(".")
+            cur = d
+            for p in parts[:-1]:
+                cur = cur.get(p) if isinstance(cur, dict) else None
+                if cur is None:
+                    return None
+            if isinstance(cur, dict) and parts[-1] in cur:
+                v = cur[parts[-1]]
+                if isinstance(v, str):
+                    del cur[parts[-1]]
+                    return v
+            return None
+
+        def one(t):
+            if t is None:
+                return (None, None, None)
+            try:
+                out = _json_unmarshal_deep(t, md, pa)
+            except ValueError:
+                return (None, None, None)
+            doc_id = None
+            if did and isinstance(out, dict):
+                doc_id = pop_path(out, did)
+            if ek and isinstance(out, dict):
+                out = _json_expand_dotted(out)
+            obj = ({k: enc(v) for k, v in out.items()}
+                   if isinstance(out, dict) else None)
+            return (obj, enc(out), doc_id)
+
+        for s in it:
+            rows = [one(t) for t in s]
+            yield pd.DataFrame(rows, columns=["obj", "raw", "doc_id"])
+
+    return _k(col)
+
+
 @register("decode_json_fields")
 def decode_json_fields(cfg: Mapping[str, Any]):
     """Parse JSON strings (``actions/decode_json_fields.go:103``). With
     ``schema`` given, keys become typed columns via ``from_json``;
     without, the parsed object lands as ``map<string,string>`` (the
-    closest declared type to mapstr)."""
+    closest declared type to mapstr). The reference's advanced flags —
+    ``max_depth``, ``process_array``, ``expand_keys``, ``document_id``
+    (→ ``meta__id`` column, our spelling of ``@metadata._id``) — route
+    through the Arrow deep-decode kernel."""
     fields = list(cfg.get("fields", []))
     target = cfg.get("target")
     schema = cfg.get("schema")  # DDL string, ours (the reference is schemaless)
+    max_depth = int(cfg.get("max_depth", 1))
+    process_array = bool(cfg.get("process_array", False))
+    expand_keys = bool(cfg.get("expand_keys", False))
+    document_id = cfg.get("document_id", "")
+    advanced = (max_depth > 1 or process_array or expand_keys
+                or bool(document_id))
 
     def make(df: DataFrame) -> ProcResult:
         assigns = {}
@@ -62,6 +236,17 @@ def decode_json_fields(cfg: Mapping[str, Any]):
                         assigns[f"{out}_{sub}" if out else sub] = parsed[sub]
                 else:
                     assigns[out or fld] = parsed
+            elif advanced:
+                deep = decode_json_deep(
+                    F.col(fld), max_depth=max_depth,
+                    process_array=process_array, expand_keys=expand_keys,
+                    document_id=document_id)
+                if target:
+                    assigns[target] = deep["raw"]
+                else:
+                    assigns[out or fld] = deep["obj"]
+                if document_id:
+                    assigns["meta__id"] = deep["doc_id"]
             else:
                 assigns[out or fld] = F.from_json(
                     F.col(fld), "map<string,string>")
@@ -71,22 +256,40 @@ def decode_json_fields(cfg: Mapping[str, Any]):
 
 @register("decode_csv_fields")
 def decode_csv_fields(cfg: Mapping[str, Any]):
-    """RFC-4180 field → string array (``decode_csv_fields.go:101``).
-    ``from_csv`` handles quoting; separator configurable."""
+    """RFC-4180 field → string array (``decode_csv_fields.go:101``,
+    which parses with Go ``encoding/csv``). Arrow-batched csv.reader —
+    quoted fields may contain the separator, doubled quotes escape, and
+    a quoted field may span embedded newlines; ``trim_leading_space``
+    mirrors the reference option. Unparseable rows yield null (the
+    reference tags an error and leaves the field)."""
     fields = cfg.get("fields", {})
     sep = cfg.get("separator", ",")
+    trim = bool(cfg.get("trim_leading_space", False))
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _parse(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import csv as _csv
+        import io as _io
+
+        def one(v):
+            if v is None:
+                return None
+            try:
+                rows = list(_csv.reader(_io.StringIO(v), delimiter=sep,
+                                        skipinitialspace=trim))
+            except _csv.Error:
+                return None
+            return rows[0] if rows else []
+
+        for s in it:
+            yield s.map(one)
 
     def make(df: DataFrame) -> ProcResult:
-        import re as _re
         assigns = {}
         for src, dst in fields.items():
             if src not in df.columns:
                 continue
-            # split respecting RFC quoting via from_csv into a wide-enough
-            # struct is schema-bound; the common beats use is plain split.
-            # The separator is a LITERAL rune in the reference — escape it
-            # so regex metacharacters ('|', '.') split correctly.
-            assigns[dst] = F.split(F.col(src), _re.escape(sep))
+            assigns[dst] = _parse(F.col(src))
         return ProcResult(assigns=assigns)
     return make
 

@@ -114,14 +114,29 @@ def cache(cfg: Mapping[str, Any]):
 
 
 def build_cache_store(df: DataFrame, key_field: str, value_fields: list,
-                      ts_field: str | None = None) -> DataFrame:
+                      ts_field: str | None = None,
+                      tiebreak_fields: list | None = None) -> DataFrame:
     """The ``put`` half of the cache processor: last write per key wins
-    (``cache/cache.go`` put semantics with TTL dropped — batch snapshot)."""
-    aggs = [F.last(F.col(v), ignorenulls=True).alias(v) for v in value_fields]
-    src = df
+    (``cache/cache.go`` put semantics with TTL dropped — batch snapshot).
+
+    Deterministic winner: the previous ``orderBy(ts).groupBy.agg(last)``
+    shape was non-deterministic — sort order does not survive the
+    aggregation shuffle, so "last per key" could flip between runs.
+    Now a ``row_number`` window ordered by ts desc with an explicit
+    tiebreak (``tiebreak_fields``, default: all value fields desc)
+    picks exactly one row per key regardless of partitioning. With no
+    ``ts_field`` the tiebreak alone orders — still deterministic."""
+    from pyspark.sql import Window
+    order = []
     if ts_field is not None:
-        src = df.orderBy(ts_field)
-    return (src.groupBy(F.col(key_field).alias("key")).agg(*aggs))
+        order.append(F.col(ts_field).desc())
+    for t in (tiebreak_fields or value_fields):
+        order.append(F.col(t).desc_nulls_last())
+    w = Window.partitionBy(F.col(key_field)).orderBy(*order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1)
+              .select(F.col(key_field).alias("key"),
+                      *[F.col(v) for v in value_fields]))
 
 
 @register("translate_sid")

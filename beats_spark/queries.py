@@ -250,6 +250,44 @@ def rate_limit_q(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("kept")))
 
 
+@query("rate_limit_bucket", oracle="""
+WITH RECURSIVE ev AS (
+  SELECT user_id AS k, event_id AS id,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT) AS rn,
+         epoch_us(ts) AS us
+  FROM events),
+scan AS (
+  SELECT k, id, rn, us,
+         CAST(300000000 - 60000000 AS BIGINT) AS tok, TRUE AS allowed
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.k, e.id, e.rn, e.us,
+         CASE WHEN s.tok + (e.us - s.us) * 5 >= 60000000
+              THEN s.tok + (e.us - s.us) * 5 - 60000000
+              ELSE s.tok + (e.us - s.us) * 5 END,
+         s.tok + (e.us - s.us) * 5 >= 60000000
+  FROM scan s JOIN ev e ON e.k = s.k AND e.rn = s.rn + 1)
+SELECT k AS user_id,
+       CAST(count(*) FILTER (WHERE allowed) AS BIGINT) AS kept
+FROM scan GROUP BY k
+""")
+def rate_limit_bucket_q(spark, sf_dir):
+    """The reference's actual rate-limit algorithm — continuous-refill
+    token bucket (``token_bucket.go:37-65``), 5/min per user, bucket
+    starts full at depth 5. Integer micro-token arithmetic makes the
+    sequential scan exactly reproducible by DuckDB's recursive CTE —
+    an exact oracle for an inherently recursive (non-window) operator."""
+    ev = _t(spark, sf_dir, "events")
+    chain = compile_processors([
+        {"rate_limit": {"limit": "5/m", "fields": ["user_id"],
+                        "timestamp_field": "ts",
+                        "order_by": ["event_id"],
+                        "algorithm": "token_bucket"}}])
+    return (chain(ev).groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("kept")))
+
+
 # =====================================================================
 # §2.4 dissect / grok (tokenizers over a synthesized log line)
 # =====================================================================
@@ -414,29 +452,37 @@ def registered_domain_q(spark, sf_dir):
 
 @query("network_condition", oracle="""
 WITH ips AS (
-  SELECT CASE CAST(user_id % 4 AS INT)
+  SELECT CASE CAST(user_id % 6 AS INT)
            WHEN 0 THEN '10.1.' || CAST(event_id % 200 AS VARCHAR) || '.9'
            WHEN 1 THEN '192.168.4.' || CAST(event_id % 200 AS VARCHAR)
            WHEN 2 THEN '8.8.8.' || CAST(event_id % 200 AS VARCHAR)
-           ELSE '172.20.1.' || CAST(event_id % 200 AS VARCHAR) END AS ip,
-         CAST(user_id % 4 AS INT) AS bucket
+           WHEN 3 THEN '172.20.1.' || CAST(event_id % 200 AS VARCHAR)
+           WHEN 4 THEN 'fd12:3456::' || CAST(event_id % 200 AS VARCHAR)
+           ELSE '2001:db8::' || CAST(event_id % 200 AS VARCHAR) END AS ip,
+         CAST(user_id % 6 AS INT) AS bucket
   FROM events)
 SELECT bucket,
        count(*) AS n,
-       CAST(sum(CASE WHEN bucket IN (0, 1, 3) THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN bucket IN (0, 1, 3, 4) THEN 1 ELSE 0 END)
             AS BIGINT) AS n_private
 FROM ips GROUP BY bucket
 """)
 def network_condition(spark, sf_dir):
-    """network condition: IP-in-CIDR / named-network membership
-    compiled to mask arithmetic (conditions/network.go:44-139)."""
+    """network condition: IP-in-CIDR / named-network membership —
+    dotted-quad rows via compile-time mask arithmetic, IPv6 rows
+    (fd00::/8 private per the reference's privateIPv6 constant) via
+    the Go-predicate Arrow kernel (conditions/network.go:30-55).
+    The decimal suffix is a valid hex group, so every generated v6
+    string parses."""
     ev = _t(spark, sf_dir, "events")
-    b = (F.col("user_id") % 4).cast("int")
+    b = (F.col("user_id") % 6).cast("int")
     oct4 = (F.col("event_id") % 200).cast("string")
     ip = (F.when(b == 0, F.concat(F.lit("10.1."), oct4, F.lit(".9")))
            .when(b == 1, F.concat(F.lit("192.168.4."), oct4))
            .when(b == 2, F.concat(F.lit("8.8.8."), oct4))
-           .otherwise(F.concat(F.lit("172.20.1."), oct4)))
+           .when(b == 3, F.concat(F.lit("172.20.1."), oct4))
+           .when(b == 4, F.concat(F.lit("fd12:3456::"), oct4))
+           .otherwise(F.concat(F.lit("2001:db8::"), oct4)))
     df = ev.select(ip.alias("ip"), b.alias("bucket"))
     is_private = compile_condition({"network": {"ip": "private"}})
     return (df.groupBy("bucket")

@@ -90,7 +90,15 @@ def test_and_or_not(events):
 
 
 def test_condition_is_plan_side_no_python(events):
-    """The compiled condition must stay JVM-side (no Python UDF nodes)."""
-    df = events.filter(compile_condition({"network": {"ip": "private"}}))
+    """v4 CIDR conditions must stay fully JVM-side (no Python UDF
+    nodes — pushdown-eligible mask arithmetic); named-network specs
+    may carry exactly ONE Arrow node for the IPv6/mapped-v4 rows the
+    mask arithmetic can't see."""
+    df = events.filter(compile_condition(
+        {"network": {"ip": ["10.0.0.0/8", "192.168.0.0/16"]}}))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+    named = events.filter(compile_condition({"network": {"ip": "private"}}))
+    nplan = named._jdf.queryExecution().executedPlan().toString()
+    assert nplan.count("ArrowEvalPython") <= 1

@@ -1,0 +1,284 @@
+"""Round-2 fixes: deterministic cache store, RFC-4180 CSV decode,
+token-bucket rate limit, IPv6 network conditions, decode_json_fields
+advanced flags, grok multi-pattern first-match-wins.
+
+Vectors ported from the reference suites:
+- libbeat/processors/decode_csv_fields/decode_csv_fields_test.go
+- libbeat/conditions/network_test.go (TestIsPrivateNetwork et al.)
+- libbeat/processors/actions/decode_json_fields.go flag semantics
+- libbeat/processors/ratelimit/token_bucket.go replenish/withdraw
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.conditions import compile_condition
+from beats_spark.processors import compile_processors
+from beats_spark.processors.core import token_bucket_filter
+from beats_spark.processors.enrich import build_cache_store
+
+
+# ------------------------------------------------- build_cache_store
+
+def test_cache_store_deterministic_across_partitionings(spark):
+    # same key written at several timestamps; winner must be the
+    # max-ts row no matter how the input is partitioned
+    rows = [("k1", i, f"v{i}") for i in range(50)] + \
+           [("k2", i, f"w{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "key_f string, ts int, val string")
+    winners = {}
+    for nparts in (1, 8):
+        store = build_cache_store(df.repartition(nparts), "key_f",
+                                  ["val"], ts_field="ts")
+        got = {r["key"]: r["val"] for r in store.collect()}
+        winners[nparts] = got
+    assert winners[1] == winners[8] == {"k1": "v49", "k2": "w49"}
+
+
+def test_cache_store_tiebreak_without_ts(spark):
+    df = spark.createDataFrame(
+        [("k", "a"), ("k", "z"), ("k", "m")], "key_f string, val string")
+    store = build_cache_store(df.repartition(4), "key_f", ["val"])
+    assert store.collect()[0]["val"] == "z"  # desc tiebreak
+
+
+# --------------------------------------------- decode_csv_fields (RFC-4180)
+
+CSV_CASES = [
+    # (input, separator, trim, expected) — decode_csv_fields_test.go
+    ("17,192.168.33.1,8.8.8.8", ",", False,
+     ["17", "192.168.33.1", "8.8.8.8"]),
+    ('"hello ""world"""', ",", False, ['hello "world"']),
+    ("1.5;false;hello world;3", ";", False,
+     ["1.5", "false", "hello world", "3"]),
+    (" Here's,   some,   extra ,whitespace", ",", True,
+     ["Here's", "some", "extra ", "whitespace"]),
+    ('Tab\tin\tASCII\thas\tthe\t"decimal\tcharacter\tcode"\t9', "\t",
+     False,
+     ["Tab", "in", "ASCII", "has", "the", "decimal\tcharacter\tcode",
+      "9"]),
+    ("\U0001F422\U0001F37A\U0001F314\U0001F408\U0001F37A\U0001F37A"
+     "\U0001F425\U0001F432", "\U0001F37A", False,
+     ["\U0001F422", "\U0001F314\U0001F408", "", "\U0001F425\U0001F432"]),
+]
+
+
+@pytest.mark.parametrize("raw,sep,trim,expected", CSV_CASES)
+def test_decode_csv_rfc4180(spark, raw, sep, trim, expected):
+    df = spark.createDataFrame([(raw,)], "message string")
+    chain = compile_processors([
+        {"decode_csv_fields": {"fields": {"message": "csv"},
+                               "separator": sep,
+                               "trim_leading_space": trim}}])
+    assert chain(df).collect()[0]["csv"] == expected
+
+
+def test_decode_csv_quoted_separator_inside_field(spark):
+    # the exact shape the old F.split mis-handled
+    df = spark.createDataFrame(
+        [('1,"Mozilla/5.0 (X11, Linux)",200',)], "message string")
+    chain = compile_processors([
+        {"decode_csv_fields": {"fields": {"message": "csv"}}}])
+    assert chain(df).collect()[0]["csv"] == \
+        ["1", "Mozilla/5.0 (X11, Linux)", "200"]
+
+
+# ------------------------------------------------- token bucket rate limit
+
+def _ev(spark, times, key="u1"):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(key, i, base + dt.timedelta(seconds=s))
+            for i, s in enumerate(times)]
+    return spark.createDataFrame(rows, "k string, id long, ts timestamp")
+
+
+def _kept_ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_token_bucket_steady_under_limit(spark):
+    # 1 event/sec against 2/s: always ≥1 token available
+    df = _ev(spark, [0, 1, 2, 3, 4, 5])
+    out = token_bucket_filter(df, limit="2/s", fields=["k"],
+                              ts_field="ts", order_by=["id"])
+    assert _kept_ids(out) == [0, 1, 2, 3, 4, 5]
+
+
+def test_token_bucket_burst_consumes_depth_then_refills(spark):
+    # 5 simultaneous events at t=0 with 2/s (depth 2): first 2 pass;
+    # at t=1 the bucket has refilled 2 tokens → next passes
+    df = _ev(spark, [0, 0, 0, 0, 0, 1])
+    out = token_bucket_filter(df, limit="2/s", fields=["k"],
+                              ts_field="ts", order_by=["id"])
+    assert _kept_ids(out) == [0, 1, 5]
+
+
+def test_token_bucket_burst_straddling_window_boundary(spark):
+    # 5 events at t=59.9s + 5 at t=60.1s, limit 5/m. The window
+    # algorithm waves all 10 through (two distinct minutes); the
+    # bucket refills only 0.2s × 5/60 ≈ 0.017 tokens across the
+    # boundary, so the second burst is dropped — the divergence the
+    # reference's continuous refill implies (token_bucket.go:56-65).
+    times = [59.9] * 5 + [60.1] * 5
+    df = _ev(spark, times)
+    bucket = token_bucket_filter(df, limit="5/m", fields=["k"],
+                                 ts_field="ts", order_by=["id"])
+    assert _kept_ids(bucket) == [0, 1, 2, 3, 4]
+
+    chain = compile_processors([
+        {"rate_limit": {"limit": "5/m", "fields": ["k"],
+                        "timestamp_field": "ts", "order_by": ["id"]}}])
+    assert _kept_ids(chain(df)) == list(range(10))  # window waves all
+
+
+def test_token_bucket_partial_refill_accumulates(spark):
+    # 1/s, burst at t=0 drains; +0.5s refills 0.5 tokens (not enough);
+    # +0.5s more reaches 1.0 → allowed (continuous refill, not window)
+    df = _ev(spark, [0, 0.5, 1.0])
+    out = token_bucket_filter(df, limit="1/s", fields=["k"],
+                              ts_field="ts", order_by=["id"])
+    assert _kept_ids(out) == [0, 2]
+
+
+def test_token_bucket_keys_are_independent(spark):
+    a = _ev(spark, [0, 0, 0], key="a")
+    b = _ev(spark, [0, 0, 0], key="b")
+    out = token_bucket_filter(a.unionByName(b), limit="1/s",
+                              fields=["k"], ts_field="ts",
+                              order_by=["id"])
+    got = sorted((r["k"], r["id"]) for r in out.collect())
+    assert got == [("a", 0), ("b", 0)]
+
+
+def test_rate_limit_bad_unit_is_descriptive(spark):
+    with pytest.raises(ValueError, match="unknown unit 'd'"):
+        compile_processors([{"rate_limit": {"limit": "100/d"}}])(
+            spark.range(1))
+
+
+# ------------------------------------------------- IPv6 network condition
+
+def _ips(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "ip string")
+
+
+def _matched(spark, values, cond):
+    df = _ips(spark, values)
+    return [r["ip"] for r in
+            df.filter(compile_condition(cond)).collect()]
+
+
+def test_network_ipv6_cidr(spark):
+    vals = ["fd11:3456:789a:1::1", "2001:db8::1", "10.0.0.1", "garbage"]
+    got = _matched(spark, vals, {"network": {"ip": "fd00::/8"}})
+    assert got == ["fd11:3456:789a:1::1"]
+
+
+def test_network_private_matches_go_vectors(spark):
+    # TestIsPrivateNetwork vectors (network_test.go:269-281)
+    yes = ["10.0.0.0", "10.255.255.255", "192.168.0.0",
+           "192.168.255.255", "172.16.0.0", "172.31.255.255",
+           "fd11:3456:789a:1::1"]
+    no = ["192.0.2.1", "2001:db8:ffff:ffff:ffff:ffff:ffff:1"]
+    got = _matched(spark, yes + no, {"network": {"ip": "private"}})
+    assert sorted(got) == sorted(yes)
+
+
+def test_network_v6_named(spark):
+    assert _matched(spark, ["::1", "127.0.0.1", "::2"],
+                    {"network": {"ip": "loopback"}}) == \
+        ["::1", "127.0.0.1"]
+    assert _matched(spark, ["fe80::1", "169.254.1.1", "fd00::1"],
+                    {"network": {"ip": "link_local_unicast"}}) == \
+        ["fe80::1", "169.254.1.1"]
+    # interface-local multicast is IPv6-only in Go (ff?1::/16 scope);
+    # 224.0.0.1 must NOT match
+    assert _matched(spark, ["ff01::1", "224.0.0.1", "ff02::1"],
+                    {"network": {"ip": "interface_local_multicast"}}) \
+        == ["ff01::1"]
+    assert _matched(spark, ["ff02::1", "224.0.0.1", "ff0e::1"],
+                    {"network": {"ip": "multicast"}}) == \
+        ["ff02::1", "224.0.0.1", "ff0e::1"]
+
+
+def test_network_public_and_mapped_v4(spark):
+    got = _matched(spark, ["8.8.8.8", "fd00::1", "2001:db8::1",
+                           "10.0.0.1", "255.255.255.255"],
+                   {"network": {"ip": "public"}})
+    assert got == ["8.8.8.8", "2001:db8::1"]
+    # Go ParseIP folds ::ffff:a.b.c.d into the v4 address
+    got = _matched(spark, ["::ffff:192.168.0.1", "::ffff:8.8.8.8"],
+                   {"network": {"ip": "private"}})
+    assert got == ["::ffff:192.168.0.1"]
+
+
+def test_network_v6_in_v4_cidr_no_match(spark):
+    assert _matched(spark, ["fd00::1", "10.0.0.1"],
+                    {"network": {"ip": "10.0.0.0/8"}}) == ["10.0.0.1"]
+
+
+# ------------------------------------------- decode_json_fields flags
+
+def _decode(spark, payload, **cfg):
+    df = spark.createDataFrame([(payload,)], "msg string")
+    chain = compile_processors([
+        {"decode_json_fields": dict(fields=["msg"], **cfg)}])
+    return chain(df).collect()[0]
+
+
+def test_decode_json_max_depth_1_keeps_nested_string(spark):
+    row = _decode(spark, '{"inner":"{\\"x\\": 1}"}', max_depth=1,
+                  process_array=True)
+    assert row["msg"]["inner"] == '{"x": 1}'  # original spelling
+
+
+def test_decode_json_max_depth_2_decodes_nested_string(spark):
+    row = _decode(spark, '{"inner":"{\\"x\\": 1}"}', max_depth=2)
+    assert row["msg"]["inner"] == '{"x":1}'  # canonical re-encode
+
+
+def test_decode_json_process_array_flag(spark):
+    payload = '{"a":"[1, 2]"}'
+    # Go quirk mirrored exactly: at the depth boundary (max_depth=2 →
+    # nested call hits maxDepth==0 right after decoding) the array IS
+    # decoded regardless of process_array — the flag gates descending
+    # INTO members, which only happens with depth to spare
+    edge = _decode(spark, payload, max_depth=2)
+    assert edge["msg"]["a"] == "[1,2]"
+    keep = _decode(spark, payload, max_depth=3)
+    assert keep["msg"]["a"] == "[1, 2]"      # skipped: raw string kept
+    deco = _decode(spark, payload, max_depth=3, process_array=True)
+    assert deco["msg"]["a"] == "[1,2]"       # decoded and re-encoded
+
+
+def test_decode_json_expand_keys(spark):
+    row = _decode(spark, '{"a.b":1,"a.c":2}', expand_keys=True)
+    assert row["msg"]["a"] == '{"b":1,"c":2}'
+
+
+def test_decode_json_document_id(spark):
+    row = _decode(spark, '{"id":"x1","v":2}', document_id="id")
+    assert row["meta__id"] == "x1"
+    assert row["msg"] == {"v": "2"}
+
+
+def test_decode_json_scalar_rendering_matches_from_json(spark):
+    # numbers/bools render as literals, like from_json map<string,string>
+    row = _decode(spark, '{"n":5,"b":true,"s":"t"}', max_depth=2)
+    assert row["msg"] == {"n": "5", "b": "true", "s": "t"}
+
+
+# ------------------------------------- grok multi first-match-wins
+
+def test_grok_multi_first_match_gates_all_fields(spark):
+    from beats_spark.functions.grok import grok_extract_multi
+    df = spark.createDataFrame([("val=7 name=x",)], "message string")
+    # pattern 1 matches but defines only 'a'; pattern 2 also matches
+    # and defines 'b' — ES first-match-wins must leave b null
+    p1 = "val=%{NUMBER:a}"
+    p2 = "val=%{NUMBER:a} name=%{WORD:b}"
+    out = grok_extract_multi(df, "message", [p1, p2]).collect()[0]
+    assert out["a"] == "7"
+    assert out["b"] is None
