@@ -1366,6 +1366,361 @@ def flagship_messages(spark, sf_dir):
     return routed.select("url", "msg_idx", "message")
 
 
+# =====================================================================
+# §2.3–2.5 coverage sweep: composite chains giving every remaining
+# field-shape / parse / decode / enrich operator an exact oracle entry
+# =====================================================================
+
+@query("processor_chain2", oracle="""
+SELECT p_partkey,
+  CASE WHEN length(p_name) > 20 THEN substr(p_name, 1, 20)
+       ELSE p_name END AS name_trunc,
+  lower(p_type) AS type_lc,
+  upper(p_brand) AS brand_uc,
+  p_retailprice AS price_copy,
+  p_size AS size_r,
+  upper(p_brand) || ',x' AS notes_joined,
+  'q=' || p_brand || ' x' AS dec,
+  CAST((p_partkey % 5) * 3600 + (p_partkey % 60) * 60 AS DOUBLE)
+    AS dur_seconds,
+  CASE CAST(p_partkey % 3 AS INT)
+       WHEN 0 THEN 'application/json'
+       WHEN 1 THEN 'text/html'
+       ELSE 'image/png' END AS mime,
+  length(p_name) > 20 AS truncated,
+  '+00:00' AS event_timezone,
+  'logs-pages-default' AS ds_index
+FROM part
+""")
+def processor_chain2(spark, sf_dir):
+    """Second composite chain: truncate_fields → lowercase → uppercase
+    → copy_fields → rename → append → urldecode → decode_duration →
+    detect_mime_type (string + real magic bytes) → add_locale →
+    add_data_stream — each §2.3/2.4 operator that previously had only
+    pytest coverage, now under the exact oracle."""
+    part = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    df = part.select(
+        "p_partkey", "p_name", "p_type", "p_brand", "p_retailprice",
+        "p_size",
+        F.concat(F.lit("q%3D"), F.col("p_brand"),
+                 F.lit("%20x")).alias("enc"),
+        F.concat((k % 5).cast("string"), F.lit("h"),
+                 (k % 60).cast("string"), F.lit("m")).alias("dur"),
+        F.when(k % 3 == 0, F.encode(F.lit('{"a": 1}'), "utf-8"))
+         .when(k % 3 == 1,
+               F.encode(F.lit("<html><body>x</body></html>"), "utf-8"))
+         .otherwise(F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")))
+         .alias("blob"))
+    chain = compile_processors([
+        {"truncate_fields": {"fields": ["p_name"],
+                             "max_characters": 20}},
+        {"lowercase": {"fields": ["p_type"]}},
+        {"uppercase": {"fields": ["p_brand"]}},
+        {"copy_fields": {"fields": [{"from": "p_retailprice",
+                                     "to": "price_copy"}]}},
+        {"rename": {"fields": [{"from": "p_size", "to": "size_r"}]}},
+        {"append": {"target_field": "notes", "fields": ["p_brand"],
+                    "values": ["x"]}},
+        {"urldecode": {"fields": [{"from": "enc", "to": "dec"}]}},
+        {"decode_duration": {"field": "dur"}},
+        {"detect_mime_type": {"field": "blob", "target": "mime"}},
+        {"add_locale": {}},
+        {"add_data_stream": {"dataset": "pages"}},
+    ])
+    out = chain(df)
+    return out.select(
+        "p_partkey",
+        F.col("p_name").alias("name_trunc"),
+        F.col("p_type").alias("type_lc"),
+        F.col("p_brand").alias("brand_uc"),
+        "price_copy",
+        "size_r",
+        F.array_join("notes", ",").alias("notes_joined"),
+        "dec",
+        F.col("dur").alias("dur_seconds"),
+        "mime",
+        F.array_contains(F.col("log_flags"), "truncated")
+         .alias("truncated"),
+        "event_timezone",
+        F.col("meta_raw_index").alias("ds_index"))
+
+
+_SEV_SQL = ("['Emergency','Alert','Critical','Error','Warning','Notice',"
+            "'Informational','Debug']")
+
+@query("syslog_3164", oracle=f"""
+WITH e AS (
+  SELECT event_id, ts, event_type,
+         CAST(user_id % 192 AS INT) AS pri,
+         CAST(user_id % 20 AS VARCHAR) AS hsuf,
+         CAST(event_id % 7 AS VARCHAR) AS asuf,
+         event_id % 997 AS pid
+  FROM events)
+SELECT event_id,
+       'host' || hsuf AS hostname,
+       'app' || asuf AS program,
+       CAST(pid AS BIGINT) AS pid,
+       pri % 8 AS severity_code,
+       ({_SEV_SQL})[pri % 8 + 1] AS severity_name,
+       pri // 8 AS facility_code,
+       'evt ' || event_type AS content,
+       date_trunc('second', ts) AS syslog_ts
+FROM e
+""")
+def syslog_3164(spark, sf_dir):
+    """RFC3164 through the auto-detect path (``reader/syslog/
+    rfc3164_gen.go`` semantics: pri math, tag[pid], year inference
+    from a reference timestamp)."""
+    ev = _t(spark, sf_dir, "events")
+    pri = (F.col("user_id") % 192).cast("int")
+    tsstr = F.date_format("ts", "MMM dd HH:mm:ss")
+    line = F.concat(
+        F.lit("<"), pri.cast("string"), F.lit(">"), tsstr,
+        F.lit(" host"), (F.col("user_id") % 20).cast("string"),
+        F.lit(" app"), (F.col("event_id") % 7).cast("string"),
+        F.lit("["), (F.col("event_id") % 997).cast("string"),
+        F.lit("]: evt "), F.col("event_type"))
+    df = ev.select("event_id", "ts", line.alias("message"))
+    chain = compile_processors([
+        {"syslog": {"field": "message", "format": "auto",
+                    "year_from": "ts"}}])
+    return chain(df).select(
+        "event_id",
+        F.col("syslog_hostname").alias("hostname"),
+        F.col("syslog_program").alias("program"),
+        F.col("syslog_pid").alias("pid"),
+        F.col("log_syslog_severity_code").alias("severity_code"),
+        F.col("log_syslog_severity_name").alias("severity_name"),
+        F.col("log_syslog_facility_code").alias("facility_code"),
+        F.col("syslog_message").alias("content"),
+        "syslog_ts")
+
+
+@query("decode_xml_map", oracle="""
+SELECT event_id, event_type AS etype,
+       CAST(user_id AS VARCHAR) AS euser
+FROM events
+""")
+def decode_xml_map(spark, sf_dir):
+    """decode_xml (schemaless → dot-path map, Arrow kernel,
+    ``decode_xml/decode_xml.go:88``) — round-trip oracle: the XML is
+    built from table columns, so decoding must give them back."""
+    ev = _t(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit('<ev type="'), F.col("event_type"), F.lit('"><user>'),
+        F.col("user_id").cast("string"), F.lit("</user></ev>"))
+    df = ev.select("event_id", xml.alias("xml"))
+    chain = compile_processors([
+        {"decode_xml": {"field": "xml", "target_field": "xm"}}])
+    return chain(df).select(
+        "event_id",
+        F.element_at("xm", "ev.type").alias("etype"),
+        F.element_at("xm", "ev.user").alias("euser"))
+
+
+@query("network_direction", oracle="""
+WITH d AS (
+  SELECT CASE WHEN user_id % 2 = 0 AND user_id % 3 = 0 THEN 'internal'
+              WHEN user_id % 2 = 0 THEN 'outbound'
+              WHEN user_id % 3 = 0 THEN 'inbound'
+              ELSE 'external' END AS direction
+  FROM events)
+SELECT direction, count(*) AS n FROM d GROUP BY direction
+""")
+def network_direction(spark, sf_dir):
+    """add_network_direction (``add_network_direction.go:65``):
+    internal-CIDR membership of src/dst, pure mask arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    oct_ = (F.col("event_id") % 200).cast("string")
+    src = (F.when(F.col("user_id") % 2 == 0,
+                  F.concat(F.lit("10.1.2."), oct_))
+            .otherwise(F.concat(F.lit("8.8.8."), oct_)))
+    dst = (F.when(F.col("user_id") % 3 == 0,
+                  F.concat(F.lit("10.9.9."), oct_))
+            .otherwise(F.concat(F.lit("1.1.1."), oct_)))
+    df = ev.select(src.alias("source_ip"), dst.alias("destination_ip"))
+    chain = compile_processors([
+        {"add_network_direction":
+             {"internal_networks": ["10.0.0.0/8"]}}])
+    return (chain(df).groupBy(F.col("network_direction")
+                              .alias("direction"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@query("multiline_count", oracle="""
+WITH e AS (SELECT event_id, event_type AS t FROM events)
+SELECT event_id, 0 AS idx,
+       'a 1-' || t || chr(10) || 'a 2-' || t AS message FROM e
+UNION ALL
+SELECT event_id, 1 AS idx,
+       'a 3-' || t || chr(10) || 'a 4-' || t AS message FROM e
+""")
+def multiline_count(spark, sf_dir):
+    """multiline mode=count (``reader/multiline/counter.go``): join
+    every N lines into one message."""
+    ev = _t(spark, sf_dir, "events")
+    t = F.col("event_type")
+    text = F.concat(
+        F.lit("a 1-"), t, F.lit("\n"), F.lit("a 2-"), t, F.lit("\n"),
+        F.lit("a 3-"), t, F.lit("\n"), F.lit("a 4-"), t)
+    df = ev.select(
+        "event_id",
+        multiline_join_col(text, mode="count", count_lines=2)
+        .alias("msgs"))
+    return df.select(
+        "event_id",
+        F.posexplode("msgs").alias("idx", "message"))
+
+
+@query("multiline_while", oracle="""
+WITH e AS (SELECT event_id, event_type AS t FROM events)
+SELECT event_id, 0 AS idx,
+       'x 1-' || t || chr(10) || 'x 2-' || t AS message FROM e
+UNION ALL
+SELECT event_id, 1 AS idx, 'y 3-' || t AS message FROM e
+UNION ALL
+SELECT event_id, 2 AS idx, 'x 4-' || t AS message FROM e
+""")
+def multiline_while(spark, sf_dir):
+    """multiline mode=while_pattern (``reader/multiline/
+    pattern.go`` while mode): contiguous matching lines join, a
+    non-matching line flushes and stands alone."""
+    ev = _t(spark, sf_dir, "events")
+    t = F.col("event_type")
+    text = F.concat(
+        F.lit("x 1-"), t, F.lit("\n"), F.lit("x 2-"), t, F.lit("\n"),
+        F.lit("y 3-"), t, F.lit("\n"), F.lit("x 4-"), t)
+    df = ev.select(
+        "event_id",
+        multiline_join_col(text, mode="while_pattern", pattern=r"^x ")
+        .alias("msgs"))
+    return df.select(
+        "event_id",
+        F.posexplode("msgs").alias("idx", "message"))
+
+
+@query("reader_chain", oracle="""
+WITH m AS (
+  SELECT event_id,
+         event_type || repeat('!', CAST(event_id % 30 AS INT)) AS msg
+  FROM events
+  WHERE event_type LIKE 'click%' OR event_type LIKE 'view%')
+SELECT event_id,
+       CASE WHEN length(msg) > 12 THEN substr(msg, 1, 12)
+            ELSE msg END AS message,
+       length(msg) > 12 AS truncated
+FROM m
+""")
+def reader_chain(spark, sf_dir):
+    """Reader-stack tail: strip_newline → include_lines →
+    limit_message (byte budget + truncated flag) — the harvester line
+    post-processing (``readfile/strip_newline.go``, ``limit.go``,
+    include_lines from ``filestream/prospector config``)."""
+    from .functions.readers import (include_lines, limit_message,
+                                    strip_newline)
+    ev = _t(spark, sf_dir, "events")
+    raw = F.concat(
+        F.col("event_type"),
+        F.repeat(F.lit("!"), (F.col("event_id") % 30).cast("int")),
+        F.lit("\r\n"))
+    df = ev.select("event_id", strip_newline(raw).alias("message"))
+    df = include_lines(df, "message", [r"^(click|view)"])
+    df = limit_message(df, "message", max_bytes=12)
+    return df.select(
+        "event_id", "message",
+        F.array_contains("log_flags", "truncated").alias("truncated"))
+
+
+@query("enrich_cache_translate", oracle="""
+WITH last AS (
+  SELECT user_id, event_type AS last_evt
+  FROM (SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_type DESC)
+                 AS rn
+        FROM events) t
+  WHERE rn = 1)
+SELECT c.c_custkey, n.n_name AS nation_name, last.last_evt AS last_evt
+FROM customer c
+LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+LEFT JOIN last ON last.user_id = c.c_custkey % 150
+""")
+def enrich_cache_translate(spark, sf_dir):
+    """translate_sid-style broadcast lookup (nation id → name,
+    ``translate_sid/translatesid.go:75``) + the cache processor's
+    put/get pair: ``build_cache_store`` (deterministic last-write-wins
+    per key) then a broadcast get (``cache/cache.go:128``)."""
+    from .processors.enrich import build_cache_store
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    ev = _t(spark, sf_dir, "events")
+    store = build_cache_store(ev, "user_id", ["event_type"],
+                              ts_field="ts")
+    df = cust.withColumn("ukey", F.col("c_custkey") % 150)
+    chain = compile_processors([
+        {"translate_sid": {"lookup": nation, "field": "c_nationkey",
+                           "lookup_key": "n_nationkey",
+                           "fields": {"n_name": "nation_name"}}},
+        {"cache": {"store": store,
+                   "get": {"key_field": "ukey",
+                           "target_field": "cached"}}},
+    ])
+    return chain(df).select(
+        "c_custkey", "nation_name",
+        F.col("cached_event_type").alias("last_evt"))
+
+
+@query("timeseries_key", oracle="""
+SELECT CAST(count(DISTINCT (user_id, event_type)) AS BIGINT)
+         AS n_instances,
+       count(*) AS n_rows
+FROM events
+""")
+def timeseries_key(spark, sf_dir):
+    """timeseries instance hash (``timeseries/timeseries.go:68``):
+    the dimension hash must be injective over the observed dimension
+    combinations — distinct instances == distinct dimension tuples."""
+    ev = _t(spark, sf_dir, "events")
+    chain = compile_processors([
+        {"timeseries": {"fields": ["user_id", "event_type"]}}])
+    return chain(ev).agg(
+        F.countDistinct("timeseries_instance").alias("n_instances"),
+        F.count(F.lit(1)).alias("n_rows"))
+
+
+@query("community_id_flows")  # rows-only: DuckDB ships no sha1()
+def community_id_flows(spark, sf_dir):
+    """Community ID v1 flow hash (``communityid/communityid.go:90``),
+    JVM-side sha1 over packed big-endian tuples. No DuckDB oracle —
+    this build has no sha1() — so the query self-checks the algebraic
+    property instead: the hash is direction-independent (id computed
+    on the reversed flow is identical), and distinct flows stay
+    distinct. Value-level parity is pytest-covered against the spec
+    vectors (tests/test_misc_processors.py)."""
+    from .processors.misc import community_id_col
+    ev = _t(spark, sf_dir, "events")
+    oct_ = (F.col("event_id") % 200).cast("string")
+    src = F.concat(F.lit("10.0.0."), oct_)
+    dst = F.concat(F.lit("10.1.1."), (F.col("user_id") % 200)
+                   .cast("string"))
+    sport = (F.col("event_id") % 40000 + 1024).cast("int")
+    dport = F.lit(443).cast("int")
+    proto = F.lit("tcp")
+    fwd = community_id_col(src, sport, dst, dport, proto)
+    rev = community_id_col(dst, dport, src, sport, proto)
+    return (ev.select(fwd.alias("cid"), rev.alias("cid_rev"),
+                      src.alias("s"), dst.alias("d"),
+                      sport.alias("sp"))
+              .agg(F.count(F.lit(1)).alias("n_rows"),
+                   F.sum(F.when(F.col("cid") == F.col("cid_rev"), 1)
+                         .otherwise(0)).cast("bigint")
+                    .alias("n_symmetric"),
+                   F.countDistinct("cid").alias("n_distinct_ids"),
+                   F.countDistinct("s", "d", "sp")
+                    .alias("n_distinct_flows")))
+
+
 def flagship_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full routed event frame (entry() surface)."""
     from .pipeline import build_routed

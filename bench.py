@@ -45,7 +45,8 @@ N_PAGES_SCALING = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES",
 # broadcast join, window, Arrow-UDF parse, dedup-join, ANN, text stats)
 BENCH_QUERIES = [
     "tpch_q1", "enrich_join", "router_fanout", "timestamp_hist",
-    "rate_limit", "dissect_extract", "grok_extract", "syslog_parse",
+    "rate_limit", "rate_limit_bucket", "dissect_extract",
+    "grok_extract", "syslog_parse",
     "container_ndjson", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding", "ann_cosine_topk",
     "text_quality", "token_count", "lang_id", "salted_agg",
