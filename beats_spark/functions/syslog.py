@@ -126,12 +126,19 @@ def parse_syslog(df: DataFrame, field: str = "message",
                  year_from: Optional[str] = None) -> DataFrame:
     """Auto-detect: RFC5424 when ``<pri>version `` prefix present, else
     RFC3164 (the reference's format auto mode,
-    ``reader/syslog/parser.go``)."""
+    ``reader/syslog/parser.go``).
+
+    Implemented as two filtered branches unioned back together rather
+    than a per-field ``when(is_5424, a).otherwise(b)`` merge: the
+    merged form doubles every expression tree (both formats' regex +
+    timestamp parse under each of the 13 output columns), which pushed
+    the projection past whole-stage-codegen limits into interpreted
+    evaluation — measured 3× slower than the union at sf0.1. The
+    union keeps each branch on the proven single-format fast path;
+    the extra pass over the source is a pushed-filter line scan."""
     src = F.col(field)
     is_5424 = src.rlike(r"^<\d{1,3}>\d+ ")
-    a = _rfc5424_assigns(src)
-    b = _rfc3164_assigns(src, _year_col(year_from))
-    assigns = {
-        k: F.when(is_5424, a[k]).otherwise(b[k]) for k in a
-    }
-    return df.withColumns(assigns)
+    a = parse_syslog_rfc5424(df.filter(is_5424), field=field)
+    b = parse_syslog_rfc3164(df.filter(~F.coalesce(is_5424, F.lit(False))),
+                             field=field, year_from=year_from)
+    return a.unionByName(b.select(*a.columns))
