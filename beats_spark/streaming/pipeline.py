@@ -121,36 +121,47 @@ def stateful_rate_limit(
     key_col: str,
     ts_col: str,
     limit_per_key: int,
+    burst_multiplier: float = 1.0,
 ) -> DataFrame:
     """Streaming token bucket (``ratelimit/token_bucket.go:37-65``) via
-    ``applyInPandasWithState``: per key, pass rows while the running
-    count within the current 1-second window stays under the limit;
-    state carries (window_epoch, used) across micro-batches."""
+    ``applyInPandasWithState`` — the SAME continuous-refill semantics
+    as the batch ``token_bucket_filter`` (integer micro-tokens, accrue
+    ``elapsed × rate`` then withdraw 1), with the bucket state
+    ``(tokens, last_event_us)`` carried across micro-batches so a
+    restarted query resumes mid-refill. ``limit_per_key`` is tokens
+    per second. Late rows (event time before the stored watermark of
+    the bucket) accrue nothing and never move the clock backwards."""
     out_schema = events.schema
-    state_schema = "window_start long, used long"
+    state_schema = "tokens long, last_us long"
+    n = int(limit_per_key)
+    scale = 1_000_000  # one token in µtoken·s units (1-second window)
+    depth = int(round(n * float(burst_multiplier) * scale))
 
     def fn(key: Tuple, batches: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         if state.exists:
-            win_start, used = state.get
+            tokens, last = state.get
         else:
-            win_start, used = -1, 0
+            tokens, last = depth, -1
         for pdf in batches:
             pdf = pdf.sort_values(ts_col)
-            secs = (pdf[ts_col].astype("int64") // 1_000_000_000)
+            us = (pdf[ts_col].values.astype("datetime64[ns]")
+                  .astype("int64") // 1000)
             keep = []
-            for s in secs:
-                if s != win_start:
-                    win_start, used = int(s), 0
-                if used < limit_per_key:
-                    used += 1
+            for t in us:
+                t = int(t)
+                if last >= 0 and t > last:
+                    tokens += (t - last) * n
+                last = max(last, t)
+                if tokens >= scale:
+                    tokens -= scale
                     keep.append(True)
                 else:
                     keep.append(False)
-            out = pdf[pd.Series(keep, index=pdf.index)]
+            out = pdf[pd.Series(keep, index=pdf.index).values]
             if len(out):
                 yield out
-        state.update((win_start, used))
+        state.update((int(tokens), int(last)))
 
     return (events.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append",

@@ -90,3 +90,29 @@ def test_stateful_rate_limit(spark, tmp_path):
     # second 0 saturates the limit, second 1 fits entirely
     counts = sorted(r["count"] for r in per_key_sec)
     assert counts == [5, 5, 5, 7, 7, 7]
+
+
+def test_stateful_rate_limit_is_a_real_bucket(spark, tmp_path):
+    # burst straddling a second boundary: 7 events at t=0.9s then 7 at
+    # t=1.1s with 7/s. A per-second window cap would wave all 14
+    # through; the continuous-refill bucket admits the first 7 (depth)
+    # and then exactly ONE more (0.2s × 7/s = 1.4 tokens accrued).
+    src_dir = str(tmp_path / "ev")
+    ck = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+    base = 1_700_000_000_000_000
+    rows = ([(1, base + 900_000 + i) for i in range(7)]
+            + [(1, base + 1_100_000 + i) for i in range(7)])
+    df = spark.createDataFrame(rows, "user_id bigint, us bigint") \
+              .select("user_id", F.timestamp_micros(F.col("us")).alias("ts"))
+    df.write.mode("overwrite").parquet(src_dir)
+
+    stream = (spark.readStream.schema("user_id bigint, ts timestamp")
+              .parquet(src_dir))
+    limited = stateful_rate_limit(stream, "user_id", "ts", limit_per_key=7)
+    q = (limited.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert spark.read.parquet(out_dir).count() == 8
