@@ -1689,6 +1689,54 @@ def timeseries_key(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"))
 
 
+@query("yaml_pipeline", oracle="""
+WITH base AS (
+  SELECT event_id, ts, event_type,
+         CASE WHEN value >= 150 THEN 'HIGH'
+              WHEN value >= 50 THEN 'MID'
+              ELSE 'LOW' END AS level
+  FROM events),
+kept AS (SELECT * FROM base WHERE level <> 'LOW')
+SELECT CASE WHEN level = 'HIGH' THEN 'errors-' || event_type
+            ELSE 'logs-' || event_type || '-' || strftime(ts, '%Y.%m.%d')
+       END AS sink,
+       count(*) AS n
+FROM kept GROUP BY sink
+""")
+def yaml_pipeline(spark, sf_dir):
+    """The YAML config front door (``beats_spark.config``): a
+    filebeat.yml-shaped config — processors with nested ``when:``,
+    ``output.elasticsearch`` index/indices selector with fmtstr dates
+    — compiles to the same engine transforms and is oracle-checked
+    end to end (the 'a reference user can carry their config over'
+    surface)."""
+    from .config import load_pipeline
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id", F.col("ts").alias("@timestamp"), "event_type",
+        F.when(F.col("value") >= 150, "high")
+         .when(F.col("value") >= 50, "mid")
+         .otherwise("low").alias("level"))
+    yml = """
+processors:
+  - uppercase:
+      fields: [level]
+  - drop_event:
+      when:
+        equals:
+          level: "LOW"
+output.elasticsearch:
+  index: "logs-%{[event_type]}-%{+yyyy.MM.dd}"
+  indices:
+    - index: "errors-%{[event_type]}"
+      when:
+        equals:
+          level: "HIGH"
+"""
+    pipe = load_pipeline(yml)
+    return pipe(df).groupBy("sink").agg(F.count(F.lit(1)).alias("n"))
+
+
 @query("community_id_flows")  # rows-only: DuckDB ships no sha1()
 def community_id_flows(spark, sf_dir):
     """Community ID v1 flow hash (``communityid/communityid.go:90``),
