@@ -101,6 +101,8 @@ class PipelineRun:
     metrics: Dict[str, int] = field(default_factory=dict)
     skipped: bool = False
     snapshot_id: Optional[str] = None
+    # per_snapshot incremental mode: one PipelineRun per snapshot
+    sub_runs: Optional[list] = None
 
 
 def run_pipeline(
@@ -170,23 +172,45 @@ def run_pipeline_incremental(
     host_meta: DataFrame,
     lang_meta: DataFrame,
     out_dir: str,
+    per_snapshot: bool = False,
 ) -> PipelineRun:
     """Catalog-driven resume: process ONLY the pages-table snapshots
     not yet watermarked (the north_rule's "checkpointed per Iceberg
-    snapshot, resumes without reprocessing"). All unprocessed snapshots
+    snapshot, resumes without reprocessing").
+
+    Default mode (``per_snapshot=False``): all unprocessed snapshots
     are read and written as ONE combined run; their watermarks are all
     recorded after that single routed write, so a crash mid-run
     re-processes the whole unacked batch (output lands under a fresh
     idempotent run prefix — no duplicate rows, coarser-than-per-snapshot
     crash granularity). The combined ``events.total`` is recorded
     against the FIRST snapshot id; trailing ids ack with count 0 so
-    per-snapshot counts are never inflated."""
+    per-snapshot counts are never inflated.
+
+    ``per_snapshot=True``: each unprocessed snapshot becomes its OWN
+    run + watermark, acked individually right after its routed write —
+    true per-snapshot crash granularity (a crash loses at most the one
+    in-flight snapshot) and accurate per-snapshot event counts, at the
+    cost of one write job per snapshot. Returns the last run, with the
+    per-run list in ``.sub_runs``."""
     wm = Watermarks(out_dir)
     processed = set(wm.processed_snapshots())
     pages, todo_ids = pages_table.read_incremental(spark, processed)
     if pages is None:
         r = PipelineRun(run_id=new_run_id(), out_dir=out_dir, skipped=True)
         return r
+
+    if per_snapshot:
+        runs = []
+        for sid in todo_ids:
+            snap = spark.read.parquet(pages_table._snap_dir(sid))
+            runs.append(run_pipeline(
+                spark, snap, host_meta, lang_meta, out_dir,
+                snapshot_id=sid, resume=False))
+        result = runs[-1]
+        result.sub_runs = runs
+        return result
+
     result = run_pipeline(
         spark, pages, host_meta, lang_meta, out_dir,
         snapshot_id=todo_ids[0], resume=False)

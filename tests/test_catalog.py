@@ -66,3 +66,31 @@ def test_incremental_pipeline_resume(spark, tmp_path):
     total = sum(spark.read.parquet(p).count()
                 for p in glob.glob(os.path.join(out, "runs", "*", "routed")))
     assert total == 500
+
+
+def test_incremental_per_snapshot_granularity(spark, tmp_path):
+    # three snapshots land while the pipeline is down; per_snapshot mode
+    # processes and ACKs each one individually with its own accurate
+    # event count (the crash-granularity contract: at most one snapshot
+    # in flight)
+    cat = Catalog(str(tmp_path / "cat"))
+    out = str(tmp_path / "out")
+    t = cat.table("pages")
+    hm, lm = host_meta(spark), lang_meta(spark)
+    for n in (100, 50, 25):
+        t.append(pages(spark, n))
+
+    r = run_pipeline_incremental(spark, t, hm, lm, out, per_snapshot=True)
+    assert r.sub_runs is not None and len(r.sub_runs) == 3
+    assert [x.metrics["events.total"] for x in r.sub_runs] == [200, 100, 50]
+
+    # every snapshot individually watermarked — a rerun skips all
+    r2 = run_pipeline_incremental(spark, t, hm, lm, out, per_snapshot=True)
+    assert r2.skipped
+
+    # each run's watermark carries ITS snapshot count (not combined)
+    import glob as _glob
+    import json as _json
+    wm = [_json.load(open(p))
+          for p in _glob.glob(os.path.join(out, "_watermarks", "*.json"))]
+    assert sorted(w["events_total"] for w in wm) == [50, 100, 200]
