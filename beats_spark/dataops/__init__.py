@@ -25,6 +25,8 @@ from .similarity import (
     cosine_similarity,
     cosine_topk,
     cosine_topk_blocked,
+    ivf_assign,
+    ivf_cosine_topk,
     dot,
     l2_norm,
     lsh_signature,
@@ -51,6 +53,7 @@ __all__ = [
     "minhash_lsh_pairs", "ngram_jaccard_pairs", "shingles", "simhash",
     "simhash_pairs",
     "cosine_similarity", "cosine_topk", "cosine_topk_blocked",
+    "ivf_assign", "ivf_cosine_topk",
     "dot", "l2_norm", "normalize",
     "lsh_signature", "lsh_cosine_topk",
     "lang_id_stopword", "lang_id_ngram", "doc_fingerprint", "text_stats",

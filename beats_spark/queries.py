@@ -1183,6 +1183,53 @@ def ann_cosine_topk(spark, sf_dir):
     return cosine_topk_blocked(emb, queries, k=5)
 
 
+_IVF_COS = ("round(list_dot_product({a}, {b}) / "
+            "(sqrt(list_dot_product({a}, {a})) * "
+            "sqrt(list_dot_product({b}, {b}))), 6)")
+
+@query("ann_ivf_topk", oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+cent AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+assign AS (
+  SELECT vec_id, e, cid AS list FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_IVF_COS.format(a='v.e', b='c.ce')} DESC, c.cid)
+             AS rn
+    FROM v CROSS JOIN cent c) t
+  WHERE rn = 1),
+probes AS (
+  SELECT query_id, qv, cid AS list FROM (
+    SELECT v.vec_id AS query_id, v.e AS qv, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_IVF_COS.format(a='v.e', b='c.ce')} DESC, c.cid)
+             AS rn
+    FROM v CROSS JOIN cent c WHERE v.vec_id < 10) t
+  WHERE rn <= 2),
+s AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_IVF_COS.format(a='p.qv', b='a.e')} AS cosine
+  FROM assign a JOIN probes p ON a.list = p.list
+  WHERE a.vec_id <> p.query_id),
+r AS (SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM s)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+FROM r WHERE rn <= 5
+""")
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-flavored ANN (inverted lists by nearest exemplar centroid,
+    nprobe probing, exact rerank inside probed lists) — the learned-
+    quantizer scale path with the LSH variant's co-partitioned-join
+    plumbing; deterministic centroids keep it exactly SQL-checkable."""
+    from .dataops.similarity import ivf_cosine_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_cosine_topk(emb, queries, k=5, n_centroids=8, nprobe=2)
+
+
 @query("ann_lsh_topk", oracle="""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 sig AS (SELECT vec_id, e, CAST((CASE WHEN list_sum(list_transform(range(1, len(e)+1), i -> e[i] * (CASE WHEN (CAST('0x'||substr(md5('p0:'||CAST(i AS VARCHAR)),1,1) AS INT) % 2)=0 THEN 1.0 ELSE -1.0 END))) >= 0 THEN 1 ELSE 0 END) + (CASE WHEN list_sum(list_transform(range(1, len(e)+1), i -> e[i] * (CASE WHEN (CAST('0x'||substr(md5('p1:'||CAST(i AS VARCHAR)),1,1) AS INT) % 2)=0 THEN 1.0 ELSE -1.0 END))) >= 0 THEN 2 ELSE 0 END) + (CASE WHEN list_sum(list_transform(range(1, len(e)+1), i -> e[i] * (CASE WHEN (CAST('0x'||substr(md5('p2:'||CAST(i AS VARCHAR)),1,1) AS INT) % 2)=0 THEN 1.0 ELSE -1.0 END))) >= 0 THEN 4 ELSE 0 END) + (CASE WHEN list_sum(list_transform(range(1, len(e)+1), i -> e[i] * (CASE WHEN (CAST('0x'||substr(md5('p3:'||CAST(i AS VARCHAR)),1,1) AS INT) % 2)=0 THEN 1.0 ELSE -1.0 END))) >= 0 THEN 8 ELSE 0 END) AS INT) AS bucket FROM v),

@@ -46,3 +46,25 @@ def test_lsh_candidates_share_bucket_and_scores_are_exact(spark, sf_dir):
         assert sigs[r["neighbor_id"]] == sigs[r["query_id"]]
         # …and the rerank cosine equals the exact computation
         assert r["cosine"] == exact[(r["query_id"], r["neighbor_id"])]
+
+
+def test_ivf_lists_partition_corpus(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from beats_spark.dataops.similarity import ivf_assign, ivf_cosine_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = (emb.orderBy("vec_id").limit(8)
+            .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    lists = ivf_assign(emb, cent)
+    # every vector lands in exactly one inverted list
+    assert lists.count() == emb.count()
+    assert lists.select("vec_id").distinct().count() == emb.count()
+    n_lists = lists.select("__list").distinct().count()
+    assert 1 < n_lists <= 8
+
+    # probing ALL lists with nprobe=n_centroids reproduces brute force
+    from beats_spark.dataops.similarity import cosine_topk
+    q = emb.filter(F.col("vec_id") < 5)
+    full = ivf_cosine_topk(emb, q, k=3, n_centroids=8, nprobe=8)
+    brute = cosine_topk(emb, q, k=3)
+    assert sorted(map(tuple, full.collect())) == \
+        sorted(map(tuple, brute.collect()))
