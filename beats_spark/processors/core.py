@@ -320,19 +320,105 @@ def add_id(cfg: Mapping[str, Any]):
     return make
 
 
+# Go reference-time tokens → Spark datetime pattern pieces, ordered
+# longest-first so e.g. "2006" wins over "06"/"06"… and "15" over "1".
+_GO_TOKENS = [
+    ("2006", "yyyy"), ("January", "MMMM"), ("Jan", "MMM"),
+    ("Monday", "EEEE"), ("Mon", "EEE"),
+    (".000000000", ".SSSSSSSSS"), (".000000", ".SSSSSS"),
+    (".000", ".SSS"),
+    (".999999999", "[.SSSSSSSSS]"), (".999999", "[.SSSSSS]"),
+    (".999", "[.SSS]"),
+    ("Z07:00", "XXX"), ("Z0700", "XX"), ("Z07", "X"),
+    ("-07:00", "xxx"), ("-0700", "xx"), ("-07", "x"),
+    ("MST", "zzz"),
+    ("15", "HH"), ("03", "hh"), ("04", "mm"), ("05", "ss"),
+    ("01", "MM"), ("02", "dd"), ("_2", "d"), ("06", "yy"),
+    ("PM", "a"), ("pm", "a"),
+    ("3", "h"), ("4", "m"), ("5", "s"), ("1", "M"), ("2", "d"),
+]
+
+
+def go_layout_to_spark(layout: str) -> str:
+    """Go reference-time layout ("2006-01-02 15:04:05") → Spark
+    datetime pattern ("yyyy-MM-dd HH:mm:ss"). Literal letters are
+    single-quoted (the RFC3339 'T'); Go's zero-trimming ``.999``
+    fractions become Spark optional sections. Space-padded ``_2``
+    maps to ``d`` (Spark parses 1–2 digits either way)."""
+    out = []
+    i = 0
+    n = len(layout)
+    while i < n:
+        for tok, repl in _GO_TOKENS:
+            if layout.startswith(tok, i):
+                out.append(repl)
+                i += len(tok)
+                break
+        else:
+            ch = layout[i]
+            if ch == "'":
+                out.append("''")
+            elif ch.isalpha():
+                out.append(f"'{ch}'")
+            else:
+                out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _looks_go_layout(layout: str) -> bool:
+    return ("2006" in layout or "15:04" in layout or "_2" in layout
+            or ".999" in layout or "Z07" in layout)
+
+
 @register("timestamp")
 def timestamp(cfg: Mapping[str, Any]):
     """Parse ``field`` with a layout list into UTC ``target_field``
     (``timestamp/timestamp.go:87-160``): first matching layout wins →
     ``coalesce(to_timestamp(fmt1), to_timestamp(fmt2), …)``; IANA
-    ``timezone`` applied via to_utc_timestamp."""
+    ``timezone`` applied via to_utc_timestamp.
+
+    Layouts accept BOTH spellings a reference user might carry over:
+    Go reference-time layouts (``"2006-01-02 15:04:05"``, detected and
+    converted via :func:`go_layout_to_spark`; force with
+    ``layout_style: go|spark``) and the special ``UNIX`` / ``UNIX_MS``
+    epoch layouts (``timestamp/config.go``)."""
     src = cfg["field"]
     layouts = cfg.get("layouts", [])
     target = cfg.get("target_field", "@timestamp")
     tz = cfg.get("timezone", "UTC")
+    style = cfg.get("layout_style", "auto")  # auto | go | spark
+
+    # Spark refuses day-of-week letters in PARSE patterns (E is
+    # format-only since 3.0); the day name is redundant for parsing, so
+    # strip it from both the pattern and the value (ANSIC/RFC1123 put
+    # it first)
+    _day_re = (r"^(?:Mon|Tue|Wed|Thu|Fri|Sat|Sun)"
+               r"(?:day|sday|nesday|rsday|urday)?,? ?")
 
     def make(df: DataFrame) -> ProcResult:
-        tries = [F.try_to_timestamp(F.col(src), F.lit(lay)) for lay in layouts]
+        import re as _re
+        tries = []
+        for lay in layouts:
+            if lay == "UNIX":
+                tries.append(F.timestamp_seconds(
+                    F.col(src).try_cast("double")))
+                continue
+            if lay == "UNIX_MS":
+                tries.append(F.timestamp_millis(
+                    F.col(src).try_cast("bigint")))
+                continue
+            col = F.col(src)
+            if style == "go" or (style == "auto" and _looks_go_layout(lay)):
+                if "_2" in lay:
+                    # Go's _2 is SPACE-padded ("Jan  2"); collapse runs
+                    # of spaces so the single-space Spark pattern fits
+                    col = F.regexp_replace(col, "  +", " ")
+                lay = go_layout_to_spark(lay)
+            if "EEE" in lay:
+                lay = _re.sub(r"EEEE?,? ?", "", lay)
+                col = F.regexp_replace(col, _day_re, "")
+            tries.append(F.try_to_timestamp(col, F.lit(lay)))
         tries.append(F.try_to_timestamp(F.col(src)))  # default parser last
         parsed = F.coalesce(*tries)
         if tz and tz != "UTC":

@@ -282,3 +282,56 @@ def test_grok_multi_first_match_gates_all_fields(spark):
     out = grok_extract_multi(df, "message", [p1, p2]).collect()[0]
     assert out["a"] == "7"
     assert out["b"] is None
+
+
+# ------------------------------------------- Go layout timestamps
+
+def test_go_layout_conversion():
+    from beats_spark.processors.core import go_layout_to_spark
+    assert go_layout_to_spark("2006-01-02 15:04:05") == \
+        "yyyy-MM-dd HH:mm:ss"
+    assert go_layout_to_spark("2006-01-02T15:04:05Z07:00") == \
+        "yyyy-MM-dd'T'HH:mm:ssXXX"
+    assert go_layout_to_spark("Mon Jan _2 15:04:05 2006") == \
+        "EEE MMM d HH:mm:ss yyyy"          # time.ANSIC
+    assert go_layout_to_spark("Jan _2 15:04:05.000") == \
+        "MMM d HH:mm:ss.SSS"               # time.StampMilli
+    assert go_layout_to_spark("02/Jan/2006:15:04:05 -0700") == \
+        "dd/MMM/yyyy:HH:mm:ss xx"          # apache CLF
+
+
+def test_timestamp_processor_accepts_go_layouts(spark):
+    # the exact layouts the reference's own tests configure
+    # (timestamp_test.go:43 — ANSIC + RFC3339)
+    df = spark.createDataFrame(
+        [(1, "Mon Jan  2 15:04:05 2006"),
+         (2, "2024-03-05T10:30:00Z"),
+         (3, "not a time")],
+        "id int, raw string")
+    chain = compile_processors([
+        {"timestamp": {"field": "raw",
+                       "layouts": ["Mon Jan _2 15:04:05 2006",
+                                   "2006-01-02T15:04:05Z07:00"],
+                       "target_field": "t"}}])
+    got = {r["id"]: r["t"] for r in chain(df).collect()}
+    assert str(got[1]) == "2006-01-02 15:04:05"
+    assert str(got[2]) == "2024-03-05 10:30:00"
+    assert got[3] is None
+
+
+def test_timestamp_unix_layouts(spark):
+    # timestamp_test.go:71/:95 — UNIX and UNIX_MS special layouts
+    df = spark.createDataFrame(
+        [(1, "1709634600"), (2, "1709634600.5")], "id int, raw string")
+    chain = compile_processors([
+        {"timestamp": {"field": "raw", "layouts": ["UNIX"],
+                       "target_field": "t"}}])
+    got = {r["id"]: str(r["t"]) for r in chain(df).collect()}
+    assert got[1] == "2024-03-05 10:30:00"
+    assert got[2] == "2024-03-05 10:30:00.500000"
+
+    dfm = spark.createDataFrame([(1, "1709634600123")], "id int, raw string")
+    chain = compile_processors([
+        {"timestamp": {"field": "raw", "layouts": ["UNIX_MS"],
+                       "target_field": "t"}}])
+    assert str(chain(dfm).collect()[0]["t"]) == "2024-03-05 10:30:00.123000"
