@@ -49,6 +49,13 @@ def _compile_rule(rule: Mapping[str, Any], key: str,
             pairs.extend([F.lit(str(k)), F.lit(str(v))])
         value = F.element_at(F.create_map(*pairs), value)
 
+    # the reference treats an EMPTY mapping/format result like a miss
+    # BEFORE falling back to the rule's default (select.go:226-250:
+    # ``if v == "" { v = default }``) — so emptiness must null out
+    # before the default coalesces, and again after (a default of ""
+    # also yields nothing, letting the next rule win)
+    value = _non_empty(value)
+
     default = rule.get("default")
     if default is not None:
         value = F.coalesce(value, F.lit(str(default)))
