@@ -35,11 +35,15 @@ def is_const_fmtstr(template: str) -> bool:
     return _TOKEN_RE.search(template) is None
 
 
-def compile_fmtstr(template: str, timestamp_field: str = "@timestamp") -> Column:
+def compile_fmtstr(template: str, timestamp_field: str = "@timestamp",
+                   columns: "Optional[list]" = None) -> Column:
     """Template → string Column. Missing fields without a default render
     the whole template to null (the reference errors per event and the
     selector falls through to the next rule — null gives the same
-    when-chain fall-through)."""
+    when-chain fall-through). With ``columns`` (the frame's column
+    list), a reference to an ABSENT column compiles to null instead of
+    an analysis error — so ``%{[gone]:fallback}`` degrades to the
+    fallback like the reference's missing-key default."""
     pieces = []
     pos = 0
     for m in _TOKEN_RE.finditer(template):
@@ -47,16 +51,37 @@ def compile_fmtstr(template: str, timestamp_field: str = "@timestamp") -> Column
             pieces.append(F.lit(template[pos:m.start()]))
         token = m.group(1)
         if token.startswith("+"):
-            # Joda-ish date pattern over the event timestamp; the subset
-            # (yyyy MM dd HH mm ss) is valid for date_format too.
-            pieces.append(F.date_format(F.col(timestamp_field), token[1:]))
+            # Joda pattern over the event timestamp. Joda's Y is
+            # year-of-era (≡ y), but Spark's Y is WEEK-based year —
+            # wrong at year boundaries — so map it unless an actual
+            # week field is present (the common beats idiom
+            # %{+YYYY.MM.dd} must mean the calendar year).
+            pat = token[1:]
+            if "w" not in pat and "W" not in pat:
+                pat = pat.replace("Y", "y")
+            pieces.append(F.date_format(F.col(timestamp_field), pat))
         else:
             default: Optional[str] = None
             ref = token
             if ":" in token:
                 ref, default = token.split(":", 1)
             path = _field_path(ref) if _FIELD_RE.match(ref) else ref
-            col = F.col(path).cast("string")
+            if path == "@timestamp":
+                # the literal event-timestamp reference renders in
+                # ISO8601 with millis + Z (formatevents_test.go:
+                # "2015-05-01T20:12:34.000Z"), not the engine's
+                # default timestamp-to-string cast; it reads the
+                # configured timestamp column
+                col = F.date_format(F.col(timestamp_field),
+                                    "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+            else:
+                # engine-wide flat-column convention (processors/core.py):
+                # a beats nested path a.b is the column a_b
+                name = path.replace(".", "_")
+                if columns is not None and name not in columns:
+                    col = F.lit(None).cast("string")
+                else:
+                    col = F.col(name).cast("string")
             pieces.append(F.coalesce(col, F.lit(default)) if default is not None else col)
         pos = m.end()
     if pos < len(template):

@@ -37,10 +37,12 @@ def _non_empty(col: Column) -> Column:
 
 
 def _compile_rule(rule: Mapping[str, Any], key: str,
-                  timestamp_field: str) -> Column:
+                  timestamp_field: str,
+                  columns: "Optional[list]" = None) -> Column:
     """One selector rule → nullable string Column (null = no match)."""
     template = rule[key]
-    value = compile_fmtstr(str(template), timestamp_field=timestamp_field)
+    value = compile_fmtstr(str(template), timestamp_field=timestamp_field,
+                           columns=columns)
 
     mappings = rule.get("mappings")
     if mappings:
@@ -78,6 +80,7 @@ def compile_selector(
     default: Optional[str] = None,
     lowercase: bool = False,
     timestamp_field: str = "@timestamp",
+    columns: "Optional[list]" = None,
 ) -> Column:
     """Ordered rules → the selected sink name per row.
 
@@ -88,9 +91,11 @@ def compile_selector(
     compiled: List[Column] = []
     for rule in rules:
         if isinstance(rule, str):
-            compiled.append(_non_empty(compile_fmtstr(rule, timestamp_field)))
+            compiled.append(_non_empty(
+                compile_fmtstr(rule, timestamp_field, columns=columns)))
         else:
-            compiled.append(_compile_rule(rule, key, timestamp_field))
+            compiled.append(_compile_rule(rule, key, timestamp_field,
+                                          columns=columns))
     if default is not None:
         compiled.append(F.lit(default))
     out = compiled[0] if len(compiled) == 1 else F.coalesce(*compiled)
@@ -114,7 +119,8 @@ def route(
     over the selector when non-null (``index_support.go:330-347``)."""
     sel = compile_selector(rules, key=key, default=default,
                            lowercase=lowercase,
-                           timestamp_field=timestamp_field)
+                           timestamp_field=timestamp_field,
+                           columns=df.columns)
     if meta_override and meta_override in df.columns:
         sel = F.coalesce(
             F.lower(F.col(meta_override)) if lowercase else F.col(meta_override),
