@@ -285,17 +285,27 @@ def add_formatted_index(cfg: Mapping[str, Any]):
 
 @register("fingerprint")
 def fingerprint(cfg: Mapping[str, Any]):
-    """Stable hash of ordered field values →``fingerprint``
-    (``fingerprint/fingerprint.go:72``). Methods md5/sha1/sha256/sha384/
-    sha512/xxhash map to JVM-side hash functions; sha2 family via
-    ``F.sha2``. Field values join with ``|`` like the reference's
-    writeFields."""
+    """Stable hash of ordered fields → ``fingerprint``
+    (``fingerprint/fingerprint.go:72``). The hashed bytes are
+    byte-identical to the reference's ``writeFields``
+    (fingerprint.go:93-114): ``|key|value`` per field in sorted key
+    order plus a trailing ``|`` — the md5/sha1/sha256/384/512 digests
+    equal the Go processor's exactly (vectors ported from
+    fingerprint_test.go). ``xxhash`` uses Spark's JVM xxhash64, which
+    seeds with 42 where Go's library seeds 0, so only that method's
+    values diverge. A missing (null) source field nulls the whole
+    fingerprint, mirroring the reference's error-and-skip."""
     fields = sorted(cfg.get("fields", []))
     method = cfg.get("method", "sha256")
     target = cfg.get("target_field", "fingerprint")
 
     def make(df: DataFrame) -> ProcResult:
-        cat = F.concat_ws("|", *[F.col(f).cast("string") for f in fields])
+        pieces = []
+        for f in fields:
+            pieces.append(F.lit(f"|{f}|"))
+            pieces.append(F.col(f).cast("string"))
+        pieces.append(F.lit("|"))
+        cat = F.concat(*pieces)
         if method == "md5":
             col = F.md5(cat)
         elif method == "sha1":

@@ -191,7 +191,8 @@ SELECT event_id,
        CAST(trunc(value) AS BIGINT) AS val_long,
        CASE WHEN length(props) > 6 THEN substr(props, 1, 6)
             ELSE props END AS props_raw,
-       sha256(CAST(event_id AS VARCHAR) || '|' || event_type) AS fingerprint
+       sha256('|event_id|' || CAST(event_id AS VARCHAR)
+              || '|event_type|' || event_type || '|') AS fingerprint
 FROM events
 """)
 def processor_chain(spark, sf_dir):

@@ -335,3 +335,50 @@ def test_timestamp_unix_layouts(spark):
         {"timestamp": {"field": "raw", "layouts": ["UNIX_MS"],
                        "target_field": "t"}}])
     assert str(chain(dfm).collect()[0]["t"]) == "2024-03-05 10:30:00.123000"
+
+
+# --------------------------------------- fingerprint digest parity
+
+def test_fingerprint_digests_match_reference(spark):
+    # TestHashMethods vectors (fingerprint_test.go:116-133): hashed
+    # bytes are writeFields' "|key|value...|" in sorted key order
+    df = spark.createDataFrame(
+        [("foo", "bar", "baz")],
+        "field1 string, field2 string, unused_field string")
+    want = {
+        "md5": "4c45df4792f3ef850c928ec5f5232538",
+        "sha1": "22f76427d626516d3f7a05785165b99617683b22",
+        "sha256": ("1208288932231e313b369bae587ff574"
+                   "cd3016a408e52e7128d7bee752674003"),
+        "sha384": ("295adfe0bc03908948e4b0b6a54f4417"
+                   "67867e426dda590430459c8a147fbba2"
+                   "42a38cba282adee78335b9e08877b86c"),
+        "sha512": ("f50ad51b63c92a0ed0c910527119b818"
+                   "06f3110f0afaa1dcb93506a78371ea76"
+                   "1e50c0fc09b08c441d832dd2da1b45e5"
+                   "d8361adfb240e1fffc2695122a23e183"),
+    }
+    for method, expected in want.items():
+        chain = compile_processors([
+            {"fingerprint": {"fields": ["field1", "field2"],
+                             "method": method}}])
+        assert chain(df).collect()[0]["fingerprint"] == expected, method
+
+
+def test_fingerprint_field_order_is_sorted(spark):
+    # TestSourceFields: listing order and duplicates don't matter
+    df = spark.createDataFrame([("foo", "bar")],
+                               "field1 string, field2 string")
+    a = compile_processors([{"fingerprint":
+                             {"fields": ["field1", "field2"]}}])(df)
+    b = compile_processors([{"fingerprint":
+                             {"fields": ["field2", "field1"]}}])(df)
+    assert a.collect()[0]["fingerprint"] == b.collect()[0]["fingerprint"]
+
+
+def test_fingerprint_missing_field_nulls_out(spark):
+    df = spark.createDataFrame([("foo", None)],
+                               "field1 string, field2 string")
+    out = compile_processors([{"fingerprint":
+                               {"fields": ["field1", "field2"]}}])(df)
+    assert out.collect()[0]["fingerprint"] is None
