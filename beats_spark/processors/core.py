@@ -229,14 +229,19 @@ def drop_event(cfg: Mapping[str, Any]):
 def convert(cfg: Mapping[str, Any]):
     """Typed casts with copy/rename modes (``convert/convert.go:74``,
     config ``convert/config.go:34-46``). Failed casts yield null; with
-    ``fail_on_error`` the reference rolls back — here nulls + tag."""
+    ``fail_on_error`` the reference rolls back — here nulls + tag.
+    ``ip`` VALIDATES like the reference's ``net.ParseIP`` (convert.go
+    "value is not a valid IP address"): non-IP input nulls out instead
+    of passing through — v4 by mask regex, v6 by the grok IPV6 class
+    (JVM-side, no UDF)."""
     fields = cfg.get("fields", [])
     mode = cfg.get("mode", "copy")
     _types = {"integer": "int", "long": "bigint", "float": "float",
-              "double": "double", "string": "string", "boolean": "boolean",
-              "ip": "string"}
+              "double": "double", "string": "string", "boolean": "boolean"}
 
     def make(df: DataFrame) -> ProcResult:
+        from ..conditions import _IPV4_RE
+        from ..functions.grok import GROK_PATTERNS
         assigns, drops = {}, []
         for spec in fields:
             src = spec["from"]
@@ -244,7 +249,13 @@ def convert(cfg: Mapping[str, Any]):
             typ = spec.get("type", "string")
             if src not in df.columns:
                 continue
-            assigns[dst] = F.col(src).try_cast(_types[typ])
+            if typ == "ip":
+                col = F.col(src).cast("string")
+                valid = (col.rlike(_IPV4_RE)
+                         | col.rlike("^(?:" + GROK_PATTERNS["IPV6"] + ")$"))
+                assigns[dst] = F.when(valid, col)
+            else:
+                assigns[dst] = F.col(src).try_cast(_types[typ])
             if mode == "rename" and dst != src:
                 drops.append(src)
         return ProcResult(assigns=assigns, drops=drops)

@@ -380,13 +380,18 @@ def extract_array(cfg: Mapping[str, Any]):
 
 @register("decode_duration")
 def decode_duration(cfg: Mapping[str, Any]):
-    """Go duration string ("1h30m", "250ms") → seconds double
-    (``decode_duration/decode_duration.go:48``). Pure-Catalyst: extract
-    each unit with regexp and sum — no UDF."""
+    """Go duration string ("1h30m", "250ms") → number
+    (``decode_duration/decode_duration.go:48-75``). Formats match the
+    reference exactly: ``milliseconds`` (the DEFAULT; truncated to
+    whole ms like ``d.Milliseconds()``), ``seconds``, ``minutes``,
+    ``hours``. Pure-Catalyst: extract each unit with regexp and
+    sum — no UDF."""
     field = cfg["field"]
-    fmt = cfg.get("format", "seconds")  # ours: seconds|milliseconds
+    fmt = cfg.get("format", "milliseconds")
     _units = [("h", 3600.0), ("m", 60.0), ("s", 1.0), ("ms", 0.001),
               ("us", 1e-6), ("ns", 1e-9)]
+    if fmt not in ("milliseconds", "seconds", "minutes", "hours"):
+        raise ValueError(f"decode_duration: unknown format {fmt!r}")
 
     def make(df: DataFrame) -> ProcResult:
         col = F.col(field)
@@ -397,7 +402,14 @@ def decode_duration(cfg: Mapping[str, Any]):
             ext = F.regexp_extract(col, pat, 1)
             total = total + F.when(ext == "", F.lit(0.0)).otherwise(ext.cast("double") * mult)
         if fmt == "milliseconds":
-            total = total * 1000.0
+            # d.Milliseconds() truncates toward zero; round to 6
+            # decimals first so IEEE artifacts (1.001×1000 =
+            # 1000.999…) don't truncate a whole millisecond away
+            total = F.floor(F.round(total * 1000.0, 6)).cast("double")
+        elif fmt == "minutes":
+            total = total / 60.0
+        elif fmt == "hours":
+            total = total / 3600.0
         return ProcResult(assigns={field: total})
     return make
 

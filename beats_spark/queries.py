@@ -1471,7 +1471,7 @@ def processor_chain2(spark, sf_dir):
         {"append": {"target_field": "notes", "fields": ["p_brand"],
                     "values": ["x"]}},
         {"urldecode": {"fields": [{"from": "enc", "to": "dec"}]}},
-        {"decode_duration": {"field": "dur"}},
+        {"decode_duration": {"field": "dur", "format": "seconds"}},
         {"detect_mime_type": {"field": "blob", "target": "mime"}},
         {"add_locale": {}},
         {"add_data_stream": {"dataset": "pages"}},

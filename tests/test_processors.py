@@ -202,7 +202,8 @@ def test_urldecode_and_extract(events, spark):
 def test_decode_duration(events, spark):
     df = spark.createDataFrame(
         [(1, "1h30m"), (2, "250ms"), (3, "2m10s")], "id int, d string")
-    t = build_processor({"decode_duration": {"field": "d"}})
+    t = build_processor({"decode_duration": {"field": "d",
+                                             "format": "seconds"}})
     got = by_id(t(df))
     assert got[1]["d"] == pytest.approx(5400.0)
     assert got[2]["d"] == pytest.approx(0.25)

@@ -382,3 +382,62 @@ def test_fingerprint_missing_field_nulls_out(spark):
     out = compile_processors([{"fingerprint":
                                {"fields": ["field1", "field2"]}}])(df)
     assert out.collect()[0]["fingerprint"] is None
+
+
+# ------------------------------- convert ip validation + registered_domain
+
+def test_convert_ip_validates_like_parse_ip(spark):
+    # convert_test.go "invalid conversion": "-" is not an IP → nulls
+    # (the reference errors); valid v4 and v6 pass through
+    df = spark.createDataFrame(
+        [(1, "192.0.2.1"), (2, "-"), (3, "2001:db8::1"), (4, "999.1.1.1")],
+        "id int, address string")
+    chain = compile_processors([
+        {"convert": {"fields": [{"from": "address", "to": "ip",
+                                 "type": "ip"}]}}])
+    got = {r["id"]: r["ip"] for r in chain(df).collect()}
+    assert got == {1: "192.0.2.1", 2: None, 3: "2001:db8::1", 4: None}
+
+
+def test_registered_domain_reference_vectors(spark):
+    # registered_domain_test.go:39-50 (suffix subset supplied like the
+    # caller-provided publicsuffix list)
+    suffixes = ["com", "co.uk", "uk", "local", "mil"]
+    cases = [
+        ("www.google.com", "google.com", "www"),
+        ("www.google.co.uk", "google.co.uk", "www"),
+        ("www.mail.google.co.uk", "google.co.uk", "www.mail"),
+        ("google.com", "google.com", None),
+        ("www.ak.local", "ak.local", "www"),
+        ("www.navy.mil", "navy.mil", "www"),
+        ("com", None, None),          # bare eTLD
+        ("localhost", None, None),    # no matching suffix
+    ]
+    df = spark.createDataFrame([(h,) for h, _, _ in cases],
+                               "host string")
+    chain = compile_processors([
+        {"registered_domain": {"field": "host",
+                               "target_subdomain_field": "subdomain",
+                               "suffixes": suffixes}}])
+    got = {r["host"]: (r["registered_domain"], r["subdomain"])
+           for r in chain(df).collect()}
+    for host, rd, sub in cases:
+        assert got[host] == (rd, sub), host
+
+
+def test_decode_duration_reference_formats(spark):
+    # decode_duration_test.go:31-41: default = milliseconds (truncated
+    # like d.Milliseconds()); seconds/minutes/hours divide
+    df = spark.createDataFrame([(1, "1.001s"), (2, "3s"), (3, "3m")],
+                               "id int, d string")
+    def run(fmt=None):
+        cfg = {"field": "d"}
+        if fmt:
+            cfg["format"] = fmt
+        chain = compile_processors([{"decode_duration": cfg}])
+        return {r["id"]: r["d"] for r in chain(df).collect()}
+    assert run()[1] == 1001.0                 # default: milliseconds
+    assert run("milliseconds")[1] == 1001.0
+    assert run("seconds")[1] == pytest.approx(1.001)
+    assert run("minutes")[2] == pytest.approx(0.05)   # 3s → 0.05 min
+    assert run("hours")[3] == pytest.approx(0.05)     # 3m → 0.05 h
