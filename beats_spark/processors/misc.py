@@ -78,20 +78,33 @@ def community_id(cfg: Mapping[str, Any]):
 @register("add_network_direction")
 def add_network_direction(cfg: Mapping[str, Any]):
     """inbound/outbound/internal/external by membership of src/dst in
-    the internal CIDR list (``actions/add_network_direction.go:65``)."""
+    the internal network list (``actions/add_network_direction.go:65``).
+    ``internal_networks`` accepts CIDRs AND named networks ("private",
+    "loopback", …) like the reference; an unparseable or empty IP on
+    either side yields NO direction (the reference's early return),
+    not "external"."""
+    from ..conditions import _IPV4_RE, _network_one
+    from ..functions.grok import GROK_PATTERNS
     src = cfg.get("source", "source_ip")
     dst = cfg.get("destination", "destination_ip")
     target = cfg.get("target", "network_direction")
     nets = list(cfg.get("internal_networks", []))
+    _v6_re = "^(?:" + GROK_PATTERNS["IPV6"] + ")$"
 
     def make(df: DataFrame) -> ProcResult:
         def member(col: Column) -> Column:
             out = F.lit(False)
             for n in nets:
-                out = out | cidr_match(col, n)
+                out = out | F.coalesce(_network_one(col, n), F.lit(False))
             return out
-        s_in, d_in = member(F.col(src)), member(F.col(dst))
-        col = (F.when(s_in & d_in, "internal")
+
+        def valid(col: Column) -> Column:
+            return F.coalesce(col.rlike(_IPV4_RE) | col.rlike(_v6_re),
+                              F.lit(False))
+        s, d = F.col(src), F.col(dst)
+        s_in, d_in = member(s), member(d)
+        col = (F.when(~valid(s) | ~valid(d), F.lit(None))
+                .when(s_in & d_in, "internal")
                 .when(s_in, "outbound")
                 .when(d_in, "inbound")
                 .otherwise("external"))

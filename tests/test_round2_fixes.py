@@ -441,3 +441,45 @@ def test_decode_duration_reference_formats(spark):
     assert run("seconds")[1] == pytest.approx(1.001)
     assert run("minutes")[2] == pytest.approx(0.05)   # 3s → 0.05 min
     assert run("hours")[3] == pytest.approx(0.05)     # 3m → 0.05 h
+
+
+def test_community_id_spec_golden_vectors(spark):
+    # communityid_test.go:42-64 — the published Community ID v1 spec
+    # flow, seed 0 and seed 123; plus direction reversal equality
+    df = spark.createDataFrame(
+        [("128.232.110.120", 34855, "66.35.250.204", 80)],
+        "sip string, sp int, dip string, dp int")
+    from beats_spark.processors.misc import community_id_col
+    for seed, want in [(0, "1:LQU9qZlK+B5F3KDmev6m5PMibrg="),
+                       (123, "1:hTSGlFQnR58UCk+NfKRZzA32dPg=")]:
+        fwd = df.select(community_id_col(
+            F.col("sip"), F.col("sp"), F.col("dip"), F.col("dp"),
+            F.lit("tcp"), seed=seed).alias("c")).collect()[0]["c"]
+        rev = df.select(community_id_col(
+            F.col("dip"), F.col("dp"), F.col("sip"), F.col("sp"),
+            F.lit("tcp"), seed=seed).alias("c")).collect()[0]["c"]
+        assert fwd == want, seed
+        assert rev == want, seed
+
+
+def test_network_direction_reference_vectors(spark):
+    # add_network_direction_test.go:40-50 — named "private" networks,
+    # plus the early-return cases: invalid/empty IPs get NO direction
+    cases = [
+        ("1.1.1.1", "8.8.8.8", "external"),
+        ("1.1.1.1", "192.168.1.218", "inbound"),
+        ("192.168.1.218", "8.8.8.8", "outbound"),
+        ("192.168.1.218", "192.168.1.219", "internal"),
+        ("", "192.168.1.219", None),
+        ("foo", "192.168.1.219", None),
+        ("192.168.1.218", "foo", None),
+        ("192.168.1.218", "", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, s, d) for i, (s, d, _) in enumerate(cases)],
+        "i int, source_ip string, destination_ip string")
+    chain = compile_processors([
+        {"add_network_direction": {"internal_networks": ["private"]}}])
+    got = {r["i"]: r["network_direction"] for r in chain(df).collect()}
+    for i, (_, _, want) in enumerate(cases):
+        assert got[i] == want, cases[i]
