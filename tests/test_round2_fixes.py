@@ -483,3 +483,36 @@ def test_network_direction_reference_vectors(spark):
     got = {r["i"]: r["network_direction"] for r in chain(df).collect()}
     for i, (_, _, want) in enumerate(cases):
         assert got[i] == want, cases[i]
+
+
+def test_truncate_reference_vectors(spark):
+    # truncate_fields_test.go: byte budget cuts mid-string at rune
+    # boundaries; char budget counts characters not bytes
+    df = spark.createDataFrame(
+        [(1, "too long line"), (2, "ez egy túl hosszú sor")],
+        "id int, message string")
+    by_bytes3 = compile_processors([
+        {"truncate_fields": {"fields": ["message"], "max_bytes": 3}}])
+    assert {r["id"]: r["message"] for r in by_bytes3(df).collect()}[1] \
+        == "too"
+    by_chars10 = compile_processors([
+        {"truncate_fields": {"fields": ["message"],
+                             "max_characters": 10}}])
+    assert {r["id"]: r["message"] for r in by_chars10(df).collect()}[2] \
+        == "ez egy túl"
+    by_bytes10 = compile_processors([
+        {"truncate_fields": {"fields": ["message"], "max_bytes": 10}}])
+    assert {r["id"]: r["message"] for r in by_bytes10(df).collect()}[2] \
+        == "ez egy tú"   # ú is 2 bytes → exactly 10
+
+
+def test_decode_base64_accepts_unpadded(spark):
+    # decode_base64_field.go:115 uses RawStdEncoding after trimming
+    # '=' — unpadded input must decode
+    df = spark.createDataFrame(
+        [(1, "aGVsbG8="), (2, "aGVsbG8"), (3, "Y29ycmVjdCBkYXRh")],
+        "id int, b string")
+    chain = compile_processors([
+        {"decode_base64_field": {"field": {"from": "b", "to": "out"}}}])
+    got = {r["id"]: r["out"] for r in chain(df).collect()}
+    assert got == {1: "hello", 2: "hello", 3: "correct data"}
