@@ -79,18 +79,33 @@ def parse_container(
     field: str = "message",
     stream: str = "all",
     fmt: str = "auto",
+    combine_partials: bool = True,
+    partition_cols: Sequence[str] = ("path",),
+    order_col: str = "line_no",
 ) -> DataFrame:
     """container parser (``readjson/docker_json.go``; selection
     ``reader/parser/parser.go:105-117``): docker json-file lines
     (``{"log":…,"stream":…,"time":…}``) or CRI
     (``TS stream tag msg``); keeps the selected stream, extracts the
     log text into the message column and the timestamp into
-    ``container_time``."""
+    ``container_time``.
+
+    ``combine_partials`` (the reference's default-true ``partial``
+    option, docker_json.go Next loop): a run of partial lines — CRI
+    tag ``P``, or a docker ``log`` without a trailing newline — joins
+    with the following lines through the first final one; the joined
+    event keeps the FIRST part's timestamp/stream (the reference
+    appends into the first message's struct). Requires the ordering
+    columns (``partition_cols`` + ``order_col``) to be present; when
+    they are missing the rows pass through unjoined."""
+    from pyspark.sql import Window
+
     src = F.col(field)
     is_json = src.startswith("{")
     docker = F.from_json(src, "log string, stream string, time string")
     cri_ts = F.regexp_extract(src, _CRI_RE, 1)
     cri_stream = F.regexp_extract(src, _CRI_RE, 2)
+    cri_tag = F.regexp_extract(src, _CRI_RE, 3)
     cri_msg = F.regexp_extract(src, _CRI_RE, 4)
 
     if fmt == "docker":
@@ -105,12 +120,46 @@ def parse_container(
                  F.regexp_replace(docker["log"], r"\n$", "")) \
            .otherwise(cri_msg)
     ts = F.when(use_json, docker["time"]).otherwise(cri_ts)
+    partial = F.coalesce(
+        F.when(use_json, ~docker["log"].endswith("\n"))
+         .otherwise(cri_tag == "P"),
+        F.lit(False))
     out = df.withColumns({
         field: msg,
         "container_stream": stream_col,
         "container_time": F.try_to_timestamp(
             F.regexp_replace(ts, r"Z$", "")),
+        "__partial": partial,
     })
+
+    can_join = (combine_partials
+                and all(c in df.columns for c in partition_cols)
+                and order_col in df.columns)
+    if can_join:
+        w = Window.partitionBy(*partition_cols).orderBy(order_col)
+        prev_partial = F.lag("__partial").over(w)
+        start = F.when(prev_partial.isNull() | ~prev_partial,
+                       F.lit(1)).otherwise(F.lit(0))
+        out = out.withColumn("__start", start)
+        out = out.withColumn(
+            "__seg", F.sum("__start").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+        parts = F.array_sort(F.collect_list(
+            F.struct(F.col(order_col).alias("o"),
+                     F.col(field).alias("m"),
+                     F.col("container_stream").alias("s"),
+                     F.col("container_time").alias("t"))))
+        out = (out.groupBy(*partition_cols, "__seg")
+               .agg(parts.alias("__p"),
+                    F.min(order_col).alias(order_col))
+               .withColumns({
+                   field: F.array_join(
+                       F.transform("__p", lambda p: p["m"]), ""),
+                   "container_stream": F.col("__p")[0]["s"],
+                   "container_time": F.col("__p")[0]["t"],
+               })
+               .drop("__p", "__seg"))
+    out = out.drop("__partial", "__start")
     if stream != "all":
         out = out.filter(F.col("container_stream") == stream)
     return out
@@ -151,7 +200,10 @@ def compile_parsers(
         elif name == "container":
             steps.append(lambda d, b=body: parse_container(
                 d, field=field, stream=b.get("stream", "all"),
-                fmt=b.get("format", "auto")))
+                fmt=b.get("format", "auto"),
+                combine_partials=bool(b.get("partial", True)),
+                partition_cols=list(partition_cols),
+                order_col=order_col))
         elif name == "syslog":
             fmt = body.get("format", "auto")
             if fmt == "rfc3164":

@@ -833,7 +833,7 @@ def dedup_simhash(spark, sf_dir):
     return docs.select("doc_id", simhash(F.col("text")).alias("simhash"))
 
 
-@query("dedup_simhash_pairs", oracle="""
+@query("dedup_simhash_pairs", oracle=r"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\s+'),

@@ -90,3 +90,32 @@ def test_compile_parsers_syslog(spark):
 def test_compile_parsers_rejects_unknown(spark):
     with pytest.raises(ValueError):
         compile_parsers([{"nope": {}}])
+
+
+def test_container_joins_partial_lines(spark):
+    # docker_json.go Next loop: CRI 'P' lines and docker logs without a
+    # trailing newline join with following lines through the first
+    # final one; the joined event keeps the first part's ts/stream
+    rows = [
+        ("a", 1, "2024-01-02T03:04:05 stdout P par"),
+        ("a", 2, "2024-01-02T03:04:06 stdout P tial "),
+        ("a", 3, "2024-01-02T03:04:07 stdout F line"),
+        ("a", 4, "2024-01-02T03:04:08 stderr F whole"),
+        ("b", 1, '{"log":"no newline","stream":"stdout","time":"2024-01-02T03:04:09Z"}'),
+        ("b", 2, '{"log":" continues\\n","stream":"stdout","time":"2024-01-02T03:04:10Z"}'),
+    ]
+    df = spark.createDataFrame(rows, "path string, line_no int, message string")
+    from beats_spark.functions.parsers import parse_container
+    out = {(r["path"], r["line_no"]): (r["message"], r["container_stream"],
+                                       str(r["container_time"]))
+           for r in parse_container(df).collect()}
+    assert out[("a", 1)] == ("partial line", "stdout", "2024-01-02 03:04:05")
+    assert out[("a", 4)] == ("whole", "stderr", "2024-01-02 03:04:08")
+    assert out[("b", 1)] == ("no newline continues", "stdout",
+                             "2024-01-02 03:04:09")
+    assert len(out) == 3
+
+    # partial: false turns joining off (the reference option)
+    from beats_spark.functions.parsers import compile_parsers
+    chain = compile_parsers([{"container": {"partial": False}}])
+    assert chain(df).count() == 6
