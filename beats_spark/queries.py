@@ -682,9 +682,12 @@ def tpch_q3(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    seg = cust.agg(F.min("c_mktsegment")).collect()[0][0]
+    # min-segment as a broadcast 1-row join (not a driver collect) so
+    # the whole query stays one job
+    seg = F.broadcast(cust.agg(F.min("c_mktsegment").alias("__seg")))
     rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    return (cust.filter(F.col("c_mktsegment") == seg)
+    return (cust.join(seg, F.col("c_mktsegment") == F.col("__seg"))
+                .drop("__seg")
                 .join(orders, F.col("c_custkey") == F.col("o_custkey"))
                 .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
                 .groupBy("o_orderkey", "o_orderpriority")

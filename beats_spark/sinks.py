@@ -135,13 +135,20 @@ def split_dead_letter(df: DataFrame, valid: Column
 
 def write_sinks(routed: DataFrame, out_dir: str,
                 sink_col: str = "sink",
-                shapes: Optional[Mapping[str, Any]] = None) -> None:
+                shapes: Optional[Mapping[str, Any]] = None,
+                sinks: Optional[Sequence[str]] = None) -> None:
     """Per-sink filtered writes — used instead of ``partitionBy`` when
     sinks need different shapes (e.g. the ES-like sink keeps the full
     event, the LS-like sink applies the json codec, dropped keeps only
-    counts). ``shapes`` maps sink name → transform(df) -> df."""
+    counts). ``shapes`` maps sink name → transform(df) -> df.
+
+    Pass ``sinks`` (the routing table's known sink names) on the hot
+    path so no discovery job runs; when omitted, the names are
+    discovered with a ``distinct()`` scan — fine for ad-hoc use, one
+    extra full pass at scale."""
     shapes = shapes or {}
-    names = [r[0] for r in routed.select(sink_col).distinct().collect()]
+    names = (list(sinks) if sinks is not None else
+             [r[0] for r in routed.select(sink_col).distinct().collect()])
     for name in names:
         part = routed.filter(F.col(sink_col) == name)
         shape = shapes.get(name)

@@ -67,3 +67,15 @@ def test_write_sinks_shapes(spark, tmp_path):
     err = spark.read.parquet(os.path.join(out, "sink_err"))
     assert ok.count() == 2 and "value" in ok.columns
     assert err.count() == 1 and "value" not in err.columns
+
+
+def test_write_sinks_known_names_skip_discovery(spark, tmp_path):
+    # passing the routing table's sink list skips the distinct() scan;
+    # names with no rows still produce (empty) sink outputs
+    out = str(tmp_path / "sinks2")
+    routed = _df(spark).withColumn("sink", F.lit("sink_ok"))
+    write_sinks(routed, out, sinks=["sink_ok", "sink_idle"])
+    ok = spark.read.parquet(os.path.join(out, "sink_ok"))
+    idle = spark.read.parquet(os.path.join(out, "sink_idle"))
+    assert ok.count() == 3
+    assert idle.count() == 0
