@@ -217,17 +217,50 @@ def add_locale(cfg: Mapping[str, Any]):
 @register("registered_domain")
 def registered_domain(cfg: Mapping[str, Any]):
     """eTLD+1 extraction (``registered_domain/registered_domain.go:76``).
-    With a ``suffixes`` list (public-suffix subset) the longest matching
-    suffix wins — compiled to a when-chain ordered by label count, all
-    JVM-side."""
+
+    Two compile strategies:
+
+    - ``suffixes`` (small caller list): when-chain ordered by label
+      count, all JVM-side — the ad-hoc path.
+    - otherwise: full-PSL broadcast-join matcher
+      (:mod:`beats_spark.psl`) over ``psl`` rules (a
+      :class:`~beats_spark.psl.PslRules`, raw
+      ``public_suffix_list.dat`` text, or a path via ``psl_file``) —
+      defaults to the bundled ICANN subset. Handles wildcard and
+      exception rules like the reference's
+      golang.org/x/net/publicsuffix walk; scales to the ~9k-rule
+      real list as K map-side broadcast joins.
+    """
     src = cfg["field"]
     target = cfg.get("target_field", "registered_domain")
     subdomain_target = cfg.get("target_subdomain_field")
-    suffixes = cfg.get("suffixes", _DEFAULT_SUFFIXES)
+    etld_target = cfg.get("target_etld_field")
+    suffixes = cfg.get("suffixes")
+
+    if suffixes is not None:
+        def make(df: DataFrame) -> ProcResult:
+            return ProcResult(assigns=registered_domain_col(
+                F.col(src), target, subdomain_target, suffixes))
+        return make
+
+    from ..psl import PslRules, default_rules, load_psl_file, parse_psl
+    rules = cfg.get("psl")
+    if isinstance(rules, str):
+        rules = parse_psl(rules)
+    elif "psl_file" in cfg:
+        rules = load_psl_file(cfg["psl_file"])
+    elif rules is None:
+        rules = default_rules()
 
     def make(df: DataFrame) -> ProcResult:
-        return ProcResult(assigns=registered_domain_col(
-            F.col(src), target, subdomain_target, suffixes))
+        from ..psl import registered_domain_psl
+
+        def reshape(d: DataFrame) -> DataFrame:
+            return registered_domain_psl(
+                d, src, target=target,
+                subdomain_target=subdomain_target,
+                etld_target=etld_target, rules=rules)
+        return ProcResult(reshape=reshape)
     return make
 
 

@@ -451,6 +451,53 @@ def registered_domain_q(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n")))
 
 
+@query("psl_domains", oracle="""
+WITH h AS (
+  SELECT CASE CAST(doc_id % 6 AS INT)
+           WHEN 0 THEN source || '.blog.example.com'
+           WHEN 1 THEN source || '.shop.co.uk'
+           WHEN 2 THEN source || '.foo.ck'
+           WHEN 3 THEN 'www.ck'
+           WHEN 4 THEN source || '.pages.github.io'
+           ELSE source || '.unknowntld' END AS host,
+         CAST(doc_id % 6 AS INT) AS bucket
+  FROM documents)
+SELECT CASE bucket
+         WHEN 0 THEN 'example.com'
+         WHEN 1 THEN 'shop.co.uk'
+         WHEN 2 THEN host
+         WHEN 3 THEN 'www.ck'
+         WHEN 4 THEN 'pages.github.io'
+         ELSE host END AS registered_domain,
+       CASE bucket
+         WHEN 0 THEN regexp_extract(host, '^(.*)\\.example\\.com$', 1)
+         WHEN 1 THEN regexp_extract(host, '^(.*)\\.shop\\.co\\.uk$', 1)
+         WHEN 4 THEN regexp_extract(host, '^(.*)\\.pages\\.github\\.io$', 1)
+         ELSE NULL END AS subdomain,
+       count(*) AS n
+FROM h GROUP BY registered_domain, subdomain
+""")
+def psl_domains(spark, sf_dir):
+    """Full-PSL eTLD+1 (beats_spark/psl.py): exact, wildcard ``*.ck``,
+    exception ``!www.ck``, private-suffix and implicit-``*`` rules via
+    K broadcast equi-joins against the bundled rule table — the scale
+    path for the real ~9k-rule publicsuffix.org list
+    (registered_domain.go:76 → x/net/publicsuffix)."""
+    from .psl import registered_domain_psl
+    docs = _t(spark, sf_dir, "documents")
+    b = (F.col("doc_id") % 6).cast("int")
+    host = (F.when(b == 0, F.concat("source", F.lit(".blog.example.com")))
+             .when(b == 1, F.concat("source", F.lit(".shop.co.uk")))
+             .when(b == 2, F.concat("source", F.lit(".foo.ck")))
+             .when(b == 3, F.lit("www.ck"))
+             .when(b == 4, F.concat("source", F.lit(".pages.github.io")))
+             .otherwise(F.concat("source", F.lit(".unknowntld"))))
+    df = docs.select(host.alias("host"))
+    out = registered_domain_psl(df, "host", subdomain_target="subdomain")
+    return (out.groupBy("registered_domain", "subdomain")
+               .agg(F.count(F.lit(1)).alias("n")))
+
+
 @query("network_condition", oracle="""
 WITH ips AS (
   SELECT CASE CAST(user_id % 6 AS INT)

@@ -1,0 +1,98 @@
+"""Full-PSL registered-domain extraction (beats_spark/psl.py) vs the
+reference's golang.org/x/net/publicsuffix walk
+(registered_domain/registered_domain.go:76): exact, wildcard and
+exception rules, private suffixes, bare-eTLD nulls."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.psl import (ICANN_SUBSET, PslRules, default_rules,
+                             parse_psl, registered_domain_psl)
+from beats_spark.processors import compile_processors
+
+
+def test_parse_psl_format():
+    r = parse_psl("""
+// comment line
+com
+co.uk
+
+*.ck
+!www.ck
+UPPER.CASE
+ignored.after whitespace-tail
+""")
+    assert "com" in r.exact and "co.uk" in r.exact
+    assert r.wildcard == frozenset({"ck"})
+    assert r.exception == frozenset({"www.ck"})
+    assert "upper.case" in r.exact
+    assert "ignored.after" in r.exact
+    assert r.max_labels == 2  # deepest rule key: co.uk / www.ck
+
+
+def test_default_rules_bundle():
+    r = default_rules()
+    assert "com" in r.exact and "co.uk" in r.exact
+    assert "github.io" in r.exact and "s3.amazonaws.com" in r.exact
+    assert "ck" in r.wildcard and "www.ck" in r.exception
+    assert r.max_labels >= 3
+
+
+CASES = [
+    # (host, registered_domain, etld, subdomain)
+    ("www.example.com", "example.com", "com", "www"),
+    ("a.b.example.co.uk", "example.co.uk", "co.uk", "a.b"),
+    ("example.co.uk", "example.co.uk", "co.uk", None),
+    ("com", None, "com", None),                  # bare eTLD
+    ("co.uk", None, "co.uk", None),              # bare multi-label eTLD
+    ("foo.bar.ck", "foo.bar.ck", "bar.ck", None),  # wildcard *.ck
+    ("www.ck", "www.ck", "ck", None),            # exception !www.ck
+    ("x.www.ck", "www.ck", "ck", "x"),
+    ("bare", None, "bare", None),                # single label
+    ("one.unknowntld", "one.unknowntld", "unknowntld", None),  # implicit *
+    ("USER.GitHub.IO", "user.github.io", "github.io", None),   # lowercased
+    ("deep.sub.user.github.io", "user.github.io", "github.io", "deep.sub"),
+    ("s3.amazonaws.com", None, "s3.amazonaws.com", None),
+    ("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com",
+     "s3.amazonaws.com", None),
+    (None, None, None, None),
+]
+
+
+def test_registered_domain_psl_cases(spark):
+    df = spark.createDataFrame([(h,) for h, *_ in CASES], "host string")
+    out = registered_domain_psl(
+        df, "host", subdomain_target="subdomain", etld_target="etld")
+    got = {r["host"]: (r["registered_domain"], r["etld"], r["subdomain"])
+           for r in out.collect()}
+    for host, rd, etld, sub in CASES:
+        assert got[host] == (rd, etld, sub), host
+
+
+def test_psl_plan_is_broadcast_only(spark):
+    df = spark.createDataFrame([("a.example.com",)], "host string")
+    out = registered_domain_psl(df, "host")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    assert "ShuffleExchange" not in plan
+
+
+def test_processor_front_door_psl_text(spark):
+    df = spark.createDataFrame(
+        [("www.example.com",), ("foo.bar.ck",), ("www.ck",)],
+        "host string")
+    chain = compile_processors([{"registered_domain": {
+        "field": "host", "psl": "com\n*.ck\n!www.ck"}}])
+    got = {r["host"]: r["registered_domain"] for r in chain(df).collect()}
+    assert got == {"www.example.com": "example.com",
+                   "foo.bar.ck": "foo.bar.ck",
+                   "www.ck": "www.ck"}
+
+
+def test_processor_suffixes_path_unchanged(spark):
+    # the caller-supplied small-list when-chain path keeps working
+    df = spark.createDataFrame([("shop.example.co.uk",)], "host string")
+    chain = compile_processors([{"registered_domain": {
+        "field": "host", "suffixes": ["co.uk", "com", "uk"]}}])
+    assert chain(df).collect()[0]["registered_domain"] == "example.co.uk"
