@@ -82,6 +82,7 @@ def parse_container(
     combine_partials: bool = True,
     partition_cols: Sequence[str] = ("path",),
     order_col: str = "line_no",
+    drop_unparsed: bool = True,
 ) -> DataFrame:
     """container parser (``readjson/docker_json.go``; selection
     ``reader/parser/parser.go:105-117``): docker json-file lines
@@ -97,12 +98,22 @@ def parse_container(
     event keeps the FIRST part's timestamp/stream (the reference
     appends into the first message's struct). Requires the ordering
     columns (``partition_cols`` + ``order_col``) to be present; when
-    they are missing the rows pass through unjoined."""
+    they are missing the rows pass through unjoined.
+
+    ``drop_unparsed`` mirrors the reference's Next loop, which logs a
+    parse error and ``continue``s: lines that are neither valid docker
+    JSON nor CRI-shaped are dropped (set False to keep them with null
+    parse columns instead)."""
     from pyspark.sql import Window
 
     src = F.col(field)
     is_json = src.startswith("{")
-    docker = F.from_json(src, "log string, stream string, time string")
+    # PERMISSIVE from_json yields a struct of nulls for malformed
+    # input (never a null struct), so route corrupt records into a
+    # marker field to detect unmarshal failures like the reference
+    docker = F.from_json(
+        src, "log string, stream string, time string, __corrupt string",
+        {"columnNameOfCorruptRecord": "__corrupt"})
     cri_ts = F.regexp_extract(src, _CRI_RE, 1)
     cri_stream = F.regexp_extract(src, _CRI_RE, 2)
     cri_tag = F.regexp_extract(src, _CRI_RE, 3)
@@ -130,7 +141,17 @@ def parse_container(
         "container_time": F.try_to_timestamp(
             F.regexp_replace(ts, r"Z$", "")),
         "__partial": partial,
+        # computed against the PRE-update columns (withColumns
+        # evaluates all assignments on the input frame), so this sees
+        # the raw line, not the extracted message
+        "__ok": F.coalesce(
+            F.when(use_json, docker["__corrupt"].isNull())
+             .otherwise(src.rlike(_CRI_RE)),
+            F.lit(False)),
     })
+    if drop_unparsed:
+        out = out.filter(F.col("__ok"))
+    out = out.drop("__ok")
 
     can_join = (combine_partials
                 and all(c in df.columns for c in partition_cols)
@@ -144,21 +165,27 @@ def parse_container(
         out = out.withColumn(
             "__seg", F.sum("__start").over(
                 w.rowsBetween(Window.unboundedPreceding, 0)))
+        # carry EVERY non-grouping column through the struct so extra
+        # columns (offsets, host metadata, …) survive; the joined
+        # event keeps the first part's values for all of them, like
+        # the reference appending into the first message's struct
+        extra = [c for c in out.columns
+                 if c not in (*partition_cols, order_col, "__seg",
+                              "__partial", "__start")]
         parts = F.array_sort(F.collect_list(
-            F.struct(F.col(order_col).alias("o"),
-                     F.col(field).alias("m"),
-                     F.col("container_stream").alias("s"),
-                     F.col("container_time").alias("t"))))
+            F.struct(F.col(order_col).alias("__o"),
+                     *[F.col(c).alias(c) for c in extra])))
+        assigns = {c: F.col("__p")[0][c] for c in extra}
+        assigns[field] = F.array_join(
+            F.transform("__p", lambda p: p[field]), "")
         out = (out.groupBy(*partition_cols, "__seg")
                .agg(parts.alias("__p"),
                     F.min(order_col).alias(order_col))
-               .withColumns({
-                   field: F.array_join(
-                       F.transform("__p", lambda p: p["m"]), ""),
-                   "container_stream": F.col("__p")[0]["s"],
-                   "container_time": F.col("__p")[0]["t"],
-               })
-               .drop("__p", "__seg"))
+               .withColumns(assigns)
+               .drop("__p", "__seg")
+               # restore the caller's column order
+               .select(*df.columns, "container_stream",
+                       "container_time"))
     out = out.drop("__partial", "__start")
     if stream != "all":
         out = out.filter(F.col("container_stream") == stream)

@@ -119,3 +119,41 @@ def test_container_joins_partial_lines(spark):
     from beats_spark.functions.parsers import compile_parsers
     chain = compile_parsers([{"container": {"partial": False}}])
     assert chain(df).count() == 6
+
+
+def test_container_partial_join_keeps_extra_columns(spark):
+    # non-parser columns (offsets, host metadata, ...) survive the
+    # partial join with the FIRST part's values
+    rows = [
+        ("a", 1, 100, "h1", "2024-01-02T03:04:05 stdout P par"),
+        ("a", 2, 200, "h2", "2024-01-02T03:04:06 stdout F tial"),
+        ("a", 3, 300, "h3", "2024-01-02T03:04:07 stderr F solo"),
+    ]
+    df = spark.createDataFrame(
+        rows, "path string, line_no int, offset long, host string, "
+              "message string")
+    from beats_spark.functions.parsers import parse_container
+    out = parse_container(df)
+    assert out.columns == ["path", "line_no", "offset", "host",
+                           "message", "container_stream",
+                           "container_time"]
+    got = {r["line_no"]: (r["message"], r["offset"], r["host"])
+           for r in out.collect()}
+    assert got == {1: ("partial", 100, "h1"), 3: ("solo", 300, "h3")}
+
+
+def test_container_drops_unparsed_lines(spark):
+    # docker_json.go Next: a line that fails to unmarshal is logged
+    # and skipped; drop_unparsed=False keeps it with null parse cols
+    rows = [
+        ("a", 1, '{"log":"ok\\n","stream":"stdout","time":"2024-01-02T03:04:05Z"}'),
+        ("a", 2, '{"log": broken json'),
+        ("a", 3, "not a container line at all"),
+        ("a", 4, "2024-01-02T03:04:07 stdout F cri ok"),
+    ]
+    df = spark.createDataFrame(rows, "path string, line_no int, message string")
+    from beats_spark.functions.parsers import parse_container
+    kept = sorted(r["line_no"] for r in parse_container(df).collect())
+    assert kept == [1, 4]
+    lax = parse_container(df, drop_unparsed=False)
+    assert lax.count() == 4
