@@ -971,6 +971,46 @@ def container_ndjson(spark, sf_dir):
               .agg(F.count(F.lit(1)).alias("n")))
 
 
+@query("container_partial", oracle="""
+WITH e AS (
+  SELECT event_id,
+         'p' || CAST(event_id // 21 AS VARCHAR) AS path,
+         event_id % 21 AS line_no,
+         date_trunc('second', ts) AS ts,
+         'm' || CAST(event_id AS VARCHAR) AS msg
+  FROM events)
+SELECT a.path, a.line_no,
+       a.msg || coalesce(b.msg, '') || coalesce(c.msg, '') AS message,
+       'stdout' AS container_stream,
+       a.ts AS container_time
+FROM e a
+LEFT JOIN e b ON b.event_id = a.event_id + 1
+LEFT JOIN e c ON c.event_id = a.event_id + 2
+WHERE a.line_no % 3 = 0
+""")
+def container_partial(spark, sf_dir):
+    """CRI partial-line joining (docker_json.go Next loop, ``partial``
+    option): lines are grouped 21 per path, flagged P,P,F per triple;
+    each joined event keeps the first part's timestamp and the parts
+    concatenate in line order — incl. the dangling trailing partial
+    run when the table size isn't a multiple of 21."""
+    from .functions.parsers import parse_container
+    ev = _t(spark, sf_dir, "events")
+    line_no = F.col("event_id") % 21
+    tag = F.when(line_no % 3 < 2, "P").otherwise("F")
+    line = F.concat(
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), F.lit(" stdout "),
+        tag, F.lit(" m"), F.col("event_id").cast("string"))
+    df = ev.select(
+        F.concat(F.lit("p"), F.floor(F.col("event_id") / 21)
+                 .cast("long").cast("string")).alias("path"),
+        line_no.alias("line_no"),
+        line.alias("message"))
+    return parse_container(df).select(
+        "path", "line_no", "message", "container_stream",
+        "container_time")
+
+
 _EMB_COS = ("round(list_dot_product(va, vb) / "
             "(sqrt(list_dot_product(va, va)) * "
             "sqrt(list_dot_product(vb, vb))), 6)")
