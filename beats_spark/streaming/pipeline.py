@@ -35,7 +35,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ..pipeline import build_routed, SINKS
 
 __all__ = ["PAGES_SCHEMA", "stream_routed", "run_stream_pipeline",
-           "windowed_counters", "stateful_rate_limit"]
+           "windowed_counters", "stateful_rate_limit",
+           "stateful_multiline"]
 
 PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                 "text string, lang string")
@@ -166,3 +167,102 @@ def stateful_rate_limit(
     return (events.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout))
+
+
+def stateful_multiline(
+    lines: DataFrame,
+    file_col: str = "path",
+    order_col: str = "line_no",
+    line_col: str = "message",
+    pattern: str = r"^\s",
+    negate: bool = False,
+    flush_pattern: Optional[str] = None,
+    max_lines: int = 500,
+    timeout_ms: Optional[int] = 5000,
+) -> DataFrame:
+    """Streaming multiline join with the reference's FLUSH TIMEOUT —
+    the one multiline semantic the batch operator cannot have
+    (``multiline/pattern.go:52-58``: ``timeout: 5s``; flush on
+    ``flush_pattern``; cap at ``max_lines``).
+
+    ``applyInPandasWithState`` keyed by ``file_col``: an in-progress
+    event (its joined text, first line number and line count) is
+    carried across micro-batches, so a continuation line arriving in a
+    later batch — or after a query restart from the same checkpoint —
+    still joins its event. A processing-time timeout flushes the
+    dangling event when the file goes quiet, exactly like the
+    reference's harvester timeout; Spark persists the state + timeout
+    clock in the checkpoint.
+
+    Semantics match the batch joiner (``match: after``): a line where
+    ``rlike(pattern) != negate`` continues the previous event,
+    anything else starts a new one. Rows inside a batch are ordered by
+    ``order_col`` (the file source delivers per-file batches in
+    order). Output: one row per completed event with the FIRST line's
+    ``order_col``.
+    """
+    import re as _re
+
+    out_schema = (f"{file_col} string, {order_col} long, "
+                  f"{line_col} string, n_lines long")
+    state_schema = "first_no long, buf string, n long"
+    rx = _re.compile(pattern)
+    frx = _re.compile(flush_pattern) if flush_pattern else None
+
+    def fn(key: Tuple, batches: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        path = key[0]
+        if state.hasTimedOut:
+            # file went quiet: flush the dangling event (the
+            # reference's timeout flush, pattern.go:57)
+            if state.exists:
+                first_no, buf, n = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    [(path, first_no, buf, n)],
+                    columns=[file_col, order_col, line_col, "n_lines"])
+            return
+        if state.exists:
+            first_no, buf, n = state.get
+        else:
+            first_no, buf, n = None, None, 0
+        done = []
+        for pdf in batches:
+            pdf = pdf.sort_values(order_col)
+            for no, line in zip(pdf[order_col].values,
+                                pdf[line_col].values):
+                line = "" if line is None else str(line)
+                # flush check runs BEFORE the continuation predicate
+                # (pattern.go:209-220): the matching line joins the
+                # CURRENT event, which emits immediately
+                if frx is not None and frx.search(line):
+                    if buf is not None:
+                        buf += "\n" + line
+                        n += 1
+                    else:
+                        first_no, buf, n = int(no), line, 1
+                    done.append((path, int(first_no), buf, n))
+                    first_no, buf, n = None, None, 0
+                    continue
+                cont = bool(rx.search(line)) != negate
+                if buf is not None and cont and n < max_lines:
+                    buf += "\n" + line
+                    n += 1
+                else:
+                    if buf is not None:
+                        done.append((path, int(first_no), buf, n))
+                    first_no, buf, n = int(no), line, 1
+        if buf is not None:
+            state.update((int(first_no), buf, int(n)))
+            if timeout_ms is not None:
+                state.setTimeoutDuration(int(timeout_ms))
+        elif state.exists:
+            state.remove()
+        if done:
+            yield pd.DataFrame(
+                done, columns=[file_col, order_col, line_col, "n_lines"])
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if timeout_ms is not None else GroupStateTimeout.NoTimeout)
+    return (lines.groupBy(file_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout))

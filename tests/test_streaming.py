@@ -116,3 +116,122 @@ def test_stateful_rate_limit_is_a_real_bucket(spark, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination()
     assert spark.read.parquet(out_dir).count() == 8
+
+
+def test_stateful_multiline_joins_across_batches(spark, tmp_path):
+    """A dangling continuation run at the end of batch 1 joins with
+    batch 2's lines THROUGH A QUERY RESTART (state restored from the
+    checkpoint) — multiline/pattern.go semantics with persistent
+    state. Completed events flush as they close."""
+    from beats_spark.streaming.pipeline import stateful_multiline
+    src_dir = str(tmp_path / "lines")
+    ck = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "joined")
+    os.makedirs(src_dir)
+
+    def run_batch(rows, fname):
+        df = spark.createDataFrame(
+            rows, "path string, line_no long, message string")
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src_dir, fname))
+        stream = (spark.readStream
+                  .schema("path string, line_no long, message string")
+                  .parquet(os.path.join(src_dir, "*")))
+        joined = stateful_multiline(stream, timeout_ms=None)
+        q = (joined.writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    # batch 1: one complete event + an in-progress one ending in a
+    # continuation line
+    run_batch([("a", 1, "ERROR boom"),
+               ("a", 2, " at frame0"),
+               ("a", 3, "WARN dangling"),
+               ("a", 4, " still going")], "b1")
+    got1 = {r["line_no"]: (r["message"], r["n_lines"])
+            for r in spark.read.parquet(out_dir).collect()}
+    # only the CLOSED event is out; the dangling one is in state
+    assert got1 == {1: ("ERROR boom\n at frame0", 2)}
+
+    # batch 2 (fresh query from the same checkpoint): continuation
+    # first, then a new event start that closes the buffered event
+    run_batch([("a", 5, " tail of dangling"),
+               ("a", 6, "INFO done")], "b2")
+    got2 = {r["line_no"]: (r["message"], r["n_lines"])
+            for r in spark.read.parquet(out_dir).collect()}
+    assert got2[3] == ("WARN dangling\n still going\n tail of dangling", 3)
+    assert set(got2) == {1, 3}  # 'INFO done' still buffered
+
+
+def test_stateful_multiline_flush_pattern_and_max_lines(spark, tmp_path):
+    from beats_spark.streaming.pipeline import stateful_multiline
+    src_dir = str(tmp_path / "l2")
+    ck = str(tmp_path / "ck2")
+    out_dir = str(tmp_path / "j2")
+    rows = ([("a", 1, "BEGIN tx")]
+            + [("a", i, f" step {i}") for i in range(2, 6)]
+            + [("a", 6, "COMMIT")]          # flush_pattern → emit now
+            + [("a", 7, "EV x")]
+            + [("a", i, f" c{i}") for i in range(8, 12)])
+    spark.createDataFrame(
+        rows, "path string, line_no long, message string") \
+        .coalesce(1).write.parquet(os.path.join(src_dir, "b"))
+    stream = (spark.readStream
+              .schema("path string, line_no long, message string")
+              .parquet(os.path.join(src_dir, "*")))
+    joined = stateful_multiline(stream, flush_pattern=r"^COMMIT",
+                                max_lines=3, timeout_ms=None)
+    q = (joined.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r["line_no"]: (r["message"], r["n_lines"])
+           for r in spark.read.parquet(out_dir).collect()}
+    # max_lines=3 splits the BEGIN event; the COMMIT line joins the
+    # current event and flushes it (flush check precedes the
+    # continuation predicate, pattern.go:209-220)
+    assert got[1] == ("BEGIN tx\n step 2\n step 3", 3)
+    assert got[4] == (" step 4\n step 5\nCOMMIT", 3)
+    # max_lines also splits the EV event; its tail stays buffered
+    # (no timeout in this test)
+    assert got[7] == ("EV x\n c8\n c9", 3)
+    assert set(got) == {1, 4, 7}
+
+
+def test_stateful_multiline_timeout_flush(spark, tmp_path):
+    """The reference's 5s multiline timeout (pattern.go:57,143): when a
+    file goes quiet, the dangling buffered event flushes on the
+    processing-time timeout (fired by Spark's no-data micro-batches)."""
+    import time
+    from beats_spark.streaming.pipeline import stateful_multiline
+    src_dir = str(tmp_path / "l3")
+    ck = str(tmp_path / "ck3")
+    out_dir = str(tmp_path / "j3")
+    spark.createDataFrame(
+        [("a", 1, "ERROR boom"), ("a", 2, " at frame0")],
+        "path string, line_no long, message string") \
+        .coalesce(1).write.parquet(os.path.join(src_dir, "b"))
+    stream = (spark.readStream
+              .schema("path string, line_no long, message string")
+              .parquet(os.path.join(src_dir, "*")))
+    joined = stateful_multiline(stream, timeout_ms=1000)
+    q = (joined.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", ck)
+         .trigger(processingTime="500 milliseconds").start())
+    try:
+        deadline = time.time() + 45
+        got = {}
+        while time.time() < deadline and not got:
+            time.sleep(1.0)
+            try:
+                got = {r["line_no"]: (r["message"], r["n_lines"])
+                       for r in spark.read.parquet(out_dir).collect()}
+            except Exception:
+                got = {}
+    finally:
+        q.stop()
+    assert got == {1: ("ERROR boom\n at frame0", 2)}
