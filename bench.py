@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard", "dedup_embedding", "ann_cosine_topk",
     "text_quality", "token_count", "lang_id", "salted_agg",
     "windowed_counts", "curation_pipeline",
+    "container_partial", "psl_domains",
     "flagship_routed_counts", "flagship_messages",
 ]
 
