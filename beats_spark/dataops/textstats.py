@@ -100,7 +100,8 @@ def quality_score(text: Column, round_to: int = 6) -> Column:
 
 _STAT_SCHEMA = ("n_chars bigint, word_count bigint, avg_word_len double, "
                 "stopword_ratio double, alpha_ratio double, "
-                "punct_ratio double, quality double, bpe_tokens bigint")
+                "punct_ratio double, quality double, bpe_tokens bigint, "
+                "lang string")
 
 _ALPHA_RE = None  # compiled lazily inside the UDF
 
@@ -142,6 +143,11 @@ def text_stats_arrow(text_col: str = "text") -> Column:
     alpha_re = _re.compile(r"[^a-zA-Z]")
     punct_re = _re.compile(r"[a-zA-Z0-9\s]")
     bpe_re = _re.compile(_BPE_RE)
+    # marker-word language ID rides the same token list —
+    # lang_id_stopword semantics exactly (argmax with strict >, so
+    # the lexicographically-first language keeps ties; 'und' at zero)
+    markers = [(lang, frozenset(words))
+               for lang, words in sorted(LANG_MARKERS.items())]
 
     @pandas_udf(_STAT_SCHEMA)
     def _stats(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
@@ -149,7 +155,7 @@ def text_stats_arrow(text_col: str = "text") -> Column:
 
         def one(t):
             if t is None:
-                return (None,) * 8
+                return (None,) * 9
             toks = [x for x in ws.split(t.lower()) if x]
             n_tok = len(toks)
             n_chars = len(t)
@@ -171,16 +177,21 @@ def text_stats_arrow(text_col: str = "text") -> Column:
             quality = rnd(
                 min(stop9 * 4, 1.0) * 0.3 + alpha9 * 0.4
                 + (1 - min(punct9 * 5, 1.0)) * 0.2 + wl_ok * 0.1, 6)
+            best, best_n = "und", 0
+            for lang, words in markers:
+                c = sum(1 for x in toks if x in words)
+                if c > best_n:
+                    best, best_n = lang, c
             return (n_chars, n_tok, rnd(awl, 6), rnd(stop_r, 6),
                     rnd(alpha_r, 6), rnd(punct_r, 6), quality,
-                    len(bpe_re.findall(t)))
+                    len(bpe_re.findall(t)), best)
 
         for s in it:
             rows = [one(t) for t in s]
             yield _pd.DataFrame(rows, columns=[
                 "n_chars", "word_count", "avg_word_len",
                 "stopword_ratio", "alpha_ratio", "punct_ratio",
-                "quality", "bpe_tokens"])
+                "quality", "bpe_tokens", "lang"])
 
     return _stats(F.col(text_col))
 

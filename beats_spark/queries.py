@@ -1148,6 +1148,39 @@ def lang_id(spark, sf_dir):
                 .agg(F.count(F.lit(1)).alias("n")))
 
 
+@query("lang_id_fused", oracle=f"""
+WITH s AS (
+  SELECT lang, {_SH_TOKS} AS t FROM documents),
+sc AS (
+  SELECT lang,
+    len(list_filter(t, x -> x IN ('der','die','und','das','ist'))) AS sde,
+    len(list_filter(t, x -> x IN ('the','and','of','to','is'))) AS sen,
+    len(list_filter(t, x -> x IN ('el','la','los','que','es'))) AS ses,
+    len(list_filter(t, x -> x IN ('le','la','et','les','est'))) AS sfr
+  FROM s)
+SELECT lang,
+       CASE WHEN greatest(sde, sen, ses, sfr) = 0 THEN 'und'
+            WHEN sde = greatest(sde, sen, ses, sfr) THEN 'de'
+            WHEN sen = greatest(sde, sen, ses, sfr) THEN 'en'
+            WHEN ses = greatest(sde, sen, ses, sfr) THEN 'es'
+            ELSE 'fr' END AS lang_pred,
+       count(*) AS n
+FROM sc GROUP BY lang, lang_pred
+""")
+def lang_id_fused(spark, sf_dir):
+    """Language ID riding the fused Arrow text-stats kernel (the scale
+    path: marker counting reuses the kernel's token list instead of
+    4 interpreted higher-order filters re-splitting the text per
+    language). Same argmax/tie-break semantics — same oracle — as
+    ``lang_id``."""
+    from .dataops.textstats import text_stats_arrow
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select("lang",
+                        text_stats_arrow("text")["lang"].alias("lang_pred"))
+                .groupBy("lang", "lang_pred")
+                .agg(F.count(F.lit(1)).alias("n")))
+
+
 @query("lang_id_ngram", oracle="""
 WITH t AS (SELECT lang, ' ' || lower(text) || ' ' AS s FROM documents),
 g AS (SELECT lang,

@@ -49,7 +49,7 @@ BENCH_QUERIES = [
     "grok_extract", "syslog_parse",
     "container_ndjson", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding", "ann_cosine_topk",
-    "text_quality", "token_count", "lang_id", "salted_agg",
+    "text_quality", "token_count", "lang_id", "lang_id_fused", "salted_agg",
     "windowed_counts", "curation_pipeline",
     "container_partial", "psl_domains",
     "flagship_routed_counts", "flagship_messages",

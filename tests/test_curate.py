@@ -24,3 +24,20 @@ def test_curation_deterministic(spark, sf_dir):
     b = sorted(r["doc_id"] for r in
                curate(docs, with_metrics=False).kept.collect())
     assert a == b and len(a) > 0
+
+
+def test_fused_lang_matches_jvm_stopword_path(spark, sf_dir):
+    # the Arrow kernel's lang field == the JVM lang_id_stopword column
+    # (same marker argmax + lexicographic tie-break + 'und' at zero)
+    from pyspark.sql import functions as F
+    from beats_spark.dataops.textstats import (lang_id_stopword,
+                                               text_stats_arrow)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    st = text_stats_arrow("text")
+    both = docs.select(
+        lang_id_stopword(F.col("text")).alias("jvm"),
+        st["lang"].alias("fused"),
+        st["quality"].alias("q"))
+    assert both.filter(F.col("jvm") != F.col("fused")).count() == 0
+    # kernel struct stays backward compatible
+    assert both.filter(F.col("q").isNull()).count() == 0
