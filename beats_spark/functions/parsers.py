@@ -83,6 +83,7 @@ def parse_container(
     partition_cols: Sequence[str] = ("path",),
     order_col: str = "line_no",
     drop_unparsed: bool = True,
+    keep_partial_flag: bool = False,
 ) -> DataFrame:
     """container parser (``readjson/docker_json.go``; selection
     ``reader/parser/parser.go:105-117``): docker json-file lines
@@ -103,7 +104,13 @@ def parse_container(
     ``drop_unparsed`` mirrors the reference's Next loop, which logs a
     parse error and ``continue``s: lines that are neither valid docker
     JSON nor CRI-shaped are dropped (set False to keep them with null
-    parse columns instead)."""
+    parse columns instead).
+
+    ``keep_partial_flag`` (with ``combine_partials=False``) exposes
+    the per-line partial marker as ``container_partial`` — the input
+    contract of the streaming joiner
+    (:func:`beats_spark.streaming.pipeline.stateful_container_partial`),
+    which carries partial runs across micro-batches."""
     from pyspark.sql import Window
 
     src = F.col(field)
@@ -186,7 +193,11 @@ def parse_container(
                # restore the caller's column order
                .select(*df.columns, "container_stream",
                        "container_time"))
-    out = out.drop("__partial", "__start")
+    if keep_partial_flag and not can_join:
+        out = out.withColumnRenamed("__partial", "container_partial")
+    else:
+        out = out.drop("__partial")
+    out = out.drop("__start")
     if stream != "all":
         out = out.filter(F.col("container_stream") == stream)
     return out

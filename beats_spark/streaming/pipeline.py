@@ -36,7 +36,7 @@ from ..pipeline import build_routed, SINKS
 
 __all__ = ["PAGES_SCHEMA", "stream_routed", "run_stream_pipeline",
            "windowed_counters", "stateful_rate_limit",
-           "stateful_multiline"]
+           "stateful_multiline", "stateful_container_partial"]
 
 PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                 "text string, lang string")
@@ -265,4 +265,96 @@ def stateful_multiline(
     timeout = (GroupStateTimeout.ProcessingTimeTimeout
                if timeout_ms is not None else GroupStateTimeout.NoTimeout)
     return (lines.groupBy(file_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout))
+
+
+def stateful_container_partial(
+    parsed: DataFrame,
+    file_col: str = "path",
+    order_col: str = "line_no",
+    line_col: str = "message",
+    timeout_ms: Optional[int] = 5000,
+) -> DataFrame:
+    """Streaming form of the container parser's ``partial`` option
+    (``docker_json.go`` Next loop): a partial run that straddles a
+    micro-batch boundary — the CRI ``P`` line lands in one batch, its
+    final line in the next — still joins, because the open run rides
+    ``applyInPandasWithState`` keyed by file. A processing-time
+    timeout flushes a run whose final line never arrives (the batch
+    operator emits dangling runs at end-of-input; a stream has no end,
+    so the timeout is the equivalent).
+
+    Input contract: the map-side parse stage —
+    ``parse_container(df, combine_partials=False,
+    keep_partial_flag=True)`` — which yields ``container_stream``,
+    ``container_time`` and the ``container_partial`` marker per line.
+    The joined event keeps the FIRST part's stream/timestamp, exactly
+    like the batch join and the reference.
+    """
+    out_schema = (f"{file_col} string, {order_col} long, "
+                  f"{line_col} string, container_stream string, "
+                  f"container_time timestamp, n_lines long")
+    state_schema = ("first_no long, buf string, stream string, "
+                    "ts_us long, n long")
+
+    def fn(key: Tuple, batches: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        path = key[0]
+
+        def row(first_no, buf, stream, ts_us, n):
+            ts = (pd.Timestamp(ts_us, unit="us") if ts_us is not None
+                  and ts_us >= 0 else pd.NaT)
+            return (path, first_no, buf, stream, ts, n)
+
+        if state.hasTimedOut:
+            if state.exists:
+                first_no, buf, stream, ts_us, n = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    [row(first_no, buf, stream, ts_us, n)],
+                    columns=[file_col, order_col, line_col,
+                             "container_stream", "container_time",
+                             "n_lines"])
+            return
+        if state.exists:
+            first_no, buf, stream, ts_us, n = state.get
+        else:
+            first_no, buf, stream, ts_us, n = None, None, None, None, 0
+        done = []
+        for pdf in batches:
+            pdf = pdf.sort_values(order_col)
+            ts_vals = (pdf["container_time"].values
+                       .astype("datetime64[ns]").astype("int64") // 1000)
+            null_ts = pdf["container_time"].isna().values
+            for no, msg, st, t_us, t_null, part in zip(
+                    pdf[order_col].values, pdf[line_col].values,
+                    pdf["container_stream"].values, ts_vals, null_ts,
+                    pdf["container_partial"].values):
+                msg = "" if msg is None else str(msg)
+                if buf is None:
+                    first_no, buf, stream, n = int(no), msg, st, 1
+                    ts_us = None if t_null else int(t_us)
+                else:
+                    buf += msg
+                    n += 1
+                if not part:
+                    done.append(row(first_no, buf, stream, ts_us, n))
+                    first_no, buf, stream, ts_us, n = (None, None, None,
+                                                       None, 0)
+        if buf is not None:
+            state.update((int(first_no), buf, stream,
+                          -1 if ts_us is None else int(ts_us), int(n)))
+            if timeout_ms is not None:
+                state.setTimeoutDuration(int(timeout_ms))
+        elif state.exists:
+            state.remove()
+        if done:
+            yield pd.DataFrame(
+                done, columns=[file_col, order_col, line_col,
+                               "container_stream", "container_time",
+                               "n_lines"])
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if timeout_ms is not None else GroupStateTimeout.NoTimeout)
+    return (parsed.groupBy(file_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", timeout))

@@ -235,3 +235,46 @@ def test_stateful_multiline_timeout_flush(spark, tmp_path):
     finally:
         q.stop()
     assert got == {1: ("ERROR boom\n at frame0", 2)}
+
+
+def test_stateful_container_partial_across_batches(spark, tmp_path):
+    """A CRI partial run whose final line arrives in the NEXT
+    micro-batch (separate query run, same checkpoint) still joins —
+    docker_json.go partial semantics with persistent state."""
+    from beats_spark.functions.parsers import parse_container
+    from beats_spark.streaming.pipeline import stateful_container_partial
+    src_dir = str(tmp_path / "cl")
+    ck = str(tmp_path / "cck")
+    out_dir = str(tmp_path / "cj")
+
+    def drain(rows, fname):
+        spark.createDataFrame(
+            rows, "path string, line_no long, message string") \
+            .coalesce(1).write.parquet(os.path.join(src_dir, fname))
+        stream = (spark.readStream
+                  .schema("path string, line_no long, message string")
+                  .parquet(os.path.join(src_dir, "*")))
+        parsed = parse_container(stream, combine_partials=False,
+                                 keep_partial_flag=True)
+        q = (stateful_container_partial(parsed, timeout_ms=None)
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain([("a", 1, "2024-01-02T03:04:05 stdout F whole"),
+           ("a", 2, "2024-01-02T03:04:06 stdout P par")], "b1")
+    got1 = {r["line_no"]: (r["message"], r["container_stream"],
+                           str(r["container_time"]), r["n_lines"])
+            for r in spark.read.parquet(out_dir).collect()}
+    assert got1 == {1: ("whole", "stdout", "2024-01-02 03:04:05", 1)}
+
+    drain([("a", 3, "2024-01-02T03:04:07 stdout P tial "),
+           ("a", 4, "2024-01-02T03:04:08 stderr F line")], "b2")
+    got2 = {r["line_no"]: (r["message"], r["container_stream"],
+                           str(r["container_time"]), r["n_lines"])
+            for r in spark.read.parquet(out_dir).collect()}
+    # joined across the batch boundary; first part's stream/ts kept
+    assert got2[2] == ("partial line", "stdout", "2024-01-02 03:04:06", 3)
+    assert set(got2) == {1, 2}
