@@ -96,3 +96,67 @@ def test_processor_suffixes_path_unchanged(spark):
     chain = compile_processors([{"registered_domain": {
         "field": "host", "suffixes": ["co.uk", "com", "uk"]}}])
     assert chain(df).collect()[0]["registered_domain"] == "example.co.uk"
+
+
+# ------------------------------------------------------ property-based
+# A direct Python transcription of the PSL algorithm
+# (https://publicsuffix.org/list/ "Algorithm" section; the walk
+# x/net/publicsuffix performs) used as the oracle for the Spark
+# matcher over randomized hosts and rule sets.
+
+def _psl_reference(host, rules):
+    if host is None:
+        return None
+    labels = host.lower().split(".")
+    n = len(labels)
+    # prevailing rule: any matching exception beats the longest match
+    sfx_len = None
+    for k in range(1, n + 1):
+        cand = ".".join(labels[n - k:])
+        if cand in rules.exception:
+            sfx_len = k - 1
+            break
+    if sfx_len is None:
+        best = 1  # implicit '*'
+        for k in range(1, n + 1):
+            cand = ".".join(labels[n - k:])
+            if cand in rules.exact:
+                best = max(best, k)
+            if cand in rules.wildcard and n > k:
+                best = max(best, k + 1)
+        sfx_len = best
+    if n < sfx_len + 1:
+        return None
+    return ".".join(labels[n - sfx_len - 1:])
+
+
+def test_psl_matches_reference_algorithm(spark):
+    import itertools
+    import random
+
+    rnd = random.Random(42)
+    tlds = ["com", "net", "uk", "ck", "io", "zz"]
+    seconds = ["co", "ac", "foo", "bar"]
+    rules_txt = ["com", "net", "uk", "io", "co.uk", "ac.uk",
+                 "*.ck", "!www.ck", "*.zz", "!open.zz", "github.io",
+                 "deep.bar.com"]
+    r = parse_psl("\n".join(rules_txt))
+
+    words = ["www", "a", "b", "open", "www2", "github", "deep", "x"]
+    hosts = []
+    for depth in (1, 2, 3, 4, 5):
+        for _ in range(60):
+            parts = [rnd.choice(words + seconds) for _ in range(depth - 1)]
+            hosts.append(".".join(parts + [rnd.choice(tlds)]))
+    # exhaustive 1-2 label coverage over the vocabulary
+    vocab = words + seconds + tlds
+    hosts += vocab
+    hosts += [f"{a}.{b}" for a, b in itertools.product(vocab, tlds)]
+    hosts = sorted(set(hosts))
+
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {row["host"]: row["rd"]
+           for row in registered_domain_psl(
+               df, "host", target="rd", rules=r).collect()}
+    for h in hosts:
+        assert got[h] == _psl_reference(h, r), h

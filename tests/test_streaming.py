@@ -278,3 +278,50 @@ def test_stateful_container_partial_across_batches(spark, tmp_path):
     # joined across the batch boundary; first part's stream/ts kept
     assert got2[2] == ("partial line", "stdout", "2024-01-02 03:04:06", 3)
     assert set(got2) == {1, 2}
+
+
+def test_container_partial_batch_streaming_equivalence(spark, tmp_path):
+    """The batch window join and the streaming stateful join produce
+    the SAME events for the same lines (runs all terminated, so no
+    timeout flush is involved)."""
+    import random
+    from beats_spark.functions.parsers import parse_container
+    from beats_spark.streaming.pipeline import stateful_container_partial
+
+    rnd = random.Random(7)
+    rows = []
+    for p in range(4):
+        no = 0
+        for _ in range(rnd.randint(3, 8)):      # runs per path
+            for _ in range(rnd.randint(0, 3)):  # partial parts
+                rows.append((f"p{p}", no,
+                             f"2024-01-02T03:04:{no % 60:02d} stdout P x{no}-"))
+                no += 1
+            rows.append((f"p{p}", no,
+                         f"2024-01-02T03:04:{no % 60:02d} stdout F end{no}"))
+            no += 1
+    df = spark.createDataFrame(
+        rows, "path string, line_no long, message string")
+
+    batch = {(r["path"], r["line_no"]):
+             (r["message"], r["container_stream"], str(r["container_time"]))
+             for r in parse_container(df).collect()}
+
+    src = os.path.join(str(tmp_path), "src")
+    df.coalesce(1).write.parquet(os.path.join(src, "b"))
+    stream = (spark.readStream
+              .schema("path string, line_no long, message string")
+              .parquet(os.path.join(src, "*")))
+    parsed = parse_container(stream, combine_partials=False,
+                             keep_partial_flag=True)
+    out_dir = os.path.join(str(tmp_path), "out")
+    q = (stateful_container_partial(parsed, timeout_ms=None)
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = {(r["path"], r["line_no"]):
+                (r["message"], r["container_stream"],
+                 str(r["container_time"]))
+                for r in spark.read.parquet(out_dir).collect()}
+    assert streamed == batch
