@@ -100,13 +100,13 @@ def quality_score(text: Column, round_to: int = 6) -> Column:
 
 _STAT_SCHEMA = ("n_chars bigint, word_count bigint, avg_word_len double, "
                 "stopword_ratio double, alpha_ratio double, "
-                "punct_ratio double, quality double, bpe_tokens bigint, "
-                "lang string")
+                "punct_ratio double, quality double, bpe_tokens bigint")
 
 _ALPHA_RE = None  # compiled lazily inside the UDF
 
 
-def text_stats_arrow(text_col: str = "text") -> Column:
+def text_stats_arrow(text_col: str = "text",
+                     with_lang: bool = False) -> Column:
     """All text statistics + the composite quality score in ONE
     Arrow-batched pass, returned as a struct column.
 
@@ -124,7 +124,14 @@ def text_stats_arrow(text_col: str = "text") -> Column:
     :func:`token_count` mode ``bpe``) rides the same pass — counting it
     JVM-side via ``regexp_extract_all`` materializes every match into
     an array per row and was the slowest bench entry (17.8 s → this
-    kernel); ``word_count`` doubles as the whitespace token count."""
+    kernel); ``word_count`` doubles as the whitespace token count.
+
+    ``with_lang`` adds a ``lang`` field (marker-word language ID
+    reusing the kernel's token list — ``lang_id_stopword`` semantics:
+    argmax with strict >, lexicographically-first keeps ties, 'und' at
+    zero). Opt-in so quality/token-count consumers — which cannot
+    prune struct fields inside a pandas UDF — don't pay the per-
+    language marker passes."""
     import re as _re
     from decimal import Decimal, ROUND_HALF_UP
     from pyspark.sql.functions import pandas_udf
@@ -149,13 +156,19 @@ def text_stats_arrow(text_col: str = "text") -> Column:
     markers = [(lang, frozenset(words))
                for lang, words in sorted(LANG_MARKERS.items())]
 
-    @pandas_udf(_STAT_SCHEMA)
+    schema = _STAT_SCHEMA + (", lang string" if with_lang else "")
+    cols = ["n_chars", "word_count", "avg_word_len", "stopword_ratio",
+            "alpha_ratio", "punct_ratio", "quality", "bpe_tokens"]
+    if with_lang:
+        cols.append("lang")
+
+    @pandas_udf(schema)
     def _stats(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
         def one(t):
             if t is None:
-                return (None,) * 9
+                return (None,) * len(cols)
             toks = [x for x in ws.split(t.lower()) if x]
             n_tok = len(toks)
             n_chars = len(t)
@@ -177,21 +190,20 @@ def text_stats_arrow(text_col: str = "text") -> Column:
             quality = rnd(
                 min(stop9 * 4, 1.0) * 0.3 + alpha9 * 0.4
                 + (1 - min(punct9 * 5, 1.0)) * 0.2 + wl_ok * 0.1, 6)
+            base = (n_chars, n_tok, rnd(awl, 6), rnd(stop_r, 6),
+                    rnd(alpha_r, 6), rnd(punct_r, 6), quality,
+                    len(bpe_re.findall(t)))
+            if not with_lang:
+                return base
             best, best_n = "und", 0
             for lang, words in markers:
                 c = sum(1 for x in toks if x in words)
                 if c > best_n:
                     best, best_n = lang, c
-            return (n_chars, n_tok, rnd(awl, 6), rnd(stop_r, 6),
-                    rnd(alpha_r, 6), rnd(punct_r, 6), quality,
-                    len(bpe_re.findall(t)), best)
+            return base + (best,)
 
         for s in it:
-            rows = [one(t) for t in s]
-            yield _pd.DataFrame(rows, columns=[
-                "n_chars", "word_count", "avg_word_len",
-                "stopword_ratio", "alpha_ratio", "punct_ratio",
-                "quality", "bpe_tokens", "lang"])
+            yield _pd.DataFrame([one(t) for t in s], columns=cols)
 
     return _stats(F.col(text_col))
 

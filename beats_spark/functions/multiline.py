@@ -105,13 +105,17 @@ def segment_lines(
     last = lines[0]
     flushed = flush_rx.search(lines[0]) is not None if flush_rx else False
     for ln in lines[1:]:
-        if flushed or not pred(last, ln):
+        # the flush check precedes the predicate (pattern.go:209-220):
+        # a flush-matching line joins the CURRENT event no matter what
+        # the continuation predicate says
+        is_flush = flush_rx.search(ln) is not None if flush_rx else False
+        if flushed or (not is_flush and not pred(last, ln)):
             out.append(separator.join(buf[:max_lines]))
             buf = [ln]
         else:
             buf.append(ln)
         last = ln
-        flushed = flush_rx.search(ln) is not None if flush_rx else False
+        flushed = is_flush
     out.append(separator.join(buf[:max_lines]))
     return out
 
@@ -175,6 +179,11 @@ def multiline_over_rows(
     hit = tested.rlike(pattern)
     if negate:
         hit = ~hit
+    if flush_pattern:
+        # flush check precedes the predicate (pattern.go:209-220): a
+        # flush-matching line always joins the current event, and the
+        # NEXT line always starts a new one
+        hit = hit | cur.rlike(flush_pattern)
     joins_prev = F.coalesce(hit, F.lit(False))
 
     if flush_pattern:

@@ -163,6 +163,13 @@ def parse_container(
     can_join = (combine_partials
                 and all(c in df.columns for c in partition_cols)
                 and order_col in df.columns)
+    if keep_partial_flag and can_join:
+        # fail fast: joining consumes the flag, so the promised
+        # container_partial column would silently never appear and the
+        # streaming joiner would KeyError inside the executor
+        raise ValueError(
+            "keep_partial_flag requires combine_partials=False "
+            "(the partial join consumes the flag)")
     if can_join:
         w = Window.partitionBy(*partition_cols).orderBy(order_col)
         prev_partial = F.lag("__partial").over(w)

@@ -243,7 +243,7 @@ def registered_domain(cfg: Mapping[str, Any]):
                 F.col(src), target, subdomain_target, suffixes))
         return make
 
-    from ..psl import PslRules, default_rules, load_psl_file, parse_psl
+    from ..psl import default_rules, load_psl_file, parse_psl
     rules = cfg.get("psl")
     if isinstance(rules, str):
         rules = parse_psl(rules)
@@ -262,17 +262,6 @@ def registered_domain(cfg: Mapping[str, Any]):
                 etld_target=etld_target, rules=rules)
         return ProcResult(reshape=reshape)
     return make
-
-
-# a deterministic public-suffix subset; callers pass the full list when
-# they ship one (publicsuffix.org data, not bundled)
-_DEFAULT_SUFFIXES = [
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
-    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
-    "com", "org", "net", "edu", "gov", "mil", "int", "io", "co", "de",
-    "fr", "uk", "jp", "cn", "ru", "br", "in", "au", "info", "biz", "dev",
-    "app", "ai",
-]
 
 
 def registered_domain_col(host: Column, target: str,

@@ -174,14 +174,19 @@ def registered_domain_psl(
     k_max = max_labels or rules.max_labels
     spark = df.sparkSession
 
-    rows = ([(s, True, False, False) for s in rules.exact]
-            + [(s, False, True, False) for s in rules.wildcard]
-            + [(s, False, False, True) for s in rules.exception])
-    rtab = (spark.createDataFrame(
-                rows, "sfx string, ex boolean, wd boolean, xc boolean")
-            .groupBy("sfx")
-            .agg(F.max("ex").alias("ex"), F.max("wd").alias("wd"),
-                 F.max("xc").alias("xc")))
+    # aggregate rule kinds per suffix DRIVER-side so the broadcast
+    # table needs no groupBy — the whole matcher plans with zero
+    # shuffle exchanges (broadcast exchanges only)
+    merged: dict = {}
+    for s in rules.exact:
+        merged.setdefault(s, [False, False, False])[0] = True
+    for s in rules.wildcard:
+        merged.setdefault(s, [False, False, False])[1] = True
+    for s in rules.exception:
+        merged.setdefault(s, [False, False, False])[2] = True
+    rows = [(s, ex, wd, xc) for s, (ex, wd, xc) in sorted(merged.items())]
+    rtab = spark.createDataFrame(
+        rows, "sfx string, ex boolean, wd boolean, xc boolean")
 
     host = F.lower(F.col(host_col))
     labels = F.split(host, r"\.")
@@ -200,6 +205,9 @@ def registered_domain_psl(
                                 F.lit(k + 1)))
         exc_lens.append(F.when(F.col(f"r{k}.xc"), F.lit(k - 1)))
 
+    # exceptions prevail; with overlapping exception rules (never in
+    # the real list) the DEEPEST one wins, consistent with the spec's
+    # longest-match principle
     exc_len = F.greatest(*exc_lens) if len(exc_lens) > 1 else exc_lens[0]
     match_len = F.greatest(*(exact_lens + wild_lens + [F.lit(1)]))
     sfx_len = F.coalesce(exc_len, match_len)
@@ -210,8 +218,10 @@ def registered_domain_psl(
         F.array_join(F.slice(F.col("__labels"), -rd_len, rd_len), "."))
     assigns = {target: rd}
     if etld_target:
+        # a single-label exception rule yields sfx_len 0; guard it or
+        # slice(labels, -0, 0) errors at runtime for matching rows
         assigns[etld_target] = F.when(
-            F.col("__n") >= sfx_len,
+            (sfx_len > 0) & (F.col("__n") >= sfx_len),
             F.array_join(F.slice(F.col("__labels"), -sfx_len, sfx_len),
                          "."))
     if subdomain_target:

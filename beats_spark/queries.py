@@ -1176,7 +1176,8 @@ def lang_id_fused(spark, sf_dir):
     from .dataops.textstats import text_stats_arrow
     docs = _t(spark, sf_dir, "documents")
     return (docs.select("lang",
-                        text_stats_arrow("text")["lang"].alias("lang_pred"))
+                        text_stats_arrow("text", with_lang=True)["lang"]
+                        .alias("lang_pred"))
                 .groupBy("lang", "lang_pred")
                 .agg(F.count(F.lit(1)).alias("n")))
 

@@ -42,6 +42,17 @@ PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                 "text string, lang string")
 
 
+def _concat_chunks(chunks):
+    """Concat a group's Arrow chunks, dropping all-NA frames first so
+    pandas' future dtype-inference change can't alter column types."""
+    nonempty = [c for c in chunks if len(c)]
+    if not nonempty:
+        return chunks[0]
+    if len(nonempty) == 1:
+        return nonempty[0]
+    return pd.concat(nonempty, ignore_index=False)
+
+
 def stream_routed(spark: SparkSession, input_path: str,
                   host_meta: DataFrame, lang_meta: DataFrame,
                   max_files_per_trigger: Optional[int] = None) -> DataFrame:
@@ -144,8 +155,12 @@ def stateful_rate_limit(
             tokens, last = state.get
         else:
             tokens, last = depth, -1
-        for pdf in batches:
-            pdf = pdf.sort_values(ts_col)
+        # one group's micro-batch data can arrive as MULTIPLE Arrow
+        # chunks (fetch order, not row order) — concat before the sort
+        # or the sequential scan walks time out of order
+        chunks = [pdf for pdf in batches]
+        if chunks:
+            pdf = _concat_chunks(chunks).sort_values(ts_col)
             us = (pdf[ts_col].values.astype("datetime64[ns]")
                   .astype("int64") // 1000)
             keep = []
@@ -176,6 +191,7 @@ def stateful_multiline(
     line_col: str = "message",
     pattern: str = r"^\s",
     negate: bool = False,
+    match: str = "after",
     flush_pattern: Optional[str] = None,
     max_lines: int = 500,
     timeout_ms: Optional[int] = 5000,
@@ -194,20 +210,27 @@ def stateful_multiline(
     reference's harvester timeout; Spark persists the state + timeout
     clock in the checkpoint.
 
-    Semantics match the batch joiner (``match: after``): a line where
-    ``rlike(pattern) != negate`` continues the previous event,
-    anything else starts a new one. Rows inside a batch are ordered by
-    ``order_col`` (the file source delivers per-file batches in
-    order). Output: one row per completed event with the FIRST line's
-    ``order_col``.
+    Semantics match the batch joiner: with ``match: after`` a line
+    where ``rlike(pattern) != negate`` continues the previous event;
+    with ``match: before`` the PREVIOUS line's match decides (its
+    result is part of the carried state, so before-mode also works
+    across batch boundaries). Anything else starts a new event. Rows
+    inside a batch are ordered by ``order_col`` (the file source
+    delivers per-file batches in order). Output: one row per completed
+    event with the FIRST line's ``order_col``.
     """
     import re as _re
 
+    if match not in ("after", "before"):
+        raise ValueError(f"match must be 'after' or 'before': {match!r}")
     out_schema = (f"{file_col} string, {order_col} long, "
                   f"{line_col} string, n_lines long")
-    state_schema = "first_no long, buf string, n long"
+    # cont_next: for before-mode, whether the LAST consumed line's
+    # match says the next line continues the event
+    state_schema = "first_no long, buf string, n long, cont_next boolean"
     rx = _re.compile(pattern)
     frx = _re.compile(flush_pattern) if flush_pattern else None
+    before = match == "before"
 
     def fn(key: Tuple, batches: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
@@ -216,44 +239,56 @@ def stateful_multiline(
             # file went quiet: flush the dangling event (the
             # reference's timeout flush, pattern.go:57)
             if state.exists:
-                first_no, buf, n = state.get
+                first_no, buf, n, _ = state.get
                 state.remove()
                 yield pd.DataFrame(
                     [(path, first_no, buf, n)],
                     columns=[file_col, order_col, line_col, "n_lines"])
             return
         if state.exists:
-            first_no, buf, n = state.get
+            first_no, buf, n, cont_next = state.get
         else:
-            first_no, buf, n = None, None, 0
+            first_no, buf, n, cont_next = None, None, 0, False
         done = []
-        for pdf in batches:
-            pdf = pdf.sort_values(order_col)
+        chunks = [pdf for pdf in batches]
+        if chunks:
+            # concat before sorting: one group's rows may span several
+            # Arrow chunks in fetch order, and state is sequential
+            pdf = _concat_chunks(chunks).sort_values(order_col)
             for no, line in zip(pdf[order_col].values,
                                 pdf[line_col].values):
                 line = "" if line is None else str(line)
                 # flush check runs BEFORE the continuation predicate
                 # (pattern.go:209-220): the matching line joins the
                 # CURRENT event, which emits immediately
+                matched = bool(rx.search(line)) != negate
                 if frx is not None and frx.search(line):
                     if buf is not None:
-                        buf += "\n" + line
-                        n += 1
+                        if n < max_lines:
+                            buf += "\n" + line
+                            n += 1
                     else:
                         first_no, buf, n = int(no), line, 1
                     done.append((path, int(first_no), buf, n))
                     first_no, buf, n = None, None, 0
+                    cont_next = False
                     continue
-                cont = bool(rx.search(line)) != negate
-                if buf is not None and cont and n < max_lines:
-                    buf += "\n" + line
-                    n += 1
+                cont = cont_next if before else matched
+                cont_next = matched
+                if buf is not None and cont:
+                    # past max_lines the line is CONSUMED but dropped
+                    # (message_buffer.go addLine: content and numLines
+                    # freeze at the cap) — same as the batch joiner's
+                    # buf[:max_lines] truncation, never a split
+                    if n < max_lines:
+                        buf += "\n" + line
+                        n += 1
                 else:
                     if buf is not None:
                         done.append((path, int(first_no), buf, n))
                     first_no, buf, n = int(no), line, 1
         if buf is not None:
-            state.update((int(first_no), buf, int(n)))
+            state.update((int(first_no), buf, int(n), bool(cont_next)))
             if timeout_ms is not None:
                 state.setTimeoutDuration(int(timeout_ms))
         elif state.exists:
@@ -321,8 +356,10 @@ def stateful_container_partial(
         else:
             first_no, buf, stream, ts_us, n = None, None, None, None, 0
         done = []
-        for pdf in batches:
-            pdf = pdf.sort_values(order_col)
+        chunks = [pdf for pdf in batches]
+        if chunks:
+            # concat before sorting — see stateful_multiline
+            pdf = _concat_chunks(chunks).sort_values(order_col)
             ts_vals = (pdf["container_time"].values
                        .astype("datetime64[ns]").astype("int64") // 1000)
             null_ts = pdf["container_time"].isna().values

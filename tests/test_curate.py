@@ -33,7 +33,7 @@ def test_fused_lang_matches_jvm_stopword_path(spark, sf_dir):
     from beats_spark.dataops.textstats import (lang_id_stopword,
                                                text_stats_arrow)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    st = text_stats_arrow("text")
+    st = text_stats_arrow("text", with_lang=True)
     both = docs.select(
         lang_id_stopword(F.col("text")).alias("jvm"),
         st["lang"].alias("fused"),

@@ -102,3 +102,41 @@ def test_while_pattern_truncated():
     got = segment_lines(lines, mode="while_pattern", pattern=r"^{",
                         max_lines=2)
     assert got == ["{line1\n{line1.1"]
+
+
+# pattern.go:209-220 — the flush check precedes the continuation
+# predicate: a flush-matching line joins the CURRENT event even when
+# the predicate says it is not a continuation, and the next line
+# starts a new event.
+def test_flush_line_joins_even_when_not_a_continuation():
+    got = segment_lines(
+        ["BEGIN tx", " step 1", "COMMIT", "BEGIN tx2", " step 1",
+         "COMMIT", "orphan"],
+        pattern=r"^\s", match="after", flush_pattern=r"^COMMIT")
+    assert got == ["BEGIN tx\n step 1\nCOMMIT",
+                   "BEGIN tx2\n step 1\nCOMMIT",
+                   "orphan"]
+
+
+def test_flush_line_joins_window_form(spark):
+    from beats_spark.functions.multiline import multiline_over_rows
+    rows = [("a", i + 1, ln) for i, ln in enumerate(
+        ["BEGIN tx", " step 1", "COMMIT", "BEGIN tx2", " step 1",
+         "COMMIT", "orphan"])]
+    df = spark.createDataFrame(rows, "path string, line_no long, line string")
+    out = multiline_over_rows(
+        df, line_col="line", partition_cols=("path",),
+        order_col="line_no", pattern=r"^\s", match="after",
+        flush_pattern=r"^COMMIT")
+    got = {r["line_no"]: r["message"] for r in out.collect()}
+    assert got == {1: "BEGIN tx\n step 1\nCOMMIT",
+                   4: "BEGIN tx2\n step 1\nCOMMIT",
+                   7: "orphan"}
+
+
+def test_consecutive_flush_lines_each_emit(spark):
+    # buffer just flushed + another flush line → its own 1-line event
+    got = segment_lines(["COMMIT", "COMMIT", "x"],
+                        pattern=r"^\s", match="after",
+                        flush_pattern=r"^COMMIT")
+    assert got == ["COMMIT", "COMMIT", "x"]

@@ -75,7 +75,10 @@ def test_psl_plan_is_broadcast_only(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in plan
-    assert "ShuffleExchange" not in plan
+    # zero shuffle exchanges: every Exchange in the plan is a
+    # broadcast (the rule table aggregates driver-side)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
 
 
 def test_processor_front_door_psl_text(spark):
@@ -109,13 +112,15 @@ def _psl_reference(host, rules):
         return None
     labels = host.lower().split(".")
     n = len(labels)
-    # prevailing rule: any matching exception beats the longest match
+    # prevailing rule: any matching exception beats the longest match;
+    # among overlapping exceptions (never in the real list) the
+    # DEEPEST wins — the spec's longest-match principle, and what the
+    # Spark matcher implements
     sfx_len = None
     for k in range(1, n + 1):
         cand = ".".join(labels[n - k:])
         if cand in rules.exception:
             sfx_len = k - 1
-            break
     if sfx_len is None:
         best = 1  # implicit '*'
         for k in range(1, n + 1):
@@ -139,7 +144,7 @@ def test_psl_matches_reference_algorithm(spark):
     seconds = ["co", "ac", "foo", "bar"]
     rules_txt = ["com", "net", "uk", "io", "co.uk", "ac.uk",
                  "*.ck", "!www.ck", "*.zz", "!open.zz", "github.io",
-                 "deep.bar.com"]
+                 "deep.bar.com", "!b.ck", "!a.b.ck"]
     r = parse_psl("\n".join(rules_txt))
 
     words = ["www", "a", "b", "open", "www2", "github", "deep", "x"]
@@ -160,3 +165,18 @@ def test_psl_matches_reference_algorithm(spark):
                df, "host", target="rd", rules=r).collect()}
     for h in hosts:
         assert got[h] == _psl_reference(h, r), h
+
+
+def test_single_label_exception_with_etld_target(spark):
+    # '!com' makes sfx_len 0 — the eTLD branch must not evaluate
+    # slice(labels, 0, 0) (runtime error); rd = the exception itself
+    r = parse_psl("!com\nnet")
+    df = spark.createDataFrame(
+        [("x.com",), ("com",), ("a.net",)], "host string")
+    out = {row["host"]: (row["rd"], row["etld"])
+           for row in registered_domain_psl(
+               df, "host", target="rd", etld_target="etld",
+               rules=r).collect()}
+    assert out["x.com"] == ("com", None)
+    assert out["com"] == ("com", None)
+    assert out["a.net"] == ("a.net", "net")

@@ -190,15 +190,16 @@ def test_stateful_multiline_flush_pattern_and_max_lines(spark, tmp_path):
     q.awaitTermination()
     got = {r["line_no"]: (r["message"], r["n_lines"])
            for r in spark.read.parquet(out_dir).collect()}
-    # max_lines=3 splits the BEGIN event; the COMMIT line joins the
-    # current event and flushes it (flush check precedes the
-    # continuation predicate, pattern.go:209-220)
+    # max_lines=3 truncates, never splits (message_buffer.go addLine
+    # freezes content/numLines at the cap; lines beyond it are
+    # consumed and dropped) — steps 4-5 vanish, and the COMMIT line,
+    # though it flushes the event (flush check precedes the
+    # continuation predicate, pattern.go:209-220), is itself beyond
+    # the cap so it is not appended either
     assert got[1] == ("BEGIN tx\n step 2\n step 3", 3)
-    assert got[4] == (" step 4\n step 5\nCOMMIT", 3)
-    # max_lines also splits the EV event; its tail stays buffered
-    # (no timeout in this test)
-    assert got[7] == ("EV x\n c8\n c9", 3)
-    assert set(got) == {1, 4, 7}
+    # the EV event consumed c8-c11 (truncated at 3) and stays
+    # buffered (no terminator, no timeout in this test)
+    assert set(got) == {1}
 
 
 def test_stateful_multiline_timeout_flush(spark, tmp_path):
@@ -325,3 +326,84 @@ def test_container_partial_batch_streaming_equivalence(spark, tmp_path):
                  str(r["container_time"]))
                 for r in spark.read.parquet(out_dir).collect()}
     assert streamed == batch
+
+
+def test_multiline_batch_streaming_equivalence(spark, tmp_path):
+    """stateful_multiline produces the same events as the batch
+    segment_lines joiner for identical lines — including flush lines
+    that are not continuations and max_lines truncation. (The final
+    event stays buffered in streaming, so the batch tail is excluded.)"""
+    import random
+    from beats_spark.functions.multiline import segment_lines
+    from beats_spark.streaming.pipeline import stateful_multiline
+
+    rnd = random.Random(11)
+    lines = []
+    for _ in range(80):
+        kind = rnd.random()
+        if kind < 0.45:
+            lines.append(f"start {rnd.randint(0, 9)}")
+        elif kind < 0.85:
+            lines.append(f" cont {rnd.randint(0, 9)}")
+        else:
+            lines.append("FLUSH")
+    lines.append("final sentinel")
+
+    batch = segment_lines(lines, pattern=r"^\s", match="after",
+                          flush_pattern=r"^FLUSH", max_lines=3)
+
+    src = os.path.join(str(tmp_path), "src")
+    spark.createDataFrame(
+        [("f", i + 1, ln) for i, ln in enumerate(lines)],
+        "path string, line_no long, message string") \
+        .coalesce(1).write.parquet(os.path.join(src, "b"))
+    stream = (spark.readStream
+              .schema("path string, line_no long, message string")
+              .parquet(os.path.join(src, "*")))
+    q = (stateful_multiline(stream, pattern=r"^\s", match="after",
+                            flush_pattern=r"^FLUSH", max_lines=3,
+                            timeout_ms=None)
+         .writeStream.format("parquet")
+         .option("path", os.path.join(str(tmp_path), "out"))
+         .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = [r["message"] for r in
+                spark.read.parquet(os.path.join(str(tmp_path), "out"))
+                     .orderBy("line_no").collect()]
+    # streaming holds the last (unterminated) event in state
+    assert streamed == batch[:-1]
+
+
+def test_multiline_before_mode_batch_streaming_equivalence(spark, tmp_path):
+    # before-mode: the PREVIOUS line's match decides; its result is
+    # carried in state so it survives the batch boundary too
+    import random
+    from beats_spark.functions.multiline import segment_lines
+    from beats_spark.streaming.pipeline import stateful_multiline
+
+    rnd = random.Random(13)
+    lines = [("part \\" if rnd.random() < 0.5 else
+              f"end {rnd.randint(0, 9)}") for _ in range(60)]
+    lines.append("final")
+    batch = segment_lines(lines, pattern=r"\\$", match="before")
+
+    src = os.path.join(str(tmp_path), "src")
+    spark.createDataFrame(
+        [("f", i + 1, ln) for i, ln in enumerate(lines)],
+        "path string, line_no long, message string") \
+        .coalesce(1).write.parquet(os.path.join(src, "b"))
+    stream = (spark.readStream
+              .schema("path string, line_no long, message string")
+              .parquet(os.path.join(src, "*")))
+    q = (stateful_multiline(stream, pattern=r"\\$", match="before",
+                            timeout_ms=None)
+         .writeStream.format("parquet")
+         .option("path", os.path.join(str(tmp_path), "out"))
+         .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = [r["message"] for r in
+                spark.read.parquet(os.path.join(str(tmp_path), "out"))
+                     .orderBy("line_no").collect()]
+    assert streamed == batch[:-1]
