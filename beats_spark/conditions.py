@@ -54,6 +54,35 @@ def ip_to_long(col: Column) -> Column:
 
 _IPV4_RE = r"^((25[0-5]|2[0-4]\d|1?\d?\d)\.){3}(25[0-5]|2[0-4]\d|1?\d?\d)$"
 
+# Strict IPv6 textual form, mirroring Go net.ParseIP (no zone ids):
+# full 8-group, '::'-compressed with correct group counts, and the
+# embedded-IPv4 tails (full 6-group+v4 and compressed variants). The
+# grok IPV6 class is deliberately looser (log-scraping); validation
+# paths (convert type=ip, add_network_direction) use THIS one — the
+# loose class accepts strings like '1:2:3' that ParseIP rejects.
+_H = "[0-9A-Fa-f]{1,4}"
+_V4 = r"((25[0-5]|2[0-4]\d|1?\d?\d)\.){3}(25[0-5]|2[0-4]\d|1?\d?\d)"
+_IPV6_RE = ("^("
+            f"({_H}:){{7}}{_H}"
+            f"|({_H}:){{1,7}}:"
+            f"|({_H}:){{1,6}}:{_H}"
+            f"|({_H}:){{1,5}}(:{_H}){{2}}"
+            f"|({_H}:){{1,4}}(:{_H}){{3}}"
+            f"|({_H}:){{1,3}}(:{_H}){{4}}"
+            f"|({_H}:){{1,2}}(:{_H}){{5}}"
+            f"|{_H}:(:{_H}){{6}}"
+            f"|:((:{_H}){{1,7}}|:)"
+            # embedded IPv4 tail: full 6-group form, then '::' forms
+            # with m prefix groups and k infix groups, m+k <= 5 exact
+            f"|({_H}:){{6}}{_V4}"
+            f"|::({_H}:){{0,5}}{_V4}"
+            f"|({_H}:){{1}}:({_H}:){{0,4}}{_V4}"
+            f"|({_H}:){{2}}:({_H}:){{0,3}}{_V4}"
+            f"|({_H}:){{3}}:({_H}:){{0,2}}{_V4}"
+            f"|({_H}:){{4}}:({_H}:){{0,1}}{_V4}"
+            f"|({_H}:){{5}}:{_V4}"
+            ")$")
+
 # named networks (conditions/network.go:44-55), the IPv4 half expressed
 # as CIDR lists so the hot path stays pure mask arithmetic. Go's
 # IsInterfaceLocalMulticast is IPv6-only (returns false for every v4
@@ -185,7 +214,16 @@ def cidr_match(col: Column, cidr: str) -> Column:
     return _ip_pred_udf(in_net6)(col)
 
 
-def _network_one(col: Column, spec: str) -> Column:
+def _network_one_parts(col: Column, spec: str):
+    """One network spec → ``(jvm_part, python_pred)``.
+
+    ``jvm_part`` (or None) is the pure-JVM membership column for
+    dotted-quad rows; ``python_pred`` (or None) is the Go-semantics
+    predicate for everything else (IPv6, v4-mapped spellings). Callers
+    combine: ``jvm | (~valid4 & kernel(pred))`` — and
+    :func:`network_any` merges the predicates of MANY specs into ONE
+    Arrow kernel so an N-network processor costs one Python node per
+    column, not N."""
     if spec in _NAMED_V4 or spec in ("unicast", "global_unicast",
                                      "public"):
         pred = _go_named_pred(spec)
@@ -222,10 +260,41 @@ def _network_one(col: Column, spec: str) -> Column:
                     bad = mm if bad is None else (bad | mm)
             bad = bad | (col == "255.255.255.255")
             jvm = valid4 & ~bad
-        # non-dotted-quad rows (IPv6, v4-mapped, garbage) go through the
-        # Go-predicate kernel; dotted-quad rows stay pure JVM
-        return jvm | (~valid4.eqNullSafe(True) & _ip_pred_udf(pred)(col))
-    return cidr_match(col, spec)
+        return jvm, pred
+    net = ipaddress.ip_network(spec, strict=False)
+    if net.version == 4:
+        mask = int(net.netmask)
+        base = int(net.network_address)
+        valid = col.rlike(_IPV4_RE)
+        return (valid & (ip_to_long(col).bitwiseAND(F.lit(mask))
+                         == F.lit(base))), None
+
+    def in_net6(ip, _n=net):
+        return ip.version == 6 and ip in _n
+    return None, in_net6
+
+
+def network_any(col: Column, specs) -> Column:
+    """Membership in ANY of the given networks/named classes, with at
+    most ONE Arrow kernel regardless of how many specs need the Go
+    predicate — dotted-quad rows stay pure JVM throughout."""
+    parts = [_network_one_parts(col, s) for s in specs]
+    jvm = [j for j, _ in parts if j is not None]
+    preds = [p for _, p in parts if p is not None]
+    out = _any(jvm) if jvm else F.lit(False)
+    if preds:
+        def combined(ip, _ps=tuple(preds)):
+            return any(p(ip) for p in _ps)
+        valid4 = col.rlike(_IPV4_RE)
+        # non-dotted-quad rows (IPv6, v4-mapped, garbage) go through
+        # the Go-predicate kernel; dotted-quad rows stay pure JVM
+        out = out | (~valid4.eqNullSafe(True)
+                     & _ip_pred_udf(combined)(col))
+    return out
+
+
+def _network_one(col: Column, spec: str) -> Column:
+    return network_any(col, [spec])
 
 
 # ---------------------------------------------------------------- helpers

@@ -46,11 +46,17 @@ def _deep_merge(a: Dict[str, Any], b: Mapping[str, Any]) -> Dict[str, Any]:
 def _unflatten(cfg: Mapping[str, Any]) -> Dict[str, Any]:
     """Dotted keys → nested dicts, recursively and deep-merged
     (libbeat configs mix ``output.elasticsearch.index: x`` with nested
-    maps freely)."""
+    maps freely). Descends into LISTS too — the canonical docs
+    spelling puts dotted keys inside list entries
+    (``indices: [{index: …, when.contains: {…}}]``,
+    ``processors: [{drop_event.when.equals: {…}}]``)."""
     out: Dict[str, Any] = {}
     for k, v in cfg.items():
         if isinstance(v, Mapping):
             v = _unflatten(v)
+        elif isinstance(v, list):
+            v = [_unflatten(x) if isinstance(x, Mapping) else x
+                 for x in v]
         parts = str(k).split(".")
         cur = out
         for p in parts[:-1]:

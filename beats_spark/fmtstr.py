@@ -31,6 +31,64 @@ def _field_path(ref: str) -> str:
     return ".".join(parts)
 
 
+def _joda_date_format(col: Column, pat: str) -> Column:
+    """Render a Joda-Time pattern over a timestamp column.
+
+    Joda ``Y`` is ALWAYS year-of-era (≡ ``y`` for CE dates) — never
+    week-based — so it maps to ``y`` unconditionally, quote-aware
+    (literal text in ``'…'`` is untouched). Joda's week fields can't
+    go through ``date_format`` at all (Spark ≥3 rejects ``w``/``Y``
+    week patterns), so runs of ``w`` (week of weekyear) and ``x``
+    (weekyear) are composed from ``weekofyear`` and the ISO week-year
+    (the year of that week's Thursday), zero-padded to the run
+    length."""
+    segments = []  # (kind, text) kind: 'fmt' | 'week' | 'weekyear'
+    cur = []
+    in_quote = False
+    i = 0
+    while i < len(pat):
+        ch = pat[i]
+        if ch == "'":
+            in_quote = not in_quote
+            cur.append(ch)
+            i += 1
+            continue
+        if not in_quote and ch in ("w", "x"):
+            j = i
+            while j < len(pat) and pat[j] == ch:
+                j += 1
+            if cur:
+                segments.append(("fmt", "".join(cur)))
+                cur = []
+            segments.append(("week" if ch == "w" else "weekyear", j - i))
+            i = j
+            continue
+        if not in_quote and ch == "Y":
+            ch = "y"
+        cur.append(ch)
+        i += 1
+    if cur:
+        segments.append(("fmt", "".join(cur)))
+
+    # ISO week fields: Monday-first dow, week-year = year of the
+    # week's Thursday (Joda uses ISO week rules)
+    iso_dow = ((F.dayofweek(col) + 5) % 7) + 1
+    thursday = F.date_sub(col.cast("date"), iso_dow - 4)
+    pieces = []
+    for kind, v in segments:
+        if kind == "fmt":
+            pieces.append(F.date_format(col, v))
+        elif kind == "week":
+            pieces.append(F.lpad(F.weekofyear(col).cast("string"),
+                                 v, "0"))
+        else:
+            pieces.append(F.lpad(F.year(thursday).cast("string"),
+                                 v, "0"))
+    if len(pieces) == 1:
+        return pieces[0]
+    return F.concat(*pieces)
+
+
 def is_const_fmtstr(template: str) -> bool:
     return _TOKEN_RE.search(template) is None
 
@@ -51,15 +109,12 @@ def compile_fmtstr(template: str, timestamp_field: str = "@timestamp",
             pieces.append(F.lit(template[pos:m.start()]))
         token = m.group(1)
         if token.startswith("+"):
-            # Joda pattern over the event timestamp. Joda's Y is
-            # year-of-era (≡ y), but Spark's Y is WEEK-based year —
-            # wrong at year boundaries — so map it unless an actual
-            # week field is present (the common beats idiom
-            # %{+YYYY.MM.dd} must mean the calendar year).
-            pat = token[1:]
-            if "w" not in pat and "W" not in pat:
-                pat = pat.replace("Y", "y")
-            pieces.append(F.date_format(F.col(timestamp_field), pat))
+            # Joda pattern over the event timestamp (Y→y always,
+            # week fields composed manually — see _joda_date_format;
+            # a Joda %{+YYYY.ww} on 2025-12-29 must render 2025, not
+            # the week-year 2026)
+            pieces.append(_joda_date_format(F.col(timestamp_field),
+                                            token[1:]))
         else:
             default: Optional[str] = None
             ref = token

@@ -232,16 +232,16 @@ def convert(cfg: Mapping[str, Any]):
     ``fail_on_error`` the reference rolls back — here nulls + tag.
     ``ip`` VALIDATES like the reference's ``net.ParseIP`` (convert.go
     "value is not a valid IP address"): non-IP input nulls out instead
-    of passing through — v4 by mask regex, v6 by the grok IPV6 class
-    (JVM-side, no UDF)."""
+    of passing through — v4 by mask regex, v6 by the STRICT textual
+    class mirroring net.ParseIP (the grok IPV6 class is looser and
+    accepts e.g. '1:2:3'); JVM-side, no UDF."""
     fields = cfg.get("fields", [])
     mode = cfg.get("mode", "copy")
     _types = {"integer": "int", "long": "bigint", "float": "float",
               "double": "double", "string": "string", "boolean": "boolean"}
 
     def make(df: DataFrame) -> ProcResult:
-        from ..conditions import _IPV4_RE
-        from ..functions.grok import GROK_PATTERNS
+        from ..conditions import _IPV4_RE, _IPV6_RE
         assigns, drops = {}, []
         for spec in fields:
             src = spec["from"]
@@ -251,8 +251,7 @@ def convert(cfg: Mapping[str, Any]):
                 continue
             if typ == "ip":
                 col = F.col(src).cast("string")
-                valid = (col.rlike(_IPV4_RE)
-                         | col.rlike("^(?:" + GROK_PATTERNS["IPV6"] + ")$"))
+                valid = col.rlike(_IPV4_RE) | col.rlike(_IPV6_RE)
                 assigns[dst] = F.when(valid, col)
             else:
                 assigns[dst] = F.col(src).try_cast(_types[typ])
@@ -502,13 +501,19 @@ def token_bucket_filter(
         # datetime64[ns] → integer µs (exact; Spark timestamps are µs)
         us = (pdf[ts_field].values.astype("datetime64[ns]")
               .astype("int64") // 1000)
+        # NaT rows: astype would yield INT64_MIN and poison the
+        # accrual. A null event time accrues nothing and never moves
+        # the clock; the row still withdraws a token at the current
+        # fill (deterministic — NaT sorts last within its key).
+        null_ts = pdf[ts_field].isna().values
         tokens = depth
         prev = None
         keep = []
-        for t in us:
-            if prev is not None:
-                tokens += (t - prev) * n  # accrue: elapsed_µs × n/window
-            prev = t
+        for t, is_null in zip(us, null_ts):
+            if not is_null:
+                if prev is not None:
+                    tokens += (t - prev) * n  # elapsed_µs × n/window
+                prev = t
             if tokens >= scale:
                 tokens -= scale
                 keep.append(True)

@@ -244,7 +244,15 @@ def decode_json_fields(cfg: Mapping[str, Any]):
                 if target:
                     assigns[target] = deep["raw"]
                 else:
+                    # relational encoding of PutValue(field, output):
+                    # the map column carries object decodes; the _raw
+                    # companion always preserves the decoded value
+                    # (arrays/scalars included) or, on a parse error,
+                    # the original text — the reference never destroys
+                    # the field (decode_json_fields.go:121-127,145)
                     assigns[out or fld] = deep["obj"]
+                    assigns[f"{out or fld}_raw"] = F.coalesce(
+                        deep["raw"], F.col(fld))
                 if document_id:
                     assigns["meta__id"] = deep["doc_id"]
             else:

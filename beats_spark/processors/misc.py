@@ -83,20 +83,20 @@ def add_network_direction(cfg: Mapping[str, Any]):
     "loopback", …) like the reference; an unparseable or empty IP on
     either side yields NO direction (the reference's early return),
     not "external"."""
-    from ..conditions import _IPV4_RE, _network_one
-    from ..functions.grok import GROK_PATTERNS
+    from ..conditions import _IPV4_RE, _IPV6_RE, network_any
     src = cfg.get("source", "source_ip")
     dst = cfg.get("destination", "destination_ip")
     target = cfg.get("target", "network_direction")
     nets = list(cfg.get("internal_networks", []))
-    _v6_re = "^(?:" + GROK_PATTERNS["IPV6"] + ")$"
+    _v6_re = _IPV6_RE
 
     def make(df: DataFrame) -> ProcResult:
         def member(col: Column) -> Column:
-            out = F.lit(False)
-            for n in nets:
-                out = out | F.coalesce(_network_one(col, n), F.lit(False))
-            return out
+            # ONE Arrow kernel per side covering every named/v6 spec
+            # (N specs used to plan N Python nodes per column)
+            if not nets:
+                return F.lit(False)
+            return F.coalesce(network_any(col, nets), F.lit(False))
 
         def valid(col: Column) -> Column:
             return F.coalesce(col.rlike(_IPV4_RE) | col.rlike(_v6_re),

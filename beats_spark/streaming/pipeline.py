@@ -163,12 +163,14 @@ def stateful_rate_limit(
             pdf = _concat_chunks(chunks).sort_values(ts_col)
             us = (pdf[ts_col].values.astype("datetime64[ns]")
                   .astype("int64") // 1000)
+            null_ts = pdf[ts_col].isna().values
             keep = []
-            for t in us:
-                t = int(t)
-                if last >= 0 and t > last:
-                    tokens += (t - last) * n
-                last = max(last, t)
+            for t, is_null in zip(us, null_ts):
+                if not is_null:
+                    t = int(t)
+                    if last >= 0 and t > last:
+                        tokens += (t - last) * n
+                    last = max(last, t)
                 if tokens >= scale:
                     tokens -= scale
                     keep.append(True)

@@ -111,3 +111,25 @@ def test_unflatten_merges():
 def test_unknown_output_raises(events):
     with pytest.raises(ValueError, match="unsupported output"):
         load_pipeline({"output": {"redis": {}}})
+
+
+def test_dotted_keys_inside_list_entries(spark, events):
+    # the canonical docs spelling nests dotted keys inside list
+    # entries: when.contains under an indices rule, and a dotted
+    # processor body — both must unflatten or the rule compiles
+    # unguarded and matches every event
+    yml = """
+processors:
+  - drop_event:
+      when.equals:
+        level: "trace"
+output.elasticsearch:
+  index: "fallback"
+  indices:
+    - index: "err-idx"
+      when.contains:
+        message: "boom"
+"""
+    pipe = load_pipeline(yml)
+    out = {r["id"]: r["sink"] for r in pipe(events).collect()}
+    assert out == {1: "err-idx", 2: "fallback", 3: "fallback"}

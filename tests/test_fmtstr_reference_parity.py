@@ -74,3 +74,20 @@ def test_missing_column_with_default_routes(spark):
     out2 = route(df, [{"index": "%{[gone]}"}, {"index": "next"}],
                  timestamp_field="present")
     assert out2.collect()[0]["sink"] == "next"
+
+
+def test_joda_year_of_era_with_week_field(spark):
+    # Joda Y is ALWAYS year-of-era: %{+YYYY.ww} on 2025-12-29 renders
+    # the calendar year 2025 (Joda), not the ISO week-year 2026 that
+    # Java's Y would produce; Joda's weekyear is x -> Java Y
+    from pyspark.sql import functions as F
+    from beats_spark.fmtstr import compile_fmtstr
+    df = spark.createDataFrame([("2025-12-29 10:00:00",)], "ts string") \
+        .withColumn("@timestamp", F.to_timestamp("ts"))
+    out = df.select(
+        compile_fmtstr("%{+YYYY.ww}").alias("a"),
+        compile_fmtstr("%{+xxxx.ww}").alias("b"),
+        compile_fmtstr("%{+yyyy'Y'}").alias("c")).collect()[0]
+    assert out["a"].startswith("2025.")
+    assert out["b"].startswith("2026.")   # weekyear of Dec 29 2025
+    assert out["c"] == "2025Y"            # quoted literal untouched

@@ -516,3 +516,95 @@ def test_decode_base64_accepts_unpadded(spark):
         {"decode_base64_field": {"field": {"from": "b", "to": "out"}}}])
     got = {r["id"]: r["out"] for r in chain(df).collect()}
     assert got == {1: "hello", 2: "hello", 3: "correct data"}
+
+
+def test_decode_json_non_object_and_error_preserved(spark):
+    # decode_json_fields.go: unmarshal error leaves the field (plus an
+    # error); a non-object decode replaces the field with the decoded
+    # value. Relationally: the map column is null for both, and the
+    # _raw companion holds the canonical decoded value (array/scalar)
+    # or the original text on a parse error — nothing is destroyed.
+    arr = _decode(spark, '["a","b"]', expand_keys=True)
+    assert arr["msg"] is None and arr["msg_raw"] == '["a","b"]'
+    bad = _decode(spark, '{not json', expand_keys=True)
+    assert bad["msg"] is None and bad["msg_raw"] == '{not json'
+    num = _decode(spark, '42', max_depth=2)
+    assert num["msg"] is None and num["msg_raw"] == '42'
+
+
+def test_strict_ipv6_validation_matches_parseip(spark):
+    # convert type=ip / add_network_direction validate with the STRICT
+    # v6 class (net.ParseIP semantics) — the loose grok class accepts
+    # '1:2:3' etc.; checked through Spark's Java regex engine
+    import ipaddress
+    from pyspark.sql import functions as F
+    from beats_spark.conditions import _IPV6_RE
+    cases = ["::", "::1", "1::", "1:2:3:4:5:6:7:8", "1:2:3",
+             "1:2:3:4:5:6:7", "::ffff:1.2.3.4", "1:2:3:4:5:6:1.2.3.4",
+             "1::1.2.3.4", "1:2::3:1.2.3.4", "::1.2.3.4",
+             "1:2:3:4:5::1.2.3.4", "1:2:3:4:5:6::1.2.3.4", "g::1",
+             ":::", "1::2::3", "1:2:3:4:5:6:7:8:9", "12345::",
+             "2001:db8::8a2e:370:7334", "0:0:0:0:0:0:0:0",
+             "::ffff:256.1.2.3", "1:2:3:4:5::6:7:8:9:1.2.3.4"]
+
+    def parseip_ok(s):
+        try:
+            ipaddress.IPv6Address(s)
+            return True
+        except ValueError:
+            return False
+
+    df = spark.createDataFrame([(c,) for c in cases], "ip string")
+    got = {r["ip"]: r["ok"] for r in
+           df.select("ip", F.col("ip").rlike(_IPV6_RE).alias("ok"))
+             .collect()}
+    for c in cases:
+        assert got[c] == parseip_ok(c), c
+
+
+def test_convert_ip_rejects_loose_v6(spark):
+    from beats_spark.processors import compile_processors
+    df = spark.createDataFrame(
+        [("1:2:3",), ("::1",), ("10.0.0.1",), ("999.1.1.1",)],
+        "addr string")
+    chain = compile_processors([{"convert": {
+        "fields": [{"from": "addr", "to": "ip", "type": "ip"}]}}])
+    got = {r["addr"]: r["ip"] for r in chain(df).collect()}
+    assert got == {"1:2:3": None, "::1": "::1",
+                   "10.0.0.1": "10.0.0.1", "999.1.1.1": None}
+
+
+def test_network_direction_single_kernel_for_many_nets(spark):
+    # N internal networks must plan ONE Arrow node per side, not N
+    from beats_spark.processors import compile_processors
+    df = spark.createDataFrame(
+        [("10.0.0.1", "8.8.8.8"), ("fd00::1", "2001:db8::1"),
+         ("127.0.0.1", "10.1.2.3"), (None, "8.8.4.4")],
+        "source_ip string, destination_ip string")
+    chain = compile_processors([{"add_network_direction": {
+        "internal_networks": ["private", "loopback", "fd00::/8",
+                              "169.254.0.0/16"]}}])
+    out = chain(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") <= 2  # one per side
+    got = {r["source_ip"]: r["network_direction"] for r in out.collect()}
+    assert got["10.0.0.1"] == "outbound"     # private -> public
+    assert got["fd00::1"] == "outbound"      # fd00::/8 -> external v6
+    assert got["127.0.0.1"] == "internal"    # loopback -> private
+    assert got[None] is None                 # invalid side: no direction
+
+
+def test_token_bucket_null_timestamps_draw_without_accrual(spark):
+    from pyspark.sql import functions as F
+    from beats_spark.processors.core import token_bucket_filter
+    rows = ([("k", 1_700_000_000_000_000 + i) for i in range(5)]
+            + [("k", None), ("k", None)])
+    df = spark.createDataFrame(rows, "key string, us long") \
+        .select("key", F.timestamp_micros(F.col("us")).alias("ts"))
+    # 3 tokens/s, burst 1: the 5 same-second rows keep 3; NaT rows
+    # (sorted last) accrue nothing and find an empty bucket
+    out = token_bucket_filter(df, limit="3/s", fields=["key"],
+                              ts_field="ts")
+    kept = out.collect()
+    assert len(kept) == 3
+    assert all(r["ts"] is not None for r in kept)
