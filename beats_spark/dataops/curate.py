@@ -61,11 +61,20 @@ def curate(
     minhash_hashes: int = 16,
     minhash_bands: int = 4,
     with_metrics: bool = True,
+    near_dup_resolution: str = "pairs",
 ) -> CurationResult:
     """quality filter → language select → exact dedup → MinHash
-    near-dedup. Near-dup resolution keeps the SMALLER id of every
-    verified pair (deterministic; chains resolve to "drop anything
-    that loses at least one pairing")."""
+    near-dedup.
+
+    ``near_dup_resolution``:
+
+    - ``"pairs"`` (default): keep the SMALLER id of every verified
+      pair — deterministic, single anti-join, but chains over-drop
+      (a~b, b~c drops both b and c even though a≁c);
+    - ``"components"``: resolve clusters first (connected components
+      over the pair graph, min-label propagation) and keep exactly
+      ONE doc — the min id — per cluster (the FineWeb-style rule).
+    """
     metrics: Dict[str, int] = {}
     cached: List[DataFrame] = []
 
@@ -109,7 +118,18 @@ def curate(
         kept, id_col=id_col, text_col=text_col,
         num_hashes=minhash_hashes, bands=minhash_bands,
         threshold=near_dup_jaccard)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if near_dup_resolution == "components":
+        from .components import connected_components
+        labeled = connected_components(pairs, id_col=id_col,
+                                       comp_col="__comp")
+        losers = (labeled.filter(F.col(id_col) != F.col("__comp"))
+                         .select(id_col))
+    elif near_dup_resolution == "pairs":
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    else:
+        raise ValueError(
+            f"near_dup_resolution must be 'pairs' or 'components': "
+            f"{near_dup_resolution!r}")
     kept = kept.join(losers, id_col, "left_anti")
     if with_metrics:
         metrics["docs.near_dup_kept"] = kept.count()

@@ -919,6 +919,37 @@ def dedup_simhash_pairs(spark, sf_dir):
     return simhash_pairs(docs, max_hamming=10, chunks=12)
 
 
+_SIMHASH_PAIRS_SQL = ORACLES["dedup_simhash_pairs"]
+
+
+@query("dedup_components", oracle=f"""
+WITH RECURSIVE pairs AS ({_SIMHASH_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs),
+lp AS (
+  SELECT doc_id AS id, doc_id AS comp FROM documents
+  UNION
+  SELECT e.v AS id, lp.comp FROM lp JOIN edges e ON e.u = lp.id)
+SELECT id AS doc_id, min(comp) AS component
+FROM lp GROUP BY id
+""")
+def dedup_components(spark, sf_dir):
+    """Connected components over the SimHash near-dup pairs — the
+    cluster-resolution step (one survivor per component, not
+    per-pair loser-dropping): iterative min-label propagation, one
+    join + min-agg per round, labels localCheckpoint-ed so lineage
+    stays flat (dataops/components.py). Oracle: recursive-CTE
+    reachability closure over the same pair list."""
+    from .dataops.components import connected_components
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_pairs(docs, max_hamming=10, chunks=12)
+    return connected_components(
+        pairs, nodes=docs.select("doc_id"), id_col="doc_id",
+        comp_col="component")
+
+
 @query("container_ndjson", oracle="""
 WITH lines AS (
   SELECT CASE WHEN event_id % 2 = 0

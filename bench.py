@@ -51,7 +51,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard", "dedup_embedding", "ann_cosine_topk",
     "text_quality", "token_count", "lang_id", "lang_id_fused", "salted_agg",
     "windowed_counts", "curation_pipeline",
-    "container_partial", "psl_domains",
+    "container_partial", "psl_domains", "dedup_components",
     "flagship_routed_counts", "flagship_messages",
 ]
 

@@ -41,3 +41,32 @@ def test_fused_lang_matches_jvm_stopword_path(spark, sf_dir):
     assert both.filter(F.col("jvm") != F.col("fused")).count() == 0
     # kernel struct stays backward compatible
     assert both.filter(F.col("q").isNull()).count() == 0
+
+
+def test_component_resolution_keeps_one_per_cluster(spark, sf_dir):
+    from beats_spark.dataops.components import connected_components
+    from beats_spark.dataops.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clustered = curate(docs, with_metrics=False,
+                       near_dup_resolution="components")
+    kept_c = {r["doc_id"] for r in clustered.kept.select("doc_id").collect()}
+
+    # recompute the pair graph over the SAME pre-near-dup universe the
+    # funnel saw (quality -> lang -> exact dedup) and its components
+    pre = curate(docs, with_metrics=False, near_dup_jaccard=2.0)
+    pre_ids = pre.kept.select("doc_id", "text")
+    pairs = minhash_lsh_pairs(pre_ids, id_col="doc_id", text_col="text",
+                              num_hashes=16, bands=4, threshold=0.12)
+    labeled = connected_components(
+        pairs, nodes=pre_ids.select("doc_id"), id_col="doc_id")
+    comp = {r["doc_id"]: r["component"] for r in labeled.collect()}
+
+    # the survivor set is exactly one doc per component: the min id
+    expect = {c for c in comp.values()}
+    assert kept_c == expect
+    # no two survivors share a component
+    seen = {}
+    for d in kept_c:
+        assert comp[d] not in seen
+        seen[comp[d]] = d
