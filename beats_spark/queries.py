@@ -950,6 +950,30 @@ def dedup_components(spark, sf_dir):
         comp_col="component")
 
 
+@query("dataset_split", oracle="""
+WITH b AS (
+  SELECT lang,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 10000 AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n
+FROM b GROUP BY split, lang
+""")
+def dataset_split(spark, sf_dir):
+    """Deterministic hash split (train/val/test 90/5/5 on md5(doc_id)
+    buckets — reproducible under repartitioning/retries, unlike
+    randomSplit) with per-stratum realized counts
+    (dataops/splits.py)."""
+    from .dataops.splits import hash_split, split_fractions
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id",
+                     {"train": 0.9, "val": 0.05, "test": 0.05})
+    return split_fractions(out, strata=["lang"])
+
+
 @query("container_ndjson", oracle="""
 WITH lines AS (
   SELECT CASE WHEN event_id % 2 = 0
