@@ -950,6 +950,76 @@ def dedup_components(spark, sf_dir):
         comp_col="component")
 
 
+@query("domain_rollup", oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, {_SH_TOKS} AS toks,
+         CASE CAST(doc_id % 6 AS INT)
+           WHEN 0 THEN source || '.blog.example.com'
+           WHEN 1 THEN source || '.shop.co.uk'
+           WHEN 2 THEN source || '.foo.ck'
+           WHEN 3 THEN 'www.ck'
+           WHEN 4 THEN source || '.pages.github.io'
+           ELSE source || '.unknowntld' END AS host,
+         CAST(doc_id % 6 AS INT) AS bucket
+  FROM documents),
+feat AS (
+  SELECT host, bucket, text,
+    round(CAST(len(list_filter(toks, x -> x IN
+      ('the','a','an','and','or','of','to','in','is','it','that','for',
+       'on','with','as','at','by','be','this','are','was'))) AS DOUBLE)
+      / greatest(len(toks), 1), 9) AS stop_r,
+    round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+               AS DOUBLE) / greatest(length(text), 1), 9) AS alpha_r,
+    round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+               AS DOUBLE) / greatest(length(text), 1), 9) AS punct_r,
+    round(CAST(list_sum(list_transform(toks, x -> length(x)))
+               AS DOUBLE) / greatest(len(toks), 1), 9) AS awl
+  FROM t),
+q AS (
+  SELECT CASE bucket
+           WHEN 0 THEN 'example.com'
+           WHEN 1 THEN 'shop.co.uk'
+           WHEN 2 THEN host
+           WHEN 3 THEN 'www.ck'
+           WHEN 4 THEN 'pages.github.io'
+           ELSE host END AS registered_domain,
+    CAST(round(round(least(stop_r * 4, 1.0) * 0.3 + alpha_r * 0.4
+          + (1 - least(punct_r * 5, 1.0)) * 0.2
+          + (CASE WHEN awl >= 3 AND awl <= 10
+                  THEN 1.0 ELSE 0.5 END) * 0.1, 6) * 1e6)
+         AS BIGINT) AS qm
+  FROM feat)
+SELECT registered_domain, count(*) AS n_docs,
+       round(CAST(sum(qm) AS BIGINT) / count(*) / 1e6, 6) AS avg_quality
+FROM q GROUP BY registered_domain
+""")
+def domain_rollup(spark, sf_dir):
+    """Per-registered-domain crawl rollup: PSL broadcast-join eTLD+1
+    × the fused quality kernel, aggregated with the exact-cents trick
+    (quality summed as integer micro-units so the average is
+    order-independent and engine-exact). The crawl-curation synthesis
+    query: which domains contribute how many docs at what quality."""
+    from .dataops.textstats import text_stats_arrow
+    from .psl import registered_domain_psl
+    docs = _t(spark, sf_dir, "documents")
+    b = (F.col("doc_id") % 6).cast("int")
+    host = (F.when(b == 0, F.concat("source", F.lit(".blog.example.com")))
+             .when(b == 1, F.concat("source", F.lit(".shop.co.uk")))
+             .when(b == 2, F.concat("source", F.lit(".foo.ck")))
+             .when(b == 3, F.lit("www.ck"))
+             .when(b == 4, F.concat("source", F.lit(".pages.github.io")))
+             .otherwise(F.concat("source", F.lit(".unknowntld"))))
+    df = docs.select(
+        host.alias("host"),
+        F.round(text_stats_arrow("text")["quality"] * 1e6)
+         .cast("long").alias("qm"))
+    out = registered_domain_psl(df, "host")
+    return (out.groupBy("registered_domain")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.sum("qm") / F.count(F.lit(1)) / 1e6, 6)
+                  .alias("avg_quality")))
+
+
 @query("dataset_split", oracle="""
 WITH b AS (
   SELECT lang,
