@@ -203,15 +203,22 @@ def cidr_match(col: Column, cidr: str) -> Column:
     expansion and v6 group math don't reduce to column arithmetic)."""
     net = ipaddress.ip_network(cidr, strict=False)
     if net.version == 4:
-        mask = int(net.netmask)
-        base = int(net.network_address)
-        valid = col.rlike(_IPV4_RE)
-        return valid & (ip_to_long(col).bitwiseAND(F.lit(mask))
-                        == F.lit(base))
+        return _v4_cidr_col(col, net)
 
     def in_net6(ip, _n=net):
         return ip.version == 6 and ip in _n
     return _ip_pred_udf(in_net6)(col)
+
+
+def _v4_cidr_col(col: Column, net) -> Column:
+    """Shared v4-CIDR membership: rlike validity + compile-time
+    mask/base arithmetic (used by cidr_match AND the network_any
+    parts, so v4 semantics can't drift between them)."""
+    mask = int(net.netmask)
+    base = int(net.network_address)
+    valid = col.rlike(_IPV4_RE)
+    return valid & (ip_to_long(col).bitwiseAND(F.lit(mask))
+                    == F.lit(base))
 
 
 def _network_one_parts(col: Column, spec: str):
@@ -263,11 +270,7 @@ def _network_one_parts(col: Column, spec: str):
         return jvm, pred
     net = ipaddress.ip_network(spec, strict=False)
     if net.version == 4:
-        mask = int(net.netmask)
-        base = int(net.network_address)
-        valid = col.rlike(_IPV4_RE)
-        return (valid & (ip_to_long(col).bitwiseAND(F.lit(mask))
-                         == F.lit(base))), None
+        return _v4_cidr_col(col, net), None
 
     def in_net6(ip, _n=net):
         return ip.version == 6 and ip in _n
@@ -303,6 +306,21 @@ def _as_list(v) -> List:
     return list(v) if isinstance(v, (list, tuple)) else [v]
 
 
+def _flatten_field_paths(body: Mapping, stop=None) -> dict:
+    """Nested dict condition bodies → dotted field paths:
+    ``{'log': {'flags': 'x'}}`` → ``{'log.flags': 'x'}``. Leaf values
+    (scalars, lists — e.g. network spec lists) stop the recursion, as
+    does a dict matching ``stop`` (range op dicts)."""
+    out: dict = {}
+    for k, v in body.items():
+        if isinstance(v, Mapping) and v and not (stop and stop(v)):
+            for sk, sv in _flatten_field_paths(v, stop).items():
+                out[f"{k}.{sk}"] = sv
+        else:
+            out[k] = v
+    return out
+
+
 def _all(cols: Sequence[Column]) -> Column:
     out = cols[0]
     for c in cols[1:]:
@@ -330,6 +348,20 @@ def compile_condition(cfg: Mapping[str, Any],
     if not isinstance(cfg, Mapping) or len(cfg) != 1:
         raise ValueError(f"condition must have exactly one key: {cfg!r}")
     (kind, body), = cfg.items()
+
+    # dotted keys inside condition bodies are FIELD PATHS, but config
+    # loaders (ours and libbeat's ucfg) may deliver them as nested
+    # maps ({'log': {'flags': 'x'}} for 'log.flags: x'); re-flatten so
+    # both spellings compile identically. Range specs (gte/lt/...)
+    # stay one level nested by design and are not condition values.
+    if kind in ("equals", "contains", "regexp", "network") \
+            and isinstance(body, Mapping):
+        body = _flatten_field_paths(body)
+    elif kind == "range" and isinstance(body, Mapping):
+        # flatten down to the op dict ({'cpu': {'pct': {'gte': .5}}}
+        # → {'cpu.pct': {'gte': .5}})
+        body = _flatten_field_paths(
+            body, stop=lambda d: set(d) <= {"gte", "gt", "lte", "lt"})
 
     if kind == "and":
         return _all([compile_condition(c, schema) for c in body])
@@ -387,9 +419,11 @@ def compile_condition(cfg: Mapping[str, Any],
         return _all(cols)
 
     if kind == "network":
+        # ONE Arrow kernel per field covering every named/v6 spec —
+        # not one per spec (see network_any)
         cols = []
         for f, specs in body.items():
-            cols.append(_any([_network_one(F.col(f), s) for s in _as_list(specs)]))
+            cols.append(network_any(F.col(f), _as_list(specs)))
         return _all(cols)
 
     raise ValueError(f"unknown condition kind {kind!r}")

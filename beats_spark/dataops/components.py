@@ -58,10 +58,16 @@ def connected_components(
     # an un-checkpointed pair frame (often itself an expensive
     # similarity join) would recompute per iteration
     sym = sym.localCheckpoint(eager=True)
+    endpoints = sym.select(F.col("u").alias("id")).distinct()
     if nodes is not None:
-        universe = nodes.select(F.col(id_col).alias("id")).distinct()
+        # ALWAYS include the edge endpoints: a universe missing them
+        # would otherwise converge prematurely (a label reaching an
+        # unlisted node has no previous label to compare against) and
+        # return a silently partial labeling
+        universe = (nodes.select(F.col(id_col).alias("id"))
+                    .unionByName(endpoints).distinct())
     else:
-        universe = sym.select(F.col("u").alias("id")).distinct()
+        universe = endpoints
     labels = universe.select("id", F.col("id").alias("comp"))
     labels = labels.localCheckpoint(eager=True)
 

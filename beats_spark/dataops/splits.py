@@ -44,6 +44,7 @@ def hash_split(
     fractions: Mapping[str, float],
     split_col: str = "split",
     granularity: int = 10_000,
+    on_null: Optional[str] = None,
 ) -> DataFrame:
     """Assign each row a split name by hashed key bucket.
 
@@ -52,11 +53,24 @@ def hash_split(
     ``{"train": .9, "val": .05, "test": .05}`` puts buckets
     [0, 9000) → train, [9000, 9500) → val, [9500, 10000) → test.
     Every row with the same key (and every member of a cluster if the
-    key is a cluster id) gets the same split."""
+    key is a cluster id) gets the same split.
+
+    Null keys would otherwise hash to null and ALL fall through to
+    the last split, silently skewing it; by default they fail the job
+    at scan time (``assert_true``), or name a split via ``on_null``
+    to route them explicitly."""
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
+    if on_null is not None and on_null not in fractions:
+        raise ValueError(f"on_null {on_null!r} is not a split name")
     bucket = split_bucket(F.col(key_col), granularity)
+    if on_null is None:
+        guard = F.assert_true(
+            F.col(key_col).isNotNull(),
+            F.lit(f"hash_split: null {key_col} (set on_null to route "
+                  "null keys to a named split)"))
+        bucket = F.when(guard.isNull(), bucket)
     cum = 0.0
     expr = None
     names = list(fractions)
@@ -68,6 +82,9 @@ def hash_split(
                                                    F.lit(name))
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
+    if on_null is not None:
+        expr = F.when(F.col(key_col).isNull(), F.lit(on_null)) \
+                .otherwise(expr)
     return df.withColumn(split_col, expr)
 
 

@@ -74,16 +74,26 @@ def _joda_date_format(col: Column, pat: str) -> Column:
     # week's Thursday (Joda uses ISO week rules)
     iso_dow = ((F.dayofweek(col) + 5) % 7) + 1
     thursday = F.date_sub(col.cast("date"), iso_dow - 4)
+
+    def num(c: Column, n: int, two_digit_year: bool = False) -> Column:
+        # Joda numeric fields: the letter count is the MINIMUM digit
+        # count (never truncate — Spark's lpad would), except the
+        # two-letter year forms which mean "last two digits"
+        s = c.cast("string")
+        if two_digit_year and n == 2:
+            return F.substring(s, -2, 2)
+        if n <= 1:
+            return s
+        return F.when(F.length(s) < n, F.lpad(s, n, "0")).otherwise(s)
+
     pieces = []
     for kind, v in segments:
         if kind == "fmt":
             pieces.append(F.date_format(col, v))
         elif kind == "week":
-            pieces.append(F.lpad(F.weekofyear(col).cast("string"),
-                                 v, "0"))
+            pieces.append(num(F.weekofyear(col), v))
         else:
-            pieces.append(F.lpad(F.year(thursday).cast("string"),
-                                 v, "0"))
+            pieces.append(num(F.year(thursday), v, two_digit_year=True))
     if len(pieces) == 1:
         return pieces[0]
     return F.concat(*pieces)

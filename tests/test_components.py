@@ -62,3 +62,10 @@ def test_keep_min_per_component(spark):
     labeled = connected_components(e)
     kept = sorted(r["id"] for r in keep_min_per_component(labeled).collect())
     assert kept == [1, 7]
+
+
+def test_universe_always_includes_edge_endpoints(spark):
+    # a nodes universe missing edge endpoints must not cause a
+    # premature-convergence partial labeling
+    got = _cc(spark, [(1, 2), (2, 3)], nodes=[1])
+    assert got == {1: 1, 2: 1, 3: 1}

@@ -102,3 +102,36 @@ def test_condition_is_plan_side_no_python(events):
     named = events.filter(compile_condition({"network": {"ip": "private"}}))
     nplan = named._jdf.queryExecution().executedPlan().toString()
     assert nplan.count("ArrowEvalPython") <= 1
+
+
+def test_nested_condition_bodies_are_field_paths(spark):
+    # config loaders may deliver 'log.flags: x' as {'log': {'flags':
+    # 'x'}}; both spellings must compile to the same field-path
+    # condition (the struct column log.flags)
+    from beats_spark.conditions import compile_condition
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(1, ("x", 10.0)), (2, ("y", 99.0))],
+        "id int, log struct<flags: string, pct: double>")
+    for body in ({"log.flags": "x"}, {"log": {"flags": "x"}}):
+        got = [r["id"] for r in
+               df.filter(compile_condition({"equals": body})).collect()]
+        assert got == [1], body
+    for body in ({"log.pct": {"gte": 50}},
+                 {"log": {"pct": {"gte": 50}}}):
+        got = [r["id"] for r in
+               df.filter(compile_condition({"range": body})).collect()]
+        assert got == [2], body
+
+
+def test_network_condition_single_kernel_many_specs(spark):
+    from beats_spark.conditions import compile_condition
+    df = spark.createDataFrame(
+        [("10.0.0.1",), ("2001:db8::1",), ("8.8.8.8",)], "ip string")
+    cond = compile_condition({"network": {
+        "ip": ["private", "loopback", "2001:db8::/32", "multicast"]}})
+    out = df.filter(cond)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") <= 1
+    assert sorted(r["ip"] for r in out.collect()) == \
+        ["10.0.0.1", "2001:db8::1"]

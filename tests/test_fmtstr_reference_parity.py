@@ -91,3 +91,21 @@ def test_joda_year_of_era_with_week_field(spark):
     assert out["a"].startswith("2025.")
     assert out["b"].startswith("2026.")   # weekyear of Dec 29 2025
     assert out["c"] == "2025Y"            # quoted literal untouched
+
+
+def test_joda_week_min_digit_and_two_digit_year(spark):
+    # Joda letter counts are MINIMUM digits (never truncate); the
+    # two-letter weekyear means "last two digits"
+    from pyspark.sql import functions as F
+    from beats_spark.fmtstr import compile_fmtstr
+    df = spark.createDataFrame([("2026-12-28 10:00:00",)], "ts string") \
+        .withColumn("@timestamp", F.to_timestamp("ts"))
+    got = df.select(
+        compile_fmtstr("%{+w}").alias("w1"),      # ISO week 53 of 2026
+        compile_fmtstr("%{+www}").alias("w3"),
+        compile_fmtstr("%{+xx}").alias("x2"),
+        compile_fmtstr("%{+xxxxx}").alias("x5")).collect()[0]
+    assert got["w1"] == "53"
+    assert got["w3"] == "053"
+    assert got["x2"] == "26"
+    assert got["x5"] == "02026"

@@ -58,3 +58,15 @@ def test_split_fractions_counts(spark):
     got = {(r["split"], r["lang"]): r["n"]
            for r in split_fractions(out, strata=["lang"]).collect()}
     assert got == {("a", "en"): 2, ("a", "de"): 1}
+
+
+def test_null_keys_raise_by_default_or_route(spark):
+    df = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    f = {"train": 0.9, "test": 0.1}
+    with pytest.raises(Exception):
+        hash_split(df, "doc_id", f).collect()
+    out = {r["doc_id"]: r["split"]
+           for r in hash_split(df, "doc_id", f, on_null="test").collect()}
+    assert out[None] == "test" and out[1] in ("train", "test")
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", f, on_null="nope")
