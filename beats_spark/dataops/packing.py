@@ -1,0 +1,104 @@
+"""Sequence packing: batching documents into fixed token-budget
+training sequences.
+
+LLM pre-training consumes fixed-length sequences; the packing step
+decides which documents share a sequence. Two engine-native forms:
+
+- :func:`pack_concat` — concat-and-split: documents are laid out in a
+  deterministic order (``order_col``) and the token stream is cut
+  every ``budget`` tokens, so a document can span two bins. Pure
+  window cumsum — zero Python, one shuffle (the per-shard sort), and
+  exactly reproducible in SQL, so it carries a full value oracle.
+- :func:`pack_greedy` — greedy first-fit-in-order: a document that
+  does not fit in the bin's remaining budget closes the bin and opens
+  the next (documents never split; bins may be under-full). The
+  bin id depends on a running remainder that resets — inherently
+  sequential, so it runs as the same per-key Arrow scan shape as the
+  token bucket (``applyInPandas`` per shard, parallel across shards)
+  and its oracle is a recursive CTE.
+
+Both shard by a caller column (e.g. the hash-split or a date) so the
+sequential structure is per-shard and the job scales with shard
+count; packing quality is unaffected because sequences never cross
+shards anyway (a training shard is the natural packing boundary).
+
+Documents longer than the budget: ``pack_concat`` splits them across
+bins naturally; ``pack_greedy`` gives the oversized document its own
+bin (first-fit degenerate case), matching common packers.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["pack_concat", "pack_greedy"]
+
+
+def pack_concat(
+    df: DataFrame,
+    budget: int,
+    tokens_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    shard_col: Optional[str] = None,
+    bin_col: str = "bin",
+    offset_col: str = "bin_offset",
+) -> DataFrame:
+    """Concat-and-split packing: bin = which budget-window the
+    document STARTS in; ``offset_col`` = its start position inside
+    that bin. One window cumsum, no Python."""
+    parts = [shard_col] if shard_col else []
+    w = (Window.partitionBy(*parts).orderBy(order_col)
+         if parts else Window.orderBy(order_col))
+    start = (F.sum(F.col(tokens_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0))
+        - F.col(tokens_col))
+    return df.withColumns({
+        bin_col: F.floor(start / budget).cast("long"),
+        offset_col: (start % budget).cast("long"),
+    })
+
+
+def pack_greedy(
+    df: DataFrame,
+    budget: int,
+    tokens_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    shard_col: Optional[str] = None,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Greedy first-fit-in-order packing (documents never split).
+
+    Per shard, documents are scanned in ``order_col`` order; a doc
+    that exceeds the remaining budget closes the bin. Same
+    sequential-scan execution shape as the token bucket: an
+    ``applyInPandas`` per shard, parallel across shards."""
+    from pyspark.sql import types as T
+    # build a NEW StructType — StructType.add mutates in place, and
+    # df.schema hands back the DataFrame's cached schema object, so
+    # .add() would corrupt the INPUT frame's apparent columns
+    schema_out = T.StructType(
+        list(df.schema.fields) + [T.StructField(bin_col, T.LongType())])
+    b = int(budget)
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        bins = []
+        cur_bin, used = 0, 0
+        for t in pdf[tokens_col].values:
+            t = int(t) if t == t else 0  # NaN tokens count as 0
+            if used > 0 and used + t > b:
+                cur_bin += 1
+                used = 0
+            bins.append(cur_bin)
+            used += t
+        out = pdf.copy()
+        out[bin_col] = pd.Series(bins, index=pdf.index, dtype="int64")
+        return out
+
+    grouped = (df.groupBy(shard_col) if shard_col
+               else df.groupBy(F.lit(1)))
+    return grouped.applyInPandas(scan, schema=schema_out)

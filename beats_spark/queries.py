@@ -1020,6 +1020,67 @@ def domain_rollup(spark, sf_dir):
                   .alias("avg_quality")))
 
 
+@query("pack_concat", oracle=f"""
+WITH t AS (
+  SELECT lang, doc_id, CAST(len({_SH_TOKS}) AS BIGINT) AS n
+  FROM documents),
+c AS (
+  SELECT lang, doc_id,
+         sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - n AS start
+  FROM t)
+SELECT lang, doc_id,
+       CAST(start // 512 AS BIGINT) AS bin,
+       CAST(start % 512 AS BIGINT) AS bin_offset
+FROM c
+""")
+def pack_concat_q(spark, sf_dir):
+    """Concat-and-split sequence packing (training batcher): lay the
+    per-shard token stream out in doc_id order, cut every 512 tokens
+    — one window cumsum, zero Python (dataops/packing.py)."""
+    from .dataops.packing import pack_concat
+    from .dataops.textstats import token_count
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "lang", "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"))
+    out = pack_concat(sized, budget=512, shard_col="lang")
+    return out.select("lang", "doc_id", "bin", "bin_offset")
+
+
+@query("pack_greedy", oracle=f"""
+WITH RECURSIVE t AS (
+  SELECT lang, doc_id, CAST(len({_SH_TOKS}) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents),
+scan AS (
+  SELECT lang, doc_id, rn, CAST(0 AS BIGINT) AS bin, n AS used, n
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.lang, t.doc_id, t.rn,
+         CASE WHEN s.used > 0 AND s.used + t.n > 512
+              THEN s.bin + 1 ELSE s.bin END,
+         CASE WHEN s.used > 0 AND s.used + t.n > 512
+              THEN t.n ELSE s.used + t.n END,
+         t.n
+  FROM scan s JOIN t ON t.lang = s.lang AND t.rn = s.rn + 1)
+SELECT lang, doc_id, bin FROM scan
+""")
+def pack_greedy_q(spark, sf_dir):
+    """Greedy first-fit-in-order packing (docs never split; a doc
+    that exceeds the remaining budget opens the next bin) — the
+    token-bucket execution shape: sequential Arrow scan per shard,
+    parallel across shards; oracle is the matching recursive CTE."""
+    from .dataops.packing import pack_greedy
+    from .dataops.textstats import token_count
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "lang", "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"))
+    out = pack_greedy(sized, budget=512, shard_col="lang")
+    return out.select("lang", "doc_id", "bin")
+
+
 @query("dataset_split", oracle="""
 WITH b AS (
   SELECT lang,

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "text_quality", "token_count", "lang_id", "lang_id_fused", "salted_agg",
     "windowed_counts", "curation_pipeline",
     "container_partial", "psl_domains", "dedup_components",
+    "pack_greedy", "domain_rollup",
     "flagship_routed_counts", "flagship_messages",
 ]
 

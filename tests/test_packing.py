@@ -1,0 +1,70 @@
+"""Sequence packing (dataops/packing.py): concat-split arithmetic,
+greedy first-fit semantics, oversized docs, shard isolation,
+determinism under partitioning."""
+
+from pyspark.sql import functions as F
+
+from beats_spark.dataops.packing import pack_concat, pack_greedy
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "lang string, doc_id long, n_tokens long")
+
+
+def test_pack_concat_bins_and_offsets(spark):
+    df = _df(spark, [("en", 1, 300), ("en", 2, 300), ("en", 3, 100)])
+    got = {r["doc_id"]: (r["bin"], r["bin_offset"])
+           for r in pack_concat(df, 512, shard_col="lang").collect()}
+    # token stream: doc1 [0,300), doc2 [300,600) -> starts in bin 0 at
+    # offset 300 (spans into bin 1), doc3 starts at 600 -> bin 1
+    assert got == {1: (0, 0), 2: (0, 300), 3: (1, 88)}
+
+
+def test_pack_greedy_first_fit_and_oversize(spark):
+    df = _df(spark, [("en", 1, 300), ("en", 2, 300), ("en", 3, 100),
+                     ("en", 4, 900), ("en", 5, 10)])
+    got = {r["doc_id"]: r["bin"]
+           for r in pack_greedy(df, 512, shard_col="lang").collect()}
+    # doc2 doesn't fit with doc1; doc3 joins doc2; oversized doc4 gets
+    # its own bin; doc5 opens the next
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+
+def test_greedy_bins_respect_budget_except_oversize(spark):
+    import random
+    rnd = random.Random(3)
+    rows = [("en", i, rnd.randint(20, 700)) for i in range(200)]
+    df = _df(spark, rows)
+    out = pack_greedy(df, 512, shard_col="lang")
+    per_bin = (out.groupBy("bin")
+               .agg(F.sum("n_tokens").alias("t"),
+                    F.count(F.lit(1)).alias("k")).collect())
+    for r in per_bin:
+        assert r["t"] <= 512 or r["k"] == 1  # only oversized singletons
+
+
+def test_shards_pack_independently(spark):
+    df = _df(spark, [("en", 1, 500), ("de", 2, 500), ("en", 3, 500)])
+    got = {r["doc_id"]: r["bin"]
+           for r in pack_greedy(df, 512, shard_col="lang").collect()}
+    assert got == {1: 0, 2: 0, 3: 1}
+
+
+def test_deterministic_under_partitioning(spark):
+    import random
+    rnd = random.Random(5)
+    rows = [(["en", "de"][i % 2], i, rnd.randint(10, 600))
+            for i in range(300)]
+    df = _df(spark, rows)
+    a = {r["doc_id"]: r["bin"]
+         for r in pack_greedy(df, 512, shard_col="lang").collect()}
+    b = {r["doc_id"]: r["bin"]
+         for r in pack_greedy(df.repartition(7), 512,
+                              shard_col="lang").collect()}
+    assert a == b
+    c = {r["doc_id"]: (r["bin"], r["bin_offset"]) for r in
+         pack_concat(df, 512, shard_col="lang").collect()}
+    d = {r["doc_id"]: (r["bin"], r["bin_offset"]) for r in
+         pack_concat(df.repartition(7), 512, shard_col="lang").collect()}
+    assert c == d
