@@ -19,6 +19,7 @@ from pyspark.sql.functions import pandas_udf
 from .dedup import tokens, simhash
 
 __all__ = [
+    "repetition_stats_arrow",
     "token_count", "text_stats", "text_stats_arrow", "quality_score",
     "lang_id_stopword", "lang_id_ngram", "doc_fingerprint", "STOPWORDS",
     "LANG_MARKERS",
@@ -284,3 +285,87 @@ def doc_fingerprint(text: Column, algo: str = "sha256") -> Column:
     if algo == "simhash":
         return simhash(text)
     raise ValueError(f"unknown fingerprint algo {algo!r}")
+
+
+_REP_SCHEMA = ("n_lines bigint, dup_line_frac double, "
+               "dup_line_char_frac double, top2_char_frac double, "
+               "top3_char_frac double, dup5_frac double")
+
+
+def repetition_stats_arrow(text_col: str = "text") -> Column:
+    """Gopher-style repetition signals in one Arrow pass (struct):
+
+    - ``dup_line_frac`` — duplicate (non-empty) lines / total lines;
+    - ``dup_line_char_frac`` — characters of duplicate lines / total
+      line characters;
+    - ``top2_char_frac`` / ``top3_char_frac`` — characters covered by
+      occurrences of the most frequent word 2-/3-gram over total
+      characters (tie → lexicographically-smallest gram, so the
+      choice is engine-reproducible);
+    - ``dup5_frac`` — repeated word-5-gram occurrences' characters
+      over ALL 5-gram occurrences' characters (a deterministic proxy
+      for Gopher's duplicated-n-gram coverage: occurrence-weighted,
+      not position-deduplicated — documented divergence, exactly
+      reproducible in SQL).
+
+    All ratios HALF_UP-rounded to 6 like the quality kernel."""
+    import re as _re
+    from collections import Counter
+    from decimal import Decimal, ROUND_HALF_UP
+
+    _Q6 = Decimal(1).scaleb(-6)
+
+    def rnd(x):
+        return float(Decimal(x).quantize(_Q6, rounding=ROUND_HALF_UP))
+
+    ws = _re.compile(r"\s+")
+
+    @pandas_udf(_REP_SCHEMA)
+    def _rep(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def grams(toks, n):
+            return [" ".join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1)]
+
+        def top_frac(toks, n, n_chars):
+            gs = grams(toks, n)
+            if not gs or n_chars <= 0:
+                return 0.0
+            c = Counter(gs)
+            best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+            return rnd(best[1] * len(best[0]) / n_chars)
+
+        def one(t):
+            if t is None:
+                return (None,) * 6
+            lines = [x for x in t.split("\n") if x != ""]
+            n_lines = len(lines)
+            lc = Counter(lines)
+            dup_lines = sum(c for c in lc.values() if c >= 2)
+            dup_line_chars = sum(len(l) * c for l, c in lc.items()
+                                 if c >= 2)
+            tot_line_chars = sum(len(l) for l in lines)
+            toks = [x for x in ws.split(t.lower()) if x]
+            n_chars = len(t)
+            g5 = Counter(grams(toks, 5))
+            tot5 = sum(c * len(g) for g, c in g5.items())
+            dup5 = sum(c * len(g) for g, c in g5.items() if c >= 2)
+            return (
+                n_lines,
+                rnd(dup_lines / n_lines) if n_lines else 0.0,
+                rnd(dup_line_chars / tot_line_chars)
+                if tot_line_chars else 0.0,
+                top_frac(toks, 2, n_chars),
+                top_frac(toks, 3, n_chars),
+                rnd(dup5 / tot5) if tot5 else 0.0,
+            )
+
+        for s in it:
+            yield _pd.DataFrame(
+                [one(t) for t in s],
+                columns=["n_lines", "dup_line_frac",
+                         "dup_line_char_frac", "top2_char_frac",
+                         "top3_char_frac", "dup5_frac"])
+
+    return _rep(F.col(text_col))

@@ -1020,6 +1020,84 @@ def domain_rollup(spark, sf_dir):
                   .alias("avg_quality")))
 
 
+@query("repetition_stats", oracle=f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS ls,
+         {_SH_TOKS} AS toks
+  FROM documents),
+lc AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_lines,
+         sum(len * c) AS tot_lc,
+         sum(CASE WHEN c >= 2 THEN len * c ELSE 0 END) AS dup_lc
+  FROM (SELECT doc_id, u.l AS l, length(u.l) AS len, count(*) AS c
+        FROM d, unnest(ls) AS u(l) GROUP BY doc_id, u.l, len)
+  GROUP BY doc_id),
+g2 AS (
+  SELECT doc_id, g, count(*) AS c FROM (
+    SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+    FROM d, unnest(range(1, len(toks))) AS r(i))
+  GROUP BY doc_id, g),
+t2 AS (
+  SELECT doc_id, round(CAST(c * length(g) AS DOUBLE) / n, 6) AS f
+  FROM (SELECT g2.doc_id, g, c, d.n_chars AS n,
+               row_number() OVER (PARTITION BY g2.doc_id
+                                  ORDER BY c DESC, g ASC) AS rn
+        FROM g2 JOIN d ON d.doc_id = g2.doc_id)
+  WHERE rn = 1),
+g3 AS (
+  SELECT doc_id, g, count(*) AS c FROM (
+    SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g
+    FROM d, unnest(range(1, greatest(len(toks) - 1, 0))) AS r(i))
+  GROUP BY doc_id, g),
+t3 AS (
+  SELECT doc_id, round(CAST(c * length(g) AS DOUBLE) / n, 6) AS f
+  FROM (SELECT g3.doc_id, g, c, d.n_chars AS n,
+               row_number() OVER (PARTITION BY g3.doc_id
+                                  ORDER BY c DESC, g ASC) AS rn
+        FROM g3 JOIN d ON d.doc_id = g3.doc_id)
+  WHERE rn = 1),
+g5 AS (
+  SELECT doc_id,
+         sum(c * length(g)) AS tot5,
+         sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dup5
+  FROM (SELECT doc_id, g, count(*) AS c FROM (
+          SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS g
+          FROM d, unnest(range(1, greatest(len(toks) - 3, 0))) AS r(i))
+        GROUP BY doc_id, g)
+  GROUP BY doc_id)
+SELECT d.doc_id, lc.n_lines,
+       round(CAST(lc.dup_lines AS DOUBLE) / lc.n_lines, 6)
+         AS dup_line_frac,
+       round(CAST(lc.dup_lc AS DOUBLE) / lc.tot_lc, 6)
+         AS dup_line_char_frac,
+       coalesce(t2.f, 0.0) AS top2_char_frac,
+       coalesce(t3.f, 0.0) AS top3_char_frac,
+       coalesce(round(CAST(g5.dup5 AS DOUBLE) / nullif(g5.tot5, 0), 6),
+                0.0) AS dup5_frac
+FROM d JOIN lc ON lc.doc_id = d.doc_id
+LEFT JOIN t2 ON t2.doc_id = d.doc_id
+LEFT JOIN t3 ON t3.doc_id = d.doc_id
+LEFT JOIN g5 ON g5.doc_id = d.doc_id
+""")
+def repetition_stats_q(spark, sf_dir):
+    """Gopher-style repetition filters (duplicate lines, most-frequent
+    2-/3-gram character coverage, repeated-5-gram occurrence share) in
+    one Arrow pass (dataops.textstats.repetition_stats_arrow)."""
+    from .dataops.textstats import repetition_stats_arrow
+    docs = _t(spark, sf_dir, "documents")
+    st = repetition_stats_arrow("text")
+    return docs.select(
+        "doc_id",
+        st["n_lines"].alias("n_lines"),
+        st["dup_line_frac"].alias("dup_line_frac"),
+        st["dup_line_char_frac"].alias("dup_line_char_frac"),
+        st["top2_char_frac"].alias("top2_char_frac"),
+        st["top3_char_frac"].alias("top3_char_frac"),
+        st["dup5_frac"].alias("dup5_frac"))
+
+
 @query("pack_concat", oracle=f"""
 WITH t AS (
   SELECT lang, doc_id, CAST(len({_SH_TOKS}) AS BIGINT) AS n

@@ -70,3 +70,21 @@ def test_component_resolution_keeps_one_per_cluster(spark, sf_dir):
     for d in kept_c:
         assert comp[d] not in seen
         seen[comp[d]] = d
+
+
+def test_repetition_stats_known_values(spark):
+    from beats_spark.dataops.textstats import repetition_stats_arrow
+    text = "aa bb\naa bb\ncc dd ee\n\naa bb cc aa bb cc aa bb cc"
+    # lines (non-empty): 'aa bb' x2, 'cc dd ee', 'aa bb cc...' -> 4
+    df = spark.createDataFrame([(text,), (None,)], "text string")
+    r = df.select(repetition_stats_arrow("text").alias("s")).collect()
+    s = r[0]["s"]
+    assert s["n_lines"] == 4
+    assert s["dup_line_frac"] == 0.5          # 2 of 4 lines duplicated
+    # duplicate-line chars: 'aa bb' (5) * 2 = 10 of 5+5+8+26=44
+    assert s["dup_line_char_frac"] == round(10 / 44, 6)
+    # most frequent 2-gram: 'aa bb' occurs 2(lines)+3(last line)=...
+    # tokens: aa bb aa bb cc dd ee aa bb cc aa bb cc aa bb cc
+    # 'aa bb' count 5, len 5; n_chars = len(text)
+    assert s["top2_char_frac"] == round(5 * 5 / len(text), 6)
+    assert r[1]["s"]["n_lines"] is None       # null text -> null struct
