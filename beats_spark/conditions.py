@@ -359,9 +359,14 @@ def compile_condition(cfg: Mapping[str, Any],
         body = _flatten_field_paths(body)
     elif kind == "range" and isinstance(body, Mapping):
         # flatten down to the op dict ({'cpu': {'pct': {'gte': .5}}}
-        # → {'cpu.pct': {'gte': .5}})
+        # → {'cpu.pct': {'gte': .5}}); stop at any all-leaf dict —
+        # not at "known ops only" — so a MISSPELLED op still reaches
+        # the range loop and gets its descriptive ValueError instead
+        # of being flattened into a scalar spec
         body = _flatten_field_paths(
-            body, stop=lambda d: set(d) <= {"gte", "gt", "lte", "lt"})
+            body,
+            stop=lambda d: not any(isinstance(v, Mapping)
+                                   for v in d.values()))
 
     if kind == "and":
         return _all([compile_condition(c, schema) for c in body])

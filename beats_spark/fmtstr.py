@@ -81,7 +81,9 @@ def _joda_date_format(col: Column, pat: str) -> Column:
         # two-letter year forms which mean "last two digits"
         s = c.cast("string")
         if two_digit_year and n == 2:
-            return F.substring(s, -2, 2)
+            # last two digits, zero-padded (Joda 'xx' prints '05' for
+            # year 5; bare substring would drop the pad)
+            return F.lpad(F.substring(s, -2, 2), 2, "0")
         if n <= 1:
             return s
         return F.when(F.length(s) < n, F.lpad(s, n, "0")).otherwise(s)

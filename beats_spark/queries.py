@@ -1067,16 +1067,27 @@ g5 AS (
           FROM d, unnest(range(1, greatest(len(toks) - 3, 0))) AS r(i))
         GROUP BY doc_id, g)
   GROUP BY doc_id)
-SELECT d.doc_id, lc.n_lines,
-       round(CAST(lc.dup_lines AS DOUBLE) / lc.n_lines, 6)
-         AS dup_line_frac,
-       round(CAST(lc.dup_lc AS DOUBLE) / lc.tot_lc, 6)
-         AS dup_line_char_frac,
-       coalesce(t2.f, 0.0) AS top2_char_frac,
-       coalesce(t3.f, 0.0) AS top3_char_frac,
-       coalesce(round(CAST(g5.dup5 AS DOUBLE) / nullif(g5.tot5, 0), 6),
-                0.0) AS dup5_frac
-FROM d JOIN lc ON lc.doc_id = d.doc_id
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(lc.n_lines, 0) END AS n_lines,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(round(CAST(lc.dup_lines AS DOUBLE)
+                                / nullif(lc.n_lines, 0), 6), 0.0)
+       END AS dup_line_frac,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(round(CAST(lc.dup_lc AS DOUBLE)
+                                / nullif(lc.tot_lc, 0), 6), 0.0)
+       END AS dup_line_char_frac,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(t2.f, 0.0) END AS top2_char_frac,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(t3.f, 0.0) END AS top3_char_frac,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(round(CAST(g5.dup5 AS DOUBLE)
+                                / nullif(g5.tot5, 0), 6), 0.0)
+       END AS dup5_frac
+FROM d
+LEFT JOIN lc ON lc.doc_id = d.doc_id
 LEFT JOIN t2 ON t2.doc_id = d.doc_id
 LEFT JOIN t3 ON t3.doc_id = d.doc_id
 LEFT JOIN g5 ON g5.doc_id = d.doc_id
@@ -1128,7 +1139,10 @@ def pack_concat_q(spark, sf_dir):
 
 @query("pack_greedy", oracle=f"""
 WITH RECURSIVE t AS (
-  SELECT lang, doc_id, CAST(len({_SH_TOKS}) AS BIGINT) AS n,
+  -- n coalesced like the kernel (NaN tokens count 0); the shard join
+  -- uses IS NOT DISTINCT FROM so a NULL shard still chains
+  SELECT lang, doc_id,
+         coalesce(CAST(len({_SH_TOKS}) AS BIGINT), 0) AS n,
          row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
   FROM documents),
 scan AS (
@@ -1141,7 +1155,8 @@ scan AS (
          CASE WHEN s.used > 0 AND s.used + t.n > 512
               THEN t.n ELSE s.used + t.n END,
          t.n
-  FROM scan s JOIN t ON t.lang = s.lang AND t.rn = s.rn + 1)
+  FROM scan s JOIN t
+    ON t.lang IS NOT DISTINCT FROM s.lang AND t.rn = s.rn + 1)
 SELECT lang, doc_id, bin FROM scan
 """)
 def pack_greedy_q(spark, sf_dir):

@@ -135,3 +135,9 @@ def test_network_condition_single_kernel_many_specs(spark):
     assert plan.count("ArrowEvalPython") <= 1
     assert sorted(r["ip"] for r in out.collect()) == \
         ["10.0.0.1", "2001:db8::1"]
+
+
+def test_misspelled_range_op_still_raises_value_error(spark):
+    from beats_spark.conditions import compile_condition
+    with pytest.raises(ValueError, match="unknown range op"):
+        compile_condition({"range": {"cpu": {"pct": {"eq": 5}}}})

@@ -10,6 +10,7 @@ Vectors ported from the reference suites:
 """
 
 import datetime as dt
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -608,3 +609,40 @@ def test_token_bucket_null_timestamps_draw_without_accrual(spark):
     kept = out.collect()
     assert len(kept) == 3
     assert all(r["ts"] is not None for r in kept)
+
+
+def test_new_oracles_survive_null_text_and_lang(spark, tmp_path):
+    """repetition_stats / pack_greedy / pack_concat oracle parity on a
+    crafted table WITH null text, empty text, and a null-lang shard —
+    shapes absent from the shipped testdata but allowed by the
+    schema."""
+    import duckdb
+    from beats_spark.queries import QUERIES, ORACLES
+
+    rows = [
+        (1, "aa bb\naa bb\ncc", "en", "s", 5),
+        (2, None, "en", "s", 0),
+        (3, "", "de", "s", 0),
+        (4, "x y z " * 50, None, "s", 6),
+        (5, "q w e r t", None, "s", 5),
+        (6, "\n\n", "de", "s", 2),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(sf, "documents.parquet"))
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet/*.parquet')")
+    for name in ("repetition_stats", "pack_greedy", "pack_concat"):
+        df = QUERIES[name](spark, sf)
+        cols = df.columns
+        got = df.toPandas().sort_values(cols).reset_index(drop=True)
+        ora = (con.sql("SELECT * FROM (" + ORACLES[name] + ")").df()
+               [cols].sort_values(cols).reset_index(drop=True))
+        assert len(got) == len(ora), name
+        pd_eq = got.equals(ora.astype(got.dtypes.to_dict()))
+        assert pd_eq, f"{name}\n{got}\n{ora}"
