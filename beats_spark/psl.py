@@ -190,7 +190,12 @@ def registered_domain_psl(
 
     host = F.lower(F.col(host_col))
     labels = F.split(host, r"\.")
-    n = F.size(labels)
+    # malformed hosts (empty labels: '.', 'a..b', trailing dot) get no
+    # registered domain at all — x/net/publicsuffix errors on them
+    # (registered_domain_test.go error cases); encode as n = 0 so
+    # every output column nulls out
+    well_formed = ~F.exists(labels, lambda x: x == "")
+    n = F.when(well_formed, F.size(labels)).otherwise(F.lit(0))
 
     out = df.withColumns({"__labels": labels, "__n": n})
     exact_lens, wild_lens, exc_lens = [], [], []

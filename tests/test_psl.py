@@ -180,3 +180,29 @@ def test_single_label_exception_with_etld_target(spark):
     assert out["x.com"] == ("com", None)
     assert out["com"] == ("com", None)
     assert out["a.net"] == ("a.net", "net")
+
+
+def test_reference_processor_vectors(spark):
+    # ported from registered_domain_test.go TestProcessorRun (error
+    # cases -> null outputs; the reference leaves the event unchanged
+    # and returns an error)
+    cases = [
+        # (domain, registered_domain, subdomain, etld)
+        ("www.google.com", "google.com", "www", "com"),
+        ("www.google.co.uk", "google.co.uk", "www", "co.uk"),
+        ("www.mail.google.co.uk", "google.co.uk", "www.mail", "co.uk"),
+        ("google.com", "google.com", None, "com"),
+        ("www.ak.local", "ak.local", "www", "local"),   # implicit *
+        ("www.navy.mil", "navy.mil", "www", "mil"),
+        ("com", None, None, "com"),      # bare eTLD: no registered domain
+        (".", None, None, None),         # malformed -> nothing
+        ("", None, None, None),
+        ("localhost", None, None, "localhost"),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "domain string")
+    out = {r["domain"]: (r["rd"], r["sub"], r["etld"])
+           for r in registered_domain_psl(
+               df, "domain", target="rd", subdomain_target="sub",
+               etld_target="etld").collect()}
+    for domain, rd, sub, etld in cases:
+        assert out[domain] == (rd, sub, etld), domain
