@@ -62,6 +62,8 @@ def curate(
     minhash_bands: int = 4,
     with_metrics: bool = True,
     near_dup_resolution: str = "pairs",
+    max_dup_line_frac: Optional[float] = None,
+    max_top2_char_frac: Optional[float] = None,
 ) -> CurationResult:
     """quality filter → language select → exact dedup → MinHash
     near-dedup.
@@ -74,6 +76,10 @@ def curate(
     - ``"components"``: resolve clusters first (connected components
       over the pair graph, min-label propagation) and keep exactly
       ONE doc — the min id — per cluster (the FineWeb-style rule).
+
+    ``max_dup_line_frac`` / ``max_top2_char_frac`` add the Gopher
+    repetition gates (dataops.textstats.repetition_stats_arrow) to the
+    map-side filter stage — still before anything shuffles.
     """
     metrics: Dict[str, int] = {}
     cached: List[DataFrame] = []
@@ -82,6 +88,18 @@ def curate(
     scored = docs.withColumn(
         "__q", text_stats_arrow(text_col)["quality"])
     q_ok = F.col("__q") >= min_quality
+    rep_cols = []
+    if max_dup_line_frac is not None or max_top2_char_frac is not None:
+        from .textstats import repetition_stats_arrow
+        scored = scored.withColumn(
+            "__rep", repetition_stats_arrow(text_col))
+        if max_dup_line_frac is not None:
+            q_ok = q_ok & (F.col("__rep")["dup_line_frac"]
+                           <= max_dup_line_frac)
+        if max_top2_char_frac is not None:
+            q_ok = q_ok & (F.col("__rep")["top2_char_frac"]
+                           <= max_top2_char_frac)
+        rep_cols = ["__rep"]
     if with_metrics:
         scored = scored.persist()
         cached.append(scored)
@@ -136,5 +154,5 @@ def curate(
         metrics["docs.dropped"] = (metrics["docs.total"]
                                    - metrics["docs.near_dup_kept"])
 
-    return CurationResult(kept=kept.drop("__q"), metrics=metrics,
-                          _cached=cached)
+    return CurationResult(kept=kept.drop("__q", *rep_cols),
+                          metrics=metrics, _cached=cached)

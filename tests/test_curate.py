@@ -88,3 +88,20 @@ def test_repetition_stats_known_values(spark):
     # 'aa bb' count 5, len 5; n_chars = len(text)
     assert s["top2_char_frac"] == round(5 * 5 / len(text), 6)
     assert r[1]["s"]["n_lines"] is None       # null text -> null struct
+
+
+def test_repetition_gates_in_funnel(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # compare with the near-dup stage off: the gates are map-side
+    # filters, so the gated survivor set must be a subset (with
+    # near-dup on, removing a doc can save its pair loser, so the
+    # full-funnel comparison is legitimately non-monotone)
+    base = curate(docs, with_metrics=False, near_dup_jaccard=2.0)
+    gated = curate(docs, with_metrics=False, near_dup_jaccard=2.0,
+                   max_dup_line_frac=0.05, max_top2_char_frac=0.05)
+    kept_b = {r["doc_id"] for r in base.kept.select("doc_id").collect()}
+    kept_g = {r["doc_id"] for r in gated.kept.select("doc_id").collect()}
+    assert kept_g <= kept_b          # gates only remove
+    assert "__rep" not in gated.kept.columns
+    # the gates actually fire on this data
+    assert len(kept_g) < len(kept_b)
