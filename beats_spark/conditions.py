@@ -405,6 +405,10 @@ def compile_condition(cfg: Mapping[str, Any],
         ops = {"gte": "__ge__", "gt": "__gt__", "lte": "__le__", "lt": "__lt__"}
         cols = []
         for f, spec in body.items():
+            if not isinstance(spec, Mapping) or not spec:
+                raise ValueError(
+                    f"range spec for {f!r} must be a non-empty mapping "
+                    f"of gte/gt/lte/lt, got {spec!r}")
             for op, v in spec.items():
                 if op not in ops:
                     raise ValueError(f"unknown range op {op!r}")

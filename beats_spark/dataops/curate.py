@@ -84,33 +84,42 @@ def curate(
     metrics: Dict[str, int] = {}
     cached: List[DataFrame] = []
 
-    # 1. quality (map-side, no shuffle; fused Arrow kernel)
-    scored = docs.withColumn(
-        "__q", text_stats_arrow(text_col)["quality"])
-    q_ok = F.col("__q") >= min_quality
-    rep_cols = []
-    if max_dup_line_frac is not None or max_top2_char_frac is not None:
-        from .textstats import repetition_stats_arrow
-        scored = scored.withColumn(
-            "__rep", repetition_stats_arrow(text_col))
-        if max_dup_line_frac is not None:
-            q_ok = q_ok & (F.col("__rep")["dup_line_frac"]
-                           <= max_dup_line_frac)
-        if max_top2_char_frac is not None:
-            q_ok = q_ok & (F.col("__rep")["top2_char_frac"]
-                           <= max_top2_char_frac)
-        rep_cols = ["__rep"]
+    # 1. quality (map-side, no shuffle). The repetition gates ride
+    # the SAME fused Arrow kernel pass (iterator-form pandas UDFs
+    # never share an ArrowEvalPython node, so a second kernel would
+    # serialize the text to Python twice).
+    gated = (max_dup_line_frac is not None
+             or max_top2_char_frac is not None)
+    st = text_stats_arrow(text_col, with_repetition=gated)
+    scored = docs.withColumn("__s", st) \
+                 .withColumn("__q", F.col("__s")["quality"])
+    q_quality = F.col("__q") >= min_quality
+    q_ok = q_quality
+    if max_dup_line_frac is not None:
+        q_ok = q_ok & (F.col("__s")["dup_line_frac"]
+                       <= max_dup_line_frac)
+    if max_top2_char_frac is not None:
+        q_ok = q_ok & (F.col("__s")["top2_char_frac"]
+                       <= max_top2_char_frac)
+    rep_cols = ["__s"]
     if with_metrics:
         scored = scored.persist()
         cached.append(scored)
+        # quality_kept counts the quality THRESHOLD alone so stage
+        # drops stay attributable; with gates on, repetition_kept
+        # counts quality AND the repetition gates
         aggs = [F.count(F.lit(1)).alias("total"),
-                F.sum(q_ok.cast("int")).alias("quality_kept")]
+                F.sum(q_quality.cast("int")).alias("quality_kept")]
+        if gated:
+            aggs.append(F.sum(q_ok.cast("int")).alias("repetition_kept"))
         if langs:
             aggs.append(F.sum((q_ok & F.col(lang_col).isin(*langs))
                               .cast("int")).alias("lang_kept"))
         row = scored.agg(*aggs).collect()[0]
         metrics["docs.total"] = int(row["total"])
         metrics["docs.quality_kept"] = int(row["quality_kept"])
+        if gated:
+            metrics["docs.repetition_kept"] = int(row["repetition_kept"])
         if langs:
             metrics["docs.lang_kept"] = int(row["lang_kept"])
 

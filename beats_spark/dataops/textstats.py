@@ -107,7 +107,8 @@ _ALPHA_RE = None  # compiled lazily inside the UDF
 
 
 def text_stats_arrow(text_col: str = "text",
-                     with_lang: bool = False) -> Column:
+                     with_lang: bool = False,
+                     with_repetition: bool = False) -> Column:
     """All text statistics + the composite quality score in ONE
     Arrow-batched pass, returned as a struct column.
 
@@ -132,7 +133,13 @@ def text_stats_arrow(text_col: str = "text",
     argmax with strict >, lexicographically-first keeps ties, 'und' at
     zero). Opt-in so quality/token-count consumers — which cannot
     prune struct fields inside a pandas UDF — don't pay the per-
-    language marker passes."""
+    language marker passes.
+
+    ``with_repetition`` likewise rides the Gopher repetition signals
+    (:func:`repetition_stats_arrow` fields) on the SAME pass, reusing
+    this kernel's token list — iterator-form pandas UDFs never share
+    an ArrowEvalPython node, so a separate repetition kernel would
+    serialize the text to Python twice."""
     import re as _re
     from decimal import Decimal, ROUND_HALF_UP
     from pyspark.sql.functions import pandas_udf
@@ -162,6 +169,9 @@ def text_stats_arrow(text_col: str = "text",
             "alpha_ratio", "punct_ratio", "quality", "bpe_tokens"]
     if with_lang:
         cols.append("lang")
+    if with_repetition:
+        schema += ", " + _REP_SCHEMA
+        cols.extend(_REP_COLS)
 
     @pandas_udf(schema)
     def _stats(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
@@ -194,14 +204,17 @@ def text_stats_arrow(text_col: str = "text",
             base = (n_chars, n_tok, rnd(awl, 6), rnd(stop_r, 6),
                     rnd(alpha_r, 6), rnd(punct_r, 6), quality,
                     len(bpe_re.findall(t)))
-            if not with_lang:
-                return base
-            best, best_n = "und", 0
-            for lang, words in markers:
-                c = sum(1 for x in toks if x in words)
-                if c > best_n:
-                    best, best_n = lang, c
-            return base + (best,)
+            if with_lang:
+                best, best_n = "und", 0
+                for lang, words in markers:
+                    c = sum(1 for x in toks if x in words)
+                    if c > best_n:
+                        best, best_n = lang, c
+                base = base + (best,)
+            if with_repetition:
+                base = base + _repetition_values(
+                    t, toks, lambda x: rnd(x, 6))
+            return base
 
         for s in it:
             yield _pd.DataFrame([one(t) for t in s], columns=cols)
@@ -291,6 +304,48 @@ _REP_SCHEMA = ("n_lines bigint, dup_line_frac double, "
                "dup_line_char_frac double, top2_char_frac double, "
                "top3_char_frac double, dup5_frac double")
 
+_REP_COLS = ["n_lines", "dup_line_frac", "dup_line_char_frac",
+             "top2_char_frac", "top3_char_frac", "dup5_frac"]
+
+
+def _repetition_values(t: str, toks, rnd6):
+    """The repetition 6-tuple for one document — shared by the
+    standalone kernel and the fused ``text_stats_arrow`` path (which
+    passes its already-split token list so the text is tokenized
+    once)."""
+    from collections import Counter
+
+    def grams(n):
+        return [" ".join(toks[i:i + n])
+                for i in range(len(toks) - n + 1)]
+
+    def top_frac(n, n_chars):
+        gs = grams(n)
+        if not gs or n_chars <= 0:
+            return 0.0
+        c = Counter(gs)
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        return rnd6(best[1] * len(best[0]) / n_chars)
+
+    lines = [x for x in t.split("\n") if x != ""]
+    n_lines = len(lines)
+    lc = Counter(lines)
+    dup_lines = sum(c for c in lc.values() if c >= 2)
+    dup_line_chars = sum(len(l) * c for l, c in lc.items() if c >= 2)
+    tot_line_chars = sum(len(l) for l in lines)
+    n_chars = len(t)
+    g5 = Counter(grams(5))
+    tot5 = sum(c * len(g) for g, c in g5.items())
+    dup5 = sum(c * len(g) for g, c in g5.items() if c >= 2)
+    return (
+        n_lines,
+        rnd6(dup_lines / n_lines) if n_lines else 0.0,
+        rnd6(dup_line_chars / tot_line_chars) if tot_line_chars else 0.0,
+        top_frac(2, n_chars),
+        top_frac(3, n_chars),
+        rnd6(dup5 / tot5) if tot5 else 0.0,
+    )
+
 
 def repetition_stats_arrow(text_col: str = "text") -> Column:
     """Gopher-style repetition signals in one Arrow pass (struct):
@@ -324,48 +379,13 @@ def repetition_stats_arrow(text_col: str = "text") -> Column:
     def _rep(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
-        def grams(toks, n):
-            return [" ".join(toks[i:i + n])
-                    for i in range(len(toks) - n + 1)]
-
-        def top_frac(toks, n, n_chars):
-            gs = grams(toks, n)
-            if not gs or n_chars <= 0:
-                return 0.0
-            c = Counter(gs)
-            best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
-            return rnd(best[1] * len(best[0]) / n_chars)
-
         def one(t):
             if t is None:
                 return (None,) * 6
-            lines = [x for x in t.split("\n") if x != ""]
-            n_lines = len(lines)
-            lc = Counter(lines)
-            dup_lines = sum(c for c in lc.values() if c >= 2)
-            dup_line_chars = sum(len(l) * c for l, c in lc.items()
-                                 if c >= 2)
-            tot_line_chars = sum(len(l) for l in lines)
             toks = [x for x in ws.split(t.lower()) if x]
-            n_chars = len(t)
-            g5 = Counter(grams(toks, 5))
-            tot5 = sum(c * len(g) for g, c in g5.items())
-            dup5 = sum(c * len(g) for g, c in g5.items() if c >= 2)
-            return (
-                n_lines,
-                rnd(dup_lines / n_lines) if n_lines else 0.0,
-                rnd(dup_line_chars / tot_line_chars)
-                if tot_line_chars else 0.0,
-                top_frac(toks, 2, n_chars),
-                top_frac(toks, 3, n_chars),
-                rnd(dup5 / tot5) if tot5 else 0.0,
-            )
+            return _repetition_values(t, toks, rnd)
 
         for s in it:
-            yield _pd.DataFrame(
-                [one(t) for t in s],
-                columns=["n_lines", "dup_line_frac",
-                         "dup_line_char_frac", "top2_char_frac",
-                         "top3_char_frac", "dup5_frac"])
+            yield _pd.DataFrame([one(t) for t in s], columns=_REP_COLS)
 
     return _rep(F.col(text_col))

@@ -141,3 +141,11 @@ def test_misspelled_range_op_still_raises_value_error(spark):
     from beats_spark.conditions import compile_condition
     with pytest.raises(ValueError, match="unknown range op"):
         compile_condition({"range": {"cpu": {"pct": {"eq": 5}}}})
+
+
+def test_bad_range_spec_shapes_raise_value_error(spark):
+    from beats_spark.conditions import compile_condition
+    with pytest.raises(ValueError, match="non-empty mapping"):
+        compile_condition({"range": {"cpu": {}}})
+    with pytest.raises(ValueError, match="non-empty mapping"):
+        compile_condition({"range": {"cpu.pct": 0.5}})

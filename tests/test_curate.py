@@ -102,6 +102,6 @@ def test_repetition_gates_in_funnel(spark, sf_dir):
     kept_b = {r["doc_id"] for r in base.kept.select("doc_id").collect()}
     kept_g = {r["doc_id"] for r in gated.kept.select("doc_id").collect()}
     assert kept_g <= kept_b          # gates only remove
-    assert "__rep" not in gated.kept.columns
+    assert "__s" not in gated.kept.columns
     # the gates actually fire on this data
     assert len(kept_g) < len(kept_b)
