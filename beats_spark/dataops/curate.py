@@ -57,7 +57,7 @@ def curate(
     lang_col: str = "lang",
     min_quality: float = 0.65,
     langs: Optional[Sequence[str]] = None,
-    near_dup_jaccard: float = 0.12,
+    near_dup_jaccard: Optional[float] = 0.12,
     minhash_hashes: int = 16,
     minhash_bands: int = 4,
     with_metrics: bool = True,
@@ -80,6 +80,11 @@ def curate(
     ``max_dup_line_frac`` / ``max_top2_char_frac`` add the Gopher
     repetition gates (dataops.textstats.repetition_stats_arrow) to the
     map-side filter stage — still before anything shuffles.
+
+    ``near_dup_jaccard=None`` skips the near-dedup stage entirely
+    (quality → lang → exact dedup only) — the configuration for
+    callers that RETAIN near-duplicates but confine them, e.g. the
+    cluster-keyed split in :mod:`beats_spark.dataops.export`.
     """
     metrics: Dict[str, int] = {}
     cached: List[DataFrame] = []
@@ -141,6 +146,13 @@ def curate(
     # 4. near-dedup: verified MinHash pairs above the threshold; every
     # pair's larger id is dropped (both the pairs input and the
     # anti-join left read the persisted survivors — no recompute)
+    if near_dup_jaccard is None:
+        if with_metrics:
+            metrics["docs.near_dup_kept"] = metrics["docs.exact_kept"]
+            metrics["docs.dropped"] = (metrics["docs.total"]
+                                       - metrics["docs.exact_kept"])
+        return CurationResult(kept=kept.drop("__q", *rep_cols),
+                              metrics=metrics, _cached=cached)
     pairs = minhash_lsh_pairs(
         kept, id_col=id_col, text_col=text_col,
         num_hashes=minhash_hashes, bands=minhash_bands,

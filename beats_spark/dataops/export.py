@@ -1,25 +1,30 @@
 """End-to-end training-set export: the composition the individual
 dataops operators exist for.
 
-    curate (quality + repetition gates + dedup, cluster-resolved)
-      → hash split keyed on the NEAR-DUP CLUSTER id (no near-duplicate
-        ever straddles the train/eval boundary)
-      → greedy sequence packing per (split, shard)
-      → one partitioned parquet write
+Two near-duplicate policies decide what the split key means:
 
-Scale notes: curation's shuffles are the dedup joins (bounded — see
-curate/dedup docstrings); the split assignment is a map-side
-expression; packing is a per-shard Arrow scan; and the final write is
-``partitionBy(split)`` — partition-local, no extra shuffle. The
-cluster labels come from connected components over the SAME verified
-MinHash pairs the funnel used, so "one survivor per cluster" and
-"whole cluster on one side of the split" are decided by one pair
-graph.
+- ``near_dups="drop"`` (default): the funnel removes near-dups
+  (connected-component resolution, one survivor per cluster). The
+  survivors are pairwise non-duplicate by construction, so there is
+  nothing left to leak across the split boundary and the split keys
+  on the document id.
+- ``near_dups="confine"``: near-dups are RETAINED (more training
+  tokens) but the split keys on the near-dup COMPONENT id, so a whole
+  cluster always lands on one side — no eval document has a near-dup
+  in train. This is where cluster-keyed splitting actually earns its
+  name; with dedup on it would degenerate to a doc-id split (the
+  survivor set has no pairs).
+
+Then: greedy sequence packing per (split, packing shard) and one
+``partitionBy(split)`` parquet write — partition-local, no extra
+shuffle. The packing shard defaults to the language column so the
+sequential scan parallelizes across (split × lang) groups; pass
+``pack_shard_col`` to shard finer (e.g. a date or bucket column) at
+real scale.
 """
 
 from __future__ import annotations
 
-import os
 from typing import Dict, Mapping, Optional
 
 from pyspark.sql import DataFrame, functions as F
@@ -38,40 +43,64 @@ def export_training_set(
     out_dir: str,
     fractions: Optional[Mapping[str, float]] = None,
     budget: int = 2048,
+    near_dups: str = "drop",
     id_col: str = "doc_id",
     text_col: str = "text",
     lang_col: str = "lang",
     tokens_col: str = "n_tokens",
     min_quality: float = 0.65,
     near_dup_jaccard: float = 0.12,
+    minhash_hashes: int = 16,
+    minhash_bands: int = 4,
+    pack_shard_col: Optional[str] = None,
     **curate_kwargs,
 ) -> Dict[str, int]:
     """Run the funnel, split leak-free, pack, and write
     ``out_dir/split=<name>/``. Returns per-split row counts.
 
-    The split key is the near-dup COMPONENT id over the curated
-    survivors (survivor universe — a pair between two already-dropped
-    docs can't leak anything), so every document that is a near-dup
-    of a training document is itself in train."""
+    Extra keyword arguments go to :func:`curate` (gates, langs, …);
+    the near-dup policy is controlled here via ``near_dups``, not
+    through curate's own knobs."""
     fractions = dict(fractions or
                      {"train": 0.9, "val": 0.05, "test": 0.05})
+    for k in ("near_dup_resolution", "with_metrics", "near_dup_jaccard"):
+        if k in curate_kwargs:
+            raise ValueError(
+                f"{k} is managed by export_training_set (near_dups="
+                f"{near_dups!r}); pass near_dups/near_dup_jaccard "
+                "instead")
+    if near_dups not in ("drop", "confine"):
+        raise ValueError(
+            f"near_dups must be 'drop' or 'confine': {near_dups!r}")
 
-    res: CurationResult = curate(
-        docs, id_col=id_col, text_col=text_col, lang_col=lang_col,
-        min_quality=min_quality, near_dup_jaccard=near_dup_jaccard,
-        with_metrics=False, near_dup_resolution="components",
-        **curate_kwargs)
-    kept = res.kept
-
-    # cluster labels over the survivors (kept docs are one-per-
-    # component already; singletons label themselves)
-    pairs = minhash_lsh_pairs(
-        kept, id_col=id_col, text_col=text_col,
-        threshold=near_dup_jaccard)
-    labeled = connected_components(
-        pairs, nodes=kept.select(id_col), id_col=id_col,
-        comp_col="__cluster")
-    kept = kept.join(labeled, id_col)
+    common = dict(id_col=id_col, text_col=text_col, lang_col=lang_col,
+                  min_quality=min_quality, with_metrics=False,
+                  minhash_hashes=minhash_hashes,
+                  minhash_bands=minhash_bands, **curate_kwargs)
+    if near_dups == "drop":
+        res: CurationResult = curate(
+            docs, near_dup_jaccard=near_dup_jaccard,
+            near_dup_resolution="components", **common)
+        # survivors are pairwise non-dup — the split key IS the doc id
+        kept = res.kept.withColumn("__cluster", F.col(id_col))
+    else:
+        res = curate(docs, near_dup_jaccard=None, **common)
+        kept = res.kept
+    # the funnel output feeds several actions below (CC checkpoints,
+    # the write) — persist or the scoring kernel and dedup shuffles
+    # re-run per action
+    kept = kept.persist()
+    if near_dups == "confine":
+        # label near-dup clusters over the RETAINED docs with the
+        # same MinHash parameters the funnel would use
+        pairs = minhash_lsh_pairs(
+            kept, id_col=id_col, text_col=text_col,
+            num_hashes=minhash_hashes, bands=minhash_bands,
+            threshold=near_dup_jaccard)
+        labeled = connected_components(
+            pairs, nodes=kept.select(id_col), id_col=id_col,
+            comp_col="__cluster")
+        kept = kept.join(labeled, id_col)
 
     split = hash_split(kept, "__cluster", fractions)
 
@@ -79,11 +108,17 @@ def export_training_set(
         from .textstats import token_count
         split = split.withColumn(
             tokens_col, token_count(F.col(text_col)).cast("bigint"))
+    shard = pack_shard_col or lang_col
+    split = split.withColumn(
+        "pack_shard", F.concat_ws("|", F.col("split"), F.col(shard)))
+    # bin ids are unique per pack_shard (kept in the output — a
+    # sequence is addressed by (pack_shard, bin))
     packed = pack_greedy(split, budget=budget, tokens_col=tokens_col,
-                         order_col=id_col, shard_col="split")
+                         order_col=id_col, shard_col="pack_shard")
 
     packed.write.mode("overwrite").partitionBy("split") \
         .parquet(out_dir)
+    kept.unpersist()
 
     spark = docs.sparkSession
     out = spark.read.parquet(out_dir)
