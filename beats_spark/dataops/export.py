@@ -63,7 +63,7 @@ def export_training_set(
     through curate's own knobs."""
     fractions = dict(fractions or
                      {"train": 0.9, "val": 0.05, "test": 0.05})
-    for k in ("near_dup_resolution", "with_metrics", "near_dup_jaccard"):
+    for k in ("near_dup_resolution", "with_metrics"):
         if k in curate_kwargs:
             raise ValueError(
                 f"{k} is managed by export_training_set (near_dups="
@@ -77,20 +77,23 @@ def export_training_set(
                   min_quality=min_quality, with_metrics=False,
                   minhash_hashes=minhash_hashes,
                   minhash_bands=minhash_bands, **curate_kwargs)
+    cached = None
     if near_dups == "drop":
         res: CurationResult = curate(
             docs, near_dup_jaccard=near_dup_jaccard,
             near_dup_resolution="components", **common)
-        # survivors are pairwise non-dup — the split key IS the doc id
-        kept = res.kept.withColumn("__cluster", F.col(id_col))
+        # survivors are pairwise non-dup — the split key IS the doc
+        # id (no synthetic cluster column; it would just duplicate it)
+        kept = res.kept
+        split_key = id_col
     else:
         res = curate(docs, near_dup_jaccard=None, **common)
-        kept = res.kept
-    # the funnel output feeds several actions below (CC checkpoints,
-    # the write) — persist or the scoring kernel and dedup shuffles
-    # re-run per action
-    kept = kept.persist()
-    if near_dups == "confine":
+        # confine mode drives SEVERAL actions over the funnel output
+        # (the CC checkpoints + the write) — persist it, and keep the
+        # reference so the final unpersist hits the cached frame, not
+        # a rebound join. Drop mode has exactly one downstream action
+        # (the write), so caching there would buy nothing.
+        cached = kept = res.kept.persist()
         # label near-dup clusters over the RETAINED docs with the
         # same MinHash parameters the funnel would use
         pairs = minhash_lsh_pairs(
@@ -101,8 +104,9 @@ def export_training_set(
             pairs, nodes=kept.select(id_col), id_col=id_col,
             comp_col="__cluster")
         kept = kept.join(labeled, id_col)
+        split_key = "__cluster"
 
-    split = hash_split(kept, "__cluster", fractions)
+    split = hash_split(kept, split_key, fractions)
 
     if tokens_col not in split.columns:
         from .textstats import token_count
@@ -118,7 +122,8 @@ def export_training_set(
 
     packed.write.mode("overwrite").partitionBy("split") \
         .parquet(out_dir)
-    kept.unpersist()
+    if cached is not None:
+        cached.unpersist()
 
     spark = docs.sparkSession
     out = spark.read.parquet(out_dir)

@@ -41,6 +41,10 @@ def test_export_confine_mode_is_leak_free_with_real_clusters(
                                  near_dups="confine")
     df = spark.read.parquet(out)
     assert sum(counts.values()) == df.count() > 0
+    # confine RETAINS near-dups: strictly more docs than drop mode
+    out_d = str(tmp_path / "ts_drop_cmp")
+    drop_counts = export_training_set(docs, out_d, budget=256)
+    assert sum(counts.values()) > sum(drop_counts.values())
 
     # NON-vacuous: multi-document clusters must exist in the output...
     sizes = df.groupBy("__cluster").count()
@@ -60,8 +64,6 @@ def test_export_confine_mode_is_leak_free_with_real_clusters(
     crossing = (pairs.join(a, "id_a").join(b, "id_b")
                 .filter(F.col("split_a") != F.col("split_b")).count())
     assert crossing == 0
-    # confine keeps more docs than drop-mode curation would
-    assert df.count() > 0
 
 
 def test_export_rejects_managed_kwargs(spark, sf_dir, tmp_path):
