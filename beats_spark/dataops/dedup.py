@@ -45,20 +45,27 @@ __all__ = [
 
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition up to the session default parallelism when the
-    input arrives in fewer partitions (a single small parquet file
-    would otherwise serialize the whole op on one core). No-op at
-    scale where the scan already has enough splits."""
+    input arrives in fewer splits (a single small parquet file would
+    otherwise serialize the whole op on one core). No-op at scale
+    where the scan already has enough splits.
+
+    Connect-safe: uses only DataFrame metadata (``inputFiles``) and
+    confs — never an RDD handle. ``inputFiles`` undercounts partitions
+    for few-but-huge files (each file is >=1 split), so the worst case
+    is one redundant round-robin shuffle, never lost parallelism."""
+    spark = df.sparkSession
     try:
-        target = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
-            return df.repartition(target)
-        return df
+        target = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect has no sparkContext
+        target = int(spark.conf.get("spark.sql.shuffle.partitions",
+                                    "200"))
+    try:
+        n_files = len(df.inputFiles())
     except Exception:
-        # Spark Connect has no sparkContext / .rdd handle; fall back to
-        # an unconditional repartition to the shuffle-partition setting
-        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
-                                         "200"))
-        return df.repartition(n)
+        n_files = 0
+    if n_files >= target:
+        return df
+    return df.repartition(target)
 
 
 # ------------------------------------------------------------------ shingles

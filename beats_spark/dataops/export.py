@@ -120,14 +120,17 @@ def export_training_set(
     packed = pack_greedy(split, budget=budget, tokens_col=tokens_col,
                          order_col=id_col, shard_col="pack_shard")
 
+    # Count per split by observing the write action itself — the split
+    # names are the `fractions` keys, so a fixed set of conditional
+    # counts rides the one write job. No read-back scan of the output.
+    from pyspark.sql import Observation
+    obs = Observation("export_split_counts")
+    packed = packed.observe(
+        obs, *[F.count(F.when(F.col("split") == k, 1)).alias(k)
+               for k in fractions])
     packed.write.mode("overwrite").partitionBy("split") \
         .parquet(out_dir)
     if cached is not None:
         cached.unpersist()
-
-    spark = docs.sparkSession
-    out = spark.read.parquet(out_dir)
-    counts = {r["split"]: r["n"] for r in
-              out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
-                 .collect()}
-    return counts
+    # match the old read-back semantics: empty splits are omitted
+    return {k: int(v) for k, v in obs.get.items() if v}

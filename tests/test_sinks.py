@@ -47,7 +47,14 @@ def test_kafka_shape_hash(spark):
     assert [f.name for f in shaped.schema] == ["topic", "key", "value"]
     rows = shaped.collect()
     assert {r["key"] for r in rows} == {"click", "error", "view"}
-    assert shaped.rdd.getNumPartitions() == 4
+    # Connect-safe partitioner check (no RDD handle): every key's rows
+    # land in ONE partition, and all partition ids are < num_partitions
+    placed = (shaped.select("key", F.spark_partition_id().alias("p"))
+              .groupBy("key")
+              .agg(F.countDistinct("p").alias("d"), F.max("p").alias("m"))
+              .collect())
+    assert all(r["d"] == 1 for r in placed)
+    assert all(r["m"] < 4 for r in placed)
 
 
 def test_split_dead_letter(spark):
