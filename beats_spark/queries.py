@@ -2188,6 +2188,97 @@ output.elasticsearch:
     return pipe(df).groupBy("sink").agg(F.count(F.lit(1)).alias("n"))
 
 
+@query("yaml_inputs", oracle="""
+WITH app AS (
+  SELECT 'evt ' || event_type || ' u' || CAST(user_id AS VARCHAR) ||
+         CASE WHEN event_id % 2 = 0
+              THEN chr(10) || '  d' ||
+                   repeat('x', CAST(event_id % 40 AS INT))
+              ELSE '' END AS m
+  FROM events WHERE event_id % 3 <> 0),
+appt AS (
+  SELECT CASE WHEN length(m) > 24 THEN substr(m, 1, 24) ELSE m END
+           AS message,
+         length(m) > 24 AS tr
+  FROM app),
+u AS (
+  SELECT 'app-logs' AS sink, message, tr FROM appt
+  UNION ALL
+  SELECT 'sys-' || event_type AS sink, event_type AS message,
+         FALSE AS tr
+  FROM events WHERE event_id % 3 = 0)
+SELECT sink, count(*) AS n,
+       CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS n_trunc,
+       CAST(count(DISTINCT message) AS BIGINT) AS n_msgs
+FROM u GROUP BY sink
+""")
+def yaml_inputs(spark, sf_dir):
+    """The ``filebeat.inputs:`` section of the YAML front door
+    (``filestream/config.go`` readerConfig →
+    ``beats_spark.config.compile_input``): two inputs with different
+    parser chains — app files get multiline + ``message_max_bytes``
+    truncation + ``include_lines`` (which drops the noise event AFTER
+    the parser chain, the reference's order, ``input.go:479-500`` then
+    ``:770-784``); sys files get the ndjson parser with
+    ``message_key`` — path-glob row selection, union, and the ES
+    indices selector, all compiled from one filebeat.yml."""
+    from .config import load_pipeline
+    ev = _t(spark, sf_dir, "events")
+    i, etype, uid = F.col("event_id"), F.col("event_type"), F.col("user_id")
+    app_lines = F.array_remove(F.array(
+        F.concat(F.lit("evt "), etype, F.lit(" u"), uid.cast("string")),
+        F.when(i % 2 == 0,
+               F.concat(F.lit("  d"),
+                        F.repeat(F.lit("x"), (i % 40).cast("int"))))
+         .otherwise(F.lit("")),
+        F.concat(F.lit("noise "), etype)), "")
+    sys_lines = F.array(F.concat(
+        F.lit('{"lvl":"'), etype, F.lit('","n":"'),
+        uid.cast("string"), F.lit('"}')))
+    path = F.when(i % 3 == 0,
+                  F.concat(F.lit("sys/"), i.cast("string"), F.lit(".log"))) \
+            .otherwise(
+                  F.concat(F.lit("app/"), i.cast("string"), F.lit(".log")))
+    df = ev.select(
+        path.alias("path"),
+        F.posexplode(F.when(i % 3 == 0, sys_lines).otherwise(app_lines))
+         .alias("line_no", "message"))
+    yml = """
+filebeat.inputs:
+  - type: filestream
+    id: app
+    paths: ["app/*.log"]
+    message_max_bytes: 24
+    include_lines: ['^evt']
+    parsers:
+      - multiline:
+          pattern: '^\\s'
+          negate: false
+          match: after
+  - type: filestream
+    id: sys
+    paths: ["sys/*.log"]
+    parsers:
+      - ndjson:
+          schema: "lvl string, n string"
+          message_key: lvl
+output.elasticsearch:
+  index: "app-logs"
+  indices:
+    - index: "sys-%{[lvl]}"
+      when:
+        has_fields: [lvl]
+"""
+    pipe = load_pipeline(yml)
+    routed = pipe(df)
+    return (routed.groupBy("sink")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.array_contains("log_flags", "truncated"),
+                              1).otherwise(0)).cast("bigint")
+                  .alias("n_trunc"),
+                 F.countDistinct("message").alias("n_msgs")))
+
+
 @query("community_id_flows")  # rows-only: DuckDB ships no sha1()
 def community_id_flows(spark, sf_dir):
     """Community ID v1 flow hash (``communityid/communityid.go:90``),

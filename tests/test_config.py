@@ -133,3 +133,145 @@ output.elasticsearch:
     pipe = load_pipeline(yml)
     out = {r["id"]: r["sink"] for r in pipe(events).collect()}
     assert out == {1: "err-idx", 2: "fallback", 3: "fallback"}
+
+
+# ----------------------------------------------------- filebeat.inputs:
+
+from beats_spark.config import compile_input, _glob_to_regex
+
+
+@pytest.fixture
+def lines(spark):
+    rows = [
+        ("app/a.log", 0, "evt one"),
+        ("app/a.log", 1, "  cont1"),
+        ("app/a.log", 2, "evt two-very-long-line!!!"),
+        ("app/a.log", 3, "noise x"),
+        ("sys/b.log", 0, '{"lvl":"warn","n":"5"}'),
+        ("sys/b.log", 1, '{"lvl":"info","n":"7"}'),
+    ]
+    return spark.createDataFrame(
+        rows, "path string, line_no int, message string")
+
+
+INPUTS_YML = """
+filebeat.inputs:
+  - type: filestream
+    id: app
+    paths: ["app/*.log"]
+    message_max_bytes: 12
+    include_lines: ['^evt']
+    parsers:
+      - multiline:
+          pattern: '^\\s'
+          negate: false
+          match: after
+  - type: filestream
+    id: sys
+    paths: ["sys/*.log"]
+    tags: [sysinput]
+    parsers:
+      - ndjson:
+          schema: "lvl string, n string"
+          message_key: lvl
+output.elasticsearch:
+  index: "app-logs"
+  indices:
+    - index: "sys-%{[lvl]}"
+      when:
+        has_fields: [lvl]
+"""
+
+
+def test_inputs_full_filebeat_yml(spark, lines):
+    """The complete carry-your-config-over surface: two inputs with
+    different parser chains, per-input include_lines + max_bytes +
+    tags, path-glob row selection, union, routing."""
+    pipe = load_pipeline(INPUTS_YML)
+    assert len(pipe.inputs) == 2
+    out = pipe(lines).collect()
+    by_sink = {}
+    for r in out:
+        by_sink.setdefault(r["sink"], []).append(r)
+    # app events: multiline joined then truncated to 12 bytes;
+    # 'noise x' dropped by include_lines AFTER the parser chain
+    app = sorted(r["message"] for r in by_sink["app-logs"])
+    assert app == ["evt one\n  co", "evt two-very"]
+    assert all("truncated" in r["log_flags"] for r in by_sink["app-logs"])
+    # sys events: ndjson parsed, message_key pulled lvl into message
+    assert {r["message"] for r in by_sink["sys-warn"]} == {"warn"}
+    assert {r["n"] for r in by_sink["sys-info"]} == {"7"}
+    assert all(r["tags"] == ["sysinput"] for r in by_sink["sys-warn"])
+    # app rows never saw the sys input's parse columns
+    assert all(r["lvl"] is None for r in by_sink["app-logs"])
+
+
+def test_glob_semantics_match_go_filepath():
+    import re as _re
+    rx = _glob_to_regex("app/*.log")
+    assert _re.match(rx, "app/a.log")
+    assert not _re.match(rx, "app/x/y.log")      # * stays in-segment
+    assert _re.match(_glob_to_regex("app/**.log"), "app/x/y.log")
+    assert _re.match(_glob_to_regex("app/?.log"), "app/a.log")
+    assert not _re.match(_glob_to_regex("app/?.log"), "app/ab.log")
+    assert _re.match(_glob_to_regex("l[o0]g.txt"), "l0g.txt")
+    assert not _re.match(_glob_to_regex("l[!o]g.txt"), "log.txt")
+
+
+def test_input_log_spellings(spark, lines):
+    """Classic `log` input: max_bytes + input-level multiline compile
+    to the same chain as the filestream spellings."""
+    cfg = {
+        "filebeat.inputs": [{
+            "type": "log",
+            "paths": ["app/*.log"],
+            "max_bytes": 12,
+            "include_lines": ["^evt"],
+            "multiline": {"pattern": "^\\s", "negate": False,
+                          "match": "after"},
+        }],
+    }
+    out = load_pipeline(cfg)(lines)
+    assert sorted(r["message"] for r in out.collect()) == \
+        ["evt one\n  co", "evt two-very"]
+
+
+def test_input_enabled_false_and_exclude(spark, lines):
+    cfg = {
+        "filebeat.inputs": [
+            {"type": "filestream", "paths": ["app/*.log"],
+             "enabled": False},
+            {"type": "filestream", "paths": ["**"],
+             "prospector.scanner.exclude_files": ["^sys/"],
+             "exclude_lines": ["^noise", "^\\s"]},
+        ],
+    }
+    pipe = load_pipeline(cfg)
+    assert len(pipe.inputs) == 1       # disabled input dropped
+    msgs = sorted(r["message"] for r in pipe(lines).collect())
+    assert msgs == ["evt one", "evt two-very-long-line!!!"]
+
+
+def test_input_fields_under_root_and_processors(spark, lines):
+    cfg = {
+        "filebeat.inputs": [{
+            "type": "filestream",
+            "paths": ["sys/*.log"],
+            "fields": {"dc": "eu-1"},
+            "fields_under_root": True,
+            "processors": [{"uppercase": {"fields": ["message"]}}],
+        }],
+    }
+    rows = load_pipeline(cfg)(lines).collect()
+    assert all(r["dc"] == "eu-1" for r in rows)
+    assert all(r["message"].startswith('{"LVL"') for r in rows)
+
+    # without fields_under_root the add_fields default target applies
+    cfg["filebeat.inputs"][0].pop("fields_under_root")
+    rows = load_pipeline(cfg)(lines).collect()
+    assert all(r["fields_dc"] == "eu-1" for r in rows)
+
+
+def test_compile_input_rejects_unknown_type():
+    with pytest.raises(ValueError, match="unsupported input type"):
+        compile_input({"type": "tcp"})
