@@ -47,9 +47,13 @@ def connected_components(
     ``nodes`` optionally supplies the full node universe (one column
     named ``id_col``); nodes with no edges become singleton
     components. Without it, only nodes appearing in an edge are
-    labeled. Raises if ``max_iter`` rounds don't converge (a
-    pathological diameter — switch to star-contraction before raising
-    the bound)."""
+    labeled. If ``max_iter`` min-label rounds don't converge (a
+    pathological diameter — a chain graph, not a near-dup cluster
+    shape), the implementation switches to alternating
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"), which converges in
+    O(log² n) rounds regardless of diameter, and derives the same
+    minimum-member labeling."""
     sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .union(edges.select(F.col(dst).alias("u"),
                                F.col(src).alias("v")))
@@ -90,8 +94,86 @@ def connected_components(
         if changed == 0:
             return labels.select(F.col("id").alias(id_col),
                                  F.col("comp").alias(comp_col))
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds")
+    # diameter exceeded the min-label budget: contract with
+    # alternating stars (O(log² n) rounds, diameter-independent)
+    return _star_contraction(sym, universe, id_col, comp_col)
+
+
+def _star_contraction(sym: DataFrame, universe: DataFrame,
+                      id_col: str, comp_col: str,
+                      max_rounds: int = 64) -> DataFrame:
+    """Alternating large-star/small-star contraction over a SYMMETRIC
+    edge list (Kiveris et al. 2014, alg. 2 — original implementation
+    of the published operators, nothing derived from the reference
+    repo):
+
+    - large-star(v): every neighbor u > v re-attaches to
+      m = min(Γ(v) ∪ {v});
+    - small-star(v): every neighbor u < v, and v itself, re-attach to
+      m = min of the smaller neighborhood.
+
+    The fixed point is a disjoint union of stars centered at each
+    component's minimum id, from which the labeling reads off as
+    min(Γ(x) ∪ {x}). Each operator is one groupBy + one join — the
+    same shuffle shape as a min-label round — but label information
+    hops across whole stars per round, so convergence is
+    diameter-independent. Edges are localCheckpoint-ed per round
+    (lineage truncation, as in the main loop)."""
+
+    def resym(e: DataFrame) -> DataFrame:
+        return (e.union(e.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v")))
+                 .distinct())
+
+    def large_star(e: DataFrame) -> DataFrame:
+        cm = (e.groupBy("u").agg(F.min("v").alias("mn"))
+               .select("u", F.least("mn", F.col("u")).alias("m")))
+        out = (e.filter(F.col("v") > F.col("u")).join(cm, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v")).distinct())
+        return resym(out)
+
+    def small_star(e: DataFrame) -> DataFrame:
+        sm = e.filter(F.col("v") < F.col("u"))
+        cm = sm.groupBy("u").agg(F.min("v").alias("m"))
+        nbrs = (sm.join(cm, "u")
+                  .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        centers = cm.select("u", F.col("m").alias("v"))
+        out = (nbrs.union(centers)
+                   .filter(F.col("u") != F.col("v")).distinct())
+        return resym(out)
+
+    def sig(e: DataFrame):
+        # cheap fixed-point check: count + order-independent hash XOR
+        # (xor never overflows under ANSI; the edge set is distinct so
+        # pair-cancellation cannot occur between different sets of the
+        # same count without a 64-bit collision)
+        row = e.agg(F.count(F.lit(1)).alias("n"),
+                    F.bit_xor(F.xxhash64("u", "v")).alias("h")).collect()[0]
+        return row["n"], row["h"]
+
+    edges = sym.localCheckpoint(eager=True)
+    prev = sig(edges)
+    for _ in range(max_rounds):
+        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        cur = sig(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds")
+
+    # in the star fixed point min(Γ(x) ∪ {x}) IS the component min:
+    # members see the center, the center sees only larger members
+    nbr_min = (edges.groupBy("u").agg(F.min("v").alias("mn"))
+               .select(F.col("u").alias("id"),
+                       F.least("mn", F.col("u")).alias("comp")))
+    return (universe.join(nbr_min, universe["id"] == nbr_min["id"],
+                          "left")
+            .select(universe["id"].alias(id_col),
+                    F.coalesce(nbr_min["comp"], universe["id"])
+                     .alias(comp_col)))
 
 
 def keep_min_per_component(

@@ -468,6 +468,7 @@ def token_bucket_filter(
     ts_field: str = "@timestamp",
     order_by: "list | None" = None,
     burst_multiplier: float = 1.0,
+    shards: int = 1,
 ) -> DataFrame:
     """Continuous-refill token bucket over event time, matching the
     reference's algorithm (``ratelimit/token_bucket.go:37-65``): one
@@ -485,43 +486,86 @@ def token_bucket_filter(
 
     Scale shape: ``applyInPandas`` per key group — the scan is
     inherently sequential per key (same as the reference's per-key
-    bucket mutex) but keys parallelize across the cluster."""
+    bucket mutex) but keys parallelize across the cluster.
+
+    .. warning:: With no ``fields`` (a GLOBAL limit) and ``shards=1``
+       the whole dataset flows through ONE sequential pandas group —
+       semantically exact (the reference's global bucket is one mutex
+       too) but a single-task cliff at cluster scale. For a global
+       limit over big data pass ``shards=k``: rows hash-salt into
+       ``k`` deterministic shards, each running an exact bucket over
+       ``rate/k`` (the integer remainder spread over the first
+       shards). The total admitted is then a conservative
+       approximation of the global bucket — a shard never over-admits
+       its budget, so the sum never exceeds the exact global
+       admission for steady traffic, but an uneven hash split wastes
+       idle shards' tokens. Keep ``shards`` ≤ the per-window limit or
+       zero-rate shards admit nothing."""
     import pandas as pd
 
     n, unit = _rl_parse_limit(limit)
     window_s = _RL_WINDOW_S[unit]
     scale = 1_000_000 * window_s  # one token, in scaled units
-    depth = int(round(n * float(burst_multiplier) * scale))
     keys = list(fields or [])
     order = [ts_field] + list(order_by or [])
     schema = df.schema
+    shards = int(shards)
+    if shards > 1 and keys:
+        raise ValueError(
+            "token_bucket_filter: shards applies only to the global "
+            "(fields-less) bucket; keyed buckets already parallelize "
+            "across keys")
 
-    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order, kind="mergesort")
-        # datetime64[ns] → integer µs (exact; Spark timestamps are µs)
-        us = (pdf[ts_field].values.astype("datetime64[ns]")
-              .astype("int64") // 1000)
-        # NaT rows: astype would yield INT64_MIN and poison the
-        # accrual. A null event time accrues nothing and never moves
-        # the clock; the row still withdraws a token at the current
-        # fill (deterministic — NaT sorts last within its key).
-        null_ts = pdf[ts_field].isna().values
-        tokens = depth
-        prev = None
-        keep = []
-        for t, is_null in zip(us, null_ts):
-            if not is_null:
-                if prev is not None:
-                    tokens += (t - prev) * n  # elapsed_µs × n/window
-                prev = t
-            if tokens >= scale:
-                tokens -= scale
-                keep.append(True)
-            else:
-                keep.append(False)
-        return pdf[pd.Series(keep, index=pdf.index).values]
+    def scan_with(rate: int, depth: int):
+        def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(order, kind="mergesort")
+            # datetime64[ns] → integer µs (exact; Spark ts are µs)
+            us = (pdf[ts_field].values.astype("datetime64[ns]")
+                  .astype("int64") // 1000)
+            # NaT rows: astype would yield INT64_MIN and poison the
+            # accrual. A null event time accrues nothing and never
+            # moves the clock; the row still withdraws a token at the
+            # current fill (deterministic — NaT sorts last in its key).
+            null_ts = pdf[ts_field].isna().values
+            tokens = depth
+            prev = None
+            keep = []
+            for t, is_null in zip(us, null_ts):
+                if not is_null:
+                    if prev is not None:
+                        tokens += (t - prev) * rate  # µs × rate/window
+                    prev = t
+                if tokens >= scale:
+                    tokens -= scale
+                    keep.append(True)
+                else:
+                    keep.append(False)
+            return pdf[pd.Series(keep, index=pdf.index).values]
+        return scan
 
-    grouped = df.groupBy(*keys) if keys else df.groupBy(F.lit(1))
+    def depth_for(rate: int) -> int:
+        return int(round(rate * float(burst_multiplier) * scale))
+
+    if not keys and shards > 1:
+        # deterministic salt over the full row (Murmur3, fixed seed)
+        salted = df.withColumn(
+            "__tb_shard", F.pmod(F.hash(*df.columns), F.lit(shards)))
+        base, rem = divmod(n, shards)
+
+        def scan_shard(key, pdf):
+            i = int(key[0])
+            rate = base + (1 if i < rem else 0)
+            out = scan_with(rate, depth_for(rate))(
+                pdf.drop(columns=["__tb_shard"]))
+            return out
+
+        return salted.groupBy("__tb_shard").applyInPandas(
+            scan_shard, schema=schema)
+
+    scan = scan_with(n, depth_for(n))
+    # NB: a bare integer literal would resolve as a GROUP BY ordinal
+    # (Spark 4 groupByOrdinal) — a string literal keys the one group
+    grouped = df.groupBy(*keys) if keys else df.groupBy(F.lit("all"))
     return grouped.applyInPandas(scan, schema=schema)
 
 
@@ -548,6 +592,7 @@ def rate_limit(cfg: Mapping[str, Any]):
     order_by = list(cfg.get("order_by", []))
     algorithm = cfg.get("algorithm", "window")
     burst = float(cfg.get("burst_multiplier", 1.0))
+    shards = int(cfg.get("shards", 1))
 
     def make(df: DataFrame) -> ProcResult:
         if algorithm == "token_bucket":
@@ -555,7 +600,7 @@ def rate_limit(cfg: Mapping[str, Any]):
                 return token_bucket_filter(
                     d, limit=limit_spec, fields=key_fields,
                     ts_field=ts_field, order_by=order_by,
-                    burst_multiplier=burst)
+                    burst_multiplier=burst, shards=shards)
             return ProcResult(reshape=reshape_tb)
         if algorithm != "window":
             raise ValueError(

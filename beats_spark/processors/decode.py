@@ -422,28 +422,138 @@ def decode_duration(cfg: Mapping[str, Any]):
     return make
 
 
+# Magic-byte table mirroring the h2non/filetype matchers the reference
+# consults first (``libbeat/mime/byte.go:40-44``): hex prefix of the
+# value → mime, most-specific first. Container formats with interior
+# markers (RIFF family, ISO-BMFF ftyp, Matroska, tar) are special-cased
+# below the plain prefixes.
+_MAGIC_PREFIXES = [
+    ("89504E470D0A1A0A", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    ("47494638", "image/gif"),
+    ("49492A00", "image/tiff"),
+    ("4D4D002A", "image/tiff"),
+    ("424D", "image/bmp"),
+    ("00000100", "image/x-icon"),
+    ("1A45DFA3", None),                  # matroska/webm, see below
+    ("494433", "audio/mpeg"),            # ID3-tagged mp3
+    ("FFFB", "audio/mpeg"),
+    ("4F676753", "audio/ogg"),
+    ("664C6143", "audio/x-flac"),
+    ("4D546864", "audio/midi"),
+    ("25504446", "application/pdf"),
+    ("504B0304", "application/zip"),
+    ("1F8B", "application/gzip"),
+    ("425A68", "application/x-bzip2"),
+    ("FD377A585A00", "application/x-xz"),
+    ("28B52FFD", "application/zstd"),
+    ("377ABCAF271C", "application/x-7z-compressed"),
+    ("7F454C46", "application/x-executable"),          # ELF
+    ("4D5A", "application/vnd.microsoft.portable-executable"),
+    ("CFFAEDFE", "application/x-mach-binary"),
+    ("CEFAEDFE", "application/x-mach-binary"),
+    ("FEEDFACE", "application/x-mach-binary"),
+    ("FEEDFACF", "application/x-mach-binary"),
+    ("0061736D", "application/wasm"),
+    ("774F4646", "application/font-woff"),
+    ("774F4632", "application/font-woff2"),
+    ("53514C69746520", "application/x-sqlite3"),
+    ("7B5C727466", "application/rtf"),
+    ("25215053", "application/postscript"),
+]
+
+
 @register("detect_mime_type")
 def detect_mime_type(cfg: Mapping[str, Any]):
-    """Sniff mime from magic bytes (``detect_mime_type.go:53``) —
-    JVM-side prefix matching over the binary column; the library-based
-    long tail of the reference is out of scope."""
+    """Mime sniffing (``detect_mime_type.go:53`` →
+    ``libbeat/mime/byte.go``), mirroring the reference's three stages
+    entirely JVM-side (zero Python, pushdown-safe):
+
+    1. magic-byte match (the h2non/filetype table the reference calls
+       first) → the bare mime value;
+    2. WHATWG-style content sniffing (``http.DetectContentType``):
+       html tags → ``text/html; charset=utf-8``, ``<?xml`` →
+       ``text/xml; charset=utf-8``, UTF-16 BOMs;
+    3. textual fallback: valid JSON (``try_parse_json``, the same
+       whole-payload validity check as Go ``json.Valid``) →
+       ``application/json``; an XML-shaped document → ``text/xml``
+       (a structural approximation of ``xml.Unmarshal`` — balanced
+       opening/closing markers, not a full parse — documented
+       divergence); other control-character-free text →
+       ``text/plain; charset=utf-8``.
+
+    Unknown binary yields NULL, the flat-column analog of the
+    reference leaving the target unset when ``mime.Detect`` returns
+    the empty string."""
     field = cfg["field"]
     target = cfg.get("target", "mime_type")
 
     def make(df: DataFrame) -> ProcResult:
-        b = F.col(field)
-        hexhead = F.hex(F.substring(b.cast("binary"), 1, 8))
-        col = (
-            F.when(hexhead.startswith("89504E47"), "image/png")
-             .when(hexhead.startswith("FFD8FF"), "image/jpeg")
-             .when(hexhead.startswith("47494638"), "image/gif")
-             .when(hexhead.startswith("1F8B"), "application/gzip")
-             .when(hexhead.startswith("25504446"), "application/pdf")
-             .when(hexhead.startswith("504B0304"), "application/zip")
-             .when(F.substring(b.cast("string"), 1, 1).isin("{", "["), "application/json")
-             .when(F.substring(b.cast("string"), 1, 5) == "<html", "text/html")
-             .when(F.substring(b.cast("string"), 1, 6) == "<?xml ", "text/xml")
-             .otherwise(F.lit("text/plain"))
-        )
-        return ProcResult(assigns={target: col})
+        b = F.col(field).cast("binary")
+        s = F.col(field).cast("string")
+        hexhead = F.hex(F.substring(b, 1, 16))
+
+        col = None
+
+        def add(cond, mime):
+            nonlocal col
+            lit = F.lit(mime)
+            col = F.when(cond, lit) if col is None else col.when(cond, lit)
+
+        for hx, mime in _MAGIC_PREFIXES:
+            if mime is None:
+                continue
+            add(hexhead.startswith(hx), mime)
+        # RIFF containers: type tag at bytes 9-12
+        riff = hexhead.startswith("52494646")
+        tag = F.substring(s, 9, 4)
+        add(riff & (tag == "WEBP"), "image/webp")
+        add(riff & (tag == "WAVE"), "audio/x-wav")
+        add(riff & (tag == "AVI "), "video/x-msvideo")
+        # ISO-BMFF: 'ftyp' at bytes 5-8, brand distinguishes qt
+        ftyp = F.substring(s, 5, 4) == "ftyp"
+        add(ftyp & (F.substring(s, 9, 2) == "qt"), "video/quicktime")
+        add(ftyp, "video/mp4")
+        # Matroska: doctype string decides webm vs mkv
+        ebml = hexhead.startswith("1A45DFA3")
+        head64 = F.substring(s, 1, 64)
+        add(ebml & head64.contains("webm"), "video/webm")
+        add(ebml, "video/x-matroska")
+        # tar: 'ustar' at byte offset 257
+        add(F.substring(s, 258, 5) == "ustar", "application/x-tar")
+
+        # ------- WHATWG-ish sniffing over the textual head -------
+        trimmed = F.ltrim(s)
+        lower = F.lower(F.substring(trimmed, 1, 32))
+        html_tags = ("<!doctype html", "<html", "<head", "<script",
+                     "<iframe", "<h1", "<div", "<font", "<table", "<a",
+                     "<style", "<title", "<b", "<body", "<br", "<p")
+        html_hit = None
+        for t in html_tags:
+            # the tag must be terminated by a space or '>' (WHATWG)
+            c = lower.startswith(t + ">") | lower.startswith(t + " ")
+            html_hit = c if html_hit is None else (html_hit | c)
+        add(html_hit, "text/html; charset=utf-8")
+        add(lower.startswith("<?xml"), "text/xml; charset=utf-8")
+        add(hexhead.startswith("FEFF"), "text/plain; charset=utf-16be")
+        add(hexhead.startswith("FFFE"), "text/plain; charset=utf-16le")
+
+        # ------- parse fallback for the remaining text -------
+        # binary detection: a control byte (C0 minus tab/lf/cr/ff/esc,
+        # WHATWG's binary set) or a UTF-8 decode failure (U+FFFD from
+        # the cast) marks the value as non-text
+        is_binary = s.rlike(
+            "[\x00-\x08\x0b\x0e-\x1a\x1c-\x1f�]")
+        # Go json.Valid accepts any JSON value incl. scalars — so does
+        # try_parse_json; no object/array prefix guard, same as the
+        # reference
+        add(~is_binary & F.try_parse_json(s).isNotNull(),
+            "application/json")
+        xmlish = (trimmed.startswith("<") & F.rtrim(s).endswith(">")
+                  & (s.contains("</") | s.contains("/>")))
+        add(~is_binary & xmlish, "text/xml")
+        add(~is_binary & (F.length(s) > 0), "text/plain; charset=utf-8")
+
+        return ProcResult(
+            assigns={target: col.otherwise(F.lit(None).cast("string"))})
     return make

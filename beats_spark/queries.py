@@ -1834,10 +1834,13 @@ SELECT p_partkey,
   'q=' || p_brand || ' x' AS dec,
   CAST((p_partkey % 5) * 3600 + (p_partkey % 60) * 60 AS DOUBLE)
     AS dur_seconds,
-  CASE CAST(p_partkey % 3 AS INT)
+  CASE CAST(p_partkey % 6 AS INT)
        WHEN 0 THEN 'application/json'
-       WHEN 1 THEN 'text/html'
-       ELSE 'image/png' END AS mime,
+       WHEN 1 THEN 'text/html; charset=utf-8'
+       WHEN 2 THEN 'image/png'
+       WHEN 3 THEN 'application/gzip'
+       WHEN 4 THEN 'application/vnd.microsoft.portable-executable'
+       ELSE 'text/plain; charset=utf-8' END AS mime,
   length(p_name) > 20 AS truncated,
   '+00:00' AS event_timezone,
   'logs-pages-default' AS ds_index
@@ -1858,10 +1861,14 @@ def processor_chain2(spark, sf_dir):
                  F.lit("%20x")).alias("enc"),
         F.concat((k % 5).cast("string"), F.lit("h"),
                  (k % 60).cast("string"), F.lit("m")).alias("dur"),
-        F.when(k % 3 == 0, F.encode(F.lit('{"a": 1}'), "utf-8"))
-         .when(k % 3 == 1,
+        F.when(k % 6 == 0, F.encode(F.lit('{"a": 1}'), "utf-8"))
+         .when(k % 6 == 1,
                F.encode(F.lit("<html><body>x</body></html>"), "utf-8"))
-         .otherwise(F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")))
+         .when(k % 6 == 2,
+               F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")))
+         .when(k % 6 == 3, F.unhex(F.lit("1F8B08000000000000FF")))
+         .when(k % 6 == 4, F.unhex(F.lit("4D5A90000300000004000000FFFF")))
+         .otherwise(F.encode(F.lit("Hello world!"), "utf-8"))
          .alias("blob"))
     chain = compile_processors([
         {"truncate_fields": {"fields": ["p_name"],

@@ -50,11 +50,60 @@ def test_long_path_needs_iterations(spark):
     assert set(got.values()) == {0}
 
 
-def test_non_convergence_raises(spark):
-    e = spark.createDataFrame([(i, i + 1) for i in range(11)],
-                              "id_a long, id_b long")
-    with pytest.raises(RuntimeError):
-        connected_components(e, max_iter=1)
+def test_star_contraction_fallback_on_tiny_budget(spark):
+    # max_iter=1 forces the large/small-star fallback; labels must be
+    # identical to the min-label result
+    got = _cc(spark, [(i, i + 1) for i in range(11)], max_iter=1)
+    assert got == {i: 0 for i in range(12)}
+
+
+def test_deep_chain_diameter_over_25_converges(spark):
+    # a 60-node path (diameter 59) blows past the default min-label
+    # budget (25 rounds); the star-contraction fallback must converge
+    # and keep the minimum-member labeling + singletons
+    got = _cc(spark, [(i, i + 1) for i in range(59)],
+              nodes=list(range(60)) + [999])
+    assert got == {**{i: 0 for i in range(60)}, 999: 999}
+
+
+def test_star_fallback_matches_union_find_random(spark):
+    import random
+    rng = random.Random(7)
+    n = 80
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    # driver-side union-find ground truth
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component id = min member id
+    comp_min = {}
+    for x in range(n):
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    truth = {x: comp_min[find(x)] for x in range(n)}
+
+    via_stars = _cc(spark, edges, nodes=list(range(n)), max_iter=1)
+    via_minlabel = _cc(spark, edges, nodes=list(range(n)))
+    assert via_stars == truth == via_minlabel
+
+
+def test_star_fallback_string_ids(spark):
+    e = spark.createDataFrame([("d", "c"), ("c", "b"), ("b", "a")],
+                              "id_a string, id_b string")
+    out = {r["id"]: r["component"]
+           for r in connected_components(e, max_iter=1).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "d": "a"}
 
 
 def test_keep_min_per_component(spark):

@@ -120,3 +120,99 @@ def test_syslog_processor_form(spark):
     assert row["log_syslog_severity_code"] == 5
     assert row["log_syslog_facility_code"] == 1
     assert row["syslog_hostname"] == "host01"
+
+
+# ------------------------------------------------- detect_mime_type
+
+def _mime_of(spark, payloads):
+    """payloads: list of bytes — returns the detected mime per row."""
+    df = spark.createDataFrame([(p,) for p in payloads], "blob binary")
+    chain = compile_processors([
+        {"detect_mime_type": {"field": "blob", "target": "mime"}}])
+    return [r["mime"] for r in chain(df).collect()]
+
+
+def test_mime_reference_vectors(spark):
+    """The reference's own table tests (libbeat/mime/mime_test.go),
+    byte for byte — including the charset-suffixed text types its
+    http.DetectContentType stage produces."""
+    vectors = [
+        (b"<html>Test</html>", "text/html; charset=utf-8"),
+        (bytes.fromhex("4d5a90000300000004000000ffff"),
+         "application/vnd.microsoft.portable-executable"),
+        (bytes.fromhex(
+            "7f454c460101010000000000000000000300030001000000f0dc0100"
+            "3400000080a318000000000034002000080028001e001d0001"),
+         "application/x-executable"),
+        (bytes.fromhex(
+            "cffaedfe070000010300000002000000100000005805000085002000"
+            "0000000019000000480000005f5f504147455a45524f"),
+         "application/x-mach-binary"),
+        (b"{}", "application/json"),
+        (b"<test></test>", "text/xml"),
+        (b"Hello world!", "text/plain; charset=utf-8"),
+        (bytes.fromhex(
+            "89504e470d0a1a0a0000000d494844520000025800000258080200"
+            "000031040f8b0000000467414d410000b18f0bfc610500"),
+         "image/png"),
+    ]
+    got = _mime_of(spark, [v[0] for v in vectors])
+    assert got == [v[1] for v in vectors]
+
+
+def test_mime_broadened_magic_table(spark):
+    vectors = [
+        (b"RIFF\x00\x00\x00\x00WEBPVP8 ", "image/webp"),
+        (b"RIFF\x00\x00\x00\x00WAVEfmt ", "audio/x-wav"),
+        (b"RIFF\x00\x00\x00\x00AVI LIST", "video/x-msvideo"),
+        (b"\x00\x00\x00\x18ftypmp42", "video/mp4"),
+        (b"\x00\x00\x00\x14ftypqt  ", "video/quicktime"),
+        (b"\x1a\x45\xdf\xa3\x00\x00webm\x00", "video/webm"),
+        (b"\x1a\x45\xdf\xa3\x00matroska", "video/x-matroska"),
+        (b"ID3\x04\x00\x00\x00", "audio/mpeg"),
+        (b"OggS\x00\x02", "audio/ogg"),
+        (b"fLaC\x00\x00\x00\x22", "audio/x-flac"),
+        (b"MThd\x00\x00\x00\x06", "audio/midi"),
+        (b"%PDF-1.7", "application/pdf"),
+        (b"PK\x03\x04\x14\x00", "application/zip"),
+        (b"\x1f\x8b\x08\x00", "application/gzip"),
+        (b"BZh91AY", "application/x-bzip2"),
+        (bytes.fromhex("fd377a585a0000"), "application/x-xz"),
+        (bytes.fromhex("28b52ffd240000"), "application/zstd"),
+        (bytes.fromhex("377abcaf271c0004"),
+         "application/x-7z-compressed"),
+        (b"\x00asm\x01\x00\x00\x00", "application/wasm"),
+        (b"wOFFOTTO", "application/font-woff"),
+        (b"wOF2OTTO", "application/font-woff2"),
+        (b"SQLite format 3\x00", "application/x-sqlite3"),
+        (b"{\\rtf1\\ansi", "application/rtf"),
+        (b"%!PS-Adobe-3.0", "application/postscript"),
+        (b"BM\x9a\x01\x00\x00", "image/bmp"),
+        (b"\x00\x00\x01\x00\x02\x00", "image/x-icon"),
+        (b"II*\x00\x10\x00", "image/tiff"),
+        (b"MM\x00*\x00\x00", "image/tiff"),
+        (b"GIF89a\x00", "image/gif"),
+        (b"\xff\xd8\xff\xe0\x00\x10JFIF", "image/jpeg"),
+        # tar: ustar at offset 257
+        (b"x" * 257 + b"ustar\x00" + b"y" * 10, "application/x-tar"),
+    ]
+    got = _mime_of(spark, [v[0] for v in vectors])
+    assert got == [v[1] for v in vectors]
+
+
+def test_mime_text_and_unknown_semantics(spark):
+    vectors = [
+        (b"  <!DOCTYPE html><html>", "text/html; charset=utf-8"),
+        (b'<?xml version="1.0"?><a/>', "text/xml; charset=utf-8"),
+        (b"\xfe\xff\x00H\x00i", "text/plain; charset=utf-16be"),
+        (b"\xff\xfeH\x00i\x00", "text/plain; charset=utf-16le"),
+        (b"[1, 2, 3]", "application/json"),
+        (b"true", "application/json"),     # Go json.Valid scalars
+        (b"<note><to>x</to></note>", "text/xml"),
+        (b"plain prose, nothing else", "text/plain; charset=utf-8"),
+        # unknown binary -> NULL (the reference leaves target unset)
+        (bytes([0x01, 0x02, 0x03, 0x9c, 0x80, 0x00]), None),
+        (b"", None),                       # empty short-circuits
+    ]
+    got = _mime_of(spark, [v[0] for v in vectors])
+    assert got == [v[1] for v in vectors]

@@ -646,3 +646,54 @@ def test_new_oracles_survive_null_text_and_lang(spark, tmp_path):
         assert len(got) == len(ora), name
         pd_eq = got.equals(ora.astype(got.dtypes.to_dict()))
         assert pd_eq, f"{name}\n{got}\n{ora}"
+
+
+# --------------------------------------------- sharded global bucket
+
+def test_token_bucket_sharded_burst_caps_per_shard_budget(spark):
+    """Global (fields-less) bucket with shards=k: a single-instant
+    burst admits exactly sum(min(rows_in_shard, budget_i)) where the
+    shard split is the engine's own deterministic hash and budget_i
+    the integer split of the limit — the documented conservative
+    approximation of the exact global bucket."""
+    from pyspark.sql import functions as F
+    df = _ev(spark, [0.0] * 100)
+    out = token_bucket_filter(df, limit="40/s", ts_field="ts",
+                              order_by=["id"], shards=4)
+    counts = (df.withColumn("__s", F.pmod(F.hash(*df.columns), F.lit(4)))
+              .groupBy("__s").count().collect())
+    expected = sum(min(r["count"], 10) for r in counts)
+    assert out.count() == expected < 40 + 1
+    # deterministic: same rows kept on a second run
+    out2 = token_bucket_filter(df, limit="40/s", ts_field="ts",
+                               order_by=["id"], shards=4)
+    assert _kept_ids(out) == _kept_ids(out2)
+
+
+def test_token_bucket_sharded_steady_stream_is_exact(spark):
+    # 1 event/sec vs 4/s with 2 shards (2/s each): consecutive events
+    # in a shard are >=1s apart -> >=2 tokens accrued -> everything
+    # passes, identical to the unsharded global bucket
+    df = _ev(spark, list(range(20)))
+    sharded = token_bucket_filter(df, limit="4/s", ts_field="ts",
+                                  order_by=["id"], shards=2)
+    exact = token_bucket_filter(df, limit="4/s", ts_field="ts",
+                                order_by=["id"])
+    assert _kept_ids(sharded) == _kept_ids(exact) == list(range(20))
+
+
+def test_token_bucket_shards_reject_keyed(spark):
+    df = _ev(spark, [0, 1, 2])
+    with pytest.raises(ValueError, match="shards applies only"):
+        token_bucket_filter(df, limit="2/s", fields=["k"],
+                            ts_field="ts", shards=2)
+
+
+def test_rate_limit_cfg_shards_passthrough(spark):
+    df = _ev(spark, [0.0] * 8)
+    chain = compile_processors([
+        {"rate_limit": {"limit": "4/s", "algorithm": "token_bucket",
+                        "timestamp_field": "ts", "order_by": ["id"],
+                        "shards": 2}}])
+    n = chain(df).count()
+    assert 0 < n <= 4
