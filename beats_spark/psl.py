@@ -142,6 +142,30 @@ cloudfront.net s3.amazonaws.com azurewebsites.net
 """
 
 
+def synthetic_psl() -> PslRules:
+    """A deterministic ~9k-rule set with the SHAPE of the real
+    publicsuffix.org data (≈1.5k single-label TLDs, ≈6.4k two-label
+    registry rules, ≈1k three-label, 50 four-label, 40 wildcards, 10
+    exceptions; depth 4 like the real list's deep cloud suffixes) —
+    NOT real data. Exists so tests and the per-round bench exercise
+    the broadcast matcher at production rule-set size; the rule
+    families are closed-form, so a query over hosts constructed
+    against them has an analytically known answer (the
+    ``psl_domains_9k`` oracle)."""
+    rules = []
+    rules += [f"tld{i}" for i in range(1500)]
+    rules += [f"{p}.tld{i}"
+              for p in ("co", "com", "org", "net", "gov", "edu", "ac",
+                        "sch")
+              for i in range(800)]
+    rules += [f"{c}.gov.tld{i}" for c in ("metro", "city")
+              for i in range(500)]
+    rules += [f"cdn.edge.net.tld{i}" for i in range(50)]
+    rules += [f"*.wild{i}" for i in range(40)]
+    rules += [f"!ok.wild{i}" for i in range(10)]
+    return parse_psl("\n".join(rules))
+
+
 def default_rules() -> PslRules:
     # the bundled subset packs several rules per line for readability;
     # re-flow to the one-rule-per-line form parse_psl expects

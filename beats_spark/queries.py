@@ -498,6 +498,72 @@ def psl_domains(spark, sf_dir):
                .agg(F.count(F.lit(1)).alias("n")))
 
 
+@query("psl_domains_9k", oracle="""
+WITH h AS (
+  SELECT event_id, CAST(event_id % 7 AS INT) AS b,
+         CAST(event_id % 50 AS VARCHAR) AS x,
+         CAST(event_id % 800 AS VARCHAR) AS y0,
+         CAST(event_id % 1500 AS VARCHAR) AS y1,
+         CAST(event_id % 500 AS VARCHAR) AS y2,
+         CAST(event_id % 40 AS VARCHAR) AS w,
+         CAST(event_id % 10 AS VARCHAR) AS e
+  FROM events)
+SELECT event_id,
+       CASE b
+         WHEN 0 THEN 'site' || x || '.co.tld' || y0
+         WHEN 1 THEN 'site' || x || '.tld' || y1
+         WHEN 2 THEN 'app.metro.gov.tld' || y2
+         WHEN 3 THEN 'x.foo' || x || '.wild' || w
+         WHEN 4 THEN 'ok.wild' || e
+         WHEN 5 THEN 'shop' || x || '.unknown' || x
+         ELSE 'img.cdn.edge.net.tld' || CAST(event_id % 50 AS VARCHAR)
+       END AS registered_domain,
+       CASE b
+         WHEN 0 THEN 'co.tld' || y0
+         WHEN 1 THEN 'tld' || y1
+         WHEN 2 THEN 'metro.gov.tld' || y2
+         WHEN 3 THEN 'foo' || x || '.wild' || w
+         WHEN 4 THEN 'wild' || e
+         WHEN 5 THEN 'unknown' || x
+         ELSE 'cdn.edge.net.tld' || CAST(event_id % 50 AS VARCHAR)
+       END AS etld
+FROM h
+""")
+def psl_domains_9k(spark, sf_dir):
+    """The PSL matcher at production rule-set size: ~9k synthetic
+    rules with the real publicsuffix.org shape
+    (:func:`beats_spark.psl.synthetic_psl`). Hosts are constructed
+    against each rule family (1/2/3/4-label exact, wildcard,
+    exception, implicit ``*``), so the expected eTLD+1 is closed-form
+    — the oracle never re-implements the matcher. Plan stays K=4
+    BroadcastHashJoins over one reused 9k-row broadcast, zero shuffle
+    exchanges (asserted in tests/test_psl.py)."""
+    from .psl import registered_domain_psl, synthetic_psl
+    ev = _t(spark, sf_dir, "events")
+    i = F.col("event_id")
+    b = (i % 7).cast("int")
+    x = (i % 50).cast("string")
+    host = (
+        F.when(b == 0, F.concat(F.lit("www.site"), x, F.lit(".co.tld"),
+                                (i % 800).cast("string")))
+         .when(b == 1, F.concat(F.lit("a.b.site"), x, F.lit(".tld"),
+                                (i % 1500).cast("string")))
+         .when(b == 2, F.concat(F.lit("app.metro.gov.tld"),
+                                (i % 500).cast("string")))
+         .when(b == 3, F.concat(F.lit("x.foo"), x, F.lit(".wild"),
+                                (i % 40).cast("string")))
+         .when(b == 4, F.concat(F.lit("sub.ok.wild"),
+                                (i % 10).cast("string")))
+         .when(b == 5, F.concat(F.lit("www.shop"), x, F.lit(".unknown"),
+                                x))
+         .otherwise(F.concat(F.lit("img.cdn.edge.net.tld"),
+                             (i % 50).cast("string"))))
+    df = ev.select("event_id", host.alias("host"))
+    out = registered_domain_psl(df, "host", etld_target="etld",
+                                rules=synthetic_psl())
+    return out.select("event_id", "registered_domain", "etld")
+
+
 @query("network_condition", oracle="""
 WITH ips AS (
   SELECT CASE CAST(user_id % 6 AS INT)

@@ -51,10 +51,15 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard", "dedup_embedding", "ann_cosine_topk",
     "text_quality", "token_count", "lang_id", "lang_id_fused", "salted_agg",
     "windowed_counts", "curation_pipeline",
-    "container_partial", "psl_domains", "dedup_components",
-    "pack_greedy", "domain_rollup",
+    "container_partial", "psl_domains", "psl_domains_9k",
+    "dedup_components",
+    "pack_greedy", "domain_rollup", "yaml_inputs",
     "flagship_routed_counts", "flagship_messages",
 ]
+
+# per-query repeats; reported time is the MIN so one noisy run can't
+# fake a regression (bench noise control, VERDICT r2 item 10)
+BENCH_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
 
 def _session(cpus: int):
@@ -99,14 +104,20 @@ def flagship_throughput(spark, n_pages: int, cpus: int) -> dict:
     # lookups — measure the pipeline, not process cold-start
     build_routed(pages(spark, 2_000, partitions=cpus), hm, lm) \
         .groupBy("sink").count().collect()
-    t0 = time.time()
-    routed = build_routed(pg, hm, lm)
-    counts = {r["sink"]: r["n"] for r in
-              routed.groupBy("sink").agg(F.count(F.lit(1)).alias("n"))
-                    .collect()}
-    dt = time.time() - t0
-    return {"pages": n_pages, "seconds": round(dt, 3),
-            "pages_per_sec": round(n_pages / dt, 1),
+    # min-of-N like the per-query timings: the headline metric must
+    # not swing with transient host contention either
+    best, counts = None, None
+    for _ in range(BENCH_REPEATS):
+        t0 = time.time()
+        routed = build_routed(pg, hm, lm)
+        counts = {r["sink"]: r["n"] for r in
+                  routed.groupBy("sink").agg(F.count(F.lit(1)).alias("n"))
+                        .collect()}
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return {"pages": n_pages, "seconds": round(best, 3),
+            "pages_per_sec": round(n_pages / best, 1),
+            "repeats": BENCH_REPEATS,
             "events": sum(counts.values()), "sink_counts": counts}
 
 
@@ -118,17 +129,23 @@ def run_default() -> dict:
 
     qtimes = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        QUERIES[name](spark, SF_DIR).write.format("noop").mode(
-            "overwrite").save()
-        qtimes[name] = round(time.time() - t0, 3)
-        print(f"  {name}: {qtimes[name]}s", file=sys.stderr, flush=True)
+        best = None
+        for _ in range(BENCH_REPEATS):
+            t0 = time.time()
+            QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        qtimes[name] = round(best, 3)
+        print(f"  {name}: {qtimes[name]}s (min of {BENCH_REPEATS})",
+              file=sys.stderr, flush=True)
 
     return {
         "metric": "flagship_pages_per_sec",
         "value": fl["pages_per_sec"],
         "unit": "sec",
         "queries": qtimes,
+        "query_repeats": BENCH_REPEATS,
         "sf": _SF,
         "cpus": CPUS,
         "flagship": fl,
