@@ -41,6 +41,7 @@ from .textstats import (
     token_count,
 )
 from .curate import curate, CurationResult
+from .decontam import contamination_flags, decontaminate
 from .multimodal import (
     attach_media_meta,
     extract_image_features,
@@ -61,4 +62,5 @@ __all__ = [
     "attach_media_meta", "extract_image_features", "sample_video_frames",
     "set_decoder",
     "curate", "CurationResult",
+    "contamination_flags", "decontaminate",
 ]

@@ -2261,6 +2261,38 @@ output.elasticsearch:
     return pipe(df).groupBy("sink").agg(F.count(F.lit(1)).alias("n"))
 
 
+@query("decontaminate", oracle=f"""
+WITH t AS (SELECT doc_id, {_SH_TOKS} AS t FROM documents),
+g AS (SELECT doc_id,
+        list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+            i -> array_to_string(t[i:i+2], ' '))) AS sh
+      FROM t),
+ev AS (SELECT DISTINCT unnest(sh) AS gram FROM g WHERE doc_id % 20 = 0),
+tr AS (SELECT doc_id, sh FROM g WHERE doc_id % 20 <> 0),
+hits AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(sh) AS gram FROM tr) x
+  JOIN ev USING (gram))
+SELECT tr.doc_id, (hits.doc_id IS NOT NULL) AS contaminated
+FROM tr LEFT JOIN hits USING (doc_id)
+""")
+def decontaminate_q(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix-C / FineWeb
+    practice): training docs sharing any word-n-gram with the eval
+    set are flagged. Eval grams (tiny by construction) broadcast as
+    64-bit hashes; the training side probes them with a map-side
+    LEFT SEMI BroadcastHashJoin — no shuffle touches text
+    (``dataops/decontam.py``). Here the eval set is every 20th
+    document, n=3 so the oracle's shingle SQL is shared with the
+    dedup queries."""
+    from .dataops.decontam import contamination_flags
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    tr = docs.filter(F.col("doc_id") % 20 != 0)
+    out = contamination_flags(tr, ev, n=3)
+    return out.select("doc_id", "contaminated")
+
+
 @query("yaml_inputs", oracle="""
 WITH app AS (
   SELECT 'evt ' || event_type || ' u' || CAST(user_id AS VARCHAR) ||
