@@ -484,12 +484,22 @@ def token_bucket_filter(
     window_s``) so the arithmetic is exact and engine-independent —
     the DuckDB recursive-CTE oracle reproduces it bit-for-bit.
 
-    Scale shape: ``applyInPandas`` per key group — the scan is
-    inherently sequential per key (same as the reference's per-key
-    bucket mutex) but keys parallelize across the cluster.
+    Scale shape: PURE Catalyst — the sequential scan has a closed
+    form, so the whole operator is one shuffle on the key plus
+    stacked WindowExec passes, zero Python, no Arrow round-trip.
+    Because accrual is UNCAPPED, the only nonlinearity is the
+    conditional withdraw: with ``A_i = depth + rate × elapsed_µs(i)``
+    the fill before event i is ``A_i − scale·k_{i−1}`` (k = kept so
+    far), so ``keep_i ⇔ k_{i−1}+1 ≤ c_i := ⌊A_i/scale⌋``; c is
+    nondecreasing in event time, which collapses the recurrence to
+    ``k_i = min(k_{i−1}+1, c_i) = min(rn, rn−1 + min_{j≤i}(c_j−j))``
+    — a prefix max (the clock), an integer division, a running min,
+    and a lag. (The accrual ``rate × elapsed_µs`` would overflow —
+    and error loudly under ANSI — only past several decades of span
+    at extreme limits.)
 
     .. warning:: With no ``fields`` (a GLOBAL limit) and ``shards=1``
-       the whole dataset flows through ONE sequential pandas group —
+       the whole dataset flows through ONE window partition —
        semantically exact (the reference's global bucket is one mutex
        too) but a single-task cliff at cluster scale. For a global
        limit over big data pass ``shards=k``: rows hash-salt into
@@ -501,14 +511,12 @@ def token_bucket_filter(
        admission for steady traffic, but an uneven hash split wastes
        idle shards' tokens. Keep ``shards`` ≤ the per-window limit or
        zero-rate shards admit nothing."""
-    import pandas as pd
+    from pyspark.sql import Window
 
     n, unit = _rl_parse_limit(limit)
     window_s = _RL_WINDOW_S[unit]
     scale = 1_000_000 * window_s  # one token, in scaled units
     keys = list(fields or [])
-    order = [ts_field] + list(order_by or [])
-    schema = df.schema
     shards = int(shards)
     if shards > 1 and keys:
         raise ValueError(
@@ -516,57 +524,74 @@ def token_bucket_filter(
             "(fields-less) bucket; keyed buckets already parallelize "
             "across keys")
 
-    def scan_with(rate: int, depth: int):
-        def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values(order, kind="mergesort")
-            # datetime64[ns] → integer µs (exact; Spark ts are µs)
-            us = (pdf[ts_field].values.astype("datetime64[ns]")
-                  .astype("int64") // 1000)
-            # NaT rows: astype would yield INT64_MIN and poison the
-            # accrual. A null event time accrues nothing and never
-            # moves the clock; the row still withdraws a token at the
-            # current fill (deterministic — NaT sorts last in its key).
-            null_ts = pdf[ts_field].isna().values
-            tokens = depth
-            prev = None
-            keep = []
-            for t, is_null in zip(us, null_ts):
-                if not is_null:
-                    if prev is not None:
-                        tokens += (t - prev) * rate  # µs × rate/window
-                    prev = t
-                if tokens >= scale:
-                    tokens -= scale
-                    keep.append(True)
-                else:
-                    keep.append(False)
-            return pdf[pd.Series(keep, index=pdf.index).values]
-        return scan
-
     def depth_for(rate: int) -> int:
         return int(round(rate * float(burst_multiplier) * scale))
 
+    out = df
+    part_cols = list(keys)
     if not keys and shards > 1:
-        # deterministic salt over the full row (Murmur3, fixed seed)
-        salted = df.withColumn(
-            "__tb_shard", F.pmod(F.hash(*df.columns), F.lit(shards)))
+        # deterministic salt over the full row (Murmur3, fixed seed);
+        # per-shard rate/depth are literals picked by shard id so the
+        # integer arithmetic matches the unsharded bucket exactly
         base, rem = divmod(n, shards)
+        out = out.withColumn(
+            "__tb_shard", F.pmod(F.hash(*df.columns), F.lit(shards)))
+        rate_col = (F.when(F.col("__tb_shard") < rem, F.lit(base + 1))
+                    .otherwise(F.lit(base))).cast("long")
+        depth_col = (F.when(F.col("__tb_shard") < rem,
+                            F.lit(depth_for(base + 1)))
+                     .otherwise(F.lit(depth_for(base)))).cast("long")
+        part_cols = ["__tb_shard"]
+    else:
+        rate_col = F.lit(n).cast("long")
+        depth_col = F.lit(depth_for(n)).cast("long")
 
-        def scan_shard(key, pdf):
-            i = int(key[0])
-            rate = base + (1 if i < rem else 0)
-            out = scan_with(rate, depth_for(rate))(
-                pdf.drop(columns=["__tb_shard"]))
-            return out
+    # event-time order; null timestamps sort LAST (they accrue nothing
+    # and never move the clock, but still withdraw at the current fill)
+    order_cols = ([F.col(ts_field).asc_nulls_last()]
+                  + [F.col(c) for c in (order_by or [])])
+    w = (Window.partitionBy(*part_cols).orderBy(*order_cols)
+         if part_cols else Window.orderBy(*order_cols))
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
 
-        return salted.groupBy("__tb_shard").applyInPandas(
-            scan_shard, schema=schema)
-
-    scan = scan_with(n, depth_for(n))
-    # NB: a bare integer literal would resolve as a GROUP BY ordinal
-    # (Spark 4 groupByOrdinal) — a string literal keys the one group
-    grouped = df.groupBy(*keys) if keys else df.groupBy(F.lit("all"))
-    return grouped.applyInPandas(scan, schema=schema)
+    # µs since epoch. TIMESTAMP_NTZ has no instant, so unix_micros
+    # rejects it; timestampdiff from the NTZ epoch stays wall-clock
+    # (no session-tz reinterpretation — matches the old pandas
+    # datetime64 arithmetic bit-for-bit, DST or not).
+    from pyspark.sql.types import TimestampNTZType
+    try:
+        is_ntz = isinstance(df.schema[ts_field].dataType, TimestampNTZType)
+    except KeyError:
+        is_ntz = False
+    if is_ntz:
+        us = F.timestamp_diff(
+            "MICROSECOND",
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+            F.col(ts_field))
+    else:
+        us = F.unix_micros(F.col(ts_field))
+    clock = F.max(us).over(wrun)                      # ffilled clock
+    first = F.first(us, ignorenulls=True).over(wrun)  # non-null ⇒ row 1
+    elapsed = F.coalesce(clock - first, F.lit(0).cast("long"))
+    out = out.withColumns({
+        "__tb_rn": F.row_number().over(w).cast("long"),
+        "__tb_a": depth_col + rate_col * elapsed,
+    })
+    # exact integer division (a / scale in doubles would round)
+    out = out.withColumn(
+        "__tb_c", F.expr(f"__tb_a DIV CAST({scale} AS BIGINT)"))
+    out = out.withColumn(
+        "__tb_m",
+        F.min(F.col("__tb_c") - F.col("__tb_rn") + 1).over(wrun))
+    out = out.withColumn(
+        "__tb_k",
+        F.least(F.col("__tb_rn"),
+                F.col("__tb_rn") - 1 + F.col("__tb_m")))
+    out = out.withColumn(
+        "__tb_keep",
+        F.col("__tb_k") > F.coalesce(F.lag("__tb_k").over(w),
+                                     F.lit(0).cast("long")))
+    return out.filter(F.col("__tb_keep")).select(*df.columns)
 
 
 @register("rate_limit")
