@@ -264,16 +264,165 @@ register("add_observer_metadata")(_lit_meta_builder(
     "observer", {"type": "engine"}))
 
 
-# ------------------------------------------------ script (extension hook)
+# ------------------------------------------------ script (JS + hooks)
+
+# per-worker compiled-session cache: parse once per (source, params)
+_JS_SESSIONS: dict = {}
+
+
+def _js_session(source: str, params_key: str, params, max_ops: int):
+    key = (source, params_key, max_ops)
+    s = _JS_SESSIONS.get(key)
+    if s is None:
+        from ..functions import minijs
+        s = minijs.compile_script(source, params=params, max_ops=max_ops)
+        _JS_SESSIONS[key] = s
+    return s
+
+
+def _script_js(cfg: Mapping[str, Any]):
+    """The reference's actual ``script`` processor
+    (``script/javascript/javascript.go:195``, config surface
+    ``config.go:26-36``): user JavaScript with a ``process(event)``
+    entry point, ``register(params)``, a compile-time ``test()`` hook,
+    and the beatevent_v0 Get/Put/Rename/Delete/Cancel/Tag/AppendTo
+    API — executed by the in-repo ES5 interpreter
+    (:mod:`beats_spark.functions.minijs`), per event over Arrow
+    batches.
+
+    Spark-contract differences from the schemaless reference, all
+    explicit:
+
+    * Output schema = input columns + declared ``fields`` (name →
+      Spark type string) + ``tags array<string>`` + ``error.message
+      string`` (the two columns the exception contract of
+      ``session.go:236-241`` may always touch). A ``Put`` to an
+      UNdeclared new field is visible to later script logic but not
+      exported — declare it in ``fields`` to keep it.
+    * ``timeout`` → ``max_ops`` op budget (default 2M per event): a
+      wall clock is meaningless across executor speeds; exceeding it
+      raises the reference's literal timeout error and follows the
+      exception contract.
+    * On a JS exception: ``tag_on_exception`` (default
+      ``_js_exception``) is appended to ``tags``, the message to
+      ``error.message``, and the event passes through with whatever
+      mutations it already had — exactly runProcessFunc's contract.
+
+    SQL NULL crosses into JS as ``null``; ``undefined`` and ``null``
+    results both export as NULL.
+    """
+    source = cfg.get("source")
+    file_ = cfg.get("file")
+    files = cfg.get("files")
+    n_set = sum(1 for x in (source, file_, files) if x)
+    if n_set != 1:
+        raise ValueError("javascript must be defined via 'file', "
+                         "'files', or inline as 'source' (exactly one)")
+    if file_:
+        files = [file_]
+    if files:
+        parts = []
+        for f in files:
+            with open(f, "r", encoding="utf-8") as fh:
+                parts.append(fh.read())
+        source = "\n;\n".join(parts)
+
+    params = cfg.get("params")
+    tag_on_exception = cfg.get("tag_on_exception", "_js_exception")
+    max_ops = int(cfg.get("max_ops", 2_000_000))
+    declared = dict(cfg.get("fields", {}))
+
+    # driver-side validation: parse errors, missing process(), failing
+    # test() all surface at pipeline-build time like NewFromConfig
+    from ..functions import minijs
+    minijs.compile_script(source, params=params, max_ops=max_ops)
+
+    params_key = repr(sorted((params or {}).items()))
+
+    def make(df: DataFrame) -> ProcResult:
+        out_fields = list(df.schema.fields)
+        have = {f.name for f in out_fields}
+        for name, typ in declared.items():
+            if name not in have:
+                out_fields.append(
+                    T.StructField(name, T._parse_datatype_string(typ)))
+                have.add(name)
+        if "tags" not in have:
+            out_fields.append(
+                T.StructField("tags", T.ArrayType(T.StringType())))
+        if "error.message" not in have:
+            out_fields.append(
+                T.StructField("error.message", T.StringType()))
+        schema = T.StructType(out_fields)
+        int_cols = {f.name for f in out_fields
+                    if isinstance(f.dataType, (T.LongType, T.IntegerType,
+                                               T.ShortType, T.ByteType))}
+        col_names = [f.name for f in out_fields]
+
+        def run_batches(pdfs: Iterator[pd.DataFrame]
+                        ) -> Iterator[pd.DataFrame]:
+            script = _js_session(source, params_key, params, max_ops)
+            for pdf in pdfs:
+                rows_out = []
+                for row in pdf.to_dict("records"):
+                    fields = {}
+                    for k, v in row.items():
+                        if hasattr(v, "item"):      # numpy scalar
+                            v = v.item()
+                        elif hasattr(v, "tolist"):  # numpy array
+                            v = v.tolist()
+                        if v is not None and not isinstance(
+                                v, (list, dict)) and pd.isna(v):
+                            v = None
+                        fields[k] = v
+                    evt = minijs.Event(fields)
+                    try:
+                        res = script.run(evt)
+                    except minijs.JSError as e:
+                        if tag_on_exception:
+                            minijs._append_string(
+                                evt.fields, "tags", tag_on_exception,
+                                always_array=True)
+                        minijs._append_string(
+                            evt.fields, "error.message",
+                            f"failed in process function: {e}",
+                            always_array=False)
+                        res = evt
+                    if res is None:      # Cancel()
+                        continue
+                    out_row = []
+                    for name in col_names:
+                        v = evt.ms_get(name)
+                        if v is minijs.UNDEFINED:
+                            v = None
+                        elif name in int_cols and isinstance(v, float) \
+                                and v.is_integer():
+                            v = int(v)
+                        out_row.append(v)
+                    rows_out.append(out_row)
+                yield pd.DataFrame(rows_out, columns=col_names)
+
+        def reshape(d: DataFrame) -> DataFrame:
+            return d.mapInPandas(run_batches, schema)
+        return ProcResult(reshape=reshape)
+    return make
+
 
 @register("script")
 def script(cfg: Mapping[str, Any]):
-    """User-extension hook (``script/javascript/javascript.go:195``):
-    instead of a per-event JS VM, the hook is either ``columns`` — a
-    dict of output column → Column expression — or ``batch_fn`` +
-    ``schema`` applied through ``mapInPandas`` (Arrow-batched, the only
-    sanctioned way to run user Python per the no-per-row-Python rule).
+    """User-extension hook. Three forms:
+
+    * ``source``/``file``/``files`` — real JavaScript through the
+      in-repo ES5 interpreter, the reference's actual surface
+      (``script/javascript/javascript.go:195``): see
+      :func:`_script_js`.
+    * ``columns`` — dict of output column → Column expression
+      (zero-cost, stays in codegen).
+    * ``batch_fn`` + ``schema`` — Arrow-batched python via
+      ``mapInPandas``.
     """
+    if cfg.get("source") or cfg.get("file") or cfg.get("files"):
+        return _script_js(cfg)
     columns = cfg.get("columns")
     batch_fn = cfg.get("batch_fn")
     schema = cfg.get("schema")

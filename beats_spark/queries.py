@@ -2426,3 +2426,46 @@ def flagship_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routed.select(
         "url", "msg_idx", "sink", "message", "event_ts", "lang",
         "level", "host", "bytes", "geo_country", "lang_label", "event_id")
+
+
+@query("script_js", oracle="""
+SELECT CASE WHEN value >= 100 THEN 'high' ELSE 'low' END AS value_band,
+       CASE WHEN event_type = 'error' THEN 'err' ELSE '' END AS tag,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+FROM events
+WHERE user_id % 7 <> 0
+GROUP BY 1, 2
+""")
+def script_js(spark, sf_dir):
+    """The JS ``script`` processor end-to-end
+    (``script/javascript/javascript.go:195`` via the in-repo ES5
+    interpreter): ``register(params)`` state, Get/Put/Tag/Cancel per
+    event, then an aggregate over the script's outputs. Exercises the
+    whole bridge — params, param-driven branching, tags array export,
+    Cancel row-drop — under the exact DuckDB oracle."""
+    ev = _t(spark, sf_dir, "events")
+    chain = compile_processors([{"script": {
+        "lang": "javascript",
+        "source": """
+var threshold = 0;
+function register(params) { threshold = params.threshold; }
+function process(evt) {
+    if (evt.Get("user_id") % 7 === 0) { evt.Cancel(); return; }
+    evt.Put("value_band",
+            evt.Get("value") >= threshold ? "high" : "low");
+    if (evt.Get("event_type") === "error") { evt.Tag("err"); }
+}
+""",
+        "params": {"threshold": 100},
+        "fields": {"value_band": "string"},
+    }}])
+    out = chain(ev)
+    return (out.groupBy(
+                F.col("value_band"),
+                F.coalesce(F.array_join("tags", ","), F.lit(""))
+                 .alias("tag"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(F.round(F.col("value") * 100)))
+                  .cast("bigint").alias("value_cents")))
