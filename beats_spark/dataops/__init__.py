@@ -42,6 +42,7 @@ from .textstats import (
 )
 from .curate import curate, CurationResult
 from .decontam import contamination_flags, decontaminate
+from .scrub import PII_PATTERNS, dedup_lines, pii_counts, scrub, scrub_pii
 from .multimodal import (
     attach_media_meta,
     extract_image_features,
@@ -63,4 +64,5 @@ __all__ = [
     "set_decoder",
     "curate", "CurationResult",
     "contamination_flags", "decontaminate",
+    "PII_PATTERNS", "scrub_pii", "pii_counts", "scrub", "dedup_lines",
 ]

@@ -1,0 +1,159 @@
+"""PII scrubbing and corpus line-level deduplication.
+
+Two standard pre-training hygiene passes (both ship in the public
+pipelines — C4 removes boilerplate lines corpus-wide, Dolma/FineWeb
+mask emails/phones/IPs before release):
+
+- :func:`scrub_pii` / :func:`scrub` — replace personally identifying
+  substrings (email, IPv4, phone, SSN-shaped ids) with typed
+  placeholder tokens, entirely via chained ``regexp_replace`` — pure
+  JVM, whole-stage codegen, zero Python. The pattern table is shared
+  with the DuckDB oracle (RE2-safe subset: no backreferences, no
+  lookaround), so redaction is bit-reproducible cross-engine.
+- :func:`dedup_lines` — split documents into lines, keep only the
+  FIRST occurrence of each distinct line corpus-wide (or per-doc),
+  reassemble the surviving lines in order. This is the C4
+  "three-sentence span" dedup collapsed to its line-granular form.
+
+Scale design (100 TB):
+
+- PII scrubbing is map-side only — no shuffle, and because it is a
+  deterministic per-row projection it composes with any downstream
+  filter without breaking predicate pushdown on untouched columns.
+- ``dedup_lines`` needs exactly two exchanges: one hash-partitioned
+  by line content to rank occurrences (line text IS the key, so skew
+  equals boilerplate frequency — the win-first rule keeps one row per
+  distinct line, and the per-line group is streamed by the window, so
+  a 10^9-occurrence boilerplate line costs one partition's scan, not
+  memory), and one regroup by document id to reassemble. The shuffle
+  payload is ``(line, doc_id, pos)`` — never the whole document.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = ["PII_PATTERNS", "scrub_pii", "pii_counts", "scrub",
+           "dedup_lines"]
+
+
+# Ordered: SSN before phone (an SSN is also a dialable digit run),
+# email before IP (emails may embed dotted hosts). Every pattern is
+# RE2-compatible (DuckDB) AND java.util.regex-compatible (Spark) with
+# identical leftmost-greedy semantics: plain classes + bounded
+# repetition only.
+PII_PATTERNS: Tuple[Tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\+?[0-9][0-9\-() ]{6,}[0-9]", "<PHONE>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+)
+
+_BY_KIND = {k: (rx, tok) for k, rx, tok in PII_PATTERNS}
+
+
+def scrub_pii(text: Column, kinds: Optional[Iterable[str]] = None,
+              replacements: Optional[Dict[str, str]] = None) -> Column:
+    """``text`` with each PII kind replaced by its placeholder token.
+
+    Kinds are applied in :data:`PII_PATTERNS` order regardless of the
+    order given (replacement order is part of the contract — a phone
+    pattern must never see an un-replaced SSN).
+    """
+    wanted = set(kinds) if kinds is not None else set(_BY_KIND)
+    unknown = wanted - set(_BY_KIND)
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+    out = text
+    for kind, rx, tok in PII_PATTERNS:
+        if kind not in wanted:
+            continue
+        if replacements and kind in replacements:
+            tok = replacements[kind]
+        out = F.regexp_replace(out, rx, tok)
+    return out
+
+
+def pii_counts(text: Column,
+               kinds: Optional[Iterable[str]] = None) -> Dict[str, Column]:
+    """Per-kind match counts (bigint) over the ORIGINAL text.
+
+    Counts are taken kind-by-kind on the unmodified input (not the
+    progressively scrubbed one), so a substring can in principle count
+    toward two kinds; redaction itself stays first-match-wins.
+    """
+    wanted = set(kinds) if kinds is not None else set(_BY_KIND)
+    unknown = wanted - set(_BY_KIND)
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+    return {kind: F.regexp_count(text, F.lit(rx)).cast("bigint")
+            for kind, rx, tok in PII_PATTERNS if kind in wanted}
+
+
+def scrub(df: DataFrame, text_col: str = "text",
+          kinds: Optional[Iterable[str]] = None,
+          out_col: Optional[str] = None,
+          with_counts: bool = False,
+          count_prefix: str = "n_pii_") -> DataFrame:
+    """DataFrame form: scrub ``text_col`` (in place unless ``out_col``
+    is given); with ``with_counts``, add one ``{count_prefix}{kind}``
+    bigint column per kind, counted on the pre-scrub text."""
+    out_col = out_col or text_col
+    cols = list(df.columns)
+    res = df
+    if with_counts:
+        for kind, cnt in pii_counts(F.col(text_col), kinds).items():
+            name = f"{count_prefix}{kind}"
+            res = res.withColumn(name, cnt)
+            cols.append(name)
+    res = res.withColumn(out_col, scrub_pii(F.col(text_col), kinds))
+    if out_col not in cols:
+        cols.insert(cols.index(text_col) + 1, out_col)
+    return res.select(*cols)
+
+
+def dedup_lines(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", sep: str = "\n",
+                scope: str = "corpus",
+                count_col: Optional[str] = "n_lines",
+                out_col: Optional[str] = None) -> DataFrame:
+    """Remove duplicate lines, keeping each distinct line's FIRST
+    occurrence (ordered by ``(id, position)``), and reassemble the
+    survivors in original order.
+
+    ``scope='corpus'`` ranks occurrences across ALL documents (the C4
+    convention: later documents lose their copy of a boilerplate
+    line); ``scope='doc'`` dedups only within each document.
+
+    ``sep`` is used literally both to split (regex-escaped) and to
+    rejoin. A document whose every line is dropped disappears from the
+    output entirely (it has no surviving rows to regroup).
+
+    Output: ``id_col``, ``count_col`` (surviving line count, bigint;
+    omitted when None) and ``out_col`` (defaults to ``text_col``).
+    """
+    if scope not in ("corpus", "doc"):
+        raise ValueError("scope must be 'corpus' or 'doc'")
+    out_col = out_col or text_col
+    import re as _re
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep)))
+         .alias("__pos", "__line"))
+    part = ["__line"] if scope == "corpus" else [id_col, "__line"]
+    w = Window.partitionBy(*part).orderBy(id_col, "__pos")
+    kept = (ex.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") == 1))
+    agg = kept.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("__pos", "__line")))
+         .alias("__pl"))
+    cols = [F.col(id_col)]
+    if count_col:
+        cols.append(F.size("__pl").cast("bigint").alias(count_col))
+    cols.append(
+        F.array_join(F.transform("__pl", lambda s: s["__line"]), sep)
+         .alias(out_col))
+    return agg.select(*cols)

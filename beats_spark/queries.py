@@ -2469,3 +2469,116 @@ function process(evt) {
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum(F.round(F.col("value") * 100)))
                   .cast("bigint").alias("value_cents")))
+
+
+# -------------------------------------------------- PII / line hygiene
+
+# the dataops package __init__ re-exports the scrub() FUNCTION under
+# the same name as the submodule — import the module explicitly
+import importlib
+_scrubmod = importlib.import_module("beats_spark.dataops.scrub")
+
+
+def _pii_oracle() -> str:
+    """Compose the DuckDB oracle from the SAME pattern table the Spark
+    operator uses (``dataops.scrub.PII_PATTERNS``) — one source of
+    truth for the regexes on both engines (they are RE2 ∩ java.util.regex
+    by construction)."""
+    raw = (
+        "'reach user' || CAST(user_id AS VARCHAR) || ' at user' || "
+        "CAST(user_id AS VARCHAR) || '@mail-' || event_type || "
+        "'.example.com or +1 555-' || "
+        "lpad(CAST(user_id % 1000 AS VARCHAR), 3, '0') || '-' || "
+        "lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') || "
+        "' from 10.' || CAST(user_id % 256 AS VARCHAR) || '.' || "
+        "CAST(event_id % 256 AS VARCHAR) || '.7 id ' || "
+        "lpad(CAST(user_id % 1000 AS VARCHAR), 3, '0') || '-' || "
+        "lpad(CAST(event_id % 100 AS VARCHAR), 2, '0') || '-' || "
+        "lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') || "
+        "' type ' || event_type"
+    )
+    scrubbed = "t"
+    for _kind, rx, tok in _scrubmod.PII_PATTERNS:
+        scrubbed = (f"regexp_replace({scrubbed}, "
+                    f"'{rx}', '{tok}', 'g')")
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(t, '{rx}')) AS BIGINT) "
+        f"AS n_pii_{kind}"
+        for kind, rx, _tok in _scrubmod.PII_PATTERNS)
+    return (f"WITH raw AS (SELECT event_id, {raw} AS t FROM events)\n"
+            f"SELECT event_id,\n       {scrubbed} AS text,\n"
+            f"       {counts}\nFROM raw")
+
+
+@query("pii_scrub", oracle=_pii_oracle())
+def pii_scrub(spark, sf_dir):
+    """PII redaction (:func:`beats_spark.dataops.scrub.scrub`): typed
+    placeholder substitution for email / SSN / phone / IPv4 plus
+    per-kind pre-scrub match counts — all chained ``regexp_replace`` /
+    ``regexp_count``, pure JVM codegen, zero Python, no shuffle. The
+    PII-laden input is constructed deterministically FROM events
+    columns so the oracle rebuilds the identical text in SQL."""
+    ev = _t(spark, sf_dir, "events")
+    uid, eid = F.col("user_id"), F.col("event_id")
+
+    def pad(c, n):
+        return F.lpad(c.cast("string"), n, "0")
+
+    raw = F.concat(
+        F.lit("reach user"), uid.cast("string"),
+        F.lit(" at user"), uid.cast("string"),
+        F.lit("@mail-"), F.col("event_type"),
+        F.lit(".example.com or +1 555-"),
+        pad(uid % 1000, 3), F.lit("-"), pad(eid % 10000, 4),
+        F.lit(" from 10."), (uid % 256).cast("string"), F.lit("."),
+        (eid % 256).cast("string"), F.lit(".7 id "),
+        pad(uid % 1000, 3), F.lit("-"), pad(eid % 100, 2), F.lit("-"),
+        pad(eid % 10000, 4), F.lit(" type "), F.col("event_type"))
+    d = ev.select("event_id", raw.alias("text"))
+    out = _scrubmod.scrub(d, "text", with_counts=True)
+    return out.select(
+        "event_id", "text",
+        *[f"n_pii_{k}" for k, _rx, _tok in _scrubmod.PII_PATTERNS])
+
+
+@query("dedup_lines", oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), lined AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(0, CAST(ceil(len(toks)/6.0) AS INT) - 1),
+           i -> {'pos': i,
+                 'line': array_to_string(
+                           list_slice(toks, i*6+1, i*6+6), ' ')}) AS pl
+  FROM w
+), ex0 AS (SELECT doc_id, unnest(pl) AS u FROM lined),
+ex AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM ex0),
+ranked AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line
+                            ORDER BY doc_id, pos) AS rn
+  FROM ex)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       string_agg(line, chr(10) ORDER BY pos) AS text
+FROM ranked WHERE rn = 1 GROUP BY doc_id
+""")
+def dedup_lines_q(spark, sf_dir):
+    """Corpus-wide line-level exact dedup
+    (:func:`beats_spark.dataops.scrub.dedup_lines`, the C4 boilerplate
+    rule): every distinct line survives only at its first
+    ``(doc_id, pos)`` occurrence; documents are reassembled from the
+    survivors (docs losing every line vanish). Documents are word
+    salad with no newlines, so the query first folds them into 6-word
+    lines — identically on both engines — making the dedup
+    non-vacuous via the corpus's genuine duplicate docs. Scale: two
+    exchanges total (rank by line content, regroup by doc)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    nch = F.ceil(F.size(w) / F.lit(6.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nch - F.lit(1)),
+        lambda i: F.array_join(F.slice(w, i * 6 + 1, 6), " "))
+    lined = docs.select(
+        "doc_id", F.array_join(lines, "\n").alias("text"))
+    return _scrubmod.dedup_lines(lined, "doc_id", "text")

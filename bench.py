@@ -54,7 +54,7 @@ BENCH_QUERIES = [
     "container_partial", "psl_domains", "psl_domains_9k",
     "dedup_components",
     "pack_greedy", "domain_rollup", "yaml_inputs", "decontaminate",
-    "script_js",
+    "script_js", "pii_scrub", "dedup_lines",
     "flagship_routed_counts", "flagship_messages",
 ]
 

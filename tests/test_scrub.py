@@ -1,0 +1,106 @@
+"""PII scrubbing + corpus line-dedup operator tests."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from beats_spark.dataops.scrub import (
+    PII_PATTERNS, dedup_lines, pii_counts, scrub, scrub_pii)
+
+
+def test_scrub_each_kind(spark):
+    df = spark.createDataFrame([Row(t=(
+        "mail a.b-c%d@ex-1.co.uk ssn 123-45-6789 "
+        "tel +44 (0)20-7946 0958 ip 192.168.0.1 done"))])
+    out = df.select(scrub_pii(F.col("t")).alias("s")).first().s
+    assert out == "mail <EMAIL> ssn <SSN> tel <PHONE> ip <IP> done"
+
+
+def test_scrub_order_ssn_before_phone(spark):
+    # an SSN is a dialable digit run — it must become <SSN>, not <PHONE>
+    df = spark.createDataFrame([Row(t="id 123-45-6789 .")])
+    out = df.select(scrub_pii(F.col("t")).alias("s")).first().s
+    assert out == "id <SSN> ."
+
+
+def test_scrub_email_wins_over_ip(spark):
+    # a dotted-quad inside an email HOST must ride the email match
+    # (order: email first), while a bare quad still becomes <IP>; an
+    # @ with a numeric-TLD host is NOT an email (alphabetic TLD rule)
+    df = spark.createDataFrame(
+        [Row(t="a@10.0.0.4.com and 10.0.0.2 but u@10.0.0.1")])
+    out = df.select(scrub_pii(F.col("t")).alias("s")).first().s
+    assert out == "<EMAIL> and <IP> but u@<IP>"
+
+
+def test_scrub_non_pii_untouched(spark):
+    keep = "nothing here: 1.5 ratio, v2, room 101, a-b"
+    df = spark.createDataFrame([Row(t=keep)])
+    assert df.select(scrub_pii(F.col("t")).alias("s")).first().s == keep
+
+
+def test_scrub_kinds_subset_and_custom_token(spark):
+    df = spark.createDataFrame([Row(t="x@y.com 10.0.0.1")])
+    out = df.select(scrub_pii(
+        F.col("t"), kinds=["email"],
+        replacements={"email": "[redacted]"}).alias("s")).first().s
+    assert out == "[redacted] 10.0.0.1"
+    with pytest.raises(ValueError):
+        scrub_pii(F.col("t"), kinds=["dna"])
+
+
+def test_scrub_df_counts_pre_scrub(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a@b.co c@d.io 10.1.1.1"),
+         Row(doc_id=2, text="clean")])
+    out = scrub(df, with_counts=True).orderBy("doc_id").collect()
+    assert out[0].text == "<EMAIL> <EMAIL> <IP>"
+    assert (out[0].n_pii_email, out[0].n_pii_ipv4) == (2, 1)
+    assert out[1].text == "clean"
+    assert out[1].n_pii_email == 0
+    assert set(pii_counts(F.col("text"))) == {k for k, _, _ in PII_PATTERNS}
+
+
+def test_dedup_lines_corpus_first_wins(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="alpha\nboiler\nbeta"),
+        Row(doc_id=2, text="boiler\ngamma"),
+        Row(doc_id=3, text="boiler"),            # vanishes entirely
+    ])
+    out = {r.doc_id: r for r in dedup_lines(df).collect()}
+    assert out[1].text == "alpha\nboiler\nbeta" and out[1].n_lines == 3
+    assert out[2].text == "gamma" and out[2].n_lines == 1
+    assert 3 not in out
+
+
+def test_dedup_lines_within_doc_repeat_keeps_first(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="x\ny\nx\nz")])
+    r = dedup_lines(df).first()
+    assert r.text == "x\ny\nz" and r.n_lines == 3
+
+
+def test_dedup_lines_doc_scope(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="x\nx\ny"),
+        Row(doc_id=2, text="x\ny"),
+    ])
+    out = {r.doc_id: r.text
+           for r in dedup_lines(df, scope="doc").collect()}
+    assert out == {1: "x\ny", 2: "x\ny"}
+    with pytest.raises(ValueError):
+        dedup_lines(df, scope="galaxy")
+
+
+def test_dedup_lines_custom_sep_literal(spark):
+    # sep is regex-escaped on split: '||' must not be read as regex
+    df = spark.createDataFrame([Row(doc_id=1, text="a||b||a")])
+    r = dedup_lines(df, sep="||").first()
+    assert r.text == "a||b" and r.n_lines == 2
+
+
+def test_dedup_lines_order_preserved_after_gaps(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="m\nn"),
+        Row(doc_id=2, text="p\nm\nq\nn\nr"),
+    ])
+    out = {r.doc_id: r.text for r in dedup_lines(df).collect()}
+    assert out[2] == "p\nq\nr"
