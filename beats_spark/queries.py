@@ -2444,8 +2444,12 @@ def script_js(spark, sf_dir):
     interpreter): ``register(params)`` state, Get/Put/Tag/Cancel per
     event, then an aggregate over the script's outputs. Exercises the
     whole bridge — params, param-driven branching, tags array export,
-    Cancel row-drop — under the exact DuckDB oracle."""
-    ev = _t(spark, sf_dir, "events")
+    Cancel row-drop — under the exact DuckDB oracle. The testdata
+    parquet is a single split, which would serialize the per-event
+    interpreter on one core — spread to default parallelism first
+    (a no-op on production inputs with real split counts)."""
+    from .dataops.dedup import _spread
+    ev = _spread(_t(spark, sf_dir, "events"))
     chain = compile_processors([{"script": {
         "lang": "javascript",
         "source": """
@@ -2517,8 +2521,12 @@ def pii_scrub(spark, sf_dir):
     per-kind pre-scrub match counts — all chained ``regexp_replace`` /
     ``regexp_count``, pure JVM codegen, zero Python, no shuffle. The
     PII-laden input is constructed deterministically FROM events
-    columns so the oracle rebuilds the identical text in SQL."""
-    ev = _t(spark, sf_dir, "events")
+    columns so the oracle rebuilds the identical text in SQL. The
+    single-split testdata parquet would pin all the regex work to one
+    core — spread first (the operator itself stays shuffle-free on
+    production inputs with real split counts)."""
+    from .dataops.dedup import _spread
+    ev = _spread(_t(spark, sf_dir, "events"))
     uid, eid = F.col("user_id"), F.col("event_id")
 
     def pad(c, n):
@@ -2573,7 +2581,8 @@ def dedup_lines_q(spark, sf_dir):
     lines — identically on both engines — making the dedup
     non-vacuous via the corpus's genuine duplicate docs. Scale: two
     exchanges total (rank by line content, regroup by doc)."""
-    docs = _t(spark, sf_dir, "documents")
+    from .dataops.dedup import _spread
+    docs = _spread(_t(spark, sf_dir, "documents"))
     w = F.split(F.col("text"), " ")
     nch = F.ceil(F.size(w) / F.lit(6.0)).cast("int")
     lines = F.transform(

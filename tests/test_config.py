@@ -275,3 +275,34 @@ def test_input_fields_under_root_and_processors(spark, lines):
 def test_compile_input_rejects_unknown_type():
     with pytest.raises(ValueError, match="unsupported input type"):
         compile_input({"type": "tcp"})
+
+
+def test_yaml_js_script_processor(spark):
+    """A filebeat.yml whose processors: include a real JavaScript
+    script processor (source + params) compiles through load_pipeline
+    and runs — the config front door needs no special casing for JS."""
+    yml = """
+processors:
+  - script:
+      lang: javascript
+      params:
+        floor: 5
+      source: >
+        var floor = 0;
+        function register(p) { floor = p.floor; }
+        function process(evt) {
+          if (evt.Get("n") < floor) { evt.Cancel(); return; }
+          evt.Put("band", evt.Get("n") >= 10 ? "hi" : "mid");
+          evt.Tag("seen");
+        }
+      fields:
+        band: string
+"""
+    pipe = load_pipeline(yml)
+    df = spark.createDataFrame([(i,) for i in range(15)], ["n"])
+    out = pipe.chain(df) if hasattr(pipe, "chain") else pipe(df)
+    rows = {r.n: r for r in out.collect()}
+    assert set(rows) == set(range(5, 15))
+    assert all(r.band == ("hi" if n >= 10 else "mid")
+               for n, r in rows.items())
+    assert all(list(r.tags) == ["seen"] for r in rows.values())
