@@ -41,6 +41,10 @@ from .textstats import (
     token_count,
 )
 from .curate import curate, CurationResult
+from .urls import canonical_url, url_dedup, TRACKING_PARAMS
+from .spans import doc_ngrams, ngram_duplicate_stats
+from .sample import cap_per_key, hash_sample
+from .terms import doc_frequency, tfidf_top_terms
 from .decontam import contamination_flags, decontaminate
 from .scrub import PII_PATTERNS, dedup_lines, pii_counts, scrub, scrub_pii
 from .multimodal import (
@@ -63,6 +67,10 @@ __all__ = [
     "attach_media_meta", "extract_image_features", "sample_video_frames",
     "set_decoder",
     "curate", "CurationResult",
+    "canonical_url", "url_dedup", "TRACKING_PARAMS",
+    "doc_ngrams", "ngram_duplicate_stats",
+    "cap_per_key", "hash_sample",
+    "doc_frequency", "tfidf_top_terms",
     "contamination_flags", "decontaminate",
     "PII_PATTERNS", "scrub_pii", "pii_counts", "scrub", "dedup_lines",
 ]

@@ -1,0 +1,87 @@
+"""Corpus term statistics: document frequency and TF-IDF-ranked
+distinctive terms per corpus slice.
+
+Training-mix curation wants "what is this slice ABOUT" summaries
+(per-language, per-domain, per-source) and inputs for quality/topic
+classifiers; TF-IDF against the whole corpus is the standard
+first-order answer. Everything is DataFrame ops — explode, two hash
+aggregations, a broadcast-sized join on the term dictionary slice
+actually needed, and a streaming top-k window.
+
+Plan shape (two shuffles + one join):
+  tokenize (map) → explode (map) →
+  ├─ per-(group, term) counts        (shuffle on (group, term))
+  └─ per-term document frequency     (shuffle on term; partial
+     distinct via (doc, term) pre-aggregation rides the same pass)
+  → join on term → score → row_number top-k per group.
+
+Skew: stopwords are the hot terms; both aggregations are partial
+(map-side combine), so a term occurring 10^10 times arrives at the
+reducer as one partial row per map task, never as raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .dedup import tokens, _spread
+
+__all__ = ["doc_frequency", "tfidf_top_terms"]
+
+
+def doc_frequency(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(term, doc_freq)``: number of distinct documents containing
+    each lowercased whitespace term. ``array_distinct`` BEFORE the
+    explode dedups within-document repeats map-side, so the shuffle
+    carries one ``(term, doc)`` pair per containment, and the
+    aggregation is a plain count — no count-distinct state."""
+    return (_spread(df)
+            .select(F.col(id_col),
+                    F.explode(F.array_distinct(tokens(F.col(text_col))))
+                     .alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("doc_freq")))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    min_doc_freq: int = 1,
+) -> DataFrame:
+    """Top-``k`` distinctive terms per ``group_col`` slice:
+    ``(group, term, term_count, doc_freq, tfidf, rank)``.
+
+    ``tfidf = term_count_in_group * ln(N_docs / doc_freq)`` rounded to
+    6 — the raw-count × smooth-less idf variant: simple, monotone in
+    both factors, and exactly reproducible in any SQL engine (the
+    rank is computed ON the rounded score with a bytewise term
+    tie-break, so top-k membership cannot depend on float formatting).
+    Terms in fewer than ``min_doc_freq`` documents are dropped before
+    ranking (typo/token noise control).
+    """
+    spread = _spread(df)
+    n_docs = spread.select(id_col).distinct().count()
+    tf = (spread
+          .select(F.col(group_col).alias("group"),
+                  F.explode(tokens(F.col(text_col))).alias("term"))
+          .groupBy("group", "term")
+          .agg(F.count(F.lit(1)).alias("term_count")))
+    dfreq = doc_frequency(df, id_col=id_col, text_col=text_col) \
+        .filter(F.col("doc_freq") >= min_doc_freq)
+    scored = (tf.join(dfreq, "term")
+              .withColumn(
+                  "tfidf",
+                  F.round(F.col("term_count")
+                          * F.log(F.lit(float(n_docs)) / F.col("doc_freq")),
+                          6)))
+    w = Window.partitionBy("group").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -1,0 +1,119 @@
+"""URL canonicalization and URL-level deduplication for web-crawl
+curation.
+
+Common-Crawl-style corpora key pages by URL (the north_star input has
+``url`` as the row identity), but raw crawl URLs are noisy: tracking
+query parameters (``utm_*``, click ids), fragments, default ports,
+mixed-case schemes/hosts, and unstable query-parameter order all make
+the SAME page appear under many spellings. Canonicalizing before
+URL-level dedup is the cheapest dedup stage in a crawl pipeline — it
+needs no content comparison at all.
+
+Everything here is pure Column expressions (regexp/string/array
+builtins, whole-stage codegen, zero Python, no shuffle for the
+canonicalization itself; one hash shuffle for the dedup window).
+The steps are deliberately regex-expressible so an external SQL
+engine reproduces them bit-for-bit (the oracle-parity requirement).
+
+Scale: :func:`canonical_url` is map-side only. :func:`url_dedup`
+shuffles on the canonical URL — a key with practically no skew (the
+whole point of canonicalizing is that each key names one page), and
+the window streams each group, so even a pathological hot URL costs a
+partition scan, not executor memory.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = ["canonical_url", "url_dedup", "TRACKING_PARAMS"]
+
+# Query parameters that identify a CLICK, not a page: stripping them
+# is standard crawl practice (they are what makes one page spell as
+# thousands of URLs). Matched as whole parameter names, with or
+# without a value.
+TRACKING_PARAMS: Sequence[str] = (
+    "utm_[A-Za-z0-9_]*", "gclid", "fbclid", "msclkid", "mc_eid",
+    "igshid", "ref_src", "spm", "yclid",
+)
+
+
+def _tracking_re() -> str:
+    alts = "|".join(TRACKING_PARAMS)
+    return rf"^({alts})(=.*)?$"
+
+
+def canonical_url(url: Column, strip_www: bool = False) -> Column:
+    """Canonical form of an absolute http(s) URL, entirely JVM-side:
+
+    1. trim; drop the fragment (``#...`` — never sent to the server);
+    2. lowercase the scheme and the host (RFC 3986 §6.2.2.1 — both
+       are case-insensitive; the path is NOT touched);
+    3. drop the default port (``:80`` for http, ``:443`` for https);
+    4. optionally drop a leading ``www.`` (site-policy dependent, so
+       opt-in via ``strip_www``);
+    5. empty path becomes ``/`` (``http://h`` ≡ ``http://h/``,
+       RFC 3986 §6.2.3);
+    6. split the query on ``&``, drop tracking parameters
+       (:data:`TRACKING_PARAMS`) and empty pairs, sort the survivors
+       bytewise, re-join; an emptied query loses its ``?``.
+
+    A value with no recognizable ``scheme://`` prefix passes through
+    trimmed-and-defragmented only — canonicalization must never
+    invent structure for relative or garbage input.
+    """
+    u = F.regexp_replace(F.trim(url), r"#[\s\S]*", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([\s\S]*)$", 1)
+
+    host = (F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+             .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+             .otherwise(hostport))
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?([\s\S]*)$", 1)
+
+    keep = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_tracking_re())))
+    qpart = F.when(F.size(keep) > 0,
+                   F.concat(F.lit("?"), F.concat_ws("&", keep))) \
+             .otherwise(F.lit(""))
+
+    return F.when(scheme == "",
+                  u).otherwise(F.concat(scheme, F.lit("://"), host,
+                                        path, qpart))
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    order_by: Optional[Sequence[Column]] = None,
+    canon_col: str = "canonical_url",
+    strip_www: bool = False,
+) -> DataFrame:
+    """Keep ONE row per canonical URL, deterministically.
+
+    ``order_by`` ranks candidates within a canonical-URL group (e.g.
+    ``[F.col("quality").desc(), F.col("warc_ts").desc(), F.col("url")]``
+    — best quality, newest capture, spelling tie-break); default is
+    the raw URL ascending, which is stable and total as long as raw
+    URLs are distinct. The canonical form is kept as ``canon_col`` on
+    the survivors (downstream stages key on it).
+
+    One shuffle (hash on the canonical URL); the row_number window
+    streams each group.
+    """
+    out = df.withColumn(canon_col,
+                        canonical_url(F.col(url_col), strip_www=strip_www))
+    order = list(order_by) if order_by else [F.col(url_col).asc()]
+    w = Window.partitionBy(canon_col).orderBy(*order)
+    return (out.withColumn("__rn", F.row_number().over(w))
+               .filter(F.col("__rn") == 1).drop("__rn"))

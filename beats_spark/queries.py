@@ -2591,3 +2591,217 @@ def dedup_lines_q(spark, sf_dir):
     lined = docs.select(
         "doc_id", F.array_join(lines, "\n").alias("text"))
     return _scrubmod.dedup_lines(lined, "doc_id", "text")
+
+
+# =====================================================================
+# round 3: URL curation, duplicate spans, term stats, sampling
+
+
+def _messy_urls(docs: DataFrame) -> DataFrame:
+    """Two deterministic messy spellings (A, B) of one canonical URL
+    per document, built FROM table columns so the oracle can rebuild
+    the identical strings with plain concatenation (never
+    re-implementing the canonicalizer in SQL — the PSL-oracle rule).
+    Covers: mixed-case scheme/host, default vs explicit vs absent
+    port, tracking params in different positions, unstable param
+    order, fragments."""
+    i, s = F.col("doc_id"), F.col("source")
+    istr = i.cast("string")
+    host = F.concat(s, F.lit(".example.org"))
+    https = (i % 4) <= 1
+    defport = F.when(https, F.lit(":443")).otherwise(F.lit(":80"))
+    scheme_a = (F.when(i % 4 == 0, F.lit("HTTPS"))
+                 .when(i % 4 == 1, F.lit("https"))
+                 .when(i % 4 == 2, F.lit("HTTP"))
+                 .otherwise(F.lit("hTtp")))
+    port_a = (F.when(i % 3 == 0, defport)
+               .when(i % 3 == 1, F.lit(":8080"))
+               .otherwise(F.lit("")))
+    q_a = F.when(
+        i % 2 == 0,
+        F.concat(F.lit("?utm_source=feed&id="), istr, F.lit("&b=2&a=1"))
+    ).otherwise(
+        F.concat(F.lit("?b=2&gclid=x"), istr, F.lit("&a=1&id="), istr))
+    frag = F.when(i % 5 == 0, F.lit("#Sec2")).otherwise(F.lit(""))
+    url_a = F.concat(scheme_a, F.lit("://"),
+                     F.when(i % 2 == 0, F.upper(host)).otherwise(host),
+                     port_a, F.lit("/Doc/"), istr, q_a, frag)
+
+    scheme_b = F.when(https, F.lit("HttpS")).otherwise(F.lit("Http"))
+    port_b = (F.when(i % 3 == 0, F.lit(""))
+               .when(i % 3 == 1, F.lit(":8080"))
+               .otherwise(defport))
+    url_b = F.concat(scheme_b, F.lit("://"), host, port_b,
+                     F.lit("/Doc/"), istr,
+                     F.lit("?id="), istr, F.lit("&a=1&b=2&fbclid=z"))
+    return docs.select(i.alias("doc_id"),
+                       url_a.alias("url_a"), url_b.alias("url_b"))
+
+
+# the same two spellings in DuckDB concatenation, and the closed-form
+# canonical both must collapse to
+_SQL_ISTR = "CAST(doc_id AS VARCHAR)"
+_SQL_HOST = "source || '.example.org'"
+_SQL_CANON = (
+    "(CASE WHEN doc_id % 4 <= 1 THEN 'https' ELSE 'http' END) || '://' || "
+    + _SQL_HOST
+    + " || (CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)"
+    + " || '/Doc/' || " + _SQL_ISTR
+    + " || '?a=1&b=2&id=' || " + _SQL_ISTR)
+_SQL_URL_A = (
+    "(CASE doc_id % 4 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'https' "
+    "WHEN 2 THEN 'HTTP' ELSE 'hTtp' END) || '://' || "
+    "(CASE WHEN doc_id % 2 = 0 THEN upper(" + _SQL_HOST + ") "
+    "ELSE " + _SQL_HOST + " END) || "
+    "(CASE WHEN doc_id % 3 = 0 THEN "
+    "  (CASE WHEN doc_id % 4 <= 1 THEN ':443' ELSE ':80' END) "
+    " WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) || "
+    "'/Doc/' || " + _SQL_ISTR + " || "
+    "(CASE WHEN doc_id % 2 = 0 THEN "
+    "  '?utm_source=feed&id=' || " + _SQL_ISTR + " || '&b=2&a=1' "
+    " ELSE '?b=2&gclid=x' || " + _SQL_ISTR + " || '&a=1&id=' || "
+    + _SQL_ISTR + " END) || "
+    "(CASE WHEN doc_id % 5 = 0 THEN '#Sec2' ELSE '' END)")
+_SQL_URL_B = (
+    "(CASE WHEN doc_id % 4 <= 1 THEN 'HttpS' ELSE 'Http' END) || '://' || "
+    + _SQL_HOST + " || "
+    "(CASE WHEN doc_id % 3 = 1 THEN ':8080' "
+    " WHEN doc_id % 3 = 2 THEN "
+    "  (CASE WHEN doc_id % 4 <= 1 THEN ':443' ELSE ':80' END) "
+    " ELSE '' END) || "
+    "'/Doc/' || " + _SQL_ISTR + " || '?id=' || " + _SQL_ISTR
+    + " || '&a=1&b=2&fbclid=z'")
+
+
+@query("url_canonicalize", oracle=f"""
+SELECT doc_id, {_SQL_CANON} AS canonical_url FROM documents
+""")
+def url_canonicalize(spark, sf_dir):
+    """URL canonicalization (:func:`beats_spark.dataops.urls
+    .canonical_url`): the messy spelling A — mixed-case scheme/host,
+    default ports, tracking params, unstable param order, fragments —
+    must collapse to the closed-form canonical the oracle builds
+    directly (golden-answer oracle; the canonicalizer itself is never
+    mirrored in SQL). Pure codegen'd projection: zero shuffle, zero
+    Python."""
+    from .dataops import canonical_url
+    docs = _t(spark, sf_dir, "documents")
+    m = _messy_urls(docs)
+    return m.select("doc_id",
+                    canonical_url(F.col("url_a")).alias("canonical_url"))
+
+
+@query("url_dedup", oracle=f"""
+SELECT {_SQL_CANON} AS canonical_url,
+       least({_SQL_URL_A}, {_SQL_URL_B}) AS kept_url
+FROM documents
+""")
+def url_dedup_q(spark, sf_dir):
+    """URL-level dedup (:func:`beats_spark.dataops.urls.url_dedup`):
+    both messy spellings of each page collapse to one canonical URL;
+    the deterministic survivor is the bytewise-smaller raw spelling
+    (the default order). One hash shuffle on the canonical URL; the
+    row_number window streams each group."""
+    from .dataops import url_dedup
+    docs = _t(spark, sf_dir, "documents")
+    m = _messy_urls(docs)
+    both = (m.select(F.col("url_a").alias("url"))
+             .unionByName(m.select(F.col("url_b").alias("url"))))
+    return url_dedup(both, "url").select(
+        "canonical_url", F.col("url").alias("kept_url"))
+
+
+@query("dup_ngram_spans", oracle="""
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+g AS (SELECT doc_id,
+             array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2],
+                             ' ') AS ng
+      FROM t, UNNEST(range(1, len(toks) - 1)) AS r(i)
+      WHERE len(toks) >= 3),
+c AS (SELECT ng, count(*) AS cnt FROM g GROUP BY ng),
+p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+             CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_ngrams
+      FROM g JOIN c USING (ng) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_ngrams, 0) AS n_ngrams,
+       coalesce(p.dup_ngrams, 0) AS dup_ngrams,
+       round(coalesce(p.dup_ngrams, 0)
+             / greatest(coalesce(p.n_ngrams, 0), 1), 6) AS dup_frac
+FROM documents d LEFT JOIN p USING (doc_id)
+""")
+def dup_ngram_spans(spark, sf_dir):
+    """Partial-duplication signal (:func:`beats_spark.dataops.spans
+    .ngram_duplicate_stats`, Lee et al. 2022 at n-gram granularity):
+    per-document fraction of word-3-grams occurring ≥2 times corpus-
+    wide. Runs the by_hash scale path (xxhash64 shuffle keys); the
+    oracle counts by n-gram text — a hash collision would surface
+    here as a red row, and a pytest pins both modes equal."""
+    from .dataops import ngram_duplicate_stats
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_duplicate_stats(docs, n=3, min_count=2, by_hash=True)
+
+
+@query("tfidf_terms", oracle="""
+WITH t AS (SELECT doc_id, lang,
+                  list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+x AS (SELECT doc_id, lang, unnest(toks) AS term FROM t),
+tf AS (SELECT lang AS grp, term, count(*) AS term_count
+       FROM x GROUP BY 1, 2),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq
+        FROM x GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS nd FROM t),
+s AS (SELECT grp, term,
+             CAST(term_count AS BIGINT) AS term_count,
+             CAST(doc_freq AS BIGINT) AS doc_freq,
+             round(term_count * ln(CAST(nd AS DOUBLE) / doc_freq), 6)
+               AS tfidf
+      FROM tf JOIN dfq USING (term), n
+      WHERE doc_freq >= 2)
+SELECT grp AS "group", term, term_count, doc_freq, tfidf,
+       CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY grp
+                ORDER BY tfidf DESC, term ASC) AS rank FROM s)
+WHERE rank <= 5
+""")
+def tfidf_terms(spark, sf_dir):
+    """Per-language distinctive terms (:func:`beats_spark.dataops
+    .terms.tfidf_top_terms`): top-5 by term_count × ln(N/doc_freq),
+    ranked ON the rounded score with a bytewise term tie-break so
+    top-k membership is float-format-independent. Two partial
+    (map-side combined) aggregations + one join + a streaming
+    window."""
+    from .dataops import tfidf_top_terms
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, group_col="lang", k=5, min_doc_freq=2)
+
+
+@query("deterministic_sample", oracle="""
+WITH s AS (SELECT user_id, event_id FROM events
+           WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                                         || '#s1'), 1, 15) AS BIGINT)
+                 % 1000000 < 250000),
+r AS (SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id) AS rn
+      FROM s)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_kept
+FROM r WHERE rn <= 20 GROUP BY user_id
+""")
+def deterministic_sample(spark, sf_dir):
+    """Deterministic corpus sampling (:mod:`beats_spark.dataops
+    .sample`): md5-bucket Bernoulli(0.25) keyed on event_id (zero
+    shuffle, repartition-stable — Spark's sample() is neither), then
+    a per-user cap of 20 (the domain-quota pattern; one shuffle,
+    streaming window). Output is per-user kept counts."""
+    from .dataops import cap_per_key, hash_sample
+    ev = _t(spark, sf_dir, "events")
+    s = hash_sample(ev, "event_id", 0.25, seed="s1")
+    capped = cap_per_key(s, "user_id", 20, order_by=[F.col("event_id")])
+    return capped.groupBy("user_id") \
+                 .agg(F.count(F.lit(1)).alias("n_kept"))

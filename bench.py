@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "dedup_components",
     "pack_greedy", "domain_rollup", "yaml_inputs", "decontaminate",
     "script_js", "pii_scrub", "dedup_lines",
+    "url_canonicalize", "url_dedup", "dup_ngram_spans", "tfidf_terms",
+    "deterministic_sample",
     "flagship_routed_counts", "flagship_messages",
 ]
 
@@ -105,6 +107,12 @@ def flagship_throughput(spark, n_pages: int, cpus: int) -> dict:
     # lookups — measure the pipeline, not process cold-start
     build_routed(pages(spark, 2_000, partitions=cpus), hm, lm) \
         .groupBy("sink").count().collect()
+    # warm the input scan too: a freshly-written pages parquet reads
+    # cold from disk on the first timed run only, which made the
+    # min-of-N swing ~2x between rounds depending on whether the /tmp
+    # cache survived. The metric is pipeline throughput; read-path
+    # variance belongs to the scaling harness, not here.
+    pg.write.format("noop").mode("overwrite").save()
     # min-of-N like the per-query timings: the headline metric must
     # not swing with transient host contention either
     best, counts = None, None

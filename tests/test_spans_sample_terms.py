@@ -1,0 +1,131 @@
+"""Duplicate n-gram spans, deterministic sampling, and term stats
+(beats_spark.dataops.{spans,sample,terms})."""
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from beats_spark.dataops import (
+    cap_per_key, doc_frequency, doc_ngrams, hash_sample,
+    ngram_duplicate_stats, tfidf_top_terms,
+)
+
+try:  # Spark 4 moves it
+    from pyspark.errors import SparkRuntimeException as _RuntimeErr
+except ImportError:  # pragma: no cover
+    _RuntimeErr = Exception
+
+
+# ------------------------------------------------------------- spans
+
+def test_doc_ngrams_basic(spark):
+    df = spark.createDataFrame([("A b c d",), ("x y",), ("",)], ["t"])
+    got = [r.g for r in
+           df.select(doc_ngrams(F.col("t"), 3).alias("g")).collect()]
+    assert got == [["a b c", "b c d"], [], []]
+
+
+def test_ngram_duplicate_stats_hand_case(spark):
+    docs = spark.createDataFrame([
+        (1, "the cat sat on the mat"),       # 4 3-grams
+        (2, "the cat sat by a window"),      # shares 'the cat sat'
+        (3, "totally unrelated words here"),
+        (4, "hi"),                           # shorter than n
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           ngram_duplicate_stats(docs, n=3).collect()}
+    assert out[1].n_ngrams == 4 and out[1].dup_ngrams == 1
+    assert out[2].n_ngrams == 4 and out[2].dup_ngrams == 1
+    assert out[1].dup_frac == 0.25
+    assert out[3].dup_ngrams == 0
+    assert out[4].n_ngrams == 0 and out[4].dup_frac == 0.0
+
+
+def test_ngram_stats_hash_and_text_modes_agree(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = ngram_duplicate_stats(docs, n=3, by_hash=True)
+    b = ngram_duplicate_stats(docs, n=3, by_hash=False)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_ngram_within_doc_repeats_count(spark):
+    # a doc repeating its own n-gram makes that n-gram corpus-count 2
+    docs = spark.createDataFrame(
+        [(1, "go go go go")], ["doc_id", "text"])  # 'go go' x3... n=2
+    out = ngram_duplicate_stats(docs, n=2).collect()[0]
+    assert out.n_ngrams == 3 and out.dup_ngrams == 3
+
+
+# ------------------------------------------------------------ sample
+
+def test_cap_per_key(spark):
+    rows = [(u, i) for u in ("a", "b") for i in range(10)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = cap_per_key(df, "k", 3, order_by=[F.col("v").desc()],
+                      keep_rank=True)
+    got = sorted((r.k, r.v, r.rank_in_key) for r in out.collect())
+    assert got == [("a", 7, 3), ("a", 8, 2), ("a", 9, 1),
+                   ("b", 7, 3), ("b", 8, 2), ("b", 9, 1)]
+    with pytest.raises(ValueError):
+        cap_per_key(df, "k", 0)
+
+
+def test_hash_sample_deterministic_and_partition_stable(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["id"])
+    a = sorted(r.id for r in
+               hash_sample(df, "id", 0.3, seed="s").collect())
+    b = sorted(r.id for r in
+               hash_sample(df.repartition(7), "id", 0.3, seed="s")
+               .collect())
+    assert a == b
+    assert 0.25 < len(a) / 2000 < 0.35
+    # different seeds draw different samples
+    c = sorted(r.id for r in
+               hash_sample(df, "id", 0.3, seed="t").collect())
+    assert a != c
+    # consistency: a subset fraction nests inside a superset fraction
+    d = sorted(r.id for r in
+               hash_sample(df, "id", 0.1, seed="s").collect())
+    assert set(d) <= set(a)
+
+
+def test_hash_sample_bounds_and_null_guard(spark):
+    df = spark.createDataFrame([(1,), (None,)], "id int")
+    with pytest.raises(ValueError):
+        hash_sample(df, "id", 1.5)
+    with pytest.raises((_RuntimeErr, AnalysisException, Exception)):
+        hash_sample(df, "id", 0.5).collect()
+
+
+def test_hash_sample_zero_and_one(spark):
+    df = spark.createDataFrame([(i,) for i in range(50)], ["id"])
+    assert hash_sample(df, "id", 0.0).count() == 0
+    assert hash_sample(df, "id", 1.0).count() == 50
+
+
+# ------------------------------------------------------------- terms
+
+def test_doc_frequency_dedups_within_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "go go stop"), (2, "go")], ["doc_id", "text"])
+    got = {r.term: r.doc_freq for r in doc_frequency(docs).collect()}
+    assert got == {"go": 2, "stop": 1}
+
+
+def test_tfidf_top_terms_hand_case(spark):
+    docs = spark.createDataFrame([
+        (1, "en", "apple apple shared"),
+        (2, "en", "shared"),
+        (3, "de", "birne birne shared"),
+    ], ["doc_id", "lang", "text"])
+    out = tfidf_top_terms(docs, group_col="lang", k=2, min_doc_freq=1)
+    rows = {(r.group, r.term): r for r in out.collect()}
+    # 'shared' has doc_freq 3 = N -> idf ln(1) = 0
+    assert rows[("en", "shared")].tfidf == 0.0
+    # 'apple': 2 * ln(3/1)
+    import math
+    assert rows[("en", "apple")].tfidf == round(2 * math.log(3.0), 6)
+    assert rows[("en", "apple")].rank == 1
+    assert rows[("de", "birne")].rank == 1
+    # min_doc_freq filters singleton terms
+    out2 = tfidf_top_terms(docs, group_col="lang", k=2, min_doc_freq=2)
+    assert set(r.term for r in out2.collect()) == {"shared"}

@@ -1,0 +1,98 @@
+"""URL canonicalization and URL-level dedup
+(beats_spark.dataops.urls)."""
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.dataops import canonical_url, url_dedup
+
+
+def _canon(spark, urls, **kw):
+    df = spark.createDataFrame([(u,) for u in urls], ["u"])
+    rows = df.select(F.col("u"),
+                     canonical_url(F.col("u"), **kw).alias("c")).collect()
+    return {r.u: r.c for r in rows}
+
+
+CASES = [
+    # scheme + host case-fold; path case preserved
+    ("HTTPS://ExAmple.COM/Path/X", "https://example.com/Path/X"),
+    # default ports stripped, only for the matching scheme
+    ("http://a.com:80/x", "http://a.com/x"),
+    ("https://a.com:443/x", "https://a.com/x"),
+    ("http://a.com:443/x", "http://a.com:443/x"),
+    ("https://a.com:8080/x", "https://a.com:8080/x"),
+    # fragment dropped
+    ("https://a.com/x#frag", "https://a.com/x"),
+    ("https://a.com/x?q=1#frag", "https://a.com/x?q=1"),
+    # empty path -> /
+    ("https://a.com", "https://a.com/"),
+    ("https://a.com?b=2&a=1", "https://a.com/?a=1&b=2"),
+    # tracking params dropped, rest sorted; emptied query loses '?'
+    ("https://a.com/x?utm_source=f&utm_medium=m", "https://a.com/x"),
+    ("https://a.com/x?b=2&utm_campaign=c&a=1", "https://a.com/x?a=1&b=2"),
+    ("https://a.com/x?gclid=1&fbclid=2&msclkid=3", "https://a.com/x"),
+    # bare tracking name without '=' also dropped
+    ("https://a.com/x?utm_source&a=1", "https://a.com/x?a=1"),
+    # empty pairs dropped; '??' second '?' belongs to the query value
+    ("https://a.com/x?&&a=1&", "https://a.com/x?a=1"),
+    # a param merely CONTAINING a tracking name survives
+    ("https://a.com/x?xutm_source=1", "https://a.com/x?xutm_source=1"),
+    ("https://a.com/x?gclid2=1", "https://a.com/x?gclid2=1"),
+    # trailing '?' with no params
+    ("https://a.com/x?", "https://a.com/x"),
+    # no scheme: passthrough (trimmed, defragmented) only
+    ("example.com/x?utm_source=f", "example.com/x?utm_source=f"),
+    ("  /rel/path#f  ", "/rel/path"),
+    ("", ""),
+]
+
+
+@pytest.mark.parametrize("raw,want", CASES)
+def test_canonical_url_cases(spark, raw, want):
+    assert _canon(spark, [raw])[raw] == want
+
+
+def test_strip_www(spark):
+    got = _canon(spark, ["https://WWW.Example.com/x",
+                         "https://wwwx.com/x"], strip_www=True)
+    assert got["https://WWW.Example.com/x"] == "https://example.com/x"
+    # only a leading 'www.' label is stripped
+    assert got["https://wwwx.com/x"] == "https://wwwx.com/x"
+
+
+def test_canonical_null_passthrough(spark):
+    df = spark.createDataFrame([(None,)], "u string")
+    assert df.select(canonical_url(F.col("u")).alias("c")) \
+             .collect()[0].c is None
+
+
+def test_url_dedup_keeps_best_by_order(spark):
+    rows = [
+        ("https://A.com/x?utm_source=f", 5),
+        ("https://a.com:443/x", 9),          # same canonical, higher q
+        ("https://b.com/y", 1),
+    ]
+    df = spark.createDataFrame(rows, ["url", "quality"])
+    out = url_dedup(df, "url",
+                    order_by=[F.col("quality").desc(), F.col("url")])
+    got = {r.canonical_url: (r.url, r.quality) for r in out.collect()}
+    assert got == {
+        "https://a.com/x": ("https://a.com:443/x", 9),
+        "https://b.com/y": ("https://b.com/y", 1),
+    }
+
+
+def test_url_dedup_default_order_is_min_raw_url(spark):
+    df = spark.createDataFrame(
+        [("https://a.com/x?b=1",), ("https://A.com/x?b=1",)], ["url"])
+    out = url_dedup(df, "url").collect()
+    assert len(out) == 1
+    assert out[0].url == "https://A.com/x?b=1"  # 'A' < 'a' bytewise
+
+
+def test_url_dedup_single_shuffle(spark):
+    df = spark.createDataFrame([("https://a.com/x",)], ["url"])
+    plan = url_dedup(df, "url")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
