@@ -42,7 +42,7 @@ from .textstats import (
 )
 from .curate import curate, CurationResult
 from .urls import canonical_url, url_dedup, TRACKING_PARAMS
-from .spans import doc_ngrams, ngram_duplicate_stats
+from .spans import doc_ngrams, ngram_duplicate_stats, remove_duplicate_spans
 from .sample import cap_per_key, hash_sample
 from .terms import doc_frequency, tfidf_top_terms
 from .decontam import contamination_flags, decontaminate
@@ -68,7 +68,7 @@ __all__ = [
     "set_decoder",
     "curate", "CurationResult",
     "canonical_url", "url_dedup", "TRACKING_PARAMS",
-    "doc_ngrams", "ngram_duplicate_stats",
+    "doc_ngrams", "ngram_duplicate_stats", "remove_duplicate_spans",
     "cap_per_key", "hash_sample",
     "doc_frequency", "tfidf_top_terms",
     "contamination_flags", "decontaminate",

@@ -38,7 +38,8 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .dedup import tokens, _spread
 
-__all__ = ["ngram_duplicate_stats", "doc_ngrams"]
+__all__ = ["ngram_duplicate_stats", "doc_ngrams",
+           "remove_duplicate_spans"]
 
 
 def doc_ngrams(text: Column, n: int) -> Column:
@@ -111,3 +112,80 @@ def ngram_duplicate_stats(
                 "dup_frac",
                 F.round(F.col("dup_ngrams")
                         / F.greatest(F.col("n_ngrams"), F.lit(1)), 6)))
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_count: int = 2,
+    keep_first: bool = True,
+    by_hash: bool = True,
+) -> DataFrame:
+    """The REMOVAL step of Lee et al. 2022 exact-substring dedup, at
+    n-gram granularity: delete every token covered by a word-n-gram
+    whose corpus-wide occurrence count is ≥ ``min_count``, keeping
+    (with ``keep_first``) the globally first occurrence — smallest
+    ``(doc_id, position)`` — of each such n-gram, so each duplicated
+    span survives exactly once corpus-wide ("all but one occurrence",
+    the paper's rule). ``keep_first=False`` removes every occurrence
+    (the boilerplate-scrub variant).
+
+    Returns ``(id_col, clean_text, n_tokens, removed_tokens)`` — one
+    row per input document (short/empty docs pass through unchanged).
+    ``clean_text`` is the space-joined surviving lowercased tokens:
+    removal is defined at token granularity, so output whitespace is
+    token-normalized (document this to consumers; the stats op
+    :func:`ngram_duplicate_stats` shares the tokenizer).
+
+    Plan: posexplode n-grams (map) → ONE window pass per n-gram key
+    computing the group count and the first-occurrence rank together
+    (shuffle 1, payload ``(doc_id, pos, key)``) → per-doc removed-span
+    positions (shuffle 2) → join back to the input by ``id_col``
+    (shuffle 3 — the spans frame is positions-only, tiny next to the
+    documents side) → pure-column token surgery. Like the stats op,
+    ``by_hash=True`` shuffles 64-bit xxhash64 keys instead of n-gram
+    text. Per-doc surgery cost is O(tokens × removed spans) via the
+    covered-index array — bounded, since removed spans ≤ n-grams ≤
+    tokens.
+    """
+    ng = F.col("__ng")
+    key = F.xxhash64(ng) if by_hash else ng
+    occ = (_spread(df)
+           .select(F.col(id_col),
+                   F.posexplode(doc_ngrams(F.col(text_col), n))
+                    .alias("__pos", "__ng"))
+           .select(id_col, F.col("__pos"), key.alias("__k")))
+    w = Window.partitionBy("__k").orderBy(F.col(id_col), F.col("__pos"))
+    cnt = F.count(F.lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    rn = F.row_number().over(w)
+    removed = (occ.withColumn("__c", cnt).withColumn("__rn", rn)
+               .filter((F.col("__c") >= min_count)
+                       & ((F.col("__rn") > 1) if keep_first else F.lit(True)))
+               .groupBy(id_col)
+               .agg(F.collect_set("__pos").alias("__spans")))
+
+    out = df.join(removed, id_col, "left")
+    toks = tokens(F.col(text_col))
+    spans = F.coalesce(F.col("__spans"),
+                       F.array().cast("array<int>"))
+    covered = F.array_distinct(F.flatten(
+        F.transform(spans, lambda p: F.sequence(p, p + F.lit(n - 1)))))
+    idx = F.when(F.size(toks) > 0,
+                 F.sequence(F.lit(0), F.size(toks) - 1)) \
+           .otherwise(F.array().cast("array<int>"))
+    kept = F.filter(idx, lambda i: ~F.array_contains(covered, i))
+    clean = F.concat_ws(
+        " ", F.transform(kept,
+                         lambda i: F.element_at(toks,
+                                                (i + 1).cast("int"))))
+    # NULL text tokenizes to NULL: count it as an empty document (the
+    # same contract as ngram_duplicate_stats), not a NULL stat row
+    ntok = F.coalesce(F.size(toks), F.lit(0))
+    return out.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        ntok.cast("bigint").alias("n_tokens"),
+        (ntok - F.size(kept)).cast("bigint").alias("removed_tokens"))

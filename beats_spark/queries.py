@@ -2805,3 +2805,54 @@ def deterministic_sample(spark, sf_dir):
     capped = cap_per_key(s, "user_id", 20, order_by=[F.col("event_id")])
     return capped.groupBy("user_id") \
                  .agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@query("dedup_span_removal", oracle="""
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+g AS (SELECT doc_id, CAST(i AS INT) - 1 AS pos,
+             array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2],
+                             ' ') AS ng
+      FROM t, UNNEST(range(1, len(toks) - 1)) AS r(i)
+      WHERE len(toks) >= 3),
+w AS (SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY ng) AS cnt,
+             row_number() OVER (PARTITION BY ng
+                                ORDER BY doc_id, pos) AS rn
+      FROM g),
+rem AS (SELECT doc_id, list(DISTINCT pos) AS spans
+        FROM w WHERE cnt >= 2 AND rn > 1 GROUP BY doc_id),
+j AS (SELECT t.doc_id, t.toks, coalesce(rem.spans, []) AS spans
+      FROM t LEFT JOIN rem USING (doc_id)),
+k AS (SELECT doc_id, toks,
+             list_filter(range(0, len(toks)),
+                         i -> NOT list_contains(
+                             flatten(list_transform(
+                                 spans, p -> range(p, p + 3))), i))
+               AS kept
+      FROM j)
+SELECT doc_id,
+       coalesce(array_to_string(
+                    list_transform(kept,
+                                   i -> toks[CAST(i + 1 AS INT)]),
+                    ' '), '') AS clean_text,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(toks) - len(kept) AS BIGINT) AS removed_tokens
+FROM k
+""")
+def dedup_span_removal(spark, sf_dir):
+    """Exact-substring REMOVAL (:func:`beats_spark.dataops.spans
+    .remove_duplicate_spans`, Lee et al. 2022 "all but one
+    occurrence"): tokens covered by a corpus-duplicated word-3-gram
+    are deleted except in the n-gram's globally first (doc_id, pos)
+    occurrence; survivors are re-joined in order. Runs the by_hash
+    scale path; the oracle rebuilds the identical surgery from n-gram
+    TEXT in SQL, so the whole removal pipeline — counting, survivor
+    choice, covered-index arithmetic, reassembly — is value-checked
+    end to end."""
+    from .dataops import remove_duplicate_spans
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, n=3, min_count=2,
+                                  keep_first=True, by_hash=True)

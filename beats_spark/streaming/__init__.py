@@ -4,9 +4,11 @@ from .pipeline import (
     run_stream_pipeline,
     windowed_counters,
     stateful_rate_limit,
+    stateful_url_dedup,
 )
 
 __all__ = [
     "PAGES_SCHEMA", "stream_routed", "run_stream_pipeline",
     "windowed_counters", "stateful_rate_limit",
+    "stateful_url_dedup",
 ]

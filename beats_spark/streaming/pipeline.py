@@ -36,7 +36,8 @@ from ..pipeline import build_routed, SINKS
 
 __all__ = ["PAGES_SCHEMA", "stream_routed", "run_stream_pipeline",
            "windowed_counters", "stateful_rate_limit",
-           "stateful_multiline", "stateful_container_partial"]
+           "stateful_multiline", "stateful_container_partial",
+           "stateful_url_dedup"]
 
 PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                 "text string, lang string")
@@ -397,3 +398,34 @@ def stateful_container_partial(
                if timeout_ms is not None else GroupStateTimeout.NoTimeout)
     return (parsed.groupBy(file_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", timeout))
+
+
+def stateful_url_dedup(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    within: str = "10 minutes",
+    canon_col: str = "canonical_url",
+    strip_www: bool = False,
+) -> DataFrame:
+    """Streaming URL-level dedup at ingest: canonicalize
+    (:func:`beats_spark.dataops.urls.canonical_url` — same expression
+    as the batch op, streaming-safe because it is a pure projection)
+    and keep the FIRST arrival of each canonical URL, dropping
+    re-crawls/re-spellings that arrive within ``within`` event time of
+    it (``dropDuplicatesWithinWatermark`` — per-key state is evicted
+    once the watermark passes, so state is bounded by the dedup
+    horizon × arrival rate, not corpus size; an unbounded
+    ``dropDuplicates`` would grow state forever at crawl scale).
+
+    A duplicate arriving LATER than ``within`` after the original is
+    admitted again — at 100 TB that is the correct trade: bounded
+    state with a re-crawl window, with corpus-wide exactness left to
+    the batch ``url_dedup`` compaction pass (the standard
+    lambda-architecture split).
+    """
+    from ..dataops.urls import canonical_url
+    out = pages.withColumn(
+        canon_col, canonical_url(F.col(url_col), strip_www=strip_www))
+    return (out.withWatermark(ts_col, within)
+               .dropDuplicatesWithinWatermark([canon_col]))

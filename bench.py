@@ -56,7 +56,7 @@ BENCH_QUERIES = [
     "pack_greedy", "domain_rollup", "yaml_inputs", "decontaminate",
     "script_js", "pii_scrub", "dedup_lines",
     "url_canonicalize", "url_dedup", "dup_ngram_spans", "tfidf_terms",
-    "deterministic_sample",
+    "deterministic_sample", "dedup_span_removal",
     "flagship_routed_counts", "flagship_messages",
 ]
 

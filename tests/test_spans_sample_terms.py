@@ -129,3 +129,67 @@ def test_tfidf_top_terms_hand_case(spark):
     # min_doc_freq filters singleton terms
     out2 = tfidf_top_terms(docs, group_col="lang", k=2, min_doc_freq=2)
     assert set(r.term for r in out2.collect()) == {"shared"}
+
+
+# ------------------------------------------------------ span removal
+
+def test_remove_duplicate_spans_keep_first(spark):
+    from beats_spark.dataops import remove_duplicate_spans
+    docs = spark.createDataFrame([
+        (1, "the cat sat on the mat"),   # first occurrence survives
+        (2, "the cat sat by a window"),  # loses 'the cat sat'
+        (3, "hi"),                       # shorter than n: unchanged
+        (4, ""),                         # empty: unchanged
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           remove_duplicate_spans(docs, n=3).collect()}
+    assert out[1].clean_text == "the cat sat on the mat"
+    assert out[1].removed_tokens == 0
+    # doc 2 loses tokens 0..2 exactly
+    assert out[2].clean_text == "by a window"
+    assert out[2].removed_tokens == 3 and out[2].n_tokens == 6
+    assert out[3].clean_text == "hi" and out[3].n_tokens == 1
+    assert out[4].clean_text == "" and out[4].n_tokens == 0
+
+
+def test_remove_duplicate_spans_drop_all_and_overlap(spark):
+    from beats_spark.dataops import remove_duplicate_spans
+    docs = spark.createDataFrame([
+        (1, "a b c d e"),
+        (2, "a b c d x"),   # shares 'a b c' and 'b c d' (overlap)
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           remove_duplicate_spans(docs, n=3, keep_first=False)
+           .collect()}
+    # keep_first=False removes EVERY occurrence: tokens 0..3 covered
+    assert out[1].clean_text == "e" and out[1].removed_tokens == 4
+    assert out[2].clean_text == "x" and out[2].removed_tokens == 4
+
+
+def test_remove_duplicate_spans_within_doc_repeat(spark):
+    from beats_spark.dataops import remove_duplicate_spans
+    # the repeat inside ONE doc: second occurrence removed, first kept
+    docs = spark.createDataFrame(
+        [(1, "x y z q x y z")], ["doc_id", "text"])
+    out = remove_duplicate_spans(docs, n=3).collect()[0]
+    assert out.clean_text == "x y z q"
+    assert out.removed_tokens == 3
+
+
+def test_remove_spans_hash_and_text_modes_agree(spark, sf_dir):
+    from beats_spark.dataops import remove_duplicate_spans
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = remove_duplicate_spans(docs, n=3, by_hash=True)
+    b = remove_duplicate_spans(docs, n=3, by_hash=False)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_remove_duplicate_spans_null_text(spark):
+    from beats_spark.dataops import remove_duplicate_spans
+    docs = spark.createDataFrame([(1, None), (2, "a b")],
+                                 "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           remove_duplicate_spans(docs, n=3).collect()}
+    assert out[1].clean_text == "" and out[1].n_tokens == 0
+    assert out[1].removed_tokens == 0
+    assert out[2].clean_text == "a b" and out[2].n_tokens == 2

@@ -96,3 +96,41 @@ def test_url_dedup_single_shuffle(spark):
         .executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# -------------------------------------------------- streaming dedup
+
+def test_stateful_url_dedup_across_batches(spark, tmp_path):
+    """Re-spellings of one canonical URL arriving in DIFFERENT
+    micro-batches (within the watermark) still dedup to one survivor;
+    distinct canonicals all pass."""
+    from beats_spark.streaming import stateful_url_dedup
+
+    src, ck, out = (str(tmp_path / d) for d in ("src", "ck", "out"))
+    base = "2024-01-01 00:0{m}:00"
+    b1 = spark.createDataFrame(
+        [("HTTP://A.com:80/x?utm_source=f", base.format(m=0)),
+         ("http://b.com/y", base.format(m=0))], ["url", "ts"]) \
+        .select("url", F.col("ts").cast("timestamp").alias("warc_ts"))
+    b2 = spark.createDataFrame(
+        [("http://a.com/x", base.format(m=1)),     # dup of batch-1 A
+         ("http://c.com/z", base.format(m=1))], ["url", "ts"]) \
+        .select("url", F.col("ts").cast("timestamp").alias("warc_ts"))
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream
+              .schema("url string, warc_ts timestamp")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src))
+    deduped = stateful_url_dedup(stream, within="10 minutes")
+    assert deduped.isStreaming
+    q = (deduped.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = spark.read.parquet(out)
+    canons = sorted(r.canonical_url for r in got.collect())
+    assert canons == ["http://a.com/x", "http://b.com/y",
+                      "http://c.com/z"]
