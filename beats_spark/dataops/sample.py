@@ -32,7 +32,8 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .splits import split_bucket
 
-__all__ = ["cap_per_key", "hash_sample"]
+__all__ = ["cap_per_key", "hash_sample", "mixture_plan",
+           "mixture_sample"]
 
 
 def cap_per_key(
@@ -83,3 +84,112 @@ def hash_sample(
     bucket = F.when(guard.isNull(), split_bucket(salted, granularity))
     bound = int(round(fraction * granularity))
     return df.filter(bucket < bound)
+
+
+def mixture_plan(
+    df: DataFrame,
+    group_col: str,
+    weights: Optional[dict] = None,
+    temperature: Optional[float] = None,
+    total_rows: Optional[int] = None,
+    granularity: int = 1_000_000,
+) -> DataFrame:
+    """Per-group sampling plan for a target training mixture:
+    ``(group, n_rows, share, keep_bound)``.
+
+    Target proportions come from ``weights`` (group → relative
+    weight; normalized internally; unlisted groups get share 0 and
+    drop) or ``temperature`` (share_g ∝ count_g^temperature over the
+    OBSERVED groups — the multilingual-sampling flattening rule;
+    temperature 1 keeps natural proportions, 0 equalizes).
+
+    The largest total consistent with the mixture without
+    oversampling any group is ``T = min_g(count_g / share_g)``;
+    ``total_rows`` caps it lower. Per-group keep fraction
+    ``share_g·T / count_g`` becomes an integer md5-bucket bound
+    (``floor(f·granularity)``) so the apply step is the deterministic
+    zero-shuffle filter of :func:`hash_sample`. Every step after the
+    one count aggregation is a scalar broadcast — no driver collect,
+    so a high-cardinality ``group_col`` (per-domain mixes) stays
+    distributed.
+
+    A group named in ``weights`` but absent from the data makes the
+    mixture unachievable at any size: T = 0 and the plan empties —
+    the honest answer; cap with ``total_rows`` only after fixing the
+    weights.
+    """
+    if (weights is None) == (temperature is None):
+        raise ValueError("mixture_plan: pass exactly one of weights / "
+                         "temperature")
+    counts = df.groupBy(F.col(group_col).alias("group")) \
+               .agg(F.count(F.lit(1)).alias("n_rows"))
+    if weights is not None:
+        if not weights or any(v < 0 for v in weights.values()):
+            raise ValueError("weights must be non-empty and >= 0")
+        tot = float(sum(weights.values()))
+        share = F.lit(0.0)
+        for k, v in weights.items():
+            share = F.when(F.col("group") == k,
+                           F.lit(float(v) / tot)).otherwise(share)
+        # a weighted group with no rows must force T = 0: re-seat the
+        # weights frame on top so missing groups appear with n_rows 0
+        wrows = df.sparkSession.createDataFrame(
+            [(k,) for k in weights], ["group"])
+        counts = (wrows.join(counts, "group", "left")
+                  .select("group",
+                          F.coalesce("n_rows", F.lit(0).cast("bigint"))
+                           .alias("n_rows")))
+        scored = counts.withColumn("share", share)
+    else:
+        a = float(temperature)
+        powed = counts.withColumn("__p", F.pow(F.col("n_rows")
+                                               .cast("double"), a))
+        denom = powed.agg(F.sum("__p").alias("__d"))
+        scored = (powed.join(F.broadcast(denom))
+                  .withColumn("share", F.col("__p") / F.col("__d"))
+                  .drop("__p", "__d"))
+    scored = scored.filter(F.col("share") > 0)
+    tmax = scored.agg(F.min(F.col("n_rows") / F.col("share"))
+                      .alias("__t"))
+    plan = scored.join(F.broadcast(tmax))
+    t_eff = (F.least(F.col("__t"), F.lit(float(total_rows)))
+             if total_rows is not None else F.col("__t"))
+    frac = F.least(F.lit(1.0),
+                   F.col("share") * t_eff
+                   / F.greatest(F.col("n_rows").cast("double"),
+                                F.lit(1.0)))
+    return plan.select(
+        "group", "n_rows", "share",
+        F.floor(frac * granularity).cast("bigint").alias("keep_bound"))
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weights: Optional[dict] = None,
+    temperature: Optional[float] = None,
+    total_rows: Optional[int] = None,
+    seed: str = "",
+    granularity: int = 1_000_000,
+) -> DataFrame:
+    """Deterministically sample ``df`` so group proportions match the
+    target mixture (see :func:`mixture_plan`). The apply step is one
+    broadcast join of the tiny plan plus the zero-shuffle md5-bucket
+    predicate — same determinism contract as :func:`hash_sample`
+    (repartition-stable, same key ⇒ same decision, seeds give
+    independent draws)."""
+    plan = mixture_plan(df, group_col, weights=weights,
+                        temperature=temperature, total_rows=total_rows,
+                        granularity=granularity)
+    key = F.col(key_col)
+    guard = F.assert_true(
+        key.isNotNull(),
+        F.lit(f"mixture_sample: null {key_col}"))
+    salted = F.concat(key.cast("string"), F.lit("#"), F.lit(seed))
+    bucket = F.when(guard.isNull(), split_bucket(salted, granularity))
+    return (df.join(F.broadcast(plan.select(
+                F.col("group").alias(group_col), "keep_bound")),
+                group_col)
+              .filter(bucket < F.col("keep_bound"))
+              .drop("keep_bound"))

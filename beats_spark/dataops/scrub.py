@@ -36,7 +36,7 @@ from typing import Dict, Iterable, Optional, Tuple
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["PII_PATTERNS", "scrub_pii", "pii_counts", "scrub",
-           "dedup_lines"]
+           "dedup_lines", "c4_clean", "C4_TERMINAL_RE"]
 
 
 # Ordered: SSN before phone (an SSN is also a dialable digit run),
@@ -157,3 +157,84 @@ def dedup_lines(df: DataFrame, id_col: str = "doc_id",
         F.array_join(F.transform("__pl", lambda s: s["__line"]), sep)
          .alias(out_col))
     return agg.select(*cols)
+
+
+# C4 (Raffel et al. 2020, §2.2) page-cleaning heuristics. Terminal
+# punctuation set per the paper: period / exclamation / question mark
+# / end quotation mark.
+C4_TERMINAL_RE = "[.!?\"”]$"
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_words_per_line: int = 3,
+    min_lines_per_doc: int = 5,
+    drop_line_substrings: Tuple[str, ...] = ("javascript",),
+    drop_page_substrings: Tuple[str, ...] = ("lorem ipsum", "{"),
+    out_col: Optional[str] = None,
+    keep_dropped: bool = False,
+) -> DataFrame:
+    """The C4 rule-based page cleaner (Raffel et al. 2020 §2.2),
+    entirely map-side — ZERO shuffle, whole-stage codegen, no Python:
+
+    line rules (a line survives iff ALL hold, evaluated on the
+    trimmed line):
+      - ends in terminal punctuation (``. ! ? "`` or ``”``);
+      - has at least ``min_words_per_line`` whitespace words;
+      - contains none of ``drop_line_substrings`` (case-insensitive —
+        the paper's "any line with the word Javascript").
+
+    page rules (the whole page drops, reason column says why):
+      - original text contains any of ``drop_page_substrings``
+        case-insensitively (the paper's "lorem ipsum" phrase and the
+        curly-bracket rule) → ``banned_substring``;
+      - fewer than ``min_lines_per_doc`` SURVIVING lines (the paper
+        counts sentences; at line granularity the kept line is the
+        unit) → ``too_few_lines``.
+
+    Returns ``(id_col, out_col, kept_lines)`` for surviving pages,
+    with survivors' trimmed kept lines re-joined on ``sep``.
+    ``keep_dropped=True`` returns every input page and appends a
+    nullable ``drop_reason`` string column instead of filtering —
+    the audit form (funnel metrics, rule tuning). NULL text is an
+    empty page (drops as ``too_few_lines`` unless
+    ``min_lines_per_doc == 0``).
+
+    Scale: this is the cheapest gate in the curation funnel — run it
+    FIRST so every downstream shuffle (dedup, spans, packing) sees
+    only surviving pages; as a pure projection+filter it composes
+    with scan pushdown on other predicates.
+    """
+    import re as _re
+    out_col = out_col or text_col
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(text, _re.escape(sep))
+
+    def line_ok(l: Column) -> Column:
+        t = F.trim(l)
+        words = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
+        ok = t.rlike(C4_TERMINAL_RE) & (words >= min_words_per_line)
+        for s in drop_line_substrings:
+            ok = ok & ~F.lower(t).contains(s.lower())
+        return ok
+
+    kept = F.transform(F.filter(lines, line_ok), lambda l: F.trim(l))
+    banned = F.lit(False)
+    low = F.lower(text)
+    for s in drop_page_substrings:
+        banned = banned | low.contains(s.lower())
+    reason = (F.when(banned, F.lit("banned_substring"))
+               .when(F.size(kept) < min_lines_per_doc,
+                     F.lit("too_few_lines")))
+
+    res = df.select(
+        F.col(id_col),
+        F.array_join(kept, sep).alias(out_col),
+        F.size(kept).cast("bigint").alias("kept_lines"),
+        reason.alias("drop_reason"))
+    if keep_dropped:
+        return res
+    return res.filter(F.col("drop_reason").isNull()).drop("drop_reason")

@@ -114,9 +114,12 @@ def flagship_throughput(spark, n_pages: int, cpus: int) -> dict:
     # variance belongs to the scaling harness, not here.
     pg.write.format("noop").mode("overwrite").save()
     # min-of-N like the per-query timings: the headline metric must
-    # not swing with transient host contention either
+    # not swing with transient host contention either. The flagship
+    # leg gets at least 3 repeats: measured 2026-08-17, the same
+    # code+input swung 80k -> 312k pages/s across three minutes of
+    # host weather, and one extra ~3 s repeat is cheap insurance.
     best, counts = None, None
-    for _ in range(BENCH_REPEATS):
+    for _ in range(max(BENCH_REPEATS, 3)):
         t0 = time.time()
         routed = build_routed(pg, hm, lm)
         counts = {r["sink"]: r["n"] for r in
