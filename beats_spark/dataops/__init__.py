@@ -43,10 +43,13 @@ from .textstats import (
 from .curate import curate, CurationResult
 from .urls import canonical_url, url_dedup, TRACKING_PARAMS
 from .spans import doc_ngrams, ngram_duplicate_stats, remove_duplicate_spans
-from .sample import cap_per_key, hash_sample
+from .sample import cap_per_key, hash_sample, mixture_plan, mixture_sample
 from .terms import doc_frequency, tfidf_top_terms
 from .decontam import contamination_flags, decontaminate
-from .scrub import PII_PATTERNS, dedup_lines, pii_counts, scrub, scrub_pii
+from .scrub import (
+    C4_TERMINAL_RE, PII_PATTERNS, c4_clean, dedup_lines, pii_counts,
+    scrub, scrub_pii,
+)
 from .multimodal import (
     attach_media_meta,
     extract_image_features,
@@ -69,8 +72,9 @@ __all__ = [
     "curate", "CurationResult",
     "canonical_url", "url_dedup", "TRACKING_PARAMS",
     "doc_ngrams", "ngram_duplicate_stats", "remove_duplicate_spans",
-    "cap_per_key", "hash_sample",
+    "cap_per_key", "hash_sample", "mixture_plan", "mixture_sample",
     "doc_frequency", "tfidf_top_terms",
     "contamination_flags", "decontaminate",
     "PII_PATTERNS", "scrub_pii", "pii_counts", "scrub", "dedup_lines",
+    "c4_clean", "C4_TERMINAL_RE",
 ]

@@ -2856,3 +2856,129 @@ def dedup_span_removal(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return remove_duplicate_spans(docs, n=3, min_count=2,
                                   keep_first=True, by_hash=True)
+
+
+def _lined_c4_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic liny pages exercising EVERY C4 rule, built from
+    table columns so the oracle rebuilds the identical strings: the
+    word salad folds into 6-word lines; line (doc_id+j) gets a
+    terminal '.', '!', '?' or nothing by %4 (the no-punct case fails
+    the terminal rule) and a 'javascript ' prefix when %7 == 0; docs
+    %11 == 0 gain a 'lorem ipsum' line and docs %13 == 0 a
+    curly-brace line (both page-fatal)."""
+    w = F.split(F.col("text"), " ")
+    nch = F.ceil(F.size(w) / F.lit(6.0)).cast("int")
+    i = F.col("doc_id")
+
+    def mkline(j):
+        base = F.array_join(F.slice(w, j * 6 + 1, 6), " ")
+        pre = F.when((i + j) % 7 == 0, F.lit("javascript ")) \
+               .otherwise(F.lit(""))
+        suf = (F.when((i + j) % 4 == 0, F.lit("."))
+                .when((i + j) % 4 == 1, F.lit("!"))
+                .when((i + j) % 4 == 2, F.lit("?"))
+                .otherwise(F.lit("")))
+        return F.concat(pre, base, suf)
+
+    lines = F.transform(F.sequence(F.lit(0), nch - 1), mkline)
+    extra = (F.when(i % 11 == 0,
+                    F.array(F.lit("weird lorem ipsum text here.")))
+              .when(i % 13 == 0,
+                    F.array(F.lit("function f() { return 1; }")))
+              .otherwise(F.array().cast("array<string>")))
+    return docs.select(
+        "doc_id",
+        F.array_join(F.concat(lines, extra), "\n").alias("text"))
+
+
+_SQL_C4_LINES = """
+  SELECT doc_id,
+         list_concat(
+           list_transform(
+             generate_series(0,
+                 CAST(ceil(len(toks)/6.0) AS INT) - 1),
+             j -> (CASE WHEN (doc_id + j) % 7 = 0
+                        THEN 'javascript ' ELSE '' END)
+                  || array_to_string(list_slice(toks, j*6+1, j*6+6), ' ')
+                  || (CASE (doc_id + j) % 4 WHEN 0 THEN '.'
+                      WHEN 1 THEN '!' WHEN 2 THEN '?' ELSE '' END)),
+           CASE WHEN doc_id % 11 = 0
+                THEN ['weird lorem ipsum text here.']
+                WHEN doc_id % 13 = 0
+                THEN ['function f() { return 1; }']
+                ELSE [] END) AS lines
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
+@query("c4_clean", oracle=f"""
+WITH lined AS ({_SQL_C4_LINES}),
+r AS (
+  SELECT doc_id,
+         array_to_string(lines, chr(10)) AS text,
+         list_transform(
+           list_filter(lines,
+             l -> regexp_matches(trim(l), '[.!?"”]$')
+                  AND len(list_filter(
+                        string_split_regex(trim(l), '\\s+'),
+                        x -> x <> '')) >= 3
+                  AND NOT contains(lower(trim(l)), 'javascript')),
+           l -> trim(l)) AS kept
+  FROM lined)
+SELECT doc_id,
+       coalesce(array_to_string(kept, chr(10)), '') AS text,
+       CAST(len(kept) AS BIGINT) AS kept_lines,
+       CASE WHEN contains(lower(text), 'lorem ipsum')
+                 OR contains(text, '{{')
+            THEN 'banned_substring'
+            WHEN len(kept) < 5 THEN 'too_few_lines'
+       END AS drop_reason
+FROM r
+""")
+def c4_clean_q(spark, sf_dir):
+    """C4 rule-based page cleaning (:func:`beats_spark.dataops.scrub
+    .c4_clean`, Raffel et al. 2020 §2.2) in audit form
+    (``keep_dropped=True``): terminal-punctuation + min-words +
+    javascript line rules, lorem-ipsum / curly-brace / too-few-lines
+    page rules, every rule exercised by the deterministic line
+    decoration. Entirely map-side — zero shuffle, zero Python."""
+    from .dataops import c4_clean
+    docs = _t(spark, sf_dir, "documents")
+    return c4_clean(_lined_c4_docs(docs), keep_dropped=True)
+
+
+@query("mixture_sample", oracle="""
+WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+s AS (SELECT lang, cnt,
+             CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+                       WHEN 'de' THEN CAST(0.25 AS DOUBLE)
+                       WHEN 'es' THEN CAST(0.25 AS DOUBLE)
+                       ELSE CAST(0.0 AS DOUBLE) END AS share
+      FROM c WHERE lang IN ('en', 'de', 'es')),
+t AS (SELECT min(cnt / share) AS tmax FROM s),
+p AS (SELECT lang,
+             CAST(floor(least(CAST(1.0 AS DOUBLE),
+                              share * tmax
+                              / greatest(CAST(cnt AS DOUBLE),
+                                         CAST(1.0 AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS bound
+      FROM s, t)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+FROM documents d JOIN p USING (lang)
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#m1'),
+                          1, 15) AS BIGINT) % 1000000 < bound
+GROUP BY d.lang
+""")
+def mixture_sample_q(spark, sf_dir):
+    """Training-mix sampling (:func:`beats_spark.dataops.sample
+    .mixture_sample`): target weights en:de:es = 2:1:1 over the
+    documents table; the plan (largest achievable total, per-group
+    md5-bucket bounds) is computed fully in-plan — no driver collect
+    — and the apply step is a broadcast join + the zero-shuffle
+    deterministic bucket filter. The oracle recomputes the identical
+    double arithmetic (shares, min ratio, floor bound) in SQL."""
+    from .dataops import mixture_sample
+    docs = _t(spark, sf_dir, "documents")
+    s = mixture_sample(docs, "lang", "doc_id",
+                       weights={"en": 2, "de": 1, "es": 1}, seed="m1")
+    return s.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))

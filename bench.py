@@ -56,7 +56,8 @@ BENCH_QUERIES = [
     "pack_greedy", "domain_rollup", "yaml_inputs", "decontaminate",
     "script_js", "pii_scrub", "dedup_lines",
     "url_canonicalize", "url_dedup", "dup_ngram_spans", "tfidf_terms",
-    "deterministic_sample", "dedup_span_removal",
+    "deterministic_sample", "dedup_span_removal", "c4_clean",
+    "mixture_sample",
     "flagship_routed_counts", "flagship_messages",
 ]
 

@@ -104,3 +104,59 @@ def test_dedup_lines_order_preserved_after_gaps(spark):
     ])
     out = {r.doc_id: r.text for r in dedup_lines(df).collect()}
     assert out[2] == "p\nq\nr"
+
+
+# ----------------------------------------------------------- c4_clean
+
+def _c4(spark, pages, **kw):
+    from beats_spark.dataops import c4_clean
+    df = spark.createDataFrame(pages, "doc_id long, text string")
+    return {r.doc_id: r for r in c4_clean(df, **kw).collect()}
+
+
+def test_c4_line_rules(spark):
+    page = "\n".join([
+        "this line is long enough and ends well.",   # kept
+        "no terminal punctuation here at all",        # dropped: punct
+        "too short.",                                 # dropped: words
+        "a javascript line that would otherwise pass.",  # dropped: js
+        "another perfectly fine sentence ends here!",  # kept
+        "does a question mark count as terminal?",     # kept
+        'quoted lines also end in a quote."',          # kept
+        "fifth fine line to clear the page minimum.",  # kept
+    ])
+    out = _c4(spark, [(1, page)])
+    assert out[1].kept_lines == 5
+    kept = out[1].text.split("\n")
+    assert kept[0].startswith("this line") and kept[-1].startswith("fifth")
+
+
+def test_c4_page_rules_and_audit(spark):
+    good = "\n".join(["good solid sentence number %d ends fine." % i
+                      for i in range(6)])
+    out = _c4(spark, [
+        (1, good),
+        (2, good + "\nsome lorem ipsum filler."),
+        (3, good + "\nvar x = { a: 1 };"),
+        (4, "one fine sentence is not enough here."),
+        (5, None),
+    ], keep_dropped=True)
+    assert out[1].drop_reason is None
+    assert out[2].drop_reason == "banned_substring"
+    assert out[3].drop_reason == "banned_substring"
+    assert out[4].drop_reason == "too_few_lines"
+    assert out[5].drop_reason == "too_few_lines" and out[5].kept_lines == 0
+    # filtering form drops pages 2-5 entirely and the reason column
+    flt = _c4(spark, [(1, good), (4, "one fine sentence only.")])
+    assert list(flt) == [1] and "drop_reason" not in flt[1].asDict()
+
+
+def test_c4_trims_and_is_case_insensitive(spark):
+    page = "\n".join([
+        "  padded line still counts as terminal.  ",
+        "LOUD JAVASCRIPT LINE SHOULD STILL DROP.",
+        "ordinary best sentence to round things out.",
+    ])
+    out = _c4(spark, [(1, page)], min_lines_per_doc=1)
+    assert out[1].kept_lines == 2
+    assert out[1].text.split("\n")[0] == "padded line still counts as terminal."

@@ -193,3 +193,80 @@ def test_remove_duplicate_spans_null_text(spark):
     assert out[1].clean_text == "" and out[1].n_tokens == 0
     assert out[1].removed_tokens == 0
     assert out[2].clean_text == "a b" and out[2].n_tokens == 2
+
+
+# ----------------------------------------------------------- mixture
+
+def test_mixture_plan_weights(spark):
+    from beats_spark.dataops import mixture_plan
+    rows = [("en", i) for i in range(800)] + \
+           [("de", i) for i in range(100)] + \
+           [("es", i) for i in range(300)]
+    df = spark.createDataFrame(rows, ["lang", "id"])
+    plan = {r.group: r for r in
+            mixture_plan(df, "lang",
+                         weights={"en": 2, "de": 1, "es": 1}).collect()}
+    # T = min(800/.5, 100/.25, 300/.25) = 400 -> en 200, de 100, es 100
+    assert plan["de"].keep_bound == 1_000_000          # all of de
+    assert plan["en"].keep_bound == 250_000            # 200/800
+    assert plan["es"].keep_bound == pytest.approx(333_333, abs=1)
+
+
+def test_mixture_sample_proportions_and_determinism(spark):
+    from beats_spark.dataops import mixture_sample
+    rows = [("en", i) for i in range(4000)] + \
+           [("de", i + 10_000) for i in range(500)] + \
+           [("xx", i + 50_000) for i in range(50)]
+    df = spark.createDataFrame(rows, ["lang", "id"])
+    s = mixture_sample(df, "lang", "id",
+                       weights={"en": 1, "de": 1}, seed="t")
+    got = {r.lang: r.n for r in
+           s.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "xx" not in got                 # unweighted group dropped
+    assert got["de"] == 500                # the binding group: all kept
+    # en targets 500 of 4000 (12.5%); md5 quantization ~ +-3%
+    assert 420 <= got["en"] <= 580
+    # determinism: same seed, same rows
+    a = sorted(r.id for r in s.collect())
+    b = sorted(r.id for r in
+               mixture_sample(df.repartition(7), "lang", "id",
+                              weights={"en": 1, "de": 1}, seed="t")
+               .collect())
+    assert a == b
+
+
+def test_mixture_temperature_and_errors(spark):
+    from beats_spark.dataops import mixture_plan, mixture_sample
+    rows = [("a", i) for i in range(900)] + \
+           [("b", i + 1000) for i in range(100)]
+    df = spark.createDataFrame(rows, ["g", "id"])
+    # temperature 1 = natural proportions: every group keeps all rows
+    p1 = {r.group: r.keep_bound for r in
+          mixture_plan(df, "g", temperature=1.0).collect()}
+    assert p1 == {"a": 1_000_000, "b": 1_000_000}
+    # temperature 0 = equal shares: the small group binds
+    p0 = {r.group: r.keep_bound for r in
+          mixture_plan(df, "g", temperature=0.0).collect()}
+    assert p0["b"] == 1_000_000
+    assert p0["a"] == pytest.approx(111_111, abs=1)    # 100/900
+    with pytest.raises(ValueError):
+        mixture_plan(df, "g")
+    with pytest.raises(ValueError):
+        mixture_plan(df, "g", weights={"a": 1}, temperature=1.0)
+    with pytest.raises(ValueError):
+        mixture_plan(df, "g", weights={})
+    # a weighted group with no rows makes the mixture unachievable
+    empty = mixture_plan(df, "g", weights={"a": 1, "zz": 1})
+    assert all(r.keep_bound == 0 for r in empty.collect())
+
+
+def test_mixture_total_rows_cap(spark):
+    from beats_spark.dataops import mixture_plan
+    rows = [("a", i) for i in range(1000)] + \
+           [("b", i + 5000) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["g", "id"])
+    plan = {r.group: r.keep_bound for r in
+            mixture_plan(df, "g", weights={"a": 1, "b": 1},
+                         total_rows=400).collect()}
+    # 200 of 1000 from each group
+    assert plan == {"a": 200_000, "b": 200_000}
