@@ -12,6 +12,7 @@ profile UDF.
 """
 
 from .dedup import (
+    dedup_against,
     dedup_exact,
     exact_dup_groups,
     minhash_signature,
@@ -58,7 +59,7 @@ from .multimodal import (
 )
 
 __all__ = [
-    "dedup_exact", "exact_dup_groups", "minhash_signature",
+    "dedup_against", "dedup_exact", "exact_dup_groups", "minhash_signature",
     "minhash_lsh_pairs", "ngram_jaccard_pairs", "shingles", "simhash",
     "simhash_pairs",
     "cosine_similarity", "cosine_topk", "cosine_topk_blocked",

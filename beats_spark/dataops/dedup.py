@@ -402,3 +402,54 @@ def simhash_pairs(
     return (cand.withColumn("hamming", ham)
                 .filter(F.col("hamming") <= max_hamming)
                 .select("id_a", "id_b", "hamming"))
+
+
+def dedup_against(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key: "Optional[Column]" = None,
+    within_batch: bool = True,
+) -> DataFrame:
+    """Incremental exact dedup: the rows of ``new_df`` (today's crawl
+    batch) whose content digest does NOT already occur in ``seen_df``
+    (the accumulated corpus). This is the ingestion-time form of
+    :func:`dedup_exact` — the corpus is only ever read, never
+    re-deduplicated.
+
+    ``key`` overrides the dedup key (default ``md5(text_col)`` — the
+    oracle-reproducible digest used across this module); pass e.g. a
+    canonical-URL column for URL-keyed ingestion.
+
+    ``within_batch=True`` (default) also removes duplicates INSIDE the
+    new batch (keep min ``id_col``), so the output is directly
+    appendable to the corpus without creating new duplicates —
+    append-safety is the whole point of the operator.
+
+    NULL keys (NULL text): the anti-join is null-rejecting, so
+    null-key rows always pass the history check, but within-batch
+    keep-min treats all of them as ONE group (one survivor per batch).
+    Filter empty documents out first if that matters.
+
+    Scale: the corpus side is cut to DISTINCT digests before the
+    anti-join, so the join input is 32-byte keys — never documents —
+    and both sides hash-partition on the digest (uniform by
+    construction: no skew). With AQE's runtime bloom filter
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) Spark
+    injects the bloom prefilter a hand-rolled design would add,
+    keyed off the dedup join itself, pruning the new batch's scan
+    before the shuffle.
+    """
+    k = key if key is not None else F.md5(F.col(text_col))
+    new_keyed = new_df.withColumn("__k", k)
+    seen_keys = (seen_df
+                 .select((key if key is not None
+                          else F.md5(F.col(text_col))).alias("__k"))
+                 .distinct())
+    fresh = new_keyed.join(seen_keys, "__k", "left_anti")
+    if within_batch:
+        w = Window.partitionBy("__k").orderBy(F.col(id_col))
+        fresh = (fresh.withColumn("__rn", F.row_number().over(w))
+                      .filter(F.col("__rn") == 1).drop("__rn"))
+    return fresh.drop("__k")

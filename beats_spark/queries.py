@@ -2982,3 +2982,41 @@ def mixture_sample_q(spark, sf_dir):
     s = mixture_sample(docs, "lang", "doc_id",
                        weights={"en": 2, "de": 1, "es": 1}, seed="m1")
     return s.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@query("dedup_incremental", oracle="""
+WITH seen AS (SELECT md5(text) AS k FROM documents WHERE doc_id < 250
+              GROUP BY 1),
+newb AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+  UNION ALL
+  SELECT doc_id + 1000, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 2000, text FROM documents
+  WHERE doc_id >= 250 AND doc_id < 300),
+fresh AS (SELECT doc_id,
+                 row_number() OVER (PARTITION BY md5(text)
+                                    ORDER BY doc_id) AS rn
+          FROM newb WHERE md5(text) NOT IN (SELECT k FROM seen))
+SELECT doc_id FROM fresh WHERE rn = 1
+""")
+def dedup_incremental(spark, sf_dir):
+    """Ingestion-time incremental dedup (:func:`beats_spark.dataops
+    .dedup.dedup_against`): the corpus's first half is the ingested
+    history; the arriving batch is the second half PLUS 100 re-crawls
+    of already-ingested pages (same text, new ids — must drop against
+    history) PLUS 50 within-batch copies (must drop via keep-min so
+    the output appends without creating duplicates). Digest-only
+    anti-join: 32-byte shuffle keys, documents never move. Expected
+    survivors: exactly the 250 genuinely-new pages — both drop
+    mechanisms fire (asserted non-vacuous in test_dedup_against)."""
+    from .dataops import dedup_against
+    i = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = docs.filter(i < 250)
+    new = (docs.filter(i >= 250)
+           .unionByName(docs.filter(i < 100)
+                        .select((i + 1000).alias("doc_id"), "text"))
+           .unionByName(docs.filter((i >= 250) & (i < 300))
+                        .select((i + 2000).alias("doc_id"), "text")))
+    return dedup_against(new, seen).select("doc_id")

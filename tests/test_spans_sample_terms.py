@@ -270,3 +270,44 @@ def test_mixture_total_rows_cap(spark):
                          total_rows=400).collect()}
     # 200 of 1000 from each group
     assert plan == {"a": 200_000, "b": 200_000}
+
+
+# ------------------------------------------------- incremental dedup
+
+def test_dedup_against(spark):
+    from beats_spark.dataops import dedup_against
+    seen = spark.createDataFrame(
+        [(1, "old page one"), (2, "old page two")], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(10, "brand new page"),
+         (11, "old page one"),        # re-crawl of history: drop
+         (12, "another new page"),
+         (13, "another new page"),    # within-batch dup: keep min id
+         (14, None)],                 # null text: its own digest-less row
+        ["doc_id", "text"])
+    out = sorted(r.doc_id for r in dedup_against(new, seen).collect())
+    assert out == [10, 12, 14]
+    # within_batch=False keeps both batch copies
+    out2 = sorted(r.doc_id for r in
+                  dedup_against(new, seen, within_batch=False).collect())
+    assert out2 == [10, 12, 13, 14]
+    # custom key: URL-keyed ingestion
+    s2 = spark.createDataFrame([("http://a.com/x",)], ["url"])
+    n2 = spark.createDataFrame(
+        [(1, "HTTP://A.com:80/x"), (2, "http://b.com/y")],
+        ["doc_id", "url"])
+    from beats_spark.dataops import canonical_url
+    got = sorted(r.doc_id for r in
+                 dedup_against(n2, s2, id_col="doc_id",
+                               key=canonical_url(F.col("url"))).collect())
+    assert got == [2]
+
+
+def test_dedup_incremental_query_nonvacuous(spark, sf_dir):
+    """Both drop mechanisms fire on real data: re-crawls (vs history)
+    and within-batch copies each remove rows."""
+    from beats_spark.queries import QUERIES
+    out = QUERIES["dedup_incremental"](spark, sf_dir)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert len(ids) == 250                     # only genuinely-new pages
+    assert all(250 <= i < 1000 for i in ids)   # no re-crawl/copy ids
