@@ -1,0 +1,106 @@
+"""HTML → text extraction for web-crawl corpora, as a pure
+regexp_replace chain.
+
+The north-star input table carries raw page bytes (``html: binary``)
+next to extracted ``text``; producing the latter from the former is
+the first step of every webtext pipeline. A full DOM parse does not
+belong in the hot path of a 10^12-page job (and no HTML lib ships in
+the engine's dependency set); the standard scalable alternative is a
+deterministic strip chain — comments, script/style subtrees, tags
+(block-level close tags become newlines first, so paragraph structure
+survives), a small entity table, whitespace collapse.
+
+Every step is a (pattern, replacement) pair from one shared table
+(:data:`HTML_STRIP_STEPS`), applied in order, patterns written in the
+RE2 ∩ java.util.regex common subset — the same cross-engine
+discipline as the PII table in :mod:`beats_spark.dataops.scrub` — so
+an external SQL engine replays the identical chain bit-for-bit
+(:func:`html_strip_sql` emits it for DuckDB).
+
+Scale: map-side only, zero shuffle, zero Python; whole-stage codegen
+keeps the chain in one generated function. The binary→string decode
+is ``decode(html, 'UTF-8')`` — charset detection for real crawls
+belongs to the reader stack's charset table
+(``beats_spark.functions.encoding``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import BinaryType
+
+__all__ = ["HTML_STRIP_STEPS", "html_to_text", "extract_text",
+           "html_strip_sql"]
+
+# Ordered (pattern, replacement). '\n' replacements are emitted as
+# chr(10) on the SQL side. Patterns: no backreferences, no lookaround,
+# lazy quantifiers and inline (?i)/(?s) flags only — RE2 and Java
+# agree on all of these.
+HTML_STRIP_STEPS: Sequence[Tuple[str, str]] = (
+    # comments and non-content subtrees first (their text is not text)
+    (r"<!--[\s\S]*?-->", ""),
+    (r"(?i)<script\b[^>]*>[\s\S]*?</script\s*>", ""),
+    (r"(?i)<style\b[^>]*>[\s\S]*?</style\s*>", ""),
+    # block-structure tags become newlines so paragraphs survive
+    (r"(?i)<(?:br|hr)\s*/?>", "\n"),
+    (r"(?i)</(?:p|div|h[1-6]|li|tr|table|ul|ol|blockquote|section|"
+     r"article|header|footer)\s*>", "\n"),
+    # every remaining tag vanishes
+    (r"<[^>]*>", ""),
+    # minimal entity table; &amp; strictly last
+    (r"&nbsp;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&amp;", "&"),
+    # whitespace discipline: spaces collapse, newlines trim their
+    # surrounding spaces, 3+ newlines fold to a paragraph break
+    (r"[ \t\r]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n{3,}", "\n\n"),
+    (r"^[\s]+", ""),
+    (r"[\s]+$", ""),
+)
+
+
+def html_to_text(html: Column) -> Column:
+    """Extracted text of an HTML STRING column via the shared strip
+    chain. NULL in, NULL out."""
+    out = html
+    for pat, rep in HTML_STRIP_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def extract_text(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "text",
+    charset: str = "UTF-8",
+) -> DataFrame:
+    """DataFrame form: decode ``html_col`` (binary columns are decoded
+    with ``charset`` first) and append ``out_col`` with the extracted
+    text."""
+    col = F.col(html_col)
+    if isinstance(df.schema[html_col].dataType, BinaryType):
+        col = F.decode(col, charset)
+    return df.withColumn(out_col, html_to_text(col))
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def html_strip_sql(expr: str) -> str:
+    """The identical strip chain as a nested DuckDB expression over
+    ``expr`` — regexp_replace with the 'g' (and 's' where the pattern
+    uses (?s) semantics via [\\s\\S]) flags; newline replacements are
+    chr(10)."""
+    out = expr
+    for pat, rep in HTML_STRIP_STEPS:
+        r = "chr(10)" if rep == "\n" else _sql_quote(rep)
+        out = f"regexp_replace({out}, {_sql_quote(pat)}, {r}, 'g')"
+    return out

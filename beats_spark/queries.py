@@ -3020,3 +3020,44 @@ def dedup_incremental(spark, sf_dir):
            .unionByName(docs.filter((i >= 250) & (i < 300))
                         .select((i + 2000).alias("doc_id"), "text")))
     return dedup_against(new, seen).select("doc_id")
+
+
+_HTML_PRE = ('<html><!-- crawl 2026 --><head>'
+             '<script type="text/javascript">var x = 1 < 2;</script>'
+             '<style>p { color: red }</style></head><body><h1>')
+
+
+def _html_oracle_expr() -> str:
+    from .dataops.htmltext import html_strip_sql
+    built = (
+        "'" + _HTML_PRE.replace("'", "''") + "' || source || ' page ' || "
+        "CAST(doc_id AS VARCHAR) || '!</h1><p>' || "
+        "array_to_string(list_slice(string_split(text, ' '), 1, 20), ' ')"
+        " || ' &amp; more.</p><div>id &#39;' || "
+        "CAST(doc_id AS VARCHAR) || '&#39; &lt;ok&gt;</div></body></html>'")
+    return html_strip_sql(built)
+
+
+@query("html_extract", oracle=f"""
+SELECT doc_id, {_html_oracle_expr()} AS text FROM documents
+""")
+def html_extract(spark, sf_dir):
+    """HTML → text extraction (:mod:`beats_spark.dataops.htmltext`):
+    pages are built deterministically from table columns — comments,
+    script/style subtrees (with a bare ``<`` inside the script),
+    block tags, entities — encoded to BINARY (the north-star input
+    shape) and run through ``extract_text``; the oracle replays the
+    identical shared strip chain (``html_strip_sql``) over the
+    identically-built string. Pure regexp projection: zero shuffle,
+    zero Python."""
+    from .dataops import extract_text
+    docs = _t(spark, sf_dir, "documents")
+    istr = F.col("doc_id").cast("string")
+    first20 = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 20),
+                           " ")
+    built = F.concat(
+        F.lit(_HTML_PRE), F.col("source"), F.lit(" page "), istr,
+        F.lit("!</h1><p>"), first20, F.lit(" &amp; more.</p><div>id &#39;"),
+        istr, F.lit("&#39; &lt;ok&gt;</div></body></html>"))
+    pages = docs.select("doc_id", F.encode(built, "UTF-8").alias("html"))
+    return extract_text(pages, "html", "text").select("doc_id", "text")
