@@ -5,10 +5,11 @@ from .pipeline import (
     windowed_counters,
     stateful_rate_limit,
     stateful_url_dedup,
+    stream_dedup_against,
 )
 
 __all__ = [
     "PAGES_SCHEMA", "stream_routed", "run_stream_pipeline",
     "windowed_counters", "stateful_rate_limit",
-    "stateful_url_dedup",
+    "stateful_url_dedup", "stream_dedup_against",
 ]

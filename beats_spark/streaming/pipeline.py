@@ -37,7 +37,7 @@ from ..pipeline import build_routed, SINKS
 __all__ = ["PAGES_SCHEMA", "stream_routed", "run_stream_pipeline",
            "windowed_counters", "stateful_rate_limit",
            "stateful_multiline", "stateful_container_partial",
-           "stateful_url_dedup"]
+           "stateful_url_dedup", "stream_dedup_against"]
 
 PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                 "text string, lang string")
@@ -429,3 +429,35 @@ def stateful_url_dedup(
         canon_col, canonical_url(F.col(url_col), strip_www=strip_www))
     return (out.withWatermark(ts_col, within)
                .dropDuplicatesWithinWatermark([canon_col]))
+
+
+def stream_dedup_against(
+    stream: DataFrame,
+    seen_df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    within: str = "10 minutes",
+    key=None,
+) -> DataFrame:
+    """Streaming form of :func:`beats_spark.dataops.dedup
+    .dedup_against`: drop arriving pages whose content digest exists
+    in the STATIC accumulated corpus (stream–static left-anti join —
+    the static side reduces to distinct 32-byte digests once and is
+    reused every micro-batch), then drop re-arrivals within the
+    stream itself via ``dropDuplicatesWithinWatermark`` on the same
+    digest, so in-stream state stays bounded by the dedup horizon.
+
+    Together with a periodic batch compaction
+    (:func:`~beats_spark.dataops.dedup.dedup_against` over the full
+    corpus) this is the standard ingest/compact split: the stream is
+    exact against history-at-start + horizon-bounded against itself;
+    the compactor owns corpus-wide exactness.
+    """
+    k = key if key is not None else F.md5(F.col(text_col))
+    seen_keys = seen_df.select(
+        (key if key is not None else F.md5(F.col(text_col)))
+        .alias("__k")).distinct()
+    out = stream.withColumn("__k", k).join(seen_keys, "__k", "left_anti")
+    return (out.withWatermark(ts_col, within)
+               .dropDuplicatesWithinWatermark(["__k"])
+               .drop("__k"))

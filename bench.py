@@ -57,7 +57,7 @@ BENCH_QUERIES = [
     "script_js", "pii_scrub", "dedup_lines",
     "url_canonicalize", "url_dedup", "dup_ngram_spans", "tfidf_terms",
     "deterministic_sample", "dedup_span_removal", "c4_clean",
-    "mixture_sample", "dedup_incremental",
+    "mixture_sample", "dedup_incremental", "html_extract",
     "flagship_routed_counts", "flagship_messages",
 ]
 

@@ -407,3 +407,33 @@ def test_multiline_before_mode_batch_streaming_equivalence(spark, tmp_path):
                 spark.read.parquet(os.path.join(str(tmp_path), "out"))
                      .orderBy("line_no").collect()]
     assert streamed == batch[:-1]
+
+
+def test_stream_dedup_against(spark, tmp_path):
+    """Arriving pages dedup against the static corpus every
+    micro-batch, and against the stream itself within the watermark."""
+    from beats_spark.streaming import stream_dedup_against
+
+    src, ck, out = (str(tmp_path / d) for d in ("src", "ck", "out"))
+    seen = spark.createDataFrame([("already ingested page",)], ["text"])
+    b1 = spark.createDataFrame(
+        [("already ingested page", "2024-01-01 00:00:00"),   # vs corpus
+         ("fresh page one", "2024-01-01 00:00:00")], ["text", "ts"]) \
+        .select("text", F.col("ts").cast("timestamp").alias("warc_ts"))
+    b2 = spark.createDataFrame(
+        [("fresh page one", "2024-01-01 00:01:00"),          # in-stream dup
+         ("fresh page two", "2024-01-01 00:01:00")], ["text", "ts"]) \
+        .select("text", F.col("ts").cast("timestamp").alias("warc_ts"))
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema("text string, warc_ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    deduped = stream_dedup_against(stream, seen, within="10 minutes")
+    q = (deduped.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = sorted(r.text for r in spark.read.parquet(out).collect())
+    assert got == ["fresh page one", "fresh page two"]
