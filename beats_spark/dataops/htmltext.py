@@ -12,7 +12,9 @@ survives), a small entity table, whitespace collapse.
 
 Every step is a (pattern, replacement) pair from one shared table
 (:data:`HTML_STRIP_STEPS`), applied in order, patterns written in the
-RE2 ∩ java.util.regex common subset — the same cross-engine
+RE2 ∩ java.util.regex common subset (whitespace via the explicit
+class [ \\t\\n\\x0B\\f\\r] — Java's \\s includes \\x0B, RE2's does
+not; [\\s\\S] stays, since class-plus-complement is any-char in both) — the same cross-engine
 discipline as the PII table in :mod:`beats_spark.dataops.scrub` — so
 an external SQL engine replays the identical chain bit-for-bit
 (:func:`html_strip_sql` emits it for DuckDB).
@@ -41,12 +43,12 @@ __all__ = ["HTML_STRIP_STEPS", "html_to_text", "extract_text",
 HTML_STRIP_STEPS: Sequence[Tuple[str, str]] = (
     # comments and non-content subtrees first (their text is not text)
     (r"<!--[\s\S]*?-->", ""),
-    (r"(?i)<script\b[^>]*>[\s\S]*?</script\s*>", ""),
-    (r"(?i)<style\b[^>]*>[\s\S]*?</style\s*>", ""),
+    (r"(?i)<script\b[^>]*>[\s\S]*?</script[ \t\n\x0B\f\r]*>", ""),
+    (r"(?i)<style\b[^>]*>[\s\S]*?</style[ \t\n\x0B\f\r]*>", ""),
     # block-structure tags become newlines so paragraphs survive
-    (r"(?i)<(?:br|hr)\s*/?>", "\n"),
+    (r"(?i)<(?:br|hr)[ \t\n\x0B\f\r]*/?>", "\n"),
     (r"(?i)</(?:p|div|h[1-6]|li|tr|table|ul|ol|blockquote|section|"
-     r"article|header|footer)\s*>", "\n"),
+     r"article|header|footer)[ \t\n\x0B\f\r]*>", "\n"),
     # every remaining tag vanishes
     (r"<[^>]*>", ""),
     # minimal entity table; &amp; strictly last
@@ -61,8 +63,8 @@ HTML_STRIP_STEPS: Sequence[Tuple[str, str]] = (
     (r"[ \t\r]+", " "),
     (r" ?\n ?", "\n"),
     (r"\n{3,}", "\n\n"),
-    (r"^[\s]+", ""),
-    (r"[\s]+$", ""),
+    (r"^[ \t\n\x0B\f\r]+", ""),
+    (r"[ \t\n\x0B\f\r]+$", ""),
 )
 
 

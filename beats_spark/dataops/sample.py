@@ -44,18 +44,37 @@ def cap_per_key(
     keep_rank: bool = False,
 ) -> DataFrame:
     """At most ``k`` rows per ``key_col``, keeping the first ``k`` in
-    ``order_by`` order (default: md5-bucket of the full row id is NOT
-    assumed — callers pass an explicit total order; with no
-    ``order_by`` the key's natural column order must already be
-    total, so prefer passing one). ``keep_rank=True`` retains the
-    1-based rank as ``rank_in_key`` for quota diagnostics."""
+    ``order_by`` order. ``order_by`` is REQUIRED and must be a total
+    order within each key group: ordering by the partition key alone
+    would tie every row, making the survivors shuffle-order-dependent
+    — silently breaking this module's determinism contract.
+    ``keep_rank=True`` retains the 1-based rank as ``rank_in_key``
+    for quota diagnostics."""
     if k < 1:
         raise ValueError(f"cap_per_key: k must be >= 1, got {k}")
-    order = list(order_by) if order_by else [F.col(key_col)]
+    if not order_by:
+        raise ValueError(
+            "cap_per_key: order_by is required — pass a total order "
+            "within each key group (e.g. a row id); without one the "
+            "kept rows depend on shuffle arrival order")
+    order = list(order_by)
     w = Window.partitionBy(key_col).orderBy(*order)
     out = df.withColumn("rank_in_key", F.row_number().over(w)) \
             .filter(F.col("rank_in_key") <= k)
     return out if keep_rank else out.drop("rank_in_key")
+
+
+def _guarded_bucket(key_col: str, seed: str, granularity: int,
+                    op: str) -> Column:
+    """The shared deterministic-sampling predicate input: md5 bucket
+    of the '#'-salted key, failing the job loudly on a NULL key (a
+    null would otherwise silently vanish from every sample)."""
+    key = F.col(key_col)
+    guard = F.assert_true(
+        key.isNotNull(),
+        F.lit(f"{op}: null {key_col} (filter or fill nulls first)"))
+    salted = F.concat(key.cast("string"), F.lit("#"), F.lit(seed))
+    return F.when(guard.isNull(), split_bucket(salted, granularity))
 
 
 def hash_sample(
@@ -75,13 +94,7 @@ def hash_sample(
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"hash_sample: fraction must be in [0,1], "
                          f"got {fraction}")
-    key = F.col(key_col)
-    guard = F.assert_true(
-        key.isNotNull(),
-        F.lit(f"hash_sample: null {key_col} (filter or fill nulls "
-              "before sampling)"))
-    salted = F.concat(key.cast("string"), F.lit("#"), F.lit(seed))
-    bucket = F.when(guard.isNull(), split_bucket(salted, granularity))
+    bucket = _guarded_bucket(key_col, seed, granularity, "hash_sample")
     bound = int(round(fraction * granularity))
     return df.filter(bucket < bound)
 
@@ -117,6 +130,12 @@ def mixture_plan(
     mixture unachievable at any size: T = 0 and the plan empties —
     the honest answer; cap with ``total_rows`` only after fixing the
     weights.
+
+    NULL groups take no part in the mixture: in weights mode a NULL
+    can never match a weight key; in temperature mode NULL-group rows
+    are excluded from the observed counts (they could not be joined
+    back by :func:`mixture_sample` anyway, and letting them depress T
+    would silently shrink every real group's quota).
     """
     if (weights is None) == (temperature is None):
         raise ValueError("mixture_plan: pass exactly one of weights / "
@@ -124,26 +143,28 @@ def mixture_plan(
     counts = df.groupBy(F.col(group_col).alias("group")) \
                .agg(F.count(F.lit(1)).alias("n_rows"))
     if weights is not None:
-        if not weights or any(v < 0 for v in weights.values()):
-            raise ValueError("weights must be non-empty and >= 0")
+        if not weights or any(v < 0 for v in weights.values()) \
+                or sum(weights.values()) <= 0:
+            raise ValueError("weights must be non-empty, >= 0, and "
+                             "sum to > 0")
         tot = float(sum(weights.values()))
-        share = F.lit(0.0)
-        for k, v in weights.items():
-            share = F.when(F.col("group") == k,
-                           F.lit(float(v) / tot)).otherwise(share)
-        # a weighted group with no rows must force T = 0: re-seat the
-        # weights frame on top so missing groups appear with n_rows 0
+        # shares ride the weights frame as a column (a per-key CASE
+        # chain would grow the expression tree with the weight count);
+        # re-seating counts on the weights frame also forces T = 0
+        # when a weighted group has no rows
         wrows = df.sparkSession.createDataFrame(
-            [(k,) for k in weights], ["group"])
-        counts = (wrows.join(counts, "group", "left")
+            [(k, float(v) / tot) for k, v in weights.items()],
+            ["group", "share"])
+        scored = (wrows.join(counts, "group", "left")
                   .select("group",
                           F.coalesce("n_rows", F.lit(0).cast("bigint"))
-                           .alias("n_rows")))
-        scored = counts.withColumn("share", share)
+                           .alias("n_rows"),
+                          "share"))
     else:
         a = float(temperature)
-        powed = counts.withColumn("__p", F.pow(F.col("n_rows")
-                                               .cast("double"), a))
+        powed = (counts.filter(F.col("group").isNotNull())
+                 .withColumn("__p", F.pow(F.col("n_rows")
+                                          .cast("double"), a)))
         denom = powed.agg(F.sum("__p").alias("__d"))
         scored = (powed.join(F.broadcast(denom))
                   .withColumn("share", F.col("__p") / F.col("__d"))
@@ -182,12 +203,8 @@ def mixture_sample(
     plan = mixture_plan(df, group_col, weights=weights,
                         temperature=temperature, total_rows=total_rows,
                         granularity=granularity)
-    key = F.col(key_col)
-    guard = F.assert_true(
-        key.isNotNull(),
-        F.lit(f"mixture_sample: null {key_col}"))
-    salted = F.concat(key.cast("string"), F.lit("#"), F.lit(seed))
-    bucket = F.when(guard.isNull(), split_bucket(salted, granularity))
+    bucket = _guarded_bucket(key_col, seed, granularity,
+                             "mixture_sample")
     return (df.join(F.broadcast(plan.select(
                 F.col("group").alias(group_col), "keep_bound")),
                 group_col)

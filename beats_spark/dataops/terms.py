@@ -67,7 +67,11 @@ def tfidf_top_terms(
     ranking (typo/token noise control).
     """
     spread = _spread(df)
-    n_docs = spread.select(id_col).distinct().count()
+    # N as an in-plan broadcast scalar (an eager .count() here would
+    # run a surprise blocking job at construction time); the scan for
+    # it is pruned to the id column
+    nd = spread.agg(F.count_distinct(F.col(id_col)).cast("double")
+                    .alias("__nd"))
     tf = (spread
           .select(F.col(group_col).alias("group"),
                   F.explode(tokens(F.col(text_col))).alias("term"))
@@ -75,12 +79,13 @@ def tfidf_top_terms(
           .agg(F.count(F.lit(1)).alias("term_count")))
     dfreq = doc_frequency(df, id_col=id_col, text_col=text_col) \
         .filter(F.col("doc_freq") >= min_doc_freq)
-    scored = (tf.join(dfreq, "term")
+    scored = (tf.join(dfreq, "term").join(F.broadcast(nd))
               .withColumn(
                   "tfidf",
                   F.round(F.col("term_count")
-                          * F.log(F.lit(float(n_docs)) / F.col("doc_freq")),
-                          6)))
+                          * F.log(F.col("__nd") / F.col("doc_freq")),
+                          6))
+              .drop("__nd"))
     w = Window.partitionBy("group").orderBy(
         F.col("tfidf").desc(), F.col("term").asc())
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["canonical_url", "url_dedup", "TRACKING_PARAMS"]
 
@@ -66,15 +66,22 @@ def canonical_url(url: Column, strip_www: bool = False) -> Column:
     """
     u = F.regexp_replace(F.trim(url), r"#[\s\S]*", "")
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    hostport = F.lower(
-        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    authority = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([\s\S]*)$", 1)
+
+    # userinfo (anything up to the last '@') is CASE-SENSITIVE per
+    # RFC 3986 — only the host:port after it case-folds, and only the
+    # host:port is eligible for default-port stripping (a password
+    # ending in ':80' must survive)
+    userinfo = F.regexp_extract(authority, r"^([\s\S]*@)", 1)
+    hostport = F.lower(F.regexp_extract(authority, r"([^@]*)$", 1))
 
     host = (F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
              .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
              .otherwise(hostport))
     if strip_www:
         host = F.regexp_replace(host, r"^www\.", "")
+    host = F.concat(userinfo, host)
 
     path = F.regexp_extract(rest, r"^([^?]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
@@ -109,11 +116,11 @@ def url_dedup(
     the survivors (downstream stages key on it).
 
     One shuffle (hash on the canonical URL); the row_number window
-    streams each group.
+    streams each group (it IS :func:`beats_spark.dataops.sample
+    .cap_per_key` with k=1).
     """
+    from .sample import cap_per_key
     out = df.withColumn(canon_col,
                         canonical_url(F.col(url_col), strip_www=strip_www))
     order = list(order_by) if order_by else [F.col(url_col).asc()]
-    w = Window.partitionBy(canon_col).orderBy(*order)
-    return (out.withColumn("__rn", F.row_number().over(w))
-               .filter(F.col("__rn") == 1).drop("__rn"))
+    return cap_per_key(out, canon_col, 1, order_by=order)

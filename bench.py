@@ -120,7 +120,8 @@ def flagship_throughput(spark, n_pages: int, cpus: int) -> dict:
     # code+input swung 80k -> 312k pages/s across three minutes of
     # host weather, and one extra ~3 s repeat is cheap insurance.
     best, counts = None, None
-    for _ in range(max(BENCH_REPEATS, 3)):
+    n_rep = max(BENCH_REPEATS, 3)
+    for _ in range(n_rep):
         t0 = time.time()
         routed = build_routed(pg, hm, lm)
         counts = {r["sink"]: r["n"] for r in
@@ -130,7 +131,7 @@ def flagship_throughput(spark, n_pages: int, cpus: int) -> dict:
         best = dt if best is None else min(best, dt)
     return {"pages": n_pages, "seconds": round(best, 3),
             "pages_per_sec": round(n_pages / best, 1),
-            "repeats": BENCH_REPEATS,
+            "repeats": n_rep,
             "events": sum(counts.values()), "sink_counts": counts}
 
 
