@@ -134,3 +134,31 @@ def test_stateful_url_dedup_across_batches(spark, tmp_path):
     canons = sorted(r.canonical_url for r in got.collect())
     assert canons == ["http://a.com/x", "http://b.com/y",
                       "http://c.com/z"]
+
+
+# ------------------------------------------------ property: idempotence
+
+def test_canonical_url_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) for a generated corpus
+    of messy URLs — a canonicalizer must be a projection onto its own
+    image, or url_dedup keys drift when a pipeline re-canonicalizes
+    already-clean data."""
+    import itertools
+    schemes = ["http", "HTTPS", "hTtp", "ftp", ""]
+    hosts = ["A.com", "www.Ex.org", "u:PW@H.io", "h.io:8080", "h.io:80"]
+    paths = ["", "/", "/A/b", "/x%20y"]
+    queries = ["", "?a=1&b=2", "?utm_source=x", "?b=2&a=1&gclid=z&",
+               "?only=&=bad&utm_campaign=c"]
+    frags = ["", "#Frag"]
+    urls = []
+    for s, h, p, q, f in itertools.islice(
+            itertools.product(schemes, hosts, paths, queries, frags),
+            0, None):
+        urls.append((f"{s}://{h}{p}{q}{f}") if s else (f"{h}{p}{q}{f}"))
+    urls += ["   ", "not a url", "a@b", "http//broken", None]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = canonical_url(F.col("u"))
+    rows = df.select(once.alias("c1"),
+                     canonical_url(once).alias("c2")).collect()
+    bad = [(r.c1, r.c2) for r in rows if r.c1 != r.c2]
+    assert not bad, bad[:5]
