@@ -207,7 +207,16 @@ def compile_input(cfg: Mapping[str, Any],
         from .functions.readers import (exclude_lines as _ex,
                                         include_lines as _inc,
                                         limit_message)
-        if paths and path_col in df.columns:
+        if paths:
+            # a configured per-input path filter over a frame with no
+            # such column must be an ERROR: silently skipping it would
+            # run every input over every row and the input union
+            # would multiply the whole dataset
+            if path_col not in df.columns:
+                raise ValueError(
+                    f"input has paths: {list(paths)} but the frame "
+                    f"has no {path_col!r} column — pass path_col= to "
+                    "name the file-path column")
             cond = None
             for g in paths:
                 c = F.col(path_col).rlike(_glob_to_regex(g))

@@ -1149,18 +1149,18 @@ class Interp:
         elif k == "funcdecl":
             pass  # hoisted
         elif k == "try":
+            # the Python finally is the ONLY place the JS finally
+            # block runs — running it inside the except arm too
+            # executed it twice on uncaught throws
             try:
-                self.run_block(s[1][1], scope)
-            except JSThrow as e:
-                if s[3] is not None:
+                try:
+                    self.run_block(s[1][1], scope)
+                except JSThrow as e:
+                    if s[3] is None:
+                        raise
                     cscope = Scope(scope)
                     cscope.declare(s[2], e.value)
                     self.run_block(s[3][1], cscope)
-                elif s[4] is None:
-                    raise
-                else:
-                    self.run_block(s[4][1], scope)
-                    raise
             finally:
                 if s[4] is not None:
                     self.run_block(s[4][1], scope)
@@ -1223,7 +1223,7 @@ class Interp:
             callee = self.eval(e[1], scope)
             args = [self.eval(a, scope) for a in e[2]]
             if isinstance(callee, Native) and callee.ctor:
-                return callee.fn(self, UNDEFINED, args)
+                return self._invoke_native(callee, UNDEFINED, args)
             if isinstance(callee, JSFunction):
                 this: Dict[str, Any] = {}
                 self.call_function(callee, this, args)
@@ -1268,10 +1268,23 @@ class Interp:
                                name=callee_node[1]
                                if callee_node[0] == "ident" else "?")
 
+    def _invoke_native(self, fn: "Native", this: Any,
+                       args: List[Any]) -> Any:
+        """Run a python-implemented builtin; a stray Python exception
+        (bad argument, domain error) becomes a JS throw so the script
+        processor's tag_on_exception contract still applies instead of
+        the Spark task dying."""
+        try:
+            return fn.fn(self, this, args)
+        except (JSError, _Return, _Break, _Continue):
+            raise
+        except Exception as ex:  # noqa: BLE001
+            raise JSThrow(f"{type(ex).__name__} in {fn.name}: {ex}")
+
     def call_value(self, fn: Any, this: Any, args: List[Any],
                    name: str = "?") -> Any:
         if isinstance(fn, Native):
-            return fn.fn(self, this, args)
+            return self._invoke_native(fn, this, args)
         if isinstance(fn, JSFunction):
             return self.call_function(fn, this, args)
         raise JSThrow(f"TypeError: {name} is not a function")
@@ -1402,28 +1415,37 @@ class Interp:
         raise JSError(f"unknown unary {op}")  # pragma: no cover
 
     def eval_assign(self, e: tuple, scope: Scope) -> Any:
+        # member targets evaluate their object/index subexpressions
+        # exactly ONCE (JS reference semantics): `a[i++] += 1` must
+        # bump i once, not twice
         _, op, target, value_node = e
+        if target[0] == "ident":
+            value = self.eval(value_node, scope)
+            if op != "=":
+                value = self.binop(op[:-1],
+                                   self.eval(target, scope), value)
+            scope.set(target[1], value)
+            return value
+        obj = self.eval(target[1], scope)
+        prop = self.eval(target[2], scope)
         value = self.eval(value_node, scope)
         if op != "=":
-            cur = self.eval(target, scope)
-            value = self.binop(op[:-1], cur, value)
-        if target[0] == "ident":
-            scope.set(target[1], value)
-        else:  # member
-            obj = self.eval(target[1], scope)
-            prop = self.eval(target[2], scope)
-            self.set_member(obj, prop, value)
+            value = self.binop(op[:-1],
+                               self.get_member(obj, prop), value)
+        self.set_member(obj, prop, value)
         return value
 
     def eval_update(self, e: tuple, scope: Scope) -> Any:
         _, op, target, prefix = e
-        cur = to_number(self.eval(target, scope))
-        new = cur + 1 if op == "++" else cur - 1
         if target[0] == "ident":
+            cur = to_number(self.eval(target, scope))
+            new = cur + 1 if op == "++" else cur - 1
             scope.set(target[1], new)
         else:
             obj = self.eval(target[1], scope)
             prop = self.eval(target[2], scope)
+            cur = to_number(self.get_member(obj, prop))
+            new = cur + 1 if op == "++" else cur - 1
             self.set_member(obj, prop, new)
         return new if prefix else cur
 
@@ -1540,7 +1562,15 @@ class Interp:
                 del obj[n:]
                 obj.extend([UNDEFINED] * (n - len(obj)))
                 return
-            idx = int(to_number(prop))
+            idx_n = to_number(prop)
+            if (isinstance(idx_n, float) and math.isnan(idx_n)) \
+                    or idx_n < 0:
+                # JS stores a non-index property on the array object;
+                # this model has no property bag, so the write is
+                # dropped — it must NOT alias python negative indexing
+                # and overwrite the last element
+                return
+            idx = int(idx_n)
             if idx >= len(obj):
                 obj.extend([UNDEFINED] * (idx + 1 - len(obj)))
             obj[idx] = value
@@ -1603,13 +1633,11 @@ def _str_match(interp: Interp, s: str, args: List[Any]):
     pat = _arg(args, 0)
     rx = pat if isinstance(pat, JSRegExp) else JSRegExp(js_str(pat))
     if rx.global_:
-        found = rx.rx.findall(s)
-        if not found:
-            return None
-        # findall returns tuples when groups exist; JS g-match returns
-        # full matches only
-        return [f[0] if isinstance(f, tuple) else f
-                for f in [m.group(0) for m in rx.rx.finditer(s)]]
+        # one finditer pass: group(0) is always the full match, so no
+        # tuple unwrapping is needed (findall would also have scanned
+        # the subject a second time just to test emptiness)
+        found = [m.group(0) for m in rx.rx.finditer(s)]
+        return found or None
     m = rx.rx.search(s)
     return rx._match_arr(m, s) if m else None
 
@@ -1757,11 +1785,36 @@ _ARRAY_METHODS: Dict[str, Callable[[Interp, List[Any], List[Any]], Any]] = {
 
 # ============================================================ globals
 
+def _js_pow(x: float, y: float) -> float:
+    """JS Math.pow: negative base with fractional exponent is NaN
+    (Python returns complex), 0**negative is Infinity, overflow is
+    Infinity."""
+    try:
+        return math.pow(x, y)
+    except OverflowError:
+        return math.inf
+    except ValueError:
+        return math.inf if x == 0 else math.nan
+
+
+def _js_log(x: float) -> float:
+    if x > 0:
+        return math.log(x)
+    return -math.inf if x == 0 else math.nan
+
+
+def _js_exp(x: float) -> float:
+    try:
+        return math.exp(x)
+    except OverflowError:
+        return math.inf
+
+
 def _parse_int(interp, this, args):
     s = js_str(_arg(args, 0)).strip()
     radix = int(to_number(_arg(args, 1, 10) or 10))
     sign = 1
-    if s[:1] in "+-":
+    if s[:1] in ("+", "-"):
         sign = -1 if s[0] == "-" else 1
         s = s[1:]
     if radix == 16 or (radix == 10 and s[:2].lower() == "0x"):
@@ -1902,13 +1955,14 @@ def _make_globals() -> Dict[str, Any]:
                 (to_number(x) for x in a), default=math.inf)),
             "max": Native("max", lambda i, t, a: max(
                 (to_number(x) for x in a), default=-math.inf)),
-            "pow": Native("pow", lambda i, t, a: to_number(
-                _arg(a, 0)) ** to_number(_arg(a, 1))),
-            "sqrt": Native("sqrt", lambda i, t, a: math.sqrt(
+            "pow": Native("pow", lambda i, t, a: _js_pow(
+                to_number(_arg(a, 0)), to_number(_arg(a, 1)))),
+            "sqrt": Native("sqrt", lambda i, t, a: (
+                lambda x: math.sqrt(x) if x >= 0 else math.nan)(
                 to_number(_arg(a, 0)))),
-            "log": Native("log", lambda i, t, a: math.log(
+            "log": Native("log", lambda i, t, a: _js_log(
                 to_number(_arg(a, 0)))),
-            "exp": Native("exp", lambda i, t, a: math.exp(
+            "exp": Native("exp", lambda i, t, a: _js_exp(
                 to_number(_arg(a, 0)))),
             "random": unsupported(
                 "Math.random", "nondeterministic under task retry"),

@@ -504,26 +504,33 @@ def detect_mime_type(cfg: Mapping[str, Any]):
             if mime is None:
                 continue
             add(hexhead.startswith(hx), mime)
+        # container markers live at BYTE offsets; the UTF-8 cast
+        # counts code points (a multi-byte lead byte earlier in the
+        # payload shifts every later offset — e.g. a RIFF size byte in
+        # 0xC2-0xF4 broke the WEBP tag read). ISO-8859-1 maps every
+        # byte to exactly one char, so offsets in s1 ARE byte offsets.
+        s1 = F.decode(b, "ISO-8859-1")
         # RIFF containers: type tag at bytes 9-12
         riff = hexhead.startswith("52494646")
-        tag = F.substring(s, 9, 4)
+        tag = F.substring(s1, 9, 4)
         add(riff & (tag == "WEBP"), "image/webp")
         add(riff & (tag == "WAVE"), "audio/x-wav")
         add(riff & (tag == "AVI "), "video/x-msvideo")
         # ISO-BMFF: 'ftyp' at bytes 5-8, brand distinguishes qt
-        ftyp = F.substring(s, 5, 4) == "ftyp"
-        add(ftyp & (F.substring(s, 9, 2) == "qt"), "video/quicktime")
+        ftyp = F.substring(s1, 5, 4) == "ftyp"
+        add(ftyp & (F.substring(s1, 9, 2) == "qt"), "video/quicktime")
         add(ftyp, "video/mp4")
         # Matroska: doctype string decides webm vs mkv
         ebml = hexhead.startswith("1A45DFA3")
-        head64 = F.substring(s, 1, 64)
+        head64 = F.substring(s1, 1, 64)
         add(ebml & head64.contains("webm"), "video/webm")
         add(ebml, "video/x-matroska")
         # tar: 'ustar' at byte offset 257
-        add(F.substring(s, 258, 5) == "ustar", "application/x-tar")
+        add(F.substring(s1, 258, 5) == "ustar", "application/x-tar")
 
         # ------- WHATWG-ish sniffing over the textual head -------
-        trimmed = F.ltrim(s)
+        # WHATWG skips tab/LF/FF/CR/space; ltrim strips spaces only
+        trimmed = F.regexp_replace(s, r"^[\t\n\f\r ]+", "")
         lower = F.lower(F.substring(trimmed, 1, 32))
         html_tags = ("<!doctype html", "<html", "<head", "<script",
                      "<iframe", "<h1", "<div", "<font", "<table", "<a",

@@ -2477,10 +2477,7 @@ function process(evt) {
 
 # -------------------------------------------------- PII / line hygiene
 
-# the dataops package __init__ re-exports the scrub() FUNCTION under
-# the same name as the submodule — import the module explicitly
-import importlib
-_scrubmod = importlib.import_module("beats_spark.dataops.scrub")
+from .dataops.scrub import PII_PATTERNS, dedup_lines, scrub
 
 
 def _pii_oracle() -> str:
@@ -2502,13 +2499,13 @@ def _pii_oracle() -> str:
         "' type ' || event_type"
     )
     scrubbed = "t"
-    for _kind, rx, tok in _scrubmod.PII_PATTERNS:
+    for _kind, rx, tok in PII_PATTERNS:
         scrubbed = (f"regexp_replace({scrubbed}, "
                     f"'{rx}', '{tok}', 'g')")
     counts = ",\n       ".join(
         f"CAST(len(regexp_extract_all(t, '{rx}')) AS BIGINT) "
         f"AS n_pii_{kind}"
-        for kind, rx, _tok in _scrubmod.PII_PATTERNS)
+        for kind, rx, _tok in PII_PATTERNS)
     return (f"WITH raw AS (SELECT event_id, {raw} AS t FROM events)\n"
             f"SELECT event_id,\n       {scrubbed} AS text,\n"
             f"       {counts}\nFROM raw")
@@ -2543,10 +2540,10 @@ def pii_scrub(spark, sf_dir):
         pad(uid % 1000, 3), F.lit("-"), pad(eid % 100, 2), F.lit("-"),
         pad(eid % 10000, 4), F.lit(" type "), F.col("event_type"))
     d = ev.select("event_id", raw.alias("text"))
-    out = _scrubmod.scrub(d, "text", with_counts=True)
+    out = scrub(d, "text", with_counts=True)
     return out.select(
         "event_id", "text",
-        *[f"n_pii_{k}" for k, _rx, _tok in _scrubmod.PII_PATTERNS])
+        *[f"n_pii_{k}" for k, _rx, _tok in PII_PATTERNS])
 
 
 @query("dedup_lines", oracle="""
@@ -2590,7 +2587,7 @@ def dedup_lines_q(spark, sf_dir):
         lambda i: F.array_join(F.slice(w, i * 6 + 1, 6), " "))
     lined = docs.select(
         "doc_id", F.array_join(lines, "\n").alias("text"))
-    return _scrubmod.dedup_lines(lined, "doc_id", "text")
+    return dedup_lines(lined, "doc_id", "text")
 
 
 # =====================================================================

@@ -306,3 +306,22 @@ processors:
     assert all(r.band == ("hi" if n >= 10 else "mid")
                for n, r in rows.items())
     assert all(list(r.tags) == ["seen"] for r in rows.values())
+
+
+def test_input_paths_without_path_column_is_an_error(spark):
+    """Two inputs with paths: over a frame lacking the path column
+    must raise, not silently run both inputs over every row (which
+    doubled the dataset)."""
+    import pytest as _pytest
+    from beats_spark.config import load_pipeline
+    yml = """
+filebeat.inputs:
+  - type: filestream
+    paths: ["/var/log/a/*.log"]
+output.elasticsearch:
+  index: "idx"
+"""
+    pipe = load_pipeline(yml)
+    df = spark.createDataFrame([("m1",)], ["message"])
+    with _pytest.raises(ValueError, match="no 'path' column"):
+        pipe(df).collect()

@@ -329,3 +329,68 @@ processors:
         out = load_pipeline(yml).transform(df)
         got = sorted(r["shout"] for r in out.collect())
         assert got == ["HI", "YO"]
+
+
+# ------------------------------- round-3 self-review regressions
+
+class TestReviewRegressions:
+    def test_try_finally_runs_once_on_throw(self):
+        _, e = run('var c = 0;'
+                   'try { try { throw "x"; } finally { c++; } }'
+                   'catch (err) {}'
+                   'evt.Put("c", c);')
+        assert e.fields["c"] == 1
+
+    def test_try_finally_runs_once_normal_and_caught(self):
+        _, e = run('var c = 0;'
+                   'try { c += 10; } finally { c++; }'
+                   'try { throw "y"; } catch (err) { c += 100; }'
+                   'finally { c++; }'
+                   'evt.Put("c", c);')
+        assert e.fields["c"] == 112
+
+    def test_parse_int_empty_and_math_domains(self):
+        _, e = run('evt.Put("a", parseInt(""));'
+                   'evt.Put("b", Math.sqrt(-1));'
+                   'evt.Put("c", Math.log(0));'
+                   'evt.Put("d", Math.pow(-1, 0.5));'
+                   'evt.Put("e", Math.pow(0, -1));')
+        assert math.isnan(e.fields["a"])
+        assert math.isnan(e.fields["b"])
+        assert e.fields["c"] == -math.inf
+        assert math.isnan(e.fields["d"])
+        assert e.fields["e"] == math.inf
+
+    def test_native_python_error_is_js_catchable(self):
+        # a buggy native argument must surface as a JS throw (the
+        # script processor's tag_on_exception contract), not a raw
+        # Python exception that kills the Spark task
+        _, e = run('var got = "no";'
+                   'try { [1,2,3].join(undefined, {bad: true}).x.y; }'
+                   'catch (err) { got = "caught"; }'
+                   'evt.Put("got", got);')
+        assert e.fields["got"] == "caught"
+
+    def test_negative_array_index_write_is_dropped(self):
+        _, e = run('var a = [1, 2, 3]; a[-1] = 99; a.foo = 5;'
+                   'evt.Put("last", a[2]); evt.Put("len", a.length);'
+                   'evt.Put("neg", a[-1]);')
+        assert e.fields["last"] == 3
+        assert e.fields["len"] == 3
+        assert e.fields["neg"] is UNDEFINED
+
+    def test_compound_assign_evaluates_index_once(self):
+        _, e = run('var i = 0; var a = [10, 20];'
+                   'a[i++] += 1;'
+                   'evt.Put("i", i); evt.Put("a0", a[0]);'
+                   'var j = 0; var b = [5, 5]; b[j++]++;'
+                   'evt.Put("j", j); evt.Put("b0", b[0]);')
+        assert e.fields["i"] == 1 and e.fields["a0"] == 11
+        assert e.fields["j"] == 1 and e.fields["b0"] == 6
+
+    def test_global_match_still_returns_all(self):
+        _, e = run('var m = "a1b2c3".match(/[0-9]/g);'
+                   'evt.Put("n", m.length); evt.Put("m0", m[0]);'
+                   'evt.Put("none", "xyz".match(/[0-9]/g) === null);')
+        assert e.fields["n"] == 3 and e.fields["m0"] == "1"
+        assert e.fields["none"] is True

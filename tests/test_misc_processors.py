@@ -216,3 +216,26 @@ def test_mime_text_and_unknown_semantics(spark):
     ]
     got = _mime_of(spark, [v[0] for v in vectors])
     assert got == [v[1] for v in vectors]
+
+
+def test_mime_byte_offsets_survive_multibyte_leads(spark):
+    """Container markers are read at BYTE offsets: a RIFF size byte in
+    the UTF-8 lead-byte range (0xC2-0xF4) must not shift the WEBP tag,
+    and a non-ASCII byte inside a tar header must not shift 'ustar'."""
+    webp = b"RIFF" + bytes([0xC3, 0x00, 0x00, 0x00]) + b"WEBPVP8 "
+    wave = b"RIFF" + bytes([0xF0, 0x9F, 0x98, 0x80]) + b"WAVEfmt "
+    mp4 = bytes([0x00, 0x00, 0x00, 0xE2]) + b"ftypisom"
+    tar = bytes([0xC3, 0xA9]) + b"x" * 255 + b"ustar\x00rest"
+    got = _mime_of(spark, [webp, wave, mp4, tar])
+    assert got == ["image/webp", "audio/x-wav", "video/mp4",
+                   "application/x-tar"]
+
+
+def test_mime_whatwg_skips_all_leading_whitespace(spark):
+    """WHATWG sniffing skips tab/LF/FF/CR/space, not just spaces."""
+    got = _mime_of(spark, [b"\n<html>Test</html>",
+                           b"\r\n\t<?xml version='1.0'?><a/>",
+                           b" <html>Test</html>"])
+    assert got == ["text/html; charset=utf-8",
+                   "text/xml; charset=utf-8",
+                   "text/html; charset=utf-8"]
