@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 __all__ = [
     "dot", "l2_norm", "normalize", "cosine_similarity", "cosine_topk",
     "cosine_topk_blocked", "lsh_signature", "lsh_cosine_topk",
-    "ivf_assign", "ivf_cosine_topk",
+    "ivf_assign", "ivf_cosine_topk", "kmeans_fit",
 ]
 
 
@@ -212,10 +212,13 @@ def ivf_cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     round_to: int = 6,
+    centroids: Optional[DataFrame] = None,
 ) -> DataFrame:
     """IVF-flavored ANN: exemplar centroids (the ``n_centroids``
-    lowest-id corpus vectors — a deterministic coarse quantizer; a
-    trained k-means would slot in identically), corpus partitioned
+    lowest-id corpus vectors — a deterministic coarse quantizer; pass
+    ``centroids=`` a :func:`kmeans_fit` result — ``(centroid_id,
+    vec_col)`` — to use a LEARNED quantizer instead, which tightens
+    the probed lists around real density), corpus partitioned
     into inverted lists by nearest centroid, each query probing its
     ``nprobe`` nearest lists, exact cosine rerank inside the probed
     lists only.
@@ -227,9 +230,10 @@ def ivf_cosine_topk(
     Exemplar centroids keep every step engine-portable (deterministic
     argmax on rounded cosine), so even this ANN has an exact SQL
     oracle."""
-    cent = (corpus.orderBy(F.col(id_col).asc()).limit(n_centroids)
-            .select(F.col(id_col).alias("centroid_id"),
-                    F.col(vec_col)))
+    cent = centroids if centroids is not None else (
+        corpus.orderBy(F.col(id_col).asc()).limit(n_centroids)
+              .select(F.col(id_col).alias("centroid_id"),
+                      F.col(vec_col)))
     lists = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col,
                        round_to=round_to)
 
@@ -328,3 +332,75 @@ def lsh_cosine_topk(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k))
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 8,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Spherical k-means over an embedding column — the learned coarse
+    quantizer the IVF docstring promises (pass the result as
+    ``centroids=`` to :func:`ivf_cosine_topk`), and the standard
+    corpus-organization primitive (topic bucketing, per-cluster
+    sampling quotas).
+
+    Deterministic by construction: initial centroids are the ``k``
+    vectors with the smallest ``md5(id)`` (hash order — spread across
+    the corpus, stable across runs/partitionings), assignment is
+    :func:`ivf_assign`'s rounded-cosine argmax with the lowest-id
+    tie-break, and iteration count is FIXED at ``max_iter`` (no
+    convergence epsilon — a float threshold would make the round
+    count partition-order-sensitive). Exact float reproducibility of
+    the centroid means across different partitionings is NOT promised
+    (float addition is order-sensitive); boundary vectors may differ
+    at the last ulp — the documented limit of any distributed k-means.
+
+    Returns ``(centroid_id, vec_col)`` with unit-norm centroids
+    (spherical update: mean then renormalize). Empty clusters keep
+    their previous centroid.
+
+    Scale: per iteration, ONE broadcast of k×d centroids, one
+    assignment scan (map-side), one posexplode + (cluster, dim)
+    aggregation — partial map-side, shuffle carries k×d partials per
+    task. Lineage is localCheckpoint-truncated per round (the
+    iterative-job rule from connected components).
+    """
+    if k < 1 or max_iter < 1:
+        raise ValueError("kmeans_fit: k and max_iter must be >= 1")
+    seeds = (vectors
+             .withColumn("__h", F.md5(F.col(id_col).cast("string")))
+             .orderBy("__h").limit(k))
+    wseed = Window.orderBy("__h")
+    cent = (seeds.withColumn("centroid_id",
+                             (F.row_number().over(wseed) - 1)
+                             .cast("bigint"))
+            .select("centroid_id",
+                    normalize(F.col(vec_col)).alias(vec_col)))
+    cent = cent.localCheckpoint()
+    for _ in range(max_iter):
+        assigned = ivf_assign(vectors, cent, id_col=id_col,
+                              vec_col=vec_col, out_col="__list",
+                              round_to=round_to)
+        dims = assigned.select(
+            "__list", F.posexplode(_dbl(F.col(vec_col)))
+                       .alias("__d", "__x"))
+        newc = (dims.groupBy("__list", "__d")
+                .agg(F.avg("__x").alias("__m"))
+                .groupBy("__list")
+                .agg(F.array_sort(F.collect_list(F.struct("__d", "__m")))
+                      .alias("__dm"))
+                .select(F.col("__list").alias("centroid_id"),
+                        normalize(F.transform(
+                            "__dm", lambda s: s["__m"])).alias(vec_col)))
+        cent = (cent.select("centroid_id",
+                            F.col(vec_col).alias("__old"))
+                .join(newc, "centroid_id", "left")
+                .select("centroid_id",
+                        F.coalesce(F.col(vec_col), F.col("__old"))
+                         .alias(vec_col))
+                .localCheckpoint())
+    return cent

@@ -3058,3 +3058,36 @@ def html_extract(spark, sf_dir):
         istr, F.lit("&#39; &lt;ok&gt;</div></body></html>"))
     pages = docs.select("doc_id", F.encode(built, "UTF-8").alias("html"))
     return extract_text(pages, "html", "text").select("doc_id", "text")
+
+
+@query("kmeans_assign", oracle="""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 4),
+s AS (SELECT v.vec_id, c.centroid_id,
+             round(list_dot_product(v.e, c.ce)
+                   / (sqrt(list_dot_product(v.e, v.e))
+                      * sqrt(list_dot_product(c.ce, c.ce))), 6) AS sim
+      FROM v, c),
+r AS (SELECT vec_id, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, centroid_id ASC)
+               AS rn
+      FROM s)
+SELECT vec_id, centroid_id FROM r WHERE rn = 1
+""")
+def kmeans_assign(spark, sf_dir):
+    """Nearest-centroid assignment (:func:`beats_spark.dataops
+    .similarity.ivf_assign` — the inverted-file build step and the
+    assignment half of k-means): every embedding to its max-cosine
+    centroid, ties to the lowest centroid id, against four fixed
+    centroids taken from the table so the oracle reproduces the
+    identical rounded argmax. One broadcast, zero shuffle of the
+    vector side."""
+    from .dataops import ivf_assign
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    out = ivf_assign(emb.select("vec_id", "embedding"), cent,
+                     out_col="centroid_id")
+    return out.select("vec_id", "centroid_id")

@@ -68,3 +68,81 @@ def test_ivf_lists_partition_corpus(spark, sf_dir):
     brute = cosine_topk(emb, q, k=3)
     assert sorted(map(tuple, full.collect())) == \
         sorted(map(tuple, brute.collect()))
+
+
+# ---------------------------------------------------------- k-means
+
+def _clustered_vectors(spark, per_cluster=20, dim=6):
+    """Three well-separated direction clusters: axis e_c plus a small
+    deterministic off-axis jitter."""
+    rows = []
+    for c in range(3):
+        for i in range(per_cluster):
+            v = [0.0] * dim
+            v[c] = 1.0
+            v[3 + (i % 3)] = 0.05 + 0.01 * (i % 5)   # jitter dims 3-5
+            rows.append((c * 100 + i, v, c))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, truth int")
+
+
+def test_kmeans_fit_recovers_separated_clusters(spark):
+    from beats_spark.dataops import ivf_assign, kmeans_fit
+    df = _clustered_vectors(spark)
+    cent = kmeans_fit(df, k=3, max_iter=4)
+    assert cent.count() == 3
+    # unit-norm centroids
+    import math
+    for r in cent.collect():
+        assert math.isclose(sum(x * x for x in r.embedding), 1.0,
+                            rel_tol=1e-9)
+    assigned = ivf_assign(df, cent, out_col="cluster")
+    # purity: each true cluster maps to exactly one fitted cluster,
+    # and the three fitted clusters are distinct
+    m = {(r.truth, r.cluster) for r in assigned.collect()}
+    by_truth = {}
+    for t, c in m:
+        by_truth.setdefault(t, set()).add(c)
+    assert all(len(cs) == 1 for cs in by_truth.values())
+    assert len({next(iter(cs)) for cs in by_truth.values()}) == 3
+
+
+def test_kmeans_fit_deterministic_across_partitionings(spark):
+    from beats_spark.dataops import ivf_assign, kmeans_fit
+    df = _clustered_vectors(spark)
+    a = kmeans_fit(df, k=3, max_iter=3)
+    b = kmeans_fit(df.repartition(7), k=3, max_iter=3)
+    # same cluster SIZES on well-separated data (bitwise centroid
+    # equality is not promised — float sums are order-sensitive)
+    sa = sorted(r["count"] for r in
+                ivf_assign(df, a, out_col="c").groupBy("c").count()
+                .collect())
+    sb = sorted(r["count"] for r in
+                ivf_assign(df, b, out_col="c").groupBy("c").count()
+                .collect())
+    assert sa == sb == [20, 20, 20]
+
+
+def test_kmeans_fit_empty_cluster_and_validation(spark):
+    from beats_spark.dataops import kmeans_fit
+    import pytest as _pytest
+    df = _clustered_vectors(spark, per_cluster=2)
+    # k larger than distinct directions: empty clusters keep their
+    # seed centroid, output still has k rows
+    cent = kmeans_fit(df, k=5, max_iter=2)
+    assert cent.count() == 5
+    with _pytest.raises(ValueError):
+        kmeans_fit(df, k=0)
+
+
+def test_ivf_topk_accepts_trained_centroids(spark, sf_dir):
+    from beats_spark.dataops import ivf_cosine_topk, kmeans_fit
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 3)
+    cent = kmeans_fit(corpus, k=4, max_iter=2)
+    out = ivf_cosine_topk(corpus, queries, k=5, nprobe=4,
+                          centroids=cent)
+    got = out.groupBy("query_id").count().collect()
+    assert len(got) == 3 and all(r["count"] == 5 for r in got)
