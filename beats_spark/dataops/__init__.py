@@ -49,6 +49,7 @@ from .sample import cap_per_key, hash_sample, mixture_plan, mixture_sample
 from .terms import doc_frequency, tfidf_top_terms
 from .decontam import contamination_flags, decontaminate
 from .htmltext import HTML_STRIP_STEPS, extract_text, html_strip_sql, html_to_text
+from .lm import bigram_model, lm_score
 from .scrub import (
     C4_TERMINAL_RE, PII_PATTERNS, c4_clean, dedup_lines, pii_counts,
     scrub, scrub_pii,
@@ -79,6 +80,7 @@ __all__ = [
     "doc_frequency", "tfidf_top_terms",
     "contamination_flags", "decontaminate",
     "HTML_STRIP_STEPS", "html_to_text", "extract_text", "html_strip_sql",
+    "bigram_model", "lm_score",
     "PII_PATTERNS", "scrub_pii", "pii_counts", "scrub", "dedup_lines",
     "c4_clean", "C4_TERMINAL_RE",
 ]

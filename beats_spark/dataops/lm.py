@@ -1,0 +1,125 @@
+"""Corpus n-gram language-model quality scoring — the CCNet recipe
+(Wenzek et al. 2020: rank web text by LM perplexity; filter or bucket
+on the score) with the KenLM stage re-expressed as DataFrame ops.
+
+A bigram model with Laplace smoothing is trained ON the corpus
+itself (or any reference corpus passed separately):
+
+    P(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V)
+
+and every document is scored by its mean bigram log-probability.
+Documents whose word transitions are unlike the corpus (gibberish,
+boilerplate soup, wrong-language fragments) score low; fluent text
+scores high — the same signal CCNet uses, minus the pretrained
+external model (which a container without KenLM cannot ship anyway).
+
+Exactness: each bigram's log-probability is quantized to integer
+MICRO-NATS (``round(ln(p) · 1e6)`` as bigint) before summation, so
+per-document totals are integer sums — immune to float-summation
+order across partitions and engines — and an external SQL engine
+reproduces the scores bit-for-bit. The only float step (one ``ln``
+per DISTINCT bigram) happens before any cross-row aggregation.
+
+Scale: two count aggregations (unigram, bigram — both partial
+map-side, shuffle carries hash-keyed counts), one scalar broadcast
+(vocabulary size), then the scoring join keyed by the bigram —
+documents never move whole; the hot keys are stopword bigrams whose
+counts arrive pre-combined. The model tables can be cached and
+reused to score any number of batches (train once, score many).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import tokens, _spread
+
+__all__ = ["bigram_model", "lm_score"]
+
+
+def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = tokens(F.col(text_col))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, (i + 1).cast("int"))
+                         .alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return (df.select(F.col(id_col), F.explode(pairs).alias("__bg"))
+              .select(id_col, F.col("__bg.w1").alias("w1"),
+                      F.col("__bg.w2").alias("w2")))
+
+
+def bigram_model(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the smoothed bigram tables on ``corpus``: returns
+    ``(unigrams(w1, c1), bigrams(w1, w2, c12), vocab(v))`` — ``vocab``
+    is a one-row frame joined as a broadcast scalar, so training is
+    fully in-plan (no driver collect)."""
+    spread = _spread(corpus)
+    uni = (spread.select(F.explode(tokens(F.col(text_col)))
+                          .alias("w1"))
+           .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
+    bi = (_doc_bigrams(spread, id_col, text_col)
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")))
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    return uni, bi, vocab
+
+
+def lm_score(
+    df: DataFrame,
+    model: Optional[Tuple[DataFrame, DataFrame, DataFrame]] = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document by its mean bigram log-probability under
+    ``model`` (default: a model trained on ``df`` itself — the
+    self-scoring CCNet bucketing form).
+
+    Returns ``(id_col, n_bigrams, lp_micro, avg_lp_micro)``:
+    ``lp_micro`` is the bigint sum of per-bigram micro-nat
+    log-probabilities, ``avg_lp_micro = floor(lp_micro / n_bigrams)``
+    (integer division — exact everywhere). Documents with fewer than
+    2 tokens score NULL averages over 0 bigrams (nothing to measure).
+    Higher is more corpus-like; filter or bucket downstream.
+
+    An unseen bigram whose ``w1`` is also unseen gets
+    ``P = 1 / V`` (c12 = c1 = 0 — the Laplace limit), so scoring a
+    NEW batch with a frozen model is total: no lookup can fail.
+    """
+    uni, bi, vocab = model if model is not None else bigram_model(
+        df, id_col=id_col, text_col=text_col)
+    occ = _doc_bigrams(_spread(df), id_col, text_col)
+    scored = (occ.join(bi, ["w1", "w2"], "left")
+                 .join(uni, "w1", "left")
+                 .join(F.broadcast(vocab))
+                 .select(
+                     F.col(id_col),
+                     F.round(F.log(
+                         (F.coalesce(F.col("c12"), F.lit(0)) + 1.0)
+                         / (F.coalesce(F.col("c1"), F.lit(0))
+                            + F.col("v")))
+                         * 1_000_000.0)
+                     .cast("bigint").alias("__lp")))
+    agg = (scored.groupBy(id_col)
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                F.sum("__lp").cast("bigint").alias("lp_micro")))
+    base = df.select(F.col(id_col)).distinct()
+    out = (base.join(agg, id_col, "left")
+           .select(id_col,
+                   F.coalesce("n_bigrams", F.lit(0).cast("bigint"))
+                    .alias("n_bigrams"),
+                   F.coalesce("lp_micro", F.lit(0).cast("bigint"))
+                    .alias("lp_micro")))
+    return out.withColumn(
+        "avg_lp_micro",
+        F.when(F.col("n_bigrams") > 0,
+               F.floor(F.col("lp_micro") / F.col("n_bigrams"))
+                .cast("bigint")))

@@ -3091,3 +3091,44 @@ def kmeans_assign(spark, sf_dir):
     out = ivf_assign(emb.select("vec_id", "embedding"), cent,
                      out_col="centroid_id")
     return out.select("vec_id", "centroid_id")
+
+
+@query("lm_quality_score", oracle="""
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+u AS (SELECT w1, count(*) AS c1
+      FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY w1),
+g AS (SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+             toks[CAST(i AS INT) + 1] AS w2
+      FROM t, UNNEST(range(1, len(toks))) AS r(i)
+      WHERE len(toks) >= 2),
+b AS (SELECT w1, w2, count(*) AS c12 FROM g GROUP BY 1, 2),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM u),
+s AS (SELECT g.doc_id,
+             CAST(round(ln((coalesce(b.c12, 0) + 1.0)
+                           / (coalesce(u.c1, 0) + v.v)) * 1000000)
+                  AS BIGINT) AS lp
+      FROM g LEFT JOIN b USING (w1, w2) LEFT JOIN u USING (w1), v),
+a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(lp) AS BIGINT) AS lp_micro
+      FROM s GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_bigrams, 0) AS n_bigrams,
+       coalesce(a.lp_micro, 0) AS lp_micro,
+       CASE WHEN coalesce(a.n_bigrams, 0) > 0
+            THEN CAST(floor(a.lp_micro / a.n_bigrams) AS BIGINT)
+       END AS avg_lp_micro
+FROM documents d LEFT JOIN a USING (doc_id)
+""")
+def lm_quality_score(spark, sf_dir):
+    """CCNet-style LM quality scoring (:mod:`beats_spark.dataops.lm`):
+    a Laplace-smoothed bigram model trained on the corpus itself,
+    every document scored by mean bigram log-probability. Each
+    bigram's ln P is quantized to integer micro-nats BEFORE any
+    cross-row sum, so per-doc totals are integer-exact across
+    engines and partitionings (the cents trick for logprobs)."""
+    from .dataops import lm_score
+    docs = _t(spark, sf_dir, "documents")
+    return lm_score(docs)
