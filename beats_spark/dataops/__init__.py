@@ -50,6 +50,10 @@ from .terms import doc_frequency, tfidf_top_terms
 from .decontam import contamination_flags, decontaminate
 from .htmltext import HTML_STRIP_STEPS, extract_text, html_strip_sql, html_to_text
 from .lm import bigram_model, lm_score
+from .unicode import (
+    UNICODE_CLEAN_STEPS, clean_text_column, nfc, unicode_clean,
+    unicode_clean_sql,
+)
 from .scrub import (
     C4_TERMINAL_RE, PII_PATTERNS, c4_clean, dedup_lines, pii_counts,
     scrub, scrub_pii,
@@ -81,6 +85,8 @@ __all__ = [
     "contamination_flags", "decontaminate",
     "HTML_STRIP_STEPS", "html_to_text", "extract_text", "html_strip_sql",
     "bigram_model", "lm_score",
+    "UNICODE_CLEAN_STEPS", "nfc", "unicode_clean",
+    "unicode_clean_sql", "clean_text_column",
     "PII_PATTERNS", "scrub_pii", "pii_counts", "scrub", "dedup_lines",
     "c4_clean", "C4_TERMINAL_RE",
 ]

@@ -1,0 +1,93 @@
+"""Unicode text normalization — the pre-tokenizer cleanup every web
+corpus needs before dedup/stats (mixed NFC/NFD spellings of the same
+word otherwise hash differently, zero-widths hide inside tokens,
+exotic spaces break whitespace tokenizers).
+
+Three steps, in order:
+
+1. **NFC normalization** — the one step Catalyst cannot express, as
+   ONE Arrow-batched pandas UDF (``unicodedata.normalize``; Unicode's
+   normalization-stability policy guarantees the result never changes
+   across Unicode versions, and DuckDB's ``nfc_normalize`` produces
+   the identical bytes — verified in tests). NFC, not NFKC, on
+   purpose: compatibility folding (ﬁ→fi, ①→1) is lossy and belongs
+   to an explicit opt-in, not a hygiene pass.
+2. **control-character strip** (C0 minus tab/LF/CR, DEL, C1).
+3. **zero-width removal + space unification** (NBSP, en/em/thin/
+   ideographic spaces → ASCII space; ZWSP/ZWNJ/ZWJ/BOM → gone).
+
+Steps 2–3 are pure JVM ``regexp_replace`` from one shared
+(pattern, replacement) table in the RE2 ∩ Java common subset;
+:func:`unicode_clean_sql` emits the identical chain (wrapped in
+``nfc_normalize``) for DuckDB — the same cross-engine discipline as
+the PII and HTML tables.
+
+Scale: one ArrowEvalPython node plus codegen'd regexps, zero
+shuffle. Derive downstream columns from the CLEANED column after a
+materialization point if you reference it many times (the
+CollapseProject recompute rule).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import StringType
+
+__all__ = ["UNICODE_CLEAN_STEPS", "nfc", "unicode_clean",
+           "unicode_clean_sql", "clean_text_column"]
+
+UNICODE_CLEAN_STEPS: Sequence[Tuple[str, str]] = (
+    # C0 controls minus \t \n \r, DEL, C1 controls
+    (r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{0080}-\x{009F}]", ""),
+    # zero-widths and the BOM-as-ZWNBSP
+    (r"[\x{200B}-\x{200D}\x{FEFF}]", ""),
+    # unicode horizontal spaces → ASCII space
+    (r"[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]",
+     " "),
+)
+
+
+def _nfc_fn(s: pd.Series) -> pd.Series:
+    import unicodedata
+    return s.map(lambda x: unicodedata.normalize("NFC", x)
+                 if x is not None else None)
+
+
+# StringType() (not the DDL string "string") keeps the decorator
+# importable without an active SparkSession
+nfc = F.pandas_udf(_nfc_fn, StringType())
+"""NFC-normalize a string column (Arrow-batched; NULL passes
+through)."""
+
+
+def unicode_clean(text: Column) -> Column:
+    """NFC + control strip + space unification of ``text`` as a
+    Column (NULL in, NULL out)."""
+    out = nfc(text)
+    for pat, rep in UNICODE_CLEAN_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def clean_text_column(df: DataFrame, text_col: str = "text",
+                      out_col: str = None) -> DataFrame:
+    """DataFrame form: clean ``text_col`` in place (or into
+    ``out_col``)."""
+    return df.withColumn(out_col or text_col,
+                         unicode_clean(F.col(text_col)))
+
+
+def _q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def unicode_clean_sql(expr: str) -> str:
+    """The identical chain as a DuckDB expression over ``expr``."""
+    out = f"nfc_normalize({expr})"
+    for pat, rep in UNICODE_CLEAN_STEPS:
+        out = f"regexp_replace({out}, {_q(pat)}, {_q(rep)}, 'g')"
+    return out

@@ -3132,3 +3132,29 @@ def lm_quality_score(spark, sf_dir):
     from .dataops import lm_score
     docs = _t(spark, sf_dir, "documents")
     return lm_score(docs)
+
+
+def _unicode_clean_oracle() -> str:
+    from .dataops.unicode import unicode_clean_sql
+    messy = ("text || ' e' || chr(769) || ' x' || chr(8203) || 'y' "
+             "|| chr(160) || 'z' || chr(7)")
+    return unicode_clean_sql(messy)
+
+
+@query("unicode_clean", oracle=f"""
+SELECT doc_id, {_unicode_clean_oracle()} AS text_clean FROM documents
+""")
+def unicode_clean_q(spark, sf_dir):
+    """Unicode normalization (:mod:`beats_spark.dataops.unicode`):
+    documents decorated with a decomposed accent (e + U+0301), a
+    zero-width space, an NBSP and a BEL control; the cleaner must NFC
+    the accent, drop the zero-width and the control, and unify the
+    space — and the oracle replays the identical chain via DuckDB's
+    nfc_normalize + the shared regexp table. One ArrowEvalPython node
+    (the NFC kernel), rest codegen, zero shuffle."""
+    from .dataops import unicode_clean
+    docs = _t(spark, sf_dir, "documents")
+    messy = F.concat(F.col("text"),
+                     F.lit(" é x​y z\x07"))
+    return docs.select("doc_id",
+                       unicode_clean(messy).alias("text_clean"))

@@ -58,7 +58,7 @@ BENCH_QUERIES = [
     "url_canonicalize", "url_dedup", "dup_ngram_spans", "tfidf_terms",
     "deterministic_sample", "dedup_span_removal", "c4_clean",
     "mixture_sample", "dedup_incremental", "html_extract",
-    "kmeans_assign", "lm_quality_score",
+    "kmeans_assign", "lm_quality_score", "unicode_clean",
     "flagship_routed_counts", "flagship_messages",
 ]
 
