@@ -64,6 +64,8 @@ def curate(
     near_dup_resolution: str = "pairs",
     max_dup_line_frac: Optional[float] = None,
     max_top2_char_frac: Optional[float] = None,
+    min_lm_micro: Optional[int] = None,
+    lm_model=None,
 ) -> CurationResult:
     """quality filter → language select → exact dedup → MinHash
     near-dedup.
@@ -85,6 +87,17 @@ def curate(
     (quality → lang → exact dedup only) — the configuration for
     callers that RETAIN near-duplicates but confine them, e.g. the
     cluster-keyed split in :mod:`beats_spark.dataops.export`.
+
+    ``min_lm_micro`` adds the CCNet-style LM fluency gate
+    (:mod:`beats_spark.dataops.lm`) AFTER exact dedup: documents whose
+    mean bigram log-probability (integer micro-nats) falls below the
+    threshold drop. The model trains on the exact-dedup survivors
+    themselves unless a frozen ``lm_model`` (a :func:`~beats_spark
+    .dataops.lm.bigram_model` tuple) is given. This is the one gate
+    with corpus statistics behind it, so it runs after the cheap
+    map-side filters and the digest dedup have thinned the data —
+    and docs too short to score (< 2 tokens, NULL average) fail it,
+    since fluency cannot be assessed.
     """
     metrics: Dict[str, int] = {}
     cached: List[DataFrame] = []
@@ -142,6 +155,20 @@ def curate(
         kept = kept.persist()
         cached.append(kept)
         metrics["docs.exact_kept"] = kept.count()
+
+    # 3.5 optional LM fluency gate (the corpus-statistics stage: two
+    # count shuffles inside lm_score; runs on the thinned survivors)
+    if min_lm_micro is not None:
+        from .lm import lm_score
+        sc = lm_score(kept.select(id_col, text_col), model=lm_model,
+                      id_col=id_col, text_col=text_col)
+        good = (sc.filter(F.col("avg_lp_micro") >= min_lm_micro)
+                  .select(id_col))
+        kept = kept.join(good, id_col, "left_semi")
+        if with_metrics:
+            kept = kept.persist()
+            cached.append(kept)
+            metrics["docs.lm_kept"] = kept.count()
 
     # 4. near-dedup: verified MinHash pairs above the threshold; every
     # pair's larger id is dropped (both the pairs input and the

@@ -105,3 +105,31 @@ def test_repetition_gates_in_funnel(spark, sf_dir):
     assert "__s" not in gated.kept.columns
     # the gates actually fire on this data
     assert len(kept_g) < len(kept_b)
+
+
+def test_curate_lm_gate(spark):
+    """The opt-in LM fluency gate drops gibberish that passes the
+    surface-quality filter."""
+    from beats_spark.dataops import curate
+    fluent = "the quick brown fox jumps over the lazy dog."
+    rows = [(i, fluent + f" take {i} of the story.", "en")
+            for i in range(10)]
+    # gibberish: words the corpus model has barely seen, shuffled
+    rows += [(100 + i, f"zxq{i} vvb{i} qqw{i} mmz{i} ppl{i} kkj{i}.",
+              "en") for i in range(2)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    base = curate(docs, min_quality=0.0, near_dup_jaccard=None,
+                  with_metrics=False)
+    base_ids = {r.doc_id for r in base.kept.select("doc_id").collect()}
+    assert {100, 101} <= base_ids          # no LM gate: gibberish passes
+
+    from beats_spark.dataops import lm_score
+    cut = lm_score(docs).agg(
+        __import__("pyspark.sql.functions", fromlist=["expr"])
+        .expr("percentile(avg_lp_micro, 0.15)")).first()[0]
+    res = curate(docs, min_quality=0.0, near_dup_jaccard=None,
+                 min_lm_micro=int(cut))
+    ids = {r.doc_id for r in res.kept.select("doc_id").collect()}
+    assert 100 not in ids and 101 not in ids
+    assert res.metrics["docs.lm_kept"] == len(ids)
+    res.unpersist()
