@@ -45,7 +45,10 @@ from .textstats import (
 from .curate import curate, CurationResult
 from .urls import canonical_url, url_dedup, TRACKING_PARAMS
 from .spans import doc_ngrams, ngram_duplicate_stats, remove_duplicate_spans
-from .sample import cap_per_key, hash_sample, mixture_plan, mixture_sample
+from .sample import (
+    cap_per_key, hash_sample, mixture_plan, mixture_sample,
+    quantile_buckets,
+)
 from .terms import doc_frequency, tfidf_top_terms
 from .decontam import contamination_flags, decontaminate
 from .htmltext import HTML_STRIP_STEPS, extract_text, html_strip_sql, html_to_text
@@ -81,6 +84,7 @@ __all__ = [
     "canonical_url", "url_dedup", "TRACKING_PARAMS",
     "doc_ngrams", "ngram_duplicate_stats", "remove_duplicate_spans",
     "cap_per_key", "hash_sample", "mixture_plan", "mixture_sample",
+    "quantile_buckets",
     "doc_frequency", "tfidf_top_terms",
     "contamination_flags", "decontaminate",
     "HTML_STRIP_STEPS", "html_to_text", "extract_text", "html_strip_sql",

@@ -210,3 +210,44 @@ def mixture_sample(
                 group_col)
               .filter(bucket < F.col("keep_bound"))
               .drop("keep_bound"))
+
+
+def quantile_buckets(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    k: int = 3,
+    by: Optional[str] = None,
+    descending: bool = True,
+    labels: Optional[Sequence[str]] = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Equal-population quantile buckets of ``score_col`` — the CCNet
+    head/middle/tail split (terciles of LM score per language) in its
+    general form: ``ntile(k)`` over ``(score, id)`` within each ``by``
+    group. The ``id_col`` tie-break makes the assignment a pure
+    function of the data (equal scores split deterministically);
+    NULL scores sort last, landing in the worst bucket.
+
+    ``labels`` (length ``k``) replaces bucket numbers 1..k with names,
+    e.g. ``("head", "middle", "tail")``.
+
+    One hash shuffle (on ``by``, or a single global sort when ``by``
+    is None — use a group column at corpus scale); ntile streams each
+    group.
+    """
+    if k < 1:
+        raise ValueError(f"quantile_buckets: k must be >= 1, got {k}")
+    if labels is not None and len(labels) != k:
+        raise ValueError("quantile_buckets: len(labels) != k")
+    score = (F.col(score_col).desc_nulls_last() if descending
+             else F.col(score_col).asc_nulls_last())
+    w = (Window.partitionBy(by) if by else Window.partitionBy()) \
+        .orderBy(score, F.col(id_col).asc())
+    out = df.withColumn(bucket_col, F.ntile(k).over(w))
+    if labels is not None:
+        out = out.withColumn(
+            bucket_col,
+            F.element_at(F.array(*[F.lit(x) for x in labels]),
+                         F.col(bucket_col)))
+    return out

@@ -3158,3 +3158,40 @@ def unicode_clean_q(spark, sf_dir):
                      F.lit(" é x​y z\x07"))
     return docs.select("doc_id",
                        unicode_clean(messy).alias("text_clean"))
+
+
+def _ccnet_oracle() -> str:
+    # reuse the lm_quality_score oracle verbatim as a CTE: ONE source
+    # of truth for the scoring arithmetic on the SQL side too
+    return f"""
+WITH lm AS ({ORACLES["lm_quality_score"]}),
+j AS (SELECT d.doc_id, d.lang, lm.avg_lp_micro
+      FROM documents d JOIN lm USING (doc_id))
+SELECT doc_id, lang,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+               ELSE 'tail' END AS bucket
+FROM (SELECT doc_id, lang,
+             ntile(3) OVER (PARTITION BY lang
+                            ORDER BY avg_lp_micro DESC NULLS LAST,
+                                     doc_id ASC) AS nt
+      FROM j)
+"""
+
+
+@query("ccnet_buckets", oracle=_ccnet_oracle())
+def ccnet_buckets(spark, sf_dir):
+    """The CCNet corpus split (Wenzek et al. 2020): per-language
+    head/middle/tail terciles of the LM quality score
+    (:func:`beats_spark.dataops.sample.quantile_buckets` over
+    :func:`~beats_spark.dataops.lm.lm_score`). The (score, doc_id)
+    total order makes tercile membership a pure function of the data;
+    the oracle embeds the lm_quality_score oracle verbatim as its
+    scoring CTE."""
+    from .dataops import lm_score, quantile_buckets
+    docs = _t(spark, sf_dir, "documents")
+    scored = (lm_score(docs)
+              .join(docs.select("doc_id", "lang"), "doc_id"))
+    out = quantile_buckets(scored, "avg_lp_micro", "doc_id", k=3,
+                           by="lang",
+                           labels=("head", "middle", "tail"))
+    return out.select("doc_id", "lang", "bucket")

@@ -311,3 +311,27 @@ def test_dedup_incremental_query_nonvacuous(spark, sf_dir):
     ids = sorted(r.doc_id for r in out.collect())
     assert len(ids) == 250                     # only genuinely-new pages
     assert all(250 <= i < 1000 for i in ids)   # no re-crawl/copy ids
+
+
+# --------------------------------------------------- quantile buckets
+
+def test_quantile_buckets(spark):
+    from beats_spark.dataops import quantile_buckets
+    rows = [("a", i, float(i)) for i in range(9)] + \
+           [("b", 100, None), ("b", 101, 5.0), ("b", 102, 1.0)]
+    df = spark.createDataFrame(rows, "g string, id long, s double")
+    out = {r.id: r.bucket for r in
+           quantile_buckets(df, "s", "id", k=3, by="g",
+                            labels=("head", "middle", "tail"))
+           .collect()}
+    # group a: 9 rows desc -> 8,7,6 head; 5,4,3 middle; 2,1,0 tail
+    assert out[8] == out[7] == out[6] == "head"
+    assert out[5] == out[4] == out[3] == "middle"
+    assert out[2] == out[1] == out[0] == "tail"
+    # group b: NULL score sorts last -> worst bucket
+    assert out[101] == "head" and out[100] == "tail"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        quantile_buckets(df, "s", "id", k=2, labels=("x",))
+    with _pytest.raises(ValueError):
+        quantile_buckets(df, "s", "id", k=0)
