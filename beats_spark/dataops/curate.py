@@ -160,14 +160,22 @@ def curate(
     # count shuffles inside lm_score; runs on the thinned survivors)
     if min_lm_micro is not None:
         from .lm import lm_score
+        # persist the gate's input even without metrics: lm_score
+        # references it four times (unigram/bigram counts, scoring,
+        # base) and would otherwise re-run the quality kernel and the
+        # exact-dedup shuffle per reference
+        if not with_metrics:
+            kept = kept.persist()
+            cached.append(kept)
         sc = lm_score(kept.select(id_col, text_col), model=lm_model,
                       id_col=id_col, text_col=text_col)
         good = (sc.filter(F.col("avg_lp_micro") >= min_lm_micro)
                   .select(id_col))
         kept = kept.join(good, id_col, "left_semi")
+        # the gated survivors feed the LSH candidate self-join twice
+        kept = kept.persist()
+        cached.append(kept)
         if with_metrics:
-            kept = kept.persist()
-            cached.append(kept)
             metrics["docs.lm_kept"] = kept.count()
 
     # 4. near-dedup: verified MinHash pairs above the threshold; every
@@ -175,9 +183,9 @@ def curate(
     # anti-join left read the persisted survivors — no recompute)
     if near_dup_jaccard is None:
         if with_metrics:
-            metrics["docs.near_dup_kept"] = metrics["docs.exact_kept"]
-            metrics["docs.dropped"] = (metrics["docs.total"]
-                                       - metrics["docs.exact_kept"])
+            last = metrics.get("docs.lm_kept", metrics["docs.exact_kept"])
+            metrics["docs.near_dup_kept"] = last
+            metrics["docs.dropped"] = metrics["docs.total"] - last
         return CurationResult(kept=kept.drop("__q", *rep_cols),
                               metrics=metrics, _cached=cached)
     pairs = minhash_lsh_pairs(

@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from .splits import split_bucket
 
 __all__ = ["cap_per_key", "hash_sample", "mixture_plan",
-           "mixture_sample"]
+           "mixture_sample", "quantile_buckets"]
 
 
 def cap_per_key(

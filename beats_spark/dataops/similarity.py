@@ -186,20 +186,25 @@ def ivf_assign(
     round_to: int = 6,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine, ties →
-    lowest centroid id): the inverted-file build step. Map-side: the
-    centroid table broadcasts, the vector side never shuffles — one
-    scan × K comparisons per row, the standard IVF build cost."""
-    c = centroids.select(F.col(centroid_id_col).alias("__cid"),
-                         F.col(vec_col).alias("__cv"))
-    scored = vectors.join(F.broadcast(c)).withColumn(
-        "__sim", F.round(cosine_similarity(F.col(vec_col),
-                                           F.col("__cv")), round_to))
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__sim").desc(), F.col("__cid").asc())
-    return (scored.withColumn("__rn", F.row_number().over(w))
-                  .filter(F.col("__rn") == 1)
-                  .drop("__rn", "__sim", "__cv")
-                  .withColumnRenamed("__cid", out_col))
+    lowest centroid id): the inverted-file build step. TRULY map-side:
+    the centroid table collapses to ONE array-of-structs row,
+    broadcast once, and the argmax is a per-row ``array_max`` over
+    ``(rounded cosine, -centroid_id)`` structs — zero shuffle of the
+    vector side (the first cut window-ranked an N×K expansion, which
+    exchanged N×K rows per call; measured plan now shows a single
+    BroadcastNestedLoopJoin and no Exchange)."""
+    carr = centroids.agg(F.collect_list(F.struct(
+        F.col(centroid_id_col).alias("cid"),
+        F.col(vec_col).alias("cv"))).alias("__cents"))
+    best = F.array_max(F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            F.round(cosine_similarity(F.col(vec_col), c["cv"]),
+                    round_to).alias("s"),
+            (-c["cid"]).alias("negid"))))
+    return (vectors.join(F.broadcast(carr))
+                   .withColumn(out_col, -best["negid"])
+                   .drop("__cents"))
 
 
 def ivf_cosine_topk(
@@ -385,8 +390,11 @@ def kmeans_fit(
         assigned = ivf_assign(vectors, cent, id_col=id_col,
                               vec_col=vec_col, out_col="__list",
                               round_to=round_to)
+        # spherical update: average the UNIT-NORMALIZED members —
+        # averaging raw vectors would let one high-magnitude vector
+        # dominate a cluster its cosine assignment treated equally
         dims = assigned.select(
-            "__list", F.posexplode(_dbl(F.col(vec_col)))
+            "__list", F.posexplode(normalize(F.col(vec_col)))
                        .alias("__d", "__x"))
         newc = (dims.groupBy("__list", "__d")
                 .agg(F.avg("__x").alias("__m"))

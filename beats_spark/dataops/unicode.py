@@ -57,11 +57,18 @@ def _nfc_fn(s: pd.Series) -> pd.Series:
                  if x is not None else None)
 
 
-# StringType() (not the DDL string "string") keeps the decorator
-# importable without an active SparkSession
-nfc = F.pandas_udf(_nfc_fn, StringType())
-"""NFC-normalize a string column (Arrow-batched; NULL passes
-through)."""
+_nfc_udf = None
+
+
+def nfc(col: Column) -> Column:
+    """NFC-normalize a string column (Arrow-batched; NULL passes
+    through). The pandas UDF is built on first use so that importing
+    the package never requires pyarrow (decoration runs the Arrow
+    version check)."""
+    global _nfc_udf
+    if _nfc_udf is None:
+        _nfc_udf = F.pandas_udf(_nfc_fn, StringType())
+    return _nfc_udf(col)
 
 
 def unicode_clean(text: Column) -> Column:
