@@ -58,12 +58,14 @@ def bigram_model(
     corpus: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    spread: bool = True,
 ) -> Tuple[DataFrame, DataFrame, DataFrame]:
     """Train the smoothed bigram tables on ``corpus``: returns
     ``(unigrams(w1, c1), bigrams(w1, w2, c12), vocab(v))`` — ``vocab``
     is a one-row frame joined as a broadcast scalar, so training is
-    fully in-plan (no driver collect)."""
-    spread = _spread(corpus)
+    fully in-plan (no driver collect). ``spread=False`` skips the
+    input re-spread when the caller already spread it."""
+    spread = _spread(corpus) if spread else corpus
     uni = (spread.select(F.explode(tokens(F.col(text_col)))
                           .alias("w1"))
            .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
@@ -94,9 +96,13 @@ def lm_score(
     ``P = 1 / V`` (c12 = c1 = 0 — the Laplace limit), so scoring a
     NEW batch with a frozen model is total: no lookup can fail.
     """
+    src = _spread(df)
+    # self-training reuses the ONE spread frame for both the model
+    # aggregations and the scoring explode (a second _spread added a
+    # redundant full-text exchange)
     uni, bi, vocab = model if model is not None else bigram_model(
-        df, id_col=id_col, text_col=text_col)
-    occ = _doc_bigrams(_spread(df), id_col, text_col)
+        src, id_col=id_col, text_col=text_col, spread=False)
+    occ = _doc_bigrams(src, id_col, text_col)
     scored = (occ.join(bi, ["w1", "w2"], "left")
                  .join(uni, "w1", "left")
                  .join(F.broadcast(vocab))

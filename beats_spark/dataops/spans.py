@@ -95,8 +95,12 @@ def ngram_duplicate_stats(
                          .alias("__ng"))
                 .select(id_col, ng,
                         key.alias("__k"),
-                        F.when(ng.isNull(), F.col(id_col))
-                         .otherwise(F.lit(0)).cast("long")
+                        # xxhash64 keys work for ANY id type — a cast
+                        # of a string id to long would NULL out (or
+                        # throw under ANSI), collapsing all short docs
+                        # into one hot group
+                        F.when(ng.isNull(), F.xxhash64(F.col(id_col)))
+                         .otherwise(F.lit(0).cast("bigint"))
                          .alias("__short")))
     cnt = F.count("__ng").over(Window.partitionBy("__k", "__short"))
     return (exploded

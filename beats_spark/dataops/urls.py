@@ -118,9 +118,21 @@ def url_dedup(
     One shuffle (hash on the canonical URL); the row_number window
     streams each group (it IS :func:`beats_spark.dataops.sample
     .cap_per_key` with k=1).
+
+    NULL URLs fail the job loudly (the same guard as the samplers):
+    they would all share one NULL canonical key and silently collapse
+    to a single arbitrary survivor. Empty-string URLs are one
+    legitimate (garbage) group and pass through.
     """
     from .sample import cap_per_key
-    out = df.withColumn(canon_col,
-                        canonical_url(F.col(url_col), strip_www=strip_www))
+    key = F.col(url_col)
+    guard = F.assert_true(
+        key.isNotNull(),
+        F.lit(f"url_dedup: null {url_col} (filter nulls first — they "
+              "would collapse into one arbitrary survivor)"))
+    out = df.withColumn(
+        canon_col,
+        F.when(guard.isNull(),
+               canonical_url(key, strip_www=strip_www)))
     order = list(order_by) if order_by else [F.col(url_col).asc()]
     return cap_per_key(out, canon_col, 1, order_by=order)

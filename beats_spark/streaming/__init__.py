@@ -4,6 +4,8 @@ from .pipeline import (
     run_stream_pipeline,
     windowed_counters,
     stateful_rate_limit,
+    stateful_multiline,
+    stateful_container_partial,
     stateful_url_dedup,
     stream_dedup_against,
 )
@@ -11,5 +13,6 @@ from .pipeline import (
 __all__ = [
     "PAGES_SCHEMA", "stream_routed", "run_stream_pipeline",
     "windowed_counters", "stateful_rate_limit",
+    "stateful_multiline", "stateful_container_partial",
     "stateful_url_dedup", "stream_dedup_against",
 ]

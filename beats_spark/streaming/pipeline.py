@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..pipeline import build_routed, SINKS
+from ..pipeline import build_routed
 
 __all__ = ["PAGES_SCHEMA", "stream_routed", "run_stream_pipeline",
            "windowed_counters", "stateful_rate_limit",
@@ -44,8 +44,10 @@ PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
 
 
 def _concat_chunks(chunks):
-    """Concat a group's Arrow chunks, dropping all-NA frames first so
-    pandas' future dtype-inference change can't alter column types."""
+    """Concat a group's Arrow chunks, dropping ZERO-LENGTH frames
+    first (concatenating an empty frame can perturb dtype inference);
+    chunks of one state group share the Arrow schema, so dtypes always
+    agree."""
     nonempty = [c for c in chunks if len(c)]
     if not nonempty:
         return chunks[0]
@@ -88,6 +90,10 @@ def run_stream_pipeline(
     routed = stream_routed(spark, input_path, host_meta, lang_meta)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # both actions (routed write + metrics agg) read this frame:
+        # unpersisted, the whole parse->enrich->route plan (incl. the
+        # Python parse stage) would execute twice per micro-batch
+        batch_df.persist()
         (batch_df.write.mode("overwrite")
                  .partitionBy("sink")
                  .parquet(os.path.join(out_dir, "routed",
@@ -103,6 +109,7 @@ def run_stream_pipeline(
                .coalesce(1).write.mode("overwrite")
                .parquet(os.path.join(out_dir, "metrics",
                                      f"batch={batch_id}")))
+        batch_df.unpersist()
 
     writer = (routed.writeStream
               .foreachBatch(write_batch)
@@ -135,6 +142,7 @@ def stateful_rate_limit(
     ts_col: str,
     limit_per_key: int,
     burst_multiplier: float = 1.0,
+    idle_timeout_ms: Optional[int] = None,
 ) -> DataFrame:
     """Streaming token bucket (``ratelimit/token_bucket.go:37-65``) via
     ``applyInPandasWithState`` — the SAME continuous-refill semantics
@@ -143,7 +151,18 @@ def stateful_rate_limit(
     ``(tokens, last_event_us)`` carried across micro-batches so a
     restarted query resumes mid-refill. ``limit_per_key`` is tokens
     per second. Late rows (event time before the stored watermark of
-    the bucket) accrue nothing and never move the clock backwards."""
+    the bucket) accrue nothing and never move the clock backwards.
+
+    ``idle_timeout_ms`` bounds state growth on long-running streams:
+    keys quiet for that long are evicted (processing-time timeout) and
+    recreated with a FULL bucket on next arrival. Choose it at least
+    ``burst_multiplier`` seconds (the time a drained bucket needs to
+    refill to depth) and eviction is invisible to admission decisions;
+    ``None`` (default) keeps state forever — exact, but state-store
+    size then grows with the count of distinct keys ever seen.
+    Timers keep a drain-style ``availableNow`` query alive after the
+    backlog is consumed (it waits to fire them), so pair the TTL with
+    a long-running trigger; leave it ``None`` for one-shot drains."""
     out_schema = events.schema
     state_schema = "tokens long, last_us long"
     n = int(limit_per_key)
@@ -156,12 +175,24 @@ def stateful_rate_limit(
             tokens, last = state.get
         else:
             tokens, last = depth, -1
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         # one group's micro-batch data can arrive as MULTIPLE Arrow
         # chunks (fetch order, not row order) — concat before the sort
         # or the sequential scan walks time out of order
         chunks = [pdf for pdf in batches]
         if chunks:
-            pdf = _concat_chunks(chunks).sort_values(ts_col)
+            # STABLE sort with a full-row tie-break: ties on the
+            # timestamp must admit the same rows on a micro-batch
+            # REPLAY even though shuffle fetch order changed
+            # (effectively-once requires deterministic admission)
+            pdf = _concat_chunks(chunks)
+            cols = [ts_col] + [c for c in pdf.columns if c != ts_col]
+            try:
+                pdf = pdf.sort_values(cols, kind="mergesort")
+            except TypeError:  # unorderable column type in tie-break
+                pdf = pdf.sort_values(ts_col, kind="mergesort")
             us = (pdf[ts_col].values.astype("datetime64[ns]")
                   .astype("int64") // 1000)
             null_ts = pdf[ts_col].isna().values
@@ -181,10 +212,14 @@ def stateful_rate_limit(
             if len(out):
                 yield out
         state.update((int(tokens), int(last)))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(int(idle_timeout_ms))
 
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if idle_timeout_ms is not None
+               else GroupStateTimeout.NoTimeout)
     return (events.groupBy(key_col).applyInPandasWithState(
-        fn, out_schema, state_schema, "append",
-        GroupStateTimeout.NoTimeout))
+        fn, out_schema, state_schema, "append", timeout))
 
 
 def stateful_multiline(
@@ -257,7 +292,10 @@ def stateful_multiline(
         if chunks:
             # concat before sorting: one group's rows may span several
             # Arrow chunks in fetch order, and state is sequential
-            pdf = _concat_chunks(chunks).sort_values(order_col)
+            pdf = _concat_chunks(chunks)
+            # a NULL order value is a corrupt source row: drop it
+            # (int(NaN) would otherwise kill the whole query)
+            pdf = pdf[pdf[order_col].notna()].sort_values(order_col)
             for no, line in zip(pdf[order_col].values,
                                 pdf[line_col].values):
                 line = "" if line is None else str(line)
@@ -361,8 +399,10 @@ def stateful_container_partial(
         done = []
         chunks = [pdf for pdf in batches]
         if chunks:
-            # concat before sorting — see stateful_multiline
-            pdf = _concat_chunks(chunks).sort_values(order_col)
+            # concat before sorting — see stateful_multiline; NULL
+            # order rows are corrupt source rows (int(NaN) raises)
+            pdf = _concat_chunks(chunks)
+            pdf = pdf[pdf[order_col].notna()].sort_values(order_col)
             ts_vals = (pdf["container_time"].values
                        .astype("datetime64[ns]").astype("int64") // 1000)
             null_ts = pdf["container_time"].isna().values
@@ -456,7 +496,7 @@ def stream_dedup_against(
     k = key if key is not None else F.md5(F.col(text_col))
     seen_keys = seen_df.select(
         (key if key is not None else F.md5(F.col(text_col)))
-        .alias("__k")).distinct()
+        .alias("__k")).distinct().persist()
     out = stream.withColumn("__k", k).join(seen_keys, "__k", "left_anti")
     return (out.withWatermark(ts_col, within)
                .dropDuplicatesWithinWatermark(["__k"])

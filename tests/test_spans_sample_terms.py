@@ -335,3 +335,19 @@ def test_quantile_buckets(spark):
         quantile_buckets(df, "s", "id", k=2, labels=("x",))
     with _pytest.raises(ValueError):
         quantile_buckets(df, "s", "id", k=0)
+
+
+def test_ngram_stats_string_ids(spark):
+    """Short docs with STRING ids keep distinct per-doc keys (a cast
+    to long would NULL out and collapse them into one hot group, and
+    would throw under ANSI mode)."""
+    from beats_spark.dataops import ngram_duplicate_stats
+    docs = spark.createDataFrame(
+        [("http://a/x", "hi"), ("http://b/y", "yo"),
+         ("http://c/z", "the cat sat on a mat")],
+        "doc_id string, text string")
+    out = {r.doc_id: r for r in
+           ngram_duplicate_stats(docs, n=3).collect()}
+    assert out["http://a/x"].n_ngrams == 0
+    assert out["http://b/y"].n_ngrams == 0
+    assert out["http://c/z"].n_ngrams == 4

@@ -437,3 +437,95 @@ def test_stream_dedup_against(spark, tmp_path):
 
     got = sorted(r.text for r in spark.read.parquet(out).collect())
     assert got == ["fresh page one", "fresh page two"]
+
+def test_stateful_rate_limit_idle_timeout_same_admissions(spark, tmp_path):
+    """With ``idle_timeout_ms`` set, admissions are identical to the
+    exact (no-eviction) run for active keys — eviction only changes
+    what happens to keys idle past the refill horizon, where a full
+    bucket is indistinguishable from a refilled one."""
+    src_dir = str(tmp_path / "ev")
+    rows = []
+    for u in range(3):
+        rows.extend((u, 1_700_000_000_000_000 + i) for i in range(20))
+        rows.extend((u, 1_700_000_001_000_000 + i) for i in range(5))
+    df = spark.createDataFrame(rows, "user_id bigint, us bigint") \
+              .select("user_id", F.timestamp_micros(F.col("us")).alias("ts"))
+    df.write.mode("overwrite").parquet(src_dir)
+
+    def run(tag, **kw):
+        stream = (spark.readStream.schema("user_id bigint, ts timestamp")
+                  .parquet(src_dir))
+        out = str(tmp_path / f"out_{tag}")
+        q = (stateful_rate_limit(stream, "user_id", "ts",
+                                 limit_per_key=7, **kw)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+             .trigger(availableNow=True).start())
+        # a TTL query holds live timers, so availableNow never
+        # self-terminates (see the operator docstring) — poll until
+        # the one data micro-batch has been processed, then stop
+        import time
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if q.awaitTermination(2):
+                break
+            done = [p for p in q.recentProgress
+                    if p["numInputRows"] > 0
+                    and p["sink"]["numOutputRows"] >= 0]
+            if done:
+                break
+        q.stop()
+        q.awaitTermination()
+        return sorted((r["user_id"], str(r["ts"])) for r in
+                      spark.read.parquet(out).collect())
+
+    assert run("ttl", idle_timeout_ms=60_000) == run("exact")
+
+
+def test_stateful_multiline_null_line_no_dropped(spark, tmp_path):
+    """A NULL order value (corrupt source row) is dropped instead of
+    killing the query with int(NaN)."""
+    from beats_spark.streaming.pipeline import stateful_multiline
+    src_dir = str(tmp_path / "ml")
+    spark.createDataFrame(
+        [("a", 1, "first"), ("a", None, "corrupt"), ("a", 2, "  cont"),
+         ("a", 3, "second")],  # flushes event 1 (event 2 stays buffered)
+        "path string, line_no long, message string") \
+        .coalesce(1).write.parquet(src_dir)
+    stream = (spark.readStream
+              .schema("path string, line_no long, message string")
+              .parquet(src_dir))
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (stateful_multiline(stream, pattern=r"^\s", match="after",
+                            negate=False, timeout_ms=None)
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r["line_no"]: r["message"]
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got == {1: "first\n  cont"}
+
+
+def test_stateful_container_partial_null_line_no_dropped(spark, tmp_path):
+    from beats_spark.functions.parsers import parse_container
+    from beats_spark.streaming.pipeline import stateful_container_partial
+    src_dir = str(tmp_path / "cl")
+    spark.createDataFrame(
+        [("a", 1, "2024-01-02T03:04:05 stdout F whole"),
+         ("a", None, "2024-01-02T03:04:06 stdout F corrupt")],
+        "path string, line_no long, message string") \
+        .coalesce(1).write.parquet(src_dir)
+    stream = (spark.readStream
+              .schema("path string, line_no long, message string")
+              .parquet(src_dir))
+    parsed = parse_container(stream, combine_partials=False,
+                             keep_partial_flag=True)
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (stateful_container_partial(parsed, timeout_ms=None)
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = [r["message"] for r in spark.read.parquet(out_dir).collect()]
+    assert got == ["whole"]

@@ -162,3 +162,10 @@ def test_canonical_url_idempotent(spark):
                      canonical_url(once).alias("c2")).collect()
     bad = [(r.c1, r.c2) for r in rows if r.c1 != r.c2]
     assert not bad, bad[:5]
+
+
+def test_url_dedup_null_urls_fail_loudly(spark):
+    df = spark.createDataFrame([("http://a.com/x",), (None,)],
+                               "url string")
+    with pytest.raises(Exception, match="null url|assert"):
+        url_dedup(df).collect()
