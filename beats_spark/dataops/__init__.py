@@ -53,6 +53,8 @@ from .terms import doc_frequency, tfidf_top_terms
 from .decontam import contamination_flags, decontaminate
 from .htmltext import HTML_STRIP_STEPS, extract_text, html_strip_sql, html_to_text
 from .lm import bigram_model, lm_score
+from .dsir import (hashed_ngram_buckets, dsir_model, dsir_score,
+                   dsir_resample)
 from .unicode import (
     UNICODE_CLEAN_STEPS, clean_text_column, nfc, unicode_clean,
     unicode_clean_sql,
@@ -89,6 +91,7 @@ __all__ = [
     "contamination_flags", "decontaminate",
     "HTML_STRIP_STEPS", "html_to_text", "extract_text", "html_strip_sql",
     "bigram_model", "lm_score",
+    "hashed_ngram_buckets", "dsir_model", "dsir_score", "dsir_resample",
     "UNICODE_CLEAN_STEPS", "nfc", "unicode_clean",
     "unicode_clean_sql", "clean_text_column",
     "PII_PATTERNS", "scrub_pii", "pii_counts", "scrub", "dedup_lines",

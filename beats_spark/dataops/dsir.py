@@ -1,0 +1,210 @@
+"""DSIR — Data Selection with Importance Resampling (Xie et al.
+2023, arXiv:2302.03169): pick raw web documents that LOOK LIKE a
+trusted target corpus by importance weights over hashed n-gram
+features, the standard pretraining-data selection recipe.
+
+The pipeline:
+
+1. featurize every document as hashed unigram+bigram counts over
+   ``buckets`` hash buckets (the paper's 10k-bucket default);
+2. fit two bag-of-buckets models — target and raw — with Laplace
+   smoothing, giving each bucket a log importance ratio
+   ``lr(b) = ln(p_target(b) / p_raw(b))``;
+3. score each raw document by the sum of its features' ratios
+   (its log importance weight ``ln ŵ``);
+4. resample via deterministic Gumbel top-k on the weights.
+
+Exactness: like :mod:`beats_spark.dataops.lm`, the ONE float step per
+distinct bucket (``ln``) is quantized to integer micro-nats before
+any cross-row aggregation, so document scores are integer sums an
+external SQL engine reproduces bit-for-bit. The Gumbel noise is a
+pure function of the document key (md5 bucket → uniform → Gumbel,
+also micro-quantized), so the selected set is engine- and
+partitioning-independent.
+
+Scale: the feature space is ``buckets`` rows no matter the corpus
+size, so the fitted model is always broadcast-able; scoring is one
+explode + broadcast join + map-side partial sum (documents never
+shuffle whole); selection is ``orderBy().limit(k)`` which Spark
+executes as per-partition top-k merged on the driver
+(TakeOrderedAndProject) — k rows cross the wire, not the corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import tokens, _spread
+from .splits import split_bucket
+
+__all__ = ["hashed_ngram_buckets", "dsir_model", "dsir_score",
+           "dsir_resample"]
+
+#: Gumbel-uniform granularity: a power of two so (b + 0.5) / G is an
+#: exact double and both engines feed ln() the identical input.
+_GUMBEL_G = 1 << 20
+
+
+def hashed_ngram_buckets(text: Column, buckets: int = 10_000) -> Column:
+    """Array of hashed-n-gram feature ids (unigrams + bigrams, md5
+    60-bit bucket in ``[0, buckets)``) for one document. Bigrams are
+    space-joined before hashing; tokens cannot contain whitespace, so
+    the two families never collide in string space."""
+    toks = tokens(text)
+    bis = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat(
+                        F.element_at(toks, i), F.lit(" "),
+                        F.element_at(toks, (i + 1).cast("int"))))
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(F.concat(toks, bis),
+                       lambda g: split_bucket(g, buckets))
+
+
+def _bucket_counts(df: DataFrame, text_col: str,
+                   buckets: int) -> DataFrame:
+    return (_spread(df)
+            .select(F.explode(hashed_ngram_buckets(F.col(text_col),
+                                                   buckets))
+                    .alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("c")))
+
+
+def dsir_model(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    buckets: int = 10_000,
+) -> Tuple[DataFrame, DataFrame]:
+    """Fit the importance-ratio table: returns ``(ratios, default)``.
+
+    ``ratios`` is ``(bucket, lr_micro)`` for every bucket observed in
+    EITHER corpus — at most ``buckets`` rows, so always broadcast-able
+    regardless of corpus size. ``default`` is the one-row frame
+    ``(lr0_micro)`` holding the ratio of a bucket unseen in both
+    (the pure-smoothing limit) so scoring new batches is total.
+
+    ``lr_micro = round(ln((c_t+1)(T_r+B) / ((c_r+1)(T_t+B))) · 1e6)``
+    with Laplace(+1) smoothing over ``B = buckets`` — counts enter the
+    float domain as exact doubles and multiply BEFORE dividing, in
+    this fixed order, so an external engine writing the same
+    expression reproduces every ratio bit-for-bit.
+    """
+    rc = _bucket_counts(raw, text_col, buckets)
+    tc = _bucket_counts(target, text_col, buckets)
+    # one-pass union aggregate instead of a full-outer join: the
+    # combined table is <= buckets rows either way, but this shape is
+    # a single hash agg (no sort, no join)
+    both = (rc.select("bucket", F.col("c").alias("c_r"),
+                      F.lit(0).cast("bigint").alias("c_t"))
+            .unionByName(tc.select(
+                "bucket", F.lit(0).cast("bigint").alias("c_r"),
+                F.col("c").alias("c_t"))))
+    counts = (both.groupBy("bucket")
+              .agg(F.sum("c_r").alias("c_r"),
+                   F.sum("c_t").alias("c_t")))
+    totals = counts.agg(
+        (F.sum("c_r") + float(buckets)).cast("double").alias("trb"),
+        (F.sum("c_t") + float(buckets)).cast("double").alias("ttb"))
+    lr = F.log(
+        ((F.col("c_t").cast("double") + 1.0) * F.col("trb"))
+        / ((F.col("c_r").cast("double") + 1.0) * F.col("ttb")))
+    ratios = (counts.join(F.broadcast(totals))
+              .select("bucket",
+                      F.round(lr * 1_000_000.0).cast("bigint")
+                       .alias("lr_micro")))
+    default = totals.select(
+        F.round(F.log(F.col("trb") / F.col("ttb")) * 1_000_000.0)
+         .cast("bigint").alias("lr0_micro"))
+    return ratios, default
+
+
+def dsir_score(
+    df: DataFrame,
+    model: Tuple[DataFrame, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Log importance weight per document: ``(id_col, n_feats,
+    lr_micro)`` where ``lr_micro`` is the bigint sum of the document's
+    feature ratios in micro-nats (higher = more target-like).
+    ``buckets`` must match the model's. Empty documents score 0 over
+    0 features (no evidence either way).
+
+    Scale shape: the ratio table collapses to a single broadcast MAP
+    column (it is <= ``buckets`` entries by construction), and each
+    document folds its feature array through the map with
+    ``F.aggregate`` — entirely map-side JVM codegen. Documents never
+    explode, never shuffle, and the only exchange in a scoring run is
+    whatever the caller does downstream."""
+    ratios, default = model
+    ratio_map = ratios.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "lr_micro")))
+        .alias("__rm"))
+    arr = hashed_ngram_buckets(F.col(text_col), buckets)
+    folded = (_spread(df)
+              .join(F.broadcast(ratio_map))
+              .join(F.broadcast(default))
+              .select(
+                  F.col(id_col),
+                  F.size(arr).cast("bigint").alias("n_feats"),
+                  F.aggregate(
+                      arr, F.lit(0).cast("bigint"),
+                      lambda acc, b: acc + F.coalesce(
+                          F.element_at(F.col("__rm"), b),
+                          F.col("lr0_micro")))
+                  .alias("lr_micro")))
+    return folded
+
+
+def gumbel_micro(key: Column, seed: str = "") -> Column:
+    """Deterministic standard-Gumbel noise in micro-nats: md5 bucket
+    of the seeded key → uniform ``(b + 0.5) / 2^20`` (never 0 or 1,
+    exactly representable) → ``-ln(-ln(u))``, rounded to bigint."""
+    b = split_bucket(F.concat(key.cast("string"), F.lit("#g"),
+                              F.lit(seed)), _GUMBEL_G)
+    u = (b.cast("double") + 0.5) / float(_GUMBEL_G)
+    return (F.round(-F.log(-F.log(u)) * 1_000_000.0).cast("bigint"))
+
+
+def dsir_resample(
+    df: DataFrame,
+    target: Optional[DataFrame] = None,
+    k: int = 1000,
+    model: Optional[Tuple[DataFrame, DataFrame]] = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10_000,
+    seed: str = "",
+) -> DataFrame:
+    """Select ``k`` documents from ``df`` by Gumbel top-k over the
+    DSIR log importance weights — the paper's sampling-without-
+    replacement: ``argtop_k(ln ŵ_i + g_i)`` with i.i.d. Gumbel
+    ``g_i``, here a pure hash of the document key so the draw is
+    reproducible across engines and partitionings.
+
+    Pass ``target`` (the trusted corpus; raw = ``df``) or a pre-fit
+    ``model`` from :func:`dsir_model`. Returns ``(id_col, n_feats,
+    lr_micro, total_micro)`` for the selected set. Deterministic ties
+    (same total) break by ``id_col`` ascending."""
+    if (target is None) == (model is None):
+        raise ValueError("dsir_resample: pass exactly one of "
+                         "target / model")
+    if model is None:
+        model = dsir_model(df, target, text_col=text_col,
+                           buckets=buckets)
+    scored = dsir_score(df, model, id_col=id_col, text_col=text_col,
+                        buckets=buckets)
+    out = scored.withColumn(
+        "total_micro",
+        (F.col("lr_micro") + gumbel_micro(F.col(id_col), seed))
+        .cast("bigint"))
+    return (out.orderBy(F.col("total_micro").desc(),
+                        F.col(id_col).asc())
+            .limit(k))

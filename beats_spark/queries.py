@@ -3195,3 +3195,87 @@ def ccnet_buckets(spark, sf_dir):
                            by="lang",
                            labels=("head", "middle", "tail"))
     return out.select("doc_id", "lang", "bucket")
+
+
+_DSIR_CTES = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+feats AS (
+  SELECT doc_id, lang,
+         list_concat(t, CASE WHEN len(t) >= 2
+             THEN list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i+1])
+             ELSE [] END) AS gs
+  FROM toks),
+occ AS (
+  SELECT doc_id, lang,
+         CAST(CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 10000
+              AS INT) AS bucket
+  FROM feats, unnest(gs) AS u(g)),
+rc AS (SELECT bucket, count(*) AS c_r FROM occ GROUP BY bucket),
+tc AS (SELECT bucket, count(*) AS c_t FROM occ WHERE lang = 'en'
+       GROUP BY bucket),
+tots AS (SELECT (SELECT CAST(sum(c_r) + 10000 AS DOUBLE) FROM rc) AS trb,
+                (SELECT CAST(sum(c_t) + 10000 AS DOUBLE) FROM tc) AS ttb),
+ratios AS (
+  SELECT COALESCE(rc.bucket, tc.bucket) AS bucket,
+         CAST(round(ln(((COALESCE(c_t, 0) + 1.0) * trb)
+                       / ((COALESCE(c_r, 0) + 1.0) * ttb))
+                    * 1000000.0) AS BIGINT) AS lr_micro
+  FROM rc FULL OUTER JOIN tc ON rc.bucket = tc.bucket, tots),
+scored AS (
+  SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum(r.lr_micro) AS BIGINT) AS lr_micro
+  FROM occ o JOIN ratios r USING (bucket) GROUP BY o.doc_id),
+filled AS (
+  SELECT b.doc_id, COALESCE(n_feats, 0) AS n_feats,
+         COALESCE(s.lr_micro, 0) AS lr_micro
+  FROM (SELECT DISTINCT doc_id FROM documents) b
+  LEFT JOIN scored s USING (doc_id))
+"""
+
+
+@query("dsir_weights", oracle=_DSIR_CTES + """
+SELECT doc_id, n_feats, lr_micro FROM filled
+""")
+def dsir_weights(spark, sf_dir):
+    """DSIR log importance weights (Xie et al. 2023,
+    :mod:`beats_spark.dataops.dsir`): hashed unigram+bigram features
+    (md5 60-bit, 10k buckets), target = English documents, raw = the
+    whole corpus; per-doc weight = integer micro-nat sum of its
+    features' smoothed target/raw log ratios. The fitted ratio table
+    is at most 10k rows regardless of corpus size, so the scoring
+    join is always a broadcast; documents never shuffle whole."""
+    from .dataops import dsir_model, dsir_score
+    docs = _t(spark, sf_dir, "documents")
+    model = dsir_model(docs, docs.filter(F.col("lang") == "en"))
+    return dsir_score(docs, model)
+
+
+@query("dsir_select", oracle=_DSIR_CTES + """,
+gn AS (
+  SELECT *, CAST(round(-ln(-ln(
+           (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                || '#g'), 1, 15) AS BIGINT) % 1048576 AS DOUBLE) + 0.5)
+           / 1048576.0)) * 1000000.0) AS BIGINT) AS gm
+  FROM filled)
+SELECT doc_id, n_feats, lr_micro,
+       CAST(lr_micro + gm AS BIGINT) AS total_micro
+FROM gn ORDER BY total_micro DESC, doc_id ASC LIMIT 100
+""")
+def dsir_select(spark, sf_dir):
+    """DSIR importance RESAMPLING: Gumbel top-k (k=100) over the
+    log weights, the paper's sampling-without-replacement. The Gumbel
+    draw is a pure md5 hash of the doc key (uniform -> -ln(-ln u),
+    micro-quantized), so the selected set is identical across
+    engines, partitionings and reruns; Spark executes the top-k as
+    TakeOrderedAndProject (per-partition heads merged on the driver
+    -- k rows cross the wire, not the corpus)."""
+    from .dataops import dsir_resample
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_resample(docs,
+                         target=docs.filter(F.col("lang") == "en"),
+                         k=100)
