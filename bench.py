@@ -59,7 +59,7 @@ BENCH_QUERIES = [
     "deterministic_sample", "dedup_span_removal", "c4_clean",
     "mixture_sample", "dedup_incremental", "html_extract",
     "kmeans_assign", "lm_quality_score", "unicode_clean",
-    "ccnet_buckets",
+    "ccnet_buckets", "dsir_select",
     "flagship_routed_counts", "flagship_messages",
 ]
 
