@@ -23,11 +23,13 @@ also micro-quantized), so the selected set is engine- and
 partitioning-independent.
 
 Scale: the feature space is ``buckets`` rows no matter the corpus
-size, so the fitted model is always broadcast-able; scoring is one
-explode + broadcast join + map-side partial sum (documents never
-shuffle whole); selection is ``orderBy().limit(k)`` which Spark
-executes as per-partition top-k merged on the driver
-(TakeOrderedAndProject) — k rows cross the wire, not the corpus.
+size, so the fitted model always collapses to one broadcast MAP
+column; scoring folds each document's feature array through the map
+entirely map-side (no explode, no shuffle — works unchanged on a
+streaming frame with a frozen model); selection is
+``orderBy().limit(k)`` which Spark executes as per-partition top-k
+merged on the driver (TakeOrderedAndProject) — k rows cross the
+wire, not the corpus.
 """
 
 from __future__ import annotations
@@ -129,6 +131,7 @@ def dsir_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     buckets: int = 10_000,
+    spread: bool = True,
 ) -> DataFrame:
     """Log importance weight per document: ``(id_col, n_feats,
     lr_micro)`` where ``lr_micro`` is the bigint sum of the document's
@@ -141,14 +144,20 @@ def dsir_score(
     document folds its feature array through the map with
     ``F.aggregate`` — entirely map-side JVM codegen. Documents never
     explode, never shuffle, and the only exchange in a scoring run is
-    whatever the caller does downstream."""
+    whatever the caller does downstream.
+
+    Because scoring with a frozen model is stateless and map-side, it
+    applies unchanged to a STREAMING frame (score documents as they
+    are crawled); pass ``spread=False`` there — the batch-side
+    input-re-spread is meaningless on a stream."""
     ratios, default = model
     ratio_map = ratios.agg(
         F.map_from_entries(
             F.collect_list(F.struct("bucket", "lr_micro")))
         .alias("__rm"))
     arr = hashed_ngram_buckets(F.col(text_col), buckets)
-    folded = (_spread(df)
+    src = _spread(df) if spread else df
+    folded = (src
               .join(F.broadcast(ratio_map))
               .join(F.broadcast(default))
               .select(

@@ -115,3 +115,27 @@ def test_plan_broadcast_and_topk(spark, corpora):
     assert "Generate explode" not in splan
     assert "Exchange hashpartitioning" not in splan
     assert "SortMergeJoin" not in splan
+
+
+def test_streaming_scoring_matches_batch(spark, corpora, tmp_path):
+    """A frozen model scores a STREAMING frame identically to batch —
+    the scoring path is stateless map-side, so it drops into a
+    crawl-time pipeline unchanged."""
+    raw, target = corpora
+    model = dsir_model(raw, target)
+    frozen = (model[0].localCheckpoint(), model[1].localCheckpoint())
+    src = str(tmp_path / "docs")
+    raw.write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema("doc_id bigint, text string")
+              .parquet(src))
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (dsir_score(stream, frozen, spread=False)
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r["doc_id"]: (r["n_feats"], r["lr_micro"])
+           for r in spark.read.parquet(out_dir).collect()}
+    want = {r["doc_id"]: (r["n_feats"], r["lr_micro"])
+            for r in dsir_score(raw, frozen).collect()}
+    assert got == want
