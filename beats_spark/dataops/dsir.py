@@ -53,8 +53,10 @@ def hashed_ngram_buckets(text: Column, buckets: int = 10_000) -> Column:
     """Array of hashed-n-gram feature ids (unigrams + bigrams, md5
     60-bit bucket in ``[0, buckets)``) for one document. Bigrams are
     space-joined before hashing; tokens cannot contain whitespace, so
-    the two families never collide in string space."""
-    toks = tokens(text)
+    the two families never collide in string space. Total: NULL text
+    maps to the empty feature array (zero evidence), not NULL — so
+    downstream folds score it 0 instead of poisoning the column."""
+    toks = F.coalesce(tokens(text), F.array().cast("array<string>"))
     bis = F.when(
         F.size(toks) >= 2,
         F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
@@ -66,9 +68,9 @@ def hashed_ngram_buckets(text: Column, buckets: int = 10_000) -> Column:
                        lambda g: split_bucket(g, buckets))
 
 
-def _bucket_counts(df: DataFrame, text_col: str,
-                   buckets: int) -> DataFrame:
-    return (_spread(df)
+def _bucket_counts(df: DataFrame, text_col: str, buckets: int,
+                   spread: bool = True) -> DataFrame:
+    return ((_spread(df) if spread else df)
             .select(F.explode(hashed_ngram_buckets(F.col(text_col),
                                                    buckets))
                     .alias("bucket"))
@@ -81,6 +83,7 @@ def dsir_model(
     target: DataFrame,
     text_col: str = "text",
     buckets: int = 10_000,
+    spread: bool = True,
 ) -> Tuple[DataFrame, DataFrame]:
     """Fit the importance-ratio table: returns ``(ratios, default)``.
 
@@ -95,9 +98,13 @@ def dsir_model(
     float domain as exact doubles and multiply BEFORE dividing, in
     this fixed order, so an external engine writing the same
     expression reproduces every ratio bit-for-bit.
+
+    ``spread=False`` skips the input re-spread on both corpora (for
+    callers that already spread them — e.g. the self-fit path of
+    :func:`dsir_resample`).
     """
-    rc = _bucket_counts(raw, text_col, buckets)
-    tc = _bucket_counts(target, text_col, buckets)
+    rc = _bucket_counts(raw, text_col, buckets, spread=spread)
+    tc = _bucket_counts(target, text_col, buckets, spread=spread)
     # one-pass union aggregate instead of a full-outer join: the
     # combined table is <= buckets rows either way, but this shape is
     # a single hash agg (no sort, no join)
@@ -109,9 +116,13 @@ def dsir_model(
     counts = (both.groupBy("bucket")
               .agg(F.sum("c_r").alias("c_r"),
                    F.sum("c_t").alias("c_t")))
+    # coalesce: an EMPTY corpus (or two) still yields finite
+    # pure-smoothing ratios instead of NULL-poisoning every score
     totals = counts.agg(
-        (F.sum("c_r") + float(buckets)).cast("double").alias("trb"),
-        (F.sum("c_t") + float(buckets)).cast("double").alias("ttb"))
+        (F.coalesce(F.sum("c_r"), F.lit(0)) + float(buckets))
+        .cast("double").alias("trb"),
+        (F.coalesce(F.sum("c_t"), F.lit(0)) + float(buckets))
+        .cast("double").alias("ttb"))
     lr = F.log(
         ((F.col("c_t").cast("double") + 1.0) * F.col("trb"))
         / ((F.col("c_r").cast("double") + 1.0) * F.col("ttb")))
@@ -205,11 +216,15 @@ def dsir_resample(
     if (target is None) == (model is None):
         raise ValueError("dsir_resample: pass exactly one of "
                          "target / model")
+    src = _spread(df)
     if model is None:
-        model = dsir_model(df, target, text_col=text_col,
-                           buckets=buckets)
-    scored = dsir_score(df, model, id_col=id_col, text_col=text_col,
-                        buckets=buckets)
+        # the self-fit path reuses the ONE spread frame for both the
+        # model counts and the scoring fold (cf. lm_score — a second
+        # _spread added a redundant full-text exchange)
+        model = dsir_model(src, target, text_col=text_col,
+                           buckets=buckets, spread=False)
+    scored = dsir_score(src, model, id_col=id_col, text_col=text_col,
+                        buckets=buckets, spread=False)
     out = scored.withColumn(
         "total_micro",
         (F.col("lr_micro") + gumbel_micro(F.col(id_col), seed))

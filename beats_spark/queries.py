@@ -3218,8 +3218,10 @@ occ AS (
 rc AS (SELECT bucket, count(*) AS c_r FROM occ GROUP BY bucket),
 tc AS (SELECT bucket, count(*) AS c_t FROM occ WHERE lang = 'en'
        GROUP BY bucket),
-tots AS (SELECT (SELECT CAST(sum(c_r) + 10000 AS DOUBLE) FROM rc) AS trb,
-                (SELECT CAST(sum(c_t) + 10000 AS DOUBLE) FROM tc) AS ttb),
+tots AS (SELECT (SELECT CAST(COALESCE(sum(c_r), 0) + 10000 AS DOUBLE)
+                 FROM rc) AS trb,
+                (SELECT CAST(COALESCE(sum(c_t), 0) + 10000 AS DOUBLE)
+                 FROM tc) AS ttb),
 ratios AS (
   SELECT COALESCE(rc.bucket, tc.bucket) AS bucket,
          CAST(round(ln(((COALESCE(c_t, 0) + 1.0) * trb)

@@ -92,8 +92,16 @@ def run_stream_pipeline(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # both actions (routed write + metrics agg) read this frame:
         # unpersisted, the whole parse->enrich->route plan (incl. the
-        # Python parse stage) would execute twice per micro-batch
+        # Python parse stage) would execute twice per micro-batch;
+        # unpersist in finally so a failed write doesn't pin the
+        # cached batch for the session lifetime
         batch_df.persist()
+        try:
+            _write_batch_inner(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    def _write_batch_inner(batch_df: DataFrame, batch_id: int) -> None:
         (batch_df.write.mode("overwrite")
                  .partitionBy("sink")
                  .parquet(os.path.join(out_dir, "routed",
@@ -109,7 +117,6 @@ def run_stream_pipeline(
                .coalesce(1).write.mode("overwrite")
                .parquet(os.path.join(out_dir, "metrics",
                                      f"batch={batch_id}")))
-        batch_df.unpersist()
 
     writer = (routed.writeStream
               .foreachBatch(write_batch)
@@ -155,11 +162,16 @@ def stateful_rate_limit(
 
     ``idle_timeout_ms`` bounds state growth on long-running streams:
     keys quiet for that long are evicted (processing-time timeout) and
-    recreated with a FULL bucket on next arrival. Choose it at least
-    ``burst_multiplier`` seconds (the time a drained bucket needs to
-    refill to depth) and eviction is invisible to admission decisions;
-    ``None`` (default) keeps state forever — exact, but state-store
-    size then grows with the count of distinct keys ever seen.
+    recreated with a FULL bucket (= depth) on next arrival. Because
+    accrual is UNCAPPED (like the batch ``token_bucket_filter``), a
+    key that idles longer than the TTL forfeits any tokens banked
+    ABOVE depth — an evicted key can admit at most ``depth`` on its
+    next burst where the exact run would have admitted its whole
+    bank. For keys that never bank past depth (any key that stays
+    under its rate), eviction with TTL >= ``burst_multiplier``
+    seconds is invisible. ``None`` (default) keeps state forever —
+    exact, but state-store size then grows with the count of
+    distinct keys ever seen.
     Timers keep a drain-style ``availableNow`` query alive after the
     backlog is consumed (it waits to fire them), so pair the TTL with
     a long-running trigger; leave it ``None`` for one-shot drains."""
@@ -478,6 +490,7 @@ def stream_dedup_against(
     ts_col: str = "warc_ts",
     within: str = "10 minutes",
     key=None,
+    cache_seen: bool = True,
 ) -> DataFrame:
     """Streaming form of :func:`beats_spark.dataops.dedup
     .dedup_against`: drop arriving pages whose content digest exists
@@ -492,11 +505,21 @@ def stream_dedup_against(
     corpus) this is the standard ingest/compact split: the stream is
     exact against history-at-start + horizon-bounded against itself;
     the compactor owns corpus-wide exactness.
+
+    ``cache_seen`` persists the distinct-digest side so it is not
+    re-derived from the corpus every micro-batch. The cache lives
+    until the session ends — a caller building pipelines against
+    SUCCESSIVE corpus snapshots should pass ``cache_seen=False`` and
+    manage its own persisted/checkpointed digest frame as ``seen_df``
+    (with ``key=F.col(...)``), or each call pins another orphaned
+    digest set.
     """
     k = key if key is not None else F.md5(F.col(text_col))
     seen_keys = seen_df.select(
         (key if key is not None else F.md5(F.col(text_col)))
-        .alias("__k")).distinct().persist()
+        .alias("__k")).distinct()
+    if cache_seen:
+        seen_keys = seen_keys.persist()
     out = stream.withColumn("__k", k).join(seen_keys, "__k", "left_anti")
     return (out.withWatermark(ts_col, within)
                .dropDuplicatesWithinWatermark(["__k"])

@@ -139,3 +139,43 @@ def test_streaming_scoring_matches_batch(spark, corpora, tmp_path):
     want = {r["doc_id"]: (r["n_feats"], r["lr_micro"])
             for r in dsir_score(raw, frozen).collect()}
     assert got == want
+
+
+def test_dsir_oracle_parity_null_text_empty_target(spark, tmp_path):
+    """Oracle parity on shapes absent from the shipped testdata: NULL
+    text (must score 0 over 0 features, not NULL), empty text, and a
+    shard with ZERO target-language docs (the smoothing-only model —
+    both engines must produce finite ratios, not NULL-poison)."""
+    import os
+    import duckdb
+    from beats_spark.queries import QUERIES, ORACLES
+
+    for tag, rows in {
+        "nulls": [(1, "aa bb cc", "en", "s", 8),
+                  (2, None, "en", "s", 0),
+                  (3, "", "de", "s", 0),
+                  (4, "x y z x y", None, "s", 6)],
+        "notarget": [(1, "aa bb cc", "de", "s", 8),
+                     (2, "dd ee", "fr", "s", 5),
+                     (3, None, None, "s", 0)],
+    }.items():
+        sf = str(tmp_path / tag)
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, "
+                  "source string, n_chars long") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(sf, "documents.parquet"))
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet/*.parquet')")
+        for name in ("dsir_weights", "dsir_select"):
+            df = QUERIES[name](spark, sf)
+            cols = df.columns
+            got = df.toPandas().sort_values(cols).reset_index(drop=True)
+            ora = (con.sql("SELECT * FROM (" + ORACLES[name] + ")")
+                   .df()[cols].sort_values(cols).reset_index(drop=True))
+            assert len(got) == len(ora), (tag, name)
+            assert not got.isna().any().any(), (tag, name, got)
+            assert got.equals(ora.astype(got.dtypes.to_dict())), \
+                f"{tag}/{name}\n{got}\n{ora}"
+        con.close()
