@@ -46,8 +46,8 @@ from .curate import curate, CurationResult
 from .urls import canonical_url, url_dedup, TRACKING_PARAMS
 from .spans import doc_ngrams, ngram_duplicate_stats, remove_duplicate_spans
 from .sample import (
-    cap_per_key, hash_sample, mixture_plan, mixture_sample,
-    quantile_buckets,
+    cap_per_key, corpus_shuffle, hash_sample, mixture_plan,
+    mixture_sample, quantile_buckets, token_budget_sample,
 )
 from .terms import doc_frequency, tfidf_top_terms
 from .decontam import contamination_flags, decontaminate
@@ -86,7 +86,7 @@ __all__ = [
     "canonical_url", "url_dedup", "TRACKING_PARAMS",
     "doc_ngrams", "ngram_duplicate_stats", "remove_duplicate_spans",
     "cap_per_key", "hash_sample", "mixture_plan", "mixture_sample",
-    "quantile_buckets",
+    "quantile_buckets", "token_budget_sample", "corpus_shuffle",
     "doc_frequency", "tfidf_top_terms",
     "contamination_flags", "decontaminate",
     "HTML_STRIP_STEPS", "html_to_text", "extract_text", "html_strip_sql",

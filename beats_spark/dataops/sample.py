@@ -32,8 +32,9 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .splits import split_bucket
 
-__all__ = ["cap_per_key", "hash_sample", "mixture_plan",
-           "mixture_sample", "quantile_buckets"]
+__all__ = ["cap_per_key", "corpus_shuffle", "hash_sample",
+           "mixture_plan", "mixture_sample", "quantile_buckets",
+           "token_budget_sample"]
 
 
 def cap_per_key(
@@ -251,3 +252,174 @@ def quantile_buckets(
             F.element_at(F.array(*[F.lit(x) for x in labels]),
                          F.col(bucket_col)))
     return out
+
+
+def _priority60(key_col: str, seed: str, op: str) -> Column:
+    """60-bit md5 priority of the '#'-salted key — the unreduced form
+    of :func:`~beats_spark.dataops.splits.split_bucket`'s portable
+    hex trick, so any SQL engine reproduces the same total order.
+    NULL keys fail loudly (same contract as :func:`hash_sample`)."""
+    key = F.col(key_col)
+    guard = F.assert_true(
+        key.isNotNull(),
+        F.lit(f"{op}: null {key_col} (filter or fill nulls first)"))
+    salted = F.concat(key.cast("string"), F.lit("#"), F.lit(seed))
+    h = F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+    return F.when(guard.isNull(), h)
+
+
+def _prefix_bucket(h: Column, n_buckets: int, op: str) -> Column:
+    """Coarse bucket that is a PREFIX of the 60-bit priority order
+    (top log2(n_buckets) bits), so sorting by bucket then priority
+    equals sorting by priority alone. Power-of-two bucket counts keep
+    the reduction an exact bit shift — no double rounding near
+    boundaries."""
+    if n_buckets < 2 or n_buckets & (n_buckets - 1):
+        raise ValueError(f"{op}: n_buckets must be a power of two "
+                         f">= 2, got {n_buckets}")
+    return F.shiftright(h, 60 - n_buckets.bit_length() + 1)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    budget: int,
+    seed: str = "",
+    n_buckets: int = 4096,
+    keep_cum: bool = False,
+) -> DataFrame:
+    """Deterministic token-budget selection: order the corpus by the
+    60-bit md5 priority of ``key_col`` (a reproducible pseudo-random
+    permutation — the corpus-assembly step that draws "the first B
+    tokens" of a shuffled corpus) and keep exactly the prefix whose
+    running ``tokens_col`` total stays ``<= budget``. Equivalent to
+    the single global window
+
+        sum(tokens) OVER (ORDER BY h, key) <= budget
+
+    but executed without a one-partition global sort:
+
+    1. map-side: priority ``h`` + its top-bits bucket (zero shuffle);
+    2. one aggregation: per-bucket token sums (``n_buckets`` rows);
+    3. a driver-free cumulative sum over that tiny frame finds each
+       bucket's exclusive prior total;
+    4. buckets whose ``prior + sum <= budget`` pass whole — no
+       per-row window; at most ONE boundary bucket (~1/n_buckets of
+       the data) pays a within-bucket running sum to cut at the exact
+       row.
+
+    Rows at the same cumulative total as the budget are kept
+    (``<=``), so zero-token rows immediately after the cut survive —
+    exactly what the global-window definition says. ``tokens_col``
+    must be non-negative and non-null (asserted at scan time: a NULL
+    would silently poison the running sum); keys must be unique for
+    the tie-break order ``(h, key)`` to be total. Determinism is
+    engine-portable: the same md5 order reproduces in DuckDB/Trino,
+    and re-running on a superset corpus keeps every previously
+    selected doc whose priority still clears the cut.
+
+    ``keep_cum=True`` retains the running total as ``cum_tokens``
+    (boundary rows get the exact prefix sum; whole-kept buckets get
+    NULL — computing it for them would reintroduce the per-row
+    window this function exists to avoid).
+
+    Reference analogue: Beats has no corpus sampler; this serves the
+    training-mix "token budget per source" loop (mixture weights ×
+    budgets), composing with :func:`mixture_sample` upstream.
+    """
+    if budget < 0:
+        raise ValueError(f"token_budget_sample: budget must be >= 0, "
+                         f"got {budget}")
+    op = "token_budget_sample"
+    toks = F.col(tokens_col)
+    tguard = F.assert_true(
+        toks.isNotNull() & (toks >= 0),
+        F.lit(f"{op}: {tokens_col} must be non-null and >= 0"))
+    h = _priority60(key_col, seed, op)
+    base = (df.withColumn("__h", h)
+              .withColumn("__t", F.when(tguard.isNull(),
+                                        toks.cast("long")))
+              .withColumn("__b", _prefix_bucket(F.col("__h"),
+                                                n_buckets, op)))
+    # tiny frame: <= n_buckets rows; the unpartitioned window is safe
+    wcum = (Window.orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    plan = (base.groupBy("__b").agg(F.sum("__t").alias("__bt"))
+            .withColumn("__prior",
+                        F.coalesce(F.sum("__bt").over(wcum),
+                                   F.lit(0).cast("long"))))
+    joined = base.join(F.broadcast(plan), "__b")
+    lb = F.lit(int(budget)).cast("long")
+    full = joined.filter(F.col("__prior") + F.col("__bt") <= lb)
+    if keep_cum:
+        full = full.withColumn("cum_tokens",
+                               F.lit(None).cast("long"))
+    boundary = joined.filter(
+        (F.col("__prior") <= lb)
+        & (F.col("__prior") + F.col("__bt") > lb))
+    wb = (Window.partitionBy("__b")
+          .orderBy(F.col("__h"), F.col(key_col))
+          .rowsBetween(Window.unboundedPreceding, 0))
+    boundary = (boundary
+                .withColumn("cum_tokens",
+                            F.col("__prior") + F.sum("__t").over(wb))
+                .filter(F.col("cum_tokens") <= lb))
+    if not keep_cum:
+        boundary = boundary.drop("cum_tokens")
+    out = full.unionByName(boundary)
+    return out.drop("__h", "__t", "__b", "__bt", "__prior")
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    key_col: str,
+    seed: str = "",
+    pos_col: str = "shuffle_pos",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Deterministic global shuffle order for training: assign each
+    row its 1-based position in the md5-priority permutation of
+    ``key_col`` — ``row_number() OVER (ORDER BY h, key)`` — without
+    the single-partition global sort that window would cost.
+
+    Distributed rank in three steps: map-side priority + top-bits
+    bucket; one count-per-bucket aggregation (``n_buckets`` rows)
+    whose exclusive cumulative sum gives each bucket's rank offset;
+    then a per-bucket ``row_number`` window (``n_buckets`` parallel
+    groups, each ~1/n_buckets of the data) plus the broadcast offset.
+    Because the bucket is the priority's own top bits, bucket-major
+    order IS priority order, so positions form the exact permutation
+    1..n.
+
+    The order is a pure function of (key, seed): stable under
+    repartitioning and engine changes (md5 trick), different seeds
+    give independent permutations, and epoch-N training order is just
+    ``seed=f"epoch{n}"`` — no reshuffle materialization. Keys must be
+    unique for positions to be (the ``(h, key)`` tie-break is total
+    then); NULL keys fail loudly.
+
+    Writers wanting physical order: ``repartitionByRange(pos_col)``
+    + ``sortWithinPartitions(pos_col)`` before the sink gives
+    sequential readers the shuffled order with only a range shuffle.
+    """
+    op = "corpus_shuffle"
+    h = _priority60(key_col, seed, op)
+    base = (df.withColumn("__h", h)
+              .withColumn("__b", _prefix_bucket(F.col("__h"),
+                                                n_buckets, op)))
+    wcum = (Window.orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (base.groupBy("__b")
+               .agg(F.count(F.lit(1)).alias("__n"))
+               .withColumn("__off",
+                           F.coalesce(F.sum("__n").over(wcum),
+                                      F.lit(0).cast("long")))
+               .select("__b", "__off"))
+    wb = Window.partitionBy("__b").orderBy(F.col("__h"),
+                                           F.col(key_col))
+    return (base.join(F.broadcast(offsets), "__b")
+            .withColumn(pos_col,
+                        F.col("__off")
+                        + F.row_number().over(wb).cast("long"))
+            .drop("__h", "__b", "__off"))

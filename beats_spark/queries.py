@@ -3281,3 +3281,55 @@ def dsir_select(spark, sf_dir):
     return dsir_resample(docs,
                          target=docs.filter(F.col("lang") == "en"),
                          k=100)
+
+
+@query("token_budget", oracle="""
+WITH h AS (
+  SELECT doc_id, lang, n_chars,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#tb'),
+              1, 15) AS BIGINT) AS hh
+  FROM documents),
+c AS (
+  SELECT doc_id, lang, n_chars,
+         sum(n_chars) OVER (ORDER BY hh, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM h)
+SELECT doc_id, lang, n_chars FROM c WHERE cum <= 60000
+""")
+def token_budget_q(spark, sf_dir):
+    """Token-budget corpus prefix: keep exactly the docs whose
+    running token total in the md5-shuffled order stays <= 60k —
+    "the first B tokens of a shuffled corpus", the training-mix
+    budget step. Spark executes it bucketed (per-bucket sums + one
+    boundary window over ~1/n_buckets of the data), the oracle IS
+    the defining global window (dataops/sample.py)."""
+    from .dataops import token_budget_sample
+    docs = _t(spark, sf_dir, "documents")
+    out = token_budget_sample(
+        docs.select("doc_id", "lang", "n_chars"),
+        "doc_id", "n_chars", 60_000, seed="tb", n_buckets=64)
+    return out.select("doc_id", "lang", "n_chars")
+
+
+@query("corpus_shuffle", oracle="""
+WITH h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ep0'),
+              1, 15) AS BIGINT) AS hh
+  FROM documents)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY hh, doc_id) AS BIGINT)
+           AS shuffle_pos
+FROM h
+""")
+def corpus_shuffle_q(spark, sf_dir):
+    """Deterministic epoch shuffle: every doc's 1-based position in
+    the md5-priority permutation, computed as a distributed rank
+    (bucket count cumsum -> broadcast offsets + per-bucket
+    row_number; no single-partition global sort). Seed = epoch name;
+    the oracle is the defining single window (dataops/sample.py)."""
+    from .dataops import corpus_shuffle
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_shuffle(docs.select("doc_id"), "doc_id",
+                          seed="ep0", n_buckets=64) \
+        .select("doc_id", "shuffle_pos")

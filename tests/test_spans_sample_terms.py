@@ -351,3 +351,126 @@ def test_ngram_stats_string_ids(spark):
     assert out["http://a/x"].n_ngrams == 0
     assert out["http://b/y"].n_ngrams == 0
     assert out["http://c/z"].n_ngrams == 4
+
+
+# ---- token_budget_sample / corpus_shuffle -------------------------------
+
+def _budget_naive(spark, df, key_col, tokens_col, budget, seed=""):
+    """The definition: global cumsum over (h, key) order, cum <= b."""
+    from pyspark.sql import Window
+    from beats_spark.dataops.sample import _priority60
+    w = (Window.orderBy(F.col("__h"), F.col(key_col))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (df.withColumn("__h", _priority60(key_col, seed, "naive"))
+            .withColumn("__cum", F.sum(tokens_col).over(w))
+            .filter(F.col("__cum") <= budget)
+            .drop("__h", "__cum"))
+
+
+def _toy_docs(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 37 * 13 % 101).cast("long").alias("n_tok"))
+
+
+def test_token_budget_matches_global_window(spark):
+    from beats_spark.dataops import token_budget_sample
+    df = _toy_docs(spark)
+    total = df.agg(F.sum("n_tok")).first()[0]
+    for budget in (0, 1, total // 3, total // 2, total, total + 10):
+        got = sorted(r.doc_id for r in token_budget_sample(
+            df, "doc_id", "n_tok", budget, n_buckets=8).collect())
+        want = sorted(r.doc_id for r in _budget_naive(
+            spark, df, "doc_id", "n_tok", budget).collect())
+        assert got == want, f"budget={budget}"
+    # budget >= total keeps everything
+    assert len(got) == df.count()
+
+
+def test_token_budget_exact_boundary_and_zero_tokens(spark):
+    from beats_spark.dataops import token_budget_sample
+    from beats_spark.dataops.sample import _priority60
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([5, 0, 7, 0, 3, 9, 0, 2])],
+        ["doc_id", "n_tok"])
+    ordered = (df.withColumn("__h", _priority60("doc_id", "", "t"))
+               .orderBy("__h", "doc_id").collect())
+    # budget lands exactly on the cumsum after the 3rd doc in h-order
+    cum = 0
+    for k, r in enumerate(ordered):
+        cum += r.n_tok
+        if k == 2:
+            budget = cum
+            break
+    kept = {r.doc_id for r in token_budget_sample(
+        df, "doc_id", "n_tok", budget, n_buckets=4).collect()}
+    # prefix through doc 3 plus any zero-token docs at the same cum
+    cum2, want = 0, set()
+    for r in ordered:
+        cum2 += r.n_tok
+        if cum2 <= budget:
+            want.add(r.doc_id)
+    assert kept == want and ordered[0].doc_id in kept
+
+
+def test_token_budget_partition_invariance_and_cum(spark):
+    from beats_spark.dataops import token_budget_sample
+    df = _toy_docs(spark, 300)
+    a = token_budget_sample(df, "doc_id", "n_tok", 2000,
+                            seed="s1", n_buckets=16)
+    b = token_budget_sample(df.repartition(13), "doc_id", "n_tok",
+                            2000, seed="s1", n_buckets=16)
+    assert sorted(r.doc_id for r in a.collect()) \
+        == sorted(r.doc_id for r in b.collect())
+    # keep_cum: any boundary rows carry exact prefix totals <= budget,
+    # and the selected total never exceeds the budget
+    c = token_budget_sample(df, "doc_id", "n_tok", 2000,
+                            seed="s1", n_buckets=16, keep_cum=True)
+    rows = c.collect()
+    assert all(r.cum_tokens <= 2000 for r in rows
+               if r.cum_tokens is not None)
+    assert sum(r.n_tok for r in rows) <= 2000 < df.agg(
+        F.sum("n_tok")).first()[0]
+
+
+def test_token_budget_guards(spark):
+    from beats_spark.dataops import token_budget_sample
+    df = _toy_docs(spark, 10)
+    with pytest.raises(ValueError):
+        token_budget_sample(df, "doc_id", "n_tok", -1)
+    with pytest.raises(ValueError):
+        token_budget_sample(df, "doc_id", "n_tok", 5, n_buckets=3)
+    bad = spark.createDataFrame([(1, None)], "doc_id int, n_tok int")
+    with pytest.raises(Exception, match="non-null"):
+        token_budget_sample(bad, "doc_id", "n_tok", 5).collect()
+
+
+def test_corpus_shuffle_is_exact_permutation(spark):
+    from pyspark.sql import Window
+    from beats_spark.dataops import corpus_shuffle
+    from beats_spark.dataops.sample import _priority60
+    df = _toy_docs(spark, 257)
+    out = corpus_shuffle(df, "doc_id", seed="e0", n_buckets=8)
+    rows = out.collect()
+    assert sorted(r.shuffle_pos for r in rows) == list(range(1, 258))
+    # matches the single-window definition exactly
+    w = Window.orderBy(F.col("__h"), F.col("doc_id"))
+    want = {(r.doc_id, r.pos) for r in
+            df.withColumn("__h", _priority60("doc_id", "e0", "t"))
+              .withColumn("pos", F.row_number().over(w))
+              .collect()}
+    assert {(r.doc_id, r.shuffle_pos) for r in rows} == want
+
+
+def test_corpus_shuffle_seed_and_stability(spark):
+    from beats_spark.dataops import corpus_shuffle
+    df = _toy_docs(spark, 100)
+    a = {(r.doc_id, r.shuffle_pos) for r in
+         corpus_shuffle(df, "doc_id", seed="e1").collect()}
+    b = {(r.doc_id, r.shuffle_pos) for r in
+         corpus_shuffle(df.repartition(7), "doc_id",
+                        seed="e1").collect()}
+    c = {(r.doc_id, r.shuffle_pos) for r in
+         corpus_shuffle(df, "doc_id", seed="e2").collect()}
+    assert a == b          # partition-invariant
+    assert a != c          # epochs draw different permutations
