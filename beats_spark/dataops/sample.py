@@ -22,6 +22,12 @@ keys:
   groups together (the same leakage-control trick as hash_split).
   A ``seed`` string folds into the hashed key so independent samples
   draw from independent bucketings.
+- :func:`token_budget_sample` / :func:`corpus_shuffle` — the
+  corpus-ORDER pair: both treat md5(key) as a reproducible global
+  shuffle order and decompose the defining single global window
+  (prefix-sum cut / row_number rank) into per-bucket work via the
+  priority's own top bits, so no corpus-sized data ever passes
+  through a one-partition sort.
 """
 
 from __future__ import annotations
@@ -284,10 +290,11 @@ def token_budget_sample(
     df: DataFrame,
     key_col: str,
     tokens_col: str,
-    budget: int,
+    budget,
     seed: str = "",
     n_buckets: int = 4096,
     keep_cum: bool = False,
+    by: Optional[str] = None,
 ) -> DataFrame:
     """Deterministic token-budget selection: order the corpus by the
     60-bit md5 priority of ``key_col`` (a reproducible pseudo-random
@@ -324,14 +331,33 @@ def token_budget_sample(
     NULL — computing it for them would reintroduce the per-row
     window this function exists to avoid).
 
+    Per-group budgets — the training-mix "B_g tokens from source g"
+    loop — via ``by`` (a group column) with ``budget`` either one int
+    for every group or a mapping ``{group: budget}``; groups absent
+    from the mapping are DROPPED (share 0, same contract as
+    :func:`mixture_plan` weights), and each group gets its own
+    independent priority-ordered prefix (PARTITION BY group in the
+    defining window). The plan frame grows to groups × n_buckets rows
+    and there is one boundary bucket PER GROUP; with a mapping the
+    group count is small by construction, with a constant budget keep
+    ``by`` low-cardinality (per-language / per-source, not per-URL).
+    NULL groups fail loudly like NULL keys.
+
     Reference analogue: Beats has no corpus sampler; this serves the
     training-mix "token budget per source" loop (mixture weights ×
     budgets), composing with :func:`mixture_sample` upstream.
     """
-    if budget < 0:
-        raise ValueError(f"token_budget_sample: budget must be >= 0, "
-                         f"got {budget}")
     op = "token_budget_sample"
+    from collections.abc import Mapping as _Mapping
+    if isinstance(budget, _Mapping):
+        if by is None:
+            raise ValueError(f"{op}: a budget mapping requires by=")
+        if not budget or any(int(v) < 0 for v in budget.values()):
+            raise ValueError(f"{op}: budget mapping must be non-empty "
+                             "with values >= 0")
+    elif budget < 0:
+        raise ValueError(f"{op}: budget must be >= 0, got {budget}")
+    grp = [by] if by is not None else []
     toks = F.col(tokens_col)
     tguard = F.assert_true(
         toks.isNotNull() & (toks >= 0),
@@ -342,15 +368,34 @@ def token_budget_sample(
                                         toks.cast("long")))
               .withColumn("__b", _prefix_bucket(F.col("__h"),
                                                 n_buckets, op)))
-    # tiny frame: <= n_buckets rows; the unpartitioned window is safe
-    wcum = (Window.orderBy("__b")
+    if by is not None:
+        gguard = F.assert_true(
+            F.col(by).isNotNull(),
+            F.lit(f"{op}: null {by} (filter or fill nulls first)"))
+        base = base.withColumn(by, F.when(gguard.isNull(), F.col(by)))
+    # tiny frame: <= groups × n_buckets rows; the window partitions
+    # by group (unpartitioned only in the global, no-by case)
+    wcum = (Window.partitionBy(*grp).orderBy("__b")
             .rowsBetween(Window.unboundedPreceding, -1))
-    plan = (base.groupBy("__b").agg(F.sum("__t").alias("__bt"))
+    plan = (base.groupBy(*grp, "__b").agg(F.sum("__t").alias("__bt"))
             .withColumn("__prior",
                         F.coalesce(F.sum("__bt").over(wcum),
                                    F.lit(0).cast("long"))))
-    joined = base.join(F.broadcast(plan), "__b")
-    lb = F.lit(int(budget)).cast("long")
+    if isinstance(budget, _Mapping):
+        buddf = df.sparkSession.createDataFrame(
+            [(k, int(v)) for k, v in budget.items()],
+            [by, "__budget"])
+        buddf = buddf.select(
+            F.col(by).cast(df.schema[by].dataType).alias(by),
+            F.col("__budget").cast("long"))
+        # inner join: groups without a budget drop from the plan,
+        # and with it every one of their rows
+        plan = plan.join(F.broadcast(buddf), by)
+    else:
+        plan = plan.withColumn("__budget",
+                               F.lit(int(budget)).cast("long"))
+    joined = base.join(F.broadcast(plan), grp + ["__b"])
+    lb = F.col("__budget")
     full = joined.filter(F.col("__prior") + F.col("__bt") <= lb)
     if keep_cum:
         full = full.withColumn("cum_tokens",
@@ -358,7 +403,7 @@ def token_budget_sample(
     boundary = joined.filter(
         (F.col("__prior") <= lb)
         & (F.col("__prior") + F.col("__bt") > lb))
-    wb = (Window.partitionBy("__b")
+    wb = (Window.partitionBy(*grp, "__b")
           .orderBy(F.col("__h"), F.col(key_col))
           .rowsBetween(Window.unboundedPreceding, 0))
     boundary = (boundary
@@ -368,7 +413,8 @@ def token_budget_sample(
     if not keep_cum:
         boundary = boundary.drop("cum_tokens")
     out = full.unionByName(boundary)
-    return out.drop("__h", "__t", "__b", "__bt", "__prior")
+    return out.drop("__h", "__t", "__b", "__bt", "__prior",
+                    "__budget")
 
 
 def corpus_shuffle(

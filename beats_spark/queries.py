@@ -3333,3 +3333,33 @@ def corpus_shuffle_q(spark, sf_dir):
     return corpus_shuffle(docs.select("doc_id"), "doc_id",
                           seed="ep0", n_buckets=64) \
         .select("doc_id", "shuffle_pos")
+
+
+@query("token_budget_mix", oracle="""
+WITH h AS (
+  SELECT doc_id, lang, n_chars,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'),
+              1, 15) AS BIGINT) AS hh
+  FROM documents WHERE lang IN ('en', 'de')),
+c AS (
+  SELECT doc_id, lang, n_chars,
+         sum(n_chars) OVER (PARTITION BY lang ORDER BY hh, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM h)
+SELECT doc_id, lang, n_chars FROM c
+WHERE (lang = 'en' AND cum <= 20000)
+   OR (lang = 'de' AND cum <= 8000)
+""")
+def token_budget_mix_q(spark, sf_dir):
+    """Per-source token budgets ("20k en chars + 8k de chars"): each
+    group gets its own independent md5-shuffled prefix; groups
+    without a budget drop entirely. One boundary bucket per group;
+    the oracle is the defining PARTITION BY window
+    (dataops/sample.py)."""
+    from .dataops import token_budget_sample
+    docs = _t(spark, sf_dir, "documents")
+    out = token_budget_sample(
+        docs.select("doc_id", "lang", "n_chars"),
+        "doc_id", "n_chars", {"en": 20_000, "de": 8_000},
+        seed="mix", n_buckets=64, by="lang")
+    return out.select("doc_id", "lang", "n_chars")

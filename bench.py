@@ -59,7 +59,7 @@ BENCH_QUERIES = [
     "deterministic_sample", "dedup_span_removal", "c4_clean",
     "mixture_sample", "dedup_incremental", "html_extract",
     "kmeans_assign", "lm_quality_score", "unicode_clean",
-    "ccnet_buckets", "dsir_select",
+    "ccnet_buckets", "dsir_select", "token_budget", "corpus_shuffle",
     "flagship_routed_counts", "flagship_messages",
 ]
 
@@ -235,15 +235,27 @@ def run_scaling(n_execs_hi: int = 4) -> dict:
     cluster node), NOT extra threads in one shared JVM — thread
     scaling inside one JVM conflates executor scaling with shared-heap
     and shared-scheduler contention (measured curve in BENCH.md).
-    lo = 1 executor (local[4] pinned to 8 CPUs, whole input);
-    hi = 4 executors (disjoint 8-CPU sets, disjoint file splits of the
-    SAME input). Efficiency = (thr_hi / thr_lo) / 4.
+    lo = 1 executor (local[4] pinned to a dedicated CPU set, whole
+    input); hi = 4 executors (disjoint CPU sets, disjoint file splits
+    of the SAME input). Efficiency = (thr_hi / thr_lo) / 4.
+
+    SPARK_GRAFT_SCALING_CPUS_PER_EXEC (default 8) sizes each
+    executor's pinned set. 8 → the hi leg occupies all 32 CPUs and
+    saturates the single host's shared memory subsystem (which a real
+    4-node cluster would NOT share — hence the bare-kernel ceiling
+    normalization); 4 → the hi leg occupies 16 of 32 CPUs, keeping
+    aggregate occupancy inside the host's bandwidth so the figure
+    isolates ENGINE scaling from host saturation.
     """
     import glob
     pq = _materialize_pages(N_PAGES_SCALING)
     files = sorted(glob.glob(os.path.join(pq, "part-*")))
     me = os.path.abspath(__file__)
     env = dict(os.environ, PYTHONPATH=os.path.dirname(me))
+    cpe = int(os.environ.get("SPARK_GRAFT_SCALING_CPUS_PER_EXEC", "8"))
+    if cpe < 1 or cpe * n_execs_hi > (os.cpu_count() or 32):
+        raise ValueError(f"cpus_per_exec {cpe} x {n_execs_hi} "
+                         "executors exceeds the host")
 
     def run_one(cpu_set, file_split):
         p = subprocess.Popen(
@@ -265,9 +277,10 @@ def run_scaling(n_execs_hi: int = 4) -> dict:
 
     def one_round():
         # lo: one executor, all files
-        lo_s = _worker_seconds(run_one("0-7", files))
+        lo_s = _worker_seconds(run_one(f"0-{cpe - 1}", files))
         # hi: n executors, disjoint cpus + file splits, wall = slowest
-        procs = [run_one(f"{i*8}-{i*8+7}", files[i::n_execs_hi])
+        procs = [run_one(f"{i * cpe}-{i * cpe + cpe - 1}",
+                         files[i::n_execs_hi])
                  for i in range(n_execs_hi)]
         return lo_s, [_worker_seconds(p) for p in procs]
 
@@ -306,8 +319,8 @@ def run_scaling(n_execs_hi: int = 4) -> dict:
                  if l.startswith("{")][-1])["seconds"])
         return max(out_secs)
 
-    ctrl_lo = pure_round(4, lambda i: "0-7")
-    ctrl_hi = pure_round(16, lambda i: "0-31")
+    ctrl_lo = pure_round(4, lambda i: f"0-{cpe - 1}")
+    ctrl_hi = pure_round(16, lambda i: f"0-{cpe * n_execs_hi - 1}")
     ctrl_eff = (N_PAGES_SCALING / ctrl_hi) / (N_PAGES_SCALING / ctrl_lo) / 4
 
     return {
@@ -315,7 +328,7 @@ def run_scaling(n_execs_hi: int = 4) -> dict:
         "value": round(eff, 3),
         "unit": "ratio",
         "lo_executors": 1, "hi_executors": n_execs_hi,
-        "cores_per_executor": 8,
+        "cores_per_executor": cpe,
         "lo_pages_per_sec": round(thr_lo, 1),
         "hi_pages_per_sec": round(thr_hi, 1),
         "hi_per_exec_seconds": secs,
@@ -347,10 +360,12 @@ def main():
                 f"\n## scaling run ({time.strftime('%Y-%m-%d %H:%M')}, "
                 f"{res['pages']} pages, sf={res['sf']})\n\n"
                 f"| cluster size | pages/sec |\n|---|---|\n"
-                f"| 1 executor × 4 tasks (8 CPUs) | "
+                f"| 1 executor × 4 tasks "
+                f"({res['cores_per_executor']} CPUs) | "
                 f"{res['lo_pages_per_sec']} |\n"
                 f"| {res['hi_executors']} executors × 4 tasks "
-                f"(32 CPUs) | {res['hi_pages_per_sec']} |\n\n"
+                f"({res['cores_per_executor'] * res['hi_executors']}"
+                f" CPUs) | {res['hi_pages_per_sec']} |\n\n"
                 f"scaling efficiency (N→4N executors): **{res['value']}**"
                 f" raw; hardware ceiling at same occupancy "
                 f"(bare kernel, no Spark): "

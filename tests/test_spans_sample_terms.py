@@ -474,3 +474,54 @@ def test_corpus_shuffle_seed_and_stability(spark):
          corpus_shuffle(df, "doc_id", seed="e2").collect()}
     assert a == b          # partition-invariant
     assert a != c          # epochs draw different permutations
+
+
+def test_token_budget_per_group_matches_partitioned_window(spark):
+    from pyspark.sql import Window
+    from beats_spark.dataops import token_budget_sample
+    from beats_spark.dataops.sample import _priority60
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+                     (F.col("id") % 3 + 1).cast("int")).alias("src"),
+        (F.col("id") % 41 * 7 % 53).cast("long").alias("n_tok"))
+    budgets = {"a": 400, "b": 150}
+    got = sorted((r.src, r.doc_id) for r in token_budget_sample(
+        df, "doc_id", "n_tok", budgets, seed="g", n_buckets=8,
+        by="src").collect())
+    w = (Window.partitionBy("src")
+         .orderBy(F.col("__h"), F.col("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    naive = (df.withColumn("__h", _priority60("doc_id", "g", "t"))
+             .withColumn("__cum", F.sum("n_tok").over(w)))
+    want = sorted((r.src, r.doc_id) for r in naive.collect()
+                  if r.src in budgets and r["__cum"] <= budgets[r.src])
+    assert got == want and {s for s, _ in got} == {"a", "b"}
+
+
+def test_token_budget_group_guards(spark):
+    from beats_spark.dataops import token_budget_sample
+    df = spark.createDataFrame([(1, "a", 5)],
+                               ["doc_id", "src", "n_tok"])
+    with pytest.raises(ValueError, match="requires by="):
+        token_budget_sample(df, "doc_id", "n_tok", {"a": 5})
+    with pytest.raises(ValueError, match="non-empty"):
+        token_budget_sample(df, "doc_id", "n_tok", {}, by="src")
+    with pytest.raises(ValueError, match="non-empty"):
+        token_budget_sample(df, "doc_id", "n_tok", {"a": -1},
+                            by="src")
+    nullg = spark.createDataFrame([(1, None, 5)],
+                                  "doc_id int, src string, n_tok int")
+    with pytest.raises(Exception, match="null src"):
+        token_budget_sample(nullg, "doc_id", "n_tok", 5,
+                            by="src").collect()
+    # constant budget + by: every group cut independently at 5
+    multi = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), 3) for i in range(10)],
+        ["doc_id", "src", "n_tok"])
+    out = token_budget_sample(multi, "doc_id", "n_tok", 5,
+                              by="src").collect()
+    per = {}
+    for r in out:
+        per[r.src] = per.get(r.src, 0) + r.n_tok
+    assert set(per) == {"g0", "g1"} and all(v <= 5 for v in per.values())
