@@ -29,6 +29,7 @@ from .similarity import (
     ivf_assign,
     ivf_cosine_topk,
     kmeans_fit,
+    semdedup,
     dot,
     l2_norm,
     lsh_signature,
@@ -75,7 +76,7 @@ __all__ = [
     "minhash_lsh_pairs", "ngram_jaccard_pairs", "shingles", "simhash",
     "simhash_pairs",
     "cosine_similarity", "cosine_topk", "cosine_topk_blocked",
-    "ivf_assign", "ivf_cosine_topk", "kmeans_fit",
+    "ivf_assign", "ivf_cosine_topk", "kmeans_fit", "semdedup",
     "dot", "l2_norm", "normalize",
     "lsh_signature", "lsh_cosine_topk",
     "lang_id_stopword", "lang_id_ngram", "doc_fingerprint", "text_stats",

@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 __all__ = [
     "dot", "l2_norm", "normalize", "cosine_similarity", "cosine_topk",
     "cosine_topk_blocked", "lsh_signature", "lsh_cosine_topk",
-    "ivf_assign", "ivf_cosine_topk", "kmeans_fit",
+    "ivf_assign", "ivf_cosine_topk", "kmeans_fit", "semdedup",
 ]
 
 
@@ -184,6 +184,7 @@ def ivf_assign(
     centroid_id_col: str = "centroid_id",
     out_col: str = "__list",
     round_to: int = 6,
+    sim_col: Optional[str] = None,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine, ties →
     lowest centroid id): the inverted-file build step. TRULY map-side:
@@ -192,7 +193,12 @@ def ivf_assign(
     ``(rounded cosine, -centroid_id)`` structs — zero shuffle of the
     vector side (the first cut window-ranked an N×K expansion, which
     exchanged N×K rows per call; measured plan now shows a single
-    BroadcastNestedLoopJoin and no Exchange)."""
+    BroadcastNestedLoopJoin and no Exchange).
+
+    ``sim_col`` additionally emits the winning (rounded) cosine — the
+    distance-to-centroid signal :func:`semdedup` orders its removal
+    scan by — at zero extra cost (the argmax struct already carries
+    it)."""
     carr = centroids.agg(F.collect_list(F.struct(
         F.col(centroid_id_col).alias("cid"),
         F.col(vec_col).alias("cv"))).alias("__cents"))
@@ -202,9 +208,11 @@ def ivf_assign(
             F.round(cosine_similarity(F.col(vec_col), c["cv"]),
                     round_to).alias("s"),
             (-c["cid"]).alias("negid"))))
-    return (vectors.join(F.broadcast(carr))
-                   .withColumn(out_col, -best["negid"])
-                   .drop("__cents"))
+    out = (vectors.join(F.broadcast(carr))
+                  .withColumn(out_col, -best["negid"]))
+    if sim_col is not None:
+        out = out.withColumn(sim_col, best["s"])
+    return out.drop("__cents")
 
 
 def ivf_cosine_topk(
@@ -412,3 +420,81 @@ def kmeans_fit(
                          .alias(vec_col))
                 .localCheckpoint())
     return cent
+
+
+def semdedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "far",
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning — cluster the embeddings, and within each
+    cluster remove every vector whose cosine to an earlier-ranked
+    cluster member reaches ``threshold``.
+
+    The removal scan is the paper's triangular rule, made fully
+    declarative: rank cluster members by distance to their centroid
+    (``keep='far'`` — the paper's best setting — keeps the FARTHEST
+    member of a duplicate group, so rank ascends by centroid cosine;
+    ``keep='near'`` descends), ties broken by id, then drop member j
+    iff ANY i with rank(i) < rank(j) has ``round(cos(i,j), round_to)
+    >= threshold``. No iteration, no kept-set recursion: the rule
+    compares against all earlier members (exactly the official
+    implementation's upper-triangular max), so one ranked self-join
+    decides every row independently and the result is deterministic
+    under any partitioning.
+
+    Returns every input row as ``(id_col, centroid_id, centroid_sim,
+    kept)`` — an audit frame; filter ``kept`` to materialize the
+    pruned corpus (same audit/filter split as the C4 cleaner).
+
+    Pass ``centroids=`` a :func:`kmeans_fit` result (the paper's
+    setup) or any exemplar frame ``(centroid_id, vec_col)``.
+
+    Scale: assignment is :func:`ivf_assign` (one broadcast, zero
+    shuffle); the pairwise stage shuffles each side ONCE on
+    centroid_id and expands pairs only within a cluster, so total
+    work is Σ|cluster|² — bounded by choosing k ≈ N/target_size
+    (the paper runs k=50k on LAION-440M for ~9k-row clusters).
+    A left-semi join keeps only duplicate IDs out of the pair
+    expansion; nothing corpus-sized crosses a window.
+
+    Reference analogue: none — Beats has no embedding surface; this
+    extends the dedup family (exact → MinHash → SimHash → embedding)
+    to the semantic tier of an LLM curation funnel.
+    """
+    if keep not in ("far", "near"):
+        raise ValueError(f"semdedup: keep must be 'far' or 'near', "
+                         f"got {keep!r}")
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"semdedup: threshold must be in (0, 1], "
+                         f"got {threshold}")
+    a = ivf_assign(vectors.select(id_col, vec_col), centroids,
+                   id_col=id_col, vec_col=vec_col,
+                   out_col="centroid_id", round_to=round_to,
+                   sim_col="centroid_sim")
+    sim = F.col("centroid_sim")
+    w = (Window.partitionBy("centroid_id")
+         .orderBy(sim.asc() if keep == "far" else sim.desc(),
+                  F.col(id_col).asc()))
+    r = a.withColumn("__rk", F.row_number().over(w))
+    earlier = r.select(F.col("centroid_id").alias("__c"),
+                       F.col("__rk").alias("__rk_i"),
+                       F.col(vec_col).alias("__vi"))
+    pair_cos = F.round(
+        cosine_similarity(F.col(vec_col), F.col("__vi")), round_to)
+    dup_ids = r.join(
+        earlier,
+        (F.col("centroid_id") == F.col("__c"))
+        & (F.col("__rk_i") < F.col("__rk"))
+        & (pair_cos >= F.lit(float(threshold))),
+        "leftsemi").select(id_col)
+    return (r.drop("__rk", vec_col)
+            .join(dup_ids.withColumn("__dup", F.lit(True)),
+                  id_col, "left")
+            .withColumn("kept", F.col("__dup").isNull())
+            .drop("__dup"))

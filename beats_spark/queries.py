@@ -3363,3 +3363,47 @@ def token_budget_mix_q(spark, sf_dir):
         "doc_id", "n_chars", {"en": 20_000, "de": 8_000},
         seed="mix", n_buckets=64, by="lang")
     return out.select("doc_id", "lang", "n_chars")
+
+
+@query("semdedup", oracle="""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 4),
+s AS (SELECT v.vec_id, c.cid,
+             round(list_dot_product(v.e, c.ce)
+                   / (sqrt(list_dot_product(v.e, v.e))
+                      * sqrt(list_dot_product(c.ce, c.ce))), 6) AS sim
+      FROM v, c),
+a AS (SELECT vec_id, cid, sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cid ASC) AS rn
+      FROM s),
+r AS (SELECT vec_id, cid, sim AS centroid_sim,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY sim ASC, vec_id ASC) AS rk
+      FROM a WHERE rn = 1),
+d AS (SELECT DISTINCT j.vec_id
+      FROM r j JOIN r i ON i.cid = j.cid AND i.rk < j.rk
+      JOIN v vj ON vj.vec_id = j.vec_id
+      JOIN v vi ON vi.vec_id = i.vec_id
+      WHERE round(list_dot_product(vi.e, vj.e)
+                  / (sqrt(list_dot_product(vi.e, vi.e))
+                     * sqrt(list_dot_product(vj.e, vj.e))), 6) >= 0.3)
+SELECT r.vec_id, r.cid AS centroid_id, r.centroid_sim,
+       d.vec_id IS NULL AS kept
+FROM r LEFT JOIN d ON d.vec_id = r.vec_id
+""")
+def semdedup_q(spark, sf_dir):
+    """SemDeDup semantic pruning (Abbas et al. 2023) against four
+    exemplar centroids (same convention as kmeans_assign, so the
+    oracle reproduces the identical rounded argmax): rank each
+    cluster by centroid cosine ascending (keep='far' — the paper's
+    best setting), drop j iff any earlier-ranked i has
+    round(cos(i,j),6) >= 0.3. The oracle IS the defining triangular
+    rule (dataops/similarity.py)."""
+    from .dataops import semdedup
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    out = semdedup(emb.select("vec_id", "embedding"), cent, 0.3)
+    return out.select("vec_id", "centroid_id", "centroid_sim", "kept")

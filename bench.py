@@ -48,7 +48,8 @@ BENCH_QUERIES = [
     "rate_limit", "rate_limit_bucket", "dissect_extract",
     "grok_extract", "syslog_parse",
     "container_ndjson", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_embedding", "ann_cosine_topk",
+    "dedup_ngram_jaccard", "dedup_embedding", "semdedup",
+    "ann_cosine_topk",
     "text_quality", "token_count", "lang_id", "lang_id_fused", "salted_agg",
     "windowed_counts", "curation_pipeline",
     "container_partial", "psl_domains", "psl_domains_9k",

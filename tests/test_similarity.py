@@ -146,3 +146,82 @@ def test_ivf_topk_accepts_trained_centroids(spark, sf_dir):
                           centroids=cent)
     got = out.groupBy("query_id").count().collect()
     assert len(got) == 3 and all(r["count"] == 5 for r in got)
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<double>")
+
+
+def test_semdedup_keeps_farthest_of_dup_group(spark):
+    from beats_spark.dataops import semdedup
+    import math
+    # one centroid at (1,0); three near-identical vectors at small
+    # angles plus one orthogonal singleton. keep='far' must keep ONLY
+    # the widest-angle member of the dup trio.
+    def ang(a):
+        return (math.cos(a), math.sin(a))
+    vecs = _vec_df(spark, [
+        (10, ang(0.02)), (11, ang(0.05)), (12, ang(0.40)),
+        (13, (0.0, 1.0)),
+    ])
+    cent = _vec_df(spark, [(0, (1.0, 0.0))]).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    out = {r["vec_id"]: r["kept"]
+           for r in semdedup(vecs, cent, 0.95).collect()}
+    # cos(0.40 vs 0.02/0.05) ≈ 0.93/0.94 < 0.95 → 12 is no dup of
+    # the tight pair; 10 and 11 are mutual dups (cos ≈ 0.9996) and 11
+    # is nearer the centroid than 12? ordering: sim asc keeps the
+    # farthest first. 13 is orthogonal → kept.
+    assert out[13] is True and out[12] is True
+    assert out[10] is True or out[11] is True
+    assert not (out[10] and out[11])          # exactly one of the pair
+    # the SURVIVOR of the tight pair is the farther-from-centroid one
+    assert out[11] is True and out[10] is False
+
+
+def test_semdedup_near_keeps_closest_instead(spark):
+    from beats_spark.dataops import semdedup
+    import math
+    vecs = _vec_df(spark, [
+        (10, (math.cos(0.02), math.sin(0.02))),
+        (11, (math.cos(0.05), math.sin(0.05))),
+    ])
+    cent = _vec_df(spark, [(0, (1.0, 0.0))]).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    out = {r["vec_id"]: r["kept"]
+           for r in semdedup(vecs, cent, 0.95, keep="near").collect()}
+    assert out[10] is True and out[11] is False
+
+
+def test_semdedup_repartition_invariant_and_plan(spark, sf_dir):
+    from beats_spark.dataops import semdedup
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    cent = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    a = sorted(map(tuple, semdedup(emb, cent, 0.3).collect()))
+    b = sorted(map(tuple,
+                   semdedup(emb.repartition(13), cent, 0.3).collect()))
+    assert a == b and len(a) == emb.count()
+    plan = (semdedup(emb, cent, 0.3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan     # pair join rides the
+    # centroid_id equi-key; only the 1-row centroid broadcast is BNLJ
+
+
+def test_semdedup_validation_and_kmeans_composition(spark, sf_dir):
+    import pytest
+    from beats_spark.dataops import kmeans_fit, semdedup
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="keep"):
+        semdedup(emb, emb.limit(1), 0.5, keep="nope")
+    with pytest.raises(ValueError, match="threshold"):
+        semdedup(emb, emb.limit(1), 0.0)
+    cent = kmeans_fit(emb.filter(F.col("vec_id") < 100), k=3,
+                      max_iter=2)
+    out = semdedup(emb.filter(F.col("vec_id") < 100), cent, 0.3)
+    rows = out.collect()
+    assert len(rows) == 100
+    assert {r["centroid_id"] for r in rows} <= {0, 1, 2}
+    assert any(r["kept"] for r in rows)
