@@ -36,7 +36,6 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from .splits import split_bucket
 
 __all__ = ["cap_per_key", "corpus_shuffle", "hash_sample",
            "mixture_plan", "mixture_sample", "quantile_buckets",
@@ -76,12 +75,7 @@ def _guarded_bucket(key_col: str, seed: str, granularity: int,
     """The shared deterministic-sampling predicate input: md5 bucket
     of the '#'-salted key, failing the job loudly on a NULL key (a
     null would otherwise silently vanish from every sample)."""
-    key = F.col(key_col)
-    guard = F.assert_true(
-        key.isNotNull(),
-        F.lit(f"{op}: null {key_col} (filter or fill nulls first)"))
-    salted = F.concat(key.cast("string"), F.lit("#"), F.lit(seed))
-    return F.when(guard.isNull(), split_bucket(salted, granularity))
+    return (_priority60(key_col, seed, op) % granularity).cast("int")
 
 
 def hash_sample(
@@ -397,21 +391,26 @@ def token_budget_sample(
     joined = base.join(F.broadcast(plan), grp + ["__b"])
     lb = F.col("__budget")
     full = joined.filter(F.col("__prior") + F.col("__bt") <= lb)
-    if keep_cum:
-        full = full.withColumn("cum_tokens",
-                               F.lit(None).cast("long"))
     boundary = joined.filter(
         (F.col("__prior") <= lb)
         & (F.col("__prior") + F.col("__bt") > lb))
     wb = (Window.partitionBy(*grp, "__b")
           .orderBy(F.col("__h"), F.col(key_col))
           .rowsBetween(Window.unboundedPreceding, 0))
+    # the running total lives in an internal column so an existing
+    # user column named cum_tokens is never clobbered or union-skewed
     boundary = (boundary
-                .withColumn("cum_tokens",
+                .withColumn("__cum",
                             F.col("__prior") + F.sum("__t").over(wb))
-                .filter(F.col("cum_tokens") <= lb))
-    if not keep_cum:
-        boundary = boundary.drop("cum_tokens")
+                .filter(F.col("__cum") <= lb))
+    if keep_cum:
+        if "cum_tokens" in df.columns:
+            raise ValueError(
+                f"{op}: keep_cum=True would overwrite the existing "
+                "cum_tokens column — rename it first")
+        full = full.withColumn("cum_tokens", F.lit(None).cast("long"))
+        boundary = boundary.withColumn("cum_tokens", F.col("__cum"))
+    boundary = boundary.drop("__cum")
     out = full.unionByName(boundary)
     return out.drop("__h", "__t", "__b", "__bt", "__prior",
                     "__budget")

@@ -208,11 +208,16 @@ def ivf_assign(
             F.round(cosine_similarity(F.col(vec_col), c["cv"]),
                     round_to).alias("s"),
             (-c["cid"]).alias("negid"))))
+    # alias the argmax struct ONCE: referencing `best` from two output
+    # columns would re-inline the whole K-cosine transform per column
+    # (CollapseProject inlines multiply-referenced aliases only when
+    # cheap; a raw Column expression is substituted before that check)
     out = (vectors.join(F.broadcast(carr))
-                  .withColumn(out_col, -best["negid"]))
+                  .withColumn("__best", best)
+                  .withColumn(out_col, -F.col("__best")["negid"]))
     if sim_col is not None:
-        out = out.withColumn(sim_col, best["s"])
-    return out.drop("__cents")
+        out = out.withColumn(sim_col, F.col("__best")["s"])
+    return out.drop("__cents", "__best")
 
 
 def ivf_cosine_topk(

@@ -249,14 +249,14 @@ def run_scaling(n_execs_hi: int = 4) -> dict:
     isolates ENGINE scaling from host saturation.
     """
     import glob
-    pq = _materialize_pages(N_PAGES_SCALING)
-    files = sorted(glob.glob(os.path.join(pq, "part-*")))
-    me = os.path.abspath(__file__)
-    env = dict(os.environ, PYTHONPATH=os.path.dirname(me))
     cpe = int(os.environ.get("SPARK_GRAFT_SCALING_CPUS_PER_EXEC", "8"))
     if cpe < 1 or cpe * n_execs_hi > (os.cpu_count() or 32):
         raise ValueError(f"cpus_per_exec {cpe} x {n_execs_hi} "
                          "executors exceeds the host")
+    pq = _materialize_pages(N_PAGES_SCALING)
+    files = sorted(glob.glob(os.path.join(pq, "part-*")))
+    me = os.path.abspath(__file__)
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(me))
 
     def run_one(cpu_set, file_split):
         p = subprocess.Popen(
@@ -321,8 +321,10 @@ def run_scaling(n_execs_hi: int = 4) -> dict:
         return max(out_secs)
 
     ctrl_lo = pure_round(4, lambda i: f"0-{cpe - 1}")
-    ctrl_hi = pure_round(16, lambda i: f"0-{cpe * n_execs_hi - 1}")
-    ctrl_eff = (N_PAGES_SCALING / ctrl_hi) / (N_PAGES_SCALING / ctrl_lo) / 4
+    ctrl_hi = pure_round(4 * n_execs_hi,
+                         lambda i: f"0-{cpe * n_execs_hi - 1}")
+    ctrl_eff = ((N_PAGES_SCALING / ctrl_hi)
+                / (N_PAGES_SCALING / ctrl_lo) / n_execs_hi)
 
     return {
         "metric": "scaling_efficiency",
