@@ -50,7 +50,7 @@ from .sample import (
     cap_per_key, corpus_shuffle, hash_sample, mixture_plan,
     mixture_sample, quantile_buckets, token_budget_sample,
 )
-from .terms import doc_frequency, tfidf_top_terms
+from .terms import doc_frequency, inverted_index, tfidf_top_terms
 from .decontam import contamination_flags, decontaminate
 from .htmltext import HTML_STRIP_STEPS, extract_text, html_strip_sql, html_to_text
 from .lm import bigram_model, lm_score
@@ -64,6 +64,10 @@ from .scrub import (
     C4_TERMINAL_RE, PII_PATTERNS, c4_clean, dedup_lines, pii_counts,
     scrub, scrub_pii,
 )
+from .events import (
+    asof_join, percentile_rollup, session_rollup, sessionize,
+)
+from .graph import pagerank
 from .multimodal import (
     attach_media_meta,
     extract_image_features,
@@ -88,7 +92,9 @@ __all__ = [
     "doc_ngrams", "ngram_duplicate_stats", "remove_duplicate_spans",
     "cap_per_key", "hash_sample", "mixture_plan", "mixture_sample",
     "quantile_buckets", "token_budget_sample", "corpus_shuffle",
-    "doc_frequency", "tfidf_top_terms",
+    "doc_frequency", "inverted_index", "tfidf_top_terms",
+    "asof_join", "percentile_rollup", "session_rollup", "sessionize",
+    "pagerank",
     "contamination_flags", "decontaminate",
     "HTML_STRIP_STEPS", "html_to_text", "extract_text", "html_strip_sql",
     "bigram_model", "lm_score",

@@ -1,0 +1,220 @@
+"""Event-stream shaping: gap sessionization, as-of (most-recent-prior)
+joins, and exact percentile rollups.
+
+These are the log-analytics layer over the parsed event table the
+shipper pipeline produces (reference scope ends at delivery —
+``libbeat/outputs``; what every consumer of those events then does
+first is sessionize / latest-state join / latency percentiles, so the
+engine ships them as first-class operators).
+
+Plan shapes (all single-shuffle on the entity key):
+  sessionize    — one hash exchange on the key, one sort, two window
+                  functions over the SAME window frame (lag + running
+                  sum share one Window node: no second exchange).
+  asof_join     — union both sides tagged, one exchange on the key,
+                  one sort, ``last(ignorenulls)`` running window. No
+                  join node at all, so no N×M range-join blowup and
+                  no skew amplification: a key's cost is linear in its
+                  own row count.
+  percentile_rollup — one partial-aggregating exchange; exact
+                  interpolated percentiles (Spark ``percentile``),
+                  not approx sketches, so results are engine-portable.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = ["asof_join", "percentile_rollup", "session_rollup",
+           "sessionize"]
+
+
+def _epoch_us(df: DataFrame, ts_col: str) -> Column:
+    """Integer epoch-microseconds of a timestamp column.
+    ``unix_micros`` rejects TIMESTAMP_NTZ (parquet's common flavor),
+    so NTZ casts through TIMESTAMP first — under a UTC session the
+    result equals DuckDB's ``epoch_us`` on the same naive value; gap
+    and ordering comparisons are tz-shift-invariant either way."""
+    c = F.col(ts_col)
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        c = c.cast("timestamp")
+    return F.unix_micros(c)
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    session_col: str = "session_seq",
+) -> DataFrame:
+    """Assign every event its gap-based session: within each
+    ``key_col``, a new session starts when the time since the previous
+    event exceeds ``gap_seconds``. Adds ``session_col`` (1-based
+    session sequence number per key; ``(key, session_seq)`` is the
+    session identity).
+
+    The gap test runs on integer epoch-microseconds, so the boundary
+    is exact (no float time arithmetic): ``diff > gap_seconds * 1e6``
+    starts a new session; equal-to-gap continues it (the common
+    "30-minute inactivity timeout" reading, and what the streaming
+    form's ``session_window`` does too).
+
+    Rows with equal timestamps always land in the same session
+    regardless of their relative sort order (their mutual gap is 0),
+    so no tie-break column is needed for the ASSIGNMENT to be
+    deterministic. NULL timestamps fail loudly — a silent null would
+    sort first and quietly anchor every session.
+
+    One shuffle: lag and the running sum of session starts use the
+    same ``(key ORDER BY ts)`` window, so Catalyst plans a single
+    Exchange + Sort + one Window node. At 10^12 rows the work per key
+    is linear and keys are independent — skewed users cost their own
+    row count, nothing cross-key.
+    """
+    us = _epoch_us(df, ts_col)
+    guard = F.assert_true(
+        F.col(ts_col).isNotNull(),
+        F.lit(f"sessionize: null {ts_col} (filter or fill first)"))
+    us = F.when(guard.isNull(), us)
+    w = Window.partitionBy(key_col).orderBy(us)
+    prev = F.lag(us).over(w)
+    is_start = F.when(
+        prev.isNull() | ((us - prev) > F.lit(int(gap_seconds) * 1_000_000)),
+        F.lit(1)).otherwise(F.lit(0))
+    run = Window.partitionBy(key_col).orderBy(us) \
+                .rowsBetween(Window.unboundedPreceding, 0)
+    # two steps: a window function can't nest inside another's
+    # argument; materializing the start flag as a column lets both
+    # Window nodes share one Exchange + Sort (same spec)
+    return (df.withColumn("__start", is_start)
+              .withColumn(session_col,
+                          F.sum("__start").over(run).cast("int"))
+              .drop("__start"))
+
+
+def session_rollup(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Per-session summary rows:
+    ``(key, session_seq, session_start, session_end, n_events,
+    duration_s)``. Built on :func:`sessionize`; the groupBy reuses the
+    window's ``HashPartitioning(key)`` (subset-satisfied), so the
+    rollup adds NO second exchange."""
+    s = sessionize(df, key_col=key_col, ts_col=ts_col,
+                   gap_seconds=gap_seconds)
+    s = s.withColumn("__us", _epoch_us(s, ts_col))
+    return (s.groupBy(key_col, "session_seq")
+             .agg(F.min(ts_col).alias("session_start"),
+                  F.max(ts_col).alias("session_end"),
+                  F.count(F.lit(1)).alias("n_events"),
+                  ((F.max("__us") - F.min("__us"))
+                   / F.lit(1_000_000.0)).alias("duration_s")))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload_cols: Optional[Sequence[str]] = None,
+    prefix: str = "asof_",
+    tie_cols: Sequence[str] = (),
+) -> DataFrame:
+    """For every left row, attach the most recent right row with
+    ``right_ts <= left_ts`` and the same ``on`` key (backward-
+    inclusive as-of join — "state as of this event": latest config
+    push before a request, last login before an error, ...).
+
+    Spark has no asof join operator; the range-join spelling
+    (``l JOIN r ON key AND r.ts <= l.ts`` + keep max) explodes to
+    N×M per key before pruning. This is the linear spelling: union
+    both sides tagged, one exchange on the key, one sort on
+    ``(ts, side, tie_cols)``, and a running ``last(ignorenulls=True)``
+    per payload column. Right rows sort BEFORE left rows at the same
+    timestamp, so an exactly-simultaneous right row is visible
+    (inclusive bound). Left rows with no prior right row get NULL
+    payloads (left-outer semantics).
+
+    ``payload_cols`` defaults to every right column except ``on`` and
+    ``right_ts``; each arrives as ``prefix + name``. When several
+    right rows share one timestamp, pass ``tie_cols`` (right-side
+    columns) to make "the" latest row deterministic — the greatest
+    ``(ts, tie_cols)`` wins.
+    """
+    if payload_cols is None:
+        payload_cols = [c for c in right.columns
+                        if c not in (on, right_ts)]
+    out_names = [prefix + c for c in payload_cols]
+    if not payload_cols:
+        raise ValueError("asof_join: right side has no payload columns")
+    missing = [c for c in (on, right_ts, *payload_cols, *tie_cols)
+               if c not in right.columns]
+    if missing:
+        raise ValueError(f"asof_join: right side lacks {missing}")
+    clash = sorted(set(out_names) & set(left.columns))
+    if clash:
+        raise ValueError(f"asof_join: output columns {clash} already "
+                         "exist on the left — change prefix=")
+
+    r = right.select(
+        F.col(on),
+        _epoch_us(right, right_ts).alias("__us"),
+        F.lit(0).alias("__side"),
+        *[F.col(t).alias(f"__tie{i}") for i, t in enumerate(tie_cols)],
+        *[F.col(c).alias(o) for c, o in zip(payload_cols, out_names)])
+    l = left.select(
+        "*",
+        _epoch_us(left, left_ts).alias("__us"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).alias(f"__tie{i}") for i in range(len(tie_cols))],
+        *[F.lit(None).cast(r.schema[o].dataType).alias(o)
+          for o in out_names])
+    u = l.unionByName(r, allowMissingColumns=True)
+    order = [F.col("__us").asc(), F.col("__side").asc()] + \
+            [F.col(f"__tie{i}").asc_nulls_last()
+             for i in range(len(tie_cols))]
+    w = Window.partitionBy(on).orderBy(*order) \
+              .rowsBetween(Window.unboundedPreceding, 0)
+    filled = u.select(
+        "*",
+        *[F.last(F.col(o), ignorenulls=True).over(w).alias("__f" + o)
+          for o in out_names])
+    keep = [c for c in left.columns] + \
+           [F.col("__f" + o).alias(o) for o in out_names]
+    return filled.filter(F.col("__side") == 1).select(*keep)
+
+
+def percentile_rollup(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentiles: Sequence[float] = (0.5, 0.95, 0.99),
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact interpolated percentiles of ``value_col`` per group:
+    ``(group, n, p50, p95, ...)`` — the latency-rollup shape every
+    log pipeline reports.
+
+    Uses Spark's exact ``percentile`` aggregate (linear interpolation
+    between closest ranks — the same definition DuckDB/Postgres call
+    ``quantile_cont``/``percentile_cont``), NOT ``approx_percentile``:
+    exact values are engine-portable and testable; the sketch is not.
+    Exact percentile holds each group's values on the reducer — fine
+    for the per-service/per-endpoint cardinalities this targets; for
+    groups with 10^9+ rows switch to ``approx_percentile`` and accept
+    the sketch error. Results rounded to ``round_to`` so comparisons
+    never hinge on float formatting."""
+    pcols = []
+    for p in percentiles:
+        name = "p" + ("%g" % (p * 100)).replace(".", "_")
+        pcols.append(F.round(F.percentile(F.col(value_col), F.lit(p)),
+                             round_to).alias(name))
+    return (df.groupBy(group_col)
+              .agg(F.count(F.lit(1)).alias("n"), *pcols))

@@ -1,0 +1,101 @@
+"""Link-graph authority scoring: PageRank over an edge list.
+
+Web-corpus curation uses link-graph centrality as a document quality
+prior (Common-Crawl-derived pipelines rank hosts by harmonic
+centrality / PageRank and keep the head); this is that signal as a
+DataFrame operator over an arbitrary ``(src, dst)`` edge table.
+
+Integer-exact by construction: ranks live in **micro-units** (a long,
+``scale`` = 1.0) and every per-iteration quantity is integer
+arithmetic — ``floor(rank / out_degree)`` per edge, summed, then
+``base + floor(sum * damping_pct / 100)``. Float PageRank sums in
+engine- and partition-dependent order, so no two engines (or two
+shuffles) agree bit-for-bit; integer micro-units make the fixed-point
+iteration exactly reproducible anywhere (same trick as the token
+bucket's micro-tokens and the LM scorer's micro-nats). The per-node
+quantization error is < 1 micro-unit per term and is itself
+deterministic.
+
+Plan shape per iteration: ranks ⋈ out-degree ⋈ edges on src (one hash
+exchange on src — out-degree is |nodes|-sized, NOT broadcast), then a
+partial-aggregated groupBy dst (second exchange), then a left join
+back onto the node universe. Rank/label frames are
+``localCheckpoint``-ed per round (lineage would double otherwise, as
+in :mod:`.components`). Dangling nodes (no out-edges) leak their mass
+— the classic simplification; document counts, not probability mass,
+is what the quality prior needs, and dropping it keeps the iteration
+join-only. Self-loops and duplicate edges are removed up front.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+    id_col: str = "node",
+    rank_col: str = "rank_micro",
+) -> DataFrame:
+    """``iters`` rounds of integer-exact PageRank over the distinct
+    ``(src, dst)`` edge list → ``(node, rank_micro)``, one row per
+    node appearing at either end of an edge.
+
+    ``rank_micro`` is the rank in micro-units of ``scale`` (so with
+    the default scale, 1_000_000 ≡ rank 1.0 and the initial rank is
+    ``floor(scale / N)``). ``damping_pct`` is the damping factor in
+    integer percent (85 ≡ the canonical 0.85). Fixed iteration count,
+    not convergence-tested: the quality-prior use wants a
+    deterministic budget, and every engine reproducing the same
+    ``iters`` gets bit-identical longs.
+    """
+    if iters < 0:
+        raise ValueError(f"pagerank: iters must be >= 0, got {iters}")
+    if not 0 <= damping_pct <= 100:
+        raise ValueError("pagerank: damping_pct must be in [0, 100], "
+                         f"got {damping_pct}")
+    e = (edges.select(F.col(src).cast("long").alias("src"),
+                      F.col(dst).cast("long").alias("dst"))
+         .filter(F.col("src") != F.col("dst"))
+         .distinct())
+    # joined every round — materialize once, like the CC edge list
+    e = e.localCheckpoint(eager=True)
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct())
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("__od"))
+    n = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    init = (nodes.join(F.broadcast(n))
+            .select("node",
+                    F.floor(F.lit(scale) / F.col("__n"))
+                     .cast("long").alias("rank"),
+                    F.floor(F.lit(scale * (100 - damping_pct))
+                            / (F.lit(100) * F.col("__n")))
+                     .cast("long").alias("__base")))
+    ranks = init.localCheckpoint(eager=True)
+    for _ in range(iters):
+        contrib = (e.join(ranks.withColumnRenamed("node", "src")
+                               .select("src", "rank"), "src")
+                    .join(outd, "src")
+                    .select(F.col("dst").alias("node"),
+                            F.floor(F.col("rank") / F.col("__od"))
+                             .cast("long").alias("__c")))
+        sums = contrib.groupBy("node").agg(F.sum("__c").alias("__s"))
+        ranks = (ranks.select("node", "__base")
+                 .join(sums, "node", "left")
+                 .select("node",
+                         (F.col("__base")
+                          + F.floor(F.coalesce(F.col("__s"), F.lit(0))
+                                    * F.lit(damping_pct) / F.lit(100))
+                          .cast("long")).alias("rank"),
+                         "__base"))
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(F.col("node").alias(id_col),
+                        F.col("rank").alias(rank_col))

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import tokens, _spread
 
-__all__ = ["doc_frequency", "tfidf_top_terms"]
+__all__ = ["doc_frequency", "inverted_index", "tfidf_top_terms"]
 
 
 def doc_frequency(
@@ -45,6 +45,44 @@ def doc_frequency(
                      .alias("term"))
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("doc_freq")))
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Posting lists: ``(term, doc_freq, postings)`` where postings is
+    the ascending-sorted array of distinct document ids containing the
+    lowercased whitespace term — the build step of a corpus search
+    index (and the exact-containment side of contamination lookups).
+
+    One shuffle on term; ``array_distinct`` before the explode dedups
+    within-document repeats map-side. ``sort_array`` AFTER the
+    collect makes the list order a pure function of the data (a
+    ``collect_list`` alone observes shuffle arrival order — never let
+    that escape an operator). ``max_df`` drops stopword-grade terms:
+    at web scale the hottest term's posting list is ~every document,
+    which no single reducer row should carry — real indexes shard or
+    skip those; a curation-side index skips them (``min_df`` prunes
+    the typo tail the same way)."""
+    if max_df is not None and max_df < min_df:
+        raise ValueError(f"inverted_index: max_df {max_df} < "
+                         f"min_df {min_df}")
+    pairs = (_spread(df)
+             .select(F.col(id_col),
+                     F.explode(F.array_distinct(
+                         tokens(F.col(text_col)))).alias("term")))
+    out = (pairs.groupBy("term")
+           .agg(F.count(F.lit(1)).alias("doc_freq"),
+                F.sort_array(F.collect_list(F.col(id_col)))
+                 .alias("postings"))
+           .filter(F.col("doc_freq") >= min_df))
+    if max_df is not None:
+        out = out.filter(F.col("doc_freq") <= max_df)
+    return out
 
 
 def tfidf_top_terms(

@@ -3407,3 +3407,174 @@ def semdedup_q(spark, sf_dir):
         F.col("vec_id").alias("centroid_id"), "embedding")
     out = semdedup(emb.select("vec_id", "embedding"), cent, 0.3)
     return out.select("vec_id", "centroid_id", "centroid_sim", "kept")
+
+
+@query("sessionize_events", oracle="""
+WITH d AS (SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                > 1800 * 1000000
+             THEN 1 ELSE 0 END AS st
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT user_id, ts,
+        CAST(sum(st) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS INT) AS session_seq
+      FROM d)
+SELECT user_id, session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 6)
+         AS duration_s
+FROM s GROUP BY user_id, session_seq
+""")
+def sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (:func:`beats_spark.dataops.events
+    .session_rollup`): 30-minute inactivity timeout per user over the
+    event stream — the first thing every log-analytics consumer does
+    with shipped events. One hash exchange on user_id; the lag and
+    the running session counter share one window sort, and the
+    rollup groupBy reuses the window's partitioning. The gap test is
+    integer epoch-microseconds (exact boundary, no float time)."""
+    from .dataops import session_rollup
+    ev = _t(spark, sf_dir, "events")
+    out = session_rollup(ev, key_col="user_id", ts_col="ts",
+                         gap_seconds=1800)
+    return out.select("user_id", "session_seq", "session_start",
+                      "session_end", "n_events",
+                      F.round("duration_s", 6).alias("duration_s"))
+
+
+@query("latency_percentiles", oracle="""
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""")
+def latency_percentiles(spark, sf_dir):
+    """Exact interpolated percentile rollup (:func:`beats_spark
+    .dataops.events.percentile_rollup`) — the per-service latency
+    report. Spark's exact ``percentile`` aggregate and DuckDB's
+    ``quantile_cont`` share the closest-ranks linear-interpolation
+    definition, so rounded values match bit-for-bit; approx sketches
+    never would (documented there)."""
+    from .dataops import percentile_rollup
+    ev = _t(spark, sf_dir, "events")
+    return percentile_rollup(ev, "event_type", "value",
+                             percentiles=(0.5, 0.95, 0.99))
+
+
+@query("asof_enrich", oracle="""
+SELECT e.event_id, e.user_id,
+       (SELECT s.event_id FROM events s
+        WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+          AND s.ts <= e.ts
+        ORDER BY s.ts DESC, s.event_id DESC LIMIT 1) AS asof_event_id
+FROM events e WHERE e.event_type = 'error'
+""")
+def asof_enrich(spark, sf_dir):
+    """Backward-inclusive as-of join (:func:`beats_spark.dataops
+    .events.asof_join`): each error event picks up the most recent
+    signup of the same user ("state as of this event"). Spark has no
+    asof operator and the range-join spelling explodes N x M per key;
+    this is the linear union + one-exchange + running
+    last(ignorenulls) form — the oracle is the defining correlated
+    subquery."""
+    from .dataops import asof_join
+    ev = _t(spark, sf_dir, "events")
+    sign = ev.filter(F.col("event_type") == "signup") \
+             .select("user_id", "ts", "event_id")
+    err = ev.filter(F.col("event_type") == "error")
+    out = asof_join(err, sign, on="user_id",
+                    payload_cols=["event_id"], tie_cols=["event_id"])
+    return out.select("event_id", "user_id", "asof_event_id")
+
+
+@query("inverted_index", oracle=r"""
+WITH x AS (SELECT DISTINCT doc_id,
+                  unnest(list_filter(
+                      string_split_regex(lower(text), '\s+'),
+                      t -> t <> '')) AS term
+           FROM documents)
+SELECT term, count(*) AS doc_freq,
+       coalesce(array_to_string(list_sort(array_agg(doc_id)), ','),
+                '') AS postings
+FROM x GROUP BY term HAVING count(*) BETWEEN 2 AND 400
+""")
+def inverted_index_q(spark, sf_dir):
+    """Posting-list build (:func:`beats_spark.dataops.terms
+    .inverted_index`): term -> sorted distinct doc ids + document
+    frequency, with min_df/max_df pruning (the stopword posting list
+    is ~the whole corpus; real indexes shard or skip it). postings
+    serialize to a comma string so the value-hash compares the exact
+    list order (sort_array makes it a pure function of the data, not
+    of shuffle arrival)."""
+    from .dataops import inverted_index
+    docs = _t(spark, sf_dir, "documents")
+    out = inverted_index(docs, min_df=2, max_df=400)
+    return out.select(
+        "term", "doc_freq",
+        F.concat_ws(",", F.transform(
+            "postings", lambda x: x.cast("string"))).alias("postings"))
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Unrolled fixed-iteration integer PageRank: one CTE per round
+    (recursive CTEs disallow the aggregate in the recursive term in
+    some engines; unrolling is portable and the iteration count is a
+    fixed parameter anyway). Mirrors dataops/graph.py exactly:
+    floor divisions on BIGINT micro-units, damping 85%."""
+    parts = [r"""
+WITH e AS (SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+           FROM customer c
+           JOIN orders o ON o.o_custkey = c.c_custkey
+           JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           WHERE c.c_nationkey <> s.s_nationkey),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*) AS c FROM nodes),
+outd AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1000000 // c AS BIGINT) AS rank,
+              CAST((1000000 * 15) // (100 * c) AS BIGINT) AS base
+       FROM nodes, nn)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+r{i} AS (SELECT r.node,
+              CAST(r.base + (coalesce(s.s, 0) * 85) // 100 AS BIGINT)
+                AS rank, r.base
+         FROM r{i - 1} r LEFT JOIN
+           (SELECT e.dst AS node,
+                   CAST(sum(r2.rank // o.od) AS BIGINT) AS s
+            FROM e JOIN r{i - 1} r2 ON r2.node = e.src
+                   JOIN outd o ON o.src = e.src
+            GROUP BY e.dst) s ON s.node = r.node)""")
+    parts.append(f"""
+SELECT n.n_name AS nation, r.rank AS rank_micro
+FROM r{iters} r JOIN nation n ON n.n_nationkey = r.node""")
+    return "".join(parts)
+
+
+@query("link_pagerank", oracle=_pagerank_oracle(3))
+def link_pagerank(spark, sf_dir):
+    """Link-graph authority scoring (:func:`beats_spark.dataops
+    .graph.pagerank`) — the web-corpus quality prior (host-graph
+    centrality), demoed on the customer-nation -> supplier-nation
+    trade graph so the edge list derives from real table joins.
+    Integer micro-unit ranks make the fixed-point iteration
+    bit-exact across engines (float PageRank never is: sum order);
+    the oracle is the same recurrence unrolled one CTE per round."""
+    from .dataops import pagerank
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    edges = (cust.join(orders, orders.o_custkey == cust.c_custkey)
+             .join(li, li.l_orderkey == orders.o_orderkey)
+             .join(supp, supp.s_suppkey == li.l_suppkey)
+             .select(F.col("c_nationkey").alias("src"),
+                     F.col("s_nationkey").alias("dst")))
+    pr = pagerank(edges, iters=3)
+    return (pr.join(F.broadcast(nation),
+                    nation.n_nationkey == pr.node)
+              .select(F.col("n_name").alias("nation"), "rank_micro"))

@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "mixture_sample", "dedup_incremental", "html_extract",
     "kmeans_assign", "lm_quality_score", "unicode_clean",
     "ccnet_buckets", "dsir_select", "token_budget", "corpus_shuffle",
+    "sessionize_events", "latency_percentiles", "asof_enrich",
+    "inverted_index", "link_pagerank",
     "flagship_routed_counts", "flagship_messages",
 ]
 

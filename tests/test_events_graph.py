@@ -1,0 +1,157 @@
+"""Unit tests for dataops.events (sessionize / asof_join /
+percentile_rollup) and dataops.graph (pagerank)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from beats_spark.dataops import (
+    asof_join, inverted_index, pagerank, percentile_rollup,
+    session_rollup, sessionize,
+)
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+@pytest.fixture()
+def ev(spark):
+    rows = [
+        # user 1: two sessions — the 31-minute gap splits, the
+        # exactly-30-minute gap does NOT (boundary is strict >)
+        Row(user_id=1, ts=_ts(0), event_id=1),
+        Row(user_id=1, ts=_ts(30), event_id=2),    # gap == 1800 s
+        Row(user_id=1, ts=_ts(30, 1), event_id=3),
+        Row(user_id=2, ts=_ts(0), event_id=4),
+        Row(user_id=2, ts=_ts(0), event_id=5),     # equal ts
+        Row(user_id=2, ts=_ts(45), event_id=6),    # 45 min > gap
+    ]
+    return spark.createDataFrame(rows)
+
+
+class TestSessionize:
+    def test_gap_boundary_and_ties(self, ev):
+        out = {r.event_id: r.session_seq
+               for r in sessionize(ev, gap_seconds=1800).collect()}
+        assert out[1] == out[2] == out[3] == 1   # 1800 s continues
+        assert out[4] == out[5] == 1             # equal ts: one session
+        assert out[6] == 2                       # 2700 s starts new
+
+    def test_rollup_counts_and_duration(self, ev):
+        r = {(x.user_id, x.session_seq): x
+             for x in session_rollup(ev, gap_seconds=1800).collect()}
+        assert r[(1, 1)].n_events == 3
+        assert r[(1, 1)].duration_s == pytest.approx(1801.0)
+        assert r[(2, 2)].n_events == 1
+        assert r[(2, 2)].duration_s == 0.0
+
+    def test_null_ts_fails_loudly(self, spark):
+        df = spark.createDataFrame(
+            [Row(user_id=1, ts=None, event_id=1)],
+            "user_id long, ts timestamp, event_id long")
+        with pytest.raises(Exception, match="sessionize: null ts"):
+            sessionize(df).collect()
+
+    def test_single_exchange(self, ev):
+        plan = sessionize(ev)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestAsofJoin:
+    def test_backward_inclusive_and_null(self, spark):
+        left = spark.createDataFrame(
+            [Row(k=1, ts=_ts(10), lid=100),
+             Row(k=1, ts=_ts(0), lid=101),   # before any right row
+             Row(k=2, ts=_ts(10), lid=102)])  # key with no right rows
+        right = spark.createDataFrame(
+            [Row(k=1, ts=_ts(5), rid=7),
+             Row(k=1, ts=_ts(10), rid=8)])    # simultaneous: visible
+        out = {r.lid: r.asof_rid for r in asof_join(
+            left, right, on="k", payload_cols=["rid"],
+            tie_cols=["rid"]).collect()}
+        assert out == {100: 8, 101: None, 102: None}
+
+    def test_tie_cols_pick_greatest(self, spark):
+        left = spark.createDataFrame([Row(k=1, ts=_ts(10), lid=1)])
+        right = spark.createDataFrame(
+            [Row(k=1, ts=_ts(5), rid=3), Row(k=1, ts=_ts(5), rid=9)])
+        out = asof_join(left, right, on="k", payload_cols=["rid"],
+                        tie_cols=["rid"]).collect()
+        assert out[0].asof_rid == 9
+
+    def test_guards(self, spark):
+        left = spark.createDataFrame([Row(k=1, ts=_ts(0), asof_rid=1)])
+        right = spark.createDataFrame([Row(k=1, ts=_ts(0), rid=2)])
+        with pytest.raises(ValueError, match="already exist"):
+            asof_join(left, right, on="k", payload_cols=["rid"])
+        with pytest.raises(ValueError, match="lacks"):
+            asof_join(left, right, on="k", payload_cols=["nope"])
+
+    def test_no_join_node(self, spark):
+        left = spark.createDataFrame([Row(k=1, ts=_ts(1), lid=1)])
+        right = spark.createDataFrame([Row(k=1, ts=_ts(0), rid=2)])
+        plan = asof_join(left, right, on="k", payload_cols=["rid"]) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan  # union + window, never a join
+
+
+class TestPercentileRollup:
+    def test_exact_values_and_names(self, spark):
+        df = spark.createDataFrame(
+            [Row(g="a", v=float(x)) for x in range(1, 5)])
+        out = percentile_rollup(df, "g", "v",
+                                percentiles=(0.5, 0.999)).collect()[0]
+        assert out.n == 4
+        assert out.p50 == 2.5          # interpolated between 2 and 3
+        assert out.p99_9 == pytest.approx(3.997)
+        assert "p99_9" in out.asDict()
+
+
+class TestInvertedIndex:
+    def test_bounds_and_sorted_postings(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=2, text="b a a"), Row(doc_id=1, text="a c"),
+             Row(doc_id=3, text="a")])
+        out = {r.term: r for r in
+               inverted_index(df, min_df=2).collect()}
+        assert list(out) == ["a"]  # b, c fall under min_df
+        assert out["a"].doc_freq == 3
+        assert out["a"].postings == [1, 2, 3]  # sorted, deduped
+        assert inverted_index(df, min_df=1, max_df=2).count() == 2
+        with pytest.raises(ValueError, match="max_df"):
+            inverted_index(df, min_df=3, max_df=2)
+
+
+class TestPagerank:
+    def test_known_graph_exact(self, spark):
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (4, 1), (1, 1), (1, 2)],
+            ["src", "dst"])  # self-loop + duplicate must be ignored
+        got = {r.node: r.rank_micro
+               for r in pagerank(edges, iters=3).collect()}
+        scale, n = 1_000_000, 4
+        base = (scale * 15) // (100 * n)
+        r = {i: scale // n for i in range(1, 5)}
+        for _ in range(3):
+            s = {}
+            for (u, v) in [(1, 2), (2, 3), (3, 1), (4, 1)]:
+                s[v] = s.get(v, 0) + r[u]  # out-degree 1 everywhere
+            r = {i: base + (s.get(i, 0) * 85) // 100
+                 for i in range(1, 5)}
+        assert got == r
+
+    def test_iters_zero_is_uniform_init(self, spark):
+        edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+        got = {r.node: r.rank_micro
+               for r in pagerank(edges, iters=0).collect()}
+        assert got == {1: 500_000, 2: 500_000}
+
+    def test_param_guards(self, spark):
+        edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+        with pytest.raises(ValueError, match="iters"):
+            pagerank(edges, iters=-1)
+        with pytest.raises(ValueError, match="damping_pct"):
+            pagerank(edges, damping_pct=101)
