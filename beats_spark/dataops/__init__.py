@@ -65,7 +65,8 @@ from .scrub import (
     scrub, scrub_pii,
 )
 from .events import (
-    asof_join, percentile_rollup, session_rollup, sessionize,
+    asof_join, funnel_steps, percentile_rollup, retention_cohorts,
+    session_rollup, sessionize,
 )
 from .graph import pagerank
 from .multimodal import (
@@ -93,7 +94,8 @@ __all__ = [
     "cap_per_key", "hash_sample", "mixture_plan", "mixture_sample",
     "quantile_buckets", "token_budget_sample", "corpus_shuffle",
     "doc_frequency", "inverted_index", "tfidf_top_terms",
-    "asof_join", "percentile_rollup", "session_rollup", "sessionize",
+    "asof_join", "funnel_steps", "percentile_rollup",
+    "retention_cohorts", "session_rollup", "sessionize",
     "pagerank",
     "contamination_flags", "decontaminate",
     "HTML_STRIP_STEPS", "html_to_text", "extract_text", "html_strip_sql",

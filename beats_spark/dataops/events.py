@@ -27,8 +27,8 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "percentile_rollup", "session_rollup",
-           "sessionize"]
+__all__ = ["asof_join", "funnel_steps", "percentile_rollup",
+           "retention_cohorts", "session_rollup", "sessionize"]
 
 
 def _epoch_us(df: DataFrame, ts_col: str) -> Column:
@@ -189,6 +189,95 @@ def asof_join(
     keep = [c for c in left.columns] + \
            [F.col("__f" + o).alias(o) for o in out_names]
     return filled.filter(F.col("__side") == 1).select(*keep)
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: Sequence[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel completion per key: for the step sequence
+    ``steps`` (event-type names), compute each key's first time
+    through the funnel — step i's time is the MINIMUM event time of
+    type ``steps[i]`` STRICTLY AFTER step i-1's time (step 0 is the
+    key's first event of that type). Returns one row per key:
+    ``(key, step_1_ts, ..., step_K_ts, steps_completed)`` with NULL
+    times from the first uncompleted step on.
+
+    Strictly-after means an event at the exact same timestamp as the
+    previous step does NOT advance the funnel (and one event can
+    never satisfy two steps) — the conventional funnel reading, and
+    the rule the SQL oracle can state verbatim.
+
+    Plan: K unbounded-frame window aggregates over the SAME
+    ``partitionBy(key)`` spec (each step's min conditions on the
+    previous step's column, so they chain as separate Window nodes)
+    — ONE hash exchange total, no sort (no orderBy), no join, no
+    explode. K is the funnel length (single digits); cost is K scans
+    of each key's partition, linear in rows.
+    """
+    if not steps:
+        raise ValueError("funnel_steps: steps must be non-empty")
+    us = _epoch_us(df, ts_col)
+    w = Window.partitionBy(key_col)
+    out = df.withColumn("__us", us)
+    cols = []
+    for i, s in enumerate(steps):
+        name = f"__t{i}"
+        cond = F.col(type_col) == F.lit(s)
+        if i > 0:
+            cond = cond & F.col(f"__t{i - 1}").isNotNull() & \
+                (F.col("__us") > F.col(f"__t{i - 1}"))
+        out = out.withColumn(
+            name, F.min(F.when(cond, F.col("__us"))).over(w))
+        cols.append(name)
+    agg = [F.max(F.timestamp_micros(F.col(c)))
+            .alias(f"step{i + 1}_ts") for i, c in enumerate(cols)]
+    res = out.groupBy(key_col).agg(*agg)
+    # step i null => every later step is null by construction, so the
+    # completed-prefix length is just the non-null count
+    nn = sum(F.when(F.col(f"step{i + 1}_ts").isNotNull(), 1)
+             .otherwise(0) for i in range(len(steps)))
+    return res.withColumn("steps_completed", nn.cast("int"))
+
+
+def retention_cohorts(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention triangle: cohort = the Monday-truncated week
+    of each key's FIRST event; one output row per
+    ``(cohort_week, week_offset)`` with the distinct keys active that
+    many weeks after their cohort week —
+    ``(cohort_week, week_offset, n_active)``.
+
+    Plan: one window min per key (hash exchange on key), then one
+    distinct-aggregation on ``(cohort, offset, key)`` collapsed into
+    a count — the pre-aggregated (key-level) row set is what
+    shuffles, never raw events twice. ``week_offset`` is computed in
+    whole days / 7 on DATE values, so engines agree exactly (both
+    Spark and DuckDB truncate weeks to Monday)."""
+    us = _epoch_us(df, ts_col)
+    w = Window.partitionBy(key_col)
+    base = (df.withColumn("__us", us)
+            .withColumn("__first",
+                        F.timestamp_micros(F.min("__us").over(w)))
+            .select(F.col(key_col),
+                    F.date_trunc("week", F.col("__first")).cast("date")
+                     .alias("cohort_week"),
+                    F.date_trunc("week",
+                                 F.timestamp_micros(F.col("__us")))
+                     .cast("date").alias("__active_week")))
+    return (base
+            .withColumn("week_offset",
+                        (F.datediff(F.col("__active_week"),
+                                    F.col("cohort_week"))
+                         / F.lit(7)).cast("int"))
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.count_distinct(F.col(key_col)).alias("n_active")))
 
 
 def percentile_rollup(

@@ -3578,3 +3578,61 @@ def link_pagerank(spark, sf_dir):
     return (pr.join(F.broadcast(nation),
                     nation.n_nationkey == pr.node)
               .select(F.col("n_name").alias("nation"), "rank_micro"))
+
+
+@query("funnel_steps", oracle="""
+WITH b AS (SELECT user_id, event_type, epoch_us(ts) AS us
+           FROM events),
+t0 AS (SELECT user_id,
+              min(us) FILTER (WHERE event_type = 'signup') AS u0
+       FROM b GROUP BY user_id),
+t1 AS (SELECT b.user_id,
+              min(us) FILTER (WHERE event_type = 'click'
+                              AND us > u0) AS u1
+       FROM b JOIN t0 USING (user_id) GROUP BY b.user_id),
+t2 AS (SELECT b.user_id,
+              min(us) FILTER (WHERE event_type = 'purchase'
+                              AND us > u1) AS u2
+       FROM b JOIN t1 USING (user_id) GROUP BY b.user_id)
+SELECT t0.user_id,
+       make_timestamp(u0) AS step1_ts,
+       make_timestamp(u1) AS step2_ts,
+       make_timestamp(u2) AS step3_ts,
+       CAST((u0 IS NOT NULL)::INT + (u1 IS NOT NULL)::INT
+            + (u2 IS NOT NULL)::INT AS INT) AS steps_completed
+FROM t0 JOIN t1 USING (user_id) JOIN t2 USING (user_id)
+""")
+def funnel_steps_q(spark, sf_dir):
+    """Ordered funnel signup -> click -> purchase (:func:`beats_spark
+    .dataops.events.funnel_steps`): each user's first strictly-after
+    chain through the steps, NULL from the first break on. K window
+    aggregates over one partitionBy(user) exchange — no join, no
+    explode, no sort; the oracle states the same strictly-after rule
+    as chained FILTER mins."""
+    from .dataops import funnel_steps
+    ev = _t(spark, sf_dir, "events")
+    return funnel_steps(ev, ["signup", "click", "purchase"])
+
+
+@query("retention_cohorts", oracle="""
+WITH f AS (SELECT user_id, min(ts) AS first_ts
+           FROM events GROUP BY user_id),
+b AS (SELECT e.user_id,
+             CAST(date_trunc('week', f.first_ts) AS DATE)
+               AS cohort_week,
+             CAST(date_trunc('week', e.ts) AS DATE) AS aw
+      FROM events e JOIN f USING (user_id))
+SELECT cohort_week,
+       CAST((aw - cohort_week) // 7 AS INT) AS week_offset,
+       count(DISTINCT user_id) AS n_active
+FROM b GROUP BY cohort_week, week_offset
+""")
+def retention_cohorts_q(spark, sf_dir):
+    """Weekly retention triangle (:func:`beats_spark.dataops.events
+    .retention_cohorts`): cohort = Monday week of each user's first
+    event; rows are (cohort_week, week_offset, distinct active
+    users). Week offsets computed in whole days / 7 on DATE values so
+    engines agree exactly (both truncate weeks to Monday)."""
+    from .dataops import retention_cohorts
+    ev = _t(spark, sf_dir, "events")
+    return retention_cohorts(ev)

@@ -8,6 +8,7 @@ from .pipeline import (
     stateful_container_partial,
     stateful_url_dedup,
     stream_dedup_against,
+    stream_sessions,
 )
 
 __all__ = [
@@ -15,4 +16,5 @@ __all__ = [
     "windowed_counters", "stateful_rate_limit",
     "stateful_multiline", "stateful_container_partial",
     "stateful_url_dedup", "stream_dedup_against",
+    "stream_sessions",
 ]

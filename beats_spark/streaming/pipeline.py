@@ -37,7 +37,8 @@ from ..pipeline import build_routed
 __all__ = ["PAGES_SCHEMA", "stream_routed", "run_stream_pipeline",
            "windowed_counters", "stateful_rate_limit",
            "stateful_multiline", "stateful_container_partial",
-           "stateful_url_dedup", "stream_dedup_against"]
+           "stateful_url_dedup", "stream_dedup_against",
+           "stream_sessions"]
 
 PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                 "text string, lang string")
@@ -141,6 +142,45 @@ def windowed_counters(routed: DataFrame, ts_col: str = "warc_ts",
                      F.col("sink"))
             .agg(F.count(F.lit(1)).alias("n"))
             .select(F.col("win.start").alias("win_start"), "sink", "n"))
+
+
+def stream_sessions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming form of :func:`beats_spark.dataops.events
+    .session_rollup`: gap-merged sessions per key via Spark's native
+    ``session_window`` — sessions extend ``gap_seconds`` past each
+    event and merge across micro-batches; a session finalizes (and
+    emits, in append mode) once the watermark passes its close.
+
+    Output ``(key, session_start, session_last, n_events)`` where
+    ``session_last`` is the LAST EVENT time (``window.end`` minus the
+    gap — ``session_window``'s end is last-event + gap), so boundaries
+    line up event-for-event with the batch operator's
+    ``session_start``/``session_end``. Same boundary rule too: an
+    event arriving exactly ``gap_seconds`` after the previous one
+    still merges (the window is inclusive of its end instant).
+
+    State is bounded by the watermark: one open-session row per
+    active key, dropped at finalization — the standard streaming
+    sessionization shape (late events beyond the watermark are
+    discarded, like every windowed op here)."""
+    gap = f"{int(gap_seconds)} seconds"
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.session_window(F.col(ts_col), gap).alias("sw"),
+                     F.col(key_col))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col(key_col),
+                    F.col("sw.start").alias("session_start"),
+                    (F.col("sw.end")
+                     - F.expr(f"INTERVAL {int(gap_seconds)} SECONDS"))
+                    .alias("session_last"),
+                    "n_events"))
 
 
 def stateful_rate_limit(

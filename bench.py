@@ -62,7 +62,8 @@ BENCH_QUERIES = [
     "kmeans_assign", "lm_quality_score", "unicode_clean",
     "ccnet_buckets", "dsir_select", "token_budget", "corpus_shuffle",
     "sessionize_events", "latency_percentiles", "asof_enrich",
-    "inverted_index", "link_pagerank",
+    "inverted_index", "link_pagerank", "funnel_steps",
+    "retention_cohorts",
     "flagship_routed_counts", "flagship_messages",
 ]
 

@@ -7,8 +7,8 @@ import pytest
 from pyspark.sql import Row
 
 from beats_spark.dataops import (
-    asof_join, inverted_index, pagerank, percentile_rollup,
-    session_rollup, sessionize,
+    asof_join, funnel_steps, inverted_index, pagerank,
+    percentile_rollup, retention_cohorts, session_rollup, sessionize,
 )
 
 
@@ -155,3 +155,65 @@ class TestPagerank:
             pagerank(edges, iters=-1)
         with pytest.raises(ValueError, match="damping_pct"):
             pagerank(edges, damping_pct=101)
+
+
+class TestFunnel:
+    def test_strictly_after_chain(self, spark):
+        rows = [
+            # user 1 completes all three in order
+            Row(user_id=1, ts=_ts(0), event_type="signup"),
+            Row(user_id=1, ts=_ts(1), event_type="click"),
+            Row(user_id=1, ts=_ts(2), event_type="purchase"),
+            # user 2: purchase BEFORE click — chain stops at signup
+            Row(user_id=2, ts=_ts(0), event_type="signup"),
+            Row(user_id=2, ts=_ts(1), event_type="purchase"),
+            Row(user_id=2, ts=_ts(2), event_type="click"),
+            # user 3: click at the SAME instant as signup — strictly
+            # after, so it does not advance the funnel
+            Row(user_id=3, ts=_ts(5), event_type="signup"),
+            Row(user_id=3, ts=_ts(5), event_type="click"),
+            # user 4: never signs up
+            Row(user_id=4, ts=_ts(0), event_type="click"),
+        ]
+        out = {r.user_id: r for r in funnel_steps(
+            spark.createDataFrame(rows),
+            ["signup", "click", "purchase"]).collect()}
+        assert out[1].steps_completed == 3
+        assert out[1].step3_ts == _ts(2)
+        assert out[2].steps_completed == 2   # signup, then later click
+        assert out[2].step3_ts is None       # purchase was before click
+        assert out[3].steps_completed == 1
+        assert out[4].steps_completed == 0
+        assert out[4].step1_ts is None
+
+    def test_single_exchange_no_join(self, spark):
+        df = spark.createDataFrame(
+            [Row(user_id=1, ts=_ts(0), event_type="signup")])
+        plan = funnel_steps(df, ["signup", "click"]) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan
+
+    def test_empty_steps_raise(self, spark):
+        df = spark.createDataFrame(
+            [Row(user_id=1, ts=_ts(0), event_type="x")])
+        with pytest.raises(ValueError, match="non-empty"):
+            funnel_steps(df, [])
+
+
+class TestRetention:
+    def test_triangle(self, spark):
+        d0 = dt.datetime(2024, 1, 1)          # a Monday
+        rows = [
+            Row(user_id=1, ts=d0),
+            Row(user_id=1, ts=d0 + dt.timedelta(days=8)),   # week 1
+            Row(user_id=2, ts=d0 + dt.timedelta(days=2)),   # same cohort
+            Row(user_id=3, ts=d0 + dt.timedelta(days=7)),   # next cohort
+        ]
+        out = {(str(r.cohort_week), r.week_offset): r.n_active
+               for r in retention_cohorts(
+                   spark.createDataFrame(rows)).collect()}
+        assert out[("2024-01-01", 0)] == 2
+        assert out[("2024-01-01", 1)] == 1
+        assert out[("2024-01-08", 0)] == 1
+        assert len(out) == 3

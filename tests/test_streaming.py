@@ -529,3 +529,113 @@ def test_stateful_container_partial_null_line_no_dropped(spark, tmp_path):
     q.awaitTermination()
     got = [r["message"] for r in spark.read.parquet(out_dir).collect()]
     assert got == ["whole"]
+
+
+def test_stream_sessions_merge_across_batches(spark, tmp_path):
+    """Sessions merge across micro-batches (file 2 extends file 1's
+    open session), finalize when the watermark passes, and line up
+    with the batch operator's boundaries on the same data."""
+    from beats_spark.dataops import session_rollup
+    from beats_spark.streaming.pipeline import stream_sessions
+    src_dir = str(tmp_path / "ev")
+    ck = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "sessions")
+    os.makedirs(src_dir)
+    t0 = 1_700_000_000_000_000  # epoch micros
+
+    def mk(rows, fname):
+        df = spark.createDataFrame(rows, "user_id bigint, us bigint") \
+            .select("user_id",
+                    F.timestamp_micros(F.col("us")).alias("ts"))
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src_dir, fname))
+        return df
+
+    def run():
+        stream = (spark.readStream
+                  .schema("user_id bigint, ts timestamp")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(src_dir + "/*"))
+        sess = stream_sessions(stream, gap_seconds=1800,
+                               watermark="30 minutes")
+        q = (sess.writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ck)
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    m = 60 * 1_000_000
+    b1 = [(1, t0), (1, t0 + 10 * m), (2, t0)]
+    # user 1's 20-min event merges ACROSS the batch boundary (10-min
+    # gap < 30-min timeout); the 2-h event opens a new session; user
+    # 99 is the watermark mover (far future): the watermark only
+    # advances AFTER the batch carrying it, so emission of the
+    # finalized sessions needs one more processed batch — b3, in a
+    # SECOND query run (exercising checkpoint restore as well)
+    b2 = [(1, t0 + 20 * m), (1, t0 + 120 * m), (99, t0 + 600 * m)]
+    b3 = [(99, t0 + 1200 * m)]
+    mk(b1, "b1")
+    mk(b2, "b2")
+    run()
+    mk(b3, "b3")
+    run()
+
+    got = {(r.user_id, r.session_start, r.session_last): r.n_events
+           for r in spark.read.parquet(out_dir).collect()
+           if r.user_id != 99}
+    batch_df = spark.createDataFrame(
+        b1 + b2, "user_id bigint, us bigint") \
+        .select("user_id", F.timestamp_micros(F.col("us")).alias("ts"))
+    want = {(r.user_id, r.session_start, r.session_end): r.n_events
+            for r in session_rollup(batch_df, gap_seconds=1800)
+            .collect() if r.user_id != 99}
+    assert got == want
+    assert sum(n for (u, _, _), n in got.items() if u == 1) == 4
+
+
+def test_stream_sessions_gap_boundary_matches_batch(spark, tmp_path):
+    """An event arriving EXACTLY gap_seconds after the previous one:
+    assert the streaming session_window and the batch operator agree
+    on whether it merges (batch rule: strict >, so it merges)."""
+    from beats_spark.dataops import session_rollup
+    from beats_spark.streaming.pipeline import stream_sessions
+    src_dir = str(tmp_path / "ev")
+    os.makedirs(src_dir)
+    t0 = 1_700_000_000_000_000
+    rows = [(1, t0), (1, t0 + 1800 * 1_000_000),
+            (99, t0 + 86400 * 1_000_000)]
+    df = spark.createDataFrame(rows, "user_id bigint, us bigint") \
+        .select("user_id", F.timestamp_micros(F.col("us")).alias("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src_dir, "b1"))
+
+    def run():
+        stream = (spark.readStream
+                  .schema("user_id bigint, ts timestamp")
+                  .parquet(src_dir + "/*"))
+        sess = stream_sessions(stream, gap_seconds=1800,
+                               watermark="1 minute")
+        q = (sess.writeStream.format("parquet")
+             .option("path", str(tmp_path / "out"))
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run()
+    # second run with a later sentinel: the stored watermark finalizes
+    # and emits the sessions closed by run 1's data
+    spark.createDataFrame(
+        [(99, t0 + 2 * 86400 * 1_000_000)], "user_id bigint, us bigint") \
+        .select("user_id", F.timestamp_micros(F.col("us")).alias("ts")) \
+        .coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src_dir, "b2"))
+    run()
+    stream_n = [r.n_events for r in
+                spark.read.parquet(str(tmp_path / "out")).collect()
+                if r.user_id == 1]
+    batch_n = [r.n_events for r in
+               session_rollup(df, gap_seconds=1800).collect()
+               if r.user_id == 1]
+    assert sorted(stream_n) == sorted(batch_n)
