@@ -69,6 +69,9 @@ from .events import (
     session_rollup, sessionize,
 )
 from .graph import pagerank
+from .templates import (
+    TEMPLATE_MASKS, count_anomalies, log_templates, template_col,
+)
 from .multimodal import (
     attach_media_meta,
     extract_image_features,
@@ -97,6 +100,8 @@ __all__ = [
     "asof_join", "funnel_steps", "percentile_rollup",
     "retention_cohorts", "session_rollup", "sessionize",
     "pagerank",
+    "TEMPLATE_MASKS", "count_anomalies", "log_templates",
+    "template_col",
     "contamination_flags", "decontaminate",
     "HTML_STRIP_STEPS", "html_to_text", "extract_text", "html_strip_sql",
     "bigram_model", "lm_score",

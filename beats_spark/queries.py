@@ -3636,3 +3636,83 @@ def retention_cohorts_q(spark, sf_dir):
     from .dataops import retention_cohorts
     ev = _t(spark, sf_dir, "events")
     return retention_cohorts(ev)
+
+
+@query("log_templates", oracle=r"""
+WITH lines AS (SELECT printf('user %d %s order 0x%x from 10.0.%d.%d',
+                             user_id, event_type, event_id,
+                             user_id % 256, event_id % 256) AS message
+               FROM events),
+t AS (SELECT regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(message,
+  '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
+                  '<uuid>', 'g'),
+                '0x[0-9a-fA-F]+', '<hex>', 'g'),
+                '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<ip>', 'g'),
+                '\d+', '<num>', 'g') AS template,
+             message AS raw
+      FROM lines)
+SELECT template, count(*) AS n_lines, min(raw) AS example
+FROM t GROUP BY template
+""")
+def log_templates_q(spark, sf_dir):
+    """Drain-style log template mining (:func:`beats_spark.dataops
+    .templates.log_templates`): mask uuid/hex/ip/number tokens with
+    typed placeholders, group identical masked lines — one map-side
+    regexp_replace chain + one partial-aggregated groupBy, no Python.
+    The log corpus is CONSTRUCTED from event columns (the catalog's
+    round-trip trick), so the oracle rebuilds the identical lines and
+    replays the same mask table with the 'g' flag."""
+    from .dataops import log_templates
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(F.format_string(
+        "user %d %s order 0x%x from 10.0.%d.%d",
+        F.col("user_id"), F.col("event_type"), F.col("event_id"),
+        F.col("user_id") % 256, F.col("event_id") % 256)
+        .alias("message"))
+    return log_templates(lines, text_col="message")
+
+
+@query("count_anomalies", oracle="""
+WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                  count(*) AS n_events
+           FROM events GROUP BY event_type, hour),
+w AS (SELECT event_type, hour, n_events,
+             count(*) OVER win AS n,
+             CAST(sum(CAST(n_events AS HUGEINT)) OVER win
+                  AS HUGEINT) AS s,
+             CAST(sum(CAST(n_events AS HUGEINT)
+                      * CAST(n_events AS HUGEINT)) OVER win
+                  AS HUGEINT) AS q
+      FROM c
+      WINDOW win AS (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+SELECT event_type, hour, n_events, CAST(n AS INT) AS n_prior,
+       CASE WHEN n < 6 THEN FALSE ELSE
+         (CAST(n_events AS HUGEINT) * n - s)
+           * (CAST(n_events AS HUGEINT) * n - s) * (n - 1)
+         > 9 * n * (n * q - s * s)
+       END AS is_anomaly
+FROM w
+""")
+def count_anomalies_q(spark, sf_dir):
+    """Counter spike/drop flags (:func:`beats_spark.dataops.templates
+    .count_anomalies`): hourly per-type event counts tested against
+    their trailing-24-bucket mean at z=3 — with the z-score evaluated
+    as an INTEGER cross-multiplied inequality in decimal(38,0) /
+    HUGEINT, so both engines produce bit-identical booleans (float
+    stddev differs by estimator and summation order across engines;
+    this sidesteps floats entirely)."""
+    from .dataops import count_anomalies
+    ev = _t(spark, sf_dir, "events")
+    counts = (ev.groupBy("event_type",
+                         F.date_trunc("hour", F.col("ts"))
+                          .alias("hour"))
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    out = count_anomalies(counts, "event_type", "hour", "n_events",
+                          trailing=24, min_points=6, z=3)
+    # the library keeps warmup rows NULL (tri-state); the compare
+    # harness can't unify None/NaN booleans, so the catalog form
+    # reports warmup as not-an-anomaly — n_prior < 6 still marks it
+    return out.withColumn("is_anomaly",
+                          F.coalesce("is_anomaly", F.lit(False)))

@@ -63,7 +63,7 @@ BENCH_QUERIES = [
     "ccnet_buckets", "dsir_select", "token_budget", "corpus_shuffle",
     "sessionize_events", "latency_percentiles", "asof_enrich",
     "inverted_index", "link_pagerank", "funnel_steps",
-    "retention_cohorts",
+    "retention_cohorts", "log_templates", "count_anomalies",
     "flagship_routed_counts", "flagship_messages",
 ]
 

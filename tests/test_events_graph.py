@@ -217,3 +217,76 @@ class TestRetention:
         assert out[("2024-01-01", 1)] == 1
         assert out[("2024-01-08", 0)] == 1
         assert len(out) == 3
+
+
+class TestTemplates:
+    def test_masking_precedence(self, spark):
+        from beats_spark.dataops import log_templates
+        rows = [
+            Row(message="req 550e8400-e29b-41d4-a716-446655440000 "
+                        "from 10.1.2.3 took 42 ms"),
+            Row(message="req 123e4567-e89b-12d3-a456-426614174000 "
+                        "from 10.9.8.7 took 7 ms"),
+            Row(message="ptr 0xdeadBEEF shifted 3"),
+        ]
+        out = {r.template: r for r in log_templates(
+            spark.createDataFrame(rows), text_col="message").collect()}
+        assert out["req <uuid> from <ip> took <num> ms"].n_lines == 2
+        # min() example is deterministic: the 123e... line sorts first
+        assert out["req <uuid> from <ip> took <num> ms"].example \
+            .startswith("req 123e4567")
+        assert "ptr <hex> shifted <num>" in out
+
+    def test_min_count(self, spark):
+        from beats_spark.dataops import log_templates
+        df = spark.createDataFrame(
+            [Row(message="a 1"), Row(message="a 2"), Row(message="b")])
+        assert log_templates(df, text_col="message",
+                             min_count=2).count() == 1
+
+
+class TestCountAnomalies:
+    def _counts(self, spark, vals):
+        return spark.createDataFrame(
+            [Row(g="x", b=i, c=v) for i, v in enumerate(vals)])
+
+    def test_spike_flagged_warmup_null(self, spark):
+        from beats_spark.dataops import count_anomalies
+        # 10 steady buckets then a 10x spike
+        vals = [100, 101, 99, 100, 102, 98, 100, 101, 99, 100, 1000]
+        out = {r.b: r for r in count_anomalies(
+            self._counts(spark, vals), "g", "b", "c",
+            trailing=24, min_points=6).collect()}
+        assert out[10].is_anomaly is True
+        assert out[9].is_anomaly is False
+        # first 6 buckets have < 6 priors: tri-state NULL
+        for i in range(6):
+            assert out[i].is_anomaly is None
+        assert out[0].n_prior == 0
+
+    def test_zero_variance_flags_any_deviation(self, spark):
+        from beats_spark.dataops import count_anomalies
+        vals = [50] * 8 + [51]
+        out = {r.b: r.is_anomaly for r in count_anomalies(
+            self._counts(spark, vals), "g", "b", "c",
+            min_points=6).collect()}
+        assert out[8] is True      # (x*n - s)^2 > 0, rhs == 0
+        assert out[7] is False
+
+    def test_exact_boundary_matches_python(self, spark):
+        from beats_spark.dataops import count_anomalies
+        import statistics
+        vals = [10, 12, 11, 13, 9, 11, 10, 12, 18]
+        out = {r.b: r.is_anomaly for r in count_anomalies(
+            self._counts(spark, vals), "g", "b", "c",
+            min_points=6, z=3).collect()}
+        prior = vals[:8]
+        zscore = abs(vals[8] - statistics.mean(prior)) \
+            / statistics.stdev(prior)
+        assert out[8] == (zscore > 3)
+
+    def test_min_points_guard(self, spark):
+        from beats_spark.dataops import count_anomalies
+        with pytest.raises(ValueError, match="min_points"):
+            count_anomalies(self._counts(spark, [1]), "g", "b", "c",
+                            min_points=1)
