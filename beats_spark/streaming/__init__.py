@@ -9,6 +9,7 @@ from .pipeline import (
     stateful_url_dedup,
     stream_dedup_against,
     stream_sessions,
+    stream_count_anomalies,
 )
 
 __all__ = [
@@ -16,5 +17,5 @@ __all__ = [
     "windowed_counters", "stateful_rate_limit",
     "stateful_multiline", "stateful_container_partial",
     "stateful_url_dedup", "stream_dedup_against",
-    "stream_sessions",
+    "stream_sessions", "stream_count_anomalies",
 ]

@@ -38,7 +38,7 @@ __all__ = ["PAGES_SCHEMA", "stream_routed", "run_stream_pipeline",
            "windowed_counters", "stateful_rate_limit",
            "stateful_multiline", "stateful_container_partial",
            "stateful_url_dedup", "stream_dedup_against",
-           "stream_sessions"]
+           "stream_sessions", "stream_count_anomalies"]
 
 PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                 "text string, lang string")
@@ -521,6 +521,92 @@ def stateful_url_dedup(
         canon_col, canonical_url(F.col(url_col), strip_www=strip_www))
     return (out.withWatermark(ts_col, within)
                .dropDuplicatesWithinWatermark([canon_col]))
+
+
+def stream_count_anomalies(
+    counts: DataFrame,
+    group_col: str = "sink",
+    bucket_col: str = "win_start",
+    count_col: str = "n",
+    trailing: int = 24,
+    min_points: int = 6,
+    z: int = 3,
+) -> DataFrame:
+    """Streaming form of :func:`beats_spark.dataops.templates
+    .count_anomalies`: consume an already-bucketed counter stream
+    (the output of a windowed-count query — the standard two-stage
+    monitoring topology; Spark disallows chaining a second stateful
+    op behind the window agg in ONE query, so this runs as its own
+    stage) and flag buckets beyond ``z`` trailing-window sample
+    standard deviations, per group.
+
+    State per group is the ring buffer of the last ``trailing``
+    bucket counts — bounded, independent of stream length. The test
+    is the SAME cross-multiplied integer inequality as the batch op
+    (Python ints are arbitrary-precision, so flags match the batch
+    decimal(38,0) arithmetic bit-for-bit — asserted in the test).
+    Emits every input row with ``n_prior`` and ``is_anomaly`` (NULL
+    while fewer than ``min_points`` priors). Buckets must arrive in
+    event-time order per group ACROSS micro-batches (within a batch
+    they are sorted here); a bucket at or before the last seen one
+    is emitted with ``n_prior = -1`` and a NULL flag and does not
+    touch the state — feed this from an append-mode windowed count,
+    whose per-group emission order is watermark-monotone.
+    """
+    if min_points < 2:
+        raise ValueError("stream_count_anomalies: min_points must "
+                         "be >= 2")
+    in_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in counts.schema.fields)
+    out_schema = f"{in_fields}, n_prior int, is_anomaly boolean"
+    state_schema = "prior array<bigint>, last_us bigint"
+    z2 = int(z) * int(z)
+
+    def fn(key: Tuple, batches: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            prior, last_us = list(state.get[0]), state.get[1]
+        else:
+            prior, last_us = [], -(1 << 62)
+        chunks = [pdf for pdf in batches]
+        if not chunks:
+            return
+        pdf = _concat_chunks(chunks)
+        pdf = pdf.sort_values(bucket_col, kind="mergesort")
+        us = (pdf[bucket_col].values.astype("datetime64[ns]")
+              .astype("int64") // 1000)
+        xs = pdf[count_col].values
+        n_prior_out, flag_out = [], []
+        for t, xv in zip(us, xs):
+            t = int(t)
+            if t <= last_us:
+                n_prior_out.append(-1)
+                flag_out.append(None)
+                continue
+            x = int(xv)
+            n = len(prior)
+            if n < min_points:
+                flag_out.append(None)
+            else:
+                s = sum(prior)
+                q = sum(c * c for c in prior)
+                d = x * n - s
+                flag_out.append(
+                    bool(d * d * (n - 1) > z2 * n * (n * q - s * s)))
+            n_prior_out.append(n)
+            prior.append(x)
+            if len(prior) > trailing:
+                prior = prior[-trailing:]
+            last_us = t
+        out = pdf.copy()
+        out["n_prior"] = pd.array(n_prior_out, dtype="int32")
+        out["is_anomaly"] = pd.array(flag_out, dtype="boolean")
+        state.update((prior, int(last_us)))
+        yield out
+
+    return (counts.groupBy(group_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout))
 
 
 def stream_dedup_against(

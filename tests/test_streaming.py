@@ -639,3 +639,68 @@ def test_stream_sessions_gap_boundary_matches_batch(spark, tmp_path):
                session_rollup(df, gap_seconds=1800).collect()
                if r.user_id == 1]
     assert sorted(stream_n) == sorted(batch_n)
+
+
+def test_stream_count_anomalies_matches_batch(spark, tmp_path):
+    """The streaming ring-buffer z-test produces bit-identical flags
+    to the batch decimal(38,0) operator on the same bucketed counts,
+    with state carried across micro-batches AND a query restart; a
+    replayed (out-of-order) bucket is marked n_prior=-1, flag NULL."""
+    from beats_spark.dataops import count_anomalies
+    from beats_spark.streaming.pipeline import stream_count_anomalies
+    src_dir = str(tmp_path / "counts")
+    ck = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "flags")
+    os.makedirs(src_dir)
+    t0 = 1_700_000_000_000_000
+    h = 3600 * 1_000_000
+    vals = [100, 101, 99, 100, 102, 98, 100, 101, 99, 100, 1000, 100]
+
+    def mk(idx_vals, fname):
+        spark.createDataFrame(
+            [("x", t0 + i * h, v) for i, v in idx_vals],
+            "g string, us bigint, c bigint") \
+            .select("g", F.timestamp_micros(F.col("us")).alias("b"),
+                    "c") \
+            .coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src_dir, fname))
+
+    def run():
+        stream = (spark.readStream.schema(
+            "g string, b timestamp, c bigint")
+            .option("maxFilesPerTrigger", 1).parquet(src_dir + "/*"))
+        flagged = stream_count_anomalies(
+            stream, "g", "b", "c", trailing=24, min_points=6, z=3)
+        q = (flagged.writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    mk(list(enumerate(vals[:7])), "b1")
+    run()                                    # batches 1
+    mk(list(enumerate(vals))[7:], "b2")      # restart: state restored
+    run()
+    got = {r.b: (r.n_prior, r.is_anomaly)
+           for r in spark.read.parquet(out_dir).collect()}
+    assert len(got) == len(vals)
+
+    batch = spark.createDataFrame(
+        [("x", t0 + i * h, v) for i, v in enumerate(vals)],
+        "g string, us bigint, c bigint") \
+        .select("g", F.timestamp_micros(F.col("us")).alias("b"), "c")
+    want = {r.b: (r.n_prior, r.is_anomaly)
+            for r in count_anomalies(batch, "g", "b", "c",
+                                     trailing=24, min_points=6,
+                                     z=3).collect()}
+    assert got == want
+    assert any(f for _, f in got.values() if f)   # the spike flagged
+
+    # replay an already-seen bucket in a third run: late-marked
+    mk([(10, 1000)], "b3")
+    run()
+    got3 = {r.b: (r.n_prior, r.is_anomaly)
+            for r in spark.read.parquet(out_dir).collect()
+            if r.n_prior == -1}
+    assert len(got3) == 1
+    assert list(got3.values())[0] == (-1, None)
