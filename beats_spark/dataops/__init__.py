@@ -48,7 +48,8 @@ from .urls import canonical_url, url_dedup, TRACKING_PARAMS
 from .spans import doc_ngrams, ngram_duplicate_stats, remove_duplicate_spans
 from .sample import (
     cap_per_key, corpus_shuffle, hash_sample, mixture_plan,
-    mixture_sample, quantile_buckets, token_budget_sample,
+    mixture_sample, quantile_buckets, stratified_sample,
+    token_budget_sample,
 )
 from .terms import doc_frequency, inverted_index, tfidf_top_terms
 from .decontam import contamination_flags, decontaminate
@@ -66,7 +67,7 @@ from .scrub import (
 )
 from .events import (
     asof_join, funnel_steps, percentile_rollup, retention_cohorts,
-    session_rollup, sessionize,
+    scd2_join, session_rollup, sessionize,
 )
 from .graph import pagerank
 from .templates import (
@@ -95,10 +96,11 @@ __all__ = [
     "canonical_url", "url_dedup", "TRACKING_PARAMS",
     "doc_ngrams", "ngram_duplicate_stats", "remove_duplicate_spans",
     "cap_per_key", "hash_sample", "mixture_plan", "mixture_sample",
-    "quantile_buckets", "token_budget_sample", "corpus_shuffle",
+    "quantile_buckets", "stratified_sample", "token_budget_sample",
+    "corpus_shuffle",
     "doc_frequency", "inverted_index", "tfidf_top_terms",
     "asof_join", "funnel_steps", "percentile_rollup",
-    "retention_cohorts", "session_rollup", "sessionize",
+    "retention_cohorts", "scd2_join", "session_rollup", "sessionize",
     "pagerank",
     "TEMPLATE_MASKS", "count_anomalies", "log_templates",
     "template_col",

@@ -28,7 +28,8 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["asof_join", "funnel_steps", "percentile_rollup",
-           "retention_cohorts", "session_rollup", "sessionize"]
+           "retention_cohorts", "scd2_join", "session_rollup",
+           "sessionize"]
 
 
 def _epoch_us(df: DataFrame, ts_col: str) -> Column:
@@ -163,32 +164,77 @@ def asof_join(
         raise ValueError(f"asof_join: output columns {clash} already "
                          "exist on the left — change prefix=")
 
+    # the payload travels as ONE struct: last(ignorenulls) per column
+    # would fill each field from a DIFFERENT right row whenever the
+    # latest row carries a NULL field (e.g. an open-ended valid_to),
+    # silently mixing versions — a struct is non-null iff a right row
+    # exists, whatever its fields hold
     r = right.select(
         F.col(on),
         _epoch_us(right, right_ts).alias("__us"),
         F.lit(0).alias("__side"),
         *[F.col(t).alias(f"__tie{i}") for i, t in enumerate(tie_cols)],
-        *[F.col(c).alias(o) for c, o in zip(payload_cols, out_names)])
+        F.struct(*[F.col(c).alias(o)
+                   for c, o in zip(payload_cols, out_names)])
+         .alias("__p"))
     l = left.select(
         "*",
         _epoch_us(left, left_ts).alias("__us"),
         F.lit(1).alias("__side"),
         *[F.lit(None).alias(f"__tie{i}") for i in range(len(tie_cols))],
-        *[F.lit(None).cast(r.schema[o].dataType).alias(o)
-          for o in out_names])
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"))
     u = l.unionByName(r, allowMissingColumns=True)
     order = [F.col("__us").asc(), F.col("__side").asc()] + \
             [F.col(f"__tie{i}").asc_nulls_last()
              for i in range(len(tie_cols))]
     w = Window.partitionBy(on).orderBy(*order) \
               .rowsBetween(Window.unboundedPreceding, 0)
-    filled = u.select(
-        "*",
-        *[F.last(F.col(o), ignorenulls=True).over(w).alias("__f" + o)
-          for o in out_names])
+    filled = u.withColumn(
+        "__fp", F.last(F.col("__p"), ignorenulls=True).over(w))
     keep = [c for c in left.columns] + \
-           [F.col("__f" + o).alias(o) for o in out_names]
+           [F.col("__fp")[o].alias(o) for o in out_names]
     return filled.filter(F.col("__side") == 1).select(*keep)
+
+
+def scd2_join(
+    left: DataFrame,
+    dim: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    payload_cols: Optional[Sequence[str]] = None,
+    prefix: str = "dim_",
+) -> DataFrame:
+    """Temporal dimension join (SCD-type-2): attach the dimension row
+    whose validity interval contains the event time —
+    ``valid_from <= ts < valid_to``, with a NULL ``valid_to`` meaning
+    "current". The "config at the time of the event" join every log
+    pipeline needs against a slowly-changing lookup table.
+
+    Built on :func:`asof_join` (most recent ``valid_from`` at or
+    before the event — versions of one key must not overlap, the
+    SCD2 invariant), then the match is WITHHELD where the version had
+    already expired (``valid_to <= ts``) — so a gap between versions
+    yields NULLs, not a stale row. Inherits asof's linear plan: one
+    exchange on the key, a running-last window, zero Join nodes, no
+    N×M interval explosion.
+    """
+    if payload_cols is None:
+        payload_cols = [c for c in dim.columns
+                        if c not in (on, valid_from, valid_to)]
+    j = asof_join(left, dim, on=on, left_ts=left_ts,
+                  right_ts=valid_from,
+                  payload_cols=list(payload_cols) + [valid_to],
+                  prefix=prefix, tie_cols=[valid_from])
+    vto = F.col(prefix + valid_to)
+    live = vto.isNull() | (_epoch_us(j, prefix + valid_to)
+                           > _epoch_us(j, left_ts))
+    out = j
+    for c in payload_cols:
+        out = out.withColumn(prefix + c,
+                             F.when(live, F.col(prefix + c)))
+    return out.drop(prefix + valid_to)
 
 
 def funnel_steps(

@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 __all__ = ["cap_per_key", "corpus_shuffle", "hash_sample",
+           "stratified_sample",
            "mixture_plan", "mixture_sample", "quantile_buckets",
            "token_budget_sample"]
 
@@ -414,6 +415,39 @@ def token_budget_sample(
     out = full.unionByName(boundary)
     return out.drop("__h", "__t", "__b", "__bt", "__prior",
                     "__budget")
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n: int,
+    seed: str = "",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Exactly ``min(n, |group|)`` rows per group, deterministically:
+    rank every row inside its group by the 60-bit md5 priority of its
+    ``key_col`` (seeded — different seeds draw independent samples)
+    and keep the first ``n``. The exact-count-per-stratum form of
+    :func:`hash_sample` (which is Bernoulli and only converges to the
+    rate): balanced eval sets, per-language pilot corpora, per-source
+    debugging slices.
+
+    One exchange (the group window); the per-group sort is the only
+    per-row cost. The order is a pure function of (key, seed) —
+    repartition-stable, engine-portable (same hex trick as every
+    sampler here), and a row's membership can only change if the
+    GROUP's population changes (smaller n → always a subset).
+    NULL keys fail loudly (same contract as :func:`hash_sample`)."""
+    if n < 1:
+        raise ValueError(f"stratified_sample: n must be >= 1, got {n}")
+    op = "stratified_sample"
+    h = _priority60(key_col, seed, op)
+    w = Window.partitionBy(group_col).orderBy(h.asc(),
+                                              F.col(key_col).asc())
+    out = (df.withColumn("sample_rank", F.row_number().over(w))
+           .filter(F.col("sample_rank") <= n))
+    return out if keep_rank else out.drop("sample_rank")
 
 
 def corpus_shuffle(

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict, Optional
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .conditions import compile_condition
 from .dissect.spark import apply_dissect
@@ -3716,3 +3716,73 @@ def count_anomalies_q(spark, sf_dir):
     # reports warmup as not-an-anomaly — n_prior < 6 still marks it
     return out.withColumn("is_anomaly",
                           F.coalesce("is_anomaly", F.lit(False)))
+
+
+@query("scd2_enrich", oracle="""
+WITH dim AS (SELECT user_id, event_id AS version_id,
+                    ts AS valid_from,
+                    CASE WHEN lead(ts) OVER w IS NULL
+                         THEN ts + INTERVAL 3 DAY
+                         ELSE least(lead(ts) OVER w,
+                                    ts + INTERVAL 3 DAY) END
+                      AS valid_to
+             FROM events WHERE event_type = 'signup'
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+err AS (SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'error')
+SELECT e.event_id, e.user_id,
+       (SELECT d.version_id FROM dim d
+        WHERE d.user_id = e.user_id AND d.valid_from <= e.ts
+          AND d.valid_to > e.ts
+        ORDER BY d.valid_from DESC LIMIT 1) AS dim_version_id
+FROM err e
+""")
+def scd2_enrich(spark, sf_dir):
+    """SCD-type-2 temporal dimension join (:func:`beats_spark.dataops
+    .events.scd2_join`): error events pick up the signup "version"
+    whose validity interval covers them — versions derived from the
+    events table itself (valid_from = signup ts, valid_to = next
+    signup capped at +3 days, so expiry gaps exist and exercise the
+    withhold path). Linear asof plan (one exchange, zero Join nodes);
+    the oracle is the defining interval-containment subquery."""
+    from .dataops import scd2_join
+    ev = _t(spark, sf_dir, "events")
+    wv = Window.partitionBy("user_id").orderBy("ts")
+    nxt = F.lead("ts").over(wv)
+    cap = F.col("ts") + F.expr("INTERVAL 3 DAYS")
+    dim = (ev.filter(F.col("event_type") == "signup")
+           .select("user_id",
+                   F.col("event_id").alias("version_id"),
+                   F.col("ts").alias("valid_from"),
+                   F.when(nxt.isNull(), cap)
+                    .otherwise(F.least(nxt, cap)).alias("valid_to")))
+    err = ev.filter(F.col("event_type") == "error") \
+            .select("event_id", "user_id", "ts")
+    out = scd2_join(err, dim, on="user_id", left_ts="ts",
+                    payload_cols=["version_id"])
+    return out.select("event_id", "user_id", "dim_version_id")
+
+
+@query("stratified_sample", oracle="""
+WITH r AS (SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY CAST('0x' || substr(md5(
+                        CAST(doc_id AS VARCHAR) || '#strat'), 1, 15)
+                      AS BIGINT) ASC, doc_id ASC) AS sample_rank
+           FROM documents)
+SELECT doc_id, lang, CAST(sample_rank AS INT) AS sample_rank
+FROM r WHERE sample_rank <= 20
+""")
+def stratified_sample_q(spark, sf_dir):
+    """Exact-count stratified sampling (:func:`beats_spark.dataops
+    .sample.stratified_sample`): exactly min(20, |group|) documents
+    per language, ranked by the seeded 60-bit md5 priority of doc_id
+    — the balanced-eval-set draw (hash_sample is Bernoulli and only
+    converges to the rate; this is exact per stratum). One group
+    window; order is a pure function of (key, seed)."""
+    from .dataops import stratified_sample
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(docs.select("doc_id", "lang"),
+                            "lang", "doc_id", 20, seed="strat",
+                            keep_rank=True)
+    return out.select("doc_id", "lang", "sample_rank")

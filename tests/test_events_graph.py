@@ -290,3 +290,60 @@ class TestCountAnomalies:
         with pytest.raises(ValueError, match="min_points"):
             count_anomalies(self._counts(spark, [1]), "g", "b", "c",
                             min_points=1)
+
+
+class TestScd2Join:
+    def test_interval_containment_gap_and_current(self, spark):
+        from beats_spark.dataops import scd2_join
+        dim = spark.createDataFrame(
+            [Row(k=1, valid_from=_ts(0), valid_to=_ts(10), cfg="v1"),
+             Row(k=1, valid_from=_ts(20), valid_to=None, cfg="v2")])
+        left = spark.createDataFrame(
+            [Row(k=1, ts=_ts(5), lid=1),    # inside v1
+             Row(k=1, ts=_ts(10), lid=2),   # v1 expired AT valid_to
+             Row(k=1, ts=_ts(15), lid=3),   # gap between versions
+             Row(k=1, ts=_ts(20), lid=4),   # v2 starts (inclusive)
+             Row(k=1, ts=_ts(50), lid=5),   # v2 is current (NULL to)
+             Row(k=2, ts=_ts(5), lid=6)])   # key with no versions
+        out = {r.lid: r.dim_cfg for r in scd2_join(
+            left, dim, on="k").collect()}
+        assert out == {1: "v1", 2: None, 3: None, 4: "v2",
+                       5: "v2", 6: None}
+
+    def test_no_join_node(self, spark):
+        from beats_spark.dataops import scd2_join
+        dim = spark.createDataFrame(
+            [(1, _ts(0), None, "v1")],
+            "k long, valid_from timestamp, valid_to timestamp, "
+            "cfg string")
+        left = spark.createDataFrame([Row(k=1, ts=_ts(5), lid=1)])
+        plan = scd2_join(left, dim, on="k") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+
+
+class TestStratifiedSample:
+    def test_exact_counts_and_nesting(self, spark):
+        from beats_spark.dataops import stratified_sample
+        df = spark.createDataFrame(
+            [Row(g="a", k=i) for i in range(50)]
+            + [Row(g="b", k=i + 100) for i in range(3)])
+        out = stratified_sample(df, "g", "k", 10)
+        counts = {r.g: r["count"] for r in
+                  out.groupBy("g").count().collect()}
+        assert counts == {"a": 10, "b": 3}  # min(n, |group|)
+        # smaller n draws a SUBSET of the larger draw
+        k5 = {r.k for r in stratified_sample(df, "g", "k", 5).collect()}
+        k10 = {r.k for r in out.collect()}
+        assert k5 < k10
+
+    def test_seed_independence_and_guard(self, spark):
+        from beats_spark.dataops import stratified_sample
+        df = spark.createDataFrame([Row(g="a", k=i) for i in range(40)])
+        s1 = {r.k for r in
+              stratified_sample(df, "g", "k", 10, seed="s1").collect()}
+        s2 = {r.k for r in
+              stratified_sample(df, "g", "k", 10, seed="s2").collect()}
+        assert s1 != s2
+        with pytest.raises(ValueError, match="n must be"):
+            stratified_sample(df, "g", "k", 0)
