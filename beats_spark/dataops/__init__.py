@@ -70,6 +70,7 @@ from .events import (
     scd2_join, session_rollup, sessionize,
 )
 from .graph import pagerank
+from .layout import cluster_by_zorder, write_bucketed, zorder_key
 from .templates import (
     TEMPLATE_MASKS, count_anomalies, log_templates, template_col,
 )
@@ -102,6 +103,7 @@ __all__ = [
     "asof_join", "funnel_steps", "percentile_rollup",
     "retention_cohorts", "scd2_join", "session_rollup", "sessionize",
     "pagerank",
+    "cluster_by_zorder", "write_bucketed", "zorder_key",
     "TEMPLATE_MASKS", "count_anomalies", "log_templates",
     "template_col",
     "contamination_flags", "decontaminate",

@@ -1,0 +1,138 @@
+"""Data layout for scan pruning: Z-order (Morton) clustering keys.
+
+At 100 TB the cheapest query is the one that never reads the file:
+parquet row-group and file skipping works off per-file min/max
+statistics, which a single-column sort makes tight for ONE column
+only. Interleaving the bits of two (or more) normalized columns into
+a Morton key and range-clustering on it makes min/max ranges tight on
+EVERY interleaved column at once — the standard Z-order layout
+(Delta/Iceberg `OPTIMIZE ZORDER BY`), here as plain DataFrame
+arithmetic usable over any parquet/Iceberg sink.
+
+Everything is JVM bit arithmetic (``shiftleft``/``shiftright``/
+bitwise and/or folded over the bit positions) — no UDF, no shuffle
+for the key itself; ``cluster_by_zorder`` adds exactly one range
+exchange + an in-partition sort, the same cost as any sorted write.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["cluster_by_zorder", "write_bucketed", "zorder_key"]
+
+
+def _normalize(col: Column, lo: Column, hi: Column,
+               bits: int) -> Column:
+    """Map ``col`` into ``[0, 2^bits)`` by linear position inside
+    [lo, hi] (computed with integer arithmetic: offset × range /
+    span). Engine-portable: floor division on non-negative longs."""
+    span = (hi - lo) + F.lit(1)
+    pos = (col - lo).cast("long") * F.lit((1 << bits))
+    # clamp BOTH edges: a value below lo goes negative and its bit
+    # pattern is sign-extension (engine-dependent shifts) — edge
+    # buckets keep out-of-range rows orderable and portable
+    return F.greatest(F.least(F.floor(pos / span).cast("long"),
+                              F.lit((1 << bits) - 1)),
+                      F.lit(0).cast("long"))
+
+
+def zorder_key(
+    cols: Sequence[Column],
+    los: Sequence[int],
+    his: Sequence[int],
+    bits: int = 16,
+) -> Column:
+    """Morton key of ``cols`` (integer-valued Columns): each column is
+    normalized into ``[0, 2^bits)`` against its [lo, hi] value range,
+    then the bits are interleaved round-robin (column 0 owns bit
+    positions 0, k, 2k, …). Pure closed-form bit arithmetic, exactly
+    reproducible in any SQL engine (the oracle unrolls the same fold).
+
+    ``bits × len(cols)`` must fit a signed long (≤ 62). Ranges are
+    caller-supplied constants: at scale they come from table stats or
+    domain knowledge (a scan to compute them would defeat the
+    write-path purpose); values outside [lo, hi] clamp to the edge
+    buckets (both sides — see ``_normalize``).
+    """
+    k = len(cols)
+    if k < 2:
+        raise ValueError("zorder_key: need at least 2 columns")
+    if not (len(los) == len(his) == k):
+        raise ValueError("zorder_key: los/his must match cols")
+    if bits * k > 62:
+        raise ValueError(f"zorder_key: {bits} bits x {k} cols "
+                         "overflows a long")
+    key = F.lit(0).cast("long")
+    for ci, (c, lo, hi) in enumerate(zip(cols, los, his)):
+        if hi < lo:
+            raise ValueError(f"zorder_key: hi < lo for column {ci}")
+        n = _normalize(c, F.lit(int(lo)).cast("long"),
+                       F.lit(int(hi)).cast("long"), bits)
+        for b in range(bits):
+            bit = F.shiftright(n, b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(
+                F.shiftleft(bit, b * k + ci).cast("long"))
+    return key
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 64,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a BUCKETED table on ``key``: rows are
+    hash-distributed into ``n_buckets`` files per write-partition and
+    (by default) sorted within each bucket. A join or aggregation on
+    ``key`` between two tables bucketed the same way runs with ZERO
+    shuffle of either side — Catalyst reads the bucket spec from the
+    catalog and plans SortMergeJoin straight over co-located buckets
+    (asserted in the tests: no Exchange under the join).
+
+    This is the write-once/join-many layout for the big fact-fact
+    joins a 100 TB pipeline cannot afford to shuffle per query (the
+    dedup-pairs ⋈ labels and events ⋈ sessions shapes): pay one
+    distribution at ingest, reuse it for every downstream join.
+    Bucketed output requires the table catalog (``saveAsTable``) —
+    plain ``.parquet(path)`` writes lose the bucket spec; pick
+    ``n_buckets`` ≈ target parallelism at the QUERY side.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"write_bucketed: n_buckets must be >= 1, "
+                         f"got {n_buckets}")
+    w = df.write.mode(mode).bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.format("parquet").saveAsTable(table)
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    cols: Sequence[str],
+    los: Sequence[int],
+    his: Sequence[int],
+    bits: int = 16,
+    n_files: int = 0,
+    key_col: str = "zorder_key",
+    keep_key: bool = False,
+) -> DataFrame:
+    """Physically cluster ``df`` for multi-column min/max pruning:
+    compute the Morton key, ``repartitionByRange`` on it (one range
+    exchange; ``n_files`` partitions, default session parallelism)
+    and sort within partitions — write the result and every output
+    file covers a compact hyper-rectangle of ALL interleaved columns,
+    so a filter on ANY of them skips most files (single-column sort
+    gives this for one column only; asserted on parquet footer
+    min/max in the tests)."""
+    key = zorder_key([F.col(c) for c in cols], los, his, bits)
+    out = df.withColumn(key_col, key)
+    parts = [key_col]
+    out = (out.repartitionByRange(n_files, *parts) if n_files
+           else out.repartitionByRange(*parts))
+    out = out.sortWithinPartitions(key_col)
+    return out if keep_key else out.drop(key_col)

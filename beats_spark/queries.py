@@ -3786,3 +3786,46 @@ def stratified_sample_q(spark, sf_dir):
                             "lang", "doc_id", 20, seed="strat",
                             keep_rank=True)
     return out.select("doc_id", "lang", "sample_rank")
+
+
+def _zorder_oracle(bits: int = 8) -> str:
+    """Unrolled Morton-key SQL over (o_custkey, epoch-day of
+    o_orderdate) — the same normalize + bit-interleave fold as
+    dataops/layout.py (DuckDB `//` floors non-negative longs like
+    Spark's floor(a/b))."""
+    k = 2
+    defs = [("CAST(o_custkey AS BIGINT)", 1, 15000),
+            ("CAST(epoch(o_orderdate) // 86400 AS BIGINT)",
+             8000, 10000)]
+    norms = []
+    for (expr, lo, hi) in defs:
+        span = hi - lo + 1
+        norms.append(
+            f"greatest(least((({expr} - {lo}) * {1 << bits}) "
+            f"// {span}, {(1 << bits) - 1}), 0)")
+    terms = []
+    for ci, nexpr in enumerate(norms):
+        for b in range(bits):
+            terms.append(f"((({nexpr} >> {b}) & 1) << {b * k + ci})")
+    return f"""
+SELECT o_orderkey, CAST({' | '.join(terms)} AS BIGINT) AS zkey
+FROM orders
+"""
+
+
+@query("zorder_layout", oracle=_zorder_oracle(8))
+def zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering key (:func:`beats_spark.dataops
+    .layout.zorder_key`) over (customer, order-day): the data-layout
+    primitive behind multi-column min/max file skipping —
+    range-clustering on this key gives every output file a compact
+    hyper-rectangle in BOTH dimensions (OPTIMIZE ZORDER BY, as plain
+    DataFrame bit arithmetic). Pure closed-form JVM bit ops; the
+    oracle unrolls the identical normalize + interleave fold."""
+    from .dataops import zorder_key
+    orders = _t(spark, sf_dir, "orders")
+    day = F.floor(F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                  / F.lit(86400_000_000)).cast("long")
+    zk = zorder_key([F.col("o_custkey"), day],
+                    los=[1, 8000], his=[15000, 10000], bits=8)
+    return orders.select("o_orderkey", zk.cast("bigint").alias("zkey"))

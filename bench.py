@@ -64,7 +64,7 @@ BENCH_QUERIES = [
     "sessionize_events", "latency_percentiles", "asof_enrich",
     "inverted_index", "link_pagerank", "funnel_steps",
     "retention_cohorts", "log_templates", "count_anomalies",
-    "scd2_enrich", "stratified_sample",
+    "scd2_enrich", "stratified_sample", "zorder_layout",
     "flagship_routed_counts", "flagship_messages",
 ]
 

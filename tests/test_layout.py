@@ -1,0 +1,136 @@
+"""dataops.layout: Morton key correctness and the actual file-skipping
+property (parquet footer min/max tightness) it exists for."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from beats_spark.dataops import cluster_by_zorder, zorder_key
+
+
+class TestZorderKey:
+    def test_known_interleave(self, spark):
+        # 2 bits, identity ranges [0,3]: key = interleave(x, y)
+        df = spark.createDataFrame(
+            [Row(x=x, y=y) for x in range(4) for y in range(4)])
+        out = df.withColumn("z", zorder_key(
+            [F.col("x"), F.col("y")], [0, 0], [3, 3], bits=2))
+        got = {(r.x, r.y): r.z for r in out.collect()}
+
+        def morton(x, y):
+            z = 0
+            for b in range(2):
+                z |= ((x >> b) & 1) << (2 * b)
+                z |= ((y >> b) & 1) << (2 * b + 1)
+            return z
+        assert got == {(x, y): morton(x, y)
+                       for x in range(4) for y in range(4)}
+        # the defining property: z-order visits quadrants before cells
+        assert got[(0, 0)] == 0 and got[(3, 3)] == 15
+        assert got[(1, 1)] == 3   # first quadrant fills first
+
+    def test_out_of_range_clamps_both_edges(self, spark):
+        df = spark.createDataFrame([Row(x=-5, y=99), Row(x=0, y=3)])
+        out = {(r.x, r.y): r.z for r in df.withColumn(
+            "z", zorder_key([F.col("x"), F.col("y")],
+                            [0, 0], [3, 3], bits=2)).collect()}
+        assert out[(-5, 99)] == out[(0, 3)]  # clamped to the edges
+
+    def test_guards(self, spark):
+        with pytest.raises(ValueError, match="at least 2"):
+            zorder_key([F.col("x")], [0], [3])
+        with pytest.raises(ValueError, match="overflows"):
+            zorder_key([F.col("x"), F.col("y")], [0, 0], [1, 1],
+                       bits=32)
+        with pytest.raises(ValueError, match="hi < lo"):
+            zorder_key([F.col("x"), F.col("y")], [0, 5], [3, 1])
+
+
+class TestClusterByZorder:
+    def test_files_cover_tight_rectangles(self, spark, tmp_path):
+        """The point of the layout: with z-order clustering, per-file
+        min/max ranges are tight for BOTH columns, so a filter on
+        EITHER dimension can skip most files; a single-column sort
+        only achieves this for its own column."""
+        import pyarrow.parquet as pq
+        import glob
+        n, side = 4096, 64
+        df = spark.range(n).select(
+            (F.col("id") % side).alias("x"),
+            (F.col("id") / side).cast("long").alias("y"))
+
+        def spans(path, col):
+            tot = 0.0
+            for f in glob.glob(path + "/part-*.parquet"):
+                md = pq.read_metadata(f)
+                mn = min(md.row_group(i).column(
+                    {"x": 0, "y": 1}[col]).statistics.min
+                    for i in range(md.num_row_groups))
+                mx = max(md.row_group(i).column(
+                    {"x": 0, "y": 1}[col]).statistics.max
+                    for i in range(md.num_row_groups))
+                tot += (mx - mn + 1) / side
+            nf = len(glob.glob(path + "/part-*.parquet"))
+            return tot / nf  # mean fraction of the domain per file
+
+        zpath = str(tmp_path / "z")
+        cluster_by_zorder(df, ["x", "y"], [0, 0],
+                          [side - 1, side - 1], bits=6, n_files=16) \
+            .write.parquet(zpath)
+        spath = str(tmp_path / "s")
+        df.repartitionByRange(16, "x").sortWithinPartitions("x") \
+            .write.parquet(spath)
+
+        # single-column sort: x is tight but y spans ~everything
+        assert spans(spath, "x") < 0.2
+        assert spans(spath, "y") > 0.8
+        # z-order: BOTH dimensions tight per file
+        assert spans(zpath, "x") < 0.5
+        assert spans(zpath, "y") < 0.5
+
+    def test_rows_preserved_and_key_dropped(self, spark):
+        df = spark.createDataFrame(
+            [Row(x=i % 10, y=i // 10) for i in range(100)])
+        out = cluster_by_zorder(df, ["x", "y"], [0, 0], [9, 9],
+                                bits=4, n_files=4)
+        assert out.columns == ["x", "y"]
+        assert out.count() == 100
+        kept = cluster_by_zorder(df, ["x", "y"], [0, 0], [9, 9],
+                                 bits=4, n_files=4, keep_key=True)
+        assert "zorder_key" in kept.columns
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
+        """Two tables bucketed on the same key join WITHOUT shuffling
+        either side — the write-once/join-many layout for fact-fact
+        joins; an unbucketed control join plans Exchanges."""
+        from beats_spark.dataops import write_bucketed
+        # spark.sql.warehouse.dir is static — managed tables land in
+        # ./spark-warehouse and are DROPped (files removed) in finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a = spark.range(2000).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+            b = spark.range(2000).select(
+                F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+            write_bucketed(a, "t_buck_a", "k", n_buckets=8)
+            write_bucketed(b, "t_buck_b", "k", n_buckets=8)
+            j = spark.table("t_buck_a").join(
+                spark.table("t_buck_b"), "k")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan
+            assert j.count() == 2000
+
+            ctrl = a.join(b, "k")
+            cplan = ctrl._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning" in cplan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                           "10485760")
+            spark.sql("DROP TABLE IF EXISTS t_buck_a")
+            spark.sql("DROP TABLE IF EXISTS t_buck_b")
+
+    def test_guard(self, spark):
+        from beats_spark.dataops import write_bucketed
+        with pytest.raises(ValueError, match="n_buckets"):
+            write_bucketed(spark.range(1), "t", "id", n_buckets=0)
