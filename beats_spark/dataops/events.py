@@ -332,6 +332,8 @@ def percentile_rollup(
     value_col: str,
     percentiles: Sequence[float] = (0.5, 0.95, 0.99),
     round_to: int = 6,
+    exact: bool = True,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Exact interpolated percentiles of ``value_col`` per group:
     ``(group, n, p50, p95, ...)`` — the latency-rollup shape every
@@ -343,13 +345,18 @@ def percentile_rollup(
     exact values are engine-portable and testable; the sketch is not.
     Exact percentile holds each group's values on the reducer — fine
     for the per-service/per-endpoint cardinalities this targets; for
-    groups with 10^9+ rows switch to ``approx_percentile`` and accept
-    the sketch error. Results rounded to ``round_to`` so comparisons
-    never hinge on float formatting."""
+    groups with 10^9+ rows pass ``exact=False``: the
+    ``approx_percentile`` sketch (bounded error ≤ 1/``accuracy`` in
+    rank, constant reducer memory, mergeable partials) is the scale
+    path — approximate values are NOT engine-portable, so only the
+    exact form carries an oracle. Results rounded to ``round_to`` so
+    comparisons never hinge on float formatting."""
+    agg_fn = F.percentile if exact else (
+        lambda c, p: F.approx_percentile(c, p, F.lit(int(accuracy))))
     pcols = []
     for p in percentiles:
         name = "p" + ("%g" % (p * 100)).replace(".", "_")
-        pcols.append(F.round(F.percentile(F.col(value_col), F.lit(p)),
+        pcols.append(F.round(agg_fn(F.col(value_col), F.lit(p)),
                              round_to).alias(name))
     return (df.groupBy(group_col)
               .agg(F.count(F.lit(1)).alias("n"), *pcols))

@@ -3829,3 +3829,32 @@ def zorder_layout(spark, sf_dir):
     zk = zorder_key([F.col("o_custkey"), day],
                     los=[1, 8000], his=[15000, 10000], bits=8)
     return orders.select("o_orderkey", zk.cast("bigint").alias("zkey"))
+
+
+@query("salted_join_rollup", oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""")
+def salted_join_rollup(spark, sf_dir):
+    """Skew-safe salted equi-join (:func:`beats_spark.skew
+    .salted_join`): the big side salts deterministically, the dim
+    side replicates x salts, the join runs on (key, salt) — a hot key
+    spreads over `salts` reducers; result row-identical to the plain
+    join (the oracle IS the plain join). Revenue summed in integer
+    cents for engine-exact totals."""
+    from .skew import salted_join
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderpriority")
+    j = salted_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        orders, "o_orderkey", salts=8)
+    cents = F.round(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100).cast("long")
+    return (j.groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n_items"),
+                  F.sum(cents).alias("revenue_cents")))

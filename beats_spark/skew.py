@@ -25,7 +25,7 @@ from typing import Mapping, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["salted_agg", "salted_repartition"]
+__all__ = ["salted_agg", "salted_join", "salted_repartition"]
 
 # (merge_fn, finish_fn): how partials combine, how the result is named
 _MERGEABLE = {
@@ -47,6 +47,44 @@ def salted_repartition(df: DataFrame, key: str, salts: int = 16,
     if partitions:
         return out.repartition(partitions, F.col(key), F.col("__salt"))
     return out.repartition(F.col(key), F.col("__salt"))
+
+
+def salted_join(
+    big: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join for a dim side too big to broadcast: the
+    big side salts each row deterministically (hash of the full row,
+    retry-safe like :func:`salted_agg`), the dim side REPLICATES each
+    row ``salts`` times (one per salt value), and the join runs on
+    ``(key, salt)`` — a key carrying 30% of the big side now spreads
+    over ``salts`` reducers instead of melting one. Result is
+    row-identical to the plain join.
+
+    Cost model: the dim shuffle grows ×``salts`` — right for a
+    mid-size dim (too big for broadcast, ≪ big side). ``how`` is
+    inner or left only: right/full would count each unmatched dim
+    row once PER REPLICA. AQE's skew-join split is the runtime
+    alternative for sort-merge joins; explicit salting also covers
+    the shuffled-hash path and makes the layout deterministic.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join: how must be inner or left "
+                         f"(right/full would duplicate unmatched dim "
+                         f"rows per replica), got {how!r}")
+    if salts < 1:
+        raise ValueError(f"salted_join: salts must be >= 1, "
+                         f"got {salts}")
+    salt_b = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
+                    F.lit(salts))
+    b = big.withColumn("__salt", salt_b)
+    d = dim.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salts)])))
+    return b.join(d, [key, "__salt"], how).drop("__salt")
 
 
 def salted_agg(

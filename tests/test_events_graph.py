@@ -347,3 +347,15 @@ class TestStratifiedSample:
         assert s1 != s2
         with pytest.raises(ValueError, match="n must be"):
             stratified_sample(df, "g", "k", 0)
+
+
+class TestApproxPercentile:
+    def test_sketch_within_rank_tolerance(self, spark):
+        df = spark.createDataFrame(
+            [Row(g="a", v=float(x)) for x in range(1, 10001)])
+        ex = percentile_rollup(df, "g", "v").collect()[0]
+        ap = percentile_rollup(df, "g", "v", exact=False,
+                               accuracy=10000).collect()[0]
+        for c in ("p50", "p95", "p99"):
+            # rank error <= 1/accuracy => value error <= ~N/accuracy
+            assert abs(ex[c] - ap[c]) <= 10000 / 10000 + 1

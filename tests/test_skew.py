@@ -43,3 +43,44 @@ def test_salted_repartition_spreads_hot_key(spark):
                 .select(F.spark_partition_id().alias("p"))
                 .distinct().count())
     assert parts > 1
+
+
+class TestSaltedJoin:
+    def test_result_matches_plain_join(self, spark):
+        from beats_spark.skew import salted_join
+        big = spark.createDataFrame(
+            [(k, i) for i in range(300) for k in
+             ([1] * 3 + [2])], ["k", "v"])  # key 1 is 3x hot
+        dim = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                                    ["k", "label"])
+        got = salted_join(big, dim, "k", salts=4) \
+            .groupBy("k", "label").count().collect()
+        want = big.join(dim, "k") \
+            .groupBy("k", "label").count().collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    def test_left_keeps_unmatched_once(self, spark):
+        from beats_spark.skew import salted_join
+        big = spark.createDataFrame([(1, 10), (99, 20)], ["k", "v"])
+        dim = spark.createDataFrame([(1, "a")], ["k", "label"])
+        out = salted_join(big, dim, "k", salts=4, how="left").collect()
+        assert len(out) == 2
+        assert {r.k: r.label for r in out} == {1: "a", 99: None}
+
+    def test_spreads_hot_key_over_salts(self, spark):
+        from beats_spark.skew import salted_join
+        from pyspark.sql import functions as F
+        big = spark.createDataFrame([(1, i) for i in range(400)],
+                                    ["k", "v"])
+        salts = 8
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
+                      F.lit(salts))
+        n_shards = big.select(salt.alias("s")).distinct().count()
+        assert n_shards >= salts - 1  # one key really fans out
+
+    def test_how_guard(self, spark):
+        from beats_spark.skew import salted_join
+        df = spark.createDataFrame([(1, 2)], ["k", "v"])
+        import pytest as _pt
+        with _pt.raises(ValueError, match="inner or left"):
+            salted_join(df, df, "k", how="full")
