@@ -223,10 +223,14 @@ def scd2_join(
     if payload_cols is None:
         payload_cols = [c for c in dim.columns
                         if c not in (on, valid_from, valid_to)]
+    # tie on valid_to, not valid_from (which IS the sort key and
+    # breaks nothing): two versions sharing a valid_from resolve to
+    # the longest-lived one — NULL (current) sorts last and wins,
+    # else the greatest valid_to — deterministically
     j = asof_join(left, dim, on=on, left_ts=left_ts,
                   right_ts=valid_from,
                   payload_cols=list(payload_cols) + [valid_to],
-                  prefix=prefix, tie_cols=[valid_from])
+                  prefix=prefix, tie_cols=[valid_to])
     vto = F.col(prefix + valid_to)
     live = vto.isNull() | (_epoch_us(j, prefix + valid_to)
                            > _epoch_us(j, left_ts))

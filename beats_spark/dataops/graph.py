@@ -61,6 +61,13 @@ def pagerank(
     if not 0 <= damping_pct <= 100:
         raise ValueError("pagerank: damping_pct must be in [0, 100], "
                          f"got {damping_pct}")
+    if scale * 100 > (1 << 53):
+        # floor(rank/out_deg) and floor(sum*damping/100) run through
+        # double division; past 2^53 they round before flooring and
+        # the bit-exactness guarantee silently breaks
+        raise ValueError(f"pagerank: scale {scale} too large — "
+                         "scale*100 must stay under 2^53 for exact "
+                         "double-free flooring")
     e = (edges.select(F.col(src).cast("long").alias("src"),
                       F.col(dst).cast("long").alias("dst"))
          .filter(F.col("src") != F.col("dst"))

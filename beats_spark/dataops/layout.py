@@ -27,10 +27,20 @@ __all__ = ["cluster_by_zorder", "write_bucketed", "zorder_key"]
 def _normalize(col: Column, lo: Column, hi: Column,
                bits: int) -> Column:
     """Map ``col`` into ``[0, 2^bits)`` by linear position inside
-    [lo, hi] (computed with integer arithmetic: offset × range /
-    span). Engine-portable: floor division on non-negative longs."""
-    span = (hi - lo) + F.lit(1)
-    pos = (col - lo).cast("long") * F.lit((1 << bits))
+    [lo, hi] (offset × range / span). The multiply and the floor
+    division run in decimal(38,0): Spark's ``/`` on longs is DOUBLE
+    division, which misrounds boundary buckets once the scaled offset
+    passes 2^53 (and the long multiply would wrap past 2^63) — wide
+    ranges like epoch-millis or snowflake ids hit both. Decimal keeps
+    the quotient exact for any span < 10^19 (quotient scale 10^-19 ≪
+    1/span), matching the oracle's integer ``//``."""
+    # decimal(20,0), NOT (38,0): Spark sizes a quotient's scale as
+    # 38 - intPart(=p1-s1+s2); (38,0)/(38,0) collapses to scale 6 and
+    # HALF_UP-rounds 6.99999997 up to 7 BEFORE the floor (caught by
+    # test_zorder_exact_past_double_precision); (20,0) keeps scale 18,
+    # exact for any span the zorder_key guard admits
+    span = ((hi - lo) + F.lit(1)).cast("decimal(20,0)")
+    pos = (col - lo).cast("decimal(20,0)") * F.lit((1 << bits))
     # clamp BOTH edges: a value below lo goes negative and its bit
     # pattern is sign-extension (engine-dependent shifts) — edge
     # buckets keep out-of-range rows orderable and portable
@@ -69,6 +79,14 @@ def zorder_key(
     for ci, (c, lo, hi) in enumerate(zip(cols, los, his)):
         if hi < lo:
             raise ValueError(f"zorder_key: hi < lo for column {ci}")
+        if hi - lo + 1 > 10 ** 17:
+            # quotient scale is 18 digits; a span within 2e18 of that
+            # edge can round across a bucket boundary before the
+            # floor. 10^17 leaves a 10x margin — epoch micros over a
+            # century is ~3e15; pre-scale coarser units if wider
+            raise ValueError(
+                f"zorder_key: span {hi - lo + 1} for column {ci} "
+                "exceeds 10^17 — pre-scale to coarser units")
         n = _normalize(c, F.lit(int(lo)).cast("long"),
                        F.lit(int(hi)).cast("long"), bits)
         for b in range(bits):

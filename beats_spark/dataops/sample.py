@@ -443,10 +443,12 @@ def stratified_sample(
         raise ValueError(f"stratified_sample: n must be >= 1, got {n}")
     op = "stratified_sample"
     h = _priority60(key_col, seed, op)
-    w = Window.partitionBy(group_col).orderBy(h.asc(),
-                                              F.col(key_col).asc())
-    out = (df.withColumn("sample_rank", F.row_number().over(w))
-           .filter(F.col("sample_rank") <= n))
+    # the windowed cap IS cap_per_key with a priority order — one
+    # implementation of rank-and-filter to maintain, not two
+    out = cap_per_key(df, group_col, n,
+                      order_by=[h.asc(), F.col(key_col).asc()],
+                      keep_rank=True) \
+        .withColumnRenamed("rank_in_key", "sample_rank")
     return out if keep_rank else out.drop("sample_rank")
 
 

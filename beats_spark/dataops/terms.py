@@ -71,10 +71,15 @@ def inverted_index(
     if max_df is not None and max_df < min_df:
         raise ValueError(f"inverted_index: max_df {max_df} < "
                          f"min_df {min_df}")
+    # array_distinct dedups within a row; the distinct() dedups
+    # ACROSS duplicate doc_id rows (re-ingested docs) — without it
+    # doc_freq inflates and postings repeat ids. Partial-aggregated
+    # map-side like any distinct.
     pairs = (_spread(df)
              .select(F.col(id_col),
                      F.explode(F.array_distinct(
-                         tokens(F.col(text_col)))).alias("term")))
+                         tokens(F.col(text_col)))).alias("term"))
+             .distinct())
     out = (pairs.groupBy("term")
            .agg(F.count(F.lit(1)).alias("doc_freq"),
                 F.sort_array(F.collect_list(F.col(id_col)))

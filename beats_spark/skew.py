@@ -55,6 +55,7 @@ def salted_join(
     key: str,
     salts: int = 16,
     how: str = "inner",
+    salt_on: Sequence[str] | None = None,
 ) -> DataFrame:
     """Skew-safe equi-join for a dim side too big to broadcast: the
     big side salts each row deterministically (hash of the full row,
@@ -70,6 +71,14 @@ def salted_join(
     row once PER REPLICA. AQE's skew-join split is the runtime
     alternative for sort-merge joins; explicit salting also covers
     the shuffled-hash path and makes the layout deterministic.
+
+    The salt hashes the full row (``salt_on`` overrides which
+    columns). Caveat: rows that are IDENTICAL on the salted columns
+    share a salt — a hot key whose rows are byte-identical does not
+    spread (pass a distinguishing column via ``salt_on``, or
+    pre-aggregate: identical fact rows usually want a count, not a
+    join). Retry-safety requires the salt be a pure row function —
+    never a partition or arrival index.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join: how must be inner or left "
@@ -78,7 +87,12 @@ def salted_join(
     if salts < 1:
         raise ValueError(f"salted_join: salts must be >= 1, "
                          f"got {salts}")
-    salt_b = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
+    scols = list(salt_on) if salt_on is not None else big.columns
+    missing = [c for c in scols if c not in big.columns]
+    if missing:
+        raise ValueError(f"salted_join: salt_on columns {missing} "
+                         "not on the big side")
+    salt_b = F.pmod(F.xxhash64(*[F.col(c) for c in scols]),
                     F.lit(salts))
     b = big.withColumn("__salt", salt_b)
     d = dim.withColumn(

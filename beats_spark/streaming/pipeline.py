@@ -573,7 +573,16 @@ def stream_count_anomalies(
             return
         pdf = _concat_chunks(chunks)
         pdf = pdf.sort_values(bucket_col, kind="mergesort")
-        us = (pdf[bucket_col].values.astype("datetime64[ns]")
+        bcol = pdf[bucket_col]
+        if getattr(bcol.dtype, "tz", None) is not None:
+            # absolute instants when Arrow hands tz-aware values;
+            # naive values arrive in the SESSION timezone — run the
+            # query under UTC (the catalog pins it) or a DST-free
+            # zone, else the fall-back fold collapses two real
+            # buckets into one naive value and the later one is
+            # dropped as a replay
+            bcol = bcol.dt.tz_convert("UTC").dt.tz_localize(None)
+        us = (bcol.values.astype("datetime64[ns]")
               .astype("int64") // 1000)
         xs = pdf[count_col].values
         n_prior_out, flag_out = [], []

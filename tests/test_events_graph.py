@@ -359,3 +359,59 @@ class TestApproxPercentile:
         for c in ("p50", "p95", "p99"):
             # rank error <= 1/accuracy => value error <= ~N/accuracy
             assert abs(ex[c] - ap[c]) <= 10000 / 10000 + 1
+
+
+class TestReviewRegressions3:
+    def test_scd2_same_valid_from_longest_lived_wins(self, spark):
+        """Two versions sharing a valid_from resolve deterministically
+        to the longest-lived one (NULL = current wins outright)."""
+        from beats_spark.dataops import scd2_join
+        left = spark.createDataFrame([Row(k=1, ts=_ts(5), lid=1)])
+        dim = spark.createDataFrame(
+            [(1, _ts(0), _ts(0), "zero_len"),
+             (1, _ts(0), _ts(30), "long")],
+            "k long, valid_from timestamp, valid_to timestamp, "
+            "cfg string")
+        for _ in range(3):  # repartition-independent
+            got = scd2_join(left, dim.repartition(4), on="k") \
+                .collect()[0].dim_cfg
+            assert got == "long"
+        dim2 = spark.createDataFrame(
+            [(1, _ts(0), _ts(30), "bounded"),
+             (1, _ts(0), None, "current")],
+            "k long, valid_from timestamp, valid_to timestamp, "
+            "cfg string")
+        assert scd2_join(left, dim2, on="k") \
+            .collect()[0].dim_cfg == "current"
+
+    def test_inverted_index_duplicate_doc_rows(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="a b"), Row(doc_id=1, text="a c")])
+        out = {r.term: r for r in inverted_index(df).collect()}
+        assert out["a"].doc_freq == 1      # not inflated by dup rows
+        assert out["a"].postings == [1]    # no repeated ids
+
+    def test_zorder_exact_past_double_precision(self, spark):
+        """Boundary buckets stay exact for ranges where double
+        division misrounds (scaled offset > 2^53): epoch-millis-wide
+        domain, value sitting exactly one unit below a bucket edge."""
+        from pyspark.sql import functions as F
+        from beats_spark.dataops import zorder_key
+        lo, hi, bits = 0, (1 << 41) - 1, 16   # span 2^41, pos ~2^57
+        span = hi - lo + 1
+        # exact integer bucketing for a value 1 below the k=7 edge
+        v = (7 * span) // (1 << bits) - 1
+        want = (v * (1 << bits)) // span
+        df = spark.createDataFrame([(v, 0)], "x long, y long")
+        z = df.select(zorder_key(
+            [F.col("x"), F.col("y")], [lo, 0], [hi, 0],
+            bits=16).alias("z")).collect()[0].z
+        got_bucket = 0
+        for b in range(16):
+            got_bucket |= ((z >> (2 * b)) & 1) << b
+        assert got_bucket == want
+
+    def test_pagerank_scale_guard(self, spark):
+        edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+        with pytest.raises(ValueError, match="scale"):
+            pagerank(edges, scale=10 ** 16)

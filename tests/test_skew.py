@@ -84,3 +84,21 @@ class TestSaltedJoin:
         import pytest as _pt
         with _pt.raises(ValueError, match="inner or left"):
             salted_join(df, df, "k", how="full")
+
+    def test_salt_on_spreads_identical_rows(self, spark):
+        """Byte-identical hot rows share a full-row salt (documented);
+        salt_on with a distinguishing column restores the spread."""
+        from beats_spark.skew import salted_join
+        from pyspark.sql import functions as F
+        big = spark.createDataFrame(
+            [(1, "same", i) for i in range(64)], ["k", "payload", "rid"])
+        full = F.pmod(F.xxhash64(F.col("k"), F.col("payload")),
+                      F.lit(8))
+        assert big.select(full.alias("s")).distinct().count() == 1
+        dim = spark.createDataFrame([(1, "a")], ["k", "label"])
+        out = salted_join(big, dim, "k", salts=8,
+                          salt_on=["k", "rid"])
+        assert out.count() == 64
+        import pytest as _pt
+        with _pt.raises(ValueError, match="salt_on"):
+            salted_join(big, dim, "k", salt_on=["nope"])
