@@ -3858,3 +3858,44 @@ def salted_join_rollup(spark, sf_dir):
     return (j.groupBy("o_orderpriority")
              .agg(F.count(F.lit(1)).alias("n_items"),
                   F.sum(cents).alias("revenue_cents")))
+
+
+@query("counter_rollup", oracle="""
+SELECT CASE WHEN GROUPING(event_type) = 1 THEN NULL
+            ELSE event_type END AS event_type,
+       CASE WHEN GROUPING(day) = 1 THEN 'ALL'
+            ELSE CAST(day AS VARCHAR) END AS day,
+       CAST(GROUPING(event_type) * 2 + GROUPING(day) AS INT)
+         AS grouping_id,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             value
+      FROM events)
+GROUP BY ROLLUP (event_type, day)
+""")
+def counter_rollup(spark, sf_dir):
+    """Multi-granularity counter rollup: per (type, day), per type,
+    and grand total in ONE aggregation pass — Spark's ``rollup``
+    (partial aggregates are shared across the grouping sets, so the
+    input scans once) against DuckDB's ``GROUP BY ROLLUP``. The
+    grouping_id column disambiguates a real NULL group from a
+    rolled-up level, and money sums ride integer cents for exact
+    cross-engine totals."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select("event_type",
+                     F.date_trunc("day", F.col("ts")).cast("date")
+                      .alias("day"),
+                     "value")
+    return (base.rollup("event_type", "day")
+            .agg(F.grouping_id().cast("int").alias("grouping_id"),
+                 F.count(F.lit(1)).alias("n"),
+                 F.sum(_cents(F.col("value"))).alias("value_cents"))
+            .select("event_type",
+                    # string + sentinel: a NULL DATE surfaces as NaT
+                    # in one engine's frame and None in the other's,
+                    # which the value-hash compare can't unify
+                    F.coalesce(F.col("day").cast("string"),
+                               F.lit("ALL")).alias("day"),
+                    "grouping_id", "n", "value_cents"))
