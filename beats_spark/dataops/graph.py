@@ -61,6 +61,8 @@ def pagerank(
     if not 0 <= damping_pct <= 100:
         raise ValueError("pagerank: damping_pct must be in [0, 100], "
                          f"got {damping_pct}")
+    if scale < 1:
+        raise ValueError(f"pagerank: scale must be >= 1, got {scale}")
     if scale * 100 > (1 << 53):
         # floor(rank/out_deg) and floor(sum*damping/100) run through
         # double division; past 2^53 they round before flooring and

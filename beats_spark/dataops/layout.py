@@ -34,18 +34,25 @@ def _normalize(col: Column, lo: Column, hi: Column,
     ranges like epoch-millis or snowflake ids hit both. Decimal keeps
     the quotient exact for any span < 10^19 (quotient scale 10^-19 ≪
     1/span), matching the oracle's integer ``//``."""
-    # decimal(20,0), NOT (38,0): Spark sizes a quotient's scale as
-    # 38 - intPart(=p1-s1+s2); (38,0)/(38,0) collapses to scale 6 and
-    # HALF_UP-rounds 6.99999997 up to 7 BEFORE the floor (caught by
-    # test_zorder_exact_past_double_precision); (20,0) keeps scale 18,
-    # exact for any span the zorder_key guard admits
-    span = ((hi - lo) + F.lit(1)).cast("decimal(20,0)")
-    pos = (col - lo).cast("decimal(20,0)") * F.lit((1 << bits))
+    # NO decimal-division trust: Spark rounds a decimal quotient
+    # HALF_UP at whatever scale the type rules leave (measured: the
+    # (20,0)-input quotient is decimal(38,12), so spans past ~2e12
+    # still misround across a bucket edge BEFORE the floor). Instead:
+    # take the approximate floor, then correct it with EXACT
+    # decimal(38,0) multiply/compare — products stay exact, the
+    # approximate quotient is off by at most 1 (its error ≪ 1), so a
+    # one-step correction lands the true integer quotient for any
+    # span the zorder_key guard admits.
+    span_d = ((hi - lo) + F.lit(1)).cast("decimal(38,0)")
+    pos_d = (col - lo).cast("decimal(38,0)") * F.lit((1 << bits))
+    q0 = F.floor(pos_d / span_d).cast("decimal(38,0)")
+    q1 = F.when(q0 * span_d > pos_d, q0 - 1).otherwise(q0)
+    q = F.when((q1 + 1) * span_d <= pos_d, q1 + 1).otherwise(q1) \
+         .cast("long")
     # clamp BOTH edges: a value below lo goes negative and its bit
     # pattern is sign-extension (engine-dependent shifts) — edge
     # buckets keep out-of-range rows orderable and portable
-    return F.greatest(F.least(F.floor(pos / span).cast("long"),
-                              F.lit((1 << bits) - 1)),
+    return F.greatest(F.least(q, F.lit((1 << bits) - 1)),
                       F.lit(0).cast("long"))
 
 
@@ -80,10 +87,10 @@ def zorder_key(
         if hi < lo:
             raise ValueError(f"zorder_key: hi < lo for column {ci}")
         if hi - lo + 1 > 10 ** 17:
-            # quotient scale is 18 digits; a span within 2e18 of that
-            # edge can round across a bucket boundary before the
-            # floor. 10^17 leaves a 10x margin — epoch micros over a
-            # century is ~3e15; pre-scale coarser units if wider
+            # keeps span * 2^bits inside decimal(38,0)'s exact range
+            # (and the correction products with it); epoch micros
+            # over a century is ~3e15 — pre-scale coarser units if
+            # genuinely wider
             raise ValueError(
                 f"zorder_key: span {hi - lo + 1} for column {ci} "
                 "exceeds 10^17 — pre-scale to coarser units")

@@ -442,6 +442,12 @@ def stratified_sample(
     if n < 1:
         raise ValueError(f"stratified_sample: n must be >= 1, got {n}")
     op = "stratified_sample"
+    if "rank_in_key" in df.columns:
+        raise ValueError(f"{op}: rename the existing rank_in_key "
+                         "column first (used internally)")
+    if keep_rank and "sample_rank" in df.columns:
+        raise ValueError(f"{op}: keep_rank=True would duplicate the "
+                         "existing sample_rank column — rename it")
     h = _priority60(key_col, seed, op)
     # the windowed cap IS cap_per_key with a priority order — one
     # implementation of rank-and-filter to maintain, not two

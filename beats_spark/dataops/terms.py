@@ -36,15 +36,16 @@ def doc_frequency(
 ) -> DataFrame:
     """``(term, doc_freq)``: number of distinct documents containing
     each lowercased whitespace term. ``array_distinct`` BEFORE the
-    explode dedups within-document repeats map-side, so the shuffle
-    carries one ``(term, doc)`` pair per containment, and the
-    aggregation is a plain count — no count-distinct state."""
+    explode dedups within-document repeats map-side; the aggregation
+    is ``count_distinct`` so a document re-ingested as duplicate
+    ROWS still counts once (partial-deduped map-side, one logical
+    exchange on term)."""
     return (_spread(df)
             .select(F.col(id_col),
                     F.explode(F.array_distinct(tokens(F.col(text_col))))
                      .alias("term"))
             .groupBy("term")
-            .agg(F.count(F.lit(1)).alias("doc_freq")))
+            .agg(F.count_distinct(F.col(id_col)).alias("doc_freq")))
 
 
 def inverted_index(
@@ -71,19 +72,20 @@ def inverted_index(
     if max_df is not None and max_df < min_df:
         raise ValueError(f"inverted_index: max_df {max_df} < "
                          f"min_df {min_df}")
-    # array_distinct dedups within a row; the distinct() dedups
-    # ACROSS duplicate doc_id rows (re-ingested docs) — without it
-    # doc_freq inflates and postings repeat ids. Partial-aggregated
-    # map-side like any distinct.
+    # collect_SET (not list) dedups across duplicate doc_id rows
+    # (re-ingested docs) inside the one groupBy — a separate
+    # distinct() would add a second full shuffle of the exploded
+    # pairs, the largest intermediate here; doc_freq = size(set)
     pairs = (_spread(df)
              .select(F.col(id_col),
                      F.explode(F.array_distinct(
-                         tokens(F.col(text_col)))).alias("term"))
-             .distinct())
+                         tokens(F.col(text_col)))).alias("term")))
     out = (pairs.groupBy("term")
-           .agg(F.count(F.lit(1)).alias("doc_freq"),
-                F.sort_array(F.collect_list(F.col(id_col)))
+           .agg(F.sort_array(F.collect_set(F.col(id_col)))
                  .alias("postings"))
+           .withColumn("doc_freq",
+                       F.size("postings").cast("long"))
+           .select("term", "doc_freq", "postings")
            .filter(F.col("doc_freq") >= min_df))
     if max_df is not None:
         out = out.filter(F.col("doc_freq") <= max_df)

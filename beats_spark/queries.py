@@ -3864,7 +3864,7 @@ def salted_join_rollup(spark, sf_dir):
 SELECT CASE WHEN GROUPING(event_type) = 1 THEN NULL
             ELSE event_type END AS event_type,
        CASE WHEN GROUPING(day) = 1 THEN 'ALL'
-            ELSE CAST(day AS VARCHAR) END AS day,
+            ELSE coalesce(CAST(day AS VARCHAR), 'ALL') END AS day,
        CAST(GROUPING(event_type) * 2 + GROUPING(day) AS INT)
          AS grouping_id,
        count(*) AS n,

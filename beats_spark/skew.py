@@ -88,6 +88,9 @@ def salted_join(
         raise ValueError(f"salted_join: salts must be >= 1, "
                          f"got {salts}")
     scols = list(salt_on) if salt_on is not None else big.columns
+    if not scols:
+        raise ValueError("salted_join: salt_on must name at least "
+                         "one column")
     missing = [c for c in scols if c not in big.columns]
     if missing:
         raise ValueError(f"salted_join: salt_on columns {missing} "

@@ -415,3 +415,64 @@ class TestReviewRegressions3:
         edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
         with pytest.raises(ValueError, match="scale"):
             pagerank(edges, scale=10 ** 16)
+
+
+class TestReviewRegressions3b:
+    def test_zorder_halfup_counterexample(self, spark):
+        """Reviewer counterexample: span 2^41+1, x = 2^25 gives
+        pos/span = 1 - 1/span, which a HALF_UP decimal quotient
+        rounds to 1 before the floor; the exact floor is 0."""
+        from pyspark.sql import functions as F
+        from beats_spark.dataops import zorder_key
+        span = (1 << 41) + 1
+        df = spark.createDataFrame([(1 << 25, 0)], "x long, y long")
+        z = df.select(zorder_key([F.col("x"), F.col("y")],
+                                 [0, 0], [span - 1, 0],
+                                 bits=16).alias("z")).collect()[0].z
+        bucket = 0
+        for b in range(16):
+            bucket |= ((z >> (2 * b)) & 1) << b
+        assert bucket == ((1 << 25) * (1 << 16)) // span == 0
+
+    def test_zorder_max_span_boundaries(self, spark):
+        """At the guard's maximum span (10^17), values exactly one
+        below and at a bucket edge floor exactly."""
+        from pyspark.sql import functions as F
+        from beats_spark.dataops import zorder_key
+        span, bits = 10 ** 17, 16
+        edge = (7 * span) // (1 << bits)  # first value in bucket 7
+        rows = [(edge - 1, 0), (edge + 1, 0)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        out = {r.x: r.z for r in df.select(
+            "x", zorder_key([F.col("x"), F.col("y")], [0, 0],
+                            [span - 1, 0], bits=bits).alias("z"))
+            .collect()}
+
+        def bucket(z):
+            v = 0
+            for b in range(bits):
+                v |= ((z >> (2 * b)) & 1) << b
+            return v
+        assert bucket(out[edge - 1]) == ((edge - 1) * 65536) // span
+        assert bucket(out[edge + 1]) == ((edge + 1) * 65536) // span
+
+    def test_doc_frequency_duplicate_rows(self, spark):
+        from beats_spark.dataops import doc_frequency
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="a b"), Row(doc_id=1, text="a c")])
+        out = {r.term: r.doc_freq for r in doc_frequency(df).collect()}
+        assert out["a"] == 1
+
+    def test_stratified_guards(self, spark):
+        from beats_spark.dataops import stratified_sample
+        df = spark.createDataFrame([Row(g="a", k=1, rank_in_key=9)])
+        with pytest.raises(ValueError, match="rank_in_key"):
+            stratified_sample(df, "g", "k", 1)
+        df2 = spark.createDataFrame([Row(g="a", k=1, sample_rank=9)])
+        with pytest.raises(ValueError, match="sample_rank"):
+            stratified_sample(df2, "g", "k", 1, keep_rank=True)
+
+    def test_pagerank_scale_lower_guard(self, spark):
+        edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+        with pytest.raises(ValueError, match="scale"):
+            pagerank(edges, scale=0)

@@ -102,3 +102,10 @@ class TestSaltedJoin:
         import pytest as _pt
         with _pt.raises(ValueError, match="salt_on"):
             salted_join(big, dim, "k", salt_on=["nope"])
+
+    def test_empty_salt_on_rejected(self, spark):
+        from beats_spark.skew import salted_join
+        df = spark.createDataFrame([(1, 2)], ["k", "v"])
+        import pytest as _pt
+        with _pt.raises(ValueError, match="at least one"):
+            salted_join(df, df, "k", salt_on=[])
