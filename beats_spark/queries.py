@@ -3899,3 +3899,34 @@ def counter_rollup(spark, sf_dir):
                     F.coalesce(F.col("day").cast("string"),
                                F.lit("ALL")).alias("day"),
                     "grouping_id", "n", "value_cents"))
+
+
+@query("range_enrich", oracle="""
+WITH f AS (SELECT event_id,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+r AS (SELECT n_nationkey * 1000 AS range_start,
+             n_nationkey * 1000 + 999 AS range_end,
+             n_name AS tier
+      FROM nation)
+SELECT f.event_id, r.tier
+FROM f LEFT JOIN r
+  ON f.cents BETWEEN r.range_start AND r.range_end
+""")
+def range_enrich(spark, sf_dir):
+    """Interval-containment enrichment (:func:`beats_spark.skew
+    .chunked_range_join`) — the GeoIP/CIDR-block lookup shape as an
+    EQUI-join: ranges explode into fixed-width chunks, facts shift
+    into theirs, BETWEEN post-filters — no BroadcastNestedLoopJoin
+    (plan-asserted in test_skew). Tier table derived from nation
+    (1000-cent bands); the oracle is the defining BETWEEN join."""
+    from .skew import chunked_range_join
+    ev = _t(spark, sf_dir, "events")
+    nation = _t(spark, sf_dir, "nation")
+    facts = ev.select("event_id", _cents(F.col("value")).alias("cents"))
+    ranges = nation.select(
+        (F.col("n_nationkey") * 1000).alias("range_start"),
+        (F.col("n_nationkey") * 1000 + 999).alias("range_end"),
+        F.col("n_name").alias("tier"))
+    out = chunked_range_join(facts, ranges, "cents", chunk_bits=8)
+    return out.select("event_id", "tier")

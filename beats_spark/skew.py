@@ -25,7 +25,8 @@ from typing import Mapping, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["salted_agg", "salted_join", "salted_repartition"]
+__all__ = ["chunked_range_join", "salted_agg", "salted_join",
+           "salted_repartition"]
 
 # (merge_fn, finish_fn): how partials combine, how the result is named
 _MERGEABLE = {
@@ -47,6 +48,72 @@ def salted_repartition(df: DataFrame, key: str, salts: int = 16,
     if partitions:
         return out.repartition(partitions, F.col(key), F.col("__salt"))
     return out.repartition(F.col(key), F.col("__salt"))
+
+
+def chunked_range_join(
+    facts: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    start_col: str = "range_start",
+    end_col: str = "range_end",
+    chunk_bits: int = 8,
+    how: str = "left",
+    max_chunks_per_range: int = 4096,
+) -> DataFrame:
+    """Interval-containment join (``start <= value <= end``) as an
+    EQUI-join — the GeoIP/CIDR-block lookup shape (reference:
+    ``processors/add_network_direction`` matches IPs against nets;
+    at table scale that becomes "join each event's integer IP against
+    a block-range table"). Spark plans a naive range join as
+    BroadcastNestedLoopJoin — O(facts × ranges) compares; this is the
+    banded spelling: every range EXPLODES into the fixed-width chunks
+    (``2^chunk_bits`` wide) it overlaps, facts compute their chunk
+    with one shift, and the join runs on the chunk key with the
+    BETWEEN as a post-filter — each fact meets only the ranges
+    sharing its chunk.
+
+    Ranges overlapping a fact each emit a row (a fact inside k ranges
+    matches k times — dedupe upstream if ranges must be disjoint). A
+    range spanning more than ``max_chunks_per_range`` chunks fails
+    loudly: raise ``chunk_bits`` instead of exploding a giant chunk
+    list (chunk fan-out × |ranges| is the replicated-side cost, like
+    :func:`salted_join`'s × salts). ``how`` inner or left (left keeps
+    rangeless facts with NULL payloads). Negative values work: both
+    sides chunk with the same floor (arithmetic) shift.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("chunked_range_join: how must be inner or "
+                         f"left, got {how!r}")
+    if not 0 < chunk_bits < 62:
+        raise ValueError("chunked_range_join: chunk_bits must be in "
+                         f"(0, 62), got {chunk_bits}")
+    guard = F.assert_true(
+        (F.col(end_col) >= F.col(start_col))
+        & ((F.shiftright(F.col(end_col).cast("long"), chunk_bits)
+            - F.shiftright(F.col(start_col).cast("long"), chunk_bits))
+           < F.lit(int(max_chunks_per_range))),
+        F.lit("chunked_range_join: range inverted or wider than "
+              f"max_chunks_per_range × 2^{chunk_bits} — raise "
+              "chunk_bits"))
+    # the guard rides INSIDE the sequence bound: a generator cannot
+    # nest under when(), but its arguments can
+    r = ranges.withColumn(
+        "__chunk",
+        F.explode(F.sequence(
+            F.when(guard.isNull(),
+                   F.shiftright(F.col(start_col).cast("long"),
+                                chunk_bits)),
+            F.shiftright(F.col(end_col).cast("long"), chunk_bits))))
+    f = facts.withColumn(
+        "__chunk", F.shiftright(F.col(value_col).cast("long"),
+                                chunk_bits))
+    fa, ra = f.alias("__f"), r.alias("__r")
+    cond = ((F.col("__f.__chunk") == F.col("__r.__chunk"))
+            & (F.col(f"__f.{value_col}") >= F.col(f"__r.{start_col}"))
+            & (F.col(f"__f.{value_col}") <= F.col(f"__r.{end_col}")))
+    return (fa.join(ra, on=cond, how=how)
+            .drop(F.col("__f.__chunk")).drop(F.col("__r.__chunk"))
+            .drop(start_col, end_col))
 
 
 def salted_join(

@@ -65,7 +65,7 @@ BENCH_QUERIES = [
     "inverted_index", "link_pagerank", "funnel_steps",
     "retention_cohorts", "log_templates", "count_anomalies",
     "scd2_enrich", "stratified_sample", "zorder_layout",
-    "salted_join_rollup", "counter_rollup",
+    "salted_join_rollup", "counter_rollup", "range_enrich",
     "flagship_routed_counts", "flagship_messages",
 ]
 

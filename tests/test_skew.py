@@ -109,3 +109,59 @@ class TestSaltedJoin:
         import pytest as _pt
         with _pt.raises(ValueError, match="at least one"):
             salted_join(df, df, "k", salt_on=[])
+
+
+class TestChunkedRangeJoin:
+    def _ranges(self, spark):
+        return spark.createDataFrame(
+            [(0, 99, "low"), (100, 999, "mid"), (1000, 5000, "high")],
+            ["range_start", "range_end", "tier"])
+
+    def test_matches_between_semantics(self, spark):
+        from beats_spark.skew import chunked_range_join
+        facts = spark.createDataFrame(
+            [(1, 0), (2, 99), (3, 100), (4, 999), (5, 1000),
+             (6, 5000), (7, 5001), (8, 550)], ["fid", "v"])
+        out = {r.fid: r.tier for r in chunked_range_join(
+            facts, self._ranges(spark), "v", chunk_bits=4).collect()}
+        assert out == {1: "low", 2: "low", 3: "mid", 4: "mid",
+                       5: "high", 6: "high", 7: None, 8: "mid"}
+
+    def test_inner_drops_unmatched_and_overlaps_duplicate(self, spark):
+        from beats_spark.skew import chunked_range_join
+        ranges = spark.createDataFrame(
+            [(0, 100, "a"), (50, 150, "b")],
+            ["range_start", "range_end", "tier"])
+        facts = spark.createDataFrame([(1, 75), (2, 999)],
+                                      ["fid", "v"])
+        out = chunked_range_join(facts, ranges, "v", how="inner",
+                                 chunk_bits=4).collect()
+        assert sorted((r.fid, r.tier) for r in out) == \
+            [(1, "a"), (1, "b")]  # overlap matches twice, 999 gone
+
+    def test_negative_values(self, spark):
+        from beats_spark.skew import chunked_range_join
+        ranges = spark.createDataFrame(
+            [(-100, -1, "neg")], ["range_start", "range_end", "tier"])
+        facts = spark.createDataFrame([(1, -50), (2, 5)],
+                                      ["fid", "v"])
+        out = {r.fid: r.tier for r in chunked_range_join(
+            facts, ranges, "v", chunk_bits=4).collect()}
+        assert out == {1: "neg", 2: None}
+
+    def test_no_nested_loop_join(self, spark):
+        from beats_spark.skew import chunked_range_join
+        facts = spark.createDataFrame([(1, 5)], ["fid", "v"])
+        plan = chunked_range_join(facts, self._ranges(spark), "v") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+    def test_wide_range_fails_loudly(self, spark):
+        from beats_spark.skew import chunked_range_join
+        ranges = spark.createDataFrame(
+            [(0, 1 << 40, "huge")], ["range_start", "range_end", "tier"])
+        facts = spark.createDataFrame([(1, 5)], ["fid", "v"])
+        import pytest as _pt
+        with _pt.raises(Exception, match="max_chunks_per_range"):
+            chunked_range_join(facts, ranges, "v",
+                               chunk_bits=4).collect()
