@@ -123,23 +123,31 @@ def flagship_throughput(spark, n_pages: int, cpus: int) -> dict:
     # variance belongs to the scaling harness, not here.
     pg.write.format("noop").mode("overwrite").save()
     # min-of-N like the per-query timings: the headline metric must
-    # not swing with transient host contention either. The flagship
-    # leg gets at least 3 repeats: measured 2026-08-17, the same
-    # code+input swung 80k -> 312k pages/s across three minutes of
-    # host weather, and one extra ~3 s repeat is cheap insurance.
-    best, counts = None, None
-    n_rep = max(BENCH_REPEATS, 3)
-    for _ in range(n_rep):
+    # not swing with transient host contention either. Measured
+    # 2026-08-17/18 the same code+input swung 147k -> 343k pages/s
+    # with host weather, and the round-3 driver run landed exactly on
+    # the floor of that band. Protocol hardening (VERDICT r3 item 1):
+    # one FULL-SIZE discarded warmup repeat (the small-page warmup
+    # above does not JIT the full shuffle write path) and at least 5
+    # measured repeats, flagship measured before the catalog sweep so
+    # heap pressure from 68 prior queries can't depress it.
+    def one_run():
         t0 = time.time()
         routed = build_routed(pg, hm, lm)
-        counts = {r["sink"]: r["n"] for r in
-                  routed.groupBy("sink").agg(F.count(F.lit(1)).alias("n"))
-                        .collect()}
-        dt = time.time() - t0
+        c = {r["sink"]: r["n"] for r in
+             routed.groupBy("sink").agg(F.count(F.lit(1)).alias("n"))
+                   .collect()}
+        return time.time() - t0, c
+
+    one_run()  # discarded full-size warmup
+    best, counts = None, None
+    n_rep = max(BENCH_REPEATS, 5)
+    for _ in range(n_rep):
+        dt, counts = one_run()
         best = dt if best is None else min(best, dt)
     return {"pages": n_pages, "seconds": round(best, 3),
             "pages_per_sec": round(n_pages / best, 1),
-            "repeats": n_rep,
+            "repeats": n_rep, "warmup_runs": 1,
             "events": sum(counts.values()), "sink_counts": counts}
 
 
