@@ -95,11 +95,23 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
     """Keep one representative (min id) per distinct content digest.
 
     Returns the deduplicated rows of ``df``. The winner choice is
-    deterministic (min id), matching a ``row_number() = 1`` oracle."""
-    digest = F.md5(F.col(text_col))
-    w = Window.partitionBy(digest).orderBy(F.col(id_col))
-    return (df.withColumn("__rn", F.row_number().over(w))
-              .filter(F.col("__rn") == 1).drop("__rn"))
+    deterministic (min id), matching a ``row_number() = 1`` oracle.
+
+    Scale shape: the keep DECISION ships only (digest, id) pairs —
+    32-byte keys — through the groupBy exchange; document text never
+    enters it (the old ``Window.partitionBy(digest)`` spelling moved
+    and sorted full rows). The survivors are then selected with a
+    LEFT SEMI join on (digest, id): when the keeper set fits the
+    broadcast threshold AQE plans a BroadcastHashJoin and the corpus
+    side never shuffles at all; past it, the semi join shuffles rows
+    once on the 32-byte key — never wider than the old window
+    exchange, and without its full-row sort-by-digest spill risk."""
+    dg = df.withColumn("__digest", F.md5(F.col(text_col)))
+    keepers = (dg.select("__digest", id_col)
+                 .groupBy("__digest")
+                 .agg(F.min(id_col).alias(id_col)))
+    return (dg.join(keepers, on=["__digest", id_col], how="left_semi")
+              .drop("__digest"))
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
