@@ -95,16 +95,19 @@ def test_resample_validates_args(spark, corpora):
 
 def test_plan_broadcast_and_topk(spark, corpora):
     """The scale contract: top-k is TakeOrderedAndProject (k rows to
-    the driver, not a global sort), the ratio table reaches documents
-    as a broadcast, nothing sort-merge-joins, no doc ever explodes
-    into per-feature rows, and no Python runs."""
+    the driver, not a global sort), nothing joins at all (the ratio
+    table rides inside the fused Arrow kernel as a bounded dict), no
+    doc ever explodes into per-feature rows, and the corpus side never
+    shuffles."""
     raw, target = corpora
     sel = dsir_resample(raw, target=target, k=2)
     plan = sel._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
-    assert "BroadcastNestedLoopJoin" in plan   # the 1-row map/default
-    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Join" not in plan            # no join of any kind
+    assert "Generate" not in plan        # docs never explode
+    # exactly one fused Python stage: featurize+fold in one pass
+    assert plan.count("ArrowEvalPython") == 1
 
     # scoring a new batch with a FROZEN model (the train-once/score-
     # many path) is pure map-side: no explode, no hash shuffle at all
@@ -115,6 +118,7 @@ def test_plan_broadcast_and_topk(spark, corpora):
     assert "Generate explode" not in splan
     assert "Exchange hashpartitioning" not in splan
     assert "SortMergeJoin" not in splan
+    assert splan.count("ArrowEvalPython") == 1
 
 
 def test_streaming_scoring_matches_batch(spark, corpora, tmp_path):
