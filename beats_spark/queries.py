@@ -3930,3 +3930,60 @@ def range_enrich(spark, sf_dir):
         F.col("n_name").alias("tier"))
     out = chunked_range_join(facts, ranges, "cents", chunk_bits=8)
     return out.select("event_id", "tier")
+
+
+@query("socket_frames", oracle="""
+WITH chunks AS (
+  SELECT event_id,
+         'ev ' || CAST(event_id AS VARCHAR) || ';' || event_type
+         || CASE WHEN event_id % 5 = 0 THEN ';;tail' ELSE '' END
+         || CASE WHEN event_id % 4 = 0 THEN ';' ELSE '' END AS chunk
+  FROM events),
+split AS (
+  SELECT event_id,
+         CASE WHEN chunk LIKE '%;'
+              THEN list_slice(string_split(chunk, ';'), 1,
+                              len(string_split(chunk, ';')) - 1)
+              ELSE string_split(chunk, ';') END AS frames
+  FROM chunks),
+f AS (
+  SELECT event_id,
+         unnest(range(len(frames))) AS pos,
+         unnest(frames) AS frame
+  FROM split)
+SELECT event_id, CAST(pos AS INT) AS pos,
+       substr(frame, 1, 6) AS frame,
+       length(frame) > 6 AS truncated
+FROM f
+""")
+def socket_frames(spark, sf_dir):
+    """Network-input framing: the tcp/unix listener's frame splitter
+    (:func:`beats_spark.streaming.sources.split_frames`, porting
+    ``filebeat/inputsource/common/streaming/scan.go`` FactoryDelimiter)
+    over received chunks, plus ``max_message_size`` truncation
+    (``inputsource/tcp/config.go:36``). Chunks are synthesized from
+    events with trailing and doubled delimiters to exercise the
+    bufio-compatible edge rules: a trailing delimiter terminates the
+    last frame without an empty event; empty frames BETWEEN
+    delimiters survive. One Arrow kernel → JVM posexplode; the oracle
+    is DuckDB string_split with the same trailing-delimiter drop."""
+    from .streaming.sources import frames_arrow
+    ev = _t(spark, sf_dir, "events")
+    chunk = F.concat(
+        F.lit("ev "), F.col("event_id").cast("string"), F.lit(";"),
+        F.col("event_type"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(";;tail"))
+         .otherwise(F.lit("")),
+        F.when(F.col("event_id") % 4 == 0, F.lit(";"))
+         .otherwise(F.lit("")))
+    src = ev.select("event_id", chunk.alias("chunk"))
+    max_sz = 6
+    return (src
+            .select("event_id",
+                    F.posexplode(frames_arrow(F.col("chunk"),
+                                              "delimiter", ";"))
+                     .alias("pos", "frame"))
+            .select("event_id",
+                    F.col("pos").cast("int").alias("pos"),
+                    F.substring("frame", 1, max_sz).alias("frame"),
+                    (F.length("frame") > max_sz).alias("truncated")))

@@ -11,8 +11,15 @@ from .pipeline import (
     stream_sessions,
     stream_count_anomalies,
 )
+from .sources import (
+    split_frames,
+    frames_arrow,
+    socket_lines,
+    socket_pipeline,
+)
 
 __all__ = [
+    "split_frames", "frames_arrow", "socket_lines", "socket_pipeline",
     "PAGES_SCHEMA", "stream_routed", "run_stream_pipeline",
     "windowed_counters", "stateful_rate_limit",
     "stateful_multiline", "stateful_container_partial",

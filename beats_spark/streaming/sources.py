@@ -1,0 +1,193 @@
+"""Network stream inputs — the tcp/unix listener family as a
+Structured Streaming source (SURVEY.md §2.1; VERDICT r3 next-round
+item 4).
+
+Reference mapping:
+
+- event shape — ``filebeat/input/net/manager.go:222-235``: one event
+  per frame with ``message`` (the frame text), ``log.source.address``
+  and the receive timestamp;
+- framing — ``filebeat/inputsource/common/streaming/scan.go``:
+  ``delimiter`` (custom delimiters stripped, a doubled trailing
+  delimiter dropped defensively) and ``rfc6587`` (octet-counted or
+  non-transparent syslog framing, auto-detected per frame by the
+  leading digit);
+- truncation — ``inputsource/tcp/config.go:36``
+  (``max_message_size``): oversized frames are cut and flagged, like
+  the splitHandler's ``metadata.Truncated``.
+
+Direction inversion: the reference LISTENS for connections; Spark's
+socket source CONNECTS to ``host:port`` and consumes newline-split
+text. The pipeline semantics downstream (parser chain → processor
+chain → router) are identical, and they are the point — this module
+exists so a syslog/tcp feed drops into the SAME compiled chain as
+files. Because the Spark source pre-splits on ``\\n`` (Java
+``readLine`` also strips a trailing ``\\r`` — byte-compatible with the
+reference's ``bufio.ScanLines``), non-newline framings are re-derived
+per received line with one Arrow kernel porting the reference
+splitter: an octet-counted stream legitimately carries several frames
+per line.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterator, List, Mapping, Optional, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.parsers import compile_parsers
+from ..processors import compile_processors
+from ..routing import route
+
+__all__ = ["split_frames", "frames_arrow", "socket_lines",
+           "socket_pipeline"]
+
+
+def split_frames(data: "str | None", framing: str = "delimiter",
+                 delimiter: str = "\n") -> List[str]:
+    """Split one received chunk into frames — a Python port of the
+    reference split functions (``scan.go:28-48`` FactoryDelimiter,
+    ``scan.go:52-99`` FactoryRFC6587Framing), evaluated at EOF over a
+    complete chunk.
+
+    rfc6587: a frame starting with a digit is octet-counted
+    (``<len> <len BYTES>``); otherwise non-transparent (delimiter-
+    terminated). An incomplete octet-counted tail is dropped, exactly
+    as ``bufio.Scanner`` drops a non-advancing remainder at EOF.
+    Arithmetic runs over utf-8 BYTES (octet counts count bytes, not
+    chars), then each frame decodes back — byte-identical to the Go
+    splitters on any utf-8 feed. A trailing delimiter terminates the
+    last frame without emitting an empty one (bufio stops at
+    eof+empty); empty frames BETWEEN delimiters are kept, as in Go.
+
+    Vectors: ``scan_test.go:28-175`` (ported in
+    tests/test_streaming.py)."""
+    if not data:
+        return []
+    b = data.encode("utf-8")
+    delim = delimiter.encode("utf-8")
+
+    def drop_delim(tok: bytes) -> str:
+        # dropDelimiter (scan.go:43-48): strip ONE trailing delimiter
+        # if the token is longer than it (doubled-delimiter defense)
+        if len(tok) > len(delim) and tok.endswith(delim):
+            tok = tok[:-len(delim)]
+        return tok.decode("utf-8")
+
+    out: List[str] = []
+    n = len(b)
+    if framing == "delimiter":
+        i = 0
+        while i < n:
+            j = b.find(delim, i)
+            if j >= 0:
+                out.append(drop_delim(b[i:j]))
+                i = j + len(delim)
+                continue
+            out.append(drop_delim(b[i:]))
+            break
+        return out
+    if framing != "rfc6587":
+        raise ValueError(f"unknown framing {framing!r}; "
+                         "supported: delimiter, rfc6587")
+    i = 0
+    while i < n:
+        if b[i:i + 1].isdigit():
+            j = b.find(b" ", i)
+            if j > i:
+                try:
+                    length = int(b[i:j])
+                except ValueError:
+                    break  # the reference errors the connection here
+                end = j + 1 + length
+                if end <= n:
+                    out.append(b[j + 1:end].decode("utf-8"))
+                    i = end
+                    continue
+            break  # incomplete octet frame at EOF: dropped
+        j = b.find(delim, i)
+        if j >= 0:
+            out.append(drop_delim(b[i:j]))
+            i = j + len(delim)
+        else:
+            out.append(drop_delim(b[i:]))
+            break
+    return out
+
+
+def frames_arrow(col, framing: str = "delimiter",
+                 delimiter: str = "\n"):
+    """Arrow-batched frame splitter: chunk → ``array<string>`` of
+    frames (then ``explode`` JVM-side). One vectorized Python node —
+    the same fused-kernel shape as the parse stage."""
+    @F.pandas_udf("array<string>")
+    def _f(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ser in it:
+            yield ser.map(lambda d: split_frames(d, framing, delimiter))
+    return _f(col)
+
+
+def socket_lines(
+    spark: SparkSession,
+    host: str = "localhost",
+    port: int = 9999,
+    framing: str = "delimiter",
+    line_delimiter: str = "\n",
+    max_message_size: Optional[int] = None,
+) -> DataFrame:
+    """Streaming frame source: ``(message, truncated?, @timestamp,
+    log_source_address)`` rows from a TCP text feed — the event shape
+    of ``input/net/manager.go:222-235``.
+
+    With the default newline framing the source's own line split IS
+    the reference's ``bufio.ScanLines``; any other (framing,
+    delimiter) pair re-splits each received line through the ported
+    splitter kernel. ``max_message_size`` truncates frames and flags
+    them (``truncated`` column), mirroring the listener metadata."""
+    raw = (spark.readStream.format("socket")
+           .option("host", host).option("port", port).load())
+    if framing == "delimiter" and line_delimiter == "\n":
+        msgs = raw.select(F.col("value").alias("message"))
+    else:
+        msgs = raw.select(
+            F.explode(frames_arrow(F.col("value"), framing,
+                                   line_delimiter)).alias("message"))
+    if max_message_size is not None:
+        msgs = (msgs
+                .withColumn("truncated",
+                            F.length("message") > int(max_message_size))
+                .withColumn("message",
+                            F.substring("message", 1,
+                                        int(max_message_size))))
+    return (msgs
+            .withColumn("@timestamp", F.current_timestamp())
+            .withColumn("log_source_address", F.lit(f"{host}:{port}")))
+
+
+def socket_pipeline(
+    source: DataFrame,
+    parsers: Sequence[Mapping[str, Any]] = (),
+    processors: Sequence[Mapping[str, Any]] = (),
+    rules: Sequence[Any] = (),
+    default_sink: Optional[str] = "sink_default",
+    sink_col: str = "sink",
+) -> DataFrame:
+    """Compose the full shipper chain over a (streaming or batch)
+    frame source: config-ordered parsers → processor chain → routing
+    selector — the exact compilers the file path uses, so a tcp feed
+    and a log file with the same config produce identical events
+    (asserted by tests/test_streaming.py::test_socket_*)."""
+    out = source
+    if parsers:
+        out = compile_parsers(
+            parsers, field="message",
+            partition_cols=["log_source_address"],
+            order_col="@timestamp")(out)
+    if processors:
+        out = compile_processors(processors)(out)
+    if rules or default_sink is not None:
+        out = route(out, list(rules), default=default_sink,
+                    sink_col=sink_col)
+    return out
