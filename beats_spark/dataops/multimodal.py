@@ -27,8 +27,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = [
-    "MEDIA_META_SCHEMA", "set_decoder", "attach_media_meta",
-    "extract_image_features", "sample_video_frames",
+    "MEDIA_META_SCHEMA", "set_decoder", "set_batch_decoder",
+    "attach_media_meta", "extract_image_features",
+    "sample_video_frames",
 ]
 
 # The typed metadata struct every media column carries alongside the
@@ -41,6 +42,15 @@ MEDIA_META_SCHEMA = ("mime string, width int, height int, "
 # duration_ms). Deterministic fakes by default.
 _Decoder = Callable[[bytes], Dict[str, object]]
 _DECODERS: Dict[str, _Decoder] = {}
+# batch decoder(payloads: pd.Series) -> mapping field -> array-like of
+# len(payloads). The vectorized seam: a real model/codec that can
+# batch-infer installs here and the kernels stay fully columnar.
+_BatchDecoder = Callable[[pd.Series], Dict[str, object]]
+_BATCH_DECODERS: Dict[str, _BatchDecoder] = {}
+
+_META_FIELDS = ("mime", "width", "height", "n_frames", "duration_ms")
+_META_DTYPES = {"mime": "object", "width": "Int32", "height": "Int32",
+                "n_frames": "Int32", "duration_ms": "Int64"}
 
 
 def _fake_decode(payload: bytes) -> Dict[str, object]:
@@ -65,6 +75,13 @@ def set_decoder(media_type: str, fn: _Decoder) -> None:
     _DECODERS[media_type] = fn
 
 
+def set_batch_decoder(media_type: str, fn: _BatchDecoder) -> None:
+    """Install a VECTORIZED codec/model: ``fn(payload_series)`` returns
+    a mapping ``field -> array-like`` (len == batch). Wins over the
+    per-item decoder — the swap point for Arrow-batched inference."""
+    _BATCH_DECODERS[media_type] = fn
+
+
 def _decoder(media_type: str) -> _Decoder:
     fn = _DECODERS.get(media_type)
     if fn is not None:
@@ -72,28 +89,59 @@ def _decoder(media_type: str) -> _Decoder:
     return _fake_decode
 
 
+def _column_decoder(media_type: str):
+    """Resolve the installed decoder DRIVER-side (executors re-import
+    this module and would miss ``set_decoder`` overrides) and return a
+    batch → per-field COLUMNS function: nullable numpy-backed arrays,
+    never row dicts. A per-item decoder loop survives only because
+    codec calls are inherently per-item; everything downstream is
+    columnar, so installing a batch decoder removes the last
+    Python-per-row step."""
+    bfn = _BATCH_DECODERS.get(media_type)
+    dec = _decoder(media_type)
+
+    def decode_columns(payloads: pd.Series) -> Dict[str, object]:
+        if bfn is not None:
+            cols = bfn(payloads)
+        else:
+            metas = [dec(p) for p in payloads]
+            cols = {f: [m.get(f) for m in metas] for f in _META_FIELDS}
+        return {f: pd.array(cols[f], dtype=_META_DTYPES[f])
+                for f in _META_FIELDS}
+
+    return decode_columns
+
+
 def attach_media_meta(df: DataFrame, binary_col: str = "payload",
                       media_type: str = "image",
                       out_col: str = "media") -> DataFrame:
     """binary column → sibling metadata struct via one Arrow-batched
     pass. Output schema = input + ``out_col struct<...>``."""
-    dec = _decoder(media_type)
-    fields = [f.split()[0] for f in MEDIA_META_SCHEMA.split(", ")]
-    meta_struct = ("struct<mime:string,width:int,height:int,"
-                   "n_frames:int,duration_ms:bigint>")
+    flat = {f: f"__m_{f}" for f in _META_FIELDS}
     out_schema = (", ".join(f"{c.name} {c.dataType.simpleString()}"
                             for c in df.schema)
-                  + f", {out_col} {meta_struct}")
+                  + ", " + ", ".join(
+                      f"{flat[f]} {t.split()[1]}"
+                      for f, t in zip(_META_FIELDS,
+                                      MEDIA_META_SCHEMA.split(", "))))
+
+    decode_columns = _column_decoder(media_type)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [dec(p) for p in pdf[binary_col]]
+            cols = decode_columns(pdf[binary_col])
             pdf = pdf.copy()
-            pdf[out_col] = [
-                {k: m.get(k) for k in fields} for m in metas]
+            for f in _META_FIELDS:          # columnar assign per field
+                pdf[flat[f]] = cols[f]
             yield pdf
 
-    return df.mapInPandas(fn, out_schema)
+    # the struct itself assembles JVM-side (codegen projection) from
+    # the flat kernel columns — cheaper through Arrow than a
+    # list-of-dicts struct column, and columnar end to end
+    meta = F.struct(*[F.col(flat[f]).alias(f) for f in _META_FIELDS])
+    return (df.mapInPandas(fn, out_schema)
+              .select(*[c.name for c in df.schema],
+                      meta.alias(out_col)))
 
 
 def extract_image_features(df: DataFrame, binary_col: str = "payload",
@@ -128,24 +176,35 @@ def sample_video_frames(df: DataFrame, binary_col: str = "payload",
     frame count comes from the fake metadata). Shows the 1→N explode
     shape done inside the Arrow stage, not with a JVM explode over a
     Python-built array column."""
-    dec = _decoder("video")
     out_schema = f"{id_col} bigint, frame_idx int, frame_ts_ms bigint"
+
+    decode_columns = _column_decoder("video")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, tss = [], [], []
-            for i, p in zip(pdf[id_col], pdf[binary_col]):
-                if p is None:
-                    continue
-                meta = dec(p)
-                n, dur = meta["n_frames"], meta["duration_ms"]
-                for fidx in range(0, int(n), every_n):
-                    ids.append(i)
-                    idxs.append(fidx)
-                    tss.append(int(dur * fidx / max(int(n), 1)))
+            cols = decode_columns(pdf[binary_col])
+            keep = ~(cols["n_frames"].isna()
+                     | cols["duration_ms"].isna())
+            ids = pdf[id_col].to_numpy("int64")[keep]
+            n = cols["n_frames"].to_numpy("int64", na_value=0)[keep]
+            dur = cols["duration_ms"].to_numpy("int64",
+                                               na_value=0)[keep]
+            # 1→N explode, columnar: frames-per-row counts, np.repeat
+            # the row columns, one flat arange re-based per row
+            counts = (np.maximum(n, 0) + every_n - 1) // every_n
+            total = int(counts.sum())
+            row_start = np.repeat(np.cumsum(counts) - counts, counts)
+            idxs = (np.arange(total, dtype="int64")
+                    - row_start) * every_n
+            n_rep = np.repeat(n, counts)
+            dur_rep = np.repeat(dur, counts)
+            # trunc(dur * idx / n) in float64 — exact below 2^53, and
+            # the rounding the engines (and the oracle) share
+            tss = (dur_rep * idxs
+                   / np.maximum(n_rep, 1)).astype("int64")
             yield pd.DataFrame({
-                id_col: pd.array(ids, dtype="int64"),
-                "frame_idx": pd.array(idxs, dtype="int32"),
-                "frame_ts_ms": pd.array(tss, dtype="int64")})
+                id_col: np.repeat(ids, counts),
+                "frame_idx": idxs.astype("int32"),
+                "frame_ts_ms": tss})
 
     return df.select(id_col, binary_col).mapInPandas(fn, out_schema)
