@@ -3987,3 +3987,68 @@ def socket_frames(spark, sf_dir):
                     F.col("pos").cast("int").alias("pos"),
                     F.substring("frame", 1, max_sz).alias("frame"),
                     (F.length("frame") > max_sz).alias("truncated")))
+
+
+@query("ttl_batch_split", oracle="""
+WITH e AS (
+  SELECT event_id,
+         event_id // 64 AS batch,
+         CAST(row_number() OVER (PARTITION BY event_id // 64
+                                 ORDER BY event_id) - 1 AS BIGINT) AS idx,
+         CAST(octet_length(encode(props))
+              * CASE WHEN event_id % 97 = 0 THEN 50 ELSE 1 END
+              AS BIGINT) AS nbytes
+  FROM events),
+pre AS (  -- cum(i) = bytes of the first i events of the batch
+  SELECT batch, idx + 1 AS i,
+         sum(nbytes) OVER (PARTITION BY batch ORDER BY idx) AS cum
+  FROM e
+  UNION ALL
+  SELECT DISTINCT batch, 0, 0 FROM e),
+n AS (SELECT batch, count(*) AS cnt FROM e GROUP BY batch),
+ranges AS (
+  WITH RECURSIVE r(batch, lo, hi) AS (
+    SELECT batch, CAST(0 AS BIGINT), cnt FROM n
+    UNION ALL
+    SELECT r.batch,
+           CASE WHEN s.side = 0 THEN r.lo
+                ELSE r.lo + (r.hi - r.lo) // 2 END,
+           CASE WHEN s.side = 0 THEN r.lo + (r.hi - r.lo) // 2
+                ELSE r.hi END
+    FROM r
+    JOIN pre ph ON ph.batch = r.batch AND ph.i = r.hi
+    JOIN pre pl ON pl.batch = r.batch AND pl.i = r.lo
+    CROSS JOIN (VALUES (0), (1)) s(side)
+    WHERE ph.cum - pl.cum > 256 AND r.hi - r.lo >= 2)
+  SELECT * FROM r),
+terminal AS (
+  SELECT r.batch, r.lo, r.hi, ph.cum - pl.cum AS total
+  FROM ranges r
+  JOIN pre ph ON ph.batch = r.batch AND ph.i = r.hi
+  JOIN pre pl ON pl.batch = r.batch AND pl.i = r.lo
+  WHERE ph.cum - pl.cum <= 256 OR r.hi - r.lo < 2)
+SELECT e.event_id, e.batch, t.lo AS sub_batch,
+       coalesce(t.hi - t.lo = 1 AND t.total > 256, FALSE) AS too_large
+FROM e JOIN terminal t
+  ON e.batch = t.batch AND e.idx >= t.lo AND e.idx < t.hi
+""")
+def ttl_batch_split_q(spark, sf_dir):
+    """Publisher batch-split-on-too-large
+    (:func:`beats_spark.sinks.ttl_batch_split`, porting
+    ``ttl_batch.go:110-143`` SplitRetry + the ES client's
+    unsplittable-drop at ``elasticsearch/client.go:330-341``): batches
+    of 64 events halve recursively until under a 256-byte cap; events
+    inflated ×50 (every 97th) become too-large singletons. The oracle
+    re-derives the halving tree as a DuckDB recursive CTE over prefix
+    sums — exactly-once assignment is implied by the row-count match."""
+    from .sinks import ttl_batch_split
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        (F.col("event_id") / 64).cast("bigint").alias("batch"),
+        (F.octet_length(F.col("props"))
+         * F.when(F.col("event_id") % 97 == 0, 50).otherwise(1))
+        .cast("bigint").alias("nbytes"))
+    out = ttl_batch_split(e, size_col="nbytes", batch_col="batch",
+                          order_col="event_id", max_batch_bytes=256)
+    return out.select("event_id", "batch", "sub_batch", "too_large")

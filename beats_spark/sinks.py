@@ -33,8 +33,65 @@ from .fmtstr import compile_fmtstr
 
 __all__ = [
     "codec_json", "codec_format", "write_fileout", "kafka_shape",
-    "split_dead_letter", "write_sinks", "write_console", "write_discard",
+    "split_dead_letter", "ttl_batch_split", "write_sinks",
+    "write_console", "write_discard",
 ]
+
+
+def ttl_batch_split(df: DataFrame, size_col: str,
+                    batch_col: str = "batch",
+                    order_col: str = "event_id",
+                    max_batch_bytes: int = 1 << 20) -> DataFrame:
+    """Batch-split-on-too-large, the publisher's ``ttlBatch.SplitRetry``
+    (``libbeat/publisher/pipeline/ttl_batch.go:110-143``): a batch the
+    output rejects as too large splits IN HALF by event index
+    (``splitIndex = len(events)/2``), recursively, until each sub-batch
+    fits ``max_batch_bytes`` — and a SINGLE event still over the cap
+    cannot split (``len < 2`` → ``SplitRetry`` returns false), which the
+    ES client turns into a drop + permanent error
+    (``elasticsearch/client.go:330-341``). Here that event keeps its
+    singleton sub-batch and is flagged ``too_large`` so the caller can
+    route it through :func:`split_dead_letter`.
+
+    Adds ``sub_batch`` (the sub-batch's first event index within its
+    batch — stable under the halving tree) and ``too_large``. Every
+    input row appears in exactly one sub-batch (the reference's
+    outstandingEvents accounting = exactly-once delivery).
+
+    Scale: one hash exchange on ``batch_col``; per-batch work is the
+    linear halving recursion over an int array. Batches are queue
+    flushes (bounded size), so group skew is bounded by design."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (", ".join(f"{c.name} {c.dataType.simpleString()}"
+                            for c in df.schema)
+                  + ", sub_batch bigint, too_large boolean")
+    cap = int(max_batch_bytes)
+
+    def split_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        sizes = pdf[size_col].to_numpy("int64")
+        n = len(sizes)
+        cum = np.concatenate([[0], np.cumsum(sizes)])
+        lo_of = np.zeros(n, dtype="int64")
+        too = np.zeros(n, dtype=bool)
+        stack = [(0, n)]
+        while stack:
+            lo, hi = stack.pop()
+            if cum[hi] - cum[lo] <= cap or hi - lo < 2:
+                lo_of[lo:hi] = lo
+                if hi - lo == 1 and sizes[lo] > cap:
+                    too[lo] = True
+            else:
+                mid = lo + (hi - lo) // 2     # splitIndex = len/2
+                stack.append((lo, mid))
+                stack.append((mid, hi))
+        pdf["sub_batch"] = lo_of
+        pdf["too_large"] = too
+        return pdf
+
+    return df.groupBy(batch_col).applyInPandas(split_one, out_schema)
 
 
 def codec_json(df: DataFrame, out_col: str = "value",
@@ -136,7 +193,8 @@ def split_dead_letter(df: DataFrame, valid: Column
 def write_sinks(routed: DataFrame, out_dir: str,
                 sink_col: str = "sink",
                 shapes: Optional[Mapping[str, Any]] = None,
-                sinks: Optional[Sequence[str]] = None) -> None:
+                sinks: Optional[Sequence[str]] = None,
+                max_records_per_file: int = 0) -> None:
     """Per-sink filtered writes — used instead of ``partitionBy`` when
     sinks need different shapes (e.g. the ES-like sink keeps the full
     event, the LS-like sink applies the json codec, dropped keeps only
@@ -145,7 +203,11 @@ def write_sinks(routed: DataFrame, out_dir: str,
     Pass ``sinks`` (the routing table's known sink names) on the hot
     path so no discovery job runs; when omitted, the names are
     discovered with a ``distinct()`` scan — fine for ad-hoc use, one
-    extra full pass at scale."""
+    extra full pass at scale.
+
+    ``max_records_per_file`` is the batch-size ceiling at the file
+    layer: no output file exceeds it (the write splits, never drops —
+    the file-sink analog of :func:`ttl_batch_split`)."""
     shapes = shapes or {}
     names = (list(sinks) if sinks is not None else
              [r[0] for r in routed.select(sink_col).distinct().collect()])
@@ -154,4 +216,7 @@ def write_sinks(routed: DataFrame, out_dir: str,
         shape = shapes.get(name)
         if shape is not None:
             part = shape(part)
-        part.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+        w = part.write.mode("overwrite")
+        if max_records_per_file:
+            w = w.option("maxRecordsPerFile", int(max_records_per_file))
+        w.parquet(os.path.join(out_dir, name))

@@ -86,3 +86,80 @@ def test_write_sinks_known_names_skip_discovery(spark, tmp_path):
     idle = spark.read.parquet(os.path.join(out, "sink_idle"))
     assert ok.count() == 3
     assert idle.count() == 0
+
+
+# ---- ttl batch split (SplitRetry port) ------------------------------
+
+def _split_retry_reference(sizes, cap):
+    """Direct port of the reference recursion for cross-checking:
+    SplitRetry halves at len/2 (ttl_batch.go:125) until the sub-batch
+    fits; an unsplittable single event over the cap is the ES client's
+    drop-with-permanent-error case."""
+    out = []
+    def rec(lo, hi):
+        if sum(sizes[lo:hi]) <= cap or hi - lo < 2:
+            out.append((lo, hi, hi - lo == 1 and sizes[lo] > cap))
+            return
+        mid = lo + (hi - lo) // 2
+        rec(lo, mid)
+        rec(mid, hi)
+    if sizes:
+        rec(0, len(sizes))
+    return out
+
+
+def test_ttl_batch_split_matches_reference_recursion(spark):
+    from beats_spark.sinks import ttl_batch_split
+    # deterministic uneven sizes incl. one oversized singleton
+    sizes = [(7 * i * i + 3) % 97 + 1 for i in range(50)]
+    sizes[17] = 500
+    df = spark.createDataFrame(
+        [(0, i, s) for i, s in enumerate(sizes)],
+        "batch bigint, event_id bigint, nbytes bigint")
+    got = (ttl_batch_split(df, "nbytes", max_batch_bytes=200)
+           .orderBy("event_id").collect())
+
+    expect = _split_retry_reference(sizes, 200)
+    by_lo = {}
+    for lo, hi, too in expect:
+        for i in range(lo, hi):
+            by_lo[i] = (lo, too and i == lo)
+    assert [(r["sub_batch"], r["too_large"]) for r in got] == \
+        [by_lo[i] for i in range(50)]
+    # every sub-batch fits the cap unless it is a flagged singleton
+    from collections import defaultdict
+    totals = defaultdict(int)
+    for r in got:
+        totals[r["sub_batch"]] += sizes[r["event_id"]]
+    for lo, hi, too in expect:
+        assert totals[lo] <= 200 or (hi - lo == 1 and too)
+
+
+def test_ttl_batch_split_exactly_once_and_dead_letter(spark):
+    from beats_spark.sinks import ttl_batch_split, split_dead_letter
+    rows = [(i // 10, i, 30 if i % 23 else 400) for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "batch bigint, event_id bigint, nbytes bigint")
+    out = ttl_batch_split(df, "nbytes", max_batch_bytes=128)
+    # exactly-once: the union of sub-batches is the original multiset
+    assert out.count() == 100
+    assert (out.select("event_id").distinct().count() == 100)
+    parts = split_dead_letter(out, ~F.col("too_large"))
+    n_dead = parts["dead_letter"].count()
+    assert n_dead == sum(1 for _, i, s in rows if s > 128)
+    assert parts["ok"].count() + n_dead == 100
+
+
+def test_write_sinks_max_records_per_file(spark, tmp_path):
+    import glob
+    out = str(tmp_path / "sinks3")
+    df = spark.range(97).select(
+        F.col("id").alias("event_id"),
+        F.lit("sink_ok").alias("sink")).coalesce(1)
+    write_sinks(df, out, sinks=["sink_ok"], max_records_per_file=10)
+    back = spark.read.parquet(os.path.join(out, "sink_ok"))
+    assert back.count() == 97          # split, never dropped
+    files = glob.glob(os.path.join(out, "sink_ok", "*.parquet"))
+    assert len(files) >= 10
+    for f in files:
+        assert spark.read.parquet(f).count() <= 10
