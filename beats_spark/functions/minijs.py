@@ -1009,10 +1009,23 @@ class _Return(Exception):
         self.value = value
 
 
+# JS call-stack ceiling: real engines (incl. the reference's embedded
+# one) bound the stack and throw a CATCHABLE RangeError; without this
+# a self-recursive user script escapes as a Python RecursionError and
+# kills the Spark task instead of following the exception contract.
+# Each JS frame costs ~11 Python frames, so the Python recursion limit
+# needs ~3× headroom over _MAX_CALL_DEPTH for the guard to fire first.
+_MAX_CALL_DEPTH = 200
+import sys as _sys
+if _sys.getrecursionlimit() < 8000:
+    _sys.setrecursionlimit(8000)
+
+
 class Interp:
     def __init__(self, max_ops: int = 2_000_000):
         self.max_ops = max_ops
         self.ops = 0
+        self.depth = 0
 
     def tick(self):
         self.ops += 1
@@ -1291,16 +1304,21 @@ class Interp:
 
     def call_function(self, fn: JSFunction, this: Any,
                       args: List[Any]) -> Any:
+        if self.depth >= _MAX_CALL_DEPTH:
+            raise JSThrow("RangeError: Maximum call stack size exceeded")
         scope = Scope(fn.scope)
         scope.declare("this", this)
         scope.declare("arguments", list(args))
         for i, p in enumerate(fn.params):
             scope.declare(p, args[i] if i < len(args) else UNDEFINED)
         self.hoist(fn.body, scope)
+        self.depth += 1
         try:
             self.run_block(fn.body, scope)
         except _Return as r:
             return r.value
+        finally:
+            self.depth -= 1
         return UNDEFINED
 
     # ---- operators
@@ -2207,8 +2225,12 @@ class Script:
         self.scope.declare("Event", Native(
             "Event", _event_ctor, ctor=True))
         interp = Interp(max_ops)
-        interp.hoist(ast, self.scope)
-        interp.run_block(ast, self.scope)
+        try:
+            interp.hoist(ast, self.scope)
+            interp.run_block(ast, self.scope)
+        except RecursionError:
+            raise JSThrow(
+                "RangeError: Maximum call stack size exceeded") from None
         proc = self.scope.vars.get(_PROCESS_FN)
         if proc is None or not isinstance(proc, (JSFunction, Native)):
             raise JSError("process function not found")
@@ -2226,9 +2248,16 @@ class Script:
     def run(self, evt: Event) -> Optional[Event]:
         """process() one event; None when cancelled. JS exceptions
         propagate as JSThrow — the processor layer applies the
-        tag_on_exception contract."""
+        tag_on_exception contract. A Python stack blowout that slips
+        past the call-depth guard (pathological non-call nesting)
+        surfaces as the same catchable RangeError, never as a
+        task-killing RecursionError."""
         interp = Interp(self.max_ops)
-        interp.call_value(self.process_fn, UNDEFINED, [evt])
+        try:
+            interp.call_value(self.process_fn, UNDEFINED, [evt])
+        except RecursionError:
+            raise JSThrow(
+                "RangeError: Maximum call stack size exceeded") from None
         return None if evt.cancelled else evt
 
 
