@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "retention_cohorts", "log_templates", "count_anomalies",
     "scd2_enrich", "stratified_sample", "zorder_layout",
     "salted_join_rollup", "counter_rollup", "range_enrich",
+    "socket_frames", "ttl_batch_split",
     "flagship_routed_counts", "flagship_messages",
 ]
 

@@ -163,3 +163,17 @@ def test_write_sinks_max_records_per_file(spark, tmp_path):
     assert len(files) >= 10
     for f in files:
         assert spark.read.parquet(f).count() <= 10
+
+
+def test_ttl_batch_split_plan_single_exchange(spark):
+    """One hash exchange on the batch key into one Pandas group stage
+    — the shuffle carries only (batch, event_id, nbytes) rows."""
+    df = spark.range(200).select(
+        (F.col("id") / 32).cast("bigint").alias("batch"),
+        F.col("id").alias("event_id"),
+        (F.col("id") % 7 + 1).alias("nbytes"))
+    from beats_spark.sinks import ttl_batch_split
+    out = ttl_batch_split(df, "nbytes", max_batch_bytes=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("FlatMapGroupsInPandas") == 1

@@ -226,3 +226,13 @@ def test_socket_lines_truncation_column(spark):
     rows = out.orderBy("message").collect()
     assert all(len(r["message"]) <= 20 for r in rows)
     assert any(r["truncated"] for r in rows)
+
+
+def test_socket_frames_plan_is_one_kernel_no_exchange(spark, sf_dir):
+    """The framing splitter is ONE Arrow kernel feeding a JVM
+    posexplode — zero exchanges (PLANS.md invariant)."""
+    from beats_spark.queries import QUERIES
+    df = QUERIES["socket_frames"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan
