@@ -96,6 +96,11 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
 
     Returns the deduplicated rows of ``df``. The winner choice is
     deterministic (min id), matching a ``row_number() = 1`` oracle.
+    ``id_col`` must be a row key (unique): the survivor selection
+    joins on (digest, id), so duplicated ids would keep every copy of
+    the keeper pair. NULL text forms one dedup group (a non-NULL
+    sentinel digest — a semi join on a NULL key would silently drop
+    the whole group).
 
     Scale shape: the keep DECISION ships only (digest, id) pairs —
     32-byte keys — through the groupBy exchange; document text never
@@ -106,7 +111,10 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
     side never shuffles at all; past it, the semi join shuffles rows
     once on the 32-byte key — never wider than the old window
     exchange, and without its full-row sort-by-digest spill risk."""
-    dg = df.withColumn("__digest", F.md5(F.col(text_col)))
+    # "__NULL__" cannot collide with md5 hex output
+    digest = F.when(F.col(text_col).isNull(), F.lit("__NULL__")) \
+              .otherwise(F.md5(F.col(text_col)))
+    dg = df.withColumn("__digest", digest)
     keepers = (dg.select("__digest", id_col)
                  .groupBy("__digest")
                  .agg(F.min(id_col).alias(id_col)))

@@ -48,7 +48,11 @@ from .splits import split_bucket
 __all__ = ["hashed_ngram_buckets", "hashed_ngram_buckets_arrow",
            "dsir_model", "dsir_score", "dsir_resample"]
 
-_WS_SPLIT = re.compile(r"\s+")
+# re.ASCII: Java's \s (the Spark split() this twins) is ASCII-only
+# [ \t\n\x0B\f\r]; Python's default \s also matches Unicode whitespace
+# (U+00A0, U+2028, ...), which would silently diverge bucket ids on
+# such corpora
+_WS_SPLIT = re.compile(r"\s+", re.ASCII)
 
 
 def _feats_py(text: "str | None", buckets: int) -> list:

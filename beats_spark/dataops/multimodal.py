@@ -100,11 +100,17 @@ def _column_decoder(media_type: str):
     bfn = _BATCH_DECODERS.get(media_type)
     dec = _decoder(media_type)
 
+    null_meta = {f: None for f in _META_FIELDS}
+
     def decode_columns(payloads: pd.Series) -> Dict[str, object]:
         if bfn is not None:
             cols = bfn(payloads)
         else:
-            metas = [dec(p) for p in payloads]
+            # a NULL payload never reaches the decoder — the _Decoder
+            # contract is Callable[[bytes], ...] and a user codec
+            # doing len(payload)/payload[:4] would crash the task
+            metas = [null_meta if p is None else dec(p)
+                     for p in payloads]
             cols = {f: [m.get(f) for m in metas] for f in _META_FIELDS}
         return {f: pd.array(cols[f], dtype=_META_DTYPES[f])
                 for f in _META_FIELDS}

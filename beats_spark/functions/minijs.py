@@ -2235,15 +2235,19 @@ class Script:
         if proc is None or not isinstance(proc, (JSFunction, Native)):
             raise JSError("process function not found")
         self.process_fn = proc
-        if params is not None:
-            reg = self.scope.vars.get(_REGISTER_FN)
-            if reg is None:
-                raise JSError("params were provided but no register "
-                              "function was found")
-            interp.call_value(reg, UNDEFINED, [dict(params)])
-        test = self.scope.vars.get(_TEST_FN)
-        if isinstance(test, (JSFunction, Native)):
-            interp.call_value(test, UNDEFINED, [])
+        try:
+            if params is not None:
+                reg = self.scope.vars.get(_REGISTER_FN)
+                if reg is None:
+                    raise JSError("params were provided but no register "
+                                  "function was found")
+                interp.call_value(reg, UNDEFINED, [dict(params)])
+            test = self.scope.vars.get(_TEST_FN)
+            if isinstance(test, (JSFunction, Native)):
+                interp.call_value(test, UNDEFINED, [])
+        except RecursionError:
+            raise JSThrow(
+                "RangeError: Maximum call stack size exceeded") from None
 
     def run(self, evt: Event) -> Optional[Event]:
         """process() one event; None when cancelled. JS exceptions

@@ -632,30 +632,44 @@ def rate_limit(cfg: Mapping[str, Any]):
                 f"rate_limit: unknown algorithm {algorithm!r}; "
                 "supported: token_bucket, window")
 
+        share_key = bool(cfg.get("share_key_partitioning", False))
+
         def reshape(d: DataFrame) -> DataFrame:
             if key_fields:
-                # Single-exchange spelling (shares the token-bucket
-                # form's shape): partition BOTH windows on the key
-                # only — HashPartitioning(key) satisfies the
-                # (key, minute) window's ClusteredDistribution AND any
-                # downstream groupBy(key), so the whole operator plus
-                # its typical rollup is ONE shuffle. The per-minute
-                # rank falls out arithmetically: rows of one minute
-                # are contiguous under (ts, order_by), so
-                # rank_in_minute = rn − min(rn over key×minute) + 1.
-                # (The old partitionBy(window(ts), key) spelling cost
-                # a second exchange at every downstream key-agg.)
                 kcols = [F.col(f) for f in key_fields]
-                wk = Window.partitionBy(*kcols).orderBy(
+                if share_key:
+                    # Opt-in single-exchange spelling for pipelines
+                    # that aggregate by key right after: partition
+                    # BOTH windows on the key only —
+                    # HashPartitioning(key) satisfies the (key,
+                    # minute) window's ClusteredDistribution AND a
+                    # downstream groupBy(key), so operator + rollup is
+                    # ONE shuffle. rank_in_minute falls out
+                    # arithmetically (rows of a minute are contiguous
+                    # under ts): rn − min(rn over key×minute) + 1.
+                    # NOT the default: a hot key's ENTIRE history
+                    # sorts in one task — unbounded partitions.
+                    wk = Window.partitionBy(*kcols).orderBy(
+                        F.col(ts_field), *[F.col(c) for c in order_by])
+                    wm = Window.partitionBy(
+                        *kcols, F.window(F.col(ts_field), unit))
+                    d = d.withColumn("__rl_rn", F.row_number().over(wk))
+                    d = d.withColumn(
+                        "__rl",
+                        F.col("__rl_rn") - F.min("__rl_rn").over(wm) + 1)
+                    return (d.filter(F.col("__rl") <= n)
+                             .drop("__rl", "__rl_rn"))
+                # Default: partition on (key, minute) — still ONE
+                # exchange for the operator itself, and every sort
+                # partition is bounded by one key's one-minute volume,
+                # so a hot key with a long history can never pin a
+                # single task (the scale-safety the window form exists
+                # to provide over the sequential token bucket).
+                w = Window.partitionBy(
+                    *kcols, F.window(F.col(ts_field), unit)).orderBy(
                     F.col(ts_field), *[F.col(c) for c in order_by])
-                wm = Window.partitionBy(
-                    *kcols, F.window(F.col(ts_field), unit))
-                d = d.withColumn("__rl_rn", F.row_number().over(wk))
-                d = d.withColumn(
-                    "__rl",
-                    F.col("__rl_rn") - F.min("__rl_rn").over(wm) + 1)
-                return (d.filter(F.col("__rl") <= n)
-                         .drop("__rl", "__rl_rn"))
+                return (d.withColumn("__rl", F.row_number().over(w))
+                         .filter(F.col("__rl") <= n).drop("__rl"))
             # global (key-less) limit: partitioning by the minute
             # window keeps the scan parallel across minutes — better
             # than one global sort partition

@@ -14,12 +14,14 @@ from .pipeline import (
 from .sources import (
     split_frames,
     frames_arrow,
+    truncate_frames,
     socket_lines,
     socket_pipeline,
 )
 
 __all__ = [
-    "split_frames", "frames_arrow", "socket_lines", "socket_pipeline",
+    "split_frames", "frames_arrow", "truncate_frames",
+    "socket_lines", "socket_pipeline",
     "PAGES_SCHEMA", "stream_routed", "run_stream_pipeline",
     "windowed_counters", "stateful_rate_limit",
     "stateful_multiline", "stateful_container_partial",

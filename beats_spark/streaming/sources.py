@@ -41,8 +41,8 @@ from ..functions.parsers import compile_parsers
 from ..processors import compile_processors
 from ..routing import route
 
-__all__ = ["split_frames", "frames_arrow", "socket_lines",
-           "socket_pipeline"]
+__all__ = ["split_frames", "frames_arrow", "truncate_frames",
+           "socket_lines", "socket_pipeline"]
 
 
 def split_frames(data: "str | None", framing: str = "delimiter",
@@ -97,10 +97,14 @@ def split_frames(data: "str | None", framing: str = "delimiter",
         if b[i:i + 1].isdigit():
             j = b.find(b" ", i)
             if j > i:
-                try:
-                    length = int(b[i:j])
-                except ValueError:
-                    break  # the reference errors the connection here
+                if not b[i:j].isdigit():
+                    # strconv.Atoi failure → the reference errors the
+                    # CONNECTION (scan.go:67-70); a silent drop here
+                    # would misframe everything after, invisibly
+                    raise ValueError(
+                        "rfc6587: malformed octet count "
+                        f"{b[i:j]!r} at byte {i}")
+                length = int(b[i:j])
                 end = j + 1 + length
                 if end <= n:
                     out.append(b[j + 1:end].decode("utf-8"))
@@ -129,6 +133,36 @@ def frames_arrow(col, framing: str = "delimiter",
     return _f(col)
 
 
+def truncate_frames(df: DataFrame, max_message_size: int,
+                    col: str = "message") -> DataFrame:
+    """``max_message_size`` truncation + ``truncated`` flag. The
+    reference's limit is a BYTE limit (``inputsource/tcp/config.go:
+    36``), not characters: cut on the utf-8 encoding. A cut landing
+    mid-rune retreats to the previous rune boundary (a JVM string
+    cannot carry the invalid bytes a Go byte-slice cut keeps), so the
+    result is always ≤ the cap and always valid utf-8 — pure codegen,
+    no Python stage on the default path."""
+    m = int(max_message_size)
+    bin_ = F.encode(F.col(col), "utf-8")
+    over = F.octet_length(col) > m
+
+    def cont(pos: int):
+        # the byte AT pos is a utf-8 continuation byte (0x80..0xBF) —
+        # binary comparison is unsigned lexicographic
+        b = F.substring(bin_, pos, 1)
+        return (b >= F.lit(bytes([0x80]))) & (b <= F.lit(bytes([0xBF])))
+
+    # cutting after byte k is safe iff byte k+1 starts a rune; runes
+    # are ≤4 bytes so at most 3 retreat steps are ever needed
+    safe_cut = (F.when(~cont(m + 1), m)
+                 .when(~cont(m), m - 1)
+                 .when(~cont(m - 1), m - 2)
+                 .otherwise(m - 3))
+    cut = F.decode(F.substring(bin_, 1, safe_cut), "utf-8")
+    return (df.withColumn("truncated", over)
+              .withColumn(col, F.when(over, cut).otherwise(F.col(col))))
+
+
 def socket_lines(
     spark: SparkSession,
     host: str = "localhost",
@@ -144,8 +178,19 @@ def socket_lines(
     With the default newline framing the source's own line split IS
     the reference's ``bufio.ScanLines``; any other (framing,
     delimiter) pair re-splits each received line through the ported
-    splitter kernel. ``max_message_size`` truncates frames and flags
-    them (``truncated`` column), mirroring the listener metadata."""
+    splitter kernel. ``max_message_size`` truncates frames BY BYTES
+    and flags them (``truncated`` column), mirroring the listener
+    metadata.
+
+    CONSTRAINT — Spark's socket source pre-splits the wire on ``\\n``
+    before this kernel ever runs, so non-newline framings are correct
+    only for feeds whose frames are ALSO newline-terminated and never
+    embed ``\\n`` (the common device behavior for octet-counted
+    syslog). An rfc6587 frame that legitimately embeds the delimiter
+    needs an intact-chunk source: feed whole chunks through
+    :func:`frames_arrow` on a batch/file path instead. Malformed
+    octet counts fail the query loudly (the reference errors the
+    connection) rather than silently misframing the remainder."""
     raw = (spark.readStream.format("socket")
            .option("host", host).option("port", port).load())
     if framing == "delimiter" and line_delimiter == "\n":
@@ -155,12 +200,14 @@ def socket_lines(
             F.explode(frames_arrow(F.col("value"), framing,
                                    line_delimiter)).alias("message"))
     if max_message_size is not None:
-        msgs = (msgs
-                .withColumn("truncated",
-                            F.length("message") > int(max_message_size))
-                .withColumn("message",
-                            F.substring("message", 1,
-                                        int(max_message_size))))
+        msgs = truncate_frames(msgs, int(max_message_size))
+    # NOTE no receive-order column: Spark bans
+    # monotonically_increasing_id() on streaming frames — and it bans
+    # window functions there too, so an order-sensitive parser
+    # (multiline) over a LIVE socket must use the stateful form
+    # (streaming.stateful_multiline), which orders within the state
+    # handler. Batch REPLAY frames (socket captures) should carry a
+    # log_offset column: socket_pipeline orders by it when present.
     return (msgs
             .withColumn("@timestamp", F.current_timestamp())
             .withColumn("log_source_address", F.lit(f"{host}:{port}")))
@@ -181,10 +228,12 @@ def socket_pipeline(
     (asserted by tests/test_streaming.py::test_socket_*)."""
     out = source
     if parsers:
+        order = ("log_offset" if "log_offset" in source.columns
+                 else "@timestamp")
         out = compile_parsers(
             parsers, field="message",
             partition_cols=["log_source_address"],
-            order_col="@timestamp")(out)
+            order_col=order)(out)
     if processors:
         out = compile_processors(processors)(out)
     if rules or default_sink is not None:

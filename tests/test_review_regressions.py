@@ -163,3 +163,93 @@ def test_dedup_exact_narrow_exchange(spark, sf_dir):
     import re
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)", plan):
         assert "__digest" in m.group(1)
+
+
+def test_dedup_exact_keeps_null_text_rows(spark):
+    """Round-4 review: a NULL-text group must survive the keep form —
+    the semi join's digest key is a non-NULL sentinel (a join on a
+    NULL key silently dropped the whole group)."""
+    from beats_spark.dataops import dedup_exact
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, None), (5, "b")],
+        "doc_id bigint, text string")
+    got = sorted(r["doc_id"] for r in dedup_exact(df).collect())
+    # min-id winner per group, NULL text = one group
+    assert got == [1, 3, 5]
+
+
+def test_dsir_python_twin_uses_ascii_whitespace(spark):
+    """Round-4 review: Java's \\s (Spark split) is ASCII-only; the
+    Python twin must not split on Unicode whitespace (U+00A0) or
+    fitted counts silently diverge from the exported Spark kernel."""
+    from beats_spark.dataops.dsir import _feats_py, hashed_ngram_buckets
+    text = "aa bb cc"   # Java/DuckDB: 2 tokens; Unicode \s: 3
+    py = sorted(_feats_py(text, 1000))
+    spark_ids = sorted(
+        spark.createDataFrame([(text,)], "t string")
+        .select(hashed_ngram_buckets(F.col("t"), 1000).alias("f"))
+        .collect()[0]["f"])
+    assert py == spark_ids
+    assert len(py) == 3   # 2 unigrams + 1 bigram
+
+
+def test_multimodal_null_payload_never_reaches_custom_decoder(spark):
+    """Round-4 review: the per-item decoder contract is bytes → meta;
+    a NULL payload must be handled by the wrapper, not the codec."""
+    from beats_spark.dataops.multimodal import (
+        attach_media_meta, sample_video_frames, set_decoder, _DECODERS)
+
+    def strict(payload):   # crashes on None, per the bytes contract
+        return {"mime": "x/y", "width": len(payload), "height": 1,
+                "n_frames": 4, "duration_ms": len(payload)}
+
+    set_decoder("image", strict)
+    set_decoder("video", strict)
+    try:
+        df = spark.createDataFrame([(1, b"abcd"), (2, None)],
+                                   "doc_id bigint, payload binary")
+        rows = {r["doc_id"]: r["media"]
+                for r in attach_media_meta(df).collect()}
+        assert rows[1]["width"] == 4 and rows[2]["mime"] is None
+        frames = sample_video_frames(df, every_n=2).collect()
+        assert {r["doc_id"] for r in frames} == {1}
+    finally:
+        _DECODERS.pop("image", None)
+        _DECODERS.pop("video", None)
+
+
+def test_minijs_register_recursion_is_contract_error():
+    """Round-4 review: a register()/test() hook that exhausts the
+    stack must surface as a JSError, not a raw RecursionError."""
+    from beats_spark.functions.minijs import compile_script, JSError
+    src = ("function f(){ return f(); }"
+           "function register(params){ f(); }"
+           "function process(evt){}")
+    with pytest.raises(JSError):
+        compile_script(src, params={"a": 1})
+
+
+def test_rate_limit_default_partitions_are_time_bounded(spark):
+    """Round-4 review: the default window form partitions on
+    (key, minute) so one hot key's history can never pin a single
+    sort task; the opt-in share_key_partitioning form hashes on the
+    key alone."""
+    df = spark.createDataFrame(
+        [(1, 1_700_000_000_000_000 + i * 1_000_000) for i in range(10)],
+        "user_id bigint, us bigint").select(
+        "user_id", F.timestamp_micros(F.col("us")).alias("ts"))
+
+    def plan_of(extra):
+        chain = compile_processors([{"rate_limit": dict(
+            {"limit": "5/m", "fields": ["user_id"],
+             "timestamp_field": "ts"}, **extra)}])
+        return chain(df)._jdf.queryExecution().executedPlan().toString()
+
+    default = plan_of({})
+    assert "window#" in default or "window(" in default
+    import re
+    parts = re.findall(r"Exchange hashpartitioning\(([^)]*)", default)
+    assert parts and all("window" in p for p in parts)
+    shared = plan_of({"share_key_partitioning": True})
+    sparts = re.findall(r"Exchange hashpartitioning\(([^)]*)", shared)
+    assert sparts and all("window" not in p for p in sparts)

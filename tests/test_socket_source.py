@@ -106,8 +106,8 @@ RULES = [{"index": "sink_err", "when": {"equals": {"level": "ERROR"}}}]
 def _batch_socket_frame(spark):
     """The event shape socket_lines emits, built as a batch frame so
     the identical pipeline composition is comparable row-for-row."""
-    rows = [Row(message=m, **{"log_source_address": "10.0.0.1:9000"})
-            for m in LINES]
+    rows = [Row(message=m, log_source_address="10.0.0.1:9000",
+                log_offset=i) for i, m in enumerate(LINES)]
     return (spark.createDataFrame(rows)
             .withColumn("@timestamp",
                         F.timestamp_micros(F.lit(1_700_000_000_000_000))))
@@ -217,15 +217,55 @@ def test_socket_lines_live_stream(spark, tmp_path):
         q.stop()
 
 
-def test_socket_lines_truncation_column(spark):
-    """max_message_size truncates and flags, mirroring the listener's
-    metadata.Truncated — verified on the batch-comparable form."""
-    df = _batch_socket_frame(spark)
-    out = (df.withColumn("truncated", F.length("message") > 20)
-             .withColumn("message", F.substring("message", 1, 20)))
-    rows = out.orderBy("message").collect()
-    assert all(len(r["message"]) <= 20 for r in rows)
-    assert any(r["truncated"] for r in rows)
+def test_truncate_frames_is_byte_based(spark):
+    """max_message_size is a BYTE limit (inputsource/tcp/config.go:36):
+    a message of multibyte chars truncates on encoded size; a cut that
+    would land mid-rune retreats to the previous rune boundary, so the
+    result is always valid utf-8 and ≤ the cap in BYTES."""
+    from beats_spark.streaming import truncate_frames
+    rows = [Row(message="a" * 30),     # 30 bytes → cut at 21
+            Row(message="é" * 12),     # 24 bytes; 21 is mid-rune → 20
+            Row(message="日" * 10),    # 30 bytes; 21 lands on a rune
+            Row(message="short")]      # 5 bytes → untouched
+    out = truncate_frames(spark.createDataFrame(rows), 21)
+    got = {r["message"][:1]: r for r in out.collect()}
+    a = got["a"]
+    assert a["truncated"] and a["message"] == "a" * 21
+    e = got["é"]
+    assert e["truncated"] and e["message"] == "é" * 10
+    assert len(e["message"].encode()) == 20 <= 21
+    j = got["日"]
+    assert j["truncated"] and j["message"] == "日" * 7
+    assert len(j["message"].encode()) == 21
+    s = got["s"]
+    assert not s["truncated"] and s["message"] == "short"
+
+
+def test_split_frames_malformed_octet_count_raises():
+    """A non-numeric octet count errors LOUDLY (the reference errors
+    the connection, scan.go:67-70) — silent misframing is data loss."""
+    with pytest.raises(ValueError, match="malformed octet count"):
+        split_frames("1x3 rest", "rfc6587")
+    with pytest.raises(ValueError, match="malformed octet count"):
+        split_frames("1_3 underscore int", "rfc6587")
+
+
+def test_socket_pipeline_orders_by_receive_sequence(spark):
+    """Order-sensitive parsers use log_offset (receive order), not the
+    per-batch-constant @timestamp: a multiline join over a tcp feed
+    must group continuation lines deterministically."""
+    lines = ["hdr one", "  c1", "  c2", "hdr two", "  c3"]
+    rows = [Row(message=m, log_source_address="10.0.0.1:9",
+                log_offset=i) for i, m in enumerate(lines)]
+    src = (spark.createDataFrame(rows)
+           .withColumn("@timestamp",
+                       F.timestamp_micros(F.lit(1_700_000_000_000_000))))
+    out = socket_pipeline(
+        src, parsers=[{"multiline": {"pattern": r"^\s", "negate": False,
+                                     "match": "after"}}],
+        default_sink=None)
+    msgs = sorted(r["message"] for r in out.collect())
+    assert msgs == ["hdr one\n  c1\n  c2", "hdr two\n  c3"]
 
 
 def test_socket_frames_plan_is_one_kernel_no_exchange(spark, sf_dir):
