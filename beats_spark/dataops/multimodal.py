@@ -78,7 +78,11 @@ def set_decoder(media_type: str, fn: _Decoder) -> None:
 def set_batch_decoder(media_type: str, fn: _BatchDecoder) -> None:
     """Install a VECTORIZED codec/model: ``fn(payload_series)`` returns
     a mapping ``field -> array-like`` (len == batch). Wins over the
-    per-item decoder — the swap point for Arrow-batched inference."""
+    per-item decoder — the swap point for Arrow-batched inference.
+    Same NULL contract as ``set_decoder``: a NULL payload never reaches
+    the decoder (the kernel calls ``fn`` on the non-null subset and
+    scatters NULL metadata back), so ``fn`` may assume every element is
+    ``bytes``."""
     _BATCH_DECODERS[media_type] = fn
 
 
@@ -104,7 +108,22 @@ def _column_decoder(media_type: str):
 
     def decode_columns(payloads: pd.Series) -> Dict[str, object]:
         if bfn is not None:
-            cols = bfn(payloads)
+            # same shield as the per-item path: NULL payloads never
+            # reach the decoder — fn(payloads.map(len)) must not crash
+            # on the first batch that contains one
+            null_mask = payloads.isna()
+            if null_mask.any():
+                sub = payloads[~null_mask]
+                sub_cols = (bfn(sub) if len(sub)
+                            else {f: [] for f in _META_FIELDS})
+                cols = {
+                    f: pd.Series(
+                        pd.array(sub_cols[f], dtype=_META_DTYPES[f]),
+                        index=sub.index,
+                    ).reindex(payloads.index).array
+                    for f in _META_FIELDS}
+            else:
+                cols = bfn(payloads)
         else:
             # a NULL payload never reaches the decoder — the _Decoder
             # contract is Callable[[bytes], ...] and a user codec
@@ -189,8 +208,20 @@ def sample_video_frames(df: DataFrame, binary_col: str = "payload",
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             cols = decode_columns(pdf[binary_col])
-            keep = ~(cols["n_frames"].isna()
-                     | cols["duration_ms"].isna())
+            meta_null = np.asarray(cols["n_frames"].isna()
+                                   | cols["duration_ms"].isna())
+            payload_null = pdf[binary_col].isna().to_numpy()
+            bad = meta_null & ~payload_null
+            if bad.any():
+                # a non-null payload MUST decode to n_frames +
+                # duration_ms — silently dropping it would make an
+                # image-style decoder installed for "video" look like
+                # an empty corpus
+                raise ValueError(
+                    "video decoder returned NULL n_frames/duration_ms "
+                    f"for {int(bad.sum())} non-null payload(s); "
+                    "set_decoder('video', fn) must return both fields")
+            keep = ~meta_null
             ids = pdf[id_col].to_numpy("int64")[keep]
             n = cols["n_frames"].to_numpy("int64", na_value=0)[keep]
             dur = cols["duration_ms"].to_numpy("int64",
@@ -205,8 +236,9 @@ def sample_video_frames(df: DataFrame, binary_col: str = "payload",
             n_rep = np.repeat(n, counts)
             dur_rep = np.repeat(dur, counts)
             # trunc(dur * idx / n) in float64 — exact below 2^53, and
-            # the rounding the engines (and the oracle) share
-            tss = (dur_rep * idxs
+            # the rounding the engines (and the oracle) share; the
+            # int64 product would wrap for bigint duration_ms
+            tss = (dur_rep.astype("float64") * idxs
                    / np.maximum(n_rep, 1)).astype("int64")
             yield pd.DataFrame({
                 id_col: np.repeat(ids, counts),

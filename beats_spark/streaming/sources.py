@@ -58,12 +58,15 @@ def split_frames(data: "str | None", framing: str = "delimiter",
     as ``bufio.Scanner`` drops a non-advancing remainder at EOF.
     Arithmetic runs over utf-8 BYTES (octet counts count bytes, not
     chars), then each frame decodes back — byte-identical to the Go
-    splitters on any utf-8 feed. A trailing delimiter terminates the
-    last frame without emitting an empty one (bufio stops at
-    eof+empty); empty frames BETWEEN delimiters are kept, as in Go.
+    splitters on any utf-8 feed whose frames are themselves valid
+    utf-8 (an rfc6587 count landing mid-rune means they are not; that
+    raises the loud ValueError below where Go would pass raw bytes
+    through). A trailing delimiter terminates the last frame without
+    emitting an empty one (bufio stops at eof+empty); empty frames
+    BETWEEN delimiters are kept, as in Go.
 
     Vectors: ``scan_test.go:28-175`` (ported in
-    tests/test_streaming.py)."""
+    tests/test_socket_source.py)."""
     if not data:
         return []
     b = data.encode("utf-8")
@@ -107,7 +110,19 @@ def split_frames(data: "str | None", framing: str = "delimiter",
                 length = int(b[i:j])
                 end = j + 1 + length
                 if end <= n:
-                    out.append(b[j + 1:end].decode("utf-8"))
+                    try:
+                        out.append(b[j + 1:end].decode("utf-8"))
+                    except UnicodeDecodeError as e:
+                        # the count landed mid-rune: the frame is not
+                        # utf-8 text (count computed in chars, or a
+                        # binary feed). Go would emit the raw byte
+                        # slice; a JVM string can't, so fail with the
+                        # same loud contract as a malformed count
+                        # instead of a raw codec error
+                        raise ValueError(
+                            f"rfc6587: octet count {length} at byte "
+                            f"{i} cuts a utf-8 rune "
+                            f"({e.reason})") from e
                     i = end
                     continue
             break  # incomplete octet frame at EOF: dropped
@@ -144,7 +159,9 @@ def truncate_frames(df: DataFrame, max_message_size: int,
     no Python stage on the default path."""
     m = int(max_message_size)
     bin_ = F.encode(F.col(col), "utf-8")
-    over = F.octet_length(col) > m
+    # NULL message → truncated=false (not NULL), so boolean filters on
+    # either polarity see the row exactly once
+    over = F.coalesce(F.octet_length(col) > m, F.lit(False))
 
     def cont(pos: int):
         # the byte AT pos is a utf-8 continuation byte (0x80..0xBF) —
