@@ -108,22 +108,22 @@ def _column_decoder(media_type: str):
 
     def decode_columns(payloads: pd.Series) -> Dict[str, object]:
         if bfn is not None:
-            # same shield as the per-item path: NULL payloads never
-            # reach the decoder — fn(payloads.map(len)) must not crash
-            # on the first batch that contains one
-            null_mask = payloads.isna()
-            if null_mask.any():
-                sub = payloads[~null_mask]
-                sub_cols = (bfn(sub) if len(sub)
-                            else {f: [] for f in _META_FIELDS})
+            # same shield as the per-item path: the decoder never sees
+            # a NULL payload NOR a zero-row batch — vectorized codecs
+            # (np.stack, a model forward, payloads.map(len)) commonly
+            # reject both, and mapInPandas can deliver empty batches
+            sub = payloads[~payloads.isna()]
+            sub_cols = (bfn(sub) if len(sub)
+                        else {f: [] for f in _META_FIELDS})
+            if len(sub) == len(payloads):
+                cols = sub_cols
+            else:
                 cols = {
                     f: pd.Series(
                         pd.array(sub_cols[f], dtype=_META_DTYPES[f]),
                         index=sub.index,
                     ).reindex(payloads.index).array
                     for f in _META_FIELDS}
-            else:
-                cols = bfn(payloads)
         else:
             # a NULL payload never reaches the decoder — the _Decoder
             # contract is Callable[[bytes], ...] and a user codec
@@ -196,11 +196,23 @@ def extract_image_features(df: DataFrame, binary_col: str = "payload",
 
 def sample_video_frames(df: DataFrame, binary_col: str = "payload",
                         id_col: str = "doc_id",
-                        every_n: int = 8) -> DataFrame:
+                        every_n: int = 8,
+                        on_null_meta: str = "error") -> DataFrame:
     """video payload → one row per sampled frame index (decode stub:
     frame count comes from the fake metadata). Shows the 1→N explode
     shape done inside the Arrow stage, not with a JVM explode over a
-    Python-built array column."""
+    Python-built array column.
+
+    ``on_null_meta``: what to do when a NON-NULL payload decodes to
+    NULL n_frames/duration_ms. ``"error"`` (default) fails the job —
+    the loud path that catches an image-style decoder installed for
+    "video" before it silently empties the corpus. ``"skip"`` drops
+    those rows — the escape hatch for dirty corpora where the decoder
+    signals a corrupt/undecodable file by returning NULL metadata.
+    NULL payloads are always skipped under either mode."""
+    if on_null_meta not in ("error", "skip"):
+        raise ValueError(
+            f"on_null_meta must be 'error' or 'skip', got {on_null_meta!r}")
     out_schema = f"{id_col} bigint, frame_idx int, frame_ts_ms bigint"
 
     decode_columns = _column_decoder("video")
@@ -212,15 +224,17 @@ def sample_video_frames(df: DataFrame, binary_col: str = "payload",
                                    | cols["duration_ms"].isna())
             payload_null = pdf[binary_col].isna().to_numpy()
             bad = meta_null & ~payload_null
-            if bad.any():
+            if bad.any() and on_null_meta == "error":
                 # a non-null payload MUST decode to n_frames +
                 # duration_ms — silently dropping it would make an
                 # image-style decoder installed for "video" look like
                 # an empty corpus
                 raise ValueError(
                     "video decoder returned NULL n_frames/duration_ms "
-                    f"for {int(bad.sum())} non-null payload(s); "
-                    "set_decoder('video', fn) must return both fields")
+                    f"for {int(bad.sum())} non-null payload(s); the "
+                    "installed decoder (set_decoder/set_batch_decoder "
+                    "for 'video') must return both fields, or pass "
+                    "on_null_meta='skip' to drop undecodable payloads")
             keep = ~meta_null
             ids = pdf[id_col].to_numpy("int64")[keep]
             n = cols["n_frames"].to_numpy("int64", na_value=0)[keep]

@@ -135,3 +135,69 @@ def test_set_batch_decoder_vectorized_seam(spark):
     finally:
         _BATCH_DECODERS.pop("image", None)
         _BATCH_DECODERS.pop("video", None)
+
+
+def test_batch_decoder_never_sees_null_or_empty(spark):
+    """The NULL shield: a vectorized decoder may assume every element
+    is bytes and the batch is non-empty — mixed, all-null, and empty
+    inputs all decode without the decoder having to defend itself."""
+    import numpy as np
+    from beats_spark.dataops.multimodal import (
+        set_batch_decoder, _BATCH_DECODERS, _column_decoder)
+
+    def strict_fake(payloads):
+        assert len(payloads) > 0, "decoder called on empty batch"
+        n = payloads.map(len)  # crashes on None => shield broken
+        return {
+            "mime": np.full(len(payloads), "video/strict"),
+            "width": n * 2, "height": n * 3,
+            "n_frames": np.full(len(payloads), 4),
+            "duration_ms": n * 10,
+        }
+
+    set_batch_decoder("video", strict_fake)
+    try:
+        dec = _column_decoder("video")
+        import pandas as pd
+        mixed = dec(pd.Series([b"abc", None, b"defgh"]))
+        assert [None if pd.isna(v) else v
+                for v in mixed["n_frames"]] == [4, None, 4]
+        assert [None if pd.isna(v) else v
+                for v in mixed["width"]] == [6, None, 10]
+        all_null = dec(pd.Series([None, None], dtype=object))
+        assert all(pd.isna(v) for v in all_null["mime"])
+        empty = dec(pd.Series([], dtype=object))
+        assert len(empty["mime"]) == 0
+        # and end-to-end through the Spark kernel
+        frames = sample_video_frames(_payloads(spark), every_n=2)
+        assert frames.count() == 4  # 2 payloads x 2 sampled frames
+    finally:
+        _BATCH_DECODERS.pop("video", None)
+
+
+def test_sample_video_frames_on_null_meta(spark):
+    """A decoder that signals corrupt files with NULL metadata:
+    on_null_meta='skip' drops them, the default fails loudly and the
+    message names both installer APIs."""
+    import pytest
+
+    def corrupt_aware(payload):
+        if payload.startswith(b"GIF"):
+            return {"mime": "video/x-bad", "width": None, "height": None,
+                    "n_frames": None, "duration_ms": None}
+        return {"mime": "video/ok", "width": 1, "height": 1,
+                "n_frames": 2, "duration_ms": 100}
+
+    set_decoder("video", corrupt_aware)
+    try:
+        ok = sample_video_frames(_payloads(spark), every_n=1,
+                                 on_null_meta="skip")
+        assert sorted((r["doc_id"], r["frame_idx"])
+                      for r in ok.collect()) == [(1, 0), (1, 1)]
+        with pytest.raises(Exception) as ei:
+            sample_video_frames(_payloads(spark), every_n=1).count()
+        assert "set_decoder/set_batch_decoder" in str(ei.value)
+        with pytest.raises(ValueError):
+            sample_video_frames(_payloads(spark), on_null_meta="nope")
+    finally:
+        _DECODERS.pop("video", None)
