@@ -46,10 +46,14 @@ from .textstats import (
 from .curate import curate, CurationResult
 from .urls import canonical_url, url_dedup, TRACKING_PARAMS
 from .spans import doc_ngrams, ngram_duplicate_stats, remove_duplicate_spans
+from .sketch import (
+    bloom_build, bloom_probe, countmin_build, countmin_estimate,
+    kmv_distinct,
+)
 from .sample import (
     cap_per_key, corpus_shuffle, hash_sample, mixture_plan,
-    mixture_sample, quantile_buckets, stratified_sample,
-    token_budget_sample,
+    mixture_sample, priority_sample, quantile_buckets,
+    stratified_sample, token_budget_sample,
 )
 from .terms import doc_frequency, inverted_index, tfidf_top_terms
 from .decontam import contamination_flags, decontaminate
@@ -97,7 +101,10 @@ __all__ = [
     "canonical_url", "url_dedup", "TRACKING_PARAMS",
     "doc_ngrams", "ngram_duplicate_stats", "remove_duplicate_spans",
     "cap_per_key", "hash_sample", "mixture_plan", "mixture_sample",
-    "quantile_buckets", "stratified_sample", "token_budget_sample",
+    "priority_sample", "quantile_buckets", "stratified_sample",
+    "token_budget_sample",
+    "bloom_build", "bloom_probe", "countmin_build", "countmin_estimate",
+    "kmv_distinct",
     "corpus_shuffle",
     "doc_frequency", "inverted_index", "tfidf_top_terms",
     "asof_join", "funnel_steps", "percentile_rollup",

@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 __all__ = ["cap_per_key", "corpus_shuffle", "hash_sample",
-           "stratified_sample",
+           "priority_sample", "stratified_sample",
            "mixture_plan", "mixture_sample", "quantile_buckets",
            "token_budget_sample"]
 
@@ -456,6 +456,65 @@ def stratified_sample(
                       keep_rank=True) \
         .withColumnRenamed("rank_in_key", "sample_rank")
     return out if keep_rank else out.drop("sample_rank")
+
+
+def priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    by: Optional[str] = None,
+    seed: str = "",
+    keep_score: bool = False,
+) -> DataFrame:
+    """Weighted sampling without replacement: keep ``n`` rows (per
+    ``by`` group when given) with inclusion probability proportional
+    to ``weight_col`` — Efraimidis–Spirakis A-ES reservoir keys, made
+    deterministic by replacing the RNG with the repo's 60-bit md5
+    priority. Each row's key is ``u^(1/w)`` with
+    ``u = (h+1)/2^60 ∈ (0,1]``; the ``n`` largest keys win. Computed
+    and ranked as ``ln(u)/w`` (monotone in ``u^(1/w)``, numerically
+    tame), ROUNDED to 6 decimals before ranking with a bytewise
+    ``key_col`` tie-break, so membership cannot depend on float
+    formatting — the same discipline as ``tfidf_top_terms``.
+
+    The up-weighted rows this keeps are the quality-/length-biased
+    draws training mixes want ("sample documents proportional to
+    token count"), reproducible across runs, engines and
+    repartitionings because the "randomness" is a pure function of
+    (key, seed).
+
+    Scale shape: per-group form is ONE exchange (the group window,
+    same as :func:`stratified_sample`); the global form is
+    ``ORDER BY … LIMIT n``, which Spark executes as
+    TakeOrderedAndProject — per-partition top-``n`` then a driver
+    merge of ``n × partitions`` score pairs, never a global sort.
+    Weights must be positive and non-null (asserted in-plan: a zero
+    weight would divide to -inf and a NULL would silently rank
+    first)."""
+    if n < 1:
+        raise ValueError(f"priority_sample: n must be >= 1, got {n}")
+    op = "priority_sample"
+    if keep_score and "sample_score" in df.columns:
+        raise ValueError(f"{op}: keep_score=True would duplicate the "
+                         "existing sample_score column — rename it")
+    w = F.col(weight_col)
+    guard = F.assert_true(
+        w.isNotNull() & (w > 0),
+        F.lit(f"{op}: {weight_col} must be positive and non-null"))
+    h = _priority60(key_col, seed, op)
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2 ** 60))
+    score = F.when(guard.isNull(),
+                   F.round(F.log(u) / w.cast("double"), 6))
+    scored = df.withColumn("sample_score", score)
+    order = [F.col("sample_score").desc(), F.col(key_col).asc()]
+    if by is not None:
+        win = Window.partitionBy(by).orderBy(*order)
+        out = (scored.withColumn("__rk", F.row_number().over(win))
+               .filter(F.col("__rk") <= n).drop("__rk"))
+    else:
+        out = scored.orderBy(*order).limit(n)
+    return out if keep_score else out.drop("sample_score")
 
 
 def corpus_shuffle(

@@ -1,0 +1,320 @@
+"""Mergeable, bounded-state sketches for web-scale profiling: KMV
+distinct-count, count-min frequency, and Bloom-filter membership.
+
+At 10^12 rows the exact answers these approximate are themselves
+shuffle monsters (a COUNT(DISTINCT url) per language moves every
+distinct key; a per-key frequency table for hot-key detection is the
+skew it is trying to diagnose). The sketch forms bound both state and
+communication to constants chosen up front:
+
+- **KMV (k-minimum-values)** distinct estimate: keep the ``k``
+  smallest 60-bit hash values per group. Partial sketches merge by
+  union-then-truncate, so the heavy pass is a zero-shuffle Arrow
+  stage emitting ≤ ``partitions × groups × k`` candidate rows; the
+  one exchange carries 8-byte hashes, never data values. Estimator
+  ``(k-1) · 2^60 / kth_min`` (Bar-Yossef et al. 2002, the standard
+  bottom-k form); groups with fewer than ``k`` distinct values come
+  back exact.
+- **Count-min** (Cormode & Muthukrishnan 2005): ``depth × width``
+  counter grid, cell ``(j, h_j(key) mod width)`` accumulates the
+  key's count; a point query reads the minimum over ``depth`` cells
+  (overestimates only, never under). The build is one partial-agg
+  shuffle whose reduce side is at most ``depth·width`` rows no matter
+  the input size — the hot-key histogram that never itself skews.
+- **Bloom filter**: ``n_hashes`` bit positions per key OR-ed into
+  62-bit words (62, not 64: DuckDB's ``<<`` refuses to shift into
+  the sign bit, and the point of these spellings is exact
+  cross-engine reproducibility). The probe is ``n_hashes``
+  broadcast hash joins on the word index — the big side never
+  shuffles, the classic semi-join reduction before an expensive join
+  or fetch. False positives are deterministic functions of the data,
+  so even they reproduce bit-for-bit in the SQL oracle.
+
+All hashing is the repo's portable 60-bit md5 trick
+(``conv(substr(md5(x),1,15),16,10)``) so DuckDB/Trino replay the
+exact same sketch — including its approximation error. Determinism
+notes: the KMV Arrow partial's OUTPUT depends on partition layout,
+but the merged result does not (the union of per-partition bottom-k
+sets always contains the global bottom-k).
+
+Reference scope: Beats ships no sketches (its counters at
+``libbeat/monitoring/`` are exact in-process sums — see
+``metrics.py``); these serve SURVEY §2's curation/profiling layer
+over the north_star's 10^12-page table.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import _spread
+
+__all__ = [
+    "bloom_build", "bloom_probe", "countmin_build", "countmin_estimate",
+    "h60", "kmv_distinct",
+]
+
+#: hash space size: the 60-bit md5 prefix spans [0, 2^60)
+_SPACE = float(2 ** 60)
+
+#: usable bits per Bloom word — 62 keeps ``1 << bit`` positive in
+#: every engine (DuckDB raises on shifts into the BIGINT sign bit)
+_WORD_BITS = 62
+
+
+def h60(col: Column, salt: str = "") -> Column:
+    """Portable 60-bit hash: ``conv(substr(md5(x # salt),1,15),16,10)``.
+
+    The '#'-salted md5-prefix spelling every sampling/split op in this
+    repo uses — identical output in Spark, DuckDB and Trino, which is
+    what makes the sketches' *errors* oracle-checkable."""
+    salted = F.concat(col.cast("string"), F.lit("#" + salt))
+    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+
+
+def _not_null(col: Column, op: str, what: str) -> Column:
+    guard = F.assert_true(
+        col.isNotNull(), F.lit(f"{op}: null {what} (filter or fill first)"))
+    return F.when(guard.isNull(), col)
+
+
+# ---------------------------------------------------------------------
+# KMV distinct-count sketch
+# ---------------------------------------------------------------------
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    k: int = 256,
+    by: Optional[str] = None,
+    seed: str = "",
+) -> DataFrame:
+    """Distinct-count estimate of ``value_col`` (per ``by`` group when
+    given): ``(by?, est_distinct, is_exact)``.
+
+    Two stages: (1) a zero-shuffle Arrow partial that keeps the ``k``
+    smallest distinct hashes per group per partition — the only pass
+    over the full data, and its output is bounded by ``parts·k`` rows
+    per group regardless of input size; (2) one small aggregation that
+    unions the partials, truncates back to ``k``, and evaluates the
+    estimator. Groups whose candidate union holds fewer than ``k``
+    hashes were never truncated anywhere, so their count is exact
+    (``is_exact = true``).
+
+    Contrast with exact ``count_distinct``: that moves every distinct
+    (group, value) pair through an exchange; this moves at most
+    ``k`` longs per group per input split.
+    """
+    if k < 2:
+        raise ValueError(f"kmv_distinct: k must be >= 2, got {k}")
+    import numpy as np
+    import pandas as pd
+
+    val = _not_null(F.col(value_col), "kmv_distinct", value_col)
+    if by is not None:
+        gtype = dict(df.dtypes)[by]
+        base = df.select(
+            _not_null(F.col(by), "kmv_distinct", by).alias("g"),
+            h60(val, seed).alias("h"))
+        out_schema = f"g {gtype}, h long"
+    else:
+        base = df.select(F.lit("").alias("g"), h60(val, seed).alias("h"))
+        out_schema = "g string, h long"
+
+    kk = k
+
+    def partial(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        acc: dict = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby("g", sort=False):
+                hs = np.unique(sub["h"].to_numpy())  # sorted ascending
+                prev = acc.get(g)
+                if prev is not None:
+                    hs = np.unique(np.concatenate([prev, hs]))
+                acc[g] = hs[:kk]
+        if acc:
+            gs = np.concatenate(
+                [np.repeat(np.array([g], dtype=object), len(v))
+                 for g, v in acc.items()])
+            yield pd.DataFrame(
+                {"g": gs,
+                 "h": np.concatenate(list(acc.values()))})
+
+    cand = _spread(base).mapInPandas(partial, schema=out_schema)
+    kth = F.element_at("hs", k)
+    est = (F.when(F.size("hs") < k, F.size("hs").cast("long"))
+           .otherwise(F.floor(F.lit(float(k - 1)) * F.lit(_SPACE)
+                              / kth.cast("double")).cast("long")))
+    merged = (cand.groupBy("g")
+              .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k)
+                   .alias("hs"))
+              .select(F.col("g"),
+                      est.alias("est_distinct"),
+                      (F.size("hs") < k).alias("is_exact")))
+    if by is not None:
+        return merged.withColumnRenamed("g", by)
+    return merged.select("est_distinct", "is_exact")
+
+
+# ---------------------------------------------------------------------
+# Count-min frequency sketch
+# ---------------------------------------------------------------------
+
+def _cm_bucket(key: Column, j: Column, width: int, seed: str) -> Column:
+    """Row ``j``'s bucket for ``key``: 60-bit hash of ``key#seed#j``
+    mod ``width`` (both operands non-negative, so ``pmod`` ≡ ``%``
+    across engines)."""
+    salted = F.concat(key.cast("string"), F.lit("#" + seed + "#"),
+                      j.cast("string"))
+    h = F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(width))
+
+
+def countmin_build(
+    df: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: str = "",
+) -> DataFrame:
+    """Count-min sketch of ``key_col`` frequencies: ``(j, bucket,
+    cnt)``, at most ``depth × width`` rows.
+
+    Map side replicates each row ``depth`` ways (a literal-array
+    explode — the documented ×depth cost of the grid) and the single
+    aggregation partial-combines, so the exchange delivers at most
+    ``depth·width`` rows per map task: a frequency profile whose
+    reduce-side size is a constant, immune to the key skew it is
+    built to measure."""
+    if width < 2 or depth < 1:
+        raise ValueError(
+            f"countmin_build: need width >= 2, depth >= 1, "
+            f"got {width}x{depth}")
+    key = _not_null(F.col(key_col), "countmin_build", key_col)
+    rows = df.select(
+        key.cast("string").alias("k"),
+        F.explode(F.array([F.lit(j) for j in range(depth)])).alias("j"))
+    return (rows
+            .select("j", _cm_bucket(F.col("k"), F.col("j"), width, seed)
+                    .alias("bucket"))
+            .groupBy("j", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: str = "",
+    out_col: str = "est_cnt",
+) -> DataFrame:
+    """Point-query ``keys`` against a :func:`countmin_build` sketch:
+    adds ``out_col`` = min over the ``depth`` cells (the classic CM
+    upper-bound estimate; cells no key hashed to read 0).
+
+    The sketch is at most ``depth·width`` rows — broadcast it; the
+    probe side explodes ×``depth`` and regroups on the key, which is
+    fine because point queries are by construction a small keyset
+    (the full-corpus frequency table is what the sketch avoids)."""
+    key = _not_null(F.col(key_col), "countmin_estimate", key_col)
+    probes = keys.select(
+        F.col(key_col),
+        key.cast("string").alias("__k"),
+        F.explode(F.array([F.lit(j) for j in range(depth)])).alias("j"))
+    probes = probes.withColumn(
+        "bucket", _cm_bucket(F.col("__k"), F.col("j"), width, seed))
+    return (probes
+            .join(F.broadcast(sketch), ["j", "bucket"], "left")
+            .groupBy(key_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias(out_col)))
+
+
+# ---------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------
+
+def _bloom_pos(key: Column, j: int, n_bits: int, seed: str) -> Column:
+    salted = F.concat(key.cast("string"), F.lit(f"#{seed}#{j}"))
+    h = F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(n_bits))
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 3,
+    seed: str = "",
+) -> DataFrame:
+    """Bloom filter over ``key_col``: ``(word_idx, word)`` rows, one
+    per non-zero 62-bit word, at most ``ceil(n_bits/62)`` of them.
+
+    Build is map-side bit math (positions ``h_j(key) mod n_bits``,
+    ``1 << (pos mod 62)`` into word ``pos div 62``) plus one
+    partial-combining ``bit_or`` aggregation — the exchange carries at
+    most the word count per map task. Distinct keys are NOT
+    pre-deduplicated: OR-ing a key's bits twice is idempotent, and a
+    distinct() here would add a full shuffle of the keys for nothing.
+    """
+    if n_hashes < 1 or n_bits < _WORD_BITS:
+        raise ValueError(
+            f"bloom_build: need n_hashes >= 1, n_bits >= {_WORD_BITS}, "
+            f"got {n_hashes}, {n_bits}")
+    key = _not_null(F.col(key_col), "bloom_build", key_col)
+    pos = F.explode(F.array(
+        [_bloom_pos(key, j, n_bits, seed) for j in range(n_hashes)]
+    )).alias("pos")
+    positions = df.select(pos)
+    # mask = 2^bit as a double is exact (a power of two <= 2^61), so
+    # the cast back to long is exact too — engine-portable, unlike
+    # shiftleft whose Spark DSL form takes only literal shift amounts
+    bit = F.pmod(F.col("pos"), F.lit(_WORD_BITS))
+    mask = F.pow(F.lit(2.0), bit.cast("double")).cast("long")
+    return (positions
+            .select((F.col("pos") / _WORD_BITS).cast("long")
+                    .alias("word_idx"),
+                    mask.alias("mask"))
+            .groupBy("word_idx")
+            .agg(F.bit_or("mask").alias("word")))
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 3,
+    seed: str = "",
+    out_col: str = "maybe_member",
+) -> DataFrame:
+    """Probe ``df[key_col]`` against a :func:`bloom_build` filter:
+    adds boolean ``out_col`` (true = possibly present; false =
+    definitely absent).
+
+    The probe is ``n_hashes`` broadcast hash joins on ``word_idx`` —
+    the probed side NEVER shuffles and no per-row regrouping happens
+    (the alternative explode-join-groupBy spelling would re-shuffle
+    the big side on its row id, defeating the filter's purpose as a
+    pre-shuffle reducer). Missing words read as 0 (= bit clear)."""
+    key = _not_null(F.col(key_col), "bloom_probe", key_col)
+    out = df
+    cond = F.lit(True)
+    for j in range(n_hashes):
+        pos = _bloom_pos(key, j, n_bits, seed)
+        widx = (pos / _WORD_BITS).cast("long")
+        bit = F.pmod(pos, F.lit(_WORD_BITS))
+        mask = F.pow(F.lit(2.0), bit.cast("double")).cast("long")
+        side = bloom.select(F.col("word_idx").alias(f"__bw{j}"),
+                            F.col("word").alias(f"__wv{j}"))
+        out = out.join(F.broadcast(side),
+                       widx == F.col(f"__bw{j}"), "left")
+        cond = cond & (F.coalesce(F.col(f"__wv{j}"), F.lit(0))
+                       .bitwiseAND(mask) != 0)
+    return (out.withColumn(out_col, cond)
+            .drop(*[c for j in range(n_hashes)
+                    for c in (f"__bw{j}", f"__wv{j}")]))

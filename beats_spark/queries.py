@@ -4052,3 +4052,179 @@ def ttl_batch_split_q(spark, sf_dir):
     out = ttl_batch_split(e, size_col="nbytes", batch_col="batch",
                           order_col="event_id", max_batch_bytes=256)
     return out.select("event_id", "batch", "sub_batch", "too_large")
+
+
+# =====================================================================
+# sketches: KMV distinct / count-min / Bloom membership + weighted
+# sampling (dataops/sketch.py, dataops/sample.py)
+# =====================================================================
+
+@query("kmv_distinct", oracle="""
+WITH h AS (
+  SELECT lang,
+         CAST(('0x'||substr(md5(text||'#kmv1'),1,15)) AS BIGINT) AS h
+  FROM documents),
+d AS (SELECT DISTINCT lang, h FROM h),
+r AS (SELECT lang, h,
+             row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+             count(*) OVER (PARTITION BY lang) AS nd
+      FROM d)
+SELECT lang,
+       CASE WHEN nd < 128 THEN nd
+            ELSE CAST(floor(127.0 * 1152921504606846976.0 / h) AS BIGINT)
+       END AS est_distinct,
+       nd < 128 AS is_exact
+FROM r
+WHERE rn = CASE WHEN nd < 128 THEN nd ELSE 128 END
+""")
+def kmv_distinct_q(spark, sf_dir):
+    """KMV (bottom-k) distinct-count sketch
+    (:func:`beats_spark.dataops.sketch.kmv_distinct`): per-language
+    estimate of distinct document texts from the 128 smallest 60-bit
+    md5 hashes. The heavy pass is a zero-shuffle Arrow partial whose
+    output is bounded by partitions×k rows per group; groups that
+    never truncated come back exact (``is_exact``). The oracle
+    replays the identical hash order in DuckDB — including the
+    estimator's error, which is a pure function of the data."""
+    from .dataops.sketch import kmv_distinct
+    docs = _t(spark, sf_dir, "documents")
+    return kmv_distinct(docs, "text", k=128, by="lang", seed="kmv1")
+
+
+@query("countmin_freq", oracle="""
+WITH js AS (SELECT unnest([0,1,2,3]) AS j),
+cells AS (
+  SELECT j,
+         CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)||'#cms1#'
+                                ||CAST(j AS VARCHAR)),1,15)) AS BIGINT)
+           % 64 AS bucket,
+         count(*) AS cnt
+  FROM events CROSS JOIN js GROUP BY 1, 2),
+probes AS (SELECT user_id, count(*) AS true_cnt FROM events GROUP BY 1),
+pj AS (
+  SELECT p.user_id, p.true_cnt, js.j,
+         CAST(('0x'||substr(md5(CAST(p.user_id AS VARCHAR)||'#cms1#'
+                                ||CAST(js.j AS VARCHAR)),1,15)) AS BIGINT)
+           % 64 AS bucket
+  FROM probes p CROSS JOIN js),
+e AS (SELECT pj.user_id,
+             CAST(min(pj.true_cnt) AS BIGINT) AS true_cnt,
+             CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_cnt
+      FROM pj LEFT JOIN cells c USING (j, bucket)
+      GROUP BY pj.user_id)
+SELECT user_id, true_cnt, est_cnt
+FROM e ORDER BY true_cnt DESC, user_id LIMIT 20
+""")
+def countmin_freq_q(spark, sf_dir):
+    """Count-min frequency sketch
+    (:func:`beats_spark.dataops.sketch.countmin_build` /
+    ``countmin_estimate``): a 4×64 counter grid over event user_ids —
+    deliberately narrower than the 150-key population so collisions
+    (and therefore the CM overestimate, est >= true always) are
+    visible and oracle-checked. The build's exchange delivers at most
+    depth·width rows per map task regardless of input size; the
+    top-20 readout is a TakeOrdered, not a global sort."""
+    from .dataops.sketch import countmin_build, countmin_estimate
+    ev = _t(spark, sf_dir, "events")
+    sk = countmin_build(ev, "user_id", width=64, depth=4, seed="cms1")
+    true = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = countmin_estimate(sk, true.select("user_id"), "user_id",
+                            width=64, depth=4, seed="cms1")
+    return (true.join(est, "user_id")
+            .select("user_id", "true_cnt", "est_cnt")
+            .orderBy(F.col("true_cnt").desc(), F.col("user_id"))
+            .limit(20))
+
+
+@query("bloom_membership", oracle="""
+WITH members AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND value > 400),
+pos AS (
+  SELECT CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)||'#bl1#'
+                                ||CAST(j AS VARCHAR)),1,15)) AS BIGINT)
+           % 248 AS p
+  FROM members CROSS JOIN (SELECT unnest([0,1,2]) AS j) js),
+bloom AS (
+  SELECT p // 62 AS word_idx,
+         bit_or(1::BIGINT << CAST(p % 62 AS INT)) AS word
+  FROM pos GROUP BY 1),
+pr AS (
+  SELECT e.event_type, e.user_id,
+         (SELECT bool_and(coalesce(b.word, 0)
+                          & (1::BIGINT << CAST(pp.p % 62 AS INT)) <> 0)
+          FROM (SELECT CAST(('0x'||substr(md5(CAST(e.user_id AS VARCHAR)
+                                              ||'#bl1#'||CAST(j2 AS VARCHAR)),
+                                          1,15)) AS BIGINT) % 248 AS p
+                FROM (SELECT unnest([0,1,2]) AS j2) js2) pp
+          LEFT JOIN bloom b ON b.word_idx = pp.p // 62) AS flagged,
+         EXISTS (SELECT 1 FROM members m
+                 WHERE m.user_id = e.user_id) AS is_member
+  FROM events e)
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_member
+FROM pr GROUP BY event_type
+""")
+def bloom_membership_q(spark, sf_dir):
+    """Bloom-filter membership
+    (:func:`beats_spark.dataops.sketch.bloom_build` / ``bloom_probe``):
+    big-spender user_ids OR-ed into a deliberately tiny 248-bit filter
+    (so false positives occur and are oracle-checked — they are a
+    deterministic function of the data), then every event probed via
+    3 broadcast hash joins — the probed side never shuffles, which is
+    the whole point of a Bloom pre-filter at 10^12 rows (membership
+    semi-join without moving the big table; size n_bits for ~1% fpp
+    in production, e.g. 2^30 bits = 2 MiB of words for 10^8 keys).
+    n_flagged >= n_member, never the reverse (no false negatives)."""
+    from .dataops.sketch import bloom_build, bloom_probe
+    ev = _t(spark, sf_dir, "events")
+    members = (ev.filter((F.col("event_type") == "purchase")
+                         & (F.col("value") > 400))
+               .select("user_id").distinct())
+    bl = bloom_build(members, "user_id", n_bits=248, n_hashes=3,
+                     seed="bl1")
+    probed = bloom_probe(ev, "user_id", bl, n_bits=248, n_hashes=3,
+                         seed="bl1")
+    exact = members.withColumn("__m", F.lit(1))
+    return (probed.join(F.broadcast(exact), "user_id", "left")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("maybe_member").cast("long"))
+                  .alias("n_flagged"),
+                 F.sum(F.when(F.col("__m").isNotNull(), 1).otherwise(0))
+                  .cast("long").alias("n_member")))
+
+
+@query("priority_sample", oracle="""
+WITH s AS (
+  SELECT lang, doc_id, n_chars,
+         round(ln((CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)
+                                          ||'#ps1'),1,15)) AS BIGINT) + 1)
+                  / 1152921504606846976.0)
+               / CAST(n_chars AS DOUBLE), 6) AS score
+  FROM documents),
+r AS (SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY score DESC, doc_id) AS rn
+      FROM s)
+SELECT lang, doc_id, n_chars FROM r WHERE rn <= 5
+""")
+def priority_sample_q(spark, sf_dir):
+    """Weighted sampling without replacement
+    (:func:`beats_spark.dataops.sample.priority_sample`):
+    Efraimidis–Spirakis A-ES keys ``u^(1/w)`` with the RNG replaced by
+    the portable 60-bit md5 priority — 5 documents per language drawn
+    proportional to length (``n_chars``), reproducible across runs,
+    engines and partitionings. Ranked as ``round(ln(u)/w, 6)`` with a
+    doc_id tie-break so membership can't hinge on float formatting.
+    One exchange (the per-language window); the global form is a
+    TakeOrdered."""
+    from .dataops.sample import priority_sample
+    docs = _t(spark, sf_dir, "documents")
+    out = priority_sample(docs, "doc_id", "n_chars", 5,
+                          by="lang", seed="ps1")
+    return out.select("lang", "doc_id", "n_chars")

@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "scd2_enrich", "stratified_sample", "zorder_layout",
     "salted_join_rollup", "counter_rollup", "range_enrich",
     "socket_frames", "ttl_batch_split",
+    "kmv_distinct", "countmin_freq", "bloom_membership",
+    "priority_sample",
     "flagship_routed_counts", "flagship_messages",
 ]
 

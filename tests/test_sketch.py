@@ -1,0 +1,189 @@
+"""Sketch operators (dataops/sketch.py) and weighted priority
+sampling: semantics (exactness windows, over-estimate-only bounds, no
+false negatives), repartition invariance, loud-failure contracts, and
+the plan shapes the module's scale claims rest on."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.dataops.sketch import (
+    bloom_build, bloom_probe, countmin_build, countmin_estimate,
+    kmv_distinct,
+)
+from beats_spark.dataops.sample import priority_sample
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------- KMV
+
+def test_kmv_exact_below_k(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = {r["lang"]: (r["est_distinct"], r["is_exact"])
+           for r in kmv_distinct(docs, "text", k=10_000,
+                                 by="lang").collect()}
+    exact = {r["lang"]: r["n"]
+             for r in docs.groupBy("lang")
+             .agg(F.count_distinct("text").alias("n")).collect()}
+    assert set(out) == set(exact)
+    for lang, (est, flag) in out.items():
+        assert flag is True and est == exact[lang]
+
+
+def test_kmv_estimator_accuracy_and_partition_invariance(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    k = 32
+    a = sorted(map(tuple,
+                   kmv_distinct(docs, "text", k=k, by="lang").collect()))
+    b = sorted(map(tuple,
+                   kmv_distinct(docs.repartition(17), "text", k=k,
+                                by="lang").collect()))
+    # the union of per-partition bottom-k sets always contains the
+    # global bottom-k, so the merged result is layout-independent
+    assert a == b
+    exact = {r["lang"]: r["n"]
+             for r in docs.groupBy("lang")
+             .agg(F.count_distinct("text").alias("n")).collect()}
+    for lang, est, is_exact in a:
+        true = exact[lang]
+        if is_exact:
+            assert est == true
+        else:
+            # bottom-k estimator: ~1/sqrt(k) relative error; allow 3σ
+            assert abs(est - true) <= max(3 * true / (k ** 0.5), 2), \
+                (lang, est, true)
+
+
+def test_kmv_global_form_and_validation(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    row = kmv_distinct(docs, "lang", k=64).collect()
+    assert len(row) == 1
+    assert row[0]["is_exact"] is True
+    assert row[0]["est_distinct"] == docs.select("lang").distinct().count()
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_distinct(docs, "text", k=1)
+    with pytest.raises(Exception, match="null"):
+        # data-driven nulls (a NULL LITERAL would be constant-folded
+        # around the in-plan assert)
+        kmv_distinct(
+            docs.withColumn(
+                "text", F.when(F.col("doc_id") % 2 == 0, F.col("text"))),
+            "text", k=8).collect()
+
+
+# ---------------------------------------------------------- count-min
+
+def test_countmin_overestimates_only_and_grid_bound(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w, d = 32, 3
+    sk = countmin_build(ev, "user_id", width=w, depth=d, seed="t")
+    cells = sk.collect()
+    assert len(cells) <= w * d
+    # every row of the grid accounts for every input row exactly once
+    per_j = {r["j"]: 0 for r in cells}
+    for r in cells:
+        per_j[r["j"]] += r["cnt"]
+    n = ev.count()
+    assert all(v == n for v in per_j.values())
+    true = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("t"))
+    est = countmin_estimate(sk, true.select("user_id"), "user_id",
+                            width=w, depth=d, seed="t")
+    joined = true.join(est, "user_id").collect()
+    assert len(joined) == true.count()
+    assert all(r["est_cnt"] >= r["t"] for r in joined)
+
+
+def test_countmin_partition_invariance_and_validation(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    a = sorted(map(tuple, countmin_build(ev, "event_type", width=8,
+                                         depth=2).collect()))
+    b = sorted(map(tuple, countmin_build(ev.repartition(9), "event_type",
+                                         width=8, depth=2).collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="width"):
+        countmin_build(ev, "user_id", width=1)
+
+
+# --------------------------------------------------------------- bloom
+
+def test_bloom_no_false_negatives_and_probe_plan(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    members = (ev.filter((F.col("event_type") == "signup")
+                         & (F.col("value") > 400))
+               .select("user_id").distinct())
+    nb, nh = 62 * 64, 3
+    bl = bloom_build(members, "user_id", n_bits=nb, n_hashes=nh)
+    probed = bloom_probe(ev, "user_id", bl, n_bits=nb, n_hashes=nh)
+    got = (probed.join(members.withColumn("__m", F.lit(1)),
+                       "user_id", "left").collect())
+    for r in got:
+        if r["__m"] is not None:          # a member: must be flagged
+            assert r["maybe_member"] is True
+    # at this fill ratio some non-member should survive as definitely
+    # absent — the filter discriminates (not saturated)
+    assert any(not r["maybe_member"] for r in got if r["__m"] is None)
+    plan = _plan(probed)
+    assert plan.count("BroadcastHashJoin") == nh
+    assert "SortMergeJoin" not in plan    # the probed side never shuffles
+
+
+def test_bloom_word_bound_and_validation(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    bl = bloom_build(ev, "user_id", n_bits=124, n_hashes=2).collect()
+    assert len(bl) <= 2                   # ceil(124/62) words
+    assert all(r["word"] > 0 for r in bl)
+    with pytest.raises(ValueError, match="n_bits"):
+        bloom_build(ev, "user_id", n_bits=10)
+
+
+# ----------------------------------------------------- priority_sample
+
+def test_priority_sample_counts_and_weight_dominance(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = priority_sample(docs, "doc_id", "n_chars", 3, by="lang")
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    assert all(v == 3 for v in counts.values())
+    # an overwhelming weight always wins: score ln(u)/w -> 0- as w -> inf
+    docs2 = docs.withColumn(
+        "w", F.when(F.col("doc_id") == 7, F.lit(10.0 ** 12))
+        .otherwise(F.lit(1.0)))
+    top = priority_sample(docs2, "doc_id", "w", 1).collect()
+    assert [r["doc_id"] for r in top] == [7]
+
+
+def test_priority_sample_invariance_and_validation(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = sorted(r["doc_id"] for r in
+               priority_sample(docs, "doc_id", "n_chars", 5,
+                               by="lang", seed="s").collect())
+    b = sorted(r["doc_id"] for r in
+               priority_sample(docs.repartition(11), "doc_id", "n_chars",
+                               5, by="lang", seed="s").collect())
+    assert a == b
+    # different seeds draw different samples
+    c = sorted(r["doc_id"] for r in
+               priority_sample(docs, "doc_id", "n_chars", 5,
+                               by="lang", seed="other").collect())
+    assert a != c
+    # global form plans as TakeOrdered, not a global sort
+    plan = _plan(priority_sample(docs, "doc_id", "n_chars", 5))
+    assert "TakeOrderedAndProject" in plan
+    with pytest.raises(Exception, match="positive"):
+        priority_sample(
+            docs.withColumn("z", F.lit(0)), "doc_id", "z", 2).collect()
+    with pytest.raises(ValueError, match="n must be"):
+        priority_sample(docs, "doc_id", "n_chars", 0)
