@@ -4228,3 +4228,114 @@ def priority_sample_q(spark, sf_dir):
     out = priority_sample(docs, "doc_id", "n_chars", 5,
                           by="lang", seed="ps1")
     return out.select("lang", "doc_id", "n_chars")
+
+
+@query("journald_export", oracle="""
+WITH recs AS (
+  SELECT event_id, 0 AS record_idx, ts AS event_ts,
+         event_type || ' ' || CAST(event_id AS VARCHAR) AS message,
+         CAST(user_id % 8 AS BIGINT) AS log_syslog_priority,
+         CAST(NULL AS BIGINT) AS log_syslog_procid,
+         'host' || CAST(user_id % 5 AS VARCHAR) AS host_hostname,
+         event_type || '.service' AS systemd_unit,
+         'v' || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+           AS custom_field
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT event_id, 1, ts + INTERVAL 1 SECOND,
+         'ack ' || CAST(event_id AS VARCHAR),
+         3, CAST(user_id AS BIGINT), NULL, 'ack.service', NULL
+  FROM events)
+SELECT * FROM recs
+""")
+def journald_export_q(spark, sf_dir):
+    """journald input (``filebeat/input/journald``): synthesize
+    ``journalctl -o export`` blobs (two records each) from events,
+    parse with :func:`beats_spark.functions.journald.
+    parse_journal_export` — field table ``journalfield/default.go``,
+    integer conversion with the "pid,username" comma fallback
+    (``conv.go:94-115``, exercised by record B's ``SYSLOG_PID=n,svc``),
+    ``__REALTIME_TIMESTAMP`` µs → @timestamp, last-wins repeats,
+    ``__CURSOR`` dropped — then ``include_matches`` filtering
+    (same-field OR). Pure JVM projection, zero shuffle; the oracle
+    re-derives every mapped field from the source columns, so the
+    check is that parse inverts construction exactly."""
+    from .functions.journald import include_matches, parse_journal_export
+    ev = _t(spark, sf_dir, "events")
+    # parquet ts is TIMESTAMP_NTZ; the UTC session pin makes the
+    # instant interpretation identical to DuckDB's naive arithmetic
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    blob = F.concat(
+        F.lit("__REALTIME_TIMESTAMP="), us.cast("string"), F.lit("\n"),
+        F.lit("PRIORITY="), (F.col("user_id") % 8).cast("string"),
+        F.lit("\n"),
+        F.lit("SYSLOG_IDENTIFIER="), F.col("event_type"), F.lit("\n"),
+        F.lit("_PID="), F.col("user_id").cast("string"), F.lit("\n"),
+        F.lit("_HOSTNAME=host"), (F.col("user_id") % 5).cast("string"),
+        F.lit("\n"),
+        F.lit("_SYSTEMD_UNIT="), F.col("event_type"),
+        F.lit(".service\n"),
+        F.lit("CUSTOM_FIELD=v"),
+        F.round(F.col("value") * 100).cast("bigint").cast("string"),
+        F.lit("\n"),
+        F.lit("MESSAGE="), F.col("event_type"), F.lit(" "),
+        F.col("event_id").cast("string"), F.lit("\n"),
+        F.lit("__CURSOR=s="), F.col("event_id").cast("string"),
+        F.lit("\n\n"),
+        F.lit("__REALTIME_TIMESTAMP="),
+        (us + 1_000_000).cast("string"), F.lit("\n"),
+        F.lit("PRIORITY=3\n"),
+        F.lit("SYSLOG_PID="), F.col("user_id").cast("string"),
+        F.lit(",svc\n"),
+        F.lit("_SYSTEMD_UNIT=ack.service\n"),
+        F.lit("MESSAGE=ack "), F.col("event_id").cast("string"),
+        F.lit("\n"))
+    src = ev.select("event_id", blob.alias("export"))
+    out = parse_journal_export(src, "export", keep_source=True)
+    out = include_matches(out, ["systemd_unit=click.service",
+                                "systemd_unit=ack.service"])
+    return out.select(
+        "event_id", "record_idx",
+        F.col("@timestamp").cast("timestamp_ntz").alias("event_ts"),
+        "message",
+        "log_syslog_priority", "log_syslog_procid", "host_hostname",
+        "systemd_unit",
+        F.col("journald_fields").getItem("CUSTOM_FIELD")
+         .alias("custom_field"))
+
+
+@query("udp_datagrams", oracle="""
+SELECT event_id,
+       ts AS event_ts,
+       substr(event_type || ' ' || props, 1, 40) AS message,
+       length(event_type || ' ' || props) > 40 AS truncated,
+       '10.0.' || CAST(user_id % 8 AS VARCHAR) || '.'
+         || CAST(user_id % 250 AS VARCHAR) || ':514'
+         AS log_source_address
+FROM events
+""")
+def udp_datagrams_q(spark, sf_dir):
+    """UDP datagram input (``filebeat/input/net/udp/input.go``; event
+    shape ``input/net/manager.go:222-235``): a replayed packet-capture
+    table shaped by :func:`beats_spark.streaming.sources.
+    datagram_events` — one datagram = one event, NO framing (UDP
+    preserves message boundaries), ``max_message_size`` byte-budget
+    cut + flag (``inputsource/udp/config.go:31``: the reference reads
+    each packet into a MaxMessageSize buffer, so oversize arrives
+    cut), capture timestamp carried through (a replay must not stamp
+    wall-clock). Pure codegen projection, zero shuffle; datagrams are
+    ASCII so the oracle's substr is the same byte cut."""
+    from .streaming.sources import datagram_events
+    ev = _t(spark, sf_dir, "events")
+    cap = ev.select(
+        "event_id", "ts",
+        F.concat(F.col("event_type"), F.lit(" "), F.col("props"))
+         .alias("value"),
+        F.concat(F.lit("10.0."), (F.col("user_id") % 8).cast("string"),
+                 F.lit("."), (F.col("user_id") % 250).cast("string"),
+                 F.lit(":514")).alias("remote"))
+    out = datagram_events(cap, "value", source_col="remote",
+                          max_message_size=40, ts_col="ts")
+    return out.select("event_id",
+                      F.col("@timestamp").alias("event_ts"),
+                      "message", "truncated", "log_source_address")

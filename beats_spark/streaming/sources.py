@@ -41,8 +41,8 @@ from ..functions.parsers import compile_parsers
 from ..processors import compile_processors
 from ..routing import route
 
-__all__ = ["split_frames", "frames_arrow", "truncate_frames",
-           "socket_lines", "socket_pipeline"]
+__all__ = ["datagram_events", "split_frames", "frames_arrow",
+           "truncate_frames", "socket_lines", "socket_pipeline"]
 
 
 def split_frames(data: "str | None", framing: str = "delimiter",
@@ -228,6 +228,44 @@ def socket_lines(
     return (msgs
             .withColumn("@timestamp", F.current_timestamp())
             .withColumn("log_source_address", F.lit(f"{host}:{port}")))
+
+
+def datagram_events(
+    df: DataFrame,
+    value_col: str = "value",
+    source_col: Optional[str] = None,
+    max_message_size: int = 10240,
+    ts_col: Optional[str] = None,
+) -> DataFrame:
+    """UDP datagram input shape (``filebeat/input/net/udp/input.go``;
+    event shape ``input/net/manager.go:222-235``): one datagram = one
+    event — NO framing, because UDP preserves message boundaries (the
+    tcp/unix splitters never run on this path in the reference
+    either). ``max_message_size`` mirrors
+    ``inputsource/udp/config.go:31``: the reference reads each packet
+    into a ``MaxMessageSize`` buffer, so an oversized datagram arrives
+    CUT at the byte limit — same byte-budget truncation (+ flag) as
+    the stream path, via :func:`truncate_frames`.
+
+    Spark has no UDP streaming source (and UDP's lossiness makes a
+    replayable capture table the honest representation anyway), so
+    this shapes ANY DataFrame of datagrams — a packet-capture table, a
+    Kafka topic of datagrams, a rate-source test feed — into the
+    reference's event schema, after which :func:`socket_pipeline`
+    applies the identical parser → processor → router chain as tcp and
+    files. ``ts_col`` carries the capture timestamp through (a replay
+    must not stamp wall-clock); live feeds default to
+    ``current_timestamp``. Pure codegen projection, zero shuffle."""
+    src = (F.col(source_col) if source_col
+           else F.lit("udp")).alias("log_source_address")
+    ts = (F.col(ts_col) if ts_col
+          else F.current_timestamp()).alias("@timestamp")
+    # pass lineage columns through (a replay table's packet/capture
+    # ids); only the consumed columns are renamed away
+    keep = [c for c in df.columns
+            if c not in (value_col, source_col, ts_col)]
+    out = df.select(*keep, F.col(value_col).alias("message"), src, ts)
+    return truncate_frames(out, int(max_message_size))
 
 
 def socket_pipeline(

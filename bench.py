@@ -68,7 +68,7 @@ BENCH_QUERIES = [
     "salted_join_rollup", "counter_rollup", "range_enrich",
     "socket_frames", "ttl_batch_split",
     "kmv_distinct", "countmin_freq", "bloom_membership",
-    "priority_sample",
+    "priority_sample", "journald_export", "udp_datagrams",
     "flagship_routed_counts", "flagship_messages",
 ]
 
