@@ -37,6 +37,7 @@ from .similarity import (
     normalize,
 )
 from .textstats import (
+    gopher_rules,
     lang_id_stopword,
     lang_id_ngram,
     doc_fingerprint,
@@ -104,7 +105,7 @@ __all__ = [
     "priority_sample", "quantile_buckets", "stratified_sample",
     "token_budget_sample",
     "bloom_build", "bloom_probe", "countmin_build", "countmin_estimate",
-    "kmv_distinct",
+    "kmv_distinct", "gopher_rules",
     "corpus_shuffle",
     "doc_frequency", "inverted_index", "tfidf_top_terms",
     "asof_join", "funnel_steps", "percentile_rollup",

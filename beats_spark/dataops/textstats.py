@@ -19,10 +19,10 @@ from pyspark.sql.functions import pandas_udf
 from .dedup import tokens, simhash
 
 __all__ = [
-    "repetition_stats_arrow",
+    "gopher_rules", "repetition_stats_arrow",
     "token_count", "text_stats", "text_stats_arrow", "quality_score",
-    "lang_id_stopword", "lang_id_ngram", "doc_fingerprint", "STOPWORDS",
-    "LANG_MARKERS",
+    "lang_id_stopword", "lang_id_ngram", "doc_fingerprint",
+    "GOPHER_REQUIRED_WORDS", "STOPWORDS", "LANG_MARKERS",
 ]
 
 # A small English stopword core — enough signal for ratio features.
@@ -82,6 +82,90 @@ def text_stats(text: Column, round_to: int = 6) -> Dict[str, Column]:
         "alpha_ratio": F.round(alpha / safe_chars, round_to),
         "punct_ratio": F.round(punct / safe_chars, round_to),
     }
+
+
+#: Gopher's "must contain 2 of" word list (Rae et al. 2021, App. A1.1)
+GOPHER_REQUIRED_WORDS: List[str] = [
+    "the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    round_to: int = 6,
+) -> Dict[str, Column]:
+    """The Gopher document-quality rule set (Rae et al. 2021,
+    Appendix A1.1 — the published thresholds the C4/FineWeb lineage of
+    web-corpus filters standardized on), as named Column expressions:
+
+    - ``words_ok``       — word count in [min_words, max_words];
+    - ``mwl_ok``         — mean word length in [3, 10];
+    - ``symbol_ok``      — (# + ellipsis) to word ratio ≤ 0.1;
+    - ``bullet_ok``      — ≤ 90% of lines start with a bullet;
+    - ``ellipsis_ok``    — ≤ 30% of lines end with an ellipsis;
+    - ``alpha_words_ok`` — ≥ 80% of words contain a letter;
+    - ``stop_ok``        — ≥ 2 distinct required stop words present;
+    - ``gopher_keep``    — AND of all of the above,
+
+    plus the underlying ratios (rounded, for score-threshold reuse).
+    Everything is whole-stage codegen (split / higher-order filters /
+    replace-count arithmetic) — a pure map-side projection that
+    composes with the curation pipeline's other filters before any
+    shuffle, so at 10^12 pages the drop happens at scan site. Tokens
+    are the module's lowercased whitespace tokens (SQL-reproducible);
+    bullets are ``- * •``; an "ellipsis" is the three-dot spelling
+    (plus U+2026), as in the public reimplementations."""
+    toks = tokens(text)
+    n_words = F.size(toks)
+    safe_w = F.greatest(n_words, F.lit(1))
+    mwl = (F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t))
+           / safe_w)
+
+    def count_sub(sub: str, width: int) -> Column:
+        return ((F.length(text)
+                 - F.length(F.replace(text, F.lit(sub)))) / width)
+
+    symbol_ratio = F.round(
+        (count_sub("#", 1) + count_sub("...", 3) + count_sub("…", 1))
+        / safe_w, round_to)
+    lines = F.filter(F.split(text, "\n"), lambda l: l != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda l: F.ltrim(l)
+                        .rlike(r"^[-*•]"))) / n_lines, round_to)
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda l:
+                        l.rlike(r"(\.\.\.|…)\s*$"))) / n_lines,
+        round_to)
+    alpha_word_frac = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / safe_w,
+        round_to)
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(toks),
+        F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS])))
+    flags = {
+        "word_count": n_words.cast("bigint"),
+        "mean_word_len": F.round(mwl, round_to),
+        "symbol_ratio": symbol_ratio,
+        "bullet_frac": bullet_frac,
+        "ellipsis_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_word_frac,
+        "stop_hits": stop_hits.cast("bigint"),
+        "words_ok": (n_words >= min_words) & (n_words <= max_words),
+        "mwl_ok": (F.round(mwl, round_to) >= 3)
+                  & (F.round(mwl, round_to) <= 10),
+        "symbol_ok": symbol_ratio <= 0.1,
+        "bullet_ok": bullet_frac <= 0.9,
+        "ellipsis_ok": ellipsis_frac <= 0.3,
+        "alpha_words_ok": alpha_word_frac >= 0.8,
+        "stop_ok": stop_hits >= 2,
+    }
+    flags["gopher_keep"] = (
+        flags["words_ok"] & flags["mwl_ok"] & flags["symbol_ok"]
+        & flags["bullet_ok"] & flags["ellipsis_ok"]
+        & flags["alpha_words_ok"] & flags["stop_ok"])
+    return flags
 
 
 def quality_score(text: Column, round_to: int = 6) -> Column:

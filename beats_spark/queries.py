@@ -4339,3 +4339,61 @@ def udp_datagrams_q(spark, sf_dir):
     return out.select("event_id",
                       F.col("@timestamp").alias("event_ts"),
                       "message", "truncated", "log_source_address")
+
+
+@query("gopher_quality", oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, {_SH_TOKS} AS toks,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lns
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         len(toks) AS word_count,
+         round(CAST(list_sum(list_transform(toks, x -> length(x)))
+                    AS DOUBLE) / greatest(len(toks), 1), 6)
+           AS mean_word_len,
+         round(((length(text) - length(replace(text, '#', '')))
+                + (length(text) - length(replace(text, '...', ''))) / 3.0
+                + (length(text) - length(replace(text, '…', ''))))
+               / greatest(len(toks), 1), 6) AS symbol_ratio,
+         round(CAST(len(list_filter(lns,
+                 x -> regexp_matches(ltrim(x), '^[-*•]'))) AS DOUBLE)
+               / greatest(len(lns), 1), 6) AS bullet_frac,
+         round(CAST(len(list_filter(lns,
+                 x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$')))
+                 AS DOUBLE)
+               / greatest(len(lns), 1), 6) AS ellipsis_frac,
+         round(CAST(len(list_filter(toks,
+                 x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+               / greatest(len(toks), 1), 6) AS alpha_word_frac,
+         CAST(len(list_intersect(list_distinct(toks),
+              ['the','be','to','of','and','that','have','with']))
+           AS BIGINT) AS stop_hits
+  FROM t)
+SELECT doc_id, word_count, mean_word_len, symbol_ratio, bullet_frac,
+       ellipsis_frac, alpha_word_frac, stop_hits,
+       (word_count BETWEEN 10 AND 100000)
+         AND (mean_word_len BETWEEN 3 AND 10)
+         AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+         AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.8
+         AND stop_hits >= 2 AS gopher_keep
+FROM s
+""")
+def gopher_quality_q(spark, sf_dir):
+    """The Gopher quality rule set (Rae et al. 2021, Appendix A1.1)
+    via :func:`beats_spark.dataops.textstats.gopher_rules`: the
+    published word-count / mean-word-length / symbol-ratio / bullet /
+    ellipsis / alpha-word / required-stop-word thresholds as one pure
+    codegen projection — the standard web-corpus pre-filter, dropped
+    at scan site before any shuffle (min_words relaxed to 10 for the
+    synthetic docs' length range). The oracle recomputes every ratio
+    and the composite verdict."""
+    from .dataops.textstats import gopher_rules
+    docs = _t(spark, sf_dir, "documents")
+    g = gopher_rules(F.col("text"), min_words=10)
+    return docs.select(
+        "doc_id",
+        *[g[k].alias(k) for k in
+          ("word_count", "mean_word_len", "symbol_ratio", "bullet_frac",
+           "ellipsis_frac", "alpha_word_frac", "stop_hits",
+           "gopher_keep")])

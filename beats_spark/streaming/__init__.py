@@ -10,8 +10,10 @@ from .pipeline import (
     stream_dedup_against,
     stream_sessions,
     stream_count_anomalies,
+    stream_countmin,
 )
 from .sources import (
+    datagram_events,
     split_frames,
     frames_arrow,
     truncate_frames,
@@ -20,11 +22,11 @@ from .sources import (
 )
 
 __all__ = [
-    "split_frames", "frames_arrow", "truncate_frames",
+    "datagram_events", "split_frames", "frames_arrow", "truncate_frames",
     "socket_lines", "socket_pipeline",
     "PAGES_SCHEMA", "stream_routed", "run_stream_pipeline",
     "windowed_counters", "stateful_rate_limit",
     "stateful_multiline", "stateful_container_partial",
     "stateful_url_dedup", "stream_dedup_against",
-    "stream_sessions", "stream_count_anomalies",
+    "stream_sessions", "stream_count_anomalies", "stream_countmin",
 ]

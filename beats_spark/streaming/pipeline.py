@@ -38,7 +38,8 @@ __all__ = ["PAGES_SCHEMA", "stream_routed", "run_stream_pipeline",
            "windowed_counters", "stateful_rate_limit",
            "stateful_multiline", "stateful_container_partial",
            "stateful_url_dedup", "stream_dedup_against",
-           "stream_sessions", "stream_count_anomalies"]
+           "stream_sessions", "stream_count_anomalies",
+           "stream_countmin"]
 
 PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                 "text string, lang string")
@@ -659,3 +660,37 @@ def stream_dedup_against(
     return (out.withWatermark(ts_col, within)
                .dropDuplicatesWithinWatermark(["__k"])
                .drop("__k"))
+
+
+def stream_countmin(
+    stream: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: str = "",
+) -> DataFrame:
+    """Streaming count-min sketch: the EXACT batch grid
+    (:func:`beats_spark.dataops.sketch.countmin_build` — same hashes,
+    same cells) maintained incrementally as a native streaming
+    aggregation. Run with ``outputMode("update")`` (or ``complete``
+    for a full-grid snapshot per trigger).
+
+    The whole point of the sketch shape in a stream: the aggregation
+    state is bounded at ``depth × width`` rows FOREVER, for a key
+    stream of unbounded cardinality — no watermark needed because
+    nothing grows (contrast every keyed-state op above, whose state is
+    bounded only by eviction). After any prefix of micro-batches the
+    grid is bit-identical to the batch build over the same rows
+    (asserted in tests), so a live hot-key monitor and an offline
+    profile read the same numbers, and
+    :func:`~beats_spark.dataops.sketch.countmin_estimate` works
+    unchanged on either."""
+    from ..dataops.sketch import _cm_bucket, countmin_build  # noqa: F401
+    rows = stream.select(
+        F.col(key_col).cast("string").alias("__k"),
+        F.explode(F.array([F.lit(j) for j in range(depth)])).alias("j"))
+    return (rows
+            .select("j", _cm_bucket(F.col("__k"), F.col("j"), width,
+                                    seed).alias("bucket"))
+            .groupBy("j", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt")))

@@ -187,3 +187,75 @@ def test_priority_sample_invariance_and_validation(spark, sf_dir):
             docs.withColumn("z", F.lit(0)), "doc_id", "z", 2).collect()
     with pytest.raises(ValueError, match="n must be"):
         priority_sample(docs, "doc_id", "n_chars", 0)
+
+
+# --------------------------------------------------- gopher rule set
+
+def test_gopher_rules_each_threshold(spark):
+    from beats_spark.dataops.textstats import gopher_rules
+    base = ("the quick brown fox jumps over a lazy dog and that have "
+            "be to of with more words here to clear the minimum")
+    docs = [
+        ("good", base),
+        ("too_short", "the of and be"),
+        ("symbol_soup", base + " " + "# # # # # # # # # # # # # #"),
+        ("bullets", "\n".join(["- item " + base] * 10)),
+        ("ellipses", "\n".join([base + " ..."] * 10)),
+        ("numeric", base + " " + " ".join(["12345"] * 40)),
+        ("no_stop", "zebra quokka wombat numbat dingo bilby kookaburra "
+                    "echidna platypus cassowary emu koala wallaby "
+                    "possum galah brolga"),
+        ("long_words", " ".join(["antidisestablishmentarianism"] * 30)),
+    ]
+    df = spark.createDataFrame(docs, "name string, text string")
+    g = gopher_rules(F.col("text"), min_words=10)
+    out = {r["name"]: r for r in
+           df.select("name", *[g[k].alias(k) for k in g]).collect()}
+    assert out["good"]["gopher_keep"] is True
+    assert out["too_short"]["words_ok"] is False
+    assert out["symbol_soup"]["symbol_ok"] is False
+    assert out["bullets"]["bullet_ok"] is False
+    assert out["ellipses"]["ellipsis_ok"] is False
+    assert out["numeric"]["alpha_words_ok"] is False
+    assert out["no_stop"]["stop_ok"] is False
+    assert out["long_words"]["mwl_ok"] is False
+    # every failing doc fails ONLY through its targeted rule + keep
+    for name in ("symbol_soup", "bullets", "ellipses"):
+        assert out[name]["gopher_keep"] is False
+    # pure projection — no exchange
+    plan = (df.select("name", *[g[k].alias(k) for k in g])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+# ----------------------------------------------- streaming count-min
+
+def test_stream_countmin_matches_batch(spark, tmp_path):
+    """After draining any prefix of micro-batches, the streaming grid
+    is bit-identical to the batch build over the same rows."""
+    from beats_spark.dataops.sketch import countmin_build
+    from beats_spark.streaming import stream_countmin
+
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    b1 = spark.createDataFrame(
+        [(i, f"key{i % 7}") for i in range(40)], "i long, k string")
+    b2 = spark.createDataFrame(
+        [(i, f"key{i % 11}") for i in range(40, 90)], "i long, k string")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema("i long, k string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    grid = stream_countmin(stream, "k", width=16, depth=3, seed="s")
+    q = (grid.writeStream.outputMode("complete")
+         .format("memory").queryName("cm_grid")
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = sorted(map(tuple, spark.sql(
+        "SELECT j, bucket, cnt FROM cm_grid").collect()))
+    want = sorted(map(tuple, countmin_build(
+        spark.read.parquet(src), "k", width=16, depth=3,
+        seed="s").collect()))
+    assert got == want and len(got) <= 16 * 3
