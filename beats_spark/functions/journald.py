@@ -160,38 +160,52 @@ def parse_journal_export(
     name; dropped fields are dropped). Repeated fields keep the LAST
     value, matching the systemd API's map view.
 
-    Pure JVM projection: split on blank lines → posexplode → per-record
-    higher-order split/dedupe/map-build. A keyless line (the export
+    Pure JVM projection: split on blank lines → per-record map build
+    INSIDE the generator → posexplode. A keyless line (the export
     format's binary-field marker) fails the query loudly — see module
-    docstring."""
-    blob = F.col(col)
-    rec = F.posexplode(
-        F.filter(F.split(blob, "\n\n"), lambda r: r != "")
-    ).alias("record_idx", "__rec")
-    base = df.select("*", rec) if keep_source else df.select(rec)
+    docstring.
 
-    lines = F.filter(F.split(F.col("__rec"), "\n"), lambda l: l != "")
-    keyed = F.assert_true(
-        F.forall(lines, lambda l: F.instr(l, "=") > 0),
-        F.lit("journald export: keyless line (binary-safe export "
-              "fields are not representable in a string column)"))
-    key = lambda l: F.substring_index(l, "=", 1)          # noqa: E731
-    entries = F.transform(
-        lines,
-        lambda l: F.struct(
-            key(l).alias("key"),
-            F.substr(l, F.length(key(l)) + F.lit(2)).alias("value")))
-    # last-wins dedupe (repeated journal fields): keep an entry only if
-    # no LATER entry has the same key — records are short (tens of
-    # lines), so the quadratic scan stays trivially cheap and avoids a
-    # session-wide mapKeyDedupPolicy change
-    deduped = F.filter(
-        entries,
-        lambda e, i: ~F.exists(
-            F.slice(entries, i + F.lit(2), F.size(entries)),
-            lambda e2: e2["key"] == e["key"]))
-    fields = F.when(keyed.isNull(), F.map_from_entries(deduped))
-    base = base.withColumn("__f", fields).drop("__rec")
+    Plan-shape note (measured, sf0.1): higher-order lambdas do not
+    whole-stage-codegen, so repeated references to a map-building
+    expression re-derive it — and predicate pushdown substitutes
+    attributes back into their defining expressions, so a downstream
+    ``filter`` (include_matches) can quietly multiply that cost.
+    Two structural defenses here: (1) the per-record field map is
+    emitted BY the posexplode itself — generator outputs are real
+    attributes Catalyst cannot substitute through; (2) last-wins
+    repeated-field handling is a single left-to-right ``aggregate``
+    fold (each step filters the key out of the accumulator and
+    re-inserts), not a self-referential exists-over-slice — a lambda
+    that references its own source array re-evaluates it per element
+    (was 6-9x slower)."""
+    blob = F.col(col)
+
+    def record_map(r: Column) -> Column:
+        lines = F.filter(F.split(r, "\n"), lambda l: l != "")
+        guard = F.assert_true(
+            F.forall(lines, lambda l: F.instr(l, "=") > 0),
+            F.lit("journald export: keyless line (binary-safe export "
+                  "fields are not representable in a string column)"))
+        key = lambda l: F.substring_index(l, "=", 1)      # noqa: E731
+        entries = F.transform(
+            lines,
+            lambda l: F.struct(
+                key(l).alias("key"),
+                F.substr(l, F.length(key(l)) + F.lit(2)).alias("value")))
+        empty = F.map_from_arrays(
+            F.array().cast("array<string>"),
+            F.array().cast("array<string>"))
+        folded = F.aggregate(
+            entries, empty,
+            lambda acc, e: F.map_concat(
+                F.map_filter(acc, lambda k, _v: k != e["key"]),
+                F.create_map(e["key"], e["value"])))
+        return F.when(guard.isNull(), folded)
+
+    recs = F.transform(
+        F.filter(F.split(blob, "\n\n"), lambda r: r != ""), record_map)
+    rec = F.posexplode(recs).alias("record_idx", "__f")
+    base = df.select("*", rec) if keep_source else df.select(rec)
 
     get = lambda k: F.col("__f").getItem(k)               # noqa: E731
     ts = F.timestamp_micros(
@@ -201,21 +215,29 @@ def parse_journal_export(
         v = get(jkey)
         out = out.withColumn(
             name, _int_value(v) if typ == "bigint" else v)
-    # residual map: rename mapped keys, drop dropped/promoted ones
+    # residual map: rename mapped keys, drop dropped/promoted ones.
+    # Both lookups are FOLDABLE map literals (constant-folded to one
+    # MapData each) — the per-key CASE-chain spelling of the same
+    # logic built a ~50-branch expression per map entry, which blew
+    # the codegen budget and ran interpreted (~45x slower, measured)
     promoted = {j for j, _, _ in _PROMOTED}
     renames = [(j, m) for j, m in JOURNALD_FIELDS.items()
                if m is not None and j not in promoted]
-    dropped = ({j for j, m in JOURNALD_FIELDS.items() if m is None}
-               | promoted)
+    dropped = sorted({j for j, m in JOURNALD_FIELDS.items() if m is None}
+                     | promoted)
+    rename_map = F.create_map(
+        *[F.lit(x) for pair in renames for x in pair])
+    dropped_map = F.create_map(
+        *[F.lit(x) for j in dropped for x in (j, "1")])
     ents = F.map_entries(F.col("__f"))
     kept = F.filter(
-        ents, lambda e: ~e["key"].isin(*sorted(dropped)))
-    mapped_key = lambda e: F.coalesce(                     # noqa: E731
-        *[F.when(e["key"] == j, F.lit(m)) for j, m in renames],
-        e["key"])
+        ents, lambda e: F.element_at(dropped_map, e["key"]).isNull())
     residual = F.map_from_entries(F.transform(
-        kept, lambda e: F.struct(mapped_key(e).alias("key"),
-                                 e["value"].alias("value"))))
+        kept,
+        lambda e: F.struct(
+            F.coalesce(F.element_at(rename_map, e["key"]),
+                       e["key"]).alias("key"),
+            e["value"].alias("value"))))
     return out.withColumn("journald_fields", residual).drop("__f")
 
 

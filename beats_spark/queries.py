@@ -4397,3 +4397,67 @@ def gopher_quality_q(spark, sf_dir):
           ("word_count", "mean_word_len", "symbol_ratio", "bullet_frac",
            "ellipsis_frac", "alpha_word_frac", "stop_hits",
            "gopher_keep")])
+
+
+@query("warc_extract", oracle="""
+WITH d AS (
+  SELECT doc_id, text, source,
+         'https://' || source || '.example.com/doc/'
+           || CAST(doc_id AS VARCHAR) AS uri,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + doc_id * INTERVAL 1 SECOND AS fetched
+  FROM documents)
+SELECT doc_id, 0 AS record_idx, 'response' AS warc_type,
+       uri AS target_uri, fetched AS warc_date,
+       CAST(octet_length(encode(
+         'HTTP/1.1 200 OK' || chr(13) || chr(10)
+         || 'Content-Type: text/html; charset=utf-8'
+         || chr(13) || chr(10) || chr(13) || chr(10) || text))
+         AS BIGINT) AS content_length,
+       CAST(200 AS BIGINT) AS http_status, text AS body
+FROM d
+UNION ALL
+SELECT doc_id, 1, 'metadata', uri, fetched,
+       CAST(11 AS BIGINT), NULL, NULL
+FROM d
+""")
+def warc_extract_q(spark, sf_dir):
+    """WARC record parsing (ISO 28500 — the Common-Crawl container
+    behind the north_star's pages table): documents wrapped into
+    two-record WARC blobs (an HTTP ``response`` + a ``metadata``
+    record, folded headers and byte-counted Content-Length included),
+    then re-extracted with :func:`beats_spark.functions.warc.
+    parse_warc`. One Arrow kernel (the record walk) → JVM posexplode →
+    codegen HTTP split; the oracle derives every field from the source
+    columns, so the check is that extraction inverts archiving —
+    including ``body`` = the original text BYTE-IDENTICAL per url,
+    the north_star's per-row invariant, with multibyte payloads
+    exercised (zh documents)."""
+    from .functions.warc import parse_warc
+    docs = _t(spark, sf_dir, "documents")
+    fetched = F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
+    uri = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.com/doc/"),
+                   F.col("doc_id").cast("string"))
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\n"
+              "Content-Type: text/html; charset=utf-8\r\n\r\n"),
+        F.col("text"))
+    date = F.date_format(fetched, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    blob = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        uri, F.lit("\r\nWARC-Date: "), date,
+        F.lit("\r\nContent-Type: application/http;\r\n"
+              " msgtype=response\r\nContent-Length: "),
+        F.octet_length(F.encode(http, "utf-8")).cast("string"),
+        F.lit("\r\n\r\n"), http,
+        F.lit("\r\n\r\nWARC/1.0\r\nWARC-Type: metadata\r\n"
+              "WARC-Target-URI: "), uri,
+        F.lit("\r\nWARC-Date: "), date,
+        F.lit("\r\nContent-Length: 11\r\n\r\nvia=crawler\r\n\r\n"))
+    src = docs.select("doc_id", blob.alias("warc"))
+    out = parse_warc(src, "warc", keep_source=True)
+    return out.select(
+        "doc_id", "record_idx", "warc_type", "target_uri",
+        F.col("warc_date").cast("timestamp_ntz").alias("warc_date"),
+        "content_length", "http_status", "body")
