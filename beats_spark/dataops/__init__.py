@@ -75,6 +75,10 @@ from .events import (
     scd2_join, session_rollup, sessionize,
 )
 from .graph import pagerank
+from .robots import (
+    compile_robots_pattern, parse_robots, parse_robots_txt,
+    robots_filter, url_path,
+)
 from .layout import cluster_by_zorder, write_bucketed, zorder_key
 from .templates import (
     TEMPLATE_MASKS, count_anomalies, log_templates, template_col,
@@ -111,6 +115,8 @@ __all__ = [
     "asof_join", "funnel_steps", "percentile_rollup",
     "retention_cohorts", "scd2_join", "session_rollup", "sessionize",
     "pagerank",
+    "compile_robots_pattern", "parse_robots", "parse_robots_txt",
+    "robots_filter", "url_path",
     "cluster_by_zorder", "write_bucketed", "zorder_key",
     "TEMPLATE_MASKS", "count_anomalies", "log_templates",
     "template_col",

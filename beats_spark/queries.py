@@ -4461,3 +4461,55 @@ def warc_extract_q(spark, sf_dir):
         "doc_id", "record_idx", "warc_type", "target_uri",
         F.col("warc_date").cast("timestamp_ntz").alias("warc_date"),
         "content_length", "http_status", "body")
+
+
+@query("robots_filter", oracle="""
+SELECT doc_id,
+       'https://' || source || '.example.com/doc/'
+         || CAST(doc_id AS VARCHAR) AS url,
+       CASE
+         WHEN source = 'src0' THEN TRUE           -- no robots row
+         WHEN source = 'src3' THEN                -- star-only group
+           NOT (CAST(doc_id AS VARCHAR) LIKE '3%')
+         ELSE                                     -- trainbot group:
+           (CAST(doc_id AS VARCHAR) NOT LIKE '%7%')   -- disallow /doc/*7
+           OR (CAST(doc_id AS VARCHAR) LIKE '%77%')   -- allow /doc/*77
+       END AS robots_allowed
+FROM documents
+""")
+def robots_filter_q(spark, sf_dir):
+    """RFC 9309 robots.txt crawl-compliance filtering
+    (:mod:`beats_spark.dataops.robots`): per-host robots bodies parsed
+    by one Arrow kernel into pre-compiled rule arrays, broadcast, and
+    applied to the URL table map-side — group selection (exact product
+    token over ``*``, exercised: trainbot hosts carry a ``Disallow: /``
+    star group that must NOT apply), longest-match precedence with
+    allow-on-tie (``Allow: /doc/*77`` beats ``Disallow: /doc/*7``),
+    ``$``-less prefix semantics, hosts without robots default-allowed.
+    1 BroadcastHashJoin, 0 shuffles of the URL side (plan-asserted in
+    test_robots); the oracle re-derives every verdict from the rule
+    construction."""
+    from .dataops.robots import parse_robots, robots_filter
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.com/doc/"),
+                   F.col("doc_id").cast("string"))
+    body = F.when(
+        F.col("source") == "src3",
+        F.lit("User-agent: *\nDisallow: /doc/3*\n")
+    ).otherwise(F.lit(
+        "# corpus crawl policy\n"
+        "User-agent: trainbot\n"
+        "Disallow: /doc/*7\n"
+        "Allow: /doc/*77\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /\n"))
+    hosts = (docs.select("source").distinct()
+             .filter(F.col("source") != "src0"))
+    rob = hosts.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        body.alias("robots_txt"))
+    urls = docs.select("doc_id", url.alias("url"))
+    out = robots_filter(urls, parse_robots(rob), user_agent="TrainBot")
+    return out.select("doc_id", "url", "robots_allowed")

@@ -1,0 +1,101 @@
+"""RFC 9309 robots.txt engine (dataops/robots.py): parse/group/match
+semantics against the RFC + public Googlebot documented examples, the
+broadcast plan shape, and URL path extraction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.dataops.robots import (
+    compile_robots_pattern, parse_robots, parse_robots_txt,
+    robots_filter, url_path,
+)
+
+BODY = """
+# policy
+User-agent: ExampleBot
+User-agent: OtherBot
+Disallow: /private/
+Allow: /private/public$
+
+User-agent: *
+Disallow: /tmp/*
+Allow: /tmp/keep
+Disallow:
+Crawl-delay: 10
+Sitemap: https://x/sitemap.xml
+BrokenLineWithoutColon
+"""
+
+
+def test_parse_groups_and_tolerance():
+    rules = parse_robots_txt(BODY)
+    # two agents share the first block; star group gets both rules;
+    # empty Disallow, crawl-delay, sitemap and the broken line vanish
+    assert ("examplebot", False, "/private/", 9, "^/private/") in rules
+    assert ("otherbot", True, "/private/public$", 16,
+            "^/private/public$") in rules
+    assert ("*", False, "/tmp/*", 6, "^/tmp/.*") in rules
+    assert ("*", True, "/tmp/keep", 9, "^/tmp/keep") in rules
+    assert len(rules) == 6
+    assert parse_robots_txt(None) == [] and parse_robots_txt("") == []
+    # a User-agent line AFTER rules starts a NEW group
+    two = parse_robots_txt(
+        "User-agent: a\nDisallow: /x\nUser-agent: b\nDisallow: /y\n")
+    assert ("a", False, "/x", 2, "^/x") in two
+    assert ("b", False, "/y", 2, "^/y") in two
+    assert ("a", False, "/y", 2, "^/y") not in two
+
+
+def test_pattern_compilation():
+    assert compile_robots_pattern("/a*b$") == "^/a.*b$"
+    assert compile_robots_pattern("/fish") == "^/fish"
+    assert compile_robots_pattern("/*.php$") == "^/.*\\.php$"
+    assert compile_robots_pattern("/a+b(c)") == r"^/a\+b\(c\)"
+
+
+def test_url_path_extraction(spark):
+    df = spark.createDataFrame(
+        [("https://h.com/a/b?q=1#frag",), ("http://h.com",),
+         ("https://h.com/",), ("h.com/rel/x",)], "url string")
+    got = [r["p"] for r in
+           df.select(url_path(F.col("url")).alias("p")).collect()]
+    assert got == ["/a/b?q=1", "/", "/", "/rel/x"]
+
+
+def test_filter_semantics_and_plan(spark):
+    rob = parse_robots(spark.createDataFrame(
+        [("ex.com", BODY)], "host string, robots_txt string"))
+    urls = spark.createDataFrame(
+        [(1, "https://ex.com/private/x"),
+         (2, "https://ex.com/private/public"),
+         (3, "https://ex.com/private/publicX"),   # $ anchor must fail
+         (4, "https://EX.com/tmp/a"),             # host case-insensitive
+         (5, "https://ex.com/tmp/keep2"),         # allow is longest
+         (6, "https://ex.com/ok"),
+         (7, "https://norobots.com/private/x")],
+        "i int, url string")
+    ex = {r["i"]: r["robots_allowed"] for r in
+          robots_filter(urls, rob, user_agent="ExampleBot").collect()}
+    # ExampleBot's own group applies — the star /tmp/* rule must NOT
+    assert ex == {1: False, 2: True, 3: False, 4: True, 5: True,
+                  6: True, 7: True}
+    star = {r["i"]: r["robots_allowed"] for r in
+            robots_filter(urls, rob, user_agent="randombot").collect()}
+    assert star == {1: True, 2: True, 3: True, 4: False, 5: True,
+                    6: True, 7: True}
+    out = robots_filter(urls, rob, user_agent="ExampleBot")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan   # URL side never moves
+
+
+def test_filter_longest_match_tie_allows(spark):
+    body = "User-agent: *\nDisallow: /page\nAllow: /page\n"
+    rob = parse_robots(spark.createDataFrame(
+        [("h.com", body)], "host string, robots_txt string"))
+    urls = spark.createDataFrame([("https://h.com/page",)], "url string")
+    r = robots_filter(urls, rob).collect()[0]
+    assert r["robots_allowed"] is True   # equal length: allow wins
