@@ -471,12 +471,17 @@ def priority_sample(
     ``by`` group when given) with inclusion probability proportional
     to ``weight_col`` — Efraimidis–Spirakis A-ES reservoir keys, made
     deterministic by replacing the RNG with the repo's 60-bit md5
-    priority. Each row's key is ``u^(1/w)`` with
-    ``u = (h+1)/2^60 ∈ (0,1]``; the ``n`` largest keys win. Computed
-    and ranked as ``ln(u)/w`` (monotone in ``u^(1/w)``, numerically
-    tame), ROUNDED to 6 decimals before ranking with a bytewise
-    ``key_col`` tie-break, so membership cannot depend on float
-    formatting — the same discipline as ``tfidf_top_terms``.
+    priority. A-ES keeps the ``n`` largest ``u^(1/w)``; ranked here
+    through the order-isomorphic Gumbel-max form
+    ``ln w − ln(−ln u)`` in INTEGER micro-nats (the
+    ``dsir_resample`` discipline): ``u = (h mod 2^40 + 0.5) / 2^40``
+    (never 0 or 1, exactly representable), each term rounded to
+    micro-nats, summed as bigint, bytewise ``key_col`` tie-break.
+    The earlier ``round(ln(u)/w, 6)`` spelling collapsed to 0.000000
+    for realistic large weights (w ≳ 10^5 ties ~5% of all rows at the
+    top score, handing membership to the lexicographic tie-break);
+    micro-nats of the SUM keep ~10^7 distinct levels at every weight
+    scale.
 
     The up-weighted rows this keeps are the quality-/length-biased
     draws training mixes want ("sample documents proportional to
@@ -489,23 +494,27 @@ def priority_sample(
     ``ORDER BY … LIMIT n``, which Spark executes as
     TakeOrderedAndProject — per-partition top-``n`` then a driver
     merge of ``n × partitions`` score pairs, never a global sort.
-    Weights must be positive and non-null (asserted in-plan: a zero
-    weight would divide to -inf and a NULL would silently rank
-    first)."""
+    Weights must be positive and non-null (asserted in-plan: ln(0)
+    is -inf and a NULL would silently rank first)."""
     if n < 1:
         raise ValueError(f"priority_sample: n must be >= 1, got {n}")
     op = "priority_sample"
-    if keep_score and "sample_score" in df.columns:
-        raise ValueError(f"{op}: keep_score=True would duplicate the "
-                         "existing sample_score column — rename it")
+    if "sample_score" in df.columns:
+        raise ValueError(f"{op}: rename the existing sample_score "
+                         "column first (used internally)")
+    if by is not None and "__rk" in df.columns:
+        raise ValueError(f"{op}: rename the existing __rk column "
+                         "first (used internally)")
     w = F.col(weight_col)
     guard = F.assert_true(
         w.isNotNull() & (w > 0),
         F.lit(f"{op}: {weight_col} must be positive and non-null"))
-    h = _priority60(key_col, seed, op)
-    u = (h + F.lit(1)).cast("double") / F.lit(float(2 ** 60))
-    score = F.when(guard.isNull(),
-                   F.round(F.log(u) / w.cast("double"), 6))
+    g = 1 << 40
+    u = ((F.pmod(_priority60(key_col, seed, op), F.lit(g))
+          .cast("double") + 0.5) / float(g))
+    w_micro = F.round(F.log(w.cast("double")) * 1e6).cast("bigint")
+    g_micro = F.round(-F.log(-F.log(u)) * 1e6).cast("bigint")
+    score = F.when(guard.isNull(), w_micro + g_micro)
     scored = df.withColumn("sample_score", score)
     order = [F.col("sample_score").desc(), F.col(key_col).asc()]
     if by is not None:

@@ -64,13 +64,16 @@ _SPACE = float(2 ** 60)
 _WORD_BITS = 62
 
 
-def h60(col: Column, salt: str = "") -> Column:
+def h60(col: Column, salt: "str | Column" = "") -> Column:
     """Portable 60-bit hash: ``conv(substr(md5(x # salt),1,15),16,10)``.
 
     The '#'-salted md5-prefix spelling every sampling/split op in this
     repo uses — identical output in Spark, DuckDB and Trino, which is
-    what makes the sketches' *errors* oracle-checkable."""
-    salted = F.concat(col.cast("string"), F.lit("#" + salt))
+    what makes the sketches' *errors* oracle-checkable. ``salt`` may
+    be a Column for data-dependent salts (the count-min row index)."""
+    tail = (F.concat(F.lit("#"), salt) if isinstance(salt, Column)
+            else F.lit("#" + salt))
+    salted = F.concat(col.cast("string"), tail)
     return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
 
 
@@ -143,6 +146,14 @@ def kmv_distinct(
                  "h": np.concatenate(list(acc.values()))})
 
     cand = _spread(base).mapInPandas(partial, schema=out_schema)
+    if by is None:
+        # seed the global group so an empty input yields the exact
+        # answer (0, true) instead of zero rows — collect_set ignores
+        # the sentinel NULL hash
+        spark = df.sparkSession
+        sentinel = spark.range(1).select(
+            F.lit("").alias("g"), F.lit(None).cast("long").alias("h"))
+        cand = cand.unionByName(sentinel)
     kth = F.element_at("hs", k)
     est = (F.when(F.size("hs") < k, F.size("hs").cast("long"))
            .otherwise(F.floor(F.lit(float(k - 1)) * F.lit(_SPACE)
@@ -166,10 +177,9 @@ def _cm_bucket(key: Column, j: Column, width: int, seed: str) -> Column:
     """Row ``j``'s bucket for ``key``: 60-bit hash of ``key#seed#j``
     mod ``width`` (both operands non-negative, so ``pmod`` ≡ ``%``
     across engines)."""
-    salted = F.concat(key.cast("string"), F.lit("#" + seed + "#"),
-                      j.cast("string"))
-    h = F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
-    return F.pmod(h, F.lit(width))
+    return F.pmod(
+        h60(key, F.concat(F.lit(seed + "#"), j.cast("string"))),
+        F.lit(width))
 
 
 def countmin_build(
@@ -212,9 +222,12 @@ def countmin_estimate(
     seed: str = "",
     out_col: str = "est_cnt",
 ) -> DataFrame:
-    """Point-query ``keys`` against a :func:`countmin_build` sketch:
-    adds ``out_col`` = min over the ``depth`` cells (the classic CM
-    upper-bound estimate; cells no key hashed to read 0).
+    """Point-query ``keys`` against a :func:`countmin_build` sketch.
+    Returns ``(key_col, out_col)`` ONLY — ``out_col`` = min over the
+    ``depth`` cells (the classic CM upper-bound estimate; cells no key
+    hashed to read 0); other columns of ``keys`` do not survive the
+    readout aggregation, so join them back on ``key_col`` if needed
+    (as the ``countmin_freq`` catalog query does).
 
     The sketch is at most ``depth·width`` rows — broadcast it; the
     probe side explodes ×``depth`` and regroups on the key, which is
@@ -239,9 +252,7 @@ def countmin_estimate(
 # ---------------------------------------------------------------------
 
 def _bloom_pos(key: Column, j: int, n_bits: int, seed: str) -> Column:
-    salted = F.concat(key.cast("string"), F.lit(f"#{seed}#{j}"))
-    h = F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
-    return F.pmod(h, F.lit(n_bits))
+    return F.pmod(h60(key, f"{seed}#{j}"), F.lit(n_bits))
 
 
 def bloom_build(

@@ -202,8 +202,12 @@ def parse_journal_export(
                 F.create_map(e["key"], e["value"])))
         return F.when(guard.isNull(), folded)
 
+    # drop whitespace-only chunks, not just empty ones: an extra blank
+    # line between records yields a "\n" chunk that would otherwise
+    # become a phantom all-NULL record row
     recs = F.transform(
-        F.filter(F.split(blob, "\n\n"), lambda r: r != ""), record_map)
+        F.filter(F.split(blob, "\n\n"), lambda r: r.rlike(r"\S")),
+        record_map)
     rec = F.posexplode(recs).alias("record_idx", "__f")
     base = df.select("*", rec) if keep_source else df.select(rec)
 

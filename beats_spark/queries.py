@@ -4202,10 +4202,12 @@ def bloom_membership_q(spark, sf_dir):
 @query("priority_sample", oracle="""
 WITH s AS (
   SELECT lang, doc_id, n_chars,
-         round(ln((CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)
-                                          ||'#ps1'),1,15)) AS BIGINT) + 1)
-                  / 1152921504606846976.0)
-               / CAST(n_chars AS DOUBLE), 6) AS score
+         CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1000000) AS BIGINT)
+         + CAST(round(-ln(-ln(
+             (CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)
+                                     ||'#ps1'),1,15)) AS BIGINT)
+              % 1099511627776 + 0.5) / 1099511627776.0))
+             * 1000000) AS BIGINT) AS score
   FROM documents),
 r AS (SELECT lang, doc_id, n_chars,
              row_number() OVER (PARTITION BY lang
@@ -4219,10 +4221,12 @@ def priority_sample_q(spark, sf_dir):
     Efraimidis–Spirakis A-ES keys ``u^(1/w)`` with the RNG replaced by
     the portable 60-bit md5 priority — 5 documents per language drawn
     proportional to length (``n_chars``), reproducible across runs,
-    engines and partitionings. Ranked as ``round(ln(u)/w, 6)`` with a
-    doc_id tie-break so membership can't hinge on float formatting.
-    One exchange (the per-language window); the global form is a
-    TakeOrdered."""
+    engines and partitionings. Ranked via the order-isomorphic
+    Gumbel-max key ``ln w − ln(−ln u)`` in integer micro-nats (the
+    dsir_resample discipline — immune to the rounding collapse a
+    ``round(ln(u)/w, 6)`` spelling hits at large weights), doc_id
+    tie-break. One exchange (the per-language window); the global
+    form is a TakeOrdered."""
     from .dataops.sample import priority_sample
     docs = _t(spark, sf_dir, "documents")
     out = priority_sample(docs, "doc_id", "n_chars", 5,

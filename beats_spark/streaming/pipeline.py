@@ -685,12 +685,9 @@ def stream_countmin(
     profile read the same numbers, and
     :func:`~beats_spark.dataops.sketch.countmin_estimate` works
     unchanged on either."""
-    from ..dataops.sketch import _cm_bucket, countmin_build  # noqa: F401
-    rows = stream.select(
-        F.col(key_col).cast("string").alias("__k"),
-        F.explode(F.array([F.lit(j) for j in range(depth)])).alias("j"))
-    return (rows
-            .select("j", _cm_bucket(F.col("__k"), F.col("j"), width,
-                                    seed).alias("bucket"))
-            .groupBy("j", "bucket")
-            .agg(F.count(F.lit(1)).alias("cnt")))
+    from ..dataops.sketch import countmin_build
+    # the batch build IS streaming-safe (explode → partial-combining
+    # groupBy); delegating keeps the null-key guard and the grids
+    # bit-identical by construction, not by parallel maintenance
+    return countmin_build(stream, key_col, width=width, depth=depth,
+                          seed=seed)

@@ -124,3 +124,13 @@ def test_datagram_events_shape_and_chain_parity(spark):
     got = routed.select("sink").distinct().collect()
     assert [r["sink"] for r in got] == ["sink_udp"]
     assert routed.count() == 3
+
+
+def test_journald_extra_blank_lines_no_phantom_record(spark):
+    """Extra blank lines between/after records (journalctl trailing
+    newlines) must not produce phantom all-NULL record rows."""
+    blob = "MESSAGE=a\n\n\nMESSAGE=b\n\n\n\n"
+    df = spark.createDataFrame([(blob,)], "export string")
+    rows = parse_journal_export(df).orderBy("record_idx").collect()
+    assert [r["message"] for r in rows] == ["a", "b"]
+    assert [r["record_idx"] for r in rows] == [0, 1]

@@ -183,8 +183,13 @@ def test_priority_sample_invariance_and_validation(spark, sf_dir):
     plan = _plan(priority_sample(docs, "doc_id", "n_chars", 5))
     assert "TakeOrderedAndProject" in plan
     with pytest.raises(Exception, match="positive"):
+        # data-driven zero (a LITERAL zero is constant-folded around
+        # the in-plan assert, same as the kmv null-literal case)
         priority_sample(
-            docs.withColumn("z", F.lit(0)), "doc_id", "z", 2).collect()
+            docs.withColumn(
+                "z", F.when(F.col("doc_id") % 2 == 0, F.lit(0))
+                .otherwise(F.lit(1))),
+            "doc_id", "z", 2).collect()
     with pytest.raises(ValueError, match="n must be"):
         priority_sample(docs, "doc_id", "n_chars", 0)
 
@@ -259,3 +264,57 @@ def test_stream_countmin_matches_batch(spark, tmp_path):
         spark.read.parquet(src), "k", width=16, depth=3,
         seed="s").collect()))
     assert got == want and len(got) <= 16 * 3
+
+
+# ------------------------------------------- review-finding regressions
+
+def test_priority_sample_large_weights_not_tie_collapsed(spark, sf_dir):
+    """The round(ln(u)/w, 6) spelling collapsed ~5% of rows to a
+    0.000000 tie at token-count-scale weights, handing membership to
+    the lexicographic tie-break; the Gumbel micro-nat key must keep
+    weights in charge at any scale."""
+    from beats_spark.dataops.sample import priority_sample
+    docs = _docs(spark, sf_dir)
+    big = docs.withColumn("w", F.col("n_chars").cast("double") * 1e5)
+    got = priority_sample(big, "doc_id", "w", 20, keep_score=True)
+    scores = [r["sample_score"] for r in got.collect()]
+    assert len(set(scores)) == len(scores)   # no rank-deciding ties
+    # scaling every weight by a CONSTANT must not change membership
+    # (ln(c*w) shifts all keys equally)
+    a = sorted(r["doc_id"] for r in
+               priority_sample(big, "doc_id", "w", 20).collect())
+    b = sorted(r["doc_id"] for r in
+               priority_sample(docs.withColumn(
+                   "w", F.col("n_chars").cast("double")),
+                   "doc_id", "w", 20).collect())
+    assert a == b
+    with pytest.raises(ValueError, match="sample_score"):
+        priority_sample(docs.withColumn("sample_score", F.lit(1)),
+                        "doc_id", "n_chars", 2)
+
+
+def test_kmv_empty_input_global_form(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    row = kmv_distinct(docs.filter(F.col("lang") == "zz"),
+                       "text", k=8).collect()
+    assert len(row) == 1
+    assert row[0]["est_distinct"] == 0 and row[0]["is_exact"] is True
+    # grouped form on empty input stays empty (no groups exist)
+    assert kmv_distinct(docs.filter(F.col("lang") == "zz"), "text",
+                        k=8, by="lang").count() == 0
+
+
+def test_stream_countmin_null_guard_matches_batch(spark, tmp_path):
+    """stream_countmin delegates to countmin_build, so NULL keys fail
+    loudly on both paths instead of silently widening the stream grid."""
+    from beats_spark.streaming import stream_countmin
+    src, ck = str(tmp_path / "nsrc"), str(tmp_path / "nck")
+    spark.createDataFrame([(1, "a"), (2, None)], "i long, k string") \
+        .coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("i long, k string").parquet(src)
+    grid = stream_countmin(stream, "k", width=8, depth=2)
+    q = (grid.writeStream.outputMode("complete").format("memory")
+         .queryName("cm_null").option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    with pytest.raises(Exception, match="null"):
+        q.awaitTermination()
