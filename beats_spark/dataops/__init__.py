@@ -58,7 +58,8 @@ from .sample import (
 )
 from .terms import doc_frequency, inverted_index, tfidf_top_terms
 from .decontam import contamination_flags, decontaminate
-from .htmltext import HTML_STRIP_STEPS, extract_text, html_strip_sql, html_to_text
+from .htmltext import (HTML_STRIP_STEPS, extract_links, extract_text,
+                       html_strip_sql, html_to_text, link_host)
 from .lm import bigram_model, lm_score
 from .dsir import (hashed_ngram_buckets, dsir_model, dsir_score,
                    dsir_resample)
@@ -122,6 +123,7 @@ __all__ = [
     "template_col",
     "contamination_flags", "decontaminate",
     "HTML_STRIP_STEPS", "html_to_text", "extract_text", "html_strip_sql",
+    "extract_links", "link_host",
     "bigram_model", "lm_score",
     "hashed_ngram_buckets", "dsir_model", "dsir_score", "dsir_resample",
     "UNICODE_CLEAN_STEPS", "nfc", "unicode_clean",

@@ -33,8 +33,8 @@ from typing import Optional, Sequence, Tuple
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import BinaryType
 
-__all__ = ["HTML_STRIP_STEPS", "html_to_text", "extract_text",
-           "html_strip_sql"]
+__all__ = ["HTML_STRIP_STEPS", "extract_links", "html_to_text",
+           "extract_text", "html_strip_sql", "link_host"]
 
 # Ordered (pattern, replacement). '\n' replacements are emitted as
 # chr(10) on the SQL side. Patterns: no backreferences, no lookaround,
@@ -106,3 +106,55 @@ def html_strip_sql(expr: str) -> str:
         r = "chr(10)" if rep == "\n" else _sql_quote(rep)
         out = f"regexp_replace({out}, {_sql_quote(pat)}, {r}, 'g')"
     return out
+
+
+#: the anchor-tag pattern (RE2 ∩ Java subset: inline (?is) flags, lazy
+#: quantifier, no lookaround): group 1 = href value, group 2 = inner
+#: markup. Double-quoted hrefs only — the overwhelmingly dominant
+#: form; unquoted/single-quoted tails are a strip-chain concern, not a
+#: graph concern.
+_ANCHOR_RE = r'(?is)<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>'
+
+
+def link_host(href: Column, base_host: Optional[Column] = None) -> Column:
+    """Destination host of one href: absolute http(s) URLs yield their
+    authority (lowercased); protocol-relative ``//host/...`` likewise;
+    anything else (path-relative, fragment, mailto-less relative)
+    resolves to ``base_host`` (NULL when not given) — enough for the
+    HOST graph, which is what PageRank/domain-rollup consume."""
+    absolute = F.regexp_extract(href, r"(?i)^https?://([^/?#]*)", 1)
+    proto_rel = F.regexp_extract(href, r"^//([^/?#]*)", 1)
+    base = base_host if base_host is not None else F.lit(None).cast("string")
+    return F.lower(F.when(absolute != "", absolute)
+                   .when(proto_rel != "", proto_rel)
+                   .otherwise(base))
+
+
+def extract_links(
+    html: Column,
+    base_host: Optional[Column] = None,
+) -> Column:
+    """``array<struct<href, anchor, host>>`` of the page's anchor
+    tags: raw href, tag-stripped/whitespace-collapsed anchor text (the
+    classic relevance signal — anchor text describes the TARGET, so
+    web search and link-graph corpora aggregate it per destination),
+    and the destination host per :func:`link_host`.
+
+    Pure codegen (regexp_extract_all → per-match group extraction in a
+    transform) — zero shuffle, zero Python; the 10^12-page outlink
+    scan is a map-only job whose shuffle cost is only whatever
+    aggregation the caller puts on top (host-edge counts, anchor
+    rollups). Same RE2 ∩ Java pattern discipline as the strip chain,
+    so a SQL oracle replays extraction exactly."""
+    matches = F.regexp_extract_all(html, F.lit(_ANCHOR_RE), 0)
+
+    def one(m: Column) -> Column:
+        href = F.regexp_extract(m, _ANCHOR_RE, 1)
+        anchor = F.trim(F.regexp_replace(
+            F.regexp_replace(F.regexp_extract(m, _ANCHOR_RE, 2),
+                             r"<[^>]*>", " "),
+            r"[ \t\n\x0B\f\r]+", " "))
+        return F.struct(href.alias("href"), anchor.alias("anchor"),
+                        link_host(href, base_host).alias("host"))
+
+    return F.transform(matches, one)

@@ -4517,3 +4517,59 @@ def robots_filter_q(spark, sf_dir):
     urls = docs.select("doc_id", url.alias("url"))
     out = robots_filter(urls, parse_robots(rob), user_agent="TrainBot")
     return out.select("doc_id", "url", "robots_allowed")
+
+
+@query("html_links", oracle="""
+SELECT doc_id, 0 AS pos,
+       'https://src' || CAST((doc_id + 1) % 20 AS VARCHAR)
+         || '.example.com/doc/' || CAST(doc_id + 1 AS VARCHAR) AS href,
+       'next doc ' || CAST(doc_id + 1 AS VARCHAR) AS anchor,
+       'src' || CAST((doc_id + 1) % 20 AS VARCHAR)
+         || '.example.com' AS host
+FROM documents
+UNION ALL
+SELECT doc_id, 1, '/local/' || CAST(doc_id AS VARCHAR) || '?ref=1',
+       'Local page', source || '.example.com'
+FROM documents
+UNION ALL
+SELECT doc_id, 2, '//cdn.example.net/x' || CAST(doc_id AS VARCHAR),
+       '', 'cdn.example.net'
+FROM documents WHERE doc_id % 3 = 0
+""")
+def html_links_q(spark, sf_dir):
+    """Outlink + anchor-text extraction
+    (:func:`beats_spark.dataops.htmltext.extract_links`): pages
+    synthesized with absolute, relative (resolved to the page's own
+    host), and protocol-relative links — uppercase ``<A HREF`` and
+    nested-markup anchors included — extracted by one codegen
+    regexp pass, zero shuffle, zero Python. This is the edge-building
+    half of the web-graph story (``link_pagerank`` consumes host
+    edges; anchor text is the classic target-relevance signal); the
+    oracle re-derives every (href, anchor, host) from the
+    construction."""
+    from .dataops.htmltext import extract_links
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    nxt = ((did + 1) % 20).cast("string")
+    html = F.concat(
+        F.lit("<html><body><p>"), F.substring("text", 1, 40),
+        F.lit("</p><a class=\"n\" href=\"https://src"), nxt,
+        F.lit(".example.com/doc/"), (did + 1).cast("string"),
+        F.lit("\">next <b>doc</b> "), (did + 1).cast("string"),
+        F.lit("</a><A HREF=\"/local/"), did.cast("string"),
+        F.lit("?ref=1\">  Local\n page </A>"),
+        F.when(did % 3 == 0,
+               F.concat(F.lit("<a href=\"//cdn.example.net/x"),
+                        did.cast("string"), F.lit("\"></a>")))
+         .otherwise(F.lit("")),
+        F.lit("</body></html>"))
+    own = F.concat(F.col("source"), F.lit(".example.com"))
+    links = docs.select(
+        "doc_id",
+        F.posexplode(extract_links(html, base_host=own))
+         .alias("pos", "__l"))
+    return links.select(
+        "doc_id", F.col("pos").cast("int").alias("pos"),
+        F.col("__l")["href"].alias("href"),
+        F.col("__l")["anchor"].alias("anchor"),
+        F.col("__l")["host"].alias("host"))

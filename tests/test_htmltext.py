@@ -58,3 +58,34 @@ def test_strip_chain_shared_with_duckdb(spark):
         "SELECT " + html_strip_sql("'" + messy.replace("'", "''") + "'")
     ).fetchone()
     assert spark_got == duck_got
+
+
+def test_extract_links_semantics(spark):
+    from beats_spark.dataops.htmltext import extract_links
+    html = (
+        '<p>pre</p>'
+        '<a href="https://Ex.COM/a?q=1#f">plain</a>'
+        '<A CLASS="x" HREF="/rel/path">nested <b>bold</b>\n text </A>'
+        '<a href="//cdn.net/y">proto-rel</a>'
+        '<a href="#frag">frag only</a>'
+        '<a name="no-href">not a link</a>'
+        '<a href="https://multi.example/z">line\nbroken  anchor</a>')
+    df = spark.createDataFrame([(html, "base.org")], "h string, b string")
+    out = df.select(F.explode(
+        extract_links(F.col("h"), base_host=F.col("b"))).alias("l")) \
+        .select("l.href", "l.anchor", "l.host")
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [
+        ("https://Ex.COM/a?q=1#f", "plain", "ex.com"),
+        ("/rel/path", "nested bold text", "base.org"),
+        ("//cdn.net/y", "proto-rel", "cdn.net"),
+        ("#frag", "frag only", "base.org"),
+        ("https://multi.example/z", "line broken anchor",
+         "multi.example"),
+    ]
+    # no base host: relative links yield NULL host; plan is pure map
+    out2 = df.select(F.explode(extract_links(F.col("h"))).alias("l"))
+    hosts = [r["l"]["host"] for r in out2.collect()]
+    assert hosts[1] is None and hosts[3] is None and hosts[0] == "ex.com"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
