@@ -78,7 +78,7 @@ from .events import (
 from .graph import pagerank
 from .robots import (
     compile_robots_pattern, parse_robots, parse_robots_txt,
-    robots_filter, url_path,
+    parse_sitemap, parse_sitemap_index, robots_filter, url_path,
 )
 from .layout import cluster_by_zorder, write_bucketed, zorder_key
 from .templates import (
@@ -117,7 +117,7 @@ __all__ = [
     "retention_cohorts", "scd2_join", "session_rollup", "sessionize",
     "pagerank",
     "compile_robots_pattern", "parse_robots", "parse_robots_txt",
-    "robots_filter", "url_path",
+    "parse_sitemap", "parse_sitemap_index", "robots_filter", "url_path",
     "cluster_by_zorder", "write_bucketed", "zorder_key",
     "TEMPLATE_MASKS", "count_anomalies", "log_templates",
     "template_col",

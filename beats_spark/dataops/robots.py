@@ -38,7 +38,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["compile_robots_pattern", "parse_robots_txt", "parse_robots",
-           "robots_filter", "url_path"]
+           "parse_sitemap", "parse_sitemap_index", "robots_filter",
+           "url_path"]
 
 _DIRECTIVE_RE = re.compile(r"^\s*([A-Za-z-]+)\s*:\s*(.*?)\s*$")
 
@@ -174,3 +175,56 @@ def robots_filter(
         F.lit(True))     # no robots / no group / no matching rule
     return (joined.withColumn(out_col, allowed)
             .drop("__host", "__rules", "__chosen", "__path"))
+
+
+# ---------------------------------------------------------------------
+# sitemaps (sitemaps.org protocol) — robots.txt's companion crawl
+# metadata: the <urlset> entries a host advertises for fetching
+# ---------------------------------------------------------------------
+
+_URL_ENTRY_RE = r"(?is)<url\s*>(.*?)</url\s*>"
+_SITEMAP_ENTRY_RE = r"(?is)<sitemap\s*>(.*?)</sitemap\s*>"
+
+
+def _tag(entry: Column, name: str) -> Column:
+    got = F.regexp_extract(entry, rf"(?is)<{name}\s*>(.*?)</{name}\s*>", 1)
+    return F.when(F.trim(got) != "", F.trim(got))
+
+
+def parse_sitemap(xml: Column) -> Column:
+    """sitemaps.org ``<urlset>`` entries →
+    ``array<struct<loc, lastmod, changefreq, priority>>`` — ``loc``
+    required (entries without one are dropped per the protocol),
+    ``lastmod`` kept as the W3C datetime STRING (date-only and full
+    timestamp forms both occur in the wild; the caller picks the
+    parse), ``priority`` a double (protocol default 0.5 when absent).
+
+    Same recipe as :func:`~beats_spark.dataops.htmltext.extract_links`:
+    one codegen regexp pass over the blob, per-entry tag extraction in
+    a transform — zero shuffle, zero Python, RE2 ∩ Java patterns so a
+    SQL oracle replays it. Sitemap INDEX files (``<sitemapindex>``)
+    list child sitemaps, not pages: :func:`parse_sitemap_index` reads
+    those."""
+    entries = F.regexp_extract_all(xml, F.lit(_URL_ENTRY_RE), 1)
+
+    def one(e: Column) -> Column:
+        return F.struct(
+            _tag(e, "loc").alias("loc"),
+            _tag(e, "lastmod").alias("lastmod"),
+            _tag(e, "changefreq").alias("changefreq"),
+            F.coalesce(_tag(e, "priority").cast("double"),
+                       F.lit(0.5)).alias("priority"))
+
+    return F.filter(F.transform(entries, one),
+                    lambda s: s["loc"].isNotNull())
+
+
+def parse_sitemap_index(xml: Column) -> Column:
+    """``<sitemapindex>`` → ``array<struct<loc, lastmod>>`` of child
+    sitemap locations (the recursive fetch frontier)."""
+    entries = F.regexp_extract_all(xml, F.lit(_SITEMAP_ENTRY_RE), 1)
+    return F.filter(
+        F.transform(entries, lambda e: F.struct(
+            _tag(e, "loc").alias("loc"),
+            _tag(e, "lastmod").alias("lastmod"))),
+        lambda s: s["loc"].isNotNull())

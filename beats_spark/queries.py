@@ -4573,3 +4573,65 @@ def html_links_q(spark, sf_dir):
         F.col("__l")["href"].alias("href"),
         F.col("__l")["anchor"].alias("anchor"),
         F.col("__l")["host"].alias("host"))
+
+
+@query("sitemap_urls", oracle="""
+WITH d AS (
+  SELECT doc_id, source,
+         'https://' || source || '.example.com' AS h
+  FROM documents)
+SELECT doc_id, 0 AS pos,
+       h || '/doc/' || CAST(doc_id AS VARCHAR) AS loc,
+       '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         AS lastmod,
+       CASE WHEN doc_id % 5 = 0 THEN 'daily' END AS changefreq,
+       CASE WHEN doc_id % 2 = 0 THEN (doc_id % 10) / 10.0
+            ELSE 0.5 END AS priority
+FROM d
+UNION ALL
+SELECT doc_id, 1, h || '/alt/' || CAST(doc_id AS VARCHAR),
+       NULL, NULL, 0.5
+FROM d
+""")
+def sitemap_urls_q(spark, sf_dir):
+    """sitemaps.org ``<urlset>`` parsing
+    (:func:`beats_spark.dataops.robots.parse_sitemap` — robots.txt's
+    companion crawl metadata): per-page sitemap blobs with optional
+    ``lastmod``/``changefreq``/``priority`` tags, whitespace-sloppy
+    markup, and an entry WITHOUT ``<loc>`` that must be dropped per
+    the protocol. One codegen regexp pass, zero shuffle/Python; the
+    oracle re-derives every field (priority defaults to 0.5 when
+    absent) from the construction."""
+    from .dataops.robots import parse_sitemap
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    h = F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com"))
+    pr = ((did % 10) / 10.0).cast("string")
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.lit("<url ><loc> "), h, F.lit("/doc/"), did.cast("string"),
+        F.lit(" </loc><lastmod>2024-01-"),
+        F.lpad((did % 28 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod>"),
+        F.when(did % 5 == 0,
+               F.lit("<changefreq>daily</changefreq>"))
+         .otherwise(F.lit("")),
+        F.when(did % 2 == 0,
+               F.concat(F.lit("<priority>"), pr, F.lit("</priority>")))
+         .otherwise(F.lit("")),
+        F.lit("</url>"),
+        F.lit("<url><loc>"), h, F.lit("/alt/"), did.cast("string"),
+        F.lit("</loc></url>"),
+        F.lit("<url><lastmod>2024-02-01</lastmod></url>"),  # no loc
+        F.lit("</urlset>"))
+    src = docs.select("doc_id", xml.alias("xml"))
+    out = src.select(
+        "doc_id",
+        F.posexplode(parse_sitemap(F.col("xml"))).alias("pos", "__u"))
+    return out.select(
+        "doc_id", F.col("pos").cast("int").alias("pos"),
+        F.col("__u")["loc"].alias("loc"),
+        F.col("__u")["lastmod"].alias("lastmod"),
+        F.col("__u")["changefreq"].alias("changefreq"),
+        F.col("__u")["priority"].alias("priority"))

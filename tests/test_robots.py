@@ -99,3 +99,38 @@ def test_filter_longest_match_tie_allows(spark):
     urls = spark.createDataFrame([("https://h.com/page",)], "url string")
     r = robots_filter(urls, rob).collect()[0]
     assert r["robots_allowed"] is True   # equal length: allow wins
+
+
+def test_parse_sitemap_and_index(spark):
+    from beats_spark.dataops.robots import parse_sitemap, parse_sitemap_index
+    xml = """<?xml version="1.0" encoding="UTF-8"?>
+    <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      <url ><loc> https://h.com/a </loc><lastmod>2024-01-02</lastmod>
+        <changefreq>daily</changefreq><priority>0.8</priority></url>
+      <URL><loc>ignored-wrong-case-outer-ok?</loc></URL>
+      <url><loc>https://h.com/b</loc></url>
+      <url><lastmod>2024-01-01</lastmod></url>
+    </urlset>"""
+    df = spark.createDataFrame([(xml,)], "xml string")
+    rows = [tuple(r["u"]) for r in
+            df.select(F.explode(parse_sitemap(F.col("xml")))
+                      .alias("u")).collect()]
+    # loc-less entry dropped; whitespace trimmed; defaults applied;
+    # tag matching is case-insensitive ((?i)), so the <URL> entry
+    # parses too
+    assert ("https://h.com/a", "2024-01-02", "daily", 0.8) in rows
+    assert ("https://h.com/b", None, None, 0.5) in rows
+    assert all(r[0] is not None for r in rows)
+    idx = """<sitemapindex>
+      <sitemap><loc>https://h.com/s1.xml</loc>
+        <lastmod>2024-03-01</lastmod></sitemap>
+      <sitemap><lastmod>2024-03-02</lastmod></sitemap>
+    </sitemapindex>"""
+    df2 = spark.createDataFrame([(idx,)], "xml string")
+    got = [tuple(r["s"]) for r in
+           df2.select(F.explode(parse_sitemap_index(F.col("xml")))
+                      .alias("s")).collect()]
+    assert got == [("https://h.com/s1.xml", "2024-03-01")]
+    plan = (df.select(parse_sitemap(F.col("xml")).alias("u"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Python" not in plan
