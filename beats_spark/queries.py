@@ -4635,3 +4635,119 @@ def sitemap_urls_q(spark, sf_dir):
         F.col("__u")["lastmod"].alias("lastmod"),
         F.col("__u")["changefreq"].alias("changefreq"),
         F.col("__u")["priority"].alias("priority"))
+
+
+@query("crawl_frontier", oracle="""
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+links AS (
+  SELECT 'src' || CAST((doc_id + 1) % 20 AS VARCHAR) AS src_name,
+         'https://src' || CAST((doc_id + 1) % 20 AS VARCHAR)
+           || '.example.com/doc/' || CAST(doc_id + 1 AS VARCHAR) AS url,
+         CAST(doc_id + 1 AS VARCHAR) AS tail
+  FROM documents
+  UNION ALL
+  SELECT 'src' || CAST(doc_id % 20 AS VARCHAR),
+         'https://src' || CAST(doc_id % 20 AS VARCHAR)
+           || '.example.com/new/' || CAST(doc_id AS VARCHAR),
+         NULL
+  FROM documents),
+seen AS (
+  SELECT 'https://' || source || '.example.com/doc/'
+           || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+js AS (SELECT unnest([0, 1, 2]) AS j),
+pos AS (
+  SELECT CAST(('0x'||substr(md5(url || '#cf1#' || CAST(j AS VARCHAR)),
+                            1, 15)) AS BIGINT) % 31744 AS p
+  FROM seen CROSS JOIN js),
+bloom AS (
+  SELECT p // 62 AS word_idx,
+         bit_or(1::BIGINT << CAST(p % 62 AS INT)) AS word
+  FROM pos GROUP BY 1),
+probed AS (
+  SELECT l.*,
+         (SELECT bool_and(coalesce(b.word, 0)
+                  & (1::BIGINT << CAST(pp.p % 62 AS INT)) <> 0)
+          FROM (SELECT CAST(('0x'||substr(md5(l.url || '#cf1#'
+                        || CAST(j2 AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % 31744 AS p
+                FROM (SELECT unnest([0, 1, 2]) AS j2) js2) pp
+          LEFT JOIN bloom b ON b.word_idx = pp.p // 62) AS maybe_seen
+  FROM links l),
+new_links AS (SELECT * FROM probed WHERE NOT maybe_seen),
+allowed AS (
+  SELECT src_name || '.example.com' AS host, url
+  FROM new_links
+  WHERE CASE
+    WHEN src_name = 'src0' THEN TRUE            -- no robots
+    WHEN src_name = 'src3' THEN                 -- star: Disallow /doc/3*
+      tail IS NULL OR NOT (tail LIKE '3%')
+    ELSE                                        -- trainbot group
+      tail IS NULL
+      OR (tail NOT LIKE '%7%') OR (tail LIKE '%77%')
+    END),
+ranked AS (
+  SELECT host, url,
+         row_number() OVER (PARTITION BY host ORDER BY
+           CAST(('0x'||substr(md5(url || '#cap'), 1, 15)) AS BIGINT),
+           url) AS rn
+  FROM allowed)
+SELECT host, url FROM ranked WHERE rn <= 5
+""")
+def crawl_frontier_q(spark, sf_dir):
+    """The full crawl-frontier loop as one composition of this round's
+    operators: outlinks (half point at existing pages, half at new
+    paths) → Bloom seen-set anti-membership (definitely-new only — no
+    false negatives means nothing already crawled slips through; the
+    filter's deterministic false positives cost a few new URLs and
+    are replayed exactly by the oracle) → RFC 9309 robots gate (same
+    trainbot/star/no-robots construction as ``robots_filter``) →
+    per-host politeness cap (md5-priority ``cap_per_key``, 5 per
+    host). Plan: the URL side never shuffles until the final per-host
+    window — bloom probe is 3 BHJs, robots is 1 BHJ, both map-side."""
+    from .dataops.robots import parse_robots, robots_filter
+    from .dataops.sample import cap_per_key
+    from .dataops.sketch import bloom_build, bloom_probe
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    link_a = F.concat(
+        F.lit("https://src"), ((did + 1) % 20).cast("string"),
+        F.lit(".example.com/doc/"), (did + 1).cast("string"))
+    link_b = F.concat(
+        F.lit("https://src"), (did % 20).cast("string"),
+        F.lit(".example.com/new/"), did.cast("string"))
+    links = docs.select(
+        F.explode(F.array(link_a, link_b)).alias("url"))
+    seen = docs.select(
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/doc/"),
+                 did.cast("string")).alias("url"))
+    nb, nh = 62 * 512, 3
+    bl = bloom_build(seen, "url", n_bits=nb, n_hashes=nh, seed="cf1")
+    new = (bloom_probe(links, "url", bl, n_bits=nb, n_hashes=nh,
+                       seed="cf1", out_col="maybe_seen")
+           .filter(~F.col("maybe_seen")).drop("maybe_seen"))
+    # same robots construction as robots_filter_q
+    body = F.when(
+        F.col("source") == "src3",
+        F.lit("User-agent: *\nDisallow: /doc/3*\n")
+    ).otherwise(F.lit(
+        "User-agent: trainbot\nDisallow: /doc/*7\nAllow: /doc/*77\n"
+        "\nUser-agent: *\nDisallow: /\n"))
+    rob = parse_robots(
+        docs.select("source").distinct()
+            .filter(F.col("source") != "src0")
+            .select(F.concat(F.col("source"),
+                             F.lit(".example.com")).alias("host"),
+                    body.alias("robots_txt")))
+    new = new.withColumn(
+        "host", F.regexp_extract(F.col("url"), r"^https://([^/]*)", 1))
+    allowed = (robots_filter(new, rob, user_agent="TrainBot",
+                             host_col="host")
+               .filter(F.col("robots_allowed")))
+    pri = F.conv(F.substring(F.md5(F.concat(F.col("url"),
+                                            F.lit("#cap"))), 1, 15),
+                 16, 10).cast("long")
+    out = cap_per_key(allowed, "host", 5,
+                      order_by=[pri.asc(), F.col("url").asc()])
+    return out.select("host", "url")
