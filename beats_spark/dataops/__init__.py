@@ -76,6 +76,7 @@ from .events import (
     scd2_join, session_rollup, sessionize,
 )
 from .graph import pagerank
+from .merge import merge_upsert
 from .robots import (
     compile_robots_pattern, parse_robots, parse_robots_txt,
     parse_sitemap, parse_sitemap_index, robots_filter, url_path,
@@ -115,7 +116,7 @@ __all__ = [
     "doc_frequency", "inverted_index", "tfidf_top_terms",
     "asof_join", "funnel_steps", "percentile_rollup",
     "retention_cohorts", "scd2_join", "session_rollup", "sessionize",
-    "pagerank",
+    "pagerank", "merge_upsert",
     "compile_robots_pattern", "parse_robots", "parse_robots_txt",
     "parse_sitemap", "parse_sitemap_index", "robots_filter", "url_path",
     "cluster_by_zorder", "write_bucketed", "zorder_key",

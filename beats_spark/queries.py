@@ -4751,3 +4751,36 @@ def crawl_frontier_q(spark, sf_dir):
     out = cap_per_key(allowed, "host", 5,
                       order_by=[pri.asc(), F.col("url").asc()])
     return out.select("host", "url")
+
+
+@query("merge_upsert", oracle="""
+SELECT doc_id, text || ' v2' AS text, 'updated' AS change
+FROM documents WHERE doc_id % 4 = 0
+UNION ALL
+SELECT doc_id, text, 'unchanged' FROM documents WHERE doc_id % 4 = 1
+UNION ALL
+SELECT doc_id + 100000, text, 'inserted'
+FROM documents WHERE doc_id % 4 = 2
+UNION ALL
+SELECT doc_id, text, 'carried'
+FROM documents WHERE doc_id % 4 IN (2, 3)
+""")
+def merge_upsert_q(spark, sf_dir):
+    """SCD1 snapshot merge (:func:`beats_spark.dataops.merge
+    .merge_upsert` — the Iceberg MERGE INTO shape): a re-ingest delta
+    with modified, byte-identical, and brand-new rows folds into the
+    current corpus with per-row change classification. The wide
+    payloads never ride the classification exchange — both sides
+    reduce to (key, sha256 digest) 40-byte rows for the change join
+    (the dedup_exact lesson applied to CDC); re-crawled-but-unchanged
+    pages are detected WITHOUT comparing payloads row-wise."""
+    from .dataops.merge import merge_upsert
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    upd = (docs.filter(did % 4 == 0)
+           .withColumn("text", F.concat(F.col("text"), F.lit(" v2"))))
+    same = docs.filter(did % 4 == 1)
+    ins = (docs.filter(did % 4 == 2)
+           .withColumn("doc_id", did + 100000))
+    delta = upd.unionByName(same).unionByName(ins)
+    return merge_upsert(docs, delta, ["doc_id"])

@@ -1,0 +1,65 @@
+"""SCD1 snapshot merge (dataops/merge.py): classification semantics,
+null-safe digests, duplicate-delta rejection, drop_unchanged, and the
+narrow-exchange plan claim."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.dataops.merge import merge_upsert
+
+
+def _frames(spark):
+    cur = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "d", 40)],
+        "k int, v string, w int")
+    delta = spark.createDataFrame(
+        [(1, "a", 10),        # unchanged
+         (2, "B", 20),        # updated
+         (3, "None", 30),     # updated: NULL -> 'None' must differ
+         (9, "new", 90)],     # inserted
+        "k int, v string, w int")
+    return cur, delta
+
+
+def test_merge_classification_and_null_safety(spark):
+    cur, delta = _frames(spark)
+    out = {(r["k"]): (r["v"], r["change"]) for r in
+           merge_upsert(cur, delta, ["k"]).collect()}
+    assert out == {1: ("a", "unchanged"), 2: ("B", "updated"),
+                   3: ("None", "updated"), 9: ("new", "inserted"),
+                   4: ("d", "carried")}
+    # drop_unchanged removes only the unchanged delta row
+    kept = sorted(r["k"] for r in
+                  merge_upsert(cur, delta, ["k"],
+                               drop_unchanged=True).collect())
+    assert kept == [2, 3, 4, 9]
+
+
+def test_merge_guards(spark):
+    cur, delta = _frames(spark)
+    dup = delta.unionByName(delta.filter(F.col("k") == 2))
+    with pytest.raises(Exception, match="duplicate key"):
+        merge_upsert(cur, dup, ["k"]).collect()
+    with pytest.raises(ValueError, match="key_cols"):
+        merge_upsert(cur, delta, [])
+    with pytest.raises(ValueError, match="rename"):
+        merge_upsert(cur.withColumn("change", F.lit(1)),
+                     delta.withColumn("change", F.lit(1)), ["k"])
+    # compare_cols subset: w-only change is invisible when comparing v
+    d2 = spark.createDataFrame([(1, "a", 999)], "k int, v string, w int")
+    r = merge_upsert(cur, d2, ["k"], compare_cols=["v"]).collect()
+    assert {x["k"]: x["change"] for x in r}[1] == "unchanged"
+
+
+def test_merge_classification_exchange_is_narrow(spark):
+    cur, delta = _frames(spark)
+    plan = (merge_upsert(cur, delta, ["k"])
+            ._jdf.queryExecution().optimizedPlan().toString())
+    # the wide columns appear below the classification join only as
+    # digest inputs — the verdict frame projects (k, digest) before
+    # any join, never full rows (inspect: no Exchange carries v/w on
+    # the cur_keys branch). Cheap structural proxy: the optimized
+    # plan builds the sha2 digest on BOTH sides.
+    assert plan.count("sha2") >= 2
