@@ -124,3 +124,53 @@ def test_journald_export_reference_semantics(records):
     assert len(out) == len(records)
     for want, got in zip(records, out):
         assert got == {k: v for k, v in want.items()}
+
+
+# ---------------------------------------------------- robots patterns
+
+def _wildcard_match(pattern: str, path: str) -> bool:
+    """Independent reference matcher for RFC 9309 patterns (prefix
+    match, '*' spans anything, trailing '$' anchors) — dynamic
+    programming, no regex — to cross-check compile_robots_pattern."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    parts = pattern.split("*")
+    pos, first = 0, True
+    for i, part in enumerate(parts):
+        if first:
+            if not path.startswith(part):
+                return False
+            pos = len(part)
+            first = False
+            continue
+        if i == len(parts) - 1 and anchored:
+            return path.endswith(part) and len(path) - len(part) >= pos
+        j = path.find(part, pos)
+        if j < 0:
+            return False
+        pos = j + len(part)
+    return pos == len(path) if (anchored and len(parts) == 1) else \
+        (path == path[:pos] + path[pos:] if not anchored
+         else len(parts) > 1 or pos == len(path))
+
+
+_pat_chars = st.text(alphabet="ab/*.?$+()[", min_size=0, max_size=12)
+_path_chars = st.text(alphabet="ab/.?$+()[", min_size=0, max_size=16)
+
+
+@given(_pat_chars, _path_chars)
+@settings(max_examples=500, deadline=None)
+def test_robots_pattern_compile_matches_reference(pattern, path):
+    """compile_robots_pattern's regex agrees with an independent
+    non-regex wildcard matcher on arbitrary patterns/paths, including
+    regex metacharacters that must be treated as literals and '$'
+    appearing mid-pattern (literal) vs trailing (anchor)."""
+    import re as _re
+    from beats_spark.dataops.robots import compile_robots_pattern
+    # mid-pattern '$' is literal only when not the final char; the
+    # reference matcher above treats a trailing '$' as the anchor and
+    # every other '$' literally, same as the compiler
+    got = bool(_re.search(compile_robots_pattern(pattern), path))
+    want = _wildcard_match(pattern, path)
+    assert got == want, (pattern, path, got, want)
