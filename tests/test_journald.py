@@ -134,3 +134,27 @@ def test_journald_extra_blank_lines_no_phantom_record(spark):
     rows = parse_journal_export(df).orderBy("record_idx").collect()
     assert [r["message"] for r in rows] == ["a", "b"]
     assert [r["record_idx"] for r in rows] == [0, 1]
+
+
+def test_journald_engines_identical(spark):
+    """The arrow (default) and jvm engines produce byte-identical
+    rows, including the phantom-record and keyless contracts."""
+    blob = EXPORT + "\n\n\nPRIORITY=1\nMESSAGE=tail\n\n"
+    df = spark.createDataFrame([(1, blob)], "blob_id int, export string")
+    cols = ["blob_id", "record_idx", "@timestamp", "message",
+            "log_syslog_priority", "log_syslog_procid",
+            "log_syslog_appname", "journald_pid", "host_hostname",
+            "systemd_unit", "journald_fields"]
+    a = sorted(map(str, parse_journal_export(
+        df, "export", keep_source=True, engine="arrow")
+        .select(cols).collect()))
+    b = sorted(map(str, parse_journal_export(
+        df, "export", keep_source=True, engine="jvm")
+        .select(cols).collect()))
+    assert a == b and len(a) == 3
+    bad = spark.createDataFrame([("MESSAGE=x\nNOKEY",)], "export string")
+    for eng in ("arrow", "jvm"):
+        with pytest.raises(Exception, match="keyless"):
+            parse_journal_export(bad, engine=eng).collect()
+    with pytest.raises(ValueError, match="unknown engine"):
+        parse_journal_export(bad, engine="nope")
