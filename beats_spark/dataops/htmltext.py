@@ -119,14 +119,20 @@ _ANCHOR_RE = r'(?is)<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>'
 def link_host(href: Column, base_host: Optional[Column] = None) -> Column:
     """Destination host of one href: absolute http(s) URLs yield their
     authority (lowercased); protocol-relative ``//host/...`` likewise;
-    anything else (path-relative, fragment, mailto-less relative)
-    resolves to ``base_host`` (NULL when not given) — enough for the
-    HOST graph, which is what PageRank/domain-rollup consume."""
+    RELATIVE references (path/query/fragment) resolve to ``base_host``
+    (NULL when not given); non-hierarchical scheme hrefs —
+    ``mailto:``, ``javascript:``, ``tel:``, ``data:``, and every other
+    non-http(s) scheme, all common in real HTML — yield NULL, not
+    ``base_host``: treating them as self-links would fabricate a
+    phantom edge per contact-link per page and skew PageRank/domain
+    rollups built on the extraction."""
     absolute = F.regexp_extract(href, r"(?i)^https?://([^/?#]*)", 1)
     proto_rel = F.regexp_extract(href, r"^//([^/?#]*)", 1)
+    has_scheme = href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
     base = base_host if base_host is not None else F.lit(None).cast("string")
     return F.lower(F.when(absolute != "", absolute)
                    .when(proto_rel != "", proto_rel)
+                   .when(has_scheme, F.lit(None).cast("string"))
                    .otherwise(base))
 
 

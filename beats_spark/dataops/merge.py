@@ -18,9 +18,11 @@ movement is then:
 Classification is ``inserted`` (key new), ``updated`` (key exists,
 compare-digest differs), ``unchanged`` (digest equal — the delta row
 wins the tie, byte-identical anyway), ``carried`` (current-only).
-``unchanged`` deltas can be dropped before the expensive write with
-``drop_unchanged=True`` — re-crawls are mostly unchanged pages, and
-not rewriting them is the point of classifying.
+``drop_unchanged=True`` switches to CHANGELOG mode: only the rows a
+writer must ACT on (inserted + updated) come back — re-crawls are
+mostly unchanged pages, and not rewriting them (nor the untouched
+carried rows) is the point of classifying. The default returns the
+full merged snapshot.
 """
 
 from __future__ import annotations
@@ -33,13 +35,18 @@ __all__ = ["merge_upsert"]
 
 
 def _digest(cols: Sequence[str]):
-    # null-safe: a NULL column must differ from the string 'None' or
-    # '' — encode presence explicitly per column
-    parts = []
-    for c in cols:
-        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00")))
-        parts.append(F.lit("\x1f"))
-    return F.sha2(F.concat(*parts), 256)
+    # injective up to sha collisions: each column hashes SEPARATELY
+    # (fixed 64-hex output, so concatenation boundaries are
+    # unambiguous — an in-band separator could be forged by values
+    # containing it), with a presence prefix so NULL differs from
+    # every real value including the prefix characters themselves
+    per_col = [
+        F.sha2(F.when(F.col(c).isNull(), F.lit("0"))
+               .otherwise(F.concat(F.lit("1"),
+                                   F.col(c).cast("string"))), 256)
+        for c in cols]
+    return F.sha2(F.concat(*per_col), 256) if len(per_col) > 1 \
+        else per_col[0]
 
 
 def merge_upsert(
@@ -52,19 +59,30 @@ def merge_upsert(
 ) -> DataFrame:
     """Merged table = ``delta`` rows (winning their keys) plus
     ``current`` rows whose key the delta does not touch, with
-    ``change_col`` ∈ inserted / updated / unchanged / carried.
+    ``change_col`` ∈ inserted / updated / unchanged / carried —
+    or, with ``drop_unchanged=True``, the CHANGELOG instead: only
+    ``inserted`` + ``updated`` rows (the snapshot-mode output minus
+    everything a writer would rewrite byte-identically).
 
-    ``compare_cols`` defaults to every non-key column shared by both
-    frames (order-insensitive digest input order: sorted names).
-    Duplicate keys within ``delta`` are rejected in-plan (a MERGE
-    with two sources for one key is ambiguous — same contract as
-    Iceberg's cardinality check)."""
+    The two frames must have identical column SETS — a column present
+    on one side only would silently vanish from the output and from
+    the default change detection (the schema-evolution foot-gun), so
+    it fails loudly instead. ``compare_cols`` defaults to every
+    non-key column (digest input order: sorted names). Duplicate keys
+    within ``delta`` are rejected in-plan (a MERGE with two sources
+    for one key is ambiguous — same contract as Iceberg's cardinality
+    check)."""
     keys = list(key_cols)
     if not keys:
         raise ValueError("merge_upsert: key_cols must be non-empty")
+    extra = set(current.columns) ^ set(delta.columns)
+    if extra:
+        raise ValueError(
+            "merge_upsert: current/delta column sets differ on "
+            f"{sorted(extra)} — align schemas first (a one-sided "
+            "column would silently drop from the output)")
     if compare_cols is None:
-        shared = set(current.columns) & set(delta.columns)
-        compare_cols = sorted(shared - set(keys))
+        compare_cols = sorted(set(delta.columns) - set(keys))
     if not compare_cols:
         raise ValueError("merge_upsert: no compare columns "
                          "(pass compare_cols explicitly)")
@@ -97,11 +115,13 @@ def merge_upsert(
                            F.when(F.col("__guard").isNull(),
                                   F.col(change_col)))
                .drop("__guard"))
-    out_cols = [c for c in delta.columns if c in current.columns]
+    out_cols = list(delta.columns)
     classified = (delta.select(*out_cols).join(verdict, keys)
                   .select(*out_cols, change_col))
     if drop_unchanged:
-        classified = classified.filter(F.col(change_col) != "unchanged")
+        # changelog mode: only rows a writer acts on; the carried
+        # anti-join is skipped entirely (the big table never moves)
+        return classified.filter(F.col(change_col) != "unchanged")
     carried = (current.select(*out_cols)
                .join(delta.select(*keys).distinct(), keys, "left_anti")
                .withColumn(change_col, F.lit("carried")))

@@ -38,6 +38,7 @@ binary columns instead (dataops/multimodal.py plumbing).
 
 from __future__ import annotations
 
+import re
 from typing import Iterator, Mapping, Optional, Sequence
 
 import pandas as pd
@@ -47,6 +48,9 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = ["JOURNALD_FIELDS", "JOURNALD_INT_FIELDS",
            "include_matches", "parse_journal_export",
            "split_journal_export"]
+
+#: Java's \S (ASCII class) — python's unicode \S differs on \x1c-\x1f
+_NONSPACE_RE = re.compile(r"[^ \t\n\x0B\f\r]")
 
 # journal field → (event field, is_integer); the full conversion table
 # of pkg/journalfield/default.go:24-93 (dots flattened to the repo's
@@ -175,10 +179,6 @@ def split_journal_export(blob: "str | None") -> list:
         out.append(fields)
     return out
 
-
-import re as _re                                           # noqa: E402
-
-_NONSPACE_RE = _re.compile(r"[^ \t\n\x0B\f\r]")
 
 
 def parse_journal_export(

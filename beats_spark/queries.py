@@ -4745,9 +4745,8 @@ def crawl_frontier_q(spark, sf_dir):
     allowed = (robots_filter(new, rob, user_agent="TrainBot",
                              host_col="host")
                .filter(F.col("robots_allowed")))
-    pri = F.conv(F.substring(F.md5(F.concat(F.col("url"),
-                                            F.lit("#cap"))), 1, 15),
-                 16, 10).cast("long")
+    from .dataops.sketch import h60
+    pri = h60(F.col("url"), "cap")
     out = cap_per_key(allowed, "host", 5,
                       order_by=[pri.asc(), F.col("url").asc()])
     return out.select("host", "url")

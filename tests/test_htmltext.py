@@ -89,3 +89,19 @@ def test_extract_links_semantics(spark):
     assert hosts[1] is None and hosts[3] is None and hosts[0] == "ex.com"
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_link_host_non_http_schemes_yield_null(spark):
+    from beats_spark.dataops.htmltext import extract_links
+    html = ('<a href="mailto:a@b.com">mail</a>'
+            '<a href="javascript:void(0)">js</a>'
+            '<a href="tel:+1-555">call</a>'
+            '<a href="ftp://files.example/x">ftp</a>'
+            '<a href="/rel">rel</a>')
+    df = spark.createDataFrame([(html, "base.org")], "h string, b string")
+    hosts = [r["l"]["host"] for r in
+             df.select(F.explode(extract_links(
+                 F.col("h"), base_host=F.col("b"))).alias("l")).collect()]
+    # non-http(s) schemes -> NULL (no phantom self-edges); relative ->
+    # base
+    assert hosts == [None, None, None, None, "base.org"]

@@ -30,11 +30,12 @@ def test_merge_classification_and_null_safety(spark):
     assert out == {1: ("a", "unchanged"), 2: ("B", "updated"),
                    3: ("None", "updated"), 9: ("new", "inserted"),
                    4: ("d", "carried")}
-    # drop_unchanged removes only the unchanged delta row
+    # changelog mode: only rows a writer acts on (inserted + updated);
+    # unchanged AND carried both drop
     kept = sorted(r["k"] for r in
                   merge_upsert(cur, delta, ["k"],
                                drop_unchanged=True).collect())
-    assert kept == [2, 3, 4, 9]
+    assert kept == [2, 3, 9]
 
 
 def test_merge_guards(spark):
@@ -51,6 +52,21 @@ def test_merge_guards(spark):
     d2 = spark.createDataFrame([(1, "a", 999)], "k int, v string, w int")
     r = merge_upsert(cur, d2, ["k"], compare_cols=["v"]).collect()
     assert {x["k"]: x["change"] for x in r}[1] == "unchanged"
+    # schema drift fails loudly instead of silently dropping columns
+    with pytest.raises(ValueError, match="column sets differ"):
+        merge_upsert(cur, delta.withColumn("extra", F.lit(1)), ["k"])
+
+
+def test_merge_digest_injective(spark):
+    """Separator/sentinel forgery must not classify as unchanged: the
+    per-column fixed-width hash makes the digest injective."""
+    cur = spark.createDataFrame([(1, "x\x1f", "y"), (2, "\x00", "z")],
+                                "k int, a string, b string")
+    delta = spark.createDataFrame([(1, "x", "\x1fy"), (2, None, "z")],
+                                  "k int, a string, b string")
+    got = {r["k"]: r["change"] for r in
+           merge_upsert(cur, delta, ["k"]).collect()}
+    assert got == {1: "updated", 2: "updated"}
 
 
 def test_merge_classification_exchange_is_narrow(spark):
