@@ -4783,3 +4783,68 @@ def merge_upsert_q(spark, sf_dir):
            .withColumn("doc_id", did + 100000))
     delta = upd.unionByName(same).unionByName(ins)
     return merge_upsert(docs, delta, ["doc_id"])
+
+
+@query("warc_ingest", oracle=f"""
+WITH x AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/doc/'
+           || CAST(doc_id AS VARCHAR) AS target_uri,
+         {{STRIP}} AS text
+  FROM documents),
+t AS (
+  SELECT doc_id, target_uri, text,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     y -> y <> '') AS toks
+  FROM x)
+SELECT doc_id, target_uri, text,
+       CAST(len(toks) AS BIGINT) AS word_count,
+       len(toks) BETWEEN 10 AND 100000
+         AND len(list_intersect(list_distinct(toks),
+             ['the','be','to','of','and','that','have','with'])) >= 2
+         AS ingest_keep
+FROM t
+""".replace("{STRIP}", _html_oracle_expr()))
+def warc_ingest_q(spark, sf_dir):
+    """The archive-to-corpus ingest path under ONE oracle: pages
+    wrapped as WARC ``response`` records (byte-counted Content-Length,
+    HTTP envelope) → :func:`~beats_spark.functions.warc.parse_warc` →
+    HTTP body → the shared HTML strip chain → Gopher word-count +
+    required-stop-word gate. The oracle goes straight from the
+    construction through ``html_strip_sql`` — legitimate because
+    ``warc_extract`` separately proves extraction inverts archiving
+    byte-for-byte, so the two oracles compose. Plan: one Arrow kernel
+    (the WARC walk), everything after it whole-stage codegen, zero
+    shuffle."""
+    from .dataops.textstats import gopher_rules
+    from .dataops.htmltext import html_to_text
+    from .functions.warc import parse_warc
+    docs = _t(spark, sf_dir, "documents")
+    istr = F.col("doc_id").cast("string")
+    first20 = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 20),
+                           " ")
+    built = F.concat(
+        F.lit(_HTML_PRE), F.col("source"), F.lit(" page "), istr,
+        F.lit("!</h1><p>"), first20,
+        F.lit(" &amp; more.</p><div>id &#39;"),
+        istr, F.lit("&#39; &lt;ok&gt;</div></body></html>"))
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+        built)
+    uri = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.com/doc/"), istr)
+    blob = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        uri,
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(F.encode(http, "utf-8")).cast("string"),
+        F.lit("\r\n\r\n"), http, F.lit("\r\n\r\n"))
+    src = docs.select("doc_id", blob.alias("warc"))
+    rec = parse_warc(src, "warc", keep_source=True)
+    page = rec.select("doc_id", "target_uri",
+                      html_to_text(F.col("body")).alias("text"))
+    g = gopher_rules(F.col("text"), min_words=10)
+    return page.select(
+        "doc_id", "target_uri", "text",
+        g["word_count"].alias("word_count"),
+        (g["words_ok"] & g["stop_ok"]).alias("ingest_keep"))

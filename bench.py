@@ -69,7 +69,7 @@ BENCH_QUERIES = [
     "socket_frames", "ttl_batch_split",
     "kmv_distinct", "countmin_freq", "bloom_membership",
     "priority_sample", "journald_export", "udp_datagrams",
-    "gopher_quality", "warc_extract", "robots_filter", "html_links", "sitemap_urls", "crawl_frontier", "merge_upsert",
+    "gopher_quality", "warc_extract", "robots_filter", "html_links", "sitemap_urls", "crawl_frontier", "merge_upsert", "warc_ingest",
     "flagship_routed_counts", "flagship_messages",
 ]
 
