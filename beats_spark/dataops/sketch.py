@@ -53,7 +53,8 @@ from .dedup import _spread
 
 __all__ = [
     "bloom_build", "bloom_probe", "countmin_build", "countmin_estimate",
-    "h60", "kmv_distinct",
+    "h60", "hll_distinct", "hll_estimate", "hll_merge", "hll_registers",
+    "kmv_distinct",
 ]
 
 #: hash space size: the 60-bit md5 prefix spans [0, 2^60)
@@ -329,3 +330,132 @@ def bloom_probe(
     return (out.withColumn(out_col, cond)
             .drop(*[c for j in range(n_hashes)
                     for c in (f"__bw{j}", f"__wv{j}")]))
+
+
+# ---------------------------------------------------------------------
+# HyperLogLog distinct-count sketch
+# ---------------------------------------------------------------------
+
+#: bias-correction constants from Flajolet et al. 2007 (§4, Fig. 3)
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _hll_alpha(m: int) -> float:
+    return _HLL_ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    p: int = 6,
+    bits: int = 32,
+    by: Optional[str] = None,
+    seed: str = "",
+) -> DataFrame:
+    """HyperLogLog register frame for ``value_col``: one row per
+    ``(by?, bucket)`` with ``reg`` = the max leading-run length
+    observed in that bucket (Flajolet et al. 2007).
+
+    The hash is the top ``bits`` of the repo's portable 60-bit md5
+    (:func:`h60`); the top ``p`` of those pick the bucket and ``reg``
+    is ``(bits-p) - floor(log2(low)) + 1`` spelled with the
+    engine-portable ``length(bin(x))`` (identical in Spark and
+    DuckDB, so the sketch — including its approximation error — is
+    oracle-checkable bit-for-bit). Zero low bits read as the max run
+    ``bits - p + 1``.
+
+    Scale shape: one partial-combining max aggregation — the exchange
+    carries at most ``2^p`` rows per group per map task no matter the
+    input size, and the reduce state is ``2^p`` ints per group. The
+    register frame is itself MERGEABLE (union + groupBy max), so
+    daily partial sketches roll up without touching raw data; see
+    :func:`hll_merge`.
+
+    Reference scope: as with the other sketches, Beats has no
+    approximate aggregation (libbeat/monitoring is exact in-process
+    counters); this serves the 10^12-page profiling layer, where an
+    exact COUNT(DISTINCT url) per language is a full shuffle of every
+    distinct key.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"hll: p must be in [4,16], got {p}")
+    if not p + 1 <= bits <= 60:
+        raise ValueError(f"hll: bits must be in [p+1,60], got {bits}")
+    w = bits - p
+    key = _not_null(F.col(value_col), "hll_registers", value_col)
+    h = F.shiftright(h60(key, seed), 60 - bits)
+    bucket = F.shiftright(h, w)
+    low = h.bitwiseAND(F.lit((1 << w) - 1))
+    rho = (F.when(low == F.lit(0), F.lit(w + 1))
+           .otherwise(F.lit(w) - F.length(F.bin(low)) + 1)).cast("int")
+    keys = [by] if by is not None else []
+    sel = df.select(*keys, bucket.alias("bucket"), rho.alias("rho"))
+    return (sel.groupBy(*keys, "bucket")
+            .agg(F.max("rho").alias("reg")))
+
+
+def hll_merge(*register_frames: DataFrame) -> DataFrame:
+    """Merge register frames from :func:`hll_registers` (same p/bits/
+    seed): union + groupBy max — the HLL merge is exact, which is the
+    whole point of keeping sketches instead of raw keys."""
+    if not register_frames:
+        raise ValueError("hll_merge: need at least one frame")
+    out = register_frames[0]
+    for nxt in register_frames[1:]:
+        out = out.unionByName(nxt)
+    keys = [c for c in out.columns if c != "reg"]
+    return out.groupBy(*keys).agg(F.max("reg").alias("reg"))
+
+
+def hll_estimate(
+    registers: DataFrame,
+    p: int = 6,
+    bits: int = 32,
+    by: Optional[str] = None,
+) -> DataFrame:
+    """Evaluate the HLL estimator over a register frame:
+    ``(by?, est_distinct, nseen)``.
+
+    The harmonic-mean denominator ``sum(2^-reg) + (m - nseen)`` is
+    accumulated as the EXACT integer ``sum(2^(bits-reg)) +
+    (m-nseen)*2^bits`` in decimal(38,0) — no float summation, so the
+    result is independent of aggregation order (a float sum of
+    2^-reg terms would differ between engines/partitionings in the
+    last ulp). With the default ``bits=32`` the integer fits well
+    under 2^53, so the single decimal→double cast and the one
+    division are exact/deterministic and the ESTIMATE itself
+    oracle-hashes across engines. Larger ``bits`` (needed beyond
+    ~10^8 distinct; at the north_star's 10^12 use bits>=50) keeps
+    the same exact integer accumulation and only the final cast may
+    round — fine in production where no cross-engine hash is taken.
+    """
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    term = (F.pow(F.lit(2.0), (F.lit(bits) - F.col("reg")).cast("double"))
+            .cast("decimal(38,0)"))
+    keys = [by] if by is not None else []
+    agg = registers.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("int").alias("nseen"),
+        F.sum(term).alias("__s"))
+    full = (F.col("__s")
+            + (F.lit(m).cast("decimal(38,0)") - F.col("nseen"))
+            * F.lit(1 << bits).cast("decimal(38,0)"))
+    est = F.round(
+        F.lit(alpha * m * m * float(1 << bits)) / full.cast("double"), 2)
+    return agg.select(*keys, est.alias("est_distinct"), "nseen")
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    p: int = 6,
+    bits: int = 32,
+    by: Optional[str] = None,
+    seed: str = "",
+) -> DataFrame:
+    """Distinct-count estimate of ``value_col`` (per ``by`` when
+    given) via HyperLogLog: :func:`hll_registers` →
+    :func:`hll_estimate`. Returns ``(by?, est_distinct, nseen)``."""
+    return hll_estimate(
+        hll_registers(df, value_col, p=p, bits=bits, by=by, seed=seed),
+        p=p, bits=bits, by=by)

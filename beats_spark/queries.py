@@ -4199,6 +4199,67 @@ def bloom_membership_q(spark, sf_dir):
                   .cast("long").alias("n_member")))
 
 
+@query("hll_distinct", oracle="""
+WITH keys AS (
+  SELECT event_type,
+         CAST(user_id AS VARCHAR) || ':'
+           || CAST(event_id % 50 AS VARCHAR) AS skey
+  FROM events),
+h AS (
+  SELECT event_type,
+         (CAST(('0x'||substr(md5(skey||'#hll1'),1,15)) AS BIGINT)
+          >> 28) AS h32
+  FROM keys),
+r AS (
+  SELECT event_type, h32 >> 26 AS bucket,
+         CASE WHEN (h32 & 67108863) = 0 THEN 27
+              ELSE 26 - length(bin(h32 & 67108863)) + 1 END AS rho
+  FROM h),
+regs AS (SELECT event_type, bucket, max(rho) AS reg
+         FROM r GROUP BY 1, 2),
+a AS (SELECT event_type, CAST(count(*) AS INT) AS nseen,
+             sum(CAST(power(2.0, 32 - reg) AS BIGINT)) AS s
+      FROM regs GROUP BY 1),
+t AS (SELECT event_type,
+             count(DISTINCT CAST(user_id AS VARCHAR) || ':'
+                            || CAST(event_id % 50 AS VARCHAR))
+               AS true_distinct
+      FROM events GROUP BY 1)
+SELECT t.event_type, t.true_distinct,
+       round(0.709 * 64 * 64 * power(2.0, 32)
+             / CAST(s + (64 - nseen)
+                    * CAST(power(2.0, 32) AS BIGINT) AS DOUBLE), 2)
+         AS est_distinct,
+       nseen
+FROM t JOIN a USING (event_type)
+""")
+def hll_distinct_q(spark, sf_dir):
+    """HyperLogLog distinct-count
+    (:func:`beats_spark.dataops.sketch.hll_distinct`): distinct
+    user-session keys per event_type through a 64-register HLL
+    (p=6, 32-bit hash). The register max is a partial-combining
+    aggregation — the exchange carries at most 2^p rows per group per
+    map task regardless of input size, vs an exact COUNT(DISTINCT)
+    moving every distinct key — and the harmonic-mean denominator is
+    accumulated as an exact integer so the ESTIMATE itself (error and
+    all, here ~1.04/√64 ≈ 13%) hash-matches the DuckDB oracle.
+    Registers merge by max (:func:`hll_merge`), the property that
+    makes daily partial sketches roll up without raw data."""
+    from .dataops.sketch import hll_distinct
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_type",
+        F.concat(F.col("user_id").cast("string"), F.lit(":"),
+                 (F.col("event_id") % 50).cast("string")).alias("skey"))
+    est = hll_distinct(keyed, "skey", p=6, bits=32, by="event_type",
+                       seed="hll1")
+    true = (keyed.groupBy("event_type")
+            .agg(F.count_distinct("skey").alias("true_distinct")))
+    return (true.join(est, "event_type")
+            .select("event_type", "true_distinct", "est_distinct",
+                    "nseen"))
+
+
 @query("priority_sample", oracle="""
 WITH s AS (
   SELECT lang, doc_id, n_chars,

@@ -318,3 +318,63 @@ def test_stream_countmin_null_guard_matches_batch(spark, tmp_path):
          .trigger(availableNow=True).start())
     with pytest.raises(Exception, match="null"):
         q.awaitTermination()
+
+
+# ---------------------------------------------------------------- HLL
+
+def test_hll_estimator_accuracy_and_merge(spark, sf_dir):
+    from beats_spark.dataops.sketch import (
+        hll_distinct, hll_merge, hll_registers, hll_estimate)
+    docs = _docs(spark, sf_dir)
+    true = docs.select("text").distinct().count()
+    row = hll_distinct(docs, "text", p=8, bits=32, seed="t").collect()[0]
+    # 256 registers -> sigma ~ 1.04/16 = 6.5%; allow 4 sigma
+    assert abs(row.est_distinct - true) / true < 0.26
+    assert 1 <= row.nseen <= 256
+
+    # merge of two disjoint halves == sketch of the union (register
+    # frames are exactly mergeable by max)
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    ra = hll_registers(a, "text", p=6, bits=32, seed="t")
+    rb = hll_registers(b, "text", p=6, bits=32, seed="t")
+    merged = sorted(
+        (r.bucket, r.reg)
+        for r in hll_merge(ra, rb).collect())
+    whole = sorted(
+        (r.bucket, r.reg)
+        for r in hll_registers(docs, "text", p=6, bits=32,
+                               seed="t").collect())
+    assert merged == whole
+    est_m = hll_estimate(hll_merge(ra, rb), p=6, bits=32).collect()[0]
+    est_w = hll_estimate(
+        hll_registers(docs, "text", p=6, bits=32, seed="t"),
+        p=6, bits=32).collect()[0]
+    assert est_m == est_w
+
+
+def test_hll_partition_invariance_and_validation(spark, sf_dir):
+    from beats_spark.dataops.sketch import hll_distinct
+    docs = _docs(spark, sf_dir)
+    one = sorted(map(tuple,
+                     hll_distinct(docs, "text", by="lang",
+                                  seed="s").collect()))
+    other = sorted(map(tuple,
+                       hll_distinct(docs.repartition(17), "text",
+                                    by="lang", seed="s").collect()))
+    assert one == other
+    with pytest.raises(ValueError):
+        hll_distinct(docs, "text", p=2)
+    with pytest.raises(ValueError):
+        hll_distinct(docs, "text", p=8, bits=8)
+
+
+def test_hll_register_exchange_is_partial_agg(spark, sf_dir):
+    """The scale claim: the register build is a partial-combining
+    max — HashAggregate appears below AND above the exchange, and the
+    exchange key is (group, bucket), never the raw value."""
+    from beats_spark.dataops.sketch import hll_registers
+    docs = _docs(spark, sf_dir)
+    plan = _plan(hll_registers(docs, "text", by="lang", seed="s"))
+    assert plan.count("HashAggregate") >= 2
+    assert "bucket" in plan and "text" not in plan.split("Exchange")[0]
