@@ -4260,6 +4260,50 @@ def hll_distinct_q(spark, sf_dir):
                     "nseen"))
 
 
+@query("bloom_join_prune", oracle="""
+WITH dim AS (
+  SELECT DISTINCT user_id, user_id % 3 AS tier
+  FROM events WHERE event_type = 'purchase' AND value > 250)
+SELECT e.event_type, d.tier,
+       count(*) AS n,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS total_value
+FROM events e JOIN dim d USING (user_id)
+GROUP BY 1, 2
+""")
+def bloom_join_prune_q(spark, sf_dir):
+    """Bloom-filter semi-join reduction: probe the fact side against
+    a Bloom filter of the dim keys and PRUNE before the join, then
+    run the exact join on the survivors. The oracle is the plain
+    join — the identity this technique rests on (no false negatives,
+    and the exact join removes the filter's false positives), so the
+    pruned plan must hash-match it row for row.
+
+    Why it matters at 10^12 rows: when the dim side is too big to
+    broadcast, the join becomes a shuffle of BOTH sides — but the
+    Bloom filter (bits, not keys: a 2^30-bit filter is 128 MiB for
+    10^8 keys at ~1% fpp) still broadcasts cheaply, so most
+    non-matching fact rows die map-side before the exchange. The
+    probe is word-indexed broadcast joins (bloom_probe); the test
+    asserts the prune sits below the join's exchange."""
+    from .dataops.sketch import bloom_build, bloom_probe
+    ev = _t(spark, sf_dir, "events")
+    dim = (ev.filter((F.col("event_type") == "purchase")
+                     & (F.col("value") > 250))
+           .select("user_id").distinct()
+           .withColumn("tier", F.col("user_id") % 3))
+    bl = bloom_build(dim, "user_id", n_bits=2046, n_hashes=3,
+                     seed="bjp")
+    pruned = (bloom_probe(ev, "user_id", bl, n_bits=2046, n_hashes=3,
+                          seed="bjp")
+              .filter(F.col("maybe_member")).drop("maybe_member"))
+    return (pruned.join(dim, "user_id")
+            .groupBy("event_type", "tier")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.sum(F.round(F.col("value") * 100).cast("long"))
+                  .cast("long") / 100.0).alias("total_value")))
+
+
 @query("priority_sample", oracle="""
 WITH s AS (
   SELECT lang, doc_id, n_chars,

@@ -378,3 +378,52 @@ def test_hll_register_exchange_is_partial_agg(spark, sf_dir):
     plan = _plan(hll_registers(docs, "text", by="lang", seed="s"))
     assert plan.count("HashAggregate") >= 2
     assert "bucket" in plan and "text" not in plan.split("Exchange")[0]
+
+
+# ------------------------------------------------- bloom join pruning
+
+def test_bloom_prune_is_superset_and_join_exact(spark, sf_dir):
+    """Prune keeps every true match (no false negatives) and the
+    exact join equals the unpruned join (false positives removed)."""
+    ev = _events(spark, sf_dir)
+    dim = (ev.filter((F.col("event_type") == "purchase")
+                     & (F.col("value") > 250))
+           .select("user_id").distinct())
+    bl = bloom_build(dim, "user_id", n_bits=2046, n_hashes=3, seed="x")
+    probed = bloom_probe(ev, "user_id", bl, n_bits=2046, n_hashes=3,
+                         seed="x")
+    pruned = probed.filter(F.col("maybe_member"))
+    n_total, n_pruned = ev.count(), pruned.count()
+    n_true = ev.join(dim, "user_id", "left_semi").count()
+    assert n_true <= n_pruned <= n_total
+    got = sorted(map(tuple,
+                     pruned.join(dim, "user_id")
+                     .select("event_id").collect()))
+    want = sorted(map(tuple,
+                      ev.join(dim, "user_id")
+                      .select("event_id").collect()))
+    assert got == want
+
+
+def test_bloom_prune_sits_below_the_join_exchange(spark, sf_dir):
+    """The scale claim: the bloom word joins are BroadcastHashJoin
+    and the membership Filter evaluates before any Exchange of the
+    fact side (prune map-side, shuffle survivors only)."""
+    ev = _events(spark, sf_dir)
+    dim = ev.select("user_id").distinct()
+    bl = bloom_build(dim, "user_id", n_bits=2046, n_hashes=3, seed="x")
+    pruned = (bloom_probe(ev, "user_id", bl, n_bits=2046, n_hashes=3,
+                          seed="x")
+              .filter(F.col("maybe_member")))
+    # force a shuffle join on the survivors
+    big = pruned.repartition("user_id").groupBy("user_id").count()
+    plan = _plan(big)
+    probe_joins = plan.count("BroadcastHashJoin")
+    assert probe_joins >= 3  # one per bloom hash
+    # the fact-side Exchange (hashpartitioning on user_id) must appear
+    # ABOVE (= earlier in the printed tree than) the bloom Filter
+    exch = plan.find("Exchange hashpartitioning")
+    # catalyst inlines maybe_member and splits the conjunction into one
+    # Filter per word join; the word columns (__wv*) mark those filters
+    filt = plan.find("Filter NOT ((coalesce(__wv")
+    assert exch != -1 and filt != -1 and exch < filt
