@@ -39,7 +39,7 @@ from pyspark.sql import types as T
 __all__ = [
     "tokens", "shingles", "dedup_exact", "exact_dup_groups",
     "minhash_signature", "minhash_signature_arrow", "minhash_lsh_pairs",
-    "ngram_jaccard_pairs", "simhash", "simhash_col", "simhash_pairs",
+    "ngram_jaccard_pairs", "ngram_jaccard_prefix_pairs", "simhash", "simhash_col", "simhash_pairs",
 ]
 
 
@@ -313,6 +313,66 @@ def ngram_jaccard_pairs(
                   (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6)))
     return (j.filter(F.col("jaccard") >= threshold)
              .select("id_a", "id_b", "jaccard"))
+
+
+def ngram_jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-Jaccard join with PREFIX FILTERING (Chaudhuri et
+    al. 2006; Xiao et al. 2008 "ppjoin"): identical output to
+    :func:`ngram_jaccard_pairs`, but candidate generation only joins
+    each document's PREFIX — its ``|s| - ⌈t·|s|⌉ + 1`` rarest
+    shingles under a global (doc-frequency, shingle) order. The
+    prefix-filtering lemma guarantees two sets with ``J ≥ t`` share
+    at least one prefix token, so nothing is lost; an exact
+    ``array_intersect`` verification on the candidates removes the
+    rest.
+
+    Why this is the scale path: the full inverted-index join fans out
+    quadratically on hot shingles — ``ngram_jaccard_pairs`` caps that
+    with ``max_doc_freq``, which silently DROPS pairs that only share
+    stop-shingles. The prefix filter gets the same bound for free and
+    stays EXACT: hot (high-df) shingles sort to the END of the global
+    order, so they appear in almost no prefixes — the join key
+    distribution is anti-skewed by construction. Also applies the
+    ppjoin length filter (``min(|A|,|B|) ≥ ⌈t·max(|A|,|B|)⌉``)
+    before the distinct. Plan shape: two linear shuffles (df join on
+    shingle, prefix window on id), a self-join whose lists are prefix-
+    bounded, then a verify that touches candidate pairs only.
+    """
+    base = _shingle_frame(df, id_col, text_col, n)
+    inv = base.select(
+        "id", F.size("sh").alias("sz"), F.explode("sh").alias("g"))
+    freq = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "g")
+    prefix_len = (F.col("sz")
+                  - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+    pref = (inv.join(freq, "g")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= prefix_len)
+            .select("id", "sz", "g"))
+    a = pref.select(F.col("id").alias("id_a"),
+                    F.col("sz").alias("sz_a"), "g")
+    b = pref.select(F.col("id").alias("id_b"),
+                    F.col("sz").alias("sz_b"), "g")
+    cand = (a.join(b, "g")
+            .filter((F.col("id_a") < F.col("id_b"))
+                    & (F.least("sz_a", "sz_b")
+                       >= F.ceil(F.lit(threshold)
+                                 * F.greatest("sz_a", "sz_b"))))
+            .select("id_a", "id_b").distinct())
+    fa = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    fb = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / union
+    return (cand.join(fa, "id_a").join(fb, "id_b")
+            .filter(jac >= threshold)
+            .select("id_a", "id_b", F.round(jac, 6).alias("jaccard")))
 
 
 # ----------------------------------------------------------------- simhash

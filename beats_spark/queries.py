@@ -920,6 +920,36 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, n=3, threshold=0.12)
 
 
+@query("dedup_jaccard_prefix", oracle=f"""
+WITH {_SH_BASE},
+inv AS (SELECT id, unnest(sh) AS g FROM base),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+  GROUP BY a.id, b.id),
+sz AS (SELECT id, len(sh) AS sz FROM base)
+SELECT id_a, id_b,
+       round(CAST(inter AS DOUBLE) / (x.sz + y.sz - inter), 6) AS jaccard
+FROM inter JOIN sz x ON x.id = id_a JOIN sz y ON y.id = id_b
+WHERE CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) >= 0.3
+""")
+def dedup_jaccard_prefix(spark, sf_dir):
+    """Prefix-filtered exact Jaccard join
+    (:func:`beats_spark.dataops.dedup.ngram_jaccard_prefix_pairs`,
+    ppjoin-style): candidates come only from each document's rarest
+    ``|s|-⌈t|s|⌉+1`` shingles under a global df-order, then exact
+    array_intersect verification — output identical to the full
+    inverted-index join, which is exactly what the oracle computes.
+    The scale property: hot shingles sort to the END of the order and
+    appear in almost no prefixes, so the self-join's key distribution
+    is anti-skewed by construction — the exactness-preserving
+    alternative to ``max_doc_freq`` stop-shingle cutoffs (which drop
+    pairs)."""
+    from .dataops.dedup import ngram_jaccard_prefix_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_prefix_pairs(docs, n=3, threshold=0.3)
+
+
 @query("dedup_simhash", oracle="""
 WITH toks AS (
   SELECT doc_id,

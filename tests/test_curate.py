@@ -133,3 +133,54 @@ def test_curate_lm_gate(spark):
     assert 100 not in ids and 101 not in ids
     assert res.metrics["docs.lm_kept"] == len(ids)
     res.unpersist()
+
+
+# ------------------------------------------- prefix-filtered jaccard
+
+def test_prefix_jaccard_identical_to_full_join(spark, sf_dir):
+    """The prefix filter is lossless: output equals the full
+    inverted-index join at every threshold (prefix-filtering lemma)."""
+    from beats_spark.dataops.dedup import (
+        ngram_jaccard_pairs, ngram_jaccard_prefix_pairs)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for t in (0.2, 0.5, 0.8):
+        full = sorted(map(tuple,
+                          ngram_jaccard_pairs(docs, n=3,
+                                              threshold=t).collect()))
+        pref = sorted(map(tuple,
+                          ngram_jaccard_prefix_pairs(
+                              docs, n=3, threshold=t).collect()))
+        assert full == pref, t
+
+
+def test_prefix_jaccard_antiskew_on_stop_shingles(spark):
+    """A shingle shared by every document (the skew killer for the
+    full inverted-index join) lands in almost no prefixes: it sorts
+    to the END of the (df, shingle) order, so only documents whose
+    prefix spans their whole shingle set ever index it."""
+    from pyspark.sql import functions as F
+    from beats_spark.dataops.dedup import (
+        _shingle_frame, ngram_jaccard_prefix_pairs)
+    rows = [(i, "common stop phrase unique%d word%d tail%d extra%d "
+                "pad%d fill%d more%d" % (i, i, i, i, i, i, i))
+            for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 0.5
+    # reconstruct the prefix index the operator builds and count how
+    # often the universal shingle ("common stop phrase", df=50) occurs
+    from pyspark.sql import Window
+    base = _shingle_frame(docs, "doc_id", "text", 3)
+    inv = base.select("id", F.size("sh").alias("sz"),
+                      F.explode("sh").alias("g"))
+    freq = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "g")
+    pref = (inv.join(freq, "g")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= F.col("sz")
+                    - F.ceil(F.lit(t) * F.col("sz")) + 1))
+    hot_in_prefix = pref.filter(
+        F.col("g") == "common stop phrase").count()
+    assert hot_in_prefix == 0  # 50² candidate pairs avoided
+    # and the operator still finds nothing (no true pairs >= 0.5)
+    assert ngram_jaccard_prefix_pairs(docs, n=3,
+                                      threshold=t).count() == 0
