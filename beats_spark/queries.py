@@ -4710,6 +4710,72 @@ def html_links_q(spark, sf_dir):
         F.col("__l")["host"].alias("host"))
 
 
+@query("anchor_texts", oracle="""
+WITH links AS (
+  SELECT 'src' || CAST((doc_id + 1) % 20 AS VARCHAR)
+           || '.example.com' AS host,
+         'next doc ' || CAST(doc_id + 1 AS VARCHAR) AS anchor
+  FROM documents
+  UNION ALL
+  SELECT source || '.example.com', 'Local page' FROM documents),
+per AS (SELECT host, anchor, count(*) AS cnt FROM links GROUP BY 1, 2),
+top AS (SELECT host, anchor AS top_anchor, cnt AS top_n,
+               row_number() OVER (PARTITION BY host
+                                  ORDER BY cnt DESC, anchor) AS rn
+        FROM per)
+SELECT p.host, CAST(sum(p.cnt) AS BIGINT) AS n_links,
+       count(*) AS n_unique_anchors, t.top_anchor, t.top_n
+FROM per p JOIN top t ON t.host = p.host AND t.rn = 1
+GROUP BY p.host, t.top_anchor, t.top_n
+""")
+def anchor_texts_q(spark, sf_dir):
+    """Anchor-text aggregation per TARGET host — the inbound-anchor
+    corpus that ranks/describes a page by what other pages call it
+    (the other half of the web-graph story started by ``html_links``).
+    Same page construction, links extracted by the one codegen regexp
+    pass, empty anchors dropped, then the aggregation the operator
+    exists for: per-(host, anchor) counts first, host totals second —
+    the two-level shape that absorbs hot-host skew (a host with 10^9
+    inlinks never funnels raw rows into one reducer; the first agg
+    combines map-side), with the modal anchor chosen by a
+    deterministic (count desc, anchor) tie-break."""
+    from .dataops.htmltext import extract_links
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    nxt = ((did + 1) % 20).cast("string")
+    html = F.concat(
+        F.lit("<html><body><a href=\"https://src"), nxt,
+        F.lit(".example.com/doc/"), (did + 1).cast("string"),
+        F.lit("\">next <b>doc</b> "), (did + 1).cast("string"),
+        F.lit("</a><A HREF=\"/local/"), did.cast("string"),
+        F.lit("?ref=1\">  Local\n page </A>"),
+        F.when(did % 3 == 0,
+               F.concat(F.lit("<a href=\"//cdn.example.net/x"),
+                        did.cast("string"), F.lit("\"></a>")))
+         .otherwise(F.lit("")),
+        F.lit("</body></html>"))
+    own = F.concat(F.col("source"), F.lit(".example.com"))
+    links = (docs.select(F.explode(extract_links(html, base_host=own))
+                         .alias("l"))
+             .select(F.col("l")["host"].alias("host"),
+                     F.col("l")["anchor"].alias("anchor"))
+             .filter(F.col("anchor") != ""))
+    per = links.groupBy("host", "anchor").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("host").orderBy(F.desc("cnt"),
+                                            F.asc("anchor"))
+    top = (per.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1)
+           .select("host", F.col("anchor").alias("top_anchor"),
+                   F.col("cnt").alias("top_n")))
+    tot = per.groupBy("host").agg(
+        F.sum("cnt").alias("n_links"),
+        F.count(F.lit(1)).alias("n_unique_anchors"))
+    return (tot.join(top, "host")
+            .select("host", "n_links", "n_unique_anchors",
+                    "top_anchor", "top_n"))
+
+
 @query("sitemap_urls", oracle="""
 WITH d AS (
   SELECT doc_id, source,
