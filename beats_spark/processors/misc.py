@@ -209,6 +209,94 @@ def decode_xml(cfg: Mapping[str, Any]):
     return make
 
 
+# ------------------------------------------------------------- user_agent
+
+#: ordered first-match browser rules: (name, detect substring,
+#: version marker). The detect strings and precedence (Edge/Opera
+#: before Chrome, Chrome before Safari, Version/ for Safari) follow
+#: the public UA format conventions; extend per-config with
+#: ``extra_browsers``.
+_UA_BROWSERS = [
+    ("Googlebot", "Googlebot", "Googlebot/"),
+    ("bingbot", "bingbot", "bingbot/"),
+    ("Edge", "Edg/", "Edg/"),
+    ("Opera", "OPR/", "OPR/"),
+    ("Chrome", "Chrome/", "Chrome/"),
+    ("Firefox", "Firefox/", "Firefox/"),
+    ("Safari", "Version/", "Version/"),
+    ("IE", "MSIE ", "MSIE "),
+    ("IE", "Trident/", "rv:"),
+    ("curl", "curl/", "curl/"),
+    ("Wget", "Wget/", "Wget/"),
+    ("python-requests", "python-requests/", "python-requests/"),
+]
+
+#: ordered OS rules (Android before Linux, iPhone/iPad before
+#: Mac OS X — iOS UAs say "like Mac OS X")
+_UA_OS = [
+    ("Windows", "Windows NT"),
+    ("Android", "Android"),
+    ("iOS", "iPhone"),
+    ("iOS", "iPad"),
+    ("ChromeOS", "CrOS"),
+    ("macOS", "Mac OS X"),
+    ("Linux", "Linux"),
+]
+
+
+@register("user_agent")
+def user_agent(cfg: Mapping[str, Any]):
+    """User-agent parse: browser name + version, OS family, device
+    class — the shape of Elasticsearch's ingest ``user_agent``
+    processor (a standard companion to Filebeat's nginx/apache
+    modules; libbeat itself ships none, so this is catalog surface).
+
+    Pure first-match ``F.when`` chains over ``contains`` +
+    ``regexp_extract`` — whole-stage codegen, zero Python, and every
+    rule is reproducible in ANSI SQL, which is what lets the catalog
+    query oracle-check the parse. Unknowns come back as
+    ``Other``/NULL version, never errors: UA strings are attacker
+    -controlled input and a parser that throws on them is a DoS.
+    """
+    field = cfg.get("field", "user_agent")
+    target = cfg.get("target", "ua")
+    browsers = list(cfg.get("extra_browsers", [])) + _UA_BROWSERS
+
+    def make(df: DataFrame) -> ProcResult:
+        if field not in df.columns:
+            return ProcResult()
+        ua = F.col(field)
+
+        def version_after(marker: str) -> Column:
+            import re as _re
+            return F.nullif(
+                F.regexp_extract(ua, _re.escape(marker) + r"([0-9][0-9.]*)",
+                                 1), F.lit(""))
+
+        name: Column = F.lit("Other")
+        ver: Column = F.lit(None).cast("string")
+        for bname, detect, marker in reversed(browsers):
+            hit = ua.contains(detect)
+            name = F.when(hit, F.lit(bname)).otherwise(name)
+            ver = F.when(hit, version_after(marker)).otherwise(ver)
+        os_name: Column = F.lit("Other")
+        for oname, detect in reversed(_UA_OS):
+            os_name = (F.when(ua.contains(detect), F.lit(oname))
+                       .otherwise(os_name))
+        is_bot = F.lower(ua).rlike("bot|spider|crawler")
+        device = (F.when(is_bot, F.lit("bot"))
+                  .when(ua.contains("Mobi"), F.lit("mobile"))
+                  .otherwise(F.lit("desktop")))
+        null_guard = ua.isNotNull()
+        return ProcResult(assigns={
+            f"{target}_name": F.when(null_guard, name),
+            f"{target}_version": F.when(null_guard, ver),
+            f"{target}_os_name": F.when(null_guard, os_name),
+            f"{target}_device": F.when(null_guard, device),
+        })
+    return make
+
+
 # ------------------------------------------------------------- timeseries
 
 @register("timeseries")

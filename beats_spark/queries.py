@@ -2073,6 +2073,84 @@ def decode_xml_map(spark, sf_dir):
         F.element_at("xm", "ev.user").alias("euser"))
 
 
+@query("useragent_parse", oracle="""
+WITH ua AS (SELECT event_id % 7 AS t, user_id FROM events),
+parsed AS (
+  SELECT CASE t WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Safari'
+                WHEN 2 THEN 'Firefox' WHEN 3 THEN 'Edge'
+                WHEN 4 THEN 'Chrome' WHEN 5 THEN 'Googlebot'
+                ELSE 'curl' END AS name,
+         CASE t WHEN 0 THEN 'Windows' WHEN 1 THEN 'macOS'
+                WHEN 2 THEN 'Linux' WHEN 3 THEN 'Windows'
+                WHEN 4 THEN 'Android' ELSE 'Other' END AS os_name,
+         CASE WHEN t = 5 THEN 'bot' WHEN t = 4 THEN 'mobile'
+              ELSE 'desktop' END AS device,
+         CASE t WHEN 0 THEN '1' || CAST(user_id % 20 AS VARCHAR)
+                            || '.0.0.0'
+                WHEN 1 THEN '17.' || CAST(user_id % 10 AS VARCHAR)
+                WHEN 2 THEN '10' || CAST(user_id % 10 AS VARCHAR)
+                            || '.0'
+                WHEN 3 THEN '120.0.' || CAST(user_id % 100 AS VARCHAR)
+                            || '.0'
+                WHEN 4 THEN '121.0.0.0'
+                WHEN 5 THEN '2.1'
+                ELSE '8.' || CAST(user_id % 10 AS VARCHAR) || '.0'
+           END AS version
+  FROM ua)
+SELECT name, os_name, device, count(*) AS n,
+       count(DISTINCT version) AS n_versions
+FROM parsed GROUP BY 1, 2, 3
+""")
+def useragent_parse_q(spark, sf_dir):
+    """``user_agent`` processor (processors/misc.py — ES-ingest-style
+    companion to the nginx/apache module surface; libbeat ships none):
+    seven realistic UA families synthesized per event — Chrome/
+    Safari/Firefox/Edge/Android-mobile/Googlebot/curl with versions
+    derived from user_id — parsed by the pure-codegen first-match
+    chain (Edge before Chrome, Version/ for Safari, bot detection
+    before device class), then rolled up by (browser, os, device).
+    The oracle derives the expected browser/os/device/version for
+    each family from the construction, so every precedence rule is
+    value-checked."""
+    ev = _t(spark, sf_dir, "events")
+    uid, t = F.col("user_id"), F.col("event_id") % 7
+    ua = (F.when(t == 0, F.concat(
+              F.lit("Mozilla/5.0 (Windows NT 10.0; Win64; x64) "
+                    "AppleWebKit/537.36 (KHTML, like Gecko) Chrome/1"),
+              (uid % 20).cast("string"), F.lit(".0.0.0 Safari/537.36")))
+          .when(t == 1, F.concat(
+              F.lit("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) "
+                    "AppleWebKit/605.1.15 (KHTML, like Gecko) "
+                    "Version/17."),
+              (uid % 10).cast("string"), F.lit(" Safari/605.1.15")))
+          .when(t == 2, F.concat(
+              F.lit("Mozilla/5.0 (X11; Linux x86_64; rv:10"),
+              (uid % 10).cast("string"),
+              F.lit(".0) Gecko/20100101 Firefox/10"),
+              (uid % 10).cast("string"), F.lit(".0")))
+          .when(t == 3, F.concat(
+              F.lit("Mozilla/5.0 (Windows NT 10.0; Win64; x64) "
+                    "AppleWebKit/537.36 (KHTML, like Gecko) "
+                    "Chrome/120.0.0.0 Safari/537.36 Edg/120.0."),
+              (uid % 100).cast("string"), F.lit(".0")))
+          .when(t == 4, F.lit(
+              "Mozilla/5.0 (Linux; Android 14; Pixel 8) "
+              "AppleWebKit/537.36 (KHTML, like Gecko) "
+              "Chrome/121.0.0.0 Mobile Safari/537.36"))
+          .when(t == 5, F.lit(
+              "Mozilla/5.0 (compatible; Googlebot/2.1; "
+              "+http://www.google.com/bot.html)"))
+          .otherwise(F.concat(F.lit("curl/8."),
+                              (uid % 10).cast("string"), F.lit(".0"))))
+    chain = compile_processors([{"user_agent": {"field": "agent"}}])
+    df = chain(ev.select(ua.alias("agent")))
+    return (df.groupBy(F.col("ua_name").alias("name"),
+                       F.col("ua_os_name").alias("os_name"),
+                       F.col("ua_device").alias("device"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count_distinct("ua_version").alias("n_versions")))
+
+
 @query("network_direction", oracle="""
 WITH d AS (
   SELECT CASE WHEN user_id % 2 = 0 AND user_id % 3 = 0 THEN 'internal'

@@ -239,3 +239,60 @@ def test_mime_whatwg_skips_all_leading_whitespace(spark):
     assert got == ["text/html; charset=utf-8",
                    "text/xml; charset=utf-8",
                    "text/html; charset=utf-8"]
+
+
+# ------------------------------------------------------------ user_agent
+
+def test_user_agent_precedence_and_fields(spark):
+    from beats_spark.processors import compile_processors
+    rows = [
+        # Edge UAs carry Chrome/ AND Safari/ — Edg/ must win
+        ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+         "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.5.0",
+         ("Edge", "120.0.5.0", "Windows", "desktop")),
+        # Chrome UAs carry Safari/ — Chrome/ must win over Safari
+        ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 "
+         "(KHTML, like Gecko) Chrome/121.0.0.0 Safari/537.36",
+         ("Chrome", "121.0.0.0", "Linux", "desktop")),
+        # real Safari: Version/ + Safari/
+        ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) "
+         "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.3 "
+         "Safari/605.1.15",
+         ("Safari", "17.3", "macOS", "desktop")),
+        # iPhone says "like Mac OS X" — iOS must win over macOS
+        ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) "
+         "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.0 "
+         "Mobile/15E148 Safari/604.1",
+         ("Safari", "17.0", "iOS", "mobile")),
+        # Android before Linux; Mobile -> mobile
+        ("Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 "
+         "(KHTML, like Gecko) Chrome/121.0.0.0 Mobile Safari/537.36",
+         ("Chrome", "121.0.0.0", "Android", "mobile")),
+        # bots: bot classification beats Mobile
+        ("Mozilla/5.0 (compatible; Googlebot/2.1; "
+         "+http://www.google.com/bot.html)",
+         ("Googlebot", "2.1", "Other", "bot")),
+        ("some-crawler/1.0", ("Other", None, "Other", "bot")),
+        # tools
+        ("curl/8.6.0", ("curl", "8.6.0", "Other", "desktop")),
+        # unknown: Other/NULL, never an error
+        ("totally unknown agent", ("Other", None, "Other", "desktop")),
+    ]
+    df = spark.createDataFrame([(ua,) for ua, _ in rows], "agent string")
+    out = compile_processors([{"user_agent": {"field": "agent"}}])(df)
+    got = {r["agent"]: (r["ua_name"], r["ua_version"], r["ua_os_name"],
+                        r["ua_device"]) for r in out.collect()}
+    for ua, want in rows:
+        assert got[ua] == want, (ua, got[ua], want)
+
+
+def test_user_agent_null_and_codegen(spark):
+    from beats_spark.processors import compile_processors
+    df = spark.createDataFrame([(None,), ("",)], "agent string")
+    out = compile_processors([{"user_agent": {"field": "agent"}}])(df)
+    rows = {r["agent"]: r for r in out.collect()}
+    assert rows[None]["ua_name"] is None
+    assert rows[""]["ua_name"] == "Other"
+    # zero Python in the plan: a pure codegen expression chain
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
