@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "kmv_distinct", "countmin_freq", "bloom_membership",
     "priority_sample", "journald_export", "udp_datagrams",
     "gopher_quality", "warc_extract", "robots_filter", "html_links", "sitemap_urls", "crawl_frontier", "merge_upsert", "warc_ingest",
+    "hll_distinct", "bloom_join_prune", "dedup_jaccard_prefix",
+    "anchor_texts", "useragent_parse",
     "flagship_routed_counts", "flagship_messages",
 ]
 
