@@ -4167,6 +4167,95 @@ def ttl_batch_split_q(spark, sf_dir):
 # sampling (dataops/sketch.py, dataops/sample.py)
 # =====================================================================
 
+@query("corpus_overlap", oracle=r"""
+WITH toks AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                i -> array_to_string(t[i:i+1], ' '))) AS g
+  FROM (SELECT source,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS t
+        FROM documents)),
+seeds AS (SELECT unnest(range(0, 16)) AS i),
+sig AS (
+  SELECT source, i, min(md5(CAST(i AS VARCHAR) || ':' || g)) AS h
+  FROM toks CROSS JOIN seeds GROUP BY 1, 2),
+sz AS (SELECT source, count(*) AS n FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*) AS inter
+  FROM toks a JOIN toks b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2),
+est AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         round(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) / 16.0, 6)
+           AS j_est
+  FROM sig a JOIN sig b ON a.i = b.i AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT e.source_a, e.source_b,
+       round(CAST(coalesce(i.inter, 0) AS DOUBLE)
+             / (x.n + y.n - coalesce(i.inter, 0)), 6) AS j_exact,
+       e.j_est
+FROM est e
+LEFT JOIN inter i ON i.source_a = e.source_a
+                 AND i.source_b = e.source_b
+JOIN sz x ON x.source = e.source_a
+JOIN sz y ON y.source = e.source_b
+""")
+def corpus_overlap_q(spark, sf_dir):
+    """Corpus-level overlap estimation: the word-bigram-vocabulary
+    Jaccard between every source pair, estimated from 16-component
+    MinHash signatures (same ``i:`` seeding as the document-level
+    :func:`minhash_signature`) and compared against the exact value.
+
+    The scale point: comparing two 10^12-doc snapshots exactly means
+    joining their distinct-token sets (the ``inter`` CTE — quadratic
+    in hot tokens); the signature route reduces EACH corpus to 16
+    strings via a partial-combining min aggregation (mergeable, so
+    per-day signatures roll up by min like HLL registers by max),
+    and the pairwise comparison is then O(pairs × 16), data-free.
+    Both the estimate AND its error are deterministic functions of
+    the data, so the oracle checks them bit-for-bit. The exact side
+    is computed here only as the demo comparison."""
+    from .dataops.dedup import shingles
+    docs = _t(spark, sf_dir, "documents")
+    toks = (docs.select("source",
+                        F.explode(shingles(F.col("text"), 2)).alias("g"))
+            .distinct())
+    k = 16
+    sig = toks.groupBy("source").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("g"))))
+          .alias(f"h{i}") for i in range(k)])
+    sz = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sig.select(F.col("source").alias("source_a"),
+                   *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)])
+    b = sig.select(F.col("source").alias("source_b"),
+                   *[F.col(f"h{i}").alias(f"b{i}") for i in range(k)])
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(k))
+    est = (a.join(b, F.col("source_a") < F.col("source_b"))
+           .select("source_a", "source_b",
+                   F.round(matches / float(k), 6).alias("j_est")))
+    ta = toks.select(F.col("source").alias("source_a"), "g")
+    tb = toks.select(F.col("source").alias("source_b"), "g")
+    inter = (ta.join(tb, "g")
+             .filter(F.col("source_a") < F.col("source_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sz.select(F.col("source").alias("source_a"),
+                   F.col("n").alias("n_a"))
+    sb = sz.select(F.col("source").alias("source_b"),
+                   F.col("n").alias("n_b"))
+    return (est.join(inter, ["source_a", "source_b"], "left")
+            .join(sa, "source_a").join(sb, "source_b")
+            .select("source_a", "source_b",
+                    F.round(F.coalesce(F.col("inter"), F.lit(0))
+                            / (F.col("n_a") + F.col("n_b")
+                               - F.coalesce(F.col("inter"), F.lit(0))),
+                            6).alias("j_exact"),
+                    "j_est"))
+
+
 @query("kmv_distinct", oracle="""
 WITH h AS (
   SELECT lang,

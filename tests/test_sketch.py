@@ -427,3 +427,42 @@ def test_bloom_prune_sits_below_the_join_exchange(spark, sf_dir):
     # Filter per word join; the word columns (__wv*) mark those filters
     filt = plan.find("Filter NOT ((coalesce(__wv")
     assert exch != -1 and filt != -1 and exch < filt
+
+
+# -------------------------------------------- corpus-level minhash
+
+def test_corpus_signature_merges_by_min(spark, sf_dir):
+    """Corpus MinHash signatures are mergeable by component-wise min:
+    the signature of a union equals the min-merge of partial
+    signatures — the property that lets per-day sketches roll up
+    without re-reading raw data (same contract as hll_merge)."""
+    from beats_spark.dataops.dedup import shingles
+    docs = _docs(spark, sf_dir)
+    k = 8
+
+    def sig_of(df):
+        toks = (df.select(F.explode(shingles(F.col("text"), 2))
+                          .alias("g")).distinct())
+        row = toks.agg(*[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("g"))))
+            .alias(f"h{i}") for i in range(k)]).collect()[0]
+        return [row[f"h{i}"] for i in range(k)]
+
+    half_a = sig_of(docs.filter(F.col("doc_id") % 2 == 0))
+    half_b = sig_of(docs.filter(F.col("doc_id") % 2 == 1))
+    whole = sig_of(docs)
+    assert [min(x, y) for x, y in zip(half_a, half_b)] == whole
+
+
+def test_corpus_overlap_estimate_brackets_exact(spark, sf_dir):
+    """j_est is an unbiased 16-trial binomial estimate of j_exact:
+    on the 190 fixture pairs the mean absolute error must sit well
+    inside the σ = sqrt(J(1-J)/16) ~ 0.12 band, and both columns
+    stay in [0, 1]."""
+    from beats_spark.queries import QUERIES
+    rows = QUERIES["corpus_overlap"](spark, sf_dir).collect()
+    assert len(rows) == 190
+    errs = [abs(r.j_est - r.j_exact) for r in rows]
+    assert all(0.0 <= r.j_est <= 1.0 and 0.0 <= r.j_exact <= 1.0
+               for r in rows)
+    assert sum(errs) / len(errs) < 0.15
