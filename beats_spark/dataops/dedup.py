@@ -37,7 +37,8 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 __all__ = [
-    "tokens", "shingles", "dedup_exact", "exact_dup_groups",
+    "tokens", "shingles", "containment_pairs", "dedup_exact",
+    "exact_dup_groups",
     "minhash_signature", "minhash_signature_arrow", "minhash_lsh_pairs",
     "ngram_jaccard_pairs", "ngram_jaccard_prefix_pairs", "simhash", "simhash_col", "simhash_pairs",
 ]
@@ -313,6 +314,50 @@ def ngram_jaccard_pairs(
                   (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6)))
     return (j.filter(F.col("jaccard") >= threshold)
              .select("id_a", "id_b", "jaccard"))
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: Optional[int] = None,
+) -> DataFrame:
+    """DIRECTIONAL n-gram containment join: pairs ``(id_a, id_b)``
+    where at least ``threshold`` of A's shingles also appear in B
+    (``C(A→B) = |A∩B| / |A|``), both directions emitted separately.
+
+    Jaccard misses the quotation/inclusion case this exists for: a
+    short doc fully embedded in a long one has high containment but
+    low Jaccard (the union is dominated by the long doc). This is the
+    operator behind "drop pages that are mostly a quote of another
+    page" and train/test contamination checks where the benchmark
+    item is tiny relative to the web page containing it.
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` — the
+    one join is on the shingle, the intersections aggregate on the
+    (ordered) pair — and the same ``max_doc_freq`` stop-shingle
+    cutoff bounds hot-shingle fan-out at scale. Emitted containment
+    is rounded to 6 for cross-engine hashing.
+    """
+    base = _shingle_frame(df, id_col, text_col, n)
+    sizes = base.select("id", F.size("sh").alias("sz"))
+    inv = base.select("id", F.explode("sh").alias("g"))
+    if max_doc_freq is not None:
+        keep = (inv.groupBy("g").count()
+                   .filter(F.col("count") <= max_doc_freq).select("g"))
+        inv = inv.join(keep, "g")
+    a = inv.select(F.col("id").alias("id_a"), "g")
+    b = inv.select(F.col("id").alias("id_b"), "g")
+    inter = (a.join(b, "g").filter(F.col("id_a") != F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    c = F.col("inter") / F.col("sz_a")
+    return (inter.join(sa, "id_a")
+            .filter(c >= threshold)
+            .select("id_a", "id_b", F.round(c, 6).alias("containment")))
 
 
 def ngram_jaccard_prefix_pairs(

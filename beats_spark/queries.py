@@ -950,6 +950,32 @@ def dedup_jaccard_prefix(spark, sf_dir):
     return ngram_jaccard_prefix_pairs(docs, n=3, threshold=0.3)
 
 
+@query("dedup_containment", oracle=f"""
+WITH {_SH_BASE},
+inv AS (SELECT id, unnest(sh) AS g FROM base),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM inv a JOIN inv b ON a.g = b.g AND a.id <> b.id
+  GROUP BY a.id, b.id),
+sz AS (SELECT id, len(sh) AS sz FROM base)
+SELECT id_a, id_b,
+       round(CAST(inter AS DOUBLE) / s.sz, 6) AS containment
+FROM inter JOIN sz s ON s.id = id_a
+WHERE CAST(inter AS DOUBLE) / s.sz >= 0.5
+""")
+def dedup_containment(spark, sf_dir):
+    """Directional n-gram containment join
+    (:func:`beats_spark.dataops.dedup.containment_pairs`):
+    ``C(A→B) = |A∩B|/|A| >= 0.5`` — the quotation/inclusion detector
+    Jaccard cannot express (a short doc fully embedded in a long one
+    has high containment but a union-dominated, low Jaccard). Both
+    directions emitted separately; same inverted-index join shape and
+    stop-shingle fan-out bound as the Jaccard form."""
+    from .dataops.dedup import containment_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(docs, n=3, threshold=0.5)
+
+
 @query("dedup_simhash", oracle="""
 WITH toks AS (
   SELECT doc_id,

@@ -184,3 +184,21 @@ def test_prefix_jaccard_antiskew_on_stop_shingles(spark):
     # and the operator still finds nothing (no true pairs >= 0.5)
     assert ngram_jaccard_prefix_pairs(docs, n=3,
                                       threshold=t).count() == 0
+
+
+def test_containment_catches_embedding_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment 1.0,
+    Jaccard near zero — the case the directional join exists for.
+    Directionality: only the short->long edge crosses the bar."""
+    from beats_spark.dataops.dedup import (
+        containment_pairs, ngram_jaccard_pairs)
+    short = "alpha beta gamma delta epsilon"
+    longd = short + " " + " ".join(f"w{i}" for i in range(100))
+    docs = spark.createDataFrame([(1, short), (2, longd)],
+                                 "doc_id long, text string")
+    c = containment_pairs(docs, n=3, threshold=0.9).collect()
+    assert [(r.id_a, r.id_b, r.containment) for r in c] == [(1, 2, 1.0)]
+    assert ngram_jaccard_pairs(docs, n=3, threshold=0.9).count() == 0
+    # stop-shingle cutoff still bounds fan-out
+    assert containment_pairs(docs, n=3, threshold=0.9,
+                             max_doc_freq=1).count() == 0
