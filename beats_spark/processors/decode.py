@@ -564,3 +564,75 @@ def detect_mime_type(cfg: Mapping[str, Any]):
         return ProcResult(
             assigns={target: col.otherwise(F.lit(None).cast("string"))})
     return make
+
+
+def json_schema_profile(df: DataFrame, field: str = "message",
+                        max_depth: int = 2) -> DataFrame:
+    """Schema profile of a JSON corpus: ``(path, jtype, n)`` — how
+    many documents carry each dotted key path, with the JSON type
+    observed there (``object/array/string/number/boolean/null``).
+    Documents that fail to parse count under the sentinel path
+    ``<invalid>``/``null`` rather than erroring (the corpus is
+    untrusted input; same contract as ``decode_json_fields``'s
+    ``add_error_key``, decode_json_fields.go:99).
+
+    This is the schema-drift monitor for an NDJSON firehose: run per
+    ingest window, diff against yesterday's profile, and a producer
+    that started emitting ``user.id`` as a string lights up as a new
+    (path, jtype) row — before it poisons a typed sink.
+
+    Shape: one Arrow kernel emits (path, jtype) pairs per document —
+    a walk Catalyst cannot express because Spark's JSON built-ins
+    unquote scalars (``get_json_object`` returns ``123`` for both
+    ``123`` and ``"123"``), erasing exactly the distinction this op
+    exists to report. Fan-out is bounded by keys-per-doc × depth; the
+    one exchange aggregates (path, jtype) — bytes of key names, never
+    document content. Depth is capped (default 2) the same way
+    ``decode_json_fields`` caps ``max_depth``.
+    """
+    import json as _json
+
+    from ..dataops.dedup import _spread
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def jtype(v):
+            if v is None:
+                return "null"
+            if isinstance(v, bool):
+                return "boolean"
+            if isinstance(v, (int, float)):
+                return "number"
+            if isinstance(v, str):
+                return "string"
+            if isinstance(v, list):
+                return "array"
+            return "object"
+
+        for pdf in batches:
+            paths, types = [], []
+            for raw in pdf[field]:
+                try:
+                    doc = _json.loads(raw) if raw is not None else None
+                    ok = isinstance(doc, dict)
+                except Exception:
+                    ok = False
+                if not ok:
+                    paths.append("<invalid>")
+                    types.append("null")
+                    continue
+                stack = [("", doc, 0)]
+                while stack:
+                    prefix, obj, depth = stack.pop()
+                    for k, v in obj.items():
+                        p = f"{prefix}.{k}" if prefix else k
+                        paths.append(p)
+                        types.append(jtype(v))
+                        if isinstance(v, dict) and depth + 1 < max_depth:
+                            stack.append((p, v, depth + 1))
+            yield pd.DataFrame({"path": pd.array(paths, dtype="string"),
+                                "jtype": pd.array(types, dtype="string")})
+
+    pairs = _spread(df.select(field)).mapInPandas(
+        walk, schema="path string, jtype string")
+    return pairs.groupBy("path", "jtype").agg(
+        F.count(F.lit(1)).alias("n"))

@@ -231,6 +231,63 @@ def decode_json(spark, sf_dir):
                  F.count(F.lit(1)).alias("n")))
 
 
+@query("json_schema_profile", oracle="""
+WITH n AS (
+  SELECT count(*) AS c,
+         sum(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END) AS m,
+         sum(CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END) AS bad
+  FROM events)
+SELECT path, jtype, CAST(cnt AS BIGINT) AS n FROM (
+  SELECT 'uid' AS path, 'number' AS jtype, c - bad AS cnt FROM n
+  UNION ALL SELECT 'etype', 'string', c - bad FROM n
+  UNION ALL SELECT 'big', 'boolean', c - bad FROM n
+  UNION ALL SELECT 'ids', 'array', c - bad FROM n
+  UNION ALL SELECT 'props', 'object', c - bad FROM n
+  UNION ALL SELECT 'props.v', 'number', c - bad FROM n
+  UNION ALL SELECT 'props.maybe', 'string',
+                   m - sum(CASE WHEN event_id % 5 = 0
+                                AND event_id % 11 = 0
+                           THEN 1 ELSE 0 END) FROM n, events
+            GROUP BY c, m, bad HAVING m > 0
+  UNION ALL SELECT 'props.maybe', 'null',
+                   (c - bad) - (m - sum(CASE WHEN event_id % 5 = 0
+                                             AND event_id % 11 = 0
+                                        THEN 1 ELSE 0 END))
+            FROM n, events GROUP BY c, m, bad
+  UNION ALL SELECT '<invalid>', 'null', bad FROM n WHERE bad > 0
+) WHERE cnt > 0
+""")
+def json_schema_profile_q(spark, sf_dir):
+    """JSON corpus schema profile
+    (:func:`beats_spark.processors.decode.json_schema_profile`): an
+    NDJSON stream synthesized from events — number/string/boolean/
+    array/object/nested fields, a sometimes-null nested key, and a
+    deliberately truncated (invalid) document every 11th event — is
+    profiled into (path, jtype, n) rows. The schema-drift monitor for
+    an untrusted firehose: a producer that changes a field's type
+    shows up as a new (path, jtype) row. The oracle derives every
+    count from the construction, including the string-vs-null split
+    on the optional key and the invalid-document sentinel."""
+    from .processors.decode import json_schema_profile
+    ev = _t(spark, sf_dir, "events")
+    j = F.to_json(
+        F.struct(
+            F.col("user_id").alias("uid"),
+            F.col("event_type").alias("etype"),
+            (F.col("value") > 250).alias("big"),
+            F.array(F.lit(1), F.col("event_id")).alias("ids"),
+            F.struct(
+                F.col("value").alias("v"),
+                F.when(F.col("event_id") % 5 == 0, F.col("event_type"))
+                 .alias("maybe")).alias("props")),
+        {"ignoreNullFields": "false"})
+    # every 11th doc arrives truncated (producer crash mid-write)
+    doc = F.when(F.col("event_id") % 11 == 0,
+                 F.substring(j, 1, 10)).otherwise(j)
+    return json_schema_profile(ev.select(doc.alias("message")),
+                               "message", max_depth=2)
+
+
 @query("rate_limit", oracle="""
 SELECT user_id, count(*) AS kept FROM (
   SELECT user_id,

@@ -232,3 +232,33 @@ def test_rate_limit(events, spark):
     out = t(df)
     # 30 rows over 3 seconds at 10/s → 5 kept per 1s window
     assert out.count() == 15
+
+
+# ------------------------------------------------- json_schema_profile
+
+def test_json_schema_profile_types_drift_and_hostile(spark):
+    from beats_spark.processors.decode import json_schema_profile
+    docs = [
+        '{"a": 1, "b": "x", "c": true, "d": null, "e": [1], '
+        '"f": {"g": 1.5, "h": {"deep": 1}}}',
+        '{"a": "1"}',            # type drift: a flips number -> string
+        'not json at all',
+        None,
+        '[1, 2, 3]',             # valid JSON but not an object
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "message string")
+    got = {(r.path, r.jtype): r.n
+           for r in json_schema_profile(df, "message",
+                                        max_depth=2).collect()}
+    assert got[("a", "number")] == 1 and got[("a", "string")] == 1
+    assert got[("b", "string")] == 1
+    assert got[("c", "boolean")] == 1
+    assert got[("d", "null")] == 1
+    assert got[("e", "array")] == 1
+    assert got[("f", "object")] == 1
+    assert got[("f.g", "number")] == 1
+    # depth cap: f.h is reported as object, f.h.deep is NOT expanded
+    assert got[("f.h", "object")] == 1
+    assert ("f.h.deep", "number") not in got
+    # unparseable / non-object docs count under the sentinel
+    assert got[("<invalid>", "null")] == 3
