@@ -11,6 +11,7 @@ from .pipeline import (
     stream_sessions,
     stream_count_anomalies,
     stream_countmin,
+    stream_hll,
 )
 from .sources import (
     datagram_events,
@@ -29,4 +30,5 @@ __all__ = [
     "stateful_multiline", "stateful_container_partial",
     "stateful_url_dedup", "stream_dedup_against",
     "stream_sessions", "stream_count_anomalies", "stream_countmin",
+    "stream_hll",
 ]

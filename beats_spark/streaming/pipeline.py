@@ -691,3 +691,32 @@ def stream_countmin(
     # bit-identical by construction, not by parallel maintenance
     return countmin_build(stream, key_col, width=width, depth=depth,
                           seed=seed)
+
+
+def stream_hll(
+    stream: DataFrame,
+    value_col: str,
+    p: int = 12,
+    bits: int = 32,
+    by: "str | None" = None,
+    seed: str = "",
+) -> DataFrame:
+    """Streaming HyperLogLog registers: the EXACT batch register frame
+    (:func:`beats_spark.dataops.sketch.hll_registers` — same hash,
+    same buckets) maintained as a native streaming max-aggregation.
+    Run with ``outputMode("update")``/``complete``; evaluate snapshots
+    with :func:`~beats_spark.dataops.sketch.hll_estimate`, unchanged.
+
+    Like :func:`stream_countmin`, the state is bounded FOREVER — at
+    most ``2^p`` rows per group for an unbounded-cardinality value
+    stream, no watermark because nothing grows and max() is
+    insensitive to replay (an at-least-once source re-delivering rows
+    cannot move a register). This is the live "distinct urls today"
+    monitor whose numbers agree bit-for-bit with the offline batch
+    profile over the same rows (asserted in tests)."""
+    from ..dataops.sketch import hll_registers
+    # the batch build IS streaming-safe (map-side bucket/rho projection
+    # → partial-combining max groupBy); delegating keeps the register
+    # frames bit-identical by construction
+    return hll_registers(stream, value_col, p=p, bits=bits, by=by,
+                         seed=seed)

@@ -466,3 +466,46 @@ def test_corpus_overlap_estimate_brackets_exact(spark, sf_dir):
     assert all(0.0 <= r.j_est <= 1.0 and 0.0 <= r.j_exact <= 1.0
                for r in rows)
     assert sum(errs) / len(errs) < 0.15
+
+
+def test_stream_hll_matches_batch_and_is_replay_safe(spark, tmp_path):
+    """After draining any prefix of micro-batches the streaming
+    register frame is bit-identical to the batch build over the same
+    rows; replaying a batch (at-least-once delivery) cannot move any
+    register because max() is idempotent."""
+    from beats_spark.dataops.sketch import hll_registers, hll_estimate
+    from beats_spark.streaming import stream_hll
+
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    b1 = spark.createDataFrame(
+        [(i, f"url{i % 37}") for i in range(60)], "i long, u string")
+    b2 = spark.createDataFrame(
+        [(i, f"url{i % 53}") for i in range(60, 140)], "i long, u string")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    # replay: batch 1 delivered again
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema("i long, u string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    regs = stream_hll(stream, "u", p=5, bits=32, seed="s")
+    q = (regs.writeStream.outputMode("complete")
+         .format("memory").queryName("hll_regs")
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = sorted(map(tuple, spark.sql(
+        "SELECT bucket, reg FROM hll_regs").collect()))
+    # batch over the DEDUPLICATED rows == batch over all rows with the
+    # replay == the streaming result (replay safety)
+    want = sorted(map(tuple, hll_registers(
+        spark.read.parquet(src), "u", p=5, bits=32,
+        seed="s").collect()))
+    no_replay = sorted(map(tuple, hll_registers(
+        b1.unionByName(b2), "u", p=5, bits=32, seed="s").collect()))
+    assert got == want == no_replay and len(got) <= 32
+    est = hll_estimate(spark.sql("SELECT bucket, reg FROM hll_regs"),
+                       p=5, bits=32).collect()[0]
+    # true distinct = |url0..36 ∪ url0..52| = 53; 32 registers, ~4σ
+    assert abs(est.est_distinct - 53) / 53 < 0.75
