@@ -21,7 +21,8 @@ from .dedup import tokens, simhash
 __all__ = [
     "gopher_rules", "repetition_stats_arrow",
     "token_count", "text_stats", "text_stats_arrow", "quality_score",
-    "lang_id_stopword", "lang_id_ngram", "doc_fingerprint",
+    "lang_id_stopword", "lang_id_ngram", "lang_spans",
+    "doc_fingerprint",
     "GOPHER_REQUIRED_WORDS", "STOPWORDS", "LANG_MARKERS",
 ]
 
@@ -494,3 +495,46 @@ def repetition_stats_arrow(text_col: str = "text") -> Column:
             yield _pd.DataFrame([one(t) for t in s], columns=_REP_COLS)
 
     return _rep(F.col(text_col))
+
+
+def lang_spans(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", sep: str = "\n\n",
+               markers: Optional[Mapping[str, Sequence[str]]] = None
+               ) -> DataFrame:
+    """Code-switching segmentation: split each document into
+    paragraphs, language-ID each with the same marker argmax as
+    :func:`lang_id_stopword`, and merge ADJACENT same-language
+    paragraphs into spans — ``(id, span_id, lang, n_paras,
+    pos_start, pos_end)``.
+
+    Why span-level, not doc-level: a page that is 90% English with an
+    embedded German quotation gets lang='en' from the doc-level ID
+    and the quotation silently pollutes an English training corpus;
+    the span view lets curation keep the majority span and drop (or
+    reroute) the switched one. Paragraphs with no marker hits
+    (including empty ones) classify 'und' and form their own spans.
+
+    Scale shape: the split + per-paragraph ID is one codegen
+    projection (posexplode + the single-pass marker aggregate); the
+    only exchange is the per-document window that numbers spans —
+    paragraphs of one doc land in one partition, so span merge never
+    crosses workers. Span numbering is the classic gaps-and-islands
+    running sum over lang-change flags.
+    """
+    from pyspark.sql import Window
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"))
+    classed = paras.select(
+        "id", "pos", lang_id_stopword(F.col("para"), markers)
+        .alias("plang"))
+    w = Window.partitionBy("id").orderBy("pos")
+    prev = F.lag("plang").over(w)
+    chg = (prev.isNull() | (F.col("plang") != prev)).cast("int")
+    sp = classed.withColumn(
+        "span_id", F.sum(chg).over(w).cast("int"))
+    return (sp.groupBy("id", "span_id")
+            .agg(F.min("plang").alias("lang"),
+                 F.count(F.lit(1)).alias("n_paras"),
+                 F.min("pos").cast("int").alias("pos_start"),
+                 F.max("pos").cast("int").alias("pos_end")))

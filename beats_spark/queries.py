@@ -1606,6 +1606,68 @@ def lang_id(spark, sf_dir):
                 .agg(F.count(F.lit(1)).alias("n")))
 
 
+@query("lang_spans", oracle=f"""
+WITH sc AS (
+  SELECT doc_id,
+    len(list_filter({_SH_TOKS},
+        x -> x IN ('der','die','und','das','ist'))) AS sde,
+    len(list_filter({_SH_TOKS},
+        x -> x IN ('the','and','of','to','is'))) AS sen,
+    len(list_filter({_SH_TOKS},
+        x -> x IN ('el','la','los','que','es'))) AS ses,
+    len(list_filter({_SH_TOKS},
+        x -> x IN ('le','la','et','les','est'))) AS sfr
+  FROM documents),
+paras AS (
+  SELECT doc_id, 0 AS pos,
+         CASE WHEN greatest(sde, sen, ses, sfr) = 0 THEN 'und'
+              WHEN sde = greatest(sde, sen, ses, sfr) THEN 'de'
+              WHEN sen = greatest(sde, sen, ses, sfr) THEN 'en'
+              WHEN ses = greatest(sde, sen, ses, sfr) THEN 'es'
+              ELSE 'fr' END AS plang
+  FROM sc
+  UNION ALL SELECT doc_id, 1, 'en' FROM documents
+  UNION ALL SELECT doc_id, 2,
+                   CASE WHEN doc_id % 2 = 0 THEN 'de' ELSE 'fr' END
+            FROM documents),
+chg AS (
+  SELECT doc_id, pos, plang,
+         CASE WHEN lag(plang) OVER w IS NULL
+                OR plang <> lag(plang) OVER w THEN 1 ELSE 0 END AS c
+  FROM paras WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+sp AS (
+  SELECT doc_id, pos, plang,
+         CAST(sum(c) OVER (PARTITION BY doc_id ORDER BY pos) AS INT)
+           AS span_id
+  FROM chg)
+SELECT doc_id AS id, span_id, min(plang) AS lang,
+       count(*) AS n_paras,
+       CAST(min(pos) AS INT) AS pos_start,
+       CAST(max(pos) AS INT) AS pos_end
+FROM sp GROUP BY doc_id, span_id
+""")
+def lang_spans_q(spark, sf_dir):
+    """Code-switching span segmentation
+    (:func:`beats_spark.dataops.textstats.lang_spans`): documents
+    synthesized as three paragraphs — the doc's own text (language
+    per the marker argmax), an English filler, then a German or
+    French filler by parity — segmented into adjacent same-language
+    spans. English first paragraphs MERGE with the filler (span of 2)
+    while others stay separate; zh docs have no markers and open an
+    'und' span. The oracle re-derives the paragraph languages and
+    replays the gaps-and-islands merge."""
+    from .dataops.textstats import lang_spans
+    docs = _t(spark, sf_dir, "documents")
+    third = F.when(F.col("doc_id") % 2 == 0,
+                   F.lit("der und das ist die")) \
+             .otherwise(F.lit("le et les est la"))
+    synth = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit("\n\nthe and of to is\n\n"),
+                 third).alias("text"))
+    return lang_spans(synth, "doc_id", "text")
+
+
 @query("lang_id_fused", oracle=f"""
 WITH s AS (
   SELECT lang, {_SH_TOKS} AS t FROM documents),

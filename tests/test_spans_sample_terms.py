@@ -525,3 +525,34 @@ def test_token_budget_group_guards(spark):
     for r in out:
         per[r.src] = per.get(r.src, 0) + r.n_tok
     assert set(per) == {"g0", "g1"} and all(v <= 5 for v in per.values())
+
+
+# ------------------------------------------------------- lang_spans
+
+def test_lang_spans_merges_adjacent_and_segments_switches(spark):
+    from beats_spark.dataops.textstats import lang_spans
+    docs = spark.createDataFrame([
+        # en, en -> ONE span of 2; then de span; then en again
+        (1, "the and of to is\n\nthe of is\n\nder und das ist\n\n"
+            "the and of"),
+        # no markers anywhere -> single 'und' span covering all paras
+        (2, "zzz qqq\n\nxxx yyy"),
+    ], "doc_id long, text string")
+    got = {(r.id, r.span_id): (r.lang, r.n_paras, r.pos_start, r.pos_end)
+           for r in lang_spans(docs).collect()}
+    assert got[(1, 1)] == ("en", 2, 0, 1)
+    assert got[(1, 2)] == ("de", 1, 2, 2)
+    assert got[(1, 3)] == ("en", 1, 3, 3)
+    assert got[(2, 1)] == ("und", 2, 0, 1)
+
+
+def test_lang_spans_single_window_exchange(spark, sf_dir):
+    """Paragraphs of one doc land in one partition: the split +
+    marker ID is map-side; the plan's only exchanges are the span
+    window and the final span groupBy (which AQE may co-locate)."""
+    from beats_spark.dataops.textstats import lang_spans
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (lang_spans(docs)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert plan.count("Exchange") <= 2
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
