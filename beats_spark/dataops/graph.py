@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_count"]
 
 
 def pagerank(
@@ -108,3 +108,59 @@ def pagerank(
         ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("node").alias(id_col),
                         F.col("rank").alias(rank_col))
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Global triangle count over an undirected view of ``edges``:
+    one row ``(n_nodes, n_edges, n_triangles)``. Self-loops,
+    duplicate edges, and direction are removed up front.
+
+    Triangle density is the other classic link-graph quality signal
+    next to :func:`pagerank` — spam link farms are near-bipartite
+    (few triangles per edge) while organic communities close them.
+
+    Algorithm: the degree-ordered node-iterator (Suri &
+    Vassilvitskii 2011). Every edge is oriented from its lower
+    (degree, id) endpoint to its higher one, wedges are generated at
+    each edge's LOW vertex only, and a wedge closes iff its third
+    edge exists in the canonical edge set. The orientation is the
+    scale insight: a hot vertex with degree d (the "curse of the
+    last reducer" — a celebrity host with 10^6 inlinks would emit
+    10^12 wedges) only generates wedges toward HIGHER-ranked
+    vertices, bounding every adjacency list involved in the
+    self-join at O(sqrt(|E|)). Each triangle is counted exactly
+    once, at its lowest-ranked vertex. Three shuffles total: degree
+    agg, the wedge self-join on the low vertex, the closing-edge
+    semi-join.
+    """
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .filter(F.col("s") != F.col("d")))
+    und = (e.select(F.least("s", "d").alias("a"),
+                    F.greatest("s", "d").alias("b"))
+           .distinct())
+    deg = (und.select(F.col("a").alias("n"))
+           .unionAll(und.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("deg")))
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("degb"))
+    withdeg = und.join(da, "a").join(db, "b")
+    a_first = (F.col("dega") < F.col("degb")) | \
+              ((F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b")))
+    oriented = withdeg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"))
+    w1 = oriented.select("lo", F.col("hi").alias("x"))
+    w2 = oriented.select("lo", F.col("hi").alias("y"))
+    wedges = (w1.join(w2, "lo")
+              .filter(F.col("x") < F.col("y"))
+              .select(F.least("x", "y").alias("a"),
+                      F.greatest("x", "y").alias("b")))
+    tri = wedges.join(und, ["a", "b"], "left_semi")
+    return (und.agg(F.count(F.lit(1)).alias("n_edges"))
+            .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+            .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+            .select("n_nodes", "n_edges", "n_triangles"))

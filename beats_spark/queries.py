@@ -3807,6 +3807,51 @@ FROM r{iters} r JOIN nation n ON n.n_nationkey = r.node""")
     return "".join(parts)
 
 
+@query("graph_triangles", oracle="""
+WITH raw AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM raw WHERE src <> dst),
+nodes AS (SELECT count(DISTINCT n) AS c FROM
+          (SELECT a AS n FROM und UNION ALL SELECT b FROM und)),
+tri AS (
+  SELECT count(*) AS t
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b)
+SELECT CAST(nodes.c AS BIGINT) AS n_nodes,
+       (SELECT count(*) FROM und) AS n_edges,
+       CAST(tri.t AS BIGINT) AS n_triangles
+FROM nodes, tri
+""")
+def graph_triangles(spark, sf_dir):
+    """Triangle counting (:func:`beats_spark.dataops.graph
+    .triangle_count`) over the trade graph — the link-farm detector
+    next to pagerank (spam farms are near-bipartite, organic
+    communities close triangles). Degree-ordered node-iterator: a
+    celebrity host with 10^6 inlinks would emit 10^12 wedges under
+    the naive self-join; orienting every edge toward its higher
+    (degree, id) endpoint bounds each list at O(sqrt(E)) and counts
+    each triangle exactly once at its lowest vertex. The oracle
+    counts by direct ordered 3-way join — algorithm-independent, so
+    it checks the orientation trick's exactness."""
+    from .dataops.graph import triangle_count
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    edges = (cust.join(orders, orders.o_custkey == cust.c_custkey)
+             .join(li, li.l_orderkey == orders.o_orderkey)
+             .join(supp, supp.s_suppkey == li.l_suppkey)
+             .select(F.col("c_nationkey").alias("src"),
+                     F.col("s_nationkey").alias("dst")))
+    return triangle_count(edges)
+
+
 @query("link_pagerank", oracle=_pagerank_oracle(3))
 def link_pagerank(spark, sf_dir):
     """Link-graph authority scoring (:func:`beats_spark.dataops

@@ -476,3 +476,50 @@ class TestReviewRegressions3b:
         edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
         with pytest.raises(ValueError, match="scale"):
             pagerank(edges, scale=0)
+
+
+# ---------------------------------------------------------- triangles
+
+def test_triangle_count_known_graphs(spark):
+    from beats_spark.dataops.graph import triangle_count
+
+    def tc(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return tuple(triangle_count(df).collect()[0])
+
+    assert tc([(1, 2), (2, 3), (3, 1)]) == (3, 3, 1)
+    # K4: every 3-subset closes
+    assert tc([(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]) \
+        == (4, 6, 4)
+    # a 4-ring has no triangles
+    assert tc([(1, 2), (2, 3), (3, 4), (4, 1)]) == (4, 4, 0)
+    # duplicates, reversed direction and self-loops collapse
+    assert tc([(1, 2), (2, 1), (1, 1), (2, 3), (3, 1), (3, 1)]) \
+        == (3, 3, 1)
+
+
+def test_triangle_orientation_bounds_hot_vertex_wedges(spark):
+    """A star center (degree n) generates ZERO wedges under the
+    degree orientation — every star edge points AWAY from the leaves
+    toward the hot center, so the 10^12-wedge celebrity blowup the
+    naive self-join suffers cannot happen."""
+    from pyspark.sql import functions as F
+    from beats_spark.dataops.graph import triangle_count
+    star = [(0, i) for i in range(1, 40)]
+    df = spark.createDataFrame(star, "src long, dst long")
+    assert tuple(triangle_count(df).collect()[0]) == (40, 39, 0)
+    # reconstruct the oriented wedge frame and count rows: must be 0
+    # (each leaf has degree 1 < center's 39, so center has no out-list)
+    e = df.select(F.least("src", "dst").alias("a"),
+                  F.greatest("src", "dst").alias("b")).distinct()
+    deg = (e.select(F.col("a").alias("n"))
+           .unionAll(e.select(F.col("b").alias("n")))
+           .groupBy("n").count())
+    withdeg = (e.join(deg.withColumnRenamed("n", "a")
+                      .withColumnRenamed("count", "da"), "a")
+               .join(deg.withColumnRenamed("n", "b")
+                     .withColumnRenamed("count", "db"), "b"))
+    a_first = (F.col("da") < F.col("db")) | \
+              ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    lo = F.when(a_first, F.col("a")).otherwise(F.col("b"))
+    assert withdeg.filter(lo == 0).count() == 0  # center has no out-list
