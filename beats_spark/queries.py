@@ -3771,6 +3771,35 @@ def inverted_index_q(spark, sf_dir):
             "postings", lambda x: x.cast("string"))).alias("postings"))
 
 
+@query("phrase_search", oracle=r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS t
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         list_filter(range(1, greatest(len(t) - 1, 0) + 1),
+                     i -> t[i] = 'query' AND t[i+1] = 'table') AS hits
+  FROM t)
+SELECT doc_id AS id,
+       CAST(len(hits) AS BIGINT) AS n_matches,
+       CAST(list_min(hits) - 1 AS INT) AS first_pos
+FROM m WHERE len(hits) > 0
+""")
+def phrase_search_q(spark, sf_dir):
+    """Positional-index phrase search
+    (:func:`beats_spark.dataops.terms.phrase_search`): docs whose
+    token stream contains "query table" consecutively, via posting
+    filters + the shift-and-intersect adjacency join — never a LIKE
+    scan of every document byte. The oracle finds the same matches by
+    scanning each token list directly (algorithm-independent), so
+    position arithmetic, overlap counting, and the 0-based first_pos
+    are all value-checked."""
+    from .dataops.terms import phrase_search
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_search(docs, "query table")
+
+
 def _pagerank_oracle(iters: int = 3) -> str:
     """Unrolled fixed-iteration integer PageRank: one CTE per round
     (recursive CTEs disallow the aggregate in the recursive term in

@@ -556,3 +556,25 @@ def test_lang_spans_single_window_exchange(spark, sf_dir):
             .executedPlan().toString())
     assert plan.count("Exchange") <= 2
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# ----------------------------------------------------- phrase_search
+
+def test_phrase_search_overlaps_positions_and_pushdown(spark):
+    from beats_spark.dataops.terms import phrase_search
+    import pytest as _pytest
+    d = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x a a y a a"), (3, "a b a")],
+        "doc_id long, text string")
+    got = sorted(map(tuple, phrase_search(d, "a a").collect()))
+    # doc 1: positions 0,1 (overlapping); doc 2: 1 and 4; doc 3: none
+    assert got == [(1, 2, 0), (2, 2, 1)]
+    three = sorted(map(tuple, phrase_search(d, "a a a").collect()))
+    assert three == [(1, 1, 0)]
+    with _pytest.raises(ValueError, match="empty"):
+        phrase_search(d, "   ")
+    # the term filter reaches the index before any join: no join input
+    # scans unfiltered postings
+    plan = (phrase_search(d, "a b")._jdf.queryExecution()
+            .executedPlan().toString())
+    assert plan.count("Filter") >= 2 and "CartesianProduct" not in plan
