@@ -26,8 +26,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import tokens, _spread
 
-__all__ = ["doc_frequency", "inverted_index", "phrase_search",
-           "tfidf_top_terms"]
+__all__ = ["collocations", "doc_frequency", "inverted_index",
+           "phrase_search", "tfidf_top_terms"]
 
 
 def doc_frequency(
@@ -180,3 +180,51 @@ def phrase_search(
             .groupBy("id")
             .agg(F.count(F.lit(1)).alias("n_matches"),
                  F.min("start").cast("int").alias("first_pos")))
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` bigram collocations by LIFT:
+    ``(w1, w2, n_pair, score_micro)`` where ``score_micro =
+    (n_pair · N · 10^6) div (n_w1 · n_w2)`` — the association ratio
+    ``P(xy)/(P(x)P(y))`` in integer micro-units (PMI without the log:
+    the log is monotone, so the ranking is identical, and ``ln`` is
+    the one piece libm renders differently across engines — integer
+    DIV is exact everywhere, same trick as pagerank's micro-units).
+
+    The collocation table is the classic corpus-exploration /
+    tokenizer-merge-candidate signal (which word pairs behave as
+    units). Shape: bigrams come from zipping each token array with
+    its own tail — map-side, no self-join; then two partial-combining
+    count aggs (stopword-hot keys arrive at reducers pre-combined),
+    one join of bigram counts to the two unigram count sides, and a
+    TakeOrdered readout. ``min_count`` drops the long noise tail
+    before the join.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: t != "")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    bi = (df.select(F.explode(pairs).alias("p"))
+          .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")))
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    uni = (df.select(F.explode(toks).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("n_w")))
+    total = bc.agg(F.sum("n_pair").alias("n_total"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
+    scored = (bc.filter(F.col("n_pair") >= min_count)
+              .join(u1, "w1").join(u2, "w2").crossJoin(total)
+              .select(
+                  "w1", "w2", "n_pair",
+                  F.expr("(n_pair * n_total * 1000000) "
+                         "DIV (n_w1 * n_w2)").alias("score_micro")))
+    return (scored
+            .orderBy(F.col("score_micro").desc(), "w1", "w2")
+            .limit(k))

@@ -3800,6 +3800,39 @@ def phrase_search_q(spark, sf_dir):
     return phrase_search(docs, "query table")
 
 
+@query("collocations", oracle=r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS t
+  FROM documents),
+bi AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM t, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS r(i)),
+bc AS (SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY 1, 2),
+uni AS (
+  SELECT u AS w, count(*) AS n_w
+  FROM (SELECT unnest(t) AS u FROM t) GROUP BY 1),
+tot AS (SELECT sum(n_pair) AS n_total FROM bc)
+SELECT w1, w2, n_pair,
+       (n_pair * n_total * 1000000) // (a.n_w * b.n_w) AS score_micro
+FROM bc JOIN uni a ON a.w = w1 JOIN uni b ON b.w = w2, tot
+WHERE n_pair >= 5
+ORDER BY score_micro DESC, w1, w2 LIMIT 20
+""")
+def collocations_q(spark, sf_dir):
+    """Bigram collocations by integer-micro-unit lift
+    (:func:`beats_spark.dataops.terms.collocations`): PMI's ranking
+    without its log — ``ln`` is the one piece libm renders
+    differently per engine, integer DIV is exact everywhere, so the
+    top-20 table (scores included) hash-matches the oracle. Bigrams
+    come from zipping each token array with its own tail (map-side,
+    no self-join); both count aggs partial-combine, so stopword-hot
+    keys reach reducers pre-combined."""
+    from .dataops.terms import collocations
+    docs = _t(spark, sf_dir, "documents")
+    return collocations(docs, min_count=5, k=20)
+
+
 def _pagerank_oracle(iters: int = 3) -> str:
     """Unrolled fixed-iteration integer PageRank: one CTE per round
     (recursive CTEs disallow the aggregate in the recursive term in

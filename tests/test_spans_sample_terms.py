@@ -578,3 +578,21 @@ def test_phrase_search_overlaps_positions_and_pushdown(spark):
     plan = (phrase_search(d, "a b")._jdf.queryExecution()
             .executedPlan().toString())
     assert plan.count("Filter") >= 2 and "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------ collocations
+
+def test_collocations_lift_ranking_and_exact_scores(spark):
+    from beats_spark.dataops.terms import collocations
+    # "new york" is the only pair of exclusive companions; every
+    # other bigram has at least one high-frequency member diluting it
+    rows = [(i, "the cat sat the cat ran the new york the dog sat")
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = collocations(df, min_count=5, k=5).collect()
+    assert (got[0].w1, got[0].w2) == ("new", "york")
+    # exact integer score: n_pair=6, N=66 bigrams, n_new=n_york=6
+    assert got[0].score_micro == (6 * 66 * 1000000) // (6 * 6)
+    # ranking is a deterministic total order (score, w1, w2)
+    keys = [(-r.score_micro, r.w1, r.w2) for r in got]
+    assert keys == sorted(keys)
