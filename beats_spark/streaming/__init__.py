@@ -12,6 +12,7 @@ from .pipeline import (
     stream_count_anomalies,
     stream_countmin,
     stream_hll,
+    stream_event_join,
 )
 from .sources import (
     datagram_events,
@@ -30,5 +31,5 @@ __all__ = [
     "stateful_multiline", "stateful_container_partial",
     "stateful_url_dedup", "stream_dedup_against",
     "stream_sessions", "stream_count_anomalies", "stream_countmin",
-    "stream_hll",
+    "stream_hll", "stream_event_join",
 ]

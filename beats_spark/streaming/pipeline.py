@@ -720,3 +720,42 @@ def stream_hll(
     # frames bit-identical by construction
     return hll_registers(stream, value_col, p=p, bits=bits, by=by,
                          seed=seed)
+
+
+def stream_event_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    within_seconds: int = 600,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream event-time join: pair each left
+    event with the right-stream events of the same key whose
+    timestamp falls in ``[left_ts, left_ts + within_seconds]`` — the
+    "correlate the request with the errors that followed it on the
+    same host" primitive (the reference leaves correlation to the
+    backend; Structured Streaming can do it in-flight).
+
+    Both sides carry a watermark and the join condition bounds the
+    event-time distance, which is what makes the state FINITE: each
+    side buffers only rows newer than (watermark + within), evicted
+    by event time, for streams of unbounded length. Without the time
+    bound Spark would rightly refuse the join (unbounded state).
+    ``left_ts``/``right_ts`` must be distinct names (the joined frame
+    keeps both). Inner join only: outer stream-stream joins emit
+    nulls at watermark expiry, i.e. results depend on trigger timing,
+    and every operator in this repo is replay-deterministic.
+    """
+    if left_ts == right_ts:
+        raise ValueError("stream_event_join: left_ts and right_ts "
+                         "must be distinct column names")
+    lw = left.withWatermark(left_ts, watermark)
+    rw = (right.withColumnRenamed(key_col, "__rkey")
+          .withWatermark(right_ts, watermark))
+    cond = ((F.col(key_col) == F.col("__rkey"))
+            & (F.col(right_ts) >= F.col(left_ts))
+            & (F.col(right_ts) <= F.col(left_ts)
+               + F.expr(f"INTERVAL {int(within_seconds)} SECONDS")))
+    return lw.join(rw, cond, "inner").drop("__rkey")

@@ -704,3 +704,73 @@ def test_stream_count_anomalies_matches_batch(spark, tmp_path):
             if r.n_prior == -1}
     assert len(got3) == 1
     assert list(got3.values())[0] == (-1, None)
+
+
+def test_stream_event_join_matches_batch(spark, tmp_path):
+    """Cross-micro-batch stream-stream join: requests paired with the
+    errors that followed them within 120s on the same host, equal to
+    the batch join over the same rows even when the pair arrives in
+    different micro-batches."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from beats_spark.streaming import stream_event_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    lsrc, rsrc = str(tmp_path / "req"), str(tmp_path / "err")
+    ck = str(tmp_path / "ck")
+    req1 = spark.createDataFrame(
+        [("h1", ts(0), "r1"), ("h2", ts(10), "r2")],
+        "host string, req_ts timestamp, req string")
+    req2 = spark.createDataFrame(
+        [("h1", ts(500), "r3")],
+        "host string, req_ts timestamp, req string")
+    err1 = spark.createDataFrame(
+        [("h1", ts(60), "e1")],       # pairs with r1 (same batch side)
+        "host string, err_ts timestamp, err string")
+    err2 = spark.createDataFrame(
+        [("h1", ts(115), "e2"),       # pairs with r1 ACROSS batches
+         ("h2", ts(200), "e3"),       # too late for r2 (>120s)
+         ("h1", ts(510), "e4")],      # pairs with r3
+        "host string, err_ts timestamp, err string")
+    req1.coalesce(1).write.mode("append").parquet(lsrc)
+    req2.coalesce(1).write.mode("append").parquet(lsrc)
+    err1.coalesce(1).write.mode("append").parquet(rsrc)
+    err2.coalesce(1).write.mode("append").parquet(rsrc)
+
+    lstream = (spark.readStream
+               .schema("host string, req_ts timestamp, req string")
+               .option("maxFilesPerTrigger", 1).parquet(lsrc))
+    rstream = (spark.readStream
+               .schema("host string, err_ts timestamp, err string")
+               .option("maxFilesPerTrigger", 1).parquet(rsrc))
+    joined = stream_event_join(lstream, rstream, "host",
+                               "req_ts", "err_ts",
+                               within_seconds=120,
+                               watermark="10 minutes")
+    q = (joined.select("host", "req", "err")
+         .writeStream.outputMode("append")
+         .format("memory").queryName("sse_join")
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.sql(
+        "SELECT host, req, err FROM sse_join").collect()))
+    # batch reference over the same rows
+    lb = spark.read.parquet(lsrc)
+    rb = (spark.read.parquet(rsrc)
+          .withColumnRenamed("host", "rhost"))
+    want = sorted(map(tuple, lb.join(
+        rb, (F.col("host") == F.col("rhost"))
+        & (F.col("err_ts") >= F.col("req_ts"))
+        & (F.col("err_ts") <= F.col("req_ts")
+           + F.expr("INTERVAL 120 SECONDS")))
+        .select("host", "req", "err").collect()))
+    assert got == want == [("h1", "r1", "e1"), ("h1", "r1", "e2"),
+                           ("h1", "r3", "e4")]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="distinct"):
+        stream_event_join(lstream, rstream, "host", "ts", "ts")
