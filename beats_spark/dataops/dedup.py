@@ -339,9 +339,11 @@ def containment_pairs(
     one join is on the shingle, the intersections aggregate on the
     (ordered) pair — and the same ``max_doc_freq`` stop-shingle
     cutoff bounds hot-shingle fan-out at scale. Emitted containment
-    is rounded to 6 for cross-engine hashing.
+    is rounded to 6 for cross-engine hashing. The shingle frame is
+    ``localCheckpoint``-ed (three consumers would otherwise re-run
+    the Arrow tokenize pass; same finding as the prefix join).
     """
-    base = _shingle_frame(df, id_col, text_col, n)
+    base = _shingle_frame(df, id_col, text_col, n).localCheckpoint()
     sizes = base.select("id", F.size("sh").alias("sz"))
     inv = base.select("id", F.explode("sh").alias("g"))
     if max_doc_freq is not None:

@@ -139,9 +139,14 @@ def triangle_count(
     """
     e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
          .filter(F.col("s") != F.col("d")))
+    # the canonical edge set feeds FIVE consumers (degrees, both
+    # orientation joins, the closing semi-join, the edge count);
+    # without the barrier the whole upstream edge derivation re-runs
+    # per consumer (measured: 73 Exchanges on the trade-graph demo
+    # without it, 18 with)
     und = (e.select(F.least("s", "d").alias("a"),
                     F.greatest("s", "d").alias("b"))
-           .distinct())
+           .distinct().localCheckpoint())
     deg = (und.select(F.col("a").alias("n"))
            .unionAll(und.select(F.col("b").alias("n")))
            .groupBy("n").agg(F.count(F.lit(1)).alias("deg")))

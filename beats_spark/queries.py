@@ -4471,9 +4471,12 @@ def corpus_overlap_q(spark, sf_dir):
     is computed here only as the demo comparison."""
     from .dataops.dedup import shingles
     docs = _t(spark, sf_dir, "documents")
+    # five consumers (signature agg, sizes, both exact-join sides);
+    # the barrier keeps the scan+explode+distinct from re-running per
+    # consumer (14 -> 10 Exchanges)
     toks = (docs.select("source",
                         F.explode(shingles(F.col("text"), 2)).alias("g"))
-            .distinct())
+            .distinct().localCheckpoint())
     k = 16
     sig = toks.groupBy("source").agg(
         *[F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("g"))))
