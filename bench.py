@@ -71,7 +71,9 @@ BENCH_QUERIES = [
     "priority_sample", "journald_export", "udp_datagrams",
     "gopher_quality", "warc_extract", "robots_filter", "html_links", "sitemap_urls", "crawl_frontier", "merge_upsert", "warc_ingest",
     "hll_distinct", "bloom_join_prune", "dedup_jaccard_prefix",
-    "anchor_texts", "useragent_parse",
+    "anchor_texts", "useragent_parse", "corpus_overlap",
+    "dedup_containment", "json_schema_profile", "lang_spans",
+    "graph_triangles", "phrase_search", "collocations",
     "flagship_routed_counts", "flagship_messages",
 ]
 
