@@ -3814,7 +3814,8 @@ uni AS (
   FROM (SELECT unnest(t) AS u FROM t) GROUP BY 1),
 tot AS (SELECT sum(n_pair) AS n_total FROM bc)
 SELECT w1, w2, n_pair,
-       (n_pair * n_total * 1000000) // (a.n_w * b.n_w) AS score_micro
+       CAST((n_pair * n_total * 1000000) // (a.n_w * b.n_w) AS BIGINT)
+         AS score_micro
 FROM bc JOIN uni a ON a.w = w1 JOIN uni b ON b.w = w2, tot
 WHERE n_pair >= 5
 ORDER BY score_micro DESC, w1, w2 LIMIT 20
