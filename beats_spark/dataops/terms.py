@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .dedup import tokens, _spread
 
 __all__ = ["collocations", "doc_frequency", "inverted_index",
-           "phrase_search", "tfidf_top_terms"]
+           "phrase_search", "sparse_cosine_pairs", "tfidf_top_terms"]
 
 
 def doc_frequency(
@@ -228,3 +228,58 @@ def collocations(
     return (scored
             .orderBy(F.col("score_micro").desc(), "w1", "w2")
             .limit(k))
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_doc_freq: "int | None" = None,
+) -> DataFrame:
+    """Bag-of-words cosine similarity join over the inverted index:
+    pairs ``(id_a, id_b, cosine)`` with ``cosine >= threshold``,
+    computed on raw term-frequency vectors.
+
+    The sparse complement to the dense-embedding
+    :func:`~beats_spark.dataops.similarity.cosine_topk`: no model, no
+    vectors to store — the inverted index IS the similarity
+    structure. Dot products accumulate per shared term
+    (``Σ tf_a·tf_b``, integer-exact); norms are ``sqrt(Σ tf²)`` —
+    and sqrt, unlike ln/exp, is IEEE correctly-rounded, so the
+    cosine is bit-reproducible across engines and the oracle checks
+    the VALUES, not just the pairs.
+
+    Scale shape: one (id, term, tf) aggregation, the term-key
+    self-join (``max_doc_freq`` stop-term cutoff bounds hot-term
+    fan-out exactly as in the Jaccard joins), a pair aggregation, and
+    a map-side norm join. At 10^12 docs the stop-term cutoff is
+    mandatory — 'the' joins everything to everything without it.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: t != "")
+    tf = (df.select(F.col(id_col).alias("id"),
+                    F.explode(toks).alias("term"))
+          .groupBy("id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    if max_doc_freq is not None:
+        keep = (tf.groupBy("term")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") <= max_doc_freq).select("term"))
+        tf = tf.join(keep, "term")
+    norms = (tf.groupBy("id")
+             .agg(F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("nrm")))
+    a = tf.select(F.col("id").alias("id_a"), "term",
+                  F.col("tf").alias("tf_a"))
+    b = tf.select(F.col("id").alias("id_b"), "term",
+                  F.col("tf").alias("tf_b"))
+    dots = (a.join(b, "term")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot")))
+    na = norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (dots.join(na, "id_a").join(nb, "id_b")
+            .filter(cos >= threshold)
+            .select("id_a", "id_b", F.round(cos, 6).alias("cosine")))

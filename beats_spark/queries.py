@@ -3834,6 +3834,38 @@ def collocations_q(spark, sf_dir):
     return collocations(docs, min_count=5, k=20)
 
 
+@query("sparse_cosine", oracle=r"""
+WITH tf AS (
+  SELECT doc_id AS id, u AS term, count(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS u
+        FROM documents)
+  GROUP BY 1, 2),
+norms AS (SELECT id, sqrt(sum(tf * tf)) AS nrm FROM tf GROUP BY 1),
+dots AS (
+  SELECT a.id AS id_a, b.id AS id_b, sum(a.tf * b.tf) AS dot
+  FROM tf a JOIN tf b ON a.term = b.term AND a.id < b.id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(dot / (x.nrm * y.nrm), 6) AS cosine
+FROM dots JOIN norms x ON x.id = id_a JOIN norms y ON y.id = id_b
+WHERE dot / (x.nrm * y.nrm) >= 0.9
+""")
+def sparse_cosine_q(spark, sf_dir):
+    """Bag-of-words cosine join
+    (:func:`beats_spark.dataops.terms.sparse_cosine_pairs`): term-
+    frequency vectors compared through the inverted index — no
+    embeddings, no model; the index IS the similarity structure.
+    Integer dot products; norms via sqrt, which (unlike ln/exp) is
+    IEEE correctly-rounded, so the cosine VALUES hash-match the
+    oracle, not just the pair set. The sparse complement to
+    dedup_embedding/semdedup on the dense side."""
+    from .dataops.terms import sparse_cosine_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return sparse_cosine_pairs(docs, threshold=0.9)
+
+
 def _pagerank_oracle(iters: int = 3) -> str:
     """Unrolled fixed-iteration integer PageRank: one CTE per round
     (recursive CTEs disallow the aggregate in the recursive term in

@@ -596,3 +596,27 @@ def test_collocations_lift_ranking_and_exact_scores(spark):
     # ranking is a deterministic total order (score, w1, w2)
     keys = [(-r.score_micro, r.w1, r.w2) for r in got]
     assert keys == sorted(keys)
+
+
+# ---------------------------------------------------- sparse cosine
+
+def test_sparse_cosine_values_and_stop_term_cutoff(spark):
+    import math
+    from beats_spark.dataops.terms import sparse_cosine_pairs
+    docs = spark.createDataFrame([
+        (1, "a b c"), (2, "a b c"),          # identical -> 1.0
+        (3, "x y z"),                        # orthogonal to 1/2
+        (4, "a a a a b"),                    # skewed tf vs doc 1
+    ], "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.cosine
+           for r in sparse_cosine_pairs(docs, threshold=0.0).collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) not in got and (2, 3) not in got
+    # exact value: dot=4+1=5, |d1|=sqrt(3), |d4|=sqrt(17)
+    assert got[(1, 4)] == round(5 / (math.sqrt(3) * math.sqrt(17)), 6)
+    # stop-term cutoff: 'a' and 'b' are in 3 docs; max_doc_freq=2
+    # removes them, killing the (1,4) pair entirely
+    pruned = {(r.id_a, r.id_b)
+              for r in sparse_cosine_pairs(docs, threshold=0.0,
+                                           max_doc_freq=2).collect()}
+    assert (1, 4) not in pruned and (1, 2) in pruned  # c survives (df=2)
