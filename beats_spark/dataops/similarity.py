@@ -23,7 +23,8 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 __all__ = [
     "dot", "l2_norm", "normalize", "cosine_similarity", "cosine_topk",
     "cosine_topk_blocked", "lsh_signature", "lsh_cosine_topk",
-    "ivf_assign", "ivf_cosine_topk", "kmeans_fit", "semdedup",
+    "ivf_assign", "ivf_cosine_topk", "kmeans_fit", "rrf_fuse",
+    "semdedup",
 ]
 
 
@@ -503,3 +504,48 @@ def semdedup(
                   id_col, "left")
             .withColumn("kept", F.col("__dup").isNull())
             .drop("__dup"))
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    id_col: str = "id",
+    k: int = 60,
+    topn: "int | None" = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists:
+    ``(id, rrf_micro, n_lists)`` with ``rrf_micro = Σ 10^6 DIV
+    (k + rank)`` — the standard way to combine retrieval signals
+    (sparse cosine, dense cosine, a pagerank prior) without score
+    calibration, since RRF reads only RANKS.
+
+    Integer micro-units via DIV keep the fused score bit-exact across
+    engines (the float ``1/(k+r)`` sum is order-dependent); ties in
+    the fused readout break by id. Each input frame must already
+    carry an integer ``rank`` column (1-based; build with a
+    ``row_number`` over a DETERMINISTIC order — value then id — or
+    the fusion inherits nondeterminism). Ids absent from a list
+    contribute nothing for it, the conventional RRF treatment.
+
+    Shape: a union + one partial-combining sum agg — no joins, so
+    fusing S signals over 10^12 candidates is S map passes and one
+    exchange keyed on id.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    if k < 0:
+        raise ValueError(f"rrf_fuse: k must be >= 0, got {k}")
+    parts = []
+    for r in rankings:
+        parts.append(r.select(
+            F.col(id_col).alias("id"),
+            F.expr(f"1000000 DIV ({k} + rank)").cast("long")
+            .alias("__c")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    out = (u.groupBy("id")
+           .agg(F.sum("__c").alias("rrf_micro"),
+                F.count(F.lit(1)).cast("int").alias("n_lists")))
+    if topn is not None:
+        out = out.orderBy(F.col("rrf_micro").desc(), "id").limit(topn)
+    return out

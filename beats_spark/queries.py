@@ -3866,6 +3866,56 @@ def sparse_cosine_q(spark, sf_dir):
     return sparse_cosine_pairs(docs, threshold=0.9)
 
 
+@query("rank_fusion", oracle="""
+WITH r1 AS (SELECT doc_id AS id,
+                   row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                     AS rank
+            FROM documents),
+r2 AS (SELECT doc_id AS id,
+              row_number() OVER (
+                ORDER BY len(string_split(text, ' ')) DESC, doc_id)
+                AS rank
+       FROM documents),
+r3 AS (SELECT doc_id AS id,
+              row_number() OVER (ORDER BY md5(text), doc_id) AS rank
+       FROM documents),
+u AS (
+  SELECT id, 1000000 // (60 + rank) AS c FROM r1
+  UNION ALL SELECT id, 1000000 // (60 + rank) FROM r2
+  UNION ALL SELECT id, 1000000 // (60 + rank) FROM r3)
+SELECT id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+       CAST(count(*) AS INT) AS n_lists
+FROM u GROUP BY id
+ORDER BY rrf_micro DESC, id LIMIT 25
+""")
+def rank_fusion_q(spark, sf_dir):
+    """Reciprocal-rank fusion
+    (:func:`beats_spark.dataops.similarity.rrf_fuse`): three
+    deterministic document rankings — by length, by whitespace token
+    count, and a content-hash prior — fused without score
+    calibration (RRF reads only ranks). Integer micro-unit DIV makes
+    the fused scores bit-exact (a float 1/(k+r) sum is
+    order-dependent); fusion itself is a union + ONE partial-
+    combining sum, no joins, so S signals over 10^12 candidates cost
+    S map passes and one exchange. (The DEMO rankings here use global
+    row_number windows — fine at fixture scale; production rankings
+    arrive as each retriever's top-k readout, which is a TakeOrdered,
+    never a global sort.)"""
+    from .dataops.similarity import rrf_fuse
+    docs = _t(spark, sf_dir, "documents")
+    w1 = Window.orderBy(F.col("n_chars").desc(), "doc_id")
+    w2 = Window.orderBy(
+        F.size(F.split(F.col("text"), " ")).desc(), "doc_id")
+    w3 = Window.orderBy(F.md5("text"), "doc_id")
+    r1 = docs.select(F.col("doc_id").alias("id"),
+                     F.row_number().over(w1).alias("rank"))
+    r2 = docs.select(F.col("doc_id").alias("id"),
+                     F.row_number().over(w2).alias("rank"))
+    r3 = docs.select(F.col("doc_id").alias("id"),
+                     F.row_number().over(w3).alias("rank"))
+    return rrf_fuse([r1, r2, r3], topn=25)
+
+
 def _pagerank_oracle(iters: int = 3) -> str:
     """Unrolled fixed-iteration integer PageRank: one CTE per round
     (recursive CTEs disallow the aggregate in the recursive term in

@@ -225,3 +225,27 @@ def test_semdedup_validation_and_kmeans_composition(spark, sf_dir):
     assert len(rows) == 100
     assert {r["centroid_id"] for r in rows} <= {0, 1, 2}
     assert any(r["kept"] for r in rows)
+
+
+# ------------------------------------------------------------- RRF
+
+def test_rrf_fuse_exact_scores_and_missing_ids(spark):
+    from beats_spark.dataops.similarity import rrf_fuse
+    import pytest as _pytest
+    r1 = spark.createDataFrame([(1, 1), (2, 2), (3, 3)],
+                               "id long, rank int")
+    r2 = spark.createDataFrame([(2, 1), (1, 2)],  # id 3 absent
+                               "id long, rank int")
+    got = {r.id: (r.rrf_micro, r.n_lists)
+           for r in rrf_fuse([r1, r2], k=60).collect()}
+    assert got[1] == (1_000_000 // 61 + 1_000_000 // 62, 2)
+    assert got[2] == (1_000_000 // 62 + 1_000_000 // 61, 2)
+    assert got[3] == (1_000_000 // 63, 1)   # missing contributes 0
+    # fusion plans without joins: one exchange for the sum agg
+    plan = (rrf_fuse([r1, r2])._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Join" not in plan
+    with _pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    with _pytest.raises(ValueError, match="k must"):
+        rrf_fuse([r1], k=-1)
