@@ -344,12 +344,20 @@ def _hll_alpha(m: int) -> float:
     return _HLL_ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
 
 
+def _by_list(by) -> list:
+    if by is None:
+        return []
+    if isinstance(by, str):
+        return [by]
+    return list(by)
+
+
 def hll_registers(
     df: DataFrame,
     value_col: str,
     p: int = 6,
     bits: int = 32,
-    by: Optional[str] = None,
+    by: "str | list | None" = None,
     seed: str = "",
 ) -> DataFrame:
     """HyperLogLog register frame for ``value_col``: one row per
@@ -388,7 +396,7 @@ def hll_registers(
     low = h.bitwiseAND(F.lit((1 << w) - 1))
     rho = (F.when(low == F.lit(0), F.lit(w + 1))
            .otherwise(F.lit(w) - F.length(F.bin(low)) + 1)).cast("int")
-    keys = [by] if by is not None else []
+    keys = _by_list(by)
     sel = df.select(*keys, bucket.alias("bucket"), rho.alias("rho"))
     return (sel.groupBy(*keys, "bucket")
             .agg(F.max("rho").alias("reg")))
@@ -411,7 +419,7 @@ def hll_estimate(
     registers: DataFrame,
     p: int = 6,
     bits: int = 32,
-    by: Optional[str] = None,
+    by: "str | list | None" = None,
 ) -> DataFrame:
     """Evaluate the HLL estimator over a register frame:
     ``(by?, est_distinct, nseen)``.
@@ -433,7 +441,7 @@ def hll_estimate(
     alpha = _hll_alpha(m)
     term = (F.pow(F.lit(2.0), (F.lit(bits) - F.col("reg")).cast("double"))
             .cast("decimal(38,0)"))
-    keys = [by] if by is not None else []
+    keys = _by_list(by)
     agg = registers.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("int").alias("nseen"),
         F.sum(term).alias("__s"))
@@ -450,12 +458,14 @@ def hll_distinct(
     value_col: str,
     p: int = 6,
     bits: int = 32,
-    by: Optional[str] = None,
+    by: "str | list | None" = None,
     seed: str = "",
 ) -> DataFrame:
     """Distinct-count estimate of ``value_col`` (per ``by`` when
-    given) via HyperLogLog: :func:`hll_registers` →
-    :func:`hll_estimate`. Returns ``(by?, est_distinct, nseen)``."""
+    given — a column name or a LIST of them, e.g. (key, time window)
+    for the "distinct users per hour" production shape) via
+    HyperLogLog: :func:`hll_registers` → :func:`hll_estimate`.
+    Returns ``(by..., est_distinct, nseen)``."""
     return hll_estimate(
         hll_registers(df, value_col, p=p, bits=bits, by=by, seed=seed),
         p=p, bits=bits, by=by)

@@ -4839,6 +4839,61 @@ def bloom_join_prune_q(spark, sf_dir):
                   .cast("long") / 100.0).alias("total_value")))
 
 
+@query("hll_windowed", oracle="""
+WITH keyed AS (
+  SELECT event_type,
+         CAST(to_timestamp((epoch(ts)::BIGINT // 21600) * 21600)
+              AS TIMESTAMP) AS wstart,
+         user_id
+  FROM events),
+h AS (
+  SELECT event_type, wstart,
+         (CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)||'#hw1'),
+                             1,15)) AS BIGINT) >> 28) AS h32
+  FROM keyed),
+r AS (
+  SELECT event_type, wstart, h32 >> 26 AS bucket,
+         CASE WHEN (h32 & 67108863) = 0 THEN 27
+              ELSE 26 - length(bin(h32 & 67108863)) + 1 END AS rho
+  FROM h),
+regs AS (SELECT event_type, wstart, bucket, max(rho) AS reg
+         FROM r GROUP BY 1, 2, 3),
+a AS (SELECT event_type, wstart, CAST(count(*) AS INT) AS nseen,
+             sum(CAST(power(2.0, 32 - reg) AS BIGINT)) AS s
+      FROM regs GROUP BY 1, 2),
+t AS (SELECT event_type, wstart,
+             count(DISTINCT user_id) AS true_distinct
+      FROM keyed GROUP BY 1, 2)
+SELECT t.event_type, t.wstart, t.true_distinct,
+       round(0.709 * 64 * 64 * power(2.0, 32)
+             / CAST(s + (64 - nseen)
+                    * CAST(power(2.0, 32) AS BIGINT) AS DOUBLE), 2)
+         AS est_distinct,
+       nseen
+FROM t JOIN a USING (event_type, wstart)
+""")
+def hll_windowed_q(spark, sf_dir):
+    """Windowed HLL — "distinct users per 6-hour window per type",
+    the production shape of the distinct-count sketch: ``by`` is the
+    (key, tumbling window) composite, so register state is 2^p ints
+    PER WINDOW and windows roll up by max if later re-bucketed
+    (hll_merge). Same exact-integer estimator as ``hll_distinct``,
+    so the per-window estimates hash-match the oracle."""
+    from .dataops.sketch import hll_distinct
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_type",
+        F.window("ts", "6 hours")["start"].alias("wstart"),
+        "user_id")
+    est = hll_distinct(keyed, "user_id", p=6, bits=32,
+                       by=["event_type", "wstart"], seed="hw1")
+    true = (keyed.groupBy("event_type", "wstart")
+            .agg(F.count_distinct("user_id").alias("true_distinct")))
+    return (true.join(est, ["event_type", "wstart"])
+            .select("event_type", "wstart", "true_distinct",
+                    "est_distinct", "nseen"))
+
+
 @query("priority_sample", oracle="""
 WITH s AS (
   SELECT lang, doc_id, n_chars,

@@ -509,3 +509,24 @@ def test_stream_hll_matches_batch_and_is_replay_safe(spark, tmp_path):
                        p=5, bits=32).collect()[0]
     # true distinct = |url0..36 ∪ url0..52| = 53; 32 registers, ~4σ
     assert abs(est.est_distinct - 53) / 53 < 0.75
+
+
+def test_hll_composite_by_matches_single_key_slices(spark, sf_dir):
+    """A composite (key, window) grouping gives the same registers as
+    running the single-key sketch inside each window slice."""
+    from beats_spark.dataops.sketch import hll_registers
+    ev = _events(spark, sf_dir)
+    keyed = ev.select(
+        "event_type",
+        F.window("ts", "6 hours")["start"].alias("w"), "user_id")
+    combined = {(r.event_type, r.w, r.bucket): r.reg
+                for r in hll_registers(keyed, "user_id", p=5,
+                                       by=["event_type", "w"],
+                                       seed="x").collect()}
+    one_w = keyed.select("w").distinct().limit(1).collect()[0].w
+    sliced = {(r.event_type, one_w, r.bucket): r.reg
+              for r in hll_registers(
+                  keyed.filter(F.col("w") == one_w), "user_id",
+                  p=5, by="event_type", seed="x").collect()}
+    for k, v in sliced.items():
+        assert combined[k] == v
