@@ -53,7 +53,8 @@ from .dedup import _spread
 
 __all__ = [
     "bloom_build", "bloom_probe", "countmin_build", "countmin_estimate",
-    "h60", "hll_distinct", "hll_estimate", "hll_merge", "hll_registers",
+    "h60", "hdr_histogram", "hdr_percentiles",
+    "hll_distinct", "hll_estimate", "hll_merge", "hll_registers",
     "kmv_distinct",
 ]
 
@@ -469,3 +470,88 @@ def hll_distinct(
     return hll_estimate(
         hll_registers(df, value_col, p=p, bits=bits, by=by, seed=seed),
         p=p, bits=bits, by=by)
+
+
+# ---------------------------------------------------------------------
+# Power-of-two histogram (HDR-lite) for latency-style percentiles
+# ---------------------------------------------------------------------
+
+def hdr_histogram(
+    df: DataFrame,
+    value_col: str,
+    by: "str | list | None" = None,
+    unit_scale: int = 1000,
+) -> DataFrame:
+    """Power-of-two histogram over non-negative values:
+    ``(by..., bucket, cnt)`` where bucket ``b`` covers the integer
+    micro-unit range ``[2^(b-1), 2^b - 1]`` (bucket 0 = exactly 0).
+
+    The mergeable percentile sketch with DETERMINISTIC answers —
+    unlike ``approx_percentile``, whose sketch is engine- and
+    merge-order-specific, the bucket of a value is a pure function of
+    the value (``length(bin(v))``, the same portable trick as the HLL
+    rho), so histograms from two engines or two days merge by plain
+    SUM and agree bit-for-bit. Relative error is bounded by the
+    bucket width: ≤ 2× (one binary order), the classic HDR-histogram
+    trade. State is ≤ ~64 rows per group forever.
+
+    Values are scaled by ``unit_scale`` and rounded to integers
+    map-side; negatives fail loud (a latency histogram that silently
+    buckets negatives is hiding a clock bug).
+    """
+    v = F.round(F.col(value_col) * unit_scale).cast("long")
+    guard = F.assert_true(
+        v >= 0, F.lit(f"hdr_histogram: negative {value_col} "
+                      "(fix the clock or filter first)"))
+    v = F.when(guard.isNull(), v)
+    bucket = (F.when(v == 0, F.lit(0))
+              .otherwise(F.length(F.bin(v)))).cast("int")
+    keys = _by_list(by)
+    return (df.select(*keys, bucket.alias("bucket"))
+            .groupBy(*keys, "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def hdr_percentiles(
+    hist: DataFrame,
+    quantiles: "list[float]",
+    by: "str | list | None" = None,
+) -> DataFrame:
+    """Percentile UPPER BOUNDS from an :func:`hdr_histogram` frame:
+    ``(by..., q_pct, upper_micro, n)`` — for each quantile q, the
+    smallest bucket whose cumulative count reaches ``ceil(q·N)``,
+    reported as the bucket's inclusive upper edge ``2^b − 1`` in
+    micro-units (0 for bucket 0). Pure integer arithmetic end to end,
+    so the readout is oracle-exact; the true percentile lies within
+    one binary order below the bound.
+
+    Shape: one window cumsum per group over ≤ ~64 bucket rows + a
+    map-side quantile explode — the heavy data never participates;
+    only the tiny histogram does.
+    """
+    from pyspark.sql import Window
+    if not quantiles:
+        raise ValueError("hdr_percentiles: need at least one quantile")
+    for q in quantiles:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"hdr_percentiles: q must be in (0,1], "
+                             f"got {q}")
+    keys = _by_list(by)
+    w = (Window.partitionBy(*keys).orderBy("bucket")
+         if keys else Window.orderBy("bucket"))
+    cum = (hist.withColumn("cum", F.sum("cnt").over(w))
+           .withColumn("n", F.sum("cnt").over(
+               Window.partitionBy(*keys) if keys
+               else Window.partitionBy()))
+           .withColumn("q_pct", F.explode(F.array(
+               *[F.lit(int(round(q * 100))) for q in quantiles]))))
+    # rank = ceil(q*N) in integer arithmetic: (q_pct*N + 99) DIV 100
+    need = F.expr("(q_pct * n + 99) DIV 100")
+    hit = cum.filter(F.col("cum") >= need)
+    upper = (F.when(F.col("bucket") == 0, F.lit(0))
+             .otherwise(F.pow(F.lit(2.0), F.col("bucket")
+                              .cast("double")).cast("long") - 1))
+    agg_keys = keys + ["q_pct"]
+    return (hit.groupBy(*agg_keys)
+            .agg(F.min(upper).alias("upper_micro"),
+                 F.min("n").alias("n")))

@@ -4894,6 +4894,47 @@ def hll_windowed_q(spark, sf_dir):
                     "est_distinct", "nseen"))
 
 
+@query("latency_histogram", oracle="""
+WITH v AS (SELECT event_type,
+                  CAST(round(value * 1000) AS BIGINT) AS v
+           FROM events),
+h AS (SELECT event_type,
+             CASE WHEN v = 0 THEN 0 ELSE length(bin(v)) END AS bucket,
+             count(*) AS cnt
+      FROM v GROUP BY 1, 2),
+c AS (SELECT event_type, bucket,
+             sum(cnt) OVER (PARTITION BY event_type
+                            ORDER BY bucket) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM h),
+q AS (SELECT unnest([50, 90, 99]) AS q_pct),
+hit AS (SELECT event_type, q_pct, bucket, n
+        FROM c, q WHERE cum >= (q_pct * n + 99) // 100)
+SELECT event_type, CAST(q_pct AS INT) AS q_pct,
+       min(CASE WHEN bucket = 0 THEN 0
+                ELSE CAST(power(2.0, bucket) AS BIGINT) - 1 END)
+         AS upper_micro,
+       CAST(min(n) AS BIGINT) AS n
+FROM hit GROUP BY 1, 2
+""")
+def latency_histogram_q(spark, sf_dir):
+    """Power-of-two histogram percentiles
+    (:func:`beats_spark.dataops.sketch.hdr_histogram` /
+    ``hdr_percentiles``): p50/p90/p99 upper bounds per event_type —
+    the DETERMINISTIC alternative to approx_percentile, whose sketch
+    is engine- and merge-order-specific and therefore can never be
+    oracle-checked. A value's bucket is a pure function of the value
+    (length(bin(v)), the HLL-rho trick), so per-day histograms merge
+    by plain SUM and two engines agree bit-for-bit; error bounded at
+    one binary order. The heavy pass is one bounded agg (≤ ~64 rows
+    per group forever); percentiles read the tiny histogram only."""
+    from .dataops.sketch import hdr_histogram, hdr_percentiles
+    ev = _t(spark, sf_dir, "events")
+    hist = hdr_histogram(ev, "value", by="event_type",
+                         unit_scale=1000)
+    return hdr_percentiles(hist, [0.5, 0.9, 0.99], by="event_type")
+
+
 @query("priority_sample", oracle="""
 WITH s AS (
   SELECT lang, doc_id, n_chars,

@@ -530,3 +530,40 @@ def test_hll_composite_by_matches_single_key_slices(spark, sf_dir):
                   p=5, by="event_type", seed="x").collect()}
     for k, v in sliced.items():
         assert combined[k] == v
+
+
+# ---------------------------------------------------- HDR histogram
+
+def test_hdr_histogram_buckets_merge_and_percentiles(spark):
+    from beats_spark.dataops.sketch import hdr_histogram, hdr_percentiles
+    # values in micro-units after scale 1: 0, 1, 2, 3, 4..7, 8..15
+    rows = [(0.0,), (1.0,), (2.0,), (3.0,), (5.0,), (12.0,)]
+    df = spark.createDataFrame(rows, "v double")
+    hist = {r.bucket: r.cnt
+            for r in hdr_histogram(df, "v", unit_scale=1).collect()}
+    assert hist == {0: 1, 1: 1, 2: 2, 3: 1, 4: 1}
+    # merge = plain SUM: two halves sum to the whole
+    a = hdr_histogram(df.limit(3), "v", unit_scale=1)
+    b = hdr_histogram(df.subtract(df.limit(3)), "v", unit_scale=1)
+    merged = {r.bucket: r.cnt
+              for r in a.unionByName(b).groupBy("bucket")
+              .agg(F.sum("cnt").alias("cnt")).collect()}
+    assert merged == hist
+    # p50 of 6 values -> rank 3 -> bucket 2 (values 2,3) -> upper 3
+    pct = {r.q_pct: r.upper_micro
+           for r in hdr_percentiles(
+               hdr_histogram(df, "v", unit_scale=1),
+               [0.5, 0.99]).collect()}
+    assert pct[50] == 3
+    assert pct[99] == 15  # rank 6 -> bucket 4 -> upper 2^4-1
+
+
+def test_hdr_histogram_negative_fails_loud(spark):
+    from beats_spark.dataops.sketch import hdr_histogram, hdr_percentiles
+    df = spark.createDataFrame([(1.0,), (-2.0,)], "v double")
+    with pytest.raises(Exception, match="negative"):
+        hdr_histogram(df, "v").collect()
+    with pytest.raises(ValueError, match="quantile"):
+        hdr_percentiles(hdr_histogram(df.limit(1), "v"), [])
+    with pytest.raises(ValueError, match="q must"):
+        hdr_percentiles(hdr_histogram(df.limit(1), "v"), [1.5])
