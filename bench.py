@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "anchor_texts", "useragent_parse", "corpus_overlap",
     "dedup_containment", "json_schema_profile", "lang_spans",
     "graph_triangles", "phrase_search", "collocations",
+    "sparse_cosine", "rank_fusion", "hll_windowed", "latency_histogram",
     "flagship_routed_counts", "flagship_messages",
 ]
 
