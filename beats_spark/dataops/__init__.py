@@ -72,7 +72,8 @@ from .scrub import (
     scrub, scrub_pii,
 )
 from .events import (
-    asof_join, funnel_steps, percentile_rollup, retention_cohorts,
+    asof_join, event_transitions, funnel_steps, percentile_rollup,
+    retention_cohorts,
     scd2_join, session_rollup, sessionize,
 )
 from .graph import pagerank
@@ -114,7 +115,8 @@ __all__ = [
     "kmv_distinct", "gopher_rules",
     "corpus_shuffle",
     "doc_frequency", "inverted_index", "tfidf_top_terms",
-    "asof_join", "funnel_steps", "percentile_rollup",
+    "asof_join", "event_transitions", "funnel_steps",
+    "percentile_rollup",
     "retention_cohorts", "scd2_join", "session_rollup", "sessionize",
     "pagerank", "merge_upsert",
     "compile_robots_pattern", "parse_robots", "parse_robots_txt",

@@ -364,3 +364,43 @@ def percentile_rollup(
                              round_to).alias(name))
     return (df.groupBy(group_col)
               .agg(F.count(F.lit(1)).alias("n"), *pcols))
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """First-order transition table of each key's event stream:
+    ``(prev_type, next_type, n, p_micro)`` where ``p_micro =
+    n · 10^6 DIV Σ_next n`` — the empirical Markov matrix behind
+    click-path mining, "what usually follows an error on this host",
+    and bot detection (bots have unnaturally peaked rows).
+
+    Ordering within a key is (ts, tiebreak) — a bare ts order would
+    make the lead() nondeterministic under equal timestamps, which
+    happens constantly in batchy log ingest. Last event of a key has
+    no successor and contributes nothing. Probabilities are integer
+    micro-units (DIV), so rows hash-match any engine.
+
+    Shape: one window exchange keyed on ``key_col`` (each key's
+    stream co-locates), then one partial-combining pair count and a
+    broadcast-sized row-total join. The window state is a single
+    lead(), not a buffer.
+    """
+    from pyspark.sql import Window
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.col(ts_col), F.col(order_tiebreak)))
+    pairs = (df.select(
+        F.col(type_col).alias("prev_type"),
+        F.lead(type_col).over(w).alias("next_type"))
+        .filter(F.col("next_type").isNotNull()))
+    counts = (pairs.groupBy("prev_type", "next_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    totals = counts.groupBy("prev_type").agg(
+        F.sum("n").alias("__tot"))
+    return (counts.join(F.broadcast(totals), "prev_type")
+            .select("prev_type", "next_type", "n",
+                    F.expr("n * 1000000 DIV __tot").alias("p_micro")))

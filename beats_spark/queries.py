@@ -4023,6 +4023,34 @@ def link_pagerank(spark, sf_dir):
               .select(F.col("n_name").alias("nation"), "rank_micro"))
 
 
+@query("event_transitions", oracle="""
+WITH p AS (
+  SELECT event_type AS prev_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events),
+c AS (SELECT prev_type, next_type, count(*) AS n
+      FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT prev_type, sum(n) AS tot FROM c GROUP BY 1)
+SELECT prev_type, next_type, n,
+       CAST(n * 1000000 // tot AS BIGINT) AS p_micro
+FROM c JOIN t USING (prev_type)
+""")
+def event_transitions_q(spark, sf_dir):
+    """First-order transition matrix
+    (:func:`beats_spark.dataops.events.event_transitions`): what
+    follows what in each user's event stream — click-path mining /
+    "what usually follows an error" / bot detection (bots have
+    unnaturally peaked rows). Ordering is (ts, event_id): a bare ts
+    order would make lead() nondeterministic under the equal
+    timestamps batchy ingest produces constantly. Probabilities in
+    integer micro-units so rows hash-match the oracle. One window
+    exchange on user_id, one partial-combining pair count."""
+    from .dataops.events import event_transitions
+    ev = _t(spark, sf_dir, "events")
+    return event_transitions(ev)
+
+
 @query("funnel_steps", oracle="""
 WITH b AS (SELECT user_id, event_type, epoch_us(ts) AS us
            FROM events),

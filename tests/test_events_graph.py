@@ -523,3 +523,38 @@ def test_triangle_orientation_bounds_hot_vertex_wedges(spark):
               ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
     lo = F.when(a_first, F.col("a")).otherwise(F.col("b"))
     assert withdeg.filter(lo == 0).count() == 0  # center has no out-list
+
+
+# ----------------------------------------------------- transitions
+
+def test_event_transitions_hand_case_and_tiebreak(spark):
+    import datetime as dt
+    from beats_spark.dataops.events import event_transitions
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        (1, ts(0), 10, "a"), (1, ts(1), 11, "b"), (1, ts(2), 12, "a"),
+        # equal timestamps: event_id tie-break decides the order
+        (2, ts(0), 20, "a"), (2, ts(0), 21, "b"),
+        (3, ts(5), 30, "c"),  # lone event: no successor, no row
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, "
+              "event_type string")
+    got = {(r.prev_type, r.next_type): (r.n, r.p_micro)
+           for r in event_transitions(df).collect()}
+    # from 'a': a->b twice (u1 then u2), no a->a
+    assert got[("a", "b")] == (2, 1_000_000)
+    assert got[("b", "a")] == (1, 1_000_000)
+    assert ("c", None) not in got and len(got) == 2
+    # flipping the tie-break ids flips the equal-ts transition
+    rows2 = [(2, ts(0), 21, "a"), (2, ts(0), 20, "b")]
+    df2 = spark.createDataFrame(
+        rows2, "user_id long, ts timestamp, event_id long, "
+               "event_type string")
+    got2 = {(r.prev_type, r.next_type)
+            for r in event_transitions(df2).collect()}
+    assert got2 == {("b", "a")}
