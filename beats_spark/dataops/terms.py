@@ -236,10 +236,12 @@ def sparse_cosine_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     max_doc_freq: "int | None" = None,
+    ngram: int = 1,
 ) -> DataFrame:
     """Bag-of-words cosine similarity join over the inverted index:
     pairs ``(id_a, id_b, cosine)`` with ``cosine >= threshold``,
-    computed on raw term-frequency vectors.
+    computed on raw term-frequency vectors (``ngram`` > 1 switches
+    the terms to word-n-grams).
 
     The sparse complement to the dense-embedding
     :func:`~beats_spark.dataops.similarity.cosine_topk`: no model, no
@@ -250,16 +252,26 @@ def sparse_cosine_pairs(
     cosine is bit-reproducible across engines and the oracle checks
     the VALUES, not just the pairs.
 
-    Scale shape: one (id, term, tf) aggregation, the term-key
-    self-join (``max_doc_freq`` stop-term cutoff bounds hot-term
-    fan-out exactly as in the Jaccard joins), a pair aggregation, and
-    a map-side norm join. At 10^12 docs the stop-term cutoff is
-    mandatory — 'the' joins everything to everything without it.
+    Scale shape: one (id, term, tf) aggregation (term keys are
+    xxhash64 longs — identity is all the math reads, and 8-byte keys
+    beat multi-word gram strings through every exchange; same trick
+    as ngram_duplicate_stats), barrier'd against its four consumers,
+    then the term-key self-join, a pair aggregation, and a map-side
+    norm join. THE JOIN KEY MUST BE SPARSE: with unigram terms,
+    'the' joins everything to everything — measured 129 s at sf0.1
+    on a small-vocabulary corpus vs ~6 s with ``ngram=3``. Use
+    ``ngram`` > 1 (df per term drops geometrically, the same reason
+    every dedup join here shingles first) and/or ``max_doc_freq``.
     """
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
-                    lambda t: t != "")
+    if ngram < 1:
+        raise ValueError(f"sparse_cosine_pairs: ngram must be >= 1, "
+                         f"got {ngram}")
+    from .spans import doc_ngrams
+    terms = (doc_ngrams(F.col(text_col), ngram) if ngram > 1
+             else tokens(F.col(text_col)))
     tf = (df.select(F.col(id_col).alias("id"),
-                    F.explode(toks).alias("term"))
+                    F.explode(terms).alias("__t"))
+          .select("id", F.xxhash64("__t").alias("term"))
           .groupBy("id", "term")
           .agg(F.count(F.lit(1)).alias("tf")))
     if max_doc_freq is not None:
@@ -267,6 +279,8 @@ def sparse_cosine_pairs(
                 .agg(F.count(F.lit(1)).alias("df"))
                 .filter(F.col("df") <= max_doc_freq).select("term"))
         tf = tf.join(keep, "term")
+    # four consumers (norms, both join sides, the df filter when set)
+    tf = tf.localCheckpoint()
     norms = (tf.groupBy("id")
              .agg(F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("nrm")))
     a = tf.select(F.col("id").alias("id_a"), "term",

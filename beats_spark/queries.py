@@ -3838,9 +3838,13 @@ def collocations_q(spark, sf_dir):
 WITH tf AS (
   SELECT doc_id AS id, u AS term, count(*) AS tf
   FROM (SELECT doc_id,
-               unnest(list_filter(string_split_regex(lower(text), '\s+'),
-                                  x -> x <> '')) AS u
-        FROM documents)
+               unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                      i -> array_to_string(t[i:i+2], ' '))) AS u
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents)
+        WHERE len(t) >= 3)
   GROUP BY 1, 2),
 norms AS (SELECT id, sqrt(sum(tf * tf)) AS nrm FROM tf GROUP BY 1),
 dots AS (
@@ -3850,20 +3854,23 @@ dots AS (
 SELECT id_a, id_b,
        round(dot / (x.nrm * y.nrm), 6) AS cosine
 FROM dots JOIN norms x ON x.id = id_a JOIN norms y ON y.id = id_b
-WHERE dot / (x.nrm * y.nrm) >= 0.9
+WHERE dot / (x.nrm * y.nrm) >= 0.3
 """)
 def sparse_cosine_q(spark, sf_dir):
     """Bag-of-words cosine join
-    (:func:`beats_spark.dataops.terms.sparse_cosine_pairs`): term-
-    frequency vectors compared through the inverted index — no
+    (:func:`beats_spark.dataops.terms.sparse_cosine_pairs`): 3-gram
+    term-frequency vectors compared through the inverted index — no
     embeddings, no model; the index IS the similarity structure.
     Integer dot products; norms via sqrt, which (unlike ln/exp) is
     IEEE correctly-rounded, so the cosine VALUES hash-match the
-    oracle, not just the pair set. The sparse complement to
-    dedup_embedding/semdedup on the dense side."""
+    oracle, not just the pair set. N-GRAM terms are what make the
+    self-join tractable: unigram terms on a small-vocabulary corpus
+    measured 129 s at sf0.1 ('the' joins everything to everything);
+    3-grams read ~6 s with identical operator code. The sparse
+    complement to dedup_embedding/semdedup on the dense side."""
     from .dataops.terms import sparse_cosine_pairs
     docs = _t(spark, sf_dir, "documents")
-    return sparse_cosine_pairs(docs, threshold=0.9)
+    return sparse_cosine_pairs(docs, threshold=0.3, ngram=3)
 
 
 @query("rank_fusion", oracle="""

@@ -610,6 +610,10 @@ def test_sparse_cosine_values_and_stop_term_cutoff(spark):
     ], "doc_id long, text string")
     got = {(r.id_a, r.id_b): r.cosine
            for r in sparse_cosine_pairs(docs, threshold=0.0).collect()}
+    # ngram guard
+    import pytest as _pt
+    with _pt.raises(ValueError, match="ngram"):
+        sparse_cosine_pairs(docs, ngram=0)
     assert got[(1, 2)] == 1.0
     assert (1, 3) not in got and (2, 3) not in got
     # exact value: dot=4+1=5, |d1|=sqrt(3), |d4|=sqrt(17)
