@@ -1,0 +1,145 @@
+"""Declarative data-quality constraints over a DataFrame — the
+Deequ-shaped verification layer (Schelter et al., VLDB 2018: "Automating
+large-scale data quality verification") a 10^12-row ingest runs before
+publishing a snapshot.
+
+Design rule: every SCALAR constraint (completeness, range, set
+membership, pattern, non-negativity, mean bounds) compiles into
+aggregates of ONE pass — a single partial-combining aggregation over
+the data, however many constraints are declared. N constraints as N
+separate `df.filter(...).count()` jobs is the anti-pattern this module
+exists to prevent: at 100 TB each extra pass is an extra full scan.
+Only uniqueness genuinely needs its own shuffle (a distinct-count per
+key column), and it shares ONE additional aggregation for all declared
+uniqueness constraints.
+
+Metrics are integer micro-units (``satisfied · 10^6 DIV n``) so every
+verdict row is bit-reproducible in any engine — the same exactness
+discipline as the rest of the catalog (no float ratios whose sum order
+could differ).
+
+Reference scope: Beats has no batch-constraint surface (its per-event
+analog is the condition language, `conditions.py`); this serves the
+north_star's publish-gate: refuse to swap a snapshot whose quality
+metrics regressed.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Mapping, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["check_constraints"]
+
+
+def _scalar_check(spec: Mapping[str, Any]) -> Tuple[str, Column, int]:
+    """One scalar constraint → (name, satisfied-predicate, min_micro).
+
+    The predicate counts a row as satisfied; the constraint passes
+    when ``satisfied/n >= min_ratio`` (default 1.0 — every row).
+    NULLs fail every per-row predicate except explicit completeness
+    (where they are exactly what is being measured)."""
+    (kind, body), = spec.items()
+    min_micro = int(round(float(body.get("min_ratio", 1.0)) * 1_000_000))
+    if kind == "completeness":
+        col = body["column"]
+        return (f"completeness({col})",
+                F.col(col).isNotNull(), min_micro)
+    if kind == "range":
+        col = body["column"]
+        pred = F.lit(True)
+        if "min" in body:
+            pred = pred & (F.col(col) >= F.lit(body["min"]))
+        if "max" in body:
+            pred = pred & (F.col(col) <= F.lit(body["max"]))
+        lo, hi = body.get("min", "-inf"), body.get("max", "inf")
+        return (f"range({col},[{lo},{hi}])",
+                F.coalesce(pred, F.lit(False)), min_micro)
+    if kind == "in_set":
+        col = body["column"]
+        vals = list(body["values"])
+        return (f"in_set({col})",
+                F.coalesce(F.col(col).isin(*vals), F.lit(False)),
+                min_micro)
+    if kind == "pattern":
+        col = body["column"]
+        return (f"pattern({col})",
+                F.coalesce(F.col(col).rlike(body["regex"]),
+                           F.lit(False)), min_micro)
+    if kind == "non_negative":
+        col = body["column"]
+        return (f"non_negative({col})",
+                F.coalesce(F.col(col) >= 0, F.lit(False)), min_micro)
+    raise ValueError(f"check_constraints: unknown constraint {kind!r}")
+
+
+def check_constraints(
+    df: DataFrame,
+    constraints: Sequence[Mapping[str, Any]],
+) -> DataFrame:
+    """Evaluate declarative constraints → one row per constraint:
+    ``(check, n, satisfied, metric_micro, passed)``.
+
+    ``metric_micro`` is the satisfied fraction in integer micro-units
+    (uniqueness: distinct keys over rows). ``passed`` compares it to
+    the constraint's ``min_ratio`` (default 1.0). ALL scalar
+    constraints ride one aggregation pass and ALL uniqueness
+    constraints share one more (multi-count_distinct in a single agg
+    — Spark expands it internally, still one scan). Unknown
+    constraint kinds fail loud at compile time — a quality gate that
+    silently skips checks is worse than none.
+    """
+    if not constraints:
+        raise ValueError("check_constraints: no constraints given")
+    scalars: List[Tuple[str, Column, int]] = []
+    uniques: List[Tuple[str, List[str], int]] = []
+    for spec in constraints:
+        (kind, body), = dict(spec).items()
+        if kind == "unique":
+            cols = list(body["columns"])
+            min_micro = int(round(float(body.get("min_ratio", 1.0))
+                                  * 1_000_000))
+            uniques.append((f"unique({','.join(cols)})", cols,
+                            min_micro))
+        else:
+            scalars.append(_scalar_check({kind: body}))
+
+    def verdicts(wide: DataFrame, names_needs: list,
+                 sat_cols: list) -> DataFrame:
+        # ONE row out of ONE agg: the N verdict rows come from an
+        # explode of per-check structs, never from N selects over the
+        # same agg lineage (each select would re-run the full scan)
+        structs = []
+        for (name, need), sc in zip(names_needs, sat_cols):
+            sat = F.coalesce(F.col(sc), F.lit(0))
+            metric = F.expr(f"coalesce({sc}, 0) * 1000000 DIV "
+                            "greatest(__n, 1)")
+            structs.append(F.struct(
+                F.lit(name).alias("check"),
+                F.col("__n").alias("n"),
+                sat.alias("satisfied"),
+                metric.alias("metric_micro"),
+                (metric >= need).alias("passed")))
+        return (wide.select(F.explode(F.array(*structs)).alias("r"))
+                .select("r.*"))
+
+    out: DataFrame | None = None
+    if scalars:
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, (_, pred, _) in enumerate(scalars):
+            aggs.append(F.sum(pred.cast("long")).alias(f"__s{i}"))
+        out = verdicts(df.agg(*aggs),
+                       [(n, need) for n, _, need in scalars],
+                       [f"__s{i}" for i in range(len(scalars))])
+    if uniques:
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, (_, cols, _) in enumerate(uniques):
+            aggs.append(F.count_distinct(
+                *[F.col(c) for c in cols]).alias(f"__d{i}"))
+        urows = verdicts(df.agg(*aggs),
+                         [(n, need) for n, _, need in uniques],
+                         [f"__d{i}" for i in range(len(uniques))])
+        out = urows if out is None else out.unionByName(urows)
+    assert out is not None
+    return out

@@ -110,6 +110,61 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # §2.2 conditions
 # =====================================================================
 
+@query("data_quality", oracle="""
+WITH base AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END) AS s0,
+         sum(CASE WHEN value >= 0 AND value <= 400
+                  THEN 1 ELSE 0 END) AS s1,
+         sum(CASE WHEN event_type IN ('click','view','purchase',
+                                      'signup') THEN 1 ELSE 0 END)
+           AS s2,
+         sum(CASE WHEN CAST(user_id AS VARCHAR) SIMILAR TO '[0-9]+'
+                  THEN 1 ELSE 0 END) AS s3,
+         count(DISTINCT event_id) AS d0,
+         count(DISTINCT (user_id, event_type)) AS d1
+  FROM events)
+SELECT "check", n, CAST(satisfied AS BIGINT) AS satisfied,
+       CAST(satisfied * 1000000 // greatest(n, 1) AS BIGINT)
+         AS metric_micro,
+       satisfied * 1000000 // greatest(n, 1) >= need AS passed
+FROM (
+  SELECT 'completeness(user_id)' AS "check", n, s0 AS satisfied,
+         1000000 AS need FROM base
+  UNION ALL SELECT 'range(value,[0,400])', n, s1, 950000 FROM base
+  UNION ALL SELECT 'in_set(event_type)', n, s2, 750000 FROM base
+  UNION ALL SELECT 'pattern(uid_str)', n, s3, 1000000 FROM base
+  UNION ALL SELECT 'unique(event_id)', n, d0, 1000000 FROM base
+  UNION ALL SELECT 'unique(user_id,event_type)', n, d1, 0 FROM base)
+""")
+def data_quality_q(spark, sf_dir):
+    """Declarative data-quality gate
+    (:func:`beats_spark.dataops.checks.check_constraints`, the
+    Deequ-shaped verification layer): six constraints — completeness,
+    a range with a 95% tolerance, set membership, a regex pattern,
+    exact uniqueness, and a composite-key cardinality floor — over
+    the events table. ALL scalar checks compile into ONE aggregation
+    pass and ALL uniqueness checks into one more, however many are
+    declared (N constraints as N filter-count jobs is N full scans at
+    100 TB). Metrics in integer micro-units; the oracle re-derives
+    every verdict including the pass/fail booleans."""
+    from .dataops.checks import check_constraints
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "uid_str", F.col("user_id").cast("string"))
+    return check_constraints(ev, [
+        {"completeness": {"column": "user_id"}},
+        {"range": {"column": "value", "min": 0, "max": 400,
+                   "min_ratio": 0.95}},
+        {"in_set": {"column": "event_type",
+                    "values": ["click", "view", "purchase", "signup"],
+                    "min_ratio": 0.75}},
+        {"pattern": {"column": "uid_str", "regex": "^[0-9]+$"}},
+        {"unique": {"columns": ["event_id"]}},
+        {"unique": {"columns": ["user_id", "event_type"],
+                    "min_ratio": 0.0}},
+    ])
+
+
 @query("conditions_filter", oracle="""
 SELECT event_type,
        count(*) AS n,

@@ -1,0 +1,57 @@
+"""Data-quality constraint checker (dataops/checks.py): verdict
+semantics, NULL handling, the one-pass plan shape, and guards."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.dataops.checks import check_constraints
+
+
+def test_verdicts_and_null_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "a", "x1"), (2, -5.0, "b", "x2"),
+         (None, 20.0, "a", "y"), (4, None, "zz", "x4")],
+        "uid long, v double, cat string, code string")
+    out = {r.check: r for r in check_constraints(df, [
+        {"completeness": {"column": "uid"}},
+        {"range": {"column": "v", "min": 0.0}},
+        {"in_set": {"column": "cat", "values": ["a", "b"]}},
+        {"pattern": {"column": "code", "regex": "^x[0-9]$"}},
+        {"non_negative": {"column": "v", "min_ratio": 0.5}},
+        {"unique": {"columns": ["uid"]}},
+    ]).collect()}
+    c = out["completeness(uid)"]
+    assert (c.n, c.satisfied, c.metric_micro, c.passed) == \
+        (4, 3, 750_000, False)
+    # min_ratio 0.75 flips the verdict on the same metric
+    relaxed = check_constraints(df, [
+        {"completeness": {"column": "uid", "min_ratio": 0.75}},
+    ]).collect()[0]
+    assert relaxed.metric_micro == 750_000 and relaxed.passed is True
+    # NULL v fails range AND non_negative (never silently passes)
+    assert out["range(v,[0.0,inf])"].satisfied == 2
+    assert out["non_negative(v)"].satisfied == 2
+    assert out["non_negative(v)"].passed is True  # 0.5 bar
+    assert out["in_set(cat)"].satisfied == 3
+    assert out["pattern(code)"].satisfied == 3
+    # unique: NULL uid is one distinct value short in count_distinct
+    u = out["unique(uid)"]
+    assert u.satisfied == 3 and u.passed is False
+
+
+def test_one_pass_plan_and_guards(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    many = check_constraints(ev, [
+        {"completeness": {"column": "user_id"}},
+        {"range": {"column": "value", "min": 0}},
+        {"in_set": {"column": "event_type", "values": ["click"]}},
+        {"non_negative": {"column": "value"}},
+    ])
+    plan = many._jdf.queryExecution().executedPlan().toString()
+    # four scalar constraints, ONE scan: a single aggregate pair
+    # around one exchange, and exactly one file scan in the plan
+    assert plan.count("Scan parquet") == 1
+    with pytest.raises(ValueError, match="no constraints"):
+        check_constraints(ev, [])
+    with pytest.raises(ValueError, match="unknown constraint"):
+        check_constraints(ev, [{"frobnicate": {"column": "x"}}])
