@@ -71,7 +71,7 @@ from .scrub import (
     C4_TERMINAL_RE, PII_PATTERNS, c4_clean, dedup_lines, pii_counts,
     scrub, scrub_pii,
 )
-from .checks import check_constraints
+from .checks import check_constraints, profile_columns
 from .events import (
     asof_join, event_transitions, funnel_steps, percentile_rollup,
     retention_cohorts,
@@ -116,7 +116,8 @@ __all__ = [
     "kmv_distinct", "gopher_rules",
     "corpus_shuffle",
     "doc_frequency", "inverted_index", "tfidf_top_terms",
-    "asof_join", "check_constraints", "event_transitions",
+    "asof_join", "check_constraints", "profile_columns",
+    "event_transitions",
     "funnel_steps",
     "percentile_rollup",
     "retention_cohorts", "scd2_join", "session_rollup", "sessionize",

@@ -30,7 +30,7 @@ from typing import Any, List, Mapping, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["check_constraints"]
+__all__ = ["check_constraints", "profile_columns"]
 
 
 def _scalar_check(spec: Mapping[str, Any]) -> Tuple[str, Column, int]:
@@ -143,3 +143,52 @@ def check_constraints(
         out = urows if out is None else out.unionByName(urows)
     assert out is not None
     return out
+
+
+def profile_columns(
+    df: DataFrame,
+    columns: Sequence[str],
+) -> DataFrame:
+    """One-pass column profile: for each requested column a row
+    ``(column, n, n_null, n_distinct, min_value, max_value)`` with
+    min/max rendered as strings (mixed types share one frame).
+
+    The companion to :func:`check_constraints` — run the profile per
+    ingest window, diff against the previous snapshot's, and derive
+    tomorrow's constraints from today's healthy profile (the Deequ
+    suggestion loop). EVERYTHING rides a single aggregation: the
+    per-column stats are parallel aggregates of one pass and the
+    verdict rows explode off the single agg row, so profiling twelve
+    columns of a 100 TB table costs one scan, not twelve. Honest
+    cost note: K exact count_distincts in one agg plan through
+    Spark's Expand node (each input row fans to K+1 grouping rows
+    before the partial agg combines them) — still one SCAN, but the
+    map-side work is O(K·rows); swap the distincts for
+    :func:`~beats_spark.dataops.sketch.hll_registers` when K is
+    large and exactness is negotiable.
+    """
+    if not columns:
+        raise ValueError("profile_columns: no columns given")
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile_columns: unknown columns {missing}")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(columns):
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nul{i}"),
+            F.count_distinct(F.col(c)).alias(f"__d{i}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn{i}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx{i}"),
+        ]
+    wide = df.agg(*aggs)
+    structs = []
+    for i, c in enumerate(columns):
+        structs.append(F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n"),
+            F.coalesce(F.col(f"__nul{i}"), F.lit(0)).alias("n_null"),
+            F.col(f"__d{i}").alias("n_distinct"),
+            F.col(f"__mn{i}").alias("min_value"),
+            F.col(f"__mx{i}").alias("max_value")))
+    return (wide.select(F.explode(F.array(*structs)).alias("r"))
+            .select("r.*"))

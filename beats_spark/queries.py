@@ -165,6 +165,42 @@ def data_quality_q(spark, sf_dir):
     ])
 
 
+@query("column_profile", oracle="""
+WITH base AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nul0,
+         count(DISTINCT user_id) AS d0,
+         CAST(min(user_id) AS VARCHAR) AS mn0,
+         CAST(max(user_id) AS VARCHAR) AS mx0,
+         sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS nul1,
+         count(DISTINCT event_type) AS d1,
+         min(event_type) AS mn1, max(event_type) AS mx1,
+         sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS nul2,
+         count(DISTINCT event_id) AS d2,
+         CAST(min(event_id) AS VARCHAR) AS mn2,
+         CAST(max(event_id) AS VARCHAR) AS mx2
+  FROM events)
+SELECT 'user_id' AS "column", n, CAST(nul0 AS BIGINT) AS n_null,
+       CAST(d0 AS BIGINT) AS n_distinct, mn0 AS min_value,
+       mx0 AS max_value FROM base
+UNION ALL SELECT 'event_type', n, CAST(nul1 AS BIGINT),
+       CAST(d1 AS BIGINT), mn1, mx1 FROM base
+UNION ALL SELECT 'event_id', n, CAST(nul2 AS BIGINT),
+       CAST(d2 AS BIGINT), mn2, mx2 FROM base
+""")
+def column_profile_q(spark, sf_dir):
+    """One-pass column profiling
+    (:func:`beats_spark.dataops.checks.profile_columns`): null
+    counts, exact distincts, min/max for three event columns — the
+    Deequ suggestion-loop input (derive tomorrow's constraints from
+    today's healthy profile). All columns' stats are parallel
+    aggregates of ONE scan with verdict rows exploded off the single
+    agg row; the oracle re-derives each stat."""
+    from .dataops.checks import profile_columns
+    ev = _t(spark, sf_dir, "events")
+    return profile_columns(ev, ["user_id", "event_type", "event_id"])
+
+
 @query("conditions_filter", oracle="""
 SELECT event_type,
        count(*) AS n,

@@ -55,3 +55,26 @@ def test_one_pass_plan_and_guards(spark, sf_dir):
         check_constraints(ev, [])
     with pytest.raises(ValueError, match="unknown constraint"):
         check_constraints(ev, [{"frobnicate": {"column": "x"}}])
+
+
+def test_profile_columns_stats_and_one_scan(spark, sf_dir):
+    from beats_spark.dataops.checks import profile_columns
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "b"), (2, "a")],
+        "uid long, cat string")
+    out = {r.column: r for r in
+           profile_columns(df, ["uid", "cat"]).collect()}
+    u = out["uid"]
+    assert (u.n, u.n_null, u.n_distinct, u.min_value, u.max_value) \
+        == (4, 1, 2, "1", "2")
+    c = out["cat"]
+    assert (c.n_null, c.n_distinct, c.min_value, c.max_value) \
+        == (1, 2, "a", "b")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = (profile_columns(ev, ["user_id", "event_type", "value"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Scan parquet") == 1
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile_columns(ev, ["nope"])
+    with pytest.raises(ValueError, match="no columns"):
+        profile_columns(ev, [])
