@@ -75,7 +75,7 @@ BENCH_QUERIES = [
     "dedup_containment", "json_schema_profile", "lang_spans",
     "graph_triangles", "phrase_search", "collocations",
     "sparse_cosine", "rank_fusion", "hll_windowed", "latency_histogram",
-    "event_transitions",
+    "event_transitions", "data_quality", "column_profile",
     "flagship_routed_counts", "flagship_messages",
 ]
 
