@@ -201,6 +201,53 @@ def column_profile_q(spark, sf_dir):
     return profile_columns(ev, ["user_id", "event_type", "event_id"])
 
 
+@query("pivot_daily", oracle="""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(coalesce(count(*) FILTER (event_type = 'click'), 0)
+            AS BIGINT) AS click_n,
+       CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                     FILTER (event_type = 'click'), 0) AS BIGINT)
+         AS click_cents,
+       CAST(coalesce(count(*) FILTER (event_type = 'purchase'), 0)
+            AS BIGINT) AS purchase_n,
+       CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                     FILTER (event_type = 'purchase'), 0) AS BIGINT)
+         AS purchase_cents,
+       CAST(coalesce(count(*) FILTER (event_type = 'error'), 0)
+            AS BIGINT) AS error_n,
+       CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                     FILTER (event_type = 'error'), 0) AS BIGINT)
+         AS error_cents
+FROM events GROUP BY 1
+""")
+def pivot_daily_q(spark, sf_dir):
+    """Relational pivot — the day × event_type matrix via
+    ``groupBy().pivot()`` with an EXPLICIT value list, which is the
+    at-scale idiom: without it Spark first runs a blocking distinct
+    job over 10^12 rows just to learn the column set (and an
+    unexpected cardinality explosion becomes a 10^6-column schema).
+    Two aggregates per cell (count + integer-cents sum); absent
+    cells coalesce to 0 so the matrix is dense and hash-stable. The
+    oracle is the classic conditional-aggregation spelling — the
+    identity pivot compiles down to."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    piv = (ev.select(day, "event_type",
+                     F.round(F.col("value") * 100).cast("long")
+                     .alias("cents"))
+           .groupBy("day")
+           .pivot("event_type", ["click", "purchase", "error"])
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("cents")))
+    cols = [F.col("day")]
+    for t in ("click", "purchase", "error"):
+        cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0))
+                    .alias(f"{t}_n"))
+        cols.append(F.coalesce(F.col(f"{t}_cents"), F.lit(0))
+                    .alias(f"{t}_cents"))
+    return piv.select(*cols)
+
+
 @query("conditions_filter", oracle="""
 SELECT event_type,
        count(*) AS n,

@@ -558,3 +558,22 @@ def test_event_transitions_hand_case_and_tiebreak(spark):
     got2 = {(r.prev_type, r.next_type)
             for r in event_transitions(df2).collect()}
     assert got2 == {("b", "a")}
+
+
+def test_pivot_daily_dense_zeros_and_single_distinct_free_plan(
+        spark, sf_dir):
+    """The explicit pivot value list must keep the plan free of the
+    values-discovery job (no extra collect) and absent cells read 0,
+    not NULL."""
+    from beats_spark.queries import QUERIES
+    out = QUERIES["pivot_daily"](spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        for c in out.columns[1:]:
+            assert r[c] is not None  # dense matrix
+    # one scan, one agg exchange: pivot with explicit values compiles
+    # to conditional aggregation, no distinct-values subjob
+    plan = (out._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])  # AQE prints both
+    assert plan.count("Scan parquet") == 1
