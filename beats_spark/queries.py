@@ -5108,6 +5108,102 @@ def latency_histogram_q(spark, sf_dir):
     return hdr_percentiles(hist, [0.5, 0.9, 0.99], by="event_type")
 
 
+@query("hll_set_ops", oracle="""
+WITH clickers AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) || ':'
+         || CAST(event_id % 50 AS VARCHAR) AS k
+  FROM events WHERE event_type = 'click'),
+buyers AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) || ':'
+         || CAST(event_id % 50 AS VARCHAR) AS k
+  FROM events WHERE event_type = 'purchase'),
+ra AS (
+  SELECT h32 >> 26 AS bucket,
+         max(CASE WHEN (h32 & 67108863) = 0 THEN 27
+                  ELSE 26 - length(bin(h32 & 67108863)) + 1 END)
+           AS reg
+  FROM (SELECT (CAST(('0x'||substr(md5(k||'#hso'),1,15)) AS BIGINT)
+                >> 28) AS h32 FROM clickers)
+  GROUP BY 1),
+rb AS (
+  SELECT h32 >> 26 AS bucket,
+         max(CASE WHEN (h32 & 67108863) = 0 THEN 27
+                  ELSE 26 - length(bin(h32 & 67108863)) + 1 END)
+           AS reg
+  FROM (SELECT (CAST(('0x'||substr(md5(k||'#hso'),1,15)) AS BIGINT)
+                >> 28) AS h32 FROM buyers)
+  GROUP BY 1),
+ru AS (SELECT bucket, max(reg) AS reg
+       FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+       GROUP BY 1),
+est AS (
+  SELECT 'a' AS s, round(0.709 * 64 * 64 * power(2.0, 32)
+         / CAST(sum(CAST(power(2.0, 32 - reg) AS BIGINT))
+                + (64 - count(*)) * CAST(power(2.0, 32) AS BIGINT)
+                AS DOUBLE), 2) AS e FROM ra
+  UNION ALL
+  SELECT 'b', round(0.709 * 64 * 64 * power(2.0, 32)
+         / CAST(sum(CAST(power(2.0, 32 - reg) AS BIGINT))
+                + (64 - count(*)) * CAST(power(2.0, 32) AS BIGINT)
+                AS DOUBLE), 2) FROM rb
+  UNION ALL
+  SELECT 'u', round(0.709 * 64 * 64 * power(2.0, 32)
+         / CAST(sum(CAST(power(2.0, 32 - reg) AS BIGINT))
+                + (64 - count(*)) * CAST(power(2.0, 32) AS BIGINT)
+                AS DOUBLE), 2) FROM ru),
+t AS (
+  SELECT (SELECT count(*) FROM clickers) AS true_a,
+         (SELECT count(*) FROM buyers) AS true_b,
+         (SELECT count(*) FROM clickers c
+          WHERE EXISTS (SELECT 1 FROM buyers b
+                        WHERE b.k = c.k)) AS true_inter)
+SELECT t.true_a, t.true_b, CAST(t.true_inter AS BIGINT) AS true_inter,
+       a.e AS est_a, b.e AS est_b, u.e AS est_union,
+       round(a.e + b.e - u.e, 2) AS est_inter
+FROM t,
+     (SELECT e FROM est WHERE s = 'a') a,
+     (SELECT e FROM est WHERE s = 'b') b,
+     (SELECT e FROM est WHERE s = 'u') u
+""")
+def hll_set_ops_q(spark, sf_dir):
+    """HLL set algebra — "how many of today's clickers also
+    purchased, without keeping either raw set": union via register
+    max-merge (exact sketch algebra), intersection by
+    inclusion-exclusion ``|A|+|B|−|A∪B|`` (the standard HLL
+    intersection; error grows with set asymmetry, visible here and
+    oracle-checked like every other estimate). At 10^12 events both
+    days reduce to 2^p ints each before anything crosses machines."""
+    from .dataops.sketch import hll_registers, hll_merge, hll_estimate
+    ev = _t(spark, sf_dir, "events")
+    skey = F.concat(F.col("user_id").cast("string"), F.lit(":"),
+                    (F.col("event_id") % 50).cast("string")).alias("k")
+    clickers = (ev.filter(F.col("event_type") == "click")
+                .select(skey).distinct())
+    buyers = (ev.filter(F.col("event_type") == "purchase")
+              .select(skey).distinct())
+    ra = hll_registers(clickers, "k", p=6, bits=32, seed="hso")
+    rb = hll_registers(buyers, "k", p=6, bits=32, seed="hso")
+    ea = (hll_estimate(ra, p=6, bits=32)
+          .select(F.col("est_distinct").alias("est_a")))
+    eb = (hll_estimate(rb, p=6, bits=32)
+          .select(F.col("est_distinct").alias("est_b")))
+    eu = (hll_estimate(hll_merge(ra, rb), p=6, bits=32)
+          .select(F.col("est_distinct").alias("est_union")))
+    true = (clickers.withColumn("__a", F.lit(1))
+            .join(buyers.withColumn("__b", F.lit(1)), "k", "full")
+            .agg(F.sum("__a").alias("true_a"),
+                 F.sum("__b").alias("true_b"),
+                 F.sum(F.when(F.col("__a").isNotNull()
+                              & F.col("__b").isNotNull(), 1))
+                 .cast("long").alias("true_inter")))
+    return (true.crossJoin(ea).crossJoin(eb).crossJoin(eu)
+            .select("true_a", "true_b", "true_inter",
+                    "est_a", "est_b", "est_union",
+                    F.round(F.col("est_a") + F.col("est_b")
+                            - F.col("est_union"), 2)
+                    .alias("est_inter")))
+
+
 @query("priority_sample", oracle="""
 WITH s AS (
   SELECT lang, doc_id, n_chars,
