@@ -12,12 +12,14 @@ profile UDF.
 """
 
 from .dedup import (
+    containment_pairs,
     dedup_against,
     dedup_exact,
     exact_dup_groups,
     minhash_signature,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    ngram_jaccard_prefix_pairs,
     shingles,
     simhash,
     simhash_pairs,
@@ -35,11 +37,13 @@ from .similarity import (
     lsh_signature,
     lsh_cosine_topk,
     normalize,
+    rrf_fuse,
 )
 from .textstats import (
     gopher_rules,
     lang_id_stopword,
     lang_id_ngram,
+    lang_spans,
     doc_fingerprint,
     text_stats,
     token_count,
@@ -49,14 +53,17 @@ from .urls import canonical_url, url_dedup, TRACKING_PARAMS
 from .spans import doc_ngrams, ngram_duplicate_stats, remove_duplicate_spans
 from .sketch import (
     bloom_build, bloom_probe, countmin_build, countmin_estimate,
-    kmv_distinct,
+    hdr_histogram, hdr_percentiles, hll_distinct, hll_estimate,
+    hll_merge, hll_registers, kmv_distinct,
 )
 from .sample import (
     cap_per_key, corpus_shuffle, hash_sample, mixture_plan,
     mixture_sample, priority_sample, quantile_buckets,
     stratified_sample, token_budget_sample,
 )
-from .terms import doc_frequency, inverted_index, tfidf_top_terms
+from .terms import (collocations, doc_frequency, inverted_index,
+                    phrase_search, sparse_cosine_pairs,
+                    tfidf_top_terms)
 from .decontam import contamination_flags, decontaminate
 from .htmltext import (HTML_STRIP_STEPS, extract_links, extract_text,
                        html_strip_sql, html_to_text, link_host)
@@ -77,7 +84,7 @@ from .events import (
     retention_cohorts,
     scd2_join, session_rollup, sessionize,
 )
-from .graph import pagerank
+from .graph import pagerank, triangle_count
 from .merge import merge_upsert
 from .robots import (
     compile_robots_pattern, parse_robots, parse_robots_txt,
@@ -95,15 +102,17 @@ from .multimodal import (
 )
 
 __all__ = [
-    "dedup_against", "dedup_exact", "exact_dup_groups", "minhash_signature",
-    "minhash_lsh_pairs", "ngram_jaccard_pairs", "shingles", "simhash",
+    "containment_pairs", "dedup_against", "dedup_exact",
+    "exact_dup_groups", "minhash_signature",
+    "minhash_lsh_pairs", "ngram_jaccard_pairs",
+    "ngram_jaccard_prefix_pairs", "shingles", "simhash",
     "simhash_pairs",
     "cosine_similarity", "cosine_topk", "cosine_topk_blocked",
     "ivf_assign", "ivf_cosine_topk", "kmeans_fit", "semdedup",
     "dot", "l2_norm", "normalize",
-    "lsh_signature", "lsh_cosine_topk",
-    "lang_id_stopword", "lang_id_ngram", "doc_fingerprint", "text_stats",
-    "token_count",
+    "lsh_signature", "lsh_cosine_topk", "rrf_fuse",
+    "lang_id_stopword", "lang_id_ngram", "lang_spans",
+    "doc_fingerprint", "text_stats", "token_count",
     "attach_media_meta", "extract_image_features", "sample_video_frames",
     "set_decoder",
     "curate", "CurationResult",
@@ -113,15 +122,17 @@ __all__ = [
     "priority_sample", "quantile_buckets", "stratified_sample",
     "token_budget_sample",
     "bloom_build", "bloom_probe", "countmin_build", "countmin_estimate",
-    "kmv_distinct", "gopher_rules",
+    "hdr_histogram", "hdr_percentiles", "hll_distinct", "hll_estimate",
+    "hll_merge", "hll_registers", "kmv_distinct", "gopher_rules",
     "corpus_shuffle",
-    "doc_frequency", "inverted_index", "tfidf_top_terms",
+    "collocations", "doc_frequency", "inverted_index", "phrase_search",
+    "sparse_cosine_pairs", "tfidf_top_terms",
     "asof_join", "check_constraints", "profile_columns",
     "event_transitions",
     "funnel_steps",
     "percentile_rollup",
     "retention_cohorts", "scd2_join", "session_rollup", "sessionize",
-    "pagerank", "merge_upsert",
+    "pagerank", "triangle_count", "merge_upsert",
     "compile_robots_pattern", "parse_robots", "parse_robots_txt",
     "parse_sitemap", "parse_sitemap_index", "robots_filter", "url_path",
     "cluster_by_zorder", "write_bucketed", "zorder_key",

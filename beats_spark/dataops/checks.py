@@ -135,8 +135,18 @@ def check_constraints(
     if uniques:
         aggs = [F.count(F.lit(1)).alias("__n")]
         for i, (_, cols, _) in enumerate(uniques):
-            aggs.append(F.count_distinct(
-                *[F.col(c) for c in cols]).alias(f"__d{i}"))
+            # single column: SQL count(DISTINCT c) semantics (NULLs
+            # excluded). Multi column: ROW-VALUE semantics — a tuple
+            # with a NULL field still counts, matching SQL's
+            # count(DISTINCT (a, b)); bare count_distinct(a, b) would
+            # silently drop any row with one NULL field and diverge
+            # from every SQL oracle
+            if len(cols) == 1:
+                d = F.count_distinct(F.col(cols[0]))
+            else:
+                d = F.count_distinct(
+                    F.struct(*[F.col(c) for c in cols]))
+            aggs.append(d.alias(f"__d{i}"))
         urows = verdicts(df.agg(*aggs),
                          [(n, need) for n, _, need in uniques],
                          [f"__d{i}" for i in range(len(uniques))])

@@ -403,8 +403,16 @@ def ngram_jaccard_prefix_pairs(
         "id", F.size("sh").alias("sz"), F.explode("sh").alias("g"))
     freq = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("id").orderBy("df", "g")
+    # ⌈t·sz⌉ in INTEGER arithmetic with t floored to micro-units:
+    # the float spelling F.ceil(lit(t)*sz) rounds UP for inputs like
+    # t=0.55, sz=100 (IEEE 0.55*100 = 55.000…01 → ceil 56), making
+    # the prefix one token too short and SILENTLY dropping qualifying
+    # pairs. Flooring t biases the other way only: prefixes get
+    # longer or equal, never shorter — lossless by construction.
+    t_micro = int(threshold * 1_000_000)
     prefix_len = (F.col("sz")
-                  - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+                  - F.expr(f"({t_micro} * sz + 999999) DIV 1000000")
+                  + 1)
     pref = (inv.join(freq, "g")
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= prefix_len)
@@ -416,8 +424,8 @@ def ngram_jaccard_prefix_pairs(
     cand = (a.join(b, "g")
             .filter((F.col("id_a") < F.col("id_b"))
                     & (F.least("sz_a", "sz_b")
-                       >= F.ceil(F.lit(threshold)
-                                 * F.greatest("sz_a", "sz_b"))))
+                       >= F.expr(f"({t_micro} * greatest(sz_a, sz_b)"
+                                 " + 999999) DIV 1000000")))
             .select("id_a", "id_b").distinct())
     fa = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     fb = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))

@@ -499,7 +499,8 @@ def hdr_histogram(
     map-side; negatives fail loud (a latency histogram that silently
     buckets negatives is hiding a clock bug).
     """
-    v = F.round(F.col(value_col) * unit_scale).cast("long")
+    raw = _not_null(F.col(value_col), "hdr_histogram", value_col)
+    v = F.round(raw * unit_scale).cast("long")
     guard = F.assert_true(
         v >= 0, F.lit(f"hdr_histogram: negative {value_col} "
                       "(fix the clock or filter first)"))
@@ -518,12 +519,14 @@ def hdr_percentiles(
     by: "str | list | None" = None,
 ) -> DataFrame:
     """Percentile UPPER BOUNDS from an :func:`hdr_histogram` frame:
-    ``(by..., q_pct, upper_micro, n)`` — for each quantile q, the
-    smallest bucket whose cumulative count reaches ``ceil(q·N)``,
-    reported as the bucket's inclusive upper edge ``2^b − 1`` in
-    micro-units (0 for bucket 0). Pure integer arithmetic end to end,
-    so the readout is oracle-exact; the true percentile lies within
-    one binary order below the bound.
+    ``(by..., q_micro, upper_micro, n)`` — for each quantile q
+    (carried in integer micro-units, so q=0.999 and q=0.9991 stay
+    distinct rows and sub-percent ranks stay exact), the smallest
+    bucket whose cumulative count reaches ``ceil(q·N)``, reported as
+    the bucket's inclusive upper edge ``2^b − 1`` in value
+    micro-units (0 for bucket 0). Pure integer arithmetic end to
+    end, so the readout is oracle-exact; the true percentile lies
+    within one binary order below the bound.
 
     Shape: one window cumsum per group over ≤ ~64 bucket rows + a
     map-side quantile explode — the heavy data never participates;
@@ -543,15 +546,15 @@ def hdr_percentiles(
            .withColumn("n", F.sum("cnt").over(
                Window.partitionBy(*keys) if keys
                else Window.partitionBy()))
-           .withColumn("q_pct", F.explode(F.array(
-               *[F.lit(int(round(q * 100))) for q in quantiles]))))
-    # rank = ceil(q*N) in integer arithmetic: (q_pct*N + 99) DIV 100
-    need = F.expr("(q_pct * n + 99) DIV 100")
+           .withColumn("q_micro", F.explode(F.array(
+               *[F.lit(int(round(q * 1_000_000))) for q in quantiles]))))
+    # rank = ceil(q*N) in integer arithmetic
+    need = F.expr("(q_micro * n + 999999) DIV 1000000")
     hit = cum.filter(F.col("cum") >= need)
     upper = (F.when(F.col("bucket") == 0, F.lit(0))
              .otherwise(F.pow(F.lit(2.0), F.col("bucket")
                               .cast("double")).cast("long") - 1))
-    agg_keys = keys + ["q_pct"]
+    agg_keys = keys + ["q_micro"]
     return (hit.groupBy(*agg_keys)
             .agg(F.min(upper).alias("upper_micro"),
                  F.min("n").alias("n")))

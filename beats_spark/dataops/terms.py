@@ -160,19 +160,25 @@ def phrase_search(
 
     Matching is over whitespace tokens, lowercased (same
     normalization as :func:`inverted_index`); overlapping matches
-    count (positions differ).
+    count (positions differ). The corpus is tokenized ONCE: the
+    term filter reaches the scan, and the surviving postings frame
+    is barrier'd before the k per-term filters fan out of it.
     """
     terms = [t for t in phrase.lower().split() if t]
     if not terms:
         raise ValueError("phrase_search: empty phrase")
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
-                    lambda t: t != "")
     index = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(toks).alias("pos", "term"))
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"))
+    # ONE tokenize pass: filter to the phrase's terms first (the
+    # selective predicate reaches the scan), then barrier the small
+    # postings frame — k downstream per-term filters would otherwise
+    # each re-scan and re-tokenize the full corpus
+    postings = (index.filter(F.col("term").isin(terms))
+                .localCheckpoint())
     starts = None
     for i, t in enumerate(terms):
-        side = (index.filter(F.col("term") == t)
+        side = (postings.filter(F.col("term") == t)
                 .select("id", (F.col("pos") - i).alias("start")))
         starts = side if starts is None else starts.join(
             side, ["id", "start"])
@@ -205,8 +211,7 @@ def collocations(
     TakeOrdered readout. ``min_count`` drops the long noise tail
     before the join.
     """
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
-                    lambda t: t != "")
+    toks = tokens(F.col(text_col))
     pairs = F.zip_with(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
         F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),

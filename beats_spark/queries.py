@@ -5080,10 +5080,10 @@ c AS (SELECT event_type, bucket,
                             ORDER BY bucket) AS cum,
              sum(cnt) OVER (PARTITION BY event_type) AS n
       FROM h),
-q AS (SELECT unnest([50, 90, 99]) AS q_pct),
-hit AS (SELECT event_type, q_pct, bucket, n
-        FROM c, q WHERE cum >= (q_pct * n + 99) // 100)
-SELECT event_type, CAST(q_pct AS INT) AS q_pct,
+q AS (SELECT unnest([500000, 900000, 990000]) AS q_micro),
+hit AS (SELECT event_type, q_micro, bucket, n
+        FROM c, q WHERE cum >= (q_micro * n + 999999) // 1000000)
+SELECT event_type, CAST(q_micro AS INT) AS q_micro,
        min(CASE WHEN bucket = 0 THEN 0
                 ELSE CAST(power(2.0, bucket) AS BIGINT) - 1 END)
          AS upper_micro,

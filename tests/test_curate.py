@@ -202,3 +202,23 @@ def test_containment_catches_embedding_jaccard_misses(spark):
     # stop-shingle cutoff still bounds fan-out
     assert containment_pairs(docs, n=3, threshold=0.9,
                              max_doc_freq=1).count() == 0
+
+
+def test_prefix_jaccard_float_ceil_boundary(spark):
+    """Regression: F.ceil(0.55 * 100) rounds to 56 under IEEE floats,
+    which shortened the prefix by one shingle and dropped pairs whose
+    Jaccard sits exactly on the threshold. The integer micro-unit
+    ceil must keep the J == t pair."""
+    from beats_spark.dataops.dedup import (
+        ngram_jaccard_pairs, ngram_jaccard_prefix_pairs)
+    a = " ".join(f"w{i}" for i in range(57))    # 55 distinct 3-grams
+    b = a + " " + " ".join(f"x{i}" for i in range(45))  # 100 total
+    docs = spark.createDataFrame([(1, a), (2, b)],
+                                 "doc_id long, text string")
+    full = sorted(map(tuple,
+                      ngram_jaccard_pairs(docs, n=3,
+                                          threshold=0.55).collect()))
+    pref = sorted(map(tuple,
+                      ngram_jaccard_prefix_pairs(
+                          docs, n=3, threshold=0.55).collect()))
+    assert full == pref == [(1, 2, 0.55)]

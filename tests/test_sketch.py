@@ -550,12 +550,16 @@ def test_hdr_histogram_buckets_merge_and_percentiles(spark):
               .agg(F.sum("cnt").alias("cnt")).collect()}
     assert merged == hist
     # p50 of 6 values -> rank 3 -> bucket 2 (values 2,3) -> upper 3
-    pct = {r.q_pct: r.upper_micro
+    pct = {r.q_micro: r.upper_micro
            for r in hdr_percentiles(
                hdr_histogram(df, "v", unit_scale=1),
                [0.5, 0.99]).collect()}
-    assert pct[50] == 3
-    assert pct[99] == 15  # rank 6 -> bucket 4 -> upper 2^4-1
+    assert pct[500_000] == 3
+    assert pct[990_000] == 15  # rank 6 -> bucket 4 -> upper 2^4-1
+    # sub-percent quantiles stay DISTINCT rows with exact ranks
+    fine = hdr_percentiles(hdr_histogram(df, "v", unit_scale=1),
+                           [0.991, 0.994]).collect()
+    assert len(fine) == 2
 
 
 def test_hdr_histogram_negative_fails_loud(spark):
@@ -563,6 +567,10 @@ def test_hdr_histogram_negative_fails_loud(spark):
     df = spark.createDataFrame([(1.0,), (-2.0,)], "v double")
     with pytest.raises(Exception, match="negative"):
         hdr_histogram(df, "v").collect()
+    # NULLs get the accurate null message, not the clock hint
+    dfn = spark.createDataFrame([(1.0,), (None,)], "v double")
+    with pytest.raises(Exception, match="null"):
+        hdr_histogram(dfn, "v").collect()
     with pytest.raises(ValueError, match="quantile"):
         hdr_percentiles(hdr_histogram(df.limit(1), "v"), [])
     with pytest.raises(ValueError, match="q must"):
