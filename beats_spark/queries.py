@@ -248,6 +248,44 @@ def pivot_daily_q(spark, sf_dir):
     return piv.select(*cols)
 
 
+@query("unpivot_roundtrip", oracle="""
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM events
+WHERE event_type IN ('click', 'purchase', 'error')
+GROUP BY 1, 2
+""")
+def unpivot_roundtrip_q(spark, sf_dir):
+    """Unpivot (melt): the wide day × type matrix from
+    ``pivot_daily``'s construction, folded back to long rows with
+    ``stack`` — and the oracle is the DIRECT long-form aggregation,
+    so the query proves the pivot→unpivot round trip is the
+    identity (absent combinations round-trip through the dense 0
+    cells and are dropped on the way back). stack() is a generator
+    projection: the melt is map-side, no shuffle beyond the pivot's
+    own aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    piv = (ev.select(day, "event_type",
+                     F.round(F.col("value") * 100).cast("long")
+                     .alias("cents"))
+           .groupBy("day")
+           .pivot("event_type", ["click", "purchase", "error"])
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("cents")))
+    stack_expr = (
+        "stack(3, "
+        "'click', click_n, click_cents, "
+        "'purchase', purchase_n, purchase_cents, "
+        "'error', error_n, error_cents) AS (event_type, n, cents)")
+    long = piv.selectExpr("day", stack_expr)
+    # absent (day, type) cells are NULL in the wide form: drop them on
+    # the way back (the direct aggregation never had those rows)
+    return long.filter(F.col("n").isNotNull())
+
+
 @query("conditions_filter", oracle="""
 SELECT event_type,
        count(*) AS n,
