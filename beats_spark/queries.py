@@ -2076,6 +2076,43 @@ def ann_lsh_topk(spark, sf_dir):
     return lsh_cosine_topk(emb, queries, k=5, num_planes=4)
 
 
+@query("ann_multiprobe", oracle="""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+sig AS (SELECT vec_id, e, CAST((CASE WHEN list_sum(list_transform(range(1, len(e)+1), i -> e[i] * (CASE WHEN (CAST('0x'||substr(md5('p0:'||CAST(i AS VARCHAR)),1,1) AS INT) % 2)=0 THEN 1.0 ELSE -1.0 END))) >= 0 THEN 1 ELSE 0 END) + (CASE WHEN list_sum(list_transform(range(1, len(e)+1), i -> e[i] * (CASE WHEN (CAST('0x'||substr(md5('p1:'||CAST(i AS VARCHAR)),1,1) AS INT) % 2)=0 THEN 1.0 ELSE -1.0 END))) >= 0 THEN 2 ELSE 0 END) + (CASE WHEN list_sum(list_transform(range(1, len(e)+1), i -> e[i] * (CASE WHEN (CAST('0x'||substr(md5('p2:'||CAST(i AS VARCHAR)),1,1) AS INT) % 2)=0 THEN 1.0 ELSE -1.0 END))) >= 0 THEN 4 ELSE 0 END) + (CASE WHEN list_sum(list_transform(range(1, len(e)+1), i -> e[i] * (CASE WHEN (CAST('0x'||substr(md5('p3:'||CAST(i AS VARCHAR)),1,1) AS INT) % 2)=0 THEN 1.0 ELSE -1.0 END))) >= 0 THEN 8 ELSE 0 END) AS INT) AS bucket FROM v),
+q0 AS (SELECT vec_id AS query_id, e AS qv, bucket FROM sig
+       WHERE vec_id < 10),
+q AS (SELECT query_id, qv, xor(bucket, m) AS bucket
+      FROM q0, (SELECT unnest([0, 1, 2, 4, 8]) AS m)),
+c AS (SELECT vec_id AS neighbor_id, e AS cv, bucket FROM sig),
+s AS (SELECT DISTINCT query_id, neighbor_id,
+             round(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+      FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id),
+r AS (SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM s)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+FROM r WHERE rn <= 5
+""")
+def ann_multiprobe(spark, sf_dir):
+    """Multi-probe LSH ANN (:func:`beats_spark.dataops.similarity
+    .lsh_multiprobe_topk`, Lv et al. 2007): each query probes its own
+    bucket plus every Hamming-1 neighbor bucket — recall bought on
+    the QUERY side only (5 probe rows per query at 4 planes; the
+    corpus is hashed and bucket-clustered exactly once, identical
+    big-side layout to single-probe). The md5-parity hyperplanes are
+    engine-portable, so even this approximate variant has an exact
+    oracle, probe set and all; pytest separately asserts recall
+    dominates single-probe against brute force."""
+    from .dataops.similarity import lsh_multiprobe_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_multiprobe_topk(emb, queries, k=5, num_planes=4,
+                               probes=1)
+
+
 # =====================================================================
 # dataops: multimodal plumbing (stubbed decode, real Spark contract)
 # =====================================================================

@@ -249,3 +249,31 @@ def test_rrf_fuse_exact_scores_and_missing_ids(spark):
         rrf_fuse([])
     with _pytest.raises(ValueError, match="k must"):
         rrf_fuse([r1], k=-1)
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Probing Hamming-1 buckets can only ADD candidates: multi-probe
+    recall vs brute force is >= single-probe recall, and probes=0
+    reproduces the single-probe operator exactly."""
+    from beats_spark.dataops.similarity import (
+        cosine_topk, lsh_cosine_topk, lsh_multiprobe_topk)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.limit(8)
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"])
+                for r in df.collect()}
+
+    truth = pairs(cosine_topk(emb, queries, k=5))
+    single = pairs(lsh_cosine_topk(emb, queries, k=5, num_planes=6))
+    multi = pairs(lsh_multiprobe_topk(emb, queries, k=5,
+                                      num_planes=6, probes=1))
+    zero = pairs(lsh_multiprobe_topk(emb, queries, k=5,
+                                     num_planes=6, probes=0))
+    assert zero == single
+    assert len(multi & truth) >= len(single & truth)
+    # on this fixture the 1-flip probes must actually help somewhere
+    assert len(multi) >= len(single)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="probes"):
+        lsh_multiprobe_topk(emb, queries, probes=99)
