@@ -5721,6 +5721,56 @@ def anchor_texts_q(spark, sf_dir):
                     "top_anchor", "top_n"))
 
 
+@query("typosquat_detect", oracle="""
+WITH hosts AS (
+  SELECT DISTINCT
+         CASE WHEN doc_id % 11 = 0
+              THEN 'src' || CAST(doc_id % 20 AS VARCHAR) || 'x'
+                   || '.example.com'
+              ELSE source || '.example.com' END AS host
+  FROM documents),
+protected AS (
+  SELECT unnest(['src1.example.com', 'src7.example.com',
+                 'src12.example.com']) AS p)
+SELECT h.host, p.p AS protected_host,
+       CAST(levenshtein(h.host, p.p) AS INT) AS distance
+FROM hosts h JOIN protected p
+  ON abs(length(h.host) - length(p.p)) <= 1
+ AND h.host <> p.p
+ AND levenshtein(h.host, p.p) <= 1
+""")
+def typosquat_detect_q(spark, sf_dir):
+    """Typosquat / look-alike host detection: every observed host
+    within edit distance 1 of a protected domain list — the phishing
+    and brand-abuse staple of web-crawl security review. Hosts
+    synthesized with deliberate one-character variants (src3x for
+    src3). The protected list BROADCASTS (it is small by nature) and
+    the length pre-filter kills most pairs before the O(len²)
+    levenshtein runs — the corpus maps once, nothing shuffles.
+    levenshtein is the classic DP, identical values in Spark and
+    DuckDB, so distances are oracle-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    host = (F.when(F.col("doc_id") % 11 == 0,
+                   F.concat(F.lit("src"),
+                            (F.col("doc_id") % 20).cast("string"),
+                            F.lit("x.example.com")))
+            .otherwise(F.concat(F.col("source"),
+                                F.lit(".example.com"))))
+    hosts = docs.select(host.alias("host")).distinct()
+    protected = F.array(*[F.lit(p) for p in
+                          ["src1.example.com", "src7.example.com",
+                           "src12.example.com"]])
+    pr = (docs.sparkSession.range(1)
+          .select(F.explode(protected).alias("p")))
+    dist = F.levenshtein(F.col("host"), F.col("p"))
+    return (hosts.join(
+                F.broadcast(pr),
+                (F.abs(F.length("host") - F.length("p")) <= 1)
+                & (F.col("host") != F.col("p")) & (dist <= 1))
+            .select("host", F.col("p").alias("protected_host"),
+                    dist.cast("int").alias("distance")))
+
+
 @query("sitemap_urls", oracle="""
 WITH d AS (
   SELECT doc_id, source,

@@ -76,7 +76,7 @@ BENCH_QUERIES = [
     "graph_triangles", "phrase_search", "collocations",
     "sparse_cosine", "rank_fusion", "hll_windowed", "latency_histogram",
     "event_transitions", "data_quality", "column_profile",
-    "pivot_daily", "hll_set_ops", "unpivot_roundtrip", "ann_multiprobe",
+    "pivot_daily", "hll_set_ops", "unpivot_roundtrip", "ann_multiprobe", "typosquat_detect",
     "flagship_routed_counts", "flagship_messages",
 ]
 
