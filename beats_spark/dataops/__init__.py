@@ -71,8 +71,8 @@ from .lm import bigram_model, lm_score
 from .dsir import (hashed_ngram_buckets, dsir_model, dsir_score,
                    dsir_resample)
 from .unicode import (
-    UNICODE_CLEAN_STEPS, clean_text_column, nfc, unicode_clean,
-    unicode_clean_sql,
+    UNICODE_CLEAN_STEPS, clean_text_column, fold_accents,
+    fold_accents_sql, nfc, unicode_clean, unicode_clean_sql,
 )
 from .scrub import (
     C4_TERMINAL_RE, PII_PATTERNS, c4_clean, dedup_lines, pii_counts,
@@ -143,7 +143,8 @@ __all__ = [
     "extract_links", "link_host",
     "bigram_model", "lm_score",
     "hashed_ngram_buckets", "dsir_model", "dsir_score", "dsir_resample",
-    "UNICODE_CLEAN_STEPS", "nfc", "unicode_clean",
+    "UNICODE_CLEAN_STEPS", "fold_accents", "fold_accents_sql",
+    "nfc", "unicode_clean",
     "unicode_clean_sql", "clean_text_column",
     "PII_PATTERNS", "scrub_pii", "pii_counts", "scrub", "dedup_lines",
     "c4_clean", "C4_TERMINAL_RE",

@@ -37,7 +37,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import StringType
 
-__all__ = ["UNICODE_CLEAN_STEPS", "nfc", "unicode_clean",
+__all__ = ["UNICODE_CLEAN_STEPS", "fold_accents",
+           "fold_accents_sql", "nfc", "unicode_clean",
            "unicode_clean_sql", "clean_text_column"]
 
 UNICODE_CLEAN_STEPS: Sequence[Tuple[str, str]] = (
@@ -97,4 +98,53 @@ def unicode_clean_sql(expr: str) -> str:
     out = f"nfc_normalize({expr})"
     for pat, rep in UNICODE_CLEAN_STEPS:
         out = f"regexp_replace({out}, {_q(pat)}, {_q(rep)}, 'g')"
+    return out
+
+
+#: Latin accent-folding map, kept as explicit (accented → ascii)
+#: pairs so the translate() FROM/TO strings are derived and can never
+#: drift out of alignment. Covers the Latin-1 + Latin-Extended-A
+#: letters that dominate European-language web text; 1→2 expansions
+#: (ß, ligatures) go through replace() below since translate is 1:1.
+_ACCENT_MAP = {
+    "àáâãäåāăą": "a", "èéêëēĕėęě": "e", "ìíîïĩīĭįı": "i",
+    "òóôõöøōŏő": "o", "ùúûüũūŭůűų": "u", "çćĉċč": "c", "ñńņň": "n",
+    "ðďđ": "d", "ğĝģ": "g", "ĥ": "h", "śŝşš": "s", "ţťŧ": "t",
+    "ýÿŷ": "y", "źżž": "z", "ŕŗř": "r", "ĺļľŀł": "l", "ŵ": "w",
+    "ÀÁÂÃÄÅĀĂĄ": "A", "ÈÉÊËĒĔĖĘĚ": "E", "ÌÍÎÏĨĪĬĮ": "I",
+    "ÒÓÔÕÖØŌŎŐ": "O", "ÙÚÛÜŨŪŬŮŰŲ": "U", "ÇĆĈĊČ": "C", "ÑŃŅŇ": "N",
+    "ÐĎĐ": "D", "ĞĜĢ": "G", "Ĥ": "H", "ŚŜŞŠ": "S", "ŢŤŦ": "T",
+    "ÝŸŶ": "Y", "ŹŻŽ": "Z", "ŔŖŘ": "R", "ĹĻĽĿŁ": "L", "Ŵ": "W",
+}
+_ACCENT_FROM = "".join(_ACCENT_MAP)
+_ACCENT_TO = "".join(ascii_ch * len(group)
+                     for group, ascii_ch in _ACCENT_MAP.items())
+
+#: 1→2 expansions translate() cannot express
+_ACCENT_PAIRS = [("ß", "ss"), ("æ", "ae"), ("œ", "oe"),
+                 ("Æ", "AE"), ("Œ", "OE")]
+
+
+def fold_accents(col: Column) -> Column:
+    """Fold Latin accents to ASCII (é→e, ñ→n, ß→ss, …) — the
+    normalization step before cross-language exact/fuzzy host and
+    token matching (``café.example`` and ``cafe.example`` should
+    dedup together; so should a typosquat probe). Pure
+    ``translate`` + ``replace`` chain: zero Python, whole-stage
+    codegen, and reproducible verbatim in any engine with the
+    Postgres translate() contract (see :func:`fold_accents_sql`).
+    Non-Latin scripts pass through untouched — folding is not
+    transliteration."""
+    out = F.translate(col, _ACCENT_FROM, _ACCENT_TO)
+    for a, b in _ACCENT_PAIRS:
+        out = F.replace(out, F.lit(a), F.lit(b))
+    return out
+
+
+def fold_accents_sql(expr: str) -> str:
+    """The exact DuckDB/Postgres spelling of :func:`fold_accents`,
+    for oracle SQL."""
+    out = f"translate({expr}, '{_ACCENT_FROM}', '{_ACCENT_TO}')"
+    for a, b in _ACCENT_PAIRS:
+        out = f"replace({out}, '{a}', '{b}')"
     return out

@@ -3607,6 +3607,45 @@ def _unicode_clean_oracle() -> str:
     return unicode_clean_sql(messy)
 
 
+@query("accent_fold", oracle="""
+WITH acc AS (
+  SELECT lang, text, translate(text, 'aeo', 'áéö') AS accented
+  FROM documents),
+f AS (SELECT lang, text, accented,
+             replace(replace(replace(replace(replace(translate(translate(text, 'aeo', 'áéö'), 'àáâãäåāăąèéêëēĕėęěìíîïĩīĭįıòóôõöøōŏőùúûüũūŭůűųçćĉċčñńņňðďđğĝģĥśŝşšţťŧýÿŷźżžŕŗřĺļľŀłŵÀÁÂÃÄÅĀĂĄÈÉÊËĒĔĖĘĚÌÍÎÏĨĪĬĮÒÓÔÕÖØŌŎŐÙÚÛÜŨŪŬŮŰŲÇĆĈĊČÑŃŅŇÐĎĐĞĜĢĤŚŜŞŠŢŤŦÝŸŶŹŻŽŔŖŘĹĻĽĿŁŴ', 'aaaaaaaaaeeeeeeeeeiiiiiiiiiooooooooouuuuuuuuuucccccnnnndddggghsssstttyyyzzzrrrlllllwAAAAAAAAAEEEEEEEEEIIIIIIIIOOOOOOOOOUUUUUUUUUUCCCCCNNNNDDDGGGHSSSSTTTYYYZZZRRRLLLLLW'), 'ß', 'ss'), 'æ', 'ae'), 'œ', 'oe'), 'Æ', 'AE'), 'Œ', 'OE') AS folded
+      FROM acc)
+SELECT lang, count(*) AS n,
+       CAST(sum(CASE WHEN accented <> text THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_accented,
+       CAST(sum(CASE WHEN folded = text THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_roundtrip
+FROM f GROUP BY lang
+""")
+def accent_fold_q(spark, sf_dir):
+    """Accent folding
+    (:func:`beats_spark.dataops.unicode.fold_accents`): documents
+    accented deterministically (a→á, e→é, o→ö) and folded back — the
+    normalization step before cross-language host/token matching
+    (café.example must dedup with cafe.example). Pure translate +
+    replace chain, zero Python, whole-stage codegen; the table is
+    derived from explicit pairs so FROM/TO can never misalign, and
+    the identical Postgres translate() contract in DuckDB makes the
+    fold — and the round-trip proof — oracle-exact. n_roundtrip == n
+    certifies fold(accent(x)) == x on every document."""
+    from .dataops.unicode import fold_accents
+    docs = _t(spark, sf_dir, "documents")
+    accented = F.translate(F.col("text"), "aeo", "áéö")
+    return (docs.select("lang", "text", accented.alias("accented"))
+            .select("lang", "text", "accented",
+                    fold_accents(F.col("accented")).alias("folded"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum((F.col("accented") != F.col("text"))
+                       .cast("long")).alias("n_accented"),
+                 F.sum((F.col("folded") == F.col("text"))
+                       .cast("long")).alias("n_roundtrip")))
+
+
 @query("unicode_clean", oracle=f"""
 SELECT doc_id, {_unicode_clean_oracle()} AS text_clean FROM documents
 """)

@@ -177,3 +177,23 @@ class TestReaders:
         df = spark.createDataFrame([(1, "a\n\nb")], "id int, text string")
         got = split_lines(df, "text").select("line_no", "line").collect()
         assert [(r.line_no, r.line) for r in got] == [(0, "a"), (2, "b")]
+
+
+# ------------------------------------------------------ accent folding
+
+def test_fold_accents_values_and_passthrough(spark):
+    from pyspark.sql import functions as F
+    from beats_spark.dataops.unicode import (
+        fold_accents, _ACCENT_FROM, _ACCENT_TO)
+    assert len(_ACCENT_FROM) == len(_ACCENT_TO)  # derived, aligned
+    rows = [("héllo wörld café",), ("ÉLÄN straße Œuvre",),
+            ("русский 中文 naïve",), ("",), (None,)]
+    df = spark.createDataFrame(rows, "t string")
+    got = [r[0] for r in
+           df.select(fold_accents(F.col("t"))).collect()]
+    assert got == ["hello world cafe", "ELAN strasse OEuvre",
+                   "русский 中文 naive", "", None]
+    # codegen only: no Python node
+    plan = (df.select(fold_accents(F.col("t")))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in plan
