@@ -21,6 +21,7 @@ from .dedup import tokens, simhash
 __all__ = [
     "gopher_rules", "repetition_stats_arrow",
     "token_count", "text_stats", "text_stats_arrow", "quality_score",
+    "readability",
     "lang_id_stopword", "lang_id_ngram", "lang_spans",
     "doc_fingerprint",
     "GOPHER_REQUIRED_WORDS", "STOPWORDS", "LANG_MARKERS",
@@ -182,6 +183,56 @@ def quality_score(text: Column, round_to: int = 6) -> Column:
         + (1 - F.least(s["punct_ratio"] * 5, F.lit(1.0))) * 0.2
         + wl_ok * 0.1)
     return F.round(score, round_to)
+
+
+def readability(text: Column) -> Column:
+    """Flesch reading-ease + Flesch-Kincaid grade as integer
+    milli-points, plus a five-band label — the readability-heuristic
+    quality gate corpus pipelines run before model-based scoring
+    (FineWeb-Edu-style educational filtering).
+
+    The classic Flesch coefficients (206.835, 1.015, 84.6 / 0.39,
+    11.8, 15.59) are scaled by 1000 and every division floors a
+    non-negative integer ratio, so both scores are deterministic
+    BIGINTs that reproduce bit-for-bit in any SQL engine — the same
+    integer-first trick as :mod:`beats_spark.dataops.lm` (micro-nats).
+    Floor-of-double is safe here: numerators stay < 2^53 and a true
+    quotient is never within one double ulp of a wrong integer
+    boundary (denominators are small integers).
+
+    Counting definitions, shared verbatim with the DuckDB oracle:
+    words = maximal ``[a-zA-Z]+`` runs; sentences = maximal ``[.!?]+``
+    runs (clamped to >=1 inside ratios only); syllables = maximal
+    vowel-group runs ``[aeiouyAEIOUY]+`` — the standard cheap syllable
+    proxy. No lowercasing: locale-sensitive case folding is the one
+    place Java and utf8proc can disagree, so the class carries both
+    cases instead.
+
+    Reference anchor: beats ships no readability processor — the
+    closest surface is a script-processor scoring hook
+    (libbeat/processors/script/script.go); this is the curation-side
+    extension SURVEY §2 calls for. Pure Column expressions:
+    whole-stage codegen, zero Python, zero shuffle.
+    """
+    w = F.regexp_count(text, F.lit(r"[a-zA-Z]+")).cast("long")
+    s_raw = F.regexp_count(text, F.lit(r"[.!?]+")).cast("long")
+    y = F.regexp_count(text, F.lit(r"[aeiouyAEIOUY]+")).cast("long")
+    s = F.greatest(s_raw, F.lit(1))
+    wc = F.greatest(w, F.lit(1))
+    flesch = (F.lit(206835)
+              - F.floor(w * F.lit(1015) / s)
+              - F.floor(y * F.lit(84600) / wc)).cast("long")
+    grade = (F.floor(w * F.lit(390) / s)
+             + F.floor(y * F.lit(11800) / wc)
+             - F.lit(15590)).cast("long")
+    band = (F.when(flesch >= 90000, F.lit("very_easy"))
+             .when(flesch >= 70000, F.lit("easy"))
+             .when(flesch >= 50000, F.lit("medium"))
+             .when(flesch >= 30000, F.lit("hard"))
+             .otherwise(F.lit("very_hard")))
+    return F.struct(w.alias("n_words"), s_raw.alias("n_sentences"),
+                    y.alias("n_syllables"), flesch.alias("flesch_milli"),
+                    grade.alias("fk_grade_milli"), band.alias("band"))
 
 
 _STAT_SCHEMA = ("n_chars bigint, word_count bigint, avg_word_len double, "

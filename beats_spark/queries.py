@@ -1712,6 +1712,46 @@ def text_quality(spark, sf_dir):
         F.col("__s.punct_ratio").alias("punct_ratio"))
 
 
+@query("readability_score", oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS w,
+         CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS s_raw,
+         CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS y
+  FROM documents),
+sc AS (
+  SELECT doc_id, w, s_raw, y,
+         206835 - CAST(floor(w * 1015 / greatest(s_raw, 1)) AS BIGINT)
+                - CAST(floor(y * 84600 / greatest(w, 1)) AS BIGINT)
+           AS flesch_milli,
+         CAST(floor(w * 390 / greatest(s_raw, 1)) AS BIGINT)
+           + CAST(floor(y * 11800 / greatest(w, 1)) AS BIGINT) - 15590
+           AS fk_grade_milli
+  FROM t)
+SELECT doc_id, w AS n_words, s_raw AS n_sentences, y AS n_syllables,
+       flesch_milli, fk_grade_milli,
+       CASE WHEN flesch_milli >= 90000 THEN 'very_easy'
+            WHEN flesch_milli >= 70000 THEN 'easy'
+            WHEN flesch_milli >= 50000 THEN 'medium'
+            WHEN flesch_milli >= 30000 THEN 'hard'
+            ELSE 'very_hard' END AS band
+FROM sc
+""")
+def readability_score(spark, sf_dir):
+    """Flesch reading-ease / Flesch-Kincaid grade per document as
+    integer milli-points plus a five-band label
+    (:func:`beats_spark.dataops.textstats.readability`). Pure codegen
+    projection — zero Python, zero shuffle; the integer scaling makes
+    the classic float coefficients hash-exact cross-engine."""
+    from .dataops.textstats import readability
+    docs = _t(spark, sf_dir, "documents")
+    r = readability(F.col("text"))
+    return docs.select(
+        "doc_id", *(r[f].alias(f) for f in (
+            "n_words", "n_sentences", "n_syllables",
+            "flesch_milli", "fk_grade_milli", "band")))
+
+
 @query("token_count", oracle=f"""
 SELECT lang,
        CAST(sum(len({_SH_TOKS})) AS BIGINT) AS ws_tokens,

@@ -222,3 +222,33 @@ def test_prefix_jaccard_float_ceil_boundary(spark):
                       ngram_jaccard_prefix_pairs(
                           docs, n=3, threshold=0.55).collect()))
     assert full == pref == [(1, 2, 0.55)]
+
+
+def test_readability_known_values(spark):
+    from beats_spark.dataops.textstats import readability
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [("a", "The cat sat. It ran!"),
+         ("b", "hello world"),
+         ("c", "")], ["doc_id", "text"])
+    r = readability(F.col("text"))
+    out = df.select("doc_id", r.alias("r"))
+    rows = {x["doc_id"]: x["r"] for x in out.collect()}
+    # "The cat sat. It ran!": w=5, sentences=2 ('.' and '!' runs),
+    # vowel groups e/a/a/I/a = 5.
+    a = rows["a"]
+    assert (a["n_words"], a["n_sentences"], a["n_syllables"]) == (5, 2, 5)
+    assert a["flesch_milli"] == 206835 - (5 * 1015) // 2 - 84600
+    assert a["fk_grade_milli"] == (5 * 390) // 2 + 11800 - 15590
+    assert a["band"] == "very_easy"
+    # no sentence mark: sentence count reports 0, ratios clamp to 1
+    b = rows["b"]
+    assert (b["n_words"], b["n_sentences"], b["n_syllables"]) == (2, 0, 3)
+    assert b["flesch_milli"] == 206835 - 2030 - (3 * 84600) // 2 == 77905
+    assert b["band"] == "easy"
+    # degenerate empty text: both clamps engage, scores stay defined
+    c = rows["c"]
+    assert c["flesch_milli"] == 206835 and c["fk_grade_milli"] == -15590
+    # pure map: whole-stage codegen, no Python stage, no shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
