@@ -27,7 +27,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "funnel_steps", "percentile_rollup",
+__all__ = ["asof_join", "ewma_smooth", "funnel_steps", "percentile_rollup",
            "retention_cohorts", "scd2_join", "session_rollup",
            "sessionize"]
 
@@ -404,3 +404,76 @@ def event_transitions(
     return (counts.join(F.broadcast(totals), "prev_type")
             .select("prev_type", "next_type", "n",
                     F.expr("n * 1000000 DIV __tot").alias("p_micro")))
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    x_col: str = "x",
+    order_by: Sequence[str] = ("event_id",),
+    alpha_num: int = 2,
+    alpha_den: int = 10,
+    scale: int = 1000,
+    spike_num: int = 25,
+    spike_den: int = 10,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average over event time,
+    in integer fixed-point, with a spike flag — the classic telemetry
+    smoother (the sequential cousin of the windowed z-test in
+    ``count_anomalies``).
+
+    Recurrence, all BIGINT: ``s_1 = x_1·scale``; ``s_t = (alpha_num ·
+    x_t·scale + (alpha_den − alpha_num) · s_{t−1}) // alpha_den``
+    (floor division each step, so there is NO closed form — unlike the
+    token bucket's uncapped accrual this genuinely recurses). A row
+    spikes when ``x_t·scale·spike_den > spike_num·s_{t−1}`` (default:
+    observed value above 2.5× the running smooth). Because every step
+    is integer arithmetic, a recursive CTE replays the scan
+    bit-for-bit — an exact oracle for a sequential operator.
+
+    Scale shape: one hash exchange on ``key_col``, then an Arrow
+    kernel per key (``applyInPandas``); the per-key scan is inherently
+    sequential (each step's floor depends on the last), but keys run
+    in parallel across the cluster and a key's cost is linear in its
+    own rows. ``x_col`` must already be integral (pre-scale floats
+    with an explicit ``round(...)·k`` so both engines agree on the
+    quantization).
+
+    Reference anchor: beats ships no smoother — metric consumers apply
+    one downstream of ``libbeat/monitoring``; this is the curation/
+    analytics-side extension surface (SURVEY §2.6).
+    """
+    from pyspark.sql import types as T
+    import pandas as pd
+
+    schema_out = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("ewma_milli", T.LongType()),
+           T.StructField("spike", T.BooleanType())])
+    a_n, a_d = int(alpha_num), int(alpha_den)
+    sc, sp_n, sp_d = int(scale), int(spike_num), int(spike_den)
+    sort_cols = [ts_col, *order_by]
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        out_s, out_spike = [], []
+        s_prev = None
+        # NULL observations count as 0 (same rule as sequence
+        # packing's NaN tokens) — spelled coalesce(x, 0) in SQL
+        for x in pdf[x_col].fillna(0).astype("int64").tolist():
+            xs = x * sc
+            if s_prev is None:
+                s, spike = xs, False
+            else:
+                spike = xs * sp_d > sp_n * s_prev
+                s = (a_n * xs + (a_d - a_n) * s_prev) // a_d
+            out_s.append(s)
+            out_spike.append(spike)
+            s_prev = s
+        out = pdf.copy()
+        out["ewma_milli"] = pd.Series(out_s, index=pdf.index, dtype="int64")
+        out["spike"] = pd.Series(out_spike, index=pdf.index, dtype="bool")
+        return out
+
+    return df.groupBy(key_col).applyInPandas(scan, schema=schema_out)

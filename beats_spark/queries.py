@@ -4488,6 +4488,47 @@ def count_anomalies_q(spark, sf_dir):
                           F.coalesce("is_anomaly", F.lit(False)))
 
 
+@query("ewma_anomaly", oracle="""
+WITH RECURSIVE ev AS (
+  SELECT user_id AS k, event_id AS id,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT) AS rn,
+         CAST(round(value * 100) AS BIGINT) AS x
+  FROM events),
+scan AS (
+  SELECT k, id, rn, x * 1000 AS s, FALSE AS spike
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.k, e.id, e.rn,
+         (2 * e.x * 1000 + 8 * s.s) // 10,
+         e.x * 1000 * 10 > 25 * s.s
+  FROM scan s JOIN ev e ON e.k = s.k AND e.rn = s.rn + 1),
+fin AS (SELECT *, max(rn) OVER (PARTITION BY k) AS mx FROM scan)
+SELECT k AS user_id, count(*) AS n,
+       CAST(max(CASE WHEN rn = mx THEN s END) AS BIGINT)
+         AS ewma_final_milli,
+       CAST(count(*) FILTER (WHERE spike) AS BIGINT) AS n_spikes
+FROM fin GROUP BY k
+""")
+def ewma_anomaly(spark, sf_dir):
+    """Per-user EWMA smoothing of the event value stream with spike
+    flags (:func:`beats_spark.dataops.events.ewma_smooth`): alpha=0.2
+    in integer milli-point fixed point, spike = value above 2.5× the
+    running smooth. The per-step floor division makes the scan
+    genuinely recursive (no closed form), so the oracle is a recursive
+    CTE replaying it bit-for-bit — the sequential sibling of the
+    windowed z-test in ``count_anomalies``."""
+    from .dataops.events import ewma_smooth
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "x", F.round(F.col("value") * 100).cast("long"))
+    sm = ewma_smooth(ev, key_col="user_id", ts_col="ts", x_col="x")
+    return (sm.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.max_by("ewma_milli", F.struct("ts", "event_id"))
+                  .alias("ewma_final_milli"),
+                 F.sum(F.col("spike").cast("long")).alias("n_spikes")))
+
+
 @query("scd2_enrich", oracle="""
 WITH dim AS (SELECT user_id, event_id AS version_id,
                     ts AS valid_from,

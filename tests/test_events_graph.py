@@ -577,3 +577,28 @@ def test_pivot_daily_dense_zeros_and_single_distinct_free_plan(
     plan = (out._jdf.queryExecution().executedPlan().toString()
             .split("== Initial Plan ==")[0])  # AQE prints both
     assert plan.count("Scan parquet") == 1
+
+
+def test_ewma_smooth_known_values(spark):
+    from datetime import datetime
+    from beats_spark.dataops.events import ewma_smooth
+
+    rows = [("a", i, datetime(2024, 1, 1, 0, i), x)
+            for i, x in enumerate([10, 20, 10, 100])]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts timestamp, x long")
+    out = ewma_smooth(df, key_col="user_id", ts_col="ts", x_col="x")
+    got = [(r["ewma_milli"], r["spike"])
+           for r in out.orderBy("event_id").collect()]
+    # s1 = 10*1000; s2 = (2*20000 + 8*10000)//10; s3 = (2*10000+8*12000)//10
+    # x=100 row: 100000*10 > 25*11600 -> spike; s4 = (200000+92800)//10
+    assert got == [(10000, False), (12000, False),
+                   (11600, False), (29280, True)]
+    # arrival keyed by event time, not input order: shuffle the input
+    sh = spark.createDataFrame(
+        list(reversed(rows)),
+        "user_id string, event_id long, ts timestamp, x long")
+    got2 = [(r["ewma_milli"], r["spike"])
+            for r in ewma_smooth(sh, key_col="user_id", ts_col="ts",
+                                 x_col="x").orderBy("event_id").collect()]
+    assert got2 == got
