@@ -25,7 +25,7 @@ by running the same processor chain under every input).
 from __future__ import annotations
 
 import os
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Optional, Sequence, Tuple
 
 import pandas as pd
 
@@ -615,6 +615,87 @@ def stream_count_anomalies(
         yield out
 
     return (counts.groupBy(group_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout))
+
+
+def stream_ewma(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    x_col: str = "x",
+    order_by: Sequence[str] = (),
+    alpha_num: int = 2,
+    alpha_den: int = 10,
+    scale: int = 1000,
+    spike_num: int = 25,
+    spike_den: int = 10,
+) -> DataFrame:
+    """Streaming twin of :func:`beats_spark.dataops.events
+    .ewma_smooth` via ``applyInPandasWithState``: the SAME integer
+    fixed-point recurrence (``s_t = (alpha_num·x_t·scale +
+    (alpha_den−alpha_num)·s_{t−1}) // alpha_den``, floor each step,
+    NULL x counts as 0), so smoothed values and spike flags match the
+    batch kernel bit-for-bit across micro-batches AND query restarts
+    (asserted in the test).
+
+    State per key is just ``(s, last_us)`` — two BIGINTs, bounded
+    forever. Events must arrive in event-time order per key ACROSS
+    micro-batches (within a batch they are sorted here); a row at or
+    before the last seen timestamp is emitted with NULL ``ewma_milli``
+    / NULL ``spike`` and does not touch the state — the same replay
+    contract as :func:`stream_count_anomalies`.
+    """
+    in_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in events.schema.fields)
+    out_schema = f"{in_fields}, ewma_milli bigint, spike boolean"
+    state_schema = "s bigint, last_us bigint"
+    a_n, a_d = int(alpha_num), int(alpha_den)
+    sc, sp_n, sp_d = int(scale), int(spike_num), int(spike_den)
+    sort_cols = [ts_col, *order_by]
+
+    def fn(key: Tuple, batches: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            s_prev, last_us = state.get
+            s_prev = int(s_prev)
+        else:
+            s_prev, last_us = None, -(1 << 62)
+        chunks = [pdf for pdf in batches]
+        if not chunks:
+            return
+        pdf = _concat_chunks(chunks)
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        tcol = pdf[ts_col]
+        if getattr(tcol.dtype, "tz", None) is not None:
+            tcol = tcol.dt.tz_convert("UTC").dt.tz_localize(None)
+        us = (tcol.values.astype("datetime64[ns]")
+              .astype("int64") // 1000)
+        xs = pdf[x_col].fillna(0).astype("int64").tolist()
+        out_s, out_spike = [], []
+        for t, x in zip(us, xs):
+            t = int(t)
+            if t <= last_us:
+                out_s.append(None)
+                out_spike.append(None)
+                continue
+            xv = int(x) * sc
+            if s_prev is None:
+                s, spike = xv, False
+            else:
+                spike = xv * sp_d > sp_n * s_prev
+                s = (a_n * xv + (a_d - a_n) * s_prev) // a_d
+            out_s.append(s)
+            out_spike.append(spike)
+            s_prev, last_us = s, t
+        out = pdf.copy()
+        out["ewma_milli"] = pd.array(out_s, dtype="Int64")
+        out["spike"] = pd.array(out_spike, dtype="boolean")
+        if s_prev is not None:
+            state.update((int(s_prev), int(last_us)))
+        yield out
+
+    return (events.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout))
 

@@ -774,3 +774,62 @@ def test_stream_event_join_matches_batch(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="distinct"):
         stream_event_join(lstream, rstream, "host", "ts", "ts")
+
+
+def test_stream_ewma_matches_batch(spark, tmp_path):
+    """The streaming EWMA carries (s, last_us) across micro-batches
+    and a query restart and reproduces the batch kernel's smoothed
+    values and spike flags bit-for-bit; a replayed (out-of-order) row
+    is emitted with NULL ewma/spike and leaves the state untouched."""
+    from beats_spark.dataops.events import ewma_smooth
+    from beats_spark.streaming.pipeline import stream_ewma
+    src_dir = str(tmp_path / "ev")
+    ck = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "sm")
+    os.makedirs(src_dir)
+    t0 = 1_700_000_000_000_000
+    m = 60 * 1_000_000
+    vals = [10, 20, 10, 100, 12, 11, 300, 10]
+
+    def mk(idx_vals, fname):
+        spark.createDataFrame(
+            [("u", t0 + i * m, v) for i, v in idx_vals],
+            "k string, us bigint, x bigint") \
+            .select("k", F.timestamp_micros(F.col("us")).alias("ts"),
+                    "x") \
+            .coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src_dir, fname))
+
+    def run():
+        stream = (spark.readStream.schema("k string, ts timestamp, x bigint")
+                  .option("maxFilesPerTrigger", 1).parquet(src_dir + "/*"))
+        sm = stream_ewma(stream, key_col="k", ts_col="ts", x_col="x")
+        q = (sm.writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    mk(list(enumerate(vals[:4])), "b1")
+    run()
+    mk(list(enumerate(vals))[4:], "b2")      # restart: state restored
+    run()
+    got = {r.ts: (r.ewma_milli, r.spike)
+           for r in spark.read.parquet(out_dir).collect()}
+    assert len(got) == len(vals)
+
+    batch = spark.createDataFrame(
+        [("u", t0 + i * m, v) for i, v in enumerate(vals)],
+        "k string, us bigint, x bigint") \
+        .select("k", F.timestamp_micros(F.col("us")).alias("ts"), "x")
+    want = {r.ts: (r.ewma_milli, r.spike)
+            for r in ewma_smooth(batch, key_col="k", ts_col="ts",
+                                 x_col="x", order_by=()).collect()}
+    assert got == want
+    assert any(sp for _, sp in got.values() if sp)   # spikes flagged
+
+    # replay an already-seen row: NULL-marked, state untouched
+    mk([(2, 999)], "b3")
+    run()
+    rows = spark.read.parquet(out_dir).collect()
+    late = [r for r in rows if r.ewma_milli is None]
+    assert len(late) == 1 and late[0].spike is None
