@@ -21,7 +21,8 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["cluster_by_zorder", "write_bucketed", "zorder_key"]
+__all__ = ["cluster_by_zorder", "global_rank", "write_bucketed",
+           "zorder_key"]
 
 
 def _normalize(col: Column, lo: Column, hi: Column,
@@ -161,3 +162,75 @@ def cluster_by_zorder(
            else out.repartitionByRange(*parts))
     out = out.sortWithinPartitions(key_col)
     return out if keep_key else out.drop(key_col)
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: Sequence[str],
+    out_col: str = "rnk",
+    partitions: int = 0,
+) -> DataFrame:
+    """Exact global ``row_number`` over a total order — WITHOUT the
+    single-task sort that ``Window.orderBy`` (no partition) costs.
+    The at-scale spelling of "rank every document in the corpus":
+
+    1. one RANGE exchange on ``order_by`` (sampled boundaries — the
+       same machinery as any sorted write) + in-partition sort, then
+       ``localCheckpoint`` so the sampled boundaries are pinned for
+       both consumers below;
+    2. an Arrow pass numbers rows *within* each partition in arrival
+       (= sorted) order — zero further shuffle on the big side;
+    3. a per-partition row-count aggregate (``k`` rows, k =
+       partitions) turned into exclusive prefix offsets by a k-row
+       window and broadcast back: ``rank = offset + local index + 1``.
+
+    The driver never sees data (the offsets live in a broadcast k-row
+    frame); the big side moves through exactly ONE exchange. The last
+    ``order_by`` column must make the order total (a unique
+    tiebreaker id) or ranks within a tie are partition-arrival
+    dependent; columns are ascending, NULLS FIRST (Spark's range-
+    partition default — spell the oracle's ORDER BY the same way).
+
+    Reference anchor: no beats analogue (rank is an analytics-side
+    op); this is the rank-shaped sibling of
+    :func:`beats_spark.dataops.sample.token_budget_sample`'s
+    bucketed global prefix.
+    """
+    from typing import Iterator
+    import pandas as pd
+
+    if not order_by:
+        raise ValueError("global_rank: order_by must be non-empty")
+    cols = [F.col(c).asc_nulls_first() for c in order_by]
+    base = (df.repartitionByRange(partitions, *cols) if partitions
+            else df.repartitionByRange(*cols))
+    base = base.sortWithinPartitions(*cols)
+    base = base.withColumn("__gr_pid", F.spark_partition_id())
+    # pin the sampled range boundaries: counts and output must see
+    # the SAME partitioning or offsets drift
+    base = base.localCheckpoint(eager=False)
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in base.schema.fields)
+    out_schema = f"{fields}, __gr_local bigint"
+
+    def number(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = 0
+        for pdf in batches:
+            out = pdf.copy()
+            out["__gr_local"] = pd.RangeIndex(i, i + len(pdf)).astype("int64")
+            i += len(pdf)
+            yield out
+
+    numbered = base.mapInPandas(number, schema=out_schema)
+    counts = base.groupBy("__gr_pid").agg(F.count(F.lit(1)).alias("__n"))
+    from pyspark.sql import Window
+    w = (Window.orderBy("__gr_pid")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.select(
+        "__gr_pid",
+        F.coalesce(F.sum("__n").over(w), F.lit(0)).alias("__off"))
+    return (numbered.join(F.broadcast(offsets), "__gr_pid")
+            .withColumn(out_col, (F.col("__off") + F.col("__gr_local")
+                                  + F.lit(1)).cast("long"))
+            .drop("__gr_pid", "__gr_local", "__off"))

@@ -4529,6 +4529,35 @@ def ewma_anomaly(spark, sf_dir):
                  F.sum(F.col("spike").cast("long")).alias("n_spikes")))
 
 
+@query("global_rank", oracle="""
+WITH t AS (SELECT doc_id, length(text) AS n_chars FROM documents),
+r AS (SELECT doc_id, n_chars,
+             CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+                  AS BIGINT) AS rnk,
+             count(*) OVER () AS n
+      FROM t)
+SELECT doc_id, n_chars, rnk,
+       CAST((rnk - 1) * 1000000 // greatest(n - 1, 1) AS BIGINT)
+         AS pct_micro
+FROM r
+""")
+def global_rank_q(spark, sf_dir):
+    """Exact corpus-wide rank + micro-percentile by document length
+    (:func:`beats_spark.dataops.layout.global_rank`): the oracle's
+    one-partition ``row_number() OVER (ORDER BY ...)`` spelled at
+    scale as one range exchange + in-partition numbering + broadcast
+    k-row offsets — no single-task sort anywhere in the plan."""
+    from .dataops.layout import global_rank
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", F.length("text").alias("n_chars")))
+    ranked = global_rank(docs, ["n_chars", "doc_id"])
+    tot = docs.agg(F.count(F.lit(1)).alias("__n"))
+    return (ranked.crossJoin(F.broadcast(tot))
+            .select("doc_id", "n_chars", "rnk",
+                    F.expr("(rnk - 1) * 1000000 DIV greatest(__n - 1, 1)")
+                     .alias("pct_micro")))
+
+
 @query("scd2_enrich", oracle="""
 WITH dim AS (SELECT user_id, event_id AS version_id,
                     ts AS valid_from,

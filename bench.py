@@ -77,7 +77,7 @@ BENCH_QUERIES = [
     "sparse_cosine", "rank_fusion", "hll_windowed", "latency_histogram",
     "event_transitions", "data_quality", "column_profile",
     "pivot_daily", "hll_set_ops", "unpivot_roundtrip", "ann_multiprobe", "typosquat_detect",
-    "accent_fold", "readability_score", "ewma_anomaly",
+    "accent_fold", "readability_score", "ewma_anomaly", "global_rank",
     "flagship_routed_counts", "flagship_messages",
 ]
 

@@ -134,3 +134,31 @@ class TestBucketedJoin:
         from beats_spark.dataops import write_bucketed
         with pytest.raises(ValueError, match="n_buckets"):
             write_bucketed(spark.range(1), "t", "id", n_buckets=0)
+
+
+def test_global_rank_matches_window(spark):
+    """global_rank == the one-partition row_number window, including
+    ties (broken by the tiebreaker column) and NULLS FIRST."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from beats_spark.dataops.layout import global_rank
+
+    rows = [(i, v) for i, v in enumerate(
+        [5, 3, None, 3, 9, 1, None, 5, 5, 2, 7, 3])]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(5)
+    got = {r["id"]: r["rnk"]
+           for r in global_rank(df, ["v", "id"], partitions=3).collect()}
+    w = Window.orderBy(F.col("v").asc_nulls_first(), F.col("id"))
+    want = {r["id"]: r["rn"]
+            for r in df.select("id", F.row_number().over(w)
+                               .alias("rn")).collect()}
+    assert got == want
+    assert sorted(got.values()) == list(range(1, len(rows) + 1))
+
+
+def test_global_rank_empty_and_single(spark):
+    from beats_spark.dataops.layout import global_rank
+    empty = spark.createDataFrame([], "id long, v long")
+    assert global_rank(empty, ["v", "id"]).count() == 0
+    one = spark.createDataFrame([(1, 42)], "id long, v long")
+    assert global_rank(one, ["v", "id"]).collect()[0]["rnk"] == 1
