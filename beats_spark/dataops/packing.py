@@ -35,7 +35,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["pack_concat", "pack_greedy"]
+__all__ = ["chunk_tokens", "pack_concat", "pack_greedy"]
 
 
 def pack_concat(
@@ -102,3 +102,60 @@ def pack_greedy(
     grouped = (df.groupBy(shard_col) if shard_col
                else df.groupBy(F.lit(1)))
     return grouped.applyInPandas(scan, schema=schema_out)
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    embedding/RAG preparation step (chunk size ``window`` tokens,
+    hop ``stride``; overlap = window − stride). The inverse-ish of
+    this module's packers: packing joins docs up to a budget,
+    chunking cuts docs down to one.
+
+    Chunk count per doc: 0 when the doc has no tokens, 1 when it fits
+    one window, else ``1 + ceil((n − window)/stride)`` — evaluated as
+    the pure-integer ``1 + (n − window + stride − 1) // stride`` so
+    any SQL engine reproduces it. Chunk ``i`` covers tokens
+    ``[1 + i·stride, i·stride + window]`` (1-based, clamped at the
+    doc end — the final window may be short but every token lands in
+    at least one chunk whenever stride ≤ window).
+
+    Pure JVM array ops (tokens → sequence → slice → explode): zero
+    Python, zero shuffle; the explode multiplies rows ~n/stride-fold,
+    which is the output's own size — nothing is amplified beyond
+    what gets emitted.
+
+    Reference anchor: no beats analogue (delivery ends at whole
+    events); curation-side extension surface.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("chunk_tokens: window and stride must be >= 1")
+    from .dedup import tokens
+    toks = tokens(F.col(text_col))
+    src = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size(F.col("__toks"))
+    w, s = F.lit(int(window)), F.lit(int(stride))
+    n_chunks = (F.when(n <= 0, F.lit(0))
+                 .when(n <= w, F.lit(1))
+                 .otherwise(F.lit(1) + (n - w + s - F.lit(1))
+                            .cast("long") / s))
+    # integer floor: operands positive, quotient < 2^53 — floor of
+    # the double division equals the integer // (see readability)
+    n_chunks = F.floor(n_chunks).cast("long")
+    idx = F.when(n_chunks >= 1,
+                 F.sequence(F.lit(0).cast("long"), n_chunks - 1)) \
+           .otherwise(F.array().cast("array<long>"))
+    out = (src.select(id_col, "__toks",
+                      F.explode(idx).alias("chunk_id"))
+           .select(id_col, "chunk_id",
+                   F.slice(F.col("__toks"),
+                           (F.col("chunk_id") * s + 1).cast("int"),
+                           int(window)).alias("__c")))
+    return out.select(id_col, "chunk_id",
+                      F.size("__c").cast("long").alias("n_tokens"),
+                      F.array_join("__c", " ").alias("chunk_text"))

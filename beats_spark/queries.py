@@ -4529,6 +4529,33 @@ def ewma_anomaly(spark, sf_dir):
                  F.sum(F.col("spike").cast("long")).alias("n_spikes")))
 
 
+@query("chunk_stride", oracle=f"""
+WITH t AS (SELECT doc_id, {_SH_TOKS} AS toks FROM documents),
+c AS (SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 0 THEN 0
+                  WHEN len(toks) <= 64 THEN 1
+                  ELSE 1 + (len(toks) - 64 + 48 - 1) // 48 END
+               AS n_chunks
+      FROM t),
+g AS (SELECT doc_id, toks, n,
+             unnest(range(n_chunks)) AS i
+      FROM c)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       CAST(len(toks[(i*48 + 1):(i*48 + 64)]) AS BIGINT) AS n_tokens,
+       array_to_string(toks[(i*48 + 1):(i*48 + 64)], ' ') AS chunk_text
+FROM g
+""")
+def chunk_stride(spark, sf_dir):
+    """Overlapping token-window chunking (window=64, stride=48) —
+    the embedding/RAG prep step
+    (:func:`beats_spark.dataops.packing.chunk_tokens`). Pure JVM
+    array ops: tokens → integer chunk count → sequence → slice →
+    explode; zero Python, zero shuffle."""
+    from .dataops.packing import chunk_tokens
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_tokens(docs, window=64, stride=48)
+
+
 @query("global_rank", oracle="""
 WITH t AS (SELECT doc_id, length(text) AS n_chars FROM documents),
 r AS (SELECT doc_id, n_chars,

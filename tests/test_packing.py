@@ -68,3 +68,33 @@ def test_deterministic_under_partitioning(spark):
     d = {r["doc_id"]: (r["bin"], r["bin_offset"]) for r in
          pack_concat(df.repartition(7), 512, shard_col="lang").collect()}
     assert c == d
+
+
+def test_chunk_tokens_known_values(spark):
+    from pyspark.sql import functions as F
+    from beats_spark.dataops.packing import chunk_tokens
+    df = spark.createDataFrame(
+        [("a", "t1 t2 t3 t4 t5 t6 t7"),   # 7 toks: w=3 s=2 -> 3 chunks
+         ("b", "x y"),                    # fits one window
+         ("c", ""),                       # 0 tokens -> 0 chunks
+         ("d", "p q r")],                 # exactly one window
+        ["doc_id", "text"])
+    out = chunk_tokens(df, window=3, stride=2)
+    got = [(r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+           for r in out.orderBy("doc_id", "chunk_id").collect()]
+    assert got == [
+        ("a", 0, 3, "t1 t2 t3"), ("a", 1, 3, "t3 t4 t5"),
+        ("a", 2, 3, "t5 t6 t7"),
+        ("b", 0, 2, "x y"),
+        ("d", 0, 3, "p q r")]
+    # every token lands in >=1 chunk when stride <= window: the
+    # chunks of 'a' jointly cover all 7 tokens
+    toks = set(" ".join(t for _, _, _, t in got[:3]).split())
+    assert toks == {f"t{i}" for i in range(1, 8)}
+    # zero Python / zero shuffle: pure generator projection
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+    # stride > window is allowed but gaps tokens; window<1 rejected
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_tokens(df, window=0, stride=2)
