@@ -4556,6 +4556,37 @@ def chunk_stride(spark, sf_dir):
     return chunk_tokens(docs, window=64, stride=48)
 
 
+@query("winnow_fingerprints", oracle="""
+WITH t AS (SELECT doc_id,
+                  regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+           FROM documents),
+h AS (SELECT doc_id, length(s) - 5 + 1 AS m, s FROM t),
+hh AS (SELECT doc_id, m,
+         list_transform(range(1, m + 1),
+           i -> CAST('0x' || substr(md5(s[i:i+4]), 1, 15) AS BIGINT)) AS H
+       FROM h WHERE m >= 1),
+sel AS (SELECT doc_id, H,
+          list_distinct(list_transform(range(1, greatest(m - 4 + 1, 1) + 1),
+            j -> list_max(list_transform(range(j, least(j + 3, m) + 1),
+                 x -> CASE WHEN H[x] = list_min(H[j:least(j + 3, m)])
+                           THEN x ELSE -1 END)))) AS ps
+        FROM hh)
+SELECT doc_id, CAST(u.p AS BIGINT) AS pos, H[u.p] AS fp
+FROM sel, (SELECT unnest(ps) AS p) AS u
+""")
+def winnow_fingerprints_q(spark, sf_dir):
+    """MOSS winnowing fingerprints (k=5 char grams, w=4 windows) over
+    the documents table
+    (:func:`beats_spark.dataops.dedup.winnow_fingerprints`): the
+    position-robust local-fingerprint set — any shared substring of
+    k+w−1 chars contributes a common (pos, fp) row. One fused Arrow
+    kernel, zero shuffle; the oracle replays the sliding-min selection
+    with list lambdas."""
+    from .dataops.dedup import winnow_fingerprints
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=5, w=4)
+
+
 @query("global_rank", oracle="""
 WITH t AS (SELECT doc_id, length(text) AS n_chars FROM documents),
 r AS (SELECT doc_id, n_chars,

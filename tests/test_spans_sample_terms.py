@@ -624,3 +624,35 @@ def test_sparse_cosine_values_and_stop_term_cutoff(spark):
               for r in sparse_cosine_pairs(docs, threshold=0.0,
                                            max_doc_freq=2).collect()}
     assert (1, 4) not in pruned and (1, 2) in pruned  # c survives (df=2)
+
+
+def test_winnow_guarantee_and_known_values(spark):
+    """Winnowing's core guarantee: any shared substring of length
+    >= k + w - 1 contributes at least one COMMON fingerprint to both
+    docs; plus a hand-checkable tiny case."""
+    from beats_spark.dataops.dedup import winnow_fingerprints
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(1, "AAA " + shared + " BBB"),
+         (2, "xyz123 " + shared + " qqq"),
+         (3, "completely different content here")],
+        ["doc_id", "text"])
+    out = winnow_fingerprints(df, k=5, w=4)
+    rows = out.collect()
+    fps = {i: {r["fp"] for r in rows if r["doc_id"] == i} for i in (1, 2, 3)}
+    assert fps[1] & fps[2], "shared substring must share a fingerprint"
+    assert not (fps[1] & fps[3]) or len(fps[1] & fps[3]) < len(fps[1] & fps[2])
+    # tiny doc: normalized 'abcde' -> one 5-gram, one window, pos 1
+    tiny = winnow_fingerprints(
+        spark.createDataFrame([(9, "ab c-d E")], ["doc_id", "text"]),
+        k=5, w=4).collect()
+    assert len(tiny) == 1 and tiny[0]["pos"] == 1
+    import hashlib
+    want = int(hashlib.md5(b"abcde").hexdigest()[:15], 16)
+    assert tiny[0]["fp"] == want
+    # below k normalized chars: no fingerprints, not a crash
+    none = winnow_fingerprints(
+        spark.createDataFrame([(8, "a b"), (7, None)],
+                              "doc_id long, text string"),
+        k=5, w=4).collect()
+    assert none == []
