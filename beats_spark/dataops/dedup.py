@@ -41,7 +41,7 @@ __all__ = [
     "exact_dup_groups",
     "minhash_signature", "minhash_signature_arrow", "minhash_lsh_pairs",
     "ngram_jaccard_pairs", "ngram_jaccard_prefix_pairs", "simhash", "simhash_col", "simhash_pairs",
-    "winnow_fingerprints",
+    "winnow_fingerprints", "winnow_pairs",
 ]
 
 
@@ -666,3 +666,42 @@ def winnow_fingerprints(
 
     return (_spread(df.select(id_col, text_col))
             .mapInPandas(fn, schema=schema))
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 10,
+    max_fp_freq: int = 20,
+) -> DataFrame:
+    """Duplicate-passage pairs via winnowing: docs sharing at least
+    ``min_shared`` distinct :func:`winnow_fingerprints` — catches
+    copied passages/quotes that word-shingle Jaccard dilutes away in
+    long documents (the pair shares a REGION, not the whole doc).
+
+    Scale shape: the join key is the 60-bit fingerprint, so the only
+    shuffles carry (id, fp) pairs — text never moves. Fingerprints in
+    more than ``max_fp_freq`` docs (boilerplate/stop-passages) are
+    dropped BEFORE the self-join, bounding per-key fan-out at
+    ``max_fp_freq²`` — the same cap discipline as
+    :func:`ngram_jaccard_pairs`' ``max_doc_freq``. The fingerprint
+    frame is barrier'd once against its three consumers (the
+    frequency filter and both join sides) so the Arrow kernel runs
+    once, not three times.
+    """
+    fps = (winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+           .select(id_col, "fp").distinct()
+           .localCheckpoint(eager=False))
+    ok = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__n"))
+          .filter(F.col("__n") <= int(max_fp_freq)).select("fp"))
+    kept = fps.join(ok, "fp")
+    a = kept.select(F.col(id_col).alias("id_a"), "fp")
+    b = kept.select(F.col(id_col).alias("id_b"), "fp")
+    return (a.join(b, "fp")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= int(min_shared)))

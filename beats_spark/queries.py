@@ -4587,6 +4587,40 @@ def winnow_fingerprints_q(spark, sf_dir):
     return winnow_fingerprints(docs, k=5, w=4)
 
 
+@query("winnow_pairs", oracle="""
+WITH t AS (SELECT doc_id,
+                  regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+           FROM documents),
+h AS (SELECT doc_id, length(s) - 5 + 1 AS m, s FROM t),
+hh AS (SELECT doc_id, m,
+         list_transform(range(1, m + 1),
+           i -> CAST('0x' || substr(md5(s[i:i+4]), 1, 15) AS BIGINT)) AS H
+       FROM h WHERE m >= 1),
+sel AS (SELECT doc_id, H,
+          list_distinct(list_transform(range(1, greatest(m - 4 + 1, 1) + 1),
+            j -> list_max(list_transform(range(j, least(j + 3, m) + 1),
+                 x -> CASE WHEN H[x] = list_min(H[j:least(j + 3, m)])
+                           THEN x ELSE -1 END)))) AS ps
+        FROM hh),
+fpx AS (SELECT DISTINCT doc_id, H[u.p] AS fp
+        FROM sel, (SELECT unnest(ps) AS p) AS u),
+ok AS (SELECT fp FROM fpx GROUP BY fp HAVING count(*) <= 20)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fpx a JOIN fpx b USING (fp) JOIN ok USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 10
+""")
+def winnow_pairs_q(spark, sf_dir):
+    """Duplicate-passage pairs: documents sharing >= 10 winnowing
+    fingerprints (:func:`beats_spark.dataops.dedup.winnow_pairs`),
+    boilerplate fingerprints (> 20 docs) dropped before the
+    fingerprint-bucket self-join — text never shuffles."""
+    from .dataops.dedup import winnow_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_pairs(docs, k=5, w=4, min_shared=10, max_fp_freq=20)
+
+
 @query("global_rank", oracle="""
 WITH t AS (SELECT doc_id, length(text) AS n_chars FROM documents),
 r AS (SELECT doc_id, n_chars,

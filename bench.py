@@ -78,7 +78,7 @@ BENCH_QUERIES = [
     "event_transitions", "data_quality", "column_profile",
     "pivot_daily", "hll_set_ops", "unpivot_roundtrip", "ann_multiprobe", "typosquat_detect",
     "accent_fold", "readability_score", "ewma_anomaly", "global_rank",
-    "chunk_stride", "winnow_fingerprints",
+    "chunk_stride", "winnow_fingerprints", "winnow_pairs",
     "flagship_routed_counts", "flagship_messages",
 ]
 

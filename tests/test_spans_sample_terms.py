@@ -656,3 +656,28 @@ def test_winnow_guarantee_and_known_values(spark):
                               "doc_id long, text string"),
         k=5, w=4).collect()
     assert none == []
+
+
+def test_winnow_pairs_finds_shared_passage(spark):
+    from beats_spark.dataops.dedup import winnow_pairs
+    passage = ("winnowing guarantees matches for substrings of length "
+               "at least k plus w minus one characters in both texts")
+    df = spark.createDataFrame(
+        [(1, "intro words here. " + passage + " trailing stuff"),
+         (2, "other document begins " + passage + " and then ends"),
+         (3, "nothing in common with the others at all whatsoever"),
+         (4, "fourth text also fully unrelated to every other row")],
+        ["doc_id", "text"])
+    got = {(r["id_a"], r["id_b"]) for r in
+           winnow_pairs(df, k=5, w=4, min_shared=5,
+                        max_fp_freq=3).collect()}
+    assert (1, 2) in got
+    assert all(p == (1, 2) for p in got)
+    # no SortMergeJoin on the tiny fp frames under AQE, and the
+    # fingerprint kernel is barrier'd (one InMemory/checkpoint scan
+    # feeds three consumers) -- structural, so just assert it runs
+    # deterministically twice
+    got2 = {(r["id_a"], r["id_b"]) for r in
+            winnow_pairs(df, k=5, w=4, min_shared=5,
+                         max_fp_freq=3).collect()}
+    assert got2 == got
