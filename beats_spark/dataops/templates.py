@@ -31,7 +31,7 @@ from typing import Optional, Sequence, Tuple
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["TEMPLATE_MASKS", "count_anomalies", "log_templates",
-           "template_col"]
+           "mad_outliers", "template_col"]
 
 # order matters: longer/more specific shapes first so '<num>' cannot
 # eat the digits inside a uuid or hex literal first
@@ -120,3 +120,46 @@ def count_anomalies(
                   F.lit(None).cast("boolean")).otherwise(lhs > rhs)
     return (df.withColumn("n_prior", n.cast("int"))
               .withColumn("is_anomaly", flag))
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    z: int = 3,
+    c_tenk: int = 14826,
+) -> DataFrame:
+    """Hampel filter: flag values more than ``z`` robust standard
+    deviations from their group MEDIAN, where the robust sd is
+    ``1.4826 × MAD`` (median absolute deviation) — the outlier test
+    that, unlike the z-test (:func:`count_anomalies`), a few extreme
+    values cannot mask by inflating the mean/stddev themselves.
+
+    All-integer evaluation: ``x`` must be integral (pre-scale floats
+    with ``round(v·k)``). With ``q = |2x − med2|`` (``med2 = 2·median``
+    — doubling keeps even-count interpolated medians integral) and
+    ``mad_q2 = 2·median(q) = 4·MAD``, the test
+    ``|x−med| > z·1.4826·MAD`` cross-multiplies to
+    ``2·q·10000 > z·c_tenk·mad_q2`` — BIGINTs end to end, so flags
+    are engine-exact (the :func:`count_anomalies` discipline).
+    ``mad_q2 = 0`` (over half the group identical) flags any
+    deviation — the strictest consistent reading, same as the
+    zero-variance z-test case.
+
+    Plan: two aggregates and two joins, all keyed on ``key_col`` —
+    one partitioning reused end to end; only (key, x) pairs move.
+    """
+    med = (df.groupBy(key_col)
+           .agg((F.percentile(F.col(x_col), 0.5) * 2)
+                .cast("long").alias("med2")))
+    q = (df.join(med, key_col)
+         .withColumn("__q", F.abs(2 * F.col(x_col) - F.col("med2"))))
+    mad = (q.groupBy(key_col)
+           .agg((F.percentile(F.col("__q"), 0.5) * 2)
+                .cast("long").alias("mad_q2")))
+    return (q.join(mad, key_col)
+            .withColumn("is_outlier",
+                        2 * F.col("__q") * F.lit(10000)
+                        > F.lit(int(z)) * F.lit(int(c_tenk))
+                        * F.col("mad_q2"))
+            .drop("__q"))

@@ -4488,6 +4488,34 @@ def count_anomalies_q(spark, sf_dir):
                           F.coalesce("is_anomaly", F.lit(False)))
 
 
+@query("mad_outliers", oracle="""
+WITH e AS (SELECT event_id, user_id,
+                  CAST(round(value * 100) AS BIGINT) AS x
+           FROM events),
+m AS (SELECT user_id, CAST(2 * median(x) AS BIGINT) AS med2
+      FROM e GROUP BY user_id),
+q AS (SELECT e.event_id, e.user_id, e.x, m.med2,
+             abs(2 * e.x - m.med2) AS qv
+      FROM e JOIN m USING (user_id)),
+d AS (SELECT user_id, CAST(2 * median(qv) AS BIGINT) AS mad_q2
+      FROM q GROUP BY user_id)
+SELECT q.event_id, q.user_id, q.x, q.med2, d.mad_q2,
+       2 * q.qv * 10000 > 3 * 14826 * d.mad_q2 AS is_outlier
+FROM q JOIN d USING (user_id)
+""")
+def mad_outliers_q(spark, sf_dir):
+    """Hampel (median/MAD) outlier flags on the per-user event value
+    stream (:func:`beats_spark.dataops.templates.mad_outliers`):
+    robust to the masking that inflated means/stddevs cause in the
+    plain z-test; the whole test is integer cross-multiplication, so
+    flags are engine-exact."""
+    from .dataops.templates import mad_outliers
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_id", "user_id",
+                  F.round(F.col("value") * 100).cast("long").alias("x")))
+    return mad_outliers(ev, "user_id", "x", z=3)
+
+
 @query("ewma_anomaly", oracle="""
 WITH RECURSIVE ev AS (
   SELECT user_id AS k, event_id AS id,

@@ -602,3 +602,27 @@ def test_ewma_smooth_known_values(spark):
             for r in ewma_smooth(sh, key_col="user_id", ts_col="ts",
                                  x_col="x").orderBy("event_id").collect()]
     assert got2 == got
+
+
+def test_mad_outliers_known_values_and_masking(spark):
+    """Hand-checked median/MAD flags, including the case a z-test
+    masks: one huge value inflates mean+stddev enough to hide itself,
+    while the median/MAD test still flags it."""
+    from beats_spark.dataops.templates import mad_outliers
+    xs = [10, 11, 9, 10, 12, 10, 11, 1000]
+    df = spark.createDataFrame(
+        [(i, "k", v) for i, v in enumerate(xs)], ["id", "k", "x"])
+    out = {r["id"]: (r["med2"], r["mad_q2"], r["is_outlier"])
+           for r in mad_outliers(df, "k", "x", z=3).collect()}
+    # median of [9,10,10,10,11,11,12,1000] = 10.5 -> med2 = 21
+    # q = |2x-21| = [1,1,3,1,3,1,1,1979]; median(q) = 1 -> mad_q2 = 2
+    # flag: 2*q*10000 > 3*14826*2 = 88956  <=>  q > 4.447  -> only 1979
+    assert out[7] == (21, 2, True)
+    assert all(v == (21, 2, False) for i, v in out.items() if i != 7)
+    # zero-MAD group: any deviation flags, identical values do not
+    df2 = spark.createDataFrame(
+        [(0, "g", 5), (1, "g", 5), (2, "g", 5), (3, "g", 6)],
+        ["id", "k", "x"])
+    out2 = {r["id"]: r["is_outlier"]
+            for r in mad_outliers(df2, "k", "x").collect()}
+    assert out2 == {0: False, 1: False, 2: False, 3: True}
