@@ -27,7 +27,8 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "ewma_smooth", "funnel_steps", "percentile_rollup",
+__all__ = ["asof_join", "ewma_smooth", "funnel_steps", "merge_intervals",
+           "percentile_rollup",
            "retention_cohorts", "scd2_join", "session_rollup",
            "sessionize"]
 
@@ -477,3 +478,40 @@ def ewma_smooth(
         return out
 
     return df.groupBy(key_col).applyInPandas(scan, schema=schema_out)
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Coalesce overlapping-or-touching intervals per key — outage
+    windows, retry storms, span consolidation. An interval extends
+    the current merged run when its start is at or before the running
+    maximum end seen so far (``start <= max(end) so-far``; the max —
+    not ``lag(end)`` — because an earlier long interval can swallow
+    several later short ones).
+
+    Single exchange: both window passes (the running max that marks
+    run starts, and the running sum that numbers runs) share one
+    ``partitionBy(key) orderBy(start, end)`` spec, then one aggregate
+    on (key, run). Columns must be orderable and exact (integers /
+    timestamps); output is ``(key, start, end, n_merged)`` per run.
+
+    Reference anchor: no beats analogue; the events-layer sibling of
+    gap :func:`sessionize` (points→sessions there, ranges→ranges
+    here).
+    """
+    s, e = F.col(start_col), F.col(end_col)
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    prev_max = F.max(e).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_run = (prev_max.isNull() | (s > prev_max)).cast("long")
+    run = F.sum(new_run).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (df.select(key_col, s.alias("__s"), e.alias("__e"),
+                      run.alias("__run"))
+            .groupBy(key_col, "__run")
+            .agg(F.min("__s").alias(start_col),
+                 F.max("__e").alias(end_col),
+                 F.count(F.lit(1)).alias("n_merged"))
+            .drop("__run"))

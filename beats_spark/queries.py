@@ -4488,6 +4488,45 @@ def count_anomalies_q(spark, sf_dir):
                           F.coalesce("is_anomaly", F.lit(False)))
 
 
+@query("merge_intervals", oracle="""
+WITH iv AS (SELECT event_type AS k, epoch_us(ts) AS s,
+                   epoch_us(ts) + CAST(round(value * 100) AS BIGINT)
+                     * 60000 AS e
+            FROM events),
+m AS (SELECT k, s, e,
+             max(e) OVER (PARTITION BY k ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pm
+      FROM iv),
+r AS (SELECT k, s, e,
+             sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+               OVER (PARTITION BY k ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run
+      FROM m)
+SELECT k AS event_type, CAST(min(s) AS BIGINT) AS start_us,
+       CAST(max(e) AS BIGINT) AS end_us,
+       count(*) AS n_merged
+FROM r GROUP BY k, run
+""")
+def merge_intervals_q(spark, sf_dir):
+    """Coalesce overlapping event intervals per type
+    (:func:`beats_spark.dataops.events.merge_intervals`): each event
+    opens a window of ``value`` deciseconds scaled to µs; runs of
+    overlapping-or-touching windows merge into one row. Single
+    exchange — both window passes and the final rollup share the key
+    partitioning."""
+    from .dataops.events import merge_intervals
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        F.col("event_type"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("start_us"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         + F.round(F.col("value") * 100).cast("long") * 60000)
+        .alias("end_us"))
+    return merge_intervals(iv, "event_type", "start_us", "end_us")
+
+
 @query("mad_outliers", oracle="""
 WITH e AS (SELECT event_id, user_id,
                   CAST(round(value * 100) AS BIGINT) AS x

@@ -626,3 +626,23 @@ def test_mad_outliers_known_values_and_masking(spark):
     out2 = {r["id"]: r["is_outlier"]
             for r in mad_outliers(df2, "k", "x").collect()}
     assert out2 == {0: False, 1: False, 2: False, 3: True}
+
+
+def test_merge_intervals_known_values(spark):
+    from beats_spark.dataops.events import merge_intervals
+    rows = [
+        ("a", 0, 10), ("a", 5, 8),      # contained: long swallows short
+        ("a", 10, 12),                  # touching (start == max end): merges
+        ("a", 20, 25),                  # gap: new run
+        ("a", 21, 30),
+        ("b", 0, 1), ("b", 2, 3),       # disjoint runs on another key
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = sorted((r["k"], r["s"], r["e"], r["n_merged"]) for r in
+                 merge_intervals(df, "k", "s", "e").collect())
+    assert got == [("a", 0, 12, 3), ("a", 20, 30, 2),
+                   ("b", 0, 1, 1), ("b", 2, 3, 1)]
+    # single exchange: both windows + the rollup share the key
+    plan = merge_intervals(df, "k", "s", "e") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
