@@ -26,8 +26,9 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import tokens, _spread
 
-__all__ = ["collocations", "doc_frequency", "inverted_index",
-           "phrase_search", "sparse_cosine_pairs", "tfidf_top_terms"]
+__all__ = ["bm25_topk", "collocations", "doc_frequency",
+           "inverted_index", "percolate", "phrase_search",
+           "sparse_cosine_pairs", "tfidf_top_terms"]
 
 
 def doc_frequency(
@@ -186,6 +187,150 @@ def phrase_search(
             .groupBy("id")
             .agg(F.count(F.lit(1)).alias("n_matches"),
                  F.min("start").cast("int").alias("first_pos")))
+
+
+def percolate(
+    docs: DataFrame,
+    stored: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    meta_col: str | None = "lang",
+) -> DataFrame:
+    """Reverse search (the Elasticsearch *percolator*,
+    ``x-pack/.../percolator`` in the ES ecosystem beats ships into;
+    conceptually the same match step as libbeat's output selectors,
+    `libbeat/outputs/output_reg.go`, but with a TABLE of stored
+    queries): match every document against every STORED query and
+    return per-query match stats.
+
+    ``stored`` is ``(query_id, lang, terms array<string>)`` — a doc
+    matches when it contains ALL the query's terms (AND semantics)
+    and, when the query's ``lang`` is non-null, its ``meta_col``
+    equals it.
+
+    Scale shape: the stored-query table is small by nature (alert
+    rules, routing rules — thousands, not billions), so it is
+    broadcast EXPLODED BY TERM; the 10^12-doc side contributes one
+    row per DISTINCT token (``array_distinct`` before the explode,
+    map-side), probes the broadcast by term, and the only exchange
+    carries ``(doc_id, query_id)`` pairs for the AND-count — document
+    text never shuffles. AND = ``count(matched terms) == n_terms``
+    (both sides deduped, so plain count, no count_distinct).
+    """
+    from .dedup import _spread, tokens
+    qx = (stored
+          .select(F.col("query_id"),
+                  F.col("lang").alias("__qlang"),
+                  F.size(F.array_distinct("terms")).alias("__nt"),
+                  F.explode(F.array_distinct("terms")).alias("term")))
+    meta = (F.col(meta_col).alias("__dmeta") if meta_col
+            else F.lit(None).cast("string").alias("__dmeta"))
+    dt = (_spread(docs)
+          .select(F.col(id_col).alias("__id"), meta,
+                  F.explode(F.array_distinct(tokens(F.col(text_col))))
+                   .alias("term")))
+    hits = (dt.join(F.broadcast(qx), "term")
+            .filter(F.col("__qlang").isNull()
+                    | (F.col("__qlang") == F.col("__dmeta"))))
+    matched = (hits.groupBy("__id", "query_id")
+               .agg(F.count(F.lit(1)).alias("__hit"),
+                    F.max("__nt").alias("__nt"))
+               .filter(F.col("__hit") == F.col("__nt")))
+    # per-query rollup joined back to the full stored table so
+    # zero-match queries still report (n_docs = 0)
+    per_q = (matched.groupBy("query_id")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.min("__id").alias("first_doc"),
+                  F.max("__id").alias("last_doc")))
+    return (stored.select("query_id")
+            .join(F.broadcast(per_q), "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+                    "first_doc", "last_doc"))
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: "list[str]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    tf_cap: int = 1023,
+) -> DataFrame:
+    """Top-``k`` documents for a term query under BM25
+    (Robertson/Sparck Jones; the ranking function behind the
+    Elasticsearch indexes beats feeds), in engine-exact fixed point:
+    ``(doc_id, n_terms_hit, score_u12, rank)``.
+
+    BM25 with k1=1.2, b=0.75 as pure integer arithmetic so two
+    engines can agree bit-for-bit:
+
+    - ``idf_micro = round(1e6 · ln((N − df + ½)/(df + ½) + 1))``
+      (the Lucene non-negative variant; ln rounded to micro is the
+      same cross-engine tolerance as tfidf's round-to-6),
+    - ``tf_part = tf(k1+1) / (tf + k1(1 − b + b·dl/avgdl))``
+      becomes ``(22·tf·A·10^6) div (10·tf·A + 3·A + 9·dl·1000)``
+      with ``A = avgdl_milli = (Σdl·1000) div N`` — integer floor
+      division, identical everywhere,
+    - ``score_u12 = Σ_t idf_micro · tf_frac_micro`` (units 10^-12).
+
+    Overflow guards (documented spec, not approximation): ``tf`` is
+    capped at ``tf_cap`` (BM25 saturates in tf — at k1=1.2 the part
+    is within 0.3% of its asymptote by tf=1000) and ``A`` at 4·10^8
+    (avgdl ≤ 400k tokens), keeping the numerator under 2^63.
+
+    Scale shape: the term filter hits the tokenize-explode map-side
+    (only query-term postings survive), one exchange on
+    ``(doc, term)`` for tf, a broadcast idf join (k terms), and the
+    final top-k is ``orderBy().limit(k)`` — TakeOrderedAndProject,
+    per-partition heaps, never a global sort.
+    """
+    from .dedup import _spread, tokens
+    terms = sorted({t.lower() for t in query_terms if t})
+    if not terms:
+        raise ValueError("bm25_topk: empty query")
+    toks = tokens(F.col(text_col))
+    base = _spread(df).select(F.col(id_col).alias("id"),
+                              F.size(toks).cast("long").alias("dl"),
+                              toks.alias("__toks"))
+    stats = base.agg(
+        (F.lit(1000) * F.sum("dl")).cast("long").alias("__s"),
+        F.count(F.lit(1)).cast("long").alias("__n"))
+    stats = stats.select(
+        F.least(F.expr("__s DIV __n"), F.lit(400_000_000))
+         .alias("__a"),
+        F.col("__n").cast("double").alias("__nd"))
+    tf = (base.select("id", "dl", F.explode("__toks").alias("term"))
+          .filter(F.col("term").isin(terms))
+          .groupBy("id", "term")
+          .agg(F.least(F.count(F.lit(1)), F.lit(tf_cap)).alias("tf"),
+               F.max("dl").alias("dl"))
+          # two consumers (idf agg + the score join) — barrier so the
+          # corpus is tokenized once, not once per branch
+          .localCheckpoint())
+    idf = (tf.groupBy("term")
+           .agg(F.count(F.lit(1)).cast("double").alias("__df"))
+           .join(F.broadcast(stats))
+           .select("term", "__a",
+                   F.round(F.lit(1e6) * F.log(
+                       (F.col("__nd") - F.col("__df") + 0.5)
+                       / (F.col("__df") + 0.5) + 1.0))
+                    .cast("long").alias("idf_micro")))
+    part = (tf.join(F.broadcast(idf), "term")
+            .withColumn(
+                "__frac",
+                F.expr("(22 * tf * __a * 1000000) DIV "
+                       "(10 * tf * __a + 3 * __a + 9 * dl * 1000)"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_terms_hit"),
+                 F.sum(F.col("idf_micro") * F.col("__frac"))
+                  .alias("score_u12")))
+    top = (part.orderBy(F.col("score_u12").desc(), F.col("id"))
+           .limit(k))
+    w = Window.orderBy(F.col("score_u12").desc(), F.col("id"))
+    return (top.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select(F.col("id").alias(id_col), "n_terms_hit",
+                    "score_u12", "rank"))
 
 
 def collocations(

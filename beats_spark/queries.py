@@ -6352,3 +6352,109 @@ def warc_ingest_q(spark, sf_dir):
         "doc_id", "target_uri", "text",
         g["word_count"].alias("word_count"),
         (g["words_ok"] & g["stop_ok"]).alias("ingest_keep"))
+
+
+# =====================================================================
+# round 4 batch: reverse search (percolator), BM25 ranking
+# =====================================================================
+
+@query("percolate_match", oracle="""
+WITH stored(query_id, lang, terms) AS (VALUES
+  ('q_scan_merge', CAST(NULL AS VARCHAR),
+   ['scan', 'merge', 'join']),
+  ('q_vector_es',  'es', ['vector', 'query']),
+  ('q_busy',       CAST(NULL AS VARCHAR),
+   ['fast', 'slow', 'the', 'a']),
+  ('q_zh_wide',    'zh', ['customer', 'window', 'batch', 'hash']),
+  ('q_nomatch',    'de', ['nonexistentterm'])),
+qx AS (SELECT query_id, lang,
+              len(list_distinct(terms)) AS n_terms,
+              unnest(list_distinct(terms)) AS term
+       FROM stored),
+dt AS (SELECT doc_id, lang AS dlang,
+              unnest(list_distinct(list_filter(
+                string_split_regex(lower(text), '\\s+'),
+                x -> x <> ''))) AS term
+       FROM documents),
+hits AS (SELECT qx.query_id, dt.doc_id, qx.n_terms
+         FROM dt JOIN qx USING (term)
+         WHERE qx.lang IS NULL OR qx.lang = dt.dlang),
+m AS (SELECT query_id, doc_id
+      FROM hits GROUP BY query_id, doc_id, n_terms
+      HAVING count(*) = n_terms)
+SELECT s.query_id, CAST(count(m.doc_id) AS BIGINT) AS n_docs,
+       CAST(min(m.doc_id) AS BIGINT) AS first_doc,
+       CAST(max(m.doc_id) AS BIGINT) AS last_doc
+FROM stored s LEFT JOIN m USING (query_id)
+GROUP BY s.query_id
+""")
+def percolate_match(spark, sf_dir):
+    """Reverse search — the Elasticsearch percolator beats events are
+    routed into (:func:`beats_spark.dataops.terms.percolate`): a small
+    stored-query table (alert rules: AND-of-terms, optional lang
+    gate) is matched against every document. Stored queries broadcast
+    exploded-by-term; the corpus side ships only (doc_id, query_id)
+    pairs through the one exchange — text never shuffles."""
+    from .dataops.terms import percolate
+    from pyspark.sql.types import (ArrayType, StringType, StructField,
+                                   StructType)
+    schema = StructType([
+        StructField("query_id", StringType()),
+        StructField("lang", StringType()),
+        StructField("terms", ArrayType(StringType()))])
+    stored = spark.createDataFrame([
+        ("q_scan_merge", None, ["scan", "merge", "join"]),
+        ("q_vector_es", "es", ["vector", "query"]),
+        ("q_busy", None, ["fast", "slow", "the", "a"]),
+        ("q_zh_wide", "zh", ["customer", "window", "batch", "hash"]),
+        ("q_nomatch", "de", ["nonexistentterm"]),
+    ], schema)
+    docs = _t(spark, sf_dir, "documents")
+    return percolate(docs, stored)
+
+
+@query("bm25_rank", oracle="""
+WITH base AS (SELECT doc_id AS id,
+                     CAST(len(list_filter(string_split_regex(
+                       lower(text), '\\s+'), x -> x <> ''))
+                       AS BIGINT) AS dl,
+                     list_filter(string_split_regex(lower(text),
+                       '\\s+'), x -> x <> '') AS toks
+              FROM documents),
+st AS (SELECT least((1000 * sum(dl)) // count(*), 400000000) AS a,
+              CAST(count(*) AS DOUBLE) AS nd
+       FROM base),
+tf AS (SELECT id, term, least(count(*), 1023) AS tf, max(dl) AS dl
+       FROM (SELECT id, dl, unnest(toks) AS term FROM base)
+       WHERE term IN ('vector', 'customer', 'spark')
+       GROUP BY id, term),
+idf AS (SELECT term, st.a,
+               CAST(round(1000000 * ln(
+                 (st.nd - df + 0.5) / (df + 0.5) + 1.0)) AS BIGINT)
+                 AS idf_micro
+        FROM (SELECT term, CAST(count(*) AS DOUBLE) AS df
+              FROM tf GROUP BY term), st),
+part AS (SELECT tf.id, count(*) AS n_terms_hit,
+                CAST(sum(idf_micro *
+                  ((22 * tf * a * 1000000) //
+                   (10 * tf * a + 3 * a + 9 * dl * 1000)))
+                  AS BIGINT) AS score_u12
+         FROM tf JOIN idf USING (term) GROUP BY tf.id),
+top AS (SELECT * FROM part
+        ORDER BY score_u12 DESC, id LIMIT 10)
+SELECT id AS doc_id, n_terms_hit, score_u12,
+       CAST(row_number() OVER (ORDER BY score_u12 DESC, id) AS INT)
+         AS rank
+FROM top
+""")
+def bm25_rank(spark, sf_dir):
+    """BM25 top-10 for the query ``vector customer spark``
+    (:func:`beats_spark.dataops.terms.bm25_topk`): the Lucene/ES
+    ranking function in engine-exact integer fixed point — idf in
+    micro-nats, the tf saturation fraction as one integer floor
+    division, score as a BIGINT sum. Term filter reaches the
+    tokenize map-side; top-k is TakeOrderedAndProject, no global
+    sort."""
+    from .dataops.terms import bm25_topk
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["vector", "customer", "spark"], k=10)

@@ -79,7 +79,7 @@ BENCH_QUERIES = [
     "pivot_daily", "hll_set_ops", "unpivot_roundtrip", "ann_multiprobe", "typosquat_detect",
     "accent_fold", "readability_score", "ewma_anomaly", "global_rank",
     "chunk_stride", "winnow_fingerprints", "winnow_pairs",
-    "mad_outliers", "merge_intervals",
+    "mad_outliers", "merge_intervals", "percolate_match", "bm25_rank",
     "flagship_routed_counts", "flagship_messages",
 ]
 

@@ -681,3 +681,58 @@ def test_winnow_pairs_finds_shared_passage(spark):
             winnow_pairs(df, k=5, w=4, min_shared=5,
                          max_fp_freq=3).collect()}
     assert got2 == got
+
+
+def test_percolate_and_semantics_lang_gate_and_zero_match(spark):
+    from beats_spark.dataops.terms import percolate
+    from pyspark.sql.types import (ArrayType, StringType, StructField,
+                                   StructType)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", "en"),
+         (2, "alpha beta beta", "fr"),     # repeats must not double-count
+         (3, "beta gamma delta", "en"),
+         (4, "alpha", "en")],
+        "doc_id long, text string, lang string")
+    schema = StructType([
+        StructField("query_id", StringType()),
+        StructField("lang", StringType()),
+        StructField("terms", ArrayType(StringType()))])
+    stored = spark.createDataFrame(
+        [("ab_any", None, ["alpha", "beta"]),
+         ("ab_en", "en", ["alpha", "beta"]),
+         ("dup_terms", None, ["beta", "beta"]),  # dup in query == single
+         ("none", None, ["zzz"])], schema)
+    out = {r["query_id"]: r for r in percolate(docs, stored).collect()}
+    assert out["ab_any"]["n_docs"] == 2          # docs 1, 2
+    assert (out["ab_any"]["first_doc"], out["ab_any"]["last_doc"]) == (1, 2)
+    assert out["ab_en"]["n_docs"] == 1           # lang gate drops doc 2
+    assert out["dup_terms"]["n_docs"] == 3       # beta in docs 1,2,3
+    assert out["none"]["n_docs"] == 0            # zero-match still reported
+    assert out["none"]["first_doc"] is None
+
+
+def test_bm25_fixed_point_known_values(spark):
+    from beats_spark.dataops.terms import bm25_topk
+    import math
+    docs = spark.createDataFrame(
+        [(1, "x x y pad pad"),      # tf(x)=2, tf(y)=1, dl=5
+         (2, "x pad pad"),          # tf(x)=1, dl=3
+         (3, "pad pad pad pad")],   # no hit
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           bm25_topk(docs, ["x", "y"], k=10).collect()}
+    assert 3 not in out and len(out) == 2
+    # replay the documented fixed-point formula
+    s, n = (5 + 3 + 4) * 1000, 3
+    a = s // n
+    def idf(df):
+        return round(1e6 * math.log((n - df + 0.5) / (df + 0.5) + 1.0))
+    def frac(tf, dl):
+        return (22 * tf * a * 1000000) // (10 * tf * a + 3 * a
+                                           + 9 * dl * 1000)
+    exp1 = idf(2) * frac(2, 5) + idf(1) * frac(1, 5)
+    exp2 = idf(2) * frac(1, 3)
+    assert out[1]["score_u12"] == exp1
+    assert out[2]["score_u12"] == exp2
+    assert out[1]["rank"] == 1 and out[1]["n_terms_hit"] == 2
+    assert out[2]["rank"] == 2 and out[2]["n_terms_hit"] == 1
