@@ -31,7 +31,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["merge_upsert"]
+__all__ = ["merge_upsert", "snapshot_diff"]
 
 
 def _digest(cols: Sequence[str]):
@@ -47,6 +47,60 @@ def _digest(cols: Sequence[str]):
         for c in cols]
     return F.sha2(F.concat(*per_col), 256) if len(per_col) > 1 \
         else per_col[0]
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+    status_col: str = "status",
+) -> DataFrame:
+    """Classify every key across two crawl snapshots:
+    ``added`` (new only) / ``removed`` (old only) / ``changed``
+    (both, digest differs) / ``unchanged`` — the between-crawls
+    bookkeeping every recrawl scheduler and incremental-index
+    pipeline starts from (what must be re-fetched, re-embedded,
+    tombstoned). :func:`merge_upsert` answers "apply this delta";
+    this answers "WHAT is the delta" given two full snapshots —
+    including removals, which an upsert never sees.
+
+    Both sides reduce map-side to ``(key, sha256 digest)`` — page
+    text/HTML never reaches the join — then one full-outer hash join
+    on the key classifies. Duplicate keys within a snapshot are
+    rejected in-plan (same cardinality contract as merge_upsert: a
+    diff over an ambiguous snapshot is meaningless).
+
+    Output: ``key_cols`` + ``status_col``.
+    """
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("snapshot_diff: key_cols must be non-empty")
+    if not compare_cols:
+        raise ValueError("snapshot_diff: compare_cols must be "
+                         "non-empty")
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        dup = F.assert_true(
+            F.col("__n") == 1,
+            F.lit(f"snapshot_diff: duplicate key in {tag} snapshot"))
+        return (df.select(*keys, _digest(compare_cols).alias("__d"))
+                .groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("__n"),
+                     F.first("__d").alias(f"__{tag}"))
+                .withColumn("__g", dup).drop("__n")
+                .withColumn(f"__{tag}",
+                            F.when(F.col("__g").isNull(),
+                                   F.col(f"__{tag}")))
+                .drop("__g"))
+
+    j = side(old, "old").join(side(new, "new"), keys, "full_outer")
+    return j.select(
+        *keys,
+        F.when(F.col("__old").isNull(), F.lit("added"))
+         .when(F.col("__new").isNull(), F.lit("removed"))
+         .when(F.col("__old") == F.col("__new"), F.lit("unchanged"))
+         .otherwise(F.lit("changed")).alias(status_col))
 
 
 def merge_upsert(

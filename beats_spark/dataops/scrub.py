@@ -36,7 +36,8 @@ from typing import Dict, Iterable, Optional, Tuple
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["PII_PATTERNS", "scrub_pii", "pii_counts", "scrub",
-           "dedup_lines", "c4_clean", "C4_TERMINAL_RE"]
+           "dedup_lines", "strip_boilerplate", "c4_clean",
+           "C4_TERMINAL_RE"]
 
 
 # Ordered: SSN before phone (an SSN is also a dialable digit run),
@@ -151,6 +152,69 @@ def dedup_lines(df: DataFrame, id_col: str = "doc_id",
         F.array_sort(F.collect_list(F.struct("__pos", "__line")))
          .alias("__pl"))
     cols = [F.col(id_col)]
+    if count_col:
+        cols.append(F.size("__pl").cast("bigint").alias(count_col))
+    cols.append(
+        F.array_join(F.transform("__pl", lambda s: s["__line"]), sep)
+         .alias(out_col))
+    return agg.select(*cols)
+
+
+def strip_boilerplate(df: DataFrame, group_col: str = "source",
+                      id_col: str = "doc_id", text_col: str = "text",
+                      sep: str = "\n",
+                      min_ratio: "tuple[int, int]" = (1, 2),
+                      min_docs: int = 2,
+                      count_col: Optional[str] = "n_kept",
+                      out_col: Optional[str] = None) -> DataFrame:
+    """Per-site boilerplate removal: a line appearing in at least
+    ``min_ratio`` (a ``(num, den)`` rational — integer cross-
+    multiplication, no float threshold) of a ``group_col`` site's
+    documents, and in at least ``min_docs`` of them, is site
+    furniture (nav, footer, cookie banner) and is stripped from every
+    document of that site. The standard template-removal step between
+    global line dedup (:func:`dedup_lines`, which keeps the FIRST
+    copy) and page-quality filtering: boilerplate should survive
+    NOWHERE, not once.
+
+    Scale shape: two aggregations keyed ``(group, line-hash)`` and
+    ``group`` (both partial/map-side combined — a footer on 10^8
+    pages of one host arrives at the reducer as one partial per map
+    task), then one anti-join of the exploded lines against the
+    boilerplate set on ``(group, 64-bit line-hash)`` — the count
+    tables never carry line text; the reassembly exchange carries
+    each line once (inherent: the output needs the bytes).
+    Line identity is xxhash64 (the repo-wide join-key discipline;
+    text is compared only through the hash).
+
+    Output: ``id_col``, ``group_col``, ``count_col`` (surviving line
+    count; omitted when None), ``out_col`` (defaults to
+    ``text_col``). A document whose every line is boilerplate
+    disappears (no surviving rows), like :func:`dedup_lines`.
+    """
+    num, den = min_ratio
+    if num <= 0 or den <= 0:
+        raise ValueError("min_ratio must be a positive rational")
+    out_col = out_col or text_col
+    import re as _re
+    ex = df.select(
+        F.col(id_col), F.col(group_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep)))
+         .alias("__pos", "__line")) \
+        .withColumn("__h", F.xxhash64("__line"))
+    ndocs = (df.groupBy(group_col)
+             .agg(F.count_distinct(F.col(id_col)).alias("__nd")))
+    freq = (ex.groupBy(group_col, "__h")
+            .agg(F.count_distinct(F.col(id_col)).alias("__nl")))
+    boiler = (freq.join(ndocs, group_col)
+              .filter((F.col("__nl") * den >= F.col("__nd") * num)
+                      & (F.col("__nl") >= min_docs))
+              .select(group_col, "__h"))
+    kept = ex.join(boiler, [group_col, "__h"], "left_anti")
+    agg = kept.groupBy(id_col, group_col).agg(
+        F.array_sort(F.collect_list(F.struct("__pos", "__line")))
+         .alias("__pl"))
+    cols = [F.col(id_col), F.col(group_col)]
     if count_col:
         cols.append(F.size("__pl").cast("bigint").alias(count_col))
     cols.append(

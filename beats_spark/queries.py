@@ -6458,3 +6458,92 @@ def bm25_rank(spark, sf_dir):
     from .dataops.terms import bm25_topk
     docs = _t(spark, sf_dir, "documents")
     return bm25_topk(docs, ["vector", "customer", "spark"], k=10)
+
+
+@query("boilerplate_strip", oracle="""
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+           FROM documents),
+lined AS (
+  SELECT doc_id, source,
+         list_transform(
+           generate_series(0, CAST(ceil(len(toks)/2.0) AS INT) - 1),
+           i -> {'pos': i,
+                 'line': array_to_string(
+                           list_slice(toks, i*2+1, i*2+2), ' ')}) AS pl
+  FROM w),
+ex0 AS (SELECT doc_id, source, unnest(pl) AS u FROM lined),
+ex AS (SELECT doc_id, source, u.pos AS pos, u.line AS line FROM ex0),
+nd AS (SELECT source, count(DISTINCT doc_id) AS nd
+       FROM documents GROUP BY source),
+freq AS (SELECT source, line, count(DISTINCT doc_id) AS nl
+         FROM ex GROUP BY source, line),
+boiler AS (SELECT source, line FROM freq JOIN nd USING (source)
+           WHERE nl * 5 >= nd * 1 AND nl >= 2),
+kept AS (SELECT ex.* FROM ex
+         WHERE NOT EXISTS (SELECT 1 FROM boiler b
+                           WHERE b.source = ex.source
+                             AND b.line = ex.line))
+SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_kept,
+       string_agg(line, chr(10) ORDER BY pos) AS text
+FROM kept GROUP BY doc_id, source
+""")
+def boilerplate_strip(spark, sf_dir):
+    """Per-site boilerplate removal
+    (:func:`beats_spark.dataops.scrub.strip_boilerplate`): 2-word
+    lines present in ≥1/5 of a source's documents (and ≥2 of them)
+    are site furniture and are stripped from EVERY page of that
+    source — the template-removal complement to ``dedup_lines``
+    (which keeps the first copy). Documents are folded into 2-word
+    lines identically on both engines (the corpus has no newlines);
+    the frequency tables carry only (source, line-hash), the
+    reassembly exchange carries each line once."""
+    from .dataops.scrub import strip_boilerplate
+    from .dataops.dedup import _spread
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    w = F.split(F.col("text"), " ")
+    nch = F.ceil(F.size(w) / F.lit(2.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nch - F.lit(1)),
+        lambda i: F.array_join(F.slice(w, i * 2 + 1, 2), " "))
+    lined = docs.select(
+        "doc_id", "source", F.array_join(lines, "\n").alias("text"))
+    return strip_boilerplate(lined, group_col="source",
+                             min_ratio=(1, 5), min_docs=2)
+
+
+@query("snapshot_diff", oracle="""
+WITH old AS (SELECT doc_id, text, lang FROM documents
+             WHERE doc_id % 10 <> 0),
+new AS (SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+                    ELSE text END AS text,
+               lang
+        FROM documents WHERE doc_id % 10 <> 1)
+SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old.doc_id IS NULL THEN 'added'
+            WHEN new.doc_id IS NULL THEN 'removed'
+            WHEN old.text = new.text AND old.lang = new.lang
+              THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old FULL OUTER JOIN new USING (doc_id)
+""")
+def snapshot_diff_q(spark, sf_dir):
+    """Crawl-snapshot diff
+    (:func:`beats_spark.dataops.merge.snapshot_diff`): two synthetic
+    snapshots of the corpus (each missing a disjoint 10% slice; 1 in
+    7 pages re-crawled with new content) classified into added /
+    removed / changed / unchanged — the recrawl-scheduler and
+    incremental-index bookkeeping an upsert can't produce (it never
+    sees removals). Both sides reduce to (key, sha256) map-side; one
+    full-outer join on doc_id, text never shuffles."""
+    from .dataops.merge import snapshot_diff
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text",
+                                                 "lang")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = (docs.filter(F.col("doc_id") % 10 != 1)
+           .withColumn("text",
+                       F.when(F.col("doc_id") % 7 == 0,
+                              F.concat("text", F.lit(" rev2")))
+                       .otherwise(F.col("text"))))
+    return snapshot_diff(old, new, key_cols=["doc_id"],
+                         compare_cols=["text", "lang"])

@@ -79,3 +79,38 @@ def test_merge_classification_exchange_is_narrow(spark):
     # the cur_keys branch). Cheap structural proxy: the optimized
     # plan builds the sha2 digest on BOTH sides.
     assert plan.count("sha2") >= 2
+
+
+def test_snapshot_diff_classifies_all_four_ways(spark):
+    from beats_spark.dataops.merge import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "en"), (3, "c", "en")],
+        "url long, text string, lang string")
+    new = spark.createDataFrame(
+        [(2, "b", "en"),        # unchanged
+         (3, "c", "fr"),        # changed (lang)
+         (4, "d", "en")],       # added; 1 removed
+        "url long, text string, lang string")
+    out = {r["url"]: r["status"]
+           for r in snapshot_diff(old, new, ["url"],
+                                  ["text", "lang"]).collect()}
+    assert out == {1: "removed", 2: "unchanged", 3: "changed",
+                   4: "added"}
+
+
+def test_snapshot_diff_rejects_duplicate_keys(spark):
+    import pytest
+    from beats_spark.dataops.merge import snapshot_diff
+    old = spark.createDataFrame([(1, "a"), (1, "b")],
+                                "url long, text string")
+    new = spark.createDataFrame([(1, "a")], "url long, text string")
+    with pytest.raises(Exception, match="duplicate key"):
+        snapshot_diff(old, new, ["url"], ["text"]).collect()
+
+
+def test_snapshot_diff_null_vs_value_digest(spark):
+    from beats_spark.dataops.merge import snapshot_diff
+    old = spark.createDataFrame([(1, None)], "url long, text string")
+    new = spark.createDataFrame([(1, "1")], "url long, text string")
+    out = snapshot_diff(old, new, ["url"], ["text"]).collect()
+    assert out[0]["status"] == "changed"   # NULL != "1" (presence prefix)

@@ -160,3 +160,35 @@ def test_c4_trims_and_is_case_insensitive(spark):
     out = _c4(spark, [(1, page)], min_lines_per_doc=1)
     assert out[1].kept_lines == 2
     assert out[1].text.split("\n")[0] == "padded line still counts as terminal."
+
+
+def test_strip_boilerplate_per_site_ratio_and_vanishing_doc(spark):
+    from beats_spark.dataops.scrub import strip_boilerplate
+    docs = spark.createDataFrame(
+        [(1, "s1", "unique one\nFOOTER\nbody a"),
+         (2, "s1", "unique two\nFOOTER"),
+         (3, "s1", "unique three\nbody b"),
+         (4, "s1", "FOOTER"),              # all-boilerplate: vanishes
+         (5, "s2", "FOOTER\nother site")], # s2: FOOTER only 1/1 doc...
+        "doc_id long, source string, text string")
+    out = {r["doc_id"]: r
+           for r in strip_boilerplate(
+               docs, min_ratio=(1, 2), min_docs=2).collect()}
+    # s1: FOOTER in 3/4 docs >= 1/2 and >= 2 docs -> stripped
+    assert out[1]["text"] == "unique one\nbody a"
+    assert out[1]["n_kept"] == 2
+    assert out[2]["text"] == "unique two"
+    assert out[3]["text"] == "unique three\nbody b"
+    assert 4 not in out                    # every line was boilerplate
+    # s2: ratio 1/1 passes but min_docs=2 fails -> kept
+    assert out[5]["text"] == "FOOTER\nother site"
+
+
+def test_strip_boilerplate_rejects_bad_ratio(spark):
+    import pytest
+    from beats_spark.dataops.scrub import strip_boilerplate
+    docs = spark.createDataFrame([(1, "s", "x")],
+                                 "doc_id long, source string, "
+                                 "text string")
+    with pytest.raises(ValueError):
+        strip_boilerplate(docs, min_ratio=(0, 2))
