@@ -21,6 +21,7 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
+    "bitext_margin_mine",
     "dot", "l2_norm", "normalize", "cosine_similarity", "cosine_topk",
     "cosine_topk_blocked", "lsh_signature", "lsh_cosine_topk",
     "ivf_assign", "ivf_cosine_topk", "kmeans_fit",
@@ -417,6 +418,85 @@ def lsh_multiprobe_topk(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k))
+
+
+def bitext_margin_mine(
+    src_batch: DataFrame,
+    tgt: DataFrame,
+    src_corpus: "DataFrame | None" = None,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    margin_micro_min: int = 1_000_000,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019,
+    "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    Embeddings", §3 *ratio* margin): for each source embedding pick
+    the target whose cosine most exceeds what either side scores
+    against its ordinary neighborhood — the criterion behind the
+    CCMatrix/LASER bitext pipelines, and the reason raw cosine
+    thresholds fail (hub sentences score high against everything).
+
+    ``margin(x, y) = cos(x, y) / ((avgNN_k(x→tgt) + avgNN_k(y→src))
+    / 2)``, computed engine-exactly: each cosine is rounded to 6 then
+    scaled to a micro-unit BIGINT, neighborhood sums are integer
+    sums, and the ratio is one integer cross-multiplied floor
+    division — ``margin_u6 = (cos_u6 · 2·n_x·n_y · 10^6) div
+    (Σ_x·n_y + Σ_y·n_x)`` (n_* = actual neighbor counts, < k on tiny
+    corpora).
+
+    Scale shape: two :func:`cosine_topk_blocked` passes — queries
+    broadcast (the ``src_batch`` must be bounded; the backward query
+    set is its candidate fan-out, ≤ k·|batch|, both guarded by
+    ``max_queries``'s loud failure), each corpus scanned once and
+    never shuffled. The margin join keys are (x, y) id pairs; vectors
+    never cross an exchange. Output: one row per source with a
+    surviving best pair — ``(src_id, tgt_id, cosine, margin_u6)``,
+    best = (margin desc, tgt_id) per src.
+
+    ``src_corpus`` is the full source-language side used for the
+    backward neighborhoods (defaults to ``src_batch`` when mining a
+    self-contained batch).
+    """
+    if k < 1:
+        raise ValueError("bitext_margin_mine: k must be >= 1")
+    src_corpus = src_corpus if src_corpus is not None else src_batch
+    u6 = lambda c: F.round(c * 1_000_000).cast("long")  # noqa: E731
+    fwd = cosine_topk_blocked(tgt, src_batch, k=k, id_col=id_col,
+                              vec_col=vec_col,
+                              max_queries=max_queries)
+    fwd = fwd.localCheckpoint()  # consumers: denom agg + pair list
+    den_x = (fwd.groupBy("query_id")
+             .agg(F.sum(u6(F.col("cosine"))).alias("__sx"),
+                  F.count(F.lit(1)).alias("__nx")))
+    cand = (tgt.join(
+        fwd.select(F.col("neighbor_id").alias(id_col)).distinct(),
+        id_col))
+    bwd = cosine_topk_blocked(src_corpus, cand, k=k, id_col=id_col,
+                              vec_col=vec_col,
+                              max_queries=max_queries)
+    den_y = (bwd.groupBy("query_id")
+             .agg(F.sum(u6(F.col("cosine"))).alias("__sy"),
+                  F.count(F.lit(1)).alias("__ny")))
+    pairs = (fwd.select(F.col("query_id").alias("src_id"),
+                        F.col("neighbor_id").alias("tgt_id"),
+                        "cosine")
+             .join(den_x.withColumnRenamed("query_id", "src_id"),
+                   "src_id")
+             .join(den_y.withColumnRenamed("query_id", "tgt_id"),
+                   "tgt_id")
+             .withColumn(
+                 "margin_u6",
+                 F.expr("(CAST(round(cosine * 1000000) AS BIGINT) "
+                        "* 2 * __nx * __ny * 1000000) DIV "
+                        "(__sx * __ny + __sy * __nx)")))
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("margin_u6").desc(), F.col("tgt_id"))
+    return (pairs.filter(F.col("margin_u6") >= margin_micro_min)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("src_id", "tgt_id", "cosine", "margin_u6"))
 
 
 def kmeans_fit(

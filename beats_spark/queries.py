@@ -6547,3 +6547,62 @@ def snapshot_diff_q(spark, sf_dir):
                        .otherwise(F.col("text"))))
     return snapshot_diff(old, new, key_cols=["doc_id"],
                          compare_cols=["text", "lang"])
+
+
+_BT_COS = ("round(list_dot_product({a}, {b}) / "
+           "(sqrt(list_dot_product({a}, {a})) * "
+           "sqrt(list_dot_product({b}, {b}))), 6)")
+
+@query("bitext_mine", oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+srcb AS (SELECT * FROM v WHERE vec_id % 2 = 0 AND vec_id < 40),
+srcc AS (SELECT * FROM v WHERE vec_id % 2 = 0),
+tgt AS (SELECT * FROM v WHERE vec_id % 2 = 1),
+fwd AS (SELECT x, y, cos FROM (
+  SELECT s.vec_id AS x, t.vec_id AS y,
+         {_BT_COS.format(a='s.e', b='t.e')} AS cos,
+         row_number() OVER (PARTITION BY s.vec_id
+           ORDER BY {_BT_COS.format(a='s.e', b='t.e')} DESC,
+                    t.vec_id) AS rn
+  FROM srcb s CROSS JOIN tgt t) WHERE rn <= 4),
+denx AS (SELECT x, sum(CAST(round(cos*1000000) AS BIGINT)) AS sx,
+                count(*) AS nx
+         FROM fwd GROUP BY x),
+cand AS (SELECT DISTINCT y FROM fwd),
+bwd AS (SELECT y, sum(CAST(round(cos*1000000) AS BIGINT)) AS sy,
+               count(*) AS ny FROM (
+  SELECT t.vec_id AS y, s.vec_id AS x2,
+         {_BT_COS.format(a='t.e', b='s.e')} AS cos,
+         row_number() OVER (PARTITION BY t.vec_id
+           ORDER BY {_BT_COS.format(a='t.e', b='s.e')} DESC,
+                    s.vec_id) AS rn
+  FROM (SELECT tgt.* FROM tgt JOIN cand ON tgt.vec_id = cand.y) t
+  CROSS JOIN srcc s) WHERE rn <= 4 GROUP BY y),
+pairs AS (SELECT fwd.x AS src_id, fwd.y AS tgt_id, fwd.cos AS cosine,
+                 CAST((CAST(round(fwd.cos*1000000) AS BIGINT)
+                  * 2 * nx * ny * 1000000) //
+                 (sx * ny + sy * nx) AS BIGINT) AS margin_u6
+          FROM fwd JOIN denx ON fwd.x = denx.x
+                   JOIN bwd ON fwd.y = bwd.y),
+best AS (SELECT *, row_number() OVER (PARTITION BY src_id
+           ORDER BY margin_u6 DESC, tgt_id) AS rn
+         FROM pairs WHERE margin_u6 >= 1000000)
+SELECT src_id, tgt_id, cosine, margin_u6 FROM best WHERE rn = 1
+""")
+def bitext_mine(spark, sf_dir):
+    """Margin-based bitext pair mining
+    (:func:`beats_spark.dataops.similarity.bitext_margin_mine`,
+    Artetxe & Schwenk 2019 ratio margin — the CCMatrix criterion):
+    even vec_ids play the source language, odd the target; a bounded
+    query batch mines its best above-margin target. Two blocked
+    matmul passes with broadcast queries, corpora scanned once and
+    never shuffled; the margin itself is one integer floor division
+    on micro-scaled cosine sums — engine-exact."""
+    from .dataops.similarity import bitext_margin_mine
+    emb = _t(spark, sf_dir, "embeddings")
+    src_all = emb.filter(F.col("vec_id") % 2 == 0)
+    return bitext_margin_mine(
+        src_batch=src_all.filter(F.col("vec_id") < 40),
+        tgt=emb.filter(F.col("vec_id") % 2 == 1),
+        src_corpus=src_all, k=4)

@@ -80,7 +80,7 @@ BENCH_QUERIES = [
     "accent_fold", "readability_score", "ewma_anomaly", "global_rank",
     "chunk_stride", "winnow_fingerprints", "winnow_pairs",
     "mad_outliers", "merge_intervals", "percolate_match", "bm25_rank",
-    "boilerplate_strip", "snapshot_diff",
+    "boilerplate_strip", "snapshot_diff", "bitext_mine",
     "flagship_routed_counts", "flagship_messages",
 ]
 

@@ -277,3 +277,53 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     import pytest as _pt
     with _pt.raises(ValueError, match="probes"):
         lsh_multiprobe_topk(emb, queries, probes=99)
+
+
+def test_bitext_margin_known_values_and_hub_penalty(spark):
+    """Replay the integer margin formula on hand vectors; the hub
+    target (high cosine to EVERYTHING) must be margin-penalized."""
+    import math
+    from decimal import Decimal, ROUND_HALF_UP
+    from beats_spark.dataops.similarity import bitext_margin_mine
+
+    def cos6(a, b):
+        c = (sum(x * y for x, y in zip(a, b))
+             / (math.sqrt(sum(x * x for x in a))
+                * math.sqrt(sum(x * x for x in b))))
+        return float(Decimal(repr(c)).quantize(Decimal("0.000001"),
+                                               ROUND_HALF_UP))
+
+    src = {0: [1.0, 0.05], 2: [0.05, 1.0]}
+    tgt = {1: [0.99, 0.12],          # genuine pair for 0
+           3: [0.12, 0.99],          # genuine pair for 2
+           5: [0.75, 0.70]}          # hub: close to both
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v in src.items()],
+        "vec_id long, embedding array<double>")
+    tdf = spark.createDataFrame(
+        [(i, v) for i, v in tgt.items()],
+        "vec_id long, embedding array<double>")
+    out = {r["src_id"]: r for r in
+           bitext_margin_mine(sdf, tdf, k=2,
+                              margin_micro_min=0).collect()}
+    # expected: forward kNN (k=2) per src, candidates' backward kNN
+    def knn(q, corpus, k):
+        s = sorted(((cos6(q, v), -i) for i, v in corpus.items()),
+                   reverse=True)[:k]
+        return [(int(c * 10**6 + (0.5 if c >= 0 else -0.5)), -i)
+                for c, i in s]
+    for x, xv in src.items():
+        fwd = knn(xv, tgt, 2)
+        sx, nx = sum(c for c, _ in fwd), len(fwd)
+        best = None
+        for cu6, y in fwd:
+            bwd = knn(tgt[y], src, 2)
+            sy, ny = sum(c for c, _ in bwd), len(bwd)
+            m = (cu6 * 2 * nx * ny * 10**6) // (sx * ny + sy * nx)
+            if best is None or (m, -y) > (best[0], -best[1]):
+                best = (m, y)
+        assert out[x]["margin_u6"] == best[0]
+        assert out[x]["tgt_id"] == best[1]
+    # the hub must not win either source despite decent raw cosine
+    assert out[0]["tgt_id"] == 1
+    assert out[2]["tgt_id"] == 3
