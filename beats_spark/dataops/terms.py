@@ -28,7 +28,8 @@ from .dedup import tokens, _spread
 
 __all__ = ["bm25_topk", "collocations", "doc_frequency",
            "inverted_index", "percolate", "phrase_search",
-           "sparse_cosine_pairs", "tfidf_top_terms"]
+           "sparse_cosine_pairs", "tfidf_top_terms",
+           "with_percolator"]
 
 
 def doc_frequency(
@@ -247,6 +248,55 @@ def percolate(
             .select("query_id",
                     F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
                     "first_doc", "last_doc"))
+
+
+def with_percolator(
+    df: DataFrame,
+    stored: "list[tuple[str, str | None, list[str]]]",
+    text_col: str = "text",
+    meta_col: str | None = "lang",
+    out_col: str = "matched_queries",
+) -> DataFrame:
+    """The COMPILED percolator: the same stored-query semantics as
+    :func:`percolate` (AND-of-terms, optional lang gate) burned into
+    one codegen projection at plan-build time — the shape beats
+    itself uses for config conditions (`libbeat/conditions/
+    conditions.go` compiles once, evaluates per event). ``stored`` is
+    a plain list of ``(query_id, lang_or_None, terms)``.
+
+    Adds ``out_col``: the sorted array of matching query_ids per row.
+
+    Trade vs the join form: the query set is fixed at plan time and
+    lives in the plan (fine for config-driven alert rules; use
+    :func:`percolate` when the rules are themselves a big table).
+    In exchange this is ZERO-shuffle, ZERO-state map-side work —
+    tokenize once, then pure array HOFs — which makes it legal in a
+    Structured Streaming projection with no watermark and no
+    stateful operator (see
+    :func:`beats_spark.streaming.pipeline.stream_percolate`).
+    """
+    from .dedup import tokens
+    if not stored:
+        raise ValueError("with_percolator: empty stored-query list")
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    meta = (F.col(meta_col) if meta_col
+            else F.lit(None).cast("string"))
+    qarr = F.array(*[
+        F.struct(
+            F.lit(qid).alias("q"),
+            F.lit(lang).cast("string").alias("l"),
+            F.array(*[F.lit(t) for t in
+                      sorted({x.lower() for x in terms if x})])
+             .alias("t"))
+        for qid, lang, terms in stored])
+    matched = F.array_sort(F.transform(
+        F.filter(qarr, lambda s:
+                 (s["l"].isNull() | (s["l"] == meta))
+                 & F.forall(s["t"],
+                            lambda term: F.array_contains(toks,
+                                                          term))),
+        lambda s: s["q"]))
+    return df.withColumn(out_col, matched)
 
 
 def bm25_topk(

@@ -6606,3 +6606,47 @@ def bitext_mine(spark, sf_dir):
         src_batch=src_all.filter(F.col("vec_id") < 40),
         tgt=emb.filter(F.col("vec_id") % 2 == 1),
         src_corpus=src_all, k=4)
+
+
+@query("percolate_compiled", oracle="""
+WITH stored(query_id, lang, terms) AS (VALUES
+  ('q_scan_merge', CAST(NULL AS VARCHAR),
+   ['scan', 'merge', 'join']),
+  ('q_vector_es',  'es', ['vector', 'query']),
+  ('q_busy',       CAST(NULL AS VARCHAR),
+   ['fast', 'slow', 'the', 'a']),
+  ('q_zh_wide',    'zh', ['customer', 'window', 'batch', 'hash'])),
+qx AS (SELECT query_id, lang,
+              len(list_distinct(terms)) AS n_terms,
+              unnest(list_distinct(terms)) AS term
+       FROM stored),
+dt AS (SELECT doc_id, lang AS dlang,
+              unnest(list_distinct(list_filter(
+                string_split_regex(lower(text), '\\s+'),
+                x -> x <> ''))) AS term
+       FROM documents),
+hits AS (SELECT qx.query_id, dt.doc_id, qx.n_terms
+         FROM dt JOIN qx USING (term)
+         WHERE qx.lang IS NULL OR qx.lang = dt.dlang)
+SELECT doc_id, query_id
+FROM hits GROUP BY query_id, doc_id, n_terms
+HAVING count(*) = n_terms
+""")
+def percolate_compiled(spark, sf_dir):
+    """The compiled percolator
+    (:func:`beats_spark.dataops.terms.with_percolator` via
+    :func:`beats_spark.streaming.pipeline.stream_percolate`'s batch
+    core): the same stored queries as ``percolate_match`` burned
+    into ONE codegen projection — zero shuffle, zero join, zero
+    state; emits the raw (doc_id, query_id) alert pairs. Proves the
+    two percolator forms (join vs compiled) agree under the same
+    oracle."""
+    from .dataops.terms import with_percolator
+    stored = [("q_scan_merge", None, ["scan", "merge", "join"]),
+              ("q_vector_es", "es", ["vector", "query"]),
+              ("q_busy", None, ["fast", "slow", "the", "a"]),
+              ("q_zh_wide", "zh", ["customer", "window", "batch",
+                                   "hash"])]
+    docs = _t(spark, sf_dir, "documents")
+    return (with_percolator(docs, stored, out_col="__mq")
+            .select("doc_id", F.explode("__mq").alias("query_id")))

@@ -39,7 +39,7 @@ __all__ = ["PAGES_SCHEMA", "stream_routed", "run_stream_pipeline",
            "stateful_multiline", "stateful_container_partial",
            "stateful_url_dedup", "stream_dedup_against",
            "stream_sessions", "stream_count_anomalies",
-           "stream_countmin"]
+           "stream_countmin", "stream_percolate"]
 
 PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                 "text string, lang string")
@@ -840,3 +840,32 @@ def stream_event_join(
             & (F.col(right_ts) <= F.col(left_ts)
                + F.expr(f"INTERVAL {int(within_seconds)} SECONDS")))
     return lw.join(rw, cond, "inner").drop("__rkey")
+
+
+def stream_percolate(
+    stream: DataFrame,
+    stored: "list[tuple[str, str | None, list[str]]]",
+    id_col: str = "url",
+    text_col: str = "text",
+    meta_col: "str | None" = "lang",
+) -> DataFrame:
+    """Live alerting: match every arriving page against the compiled
+    stored-query set (:func:`beats_spark.dataops.terms
+    .with_percolator` — AND-of-terms + optional lang gate, the ES
+    percolator semantics) and emit one ``(id, query_id)`` alert row
+    per hit.
+
+    Entirely map-side — one codegen projection + explode, no state,
+    no watermark, no shuffle — so it is trigger-timing-independent
+    and replay-deterministic: the union of alerts over any
+    micro-batch split equals the batch percolation of the same rows
+    (asserted in tests). This is the streaming complement of the
+    join-form :func:`~beats_spark.dataops.terms.percolate`: rules
+    compiled from config (like beats conditions), evaluated per
+    event, alerts appended downstream.
+    """
+    from ..dataops.terms import with_percolator
+    hit = with_percolator(stream, stored, text_col=text_col,
+                          meta_col=meta_col, out_col="__mq")
+    return (hit.select(F.col(id_col),
+                       F.explode("__mq").alias("query_id")))

@@ -833,3 +833,63 @@ def test_stream_ewma_matches_batch(spark, tmp_path):
     rows = spark.read.parquet(out_dir).collect()
     late = [r for r in rows if r.ewma_milli is None]
     assert len(late) == 1 and late[0].spike is None
+
+
+def test_stream_percolate_matches_batch_and_join_form(spark, tmp_path):
+    """Alerts over any micro-batch split equal batch percolation of
+    the same rows, and the compiled form agrees with the join-form
+    percolate on (doc, query) pairs."""
+    from beats_spark.streaming.pipeline import stream_percolate
+    from beats_spark.dataops.terms import percolate, with_percolator
+    from pyspark.sql.types import (ArrayType, StringType, StructField,
+                                   StructType)
+
+    stored = [("q_ab", None, ["alpha", "beta"]),
+              ("q_en", "en", ["alpha"]),
+              ("q_none", None, ["zzz"])]
+    rows = [("u1", "alpha beta gamma", "en"),
+            ("u2", "alpha beta", "fr"),
+            ("u3", "beta only", "en"),
+            ("u4", "alpha", "en"),
+            ("u5", "", "en")]
+    src, ck, out = (str(tmp_path / d) for d in ("src", "ck", "out"))
+    df = spark.createDataFrame(rows, "url string, text string, "
+                               "lang string")
+    # two micro-batches
+    df.filter(F.col("url") < "u3").coalesce(1) \
+      .write.mode("append").parquet(src)
+    df.filter(F.col("url") >= "u3").coalesce(1) \
+      .write.mode("append").parquet(src)
+
+    stream = (spark.readStream
+              .schema("url string, text string, lang string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream_percolate(stream, stored).writeStream
+         .format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted((r["url"], r["query_id"])
+                 for r in spark.read.parquet(out).collect())
+
+    # batch compiled form on the same rows
+    batch = sorted(
+        (r["url"], qid)
+        for r in with_percolator(df, stored).collect()
+        for qid in r["matched_queries"])
+    assert got == batch == [("u1", "q_ab"), ("u1", "q_en"),
+                            ("u2", "q_ab"), ("u4", "q_en")]
+
+    # join-form percolate agrees on per-query match counts
+    sch = StructType([StructField("query_id", StringType()),
+                      StructField("lang", StringType()),
+                      StructField("terms", ArrayType(StringType()))])
+    jf = {r["query_id"]: r["n_docs"]
+          for r in percolate(
+              df.withColumnRenamed("url", "doc_id"),
+              spark.createDataFrame(stored, sch),
+              id_col="doc_id").collect()}
+    from collections import Counter
+    cnt = Counter(qid for _, qid in got)
+    assert jf == {"q_ab": cnt["q_ab"], "q_en": cnt["q_en"],
+                  "q_none": 0}
