@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pagerank", "triangle_count"]
+__all__ = ["hits", "pagerank", "triangle_count"]
 
 
 def pagerank(
@@ -169,3 +169,78 @@ def triangle_count(
             .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
             .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
             .select("n_nodes", "n_edges", "n_triangles"))
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    scale: int = 1_000_000,
+    id_col: str = "node",
+) -> DataFrame:
+    """``iters`` rounds of integer-exact HITS (Kleinberg 1999,
+    "Authoritative Sources in a Hyperlinked Environment") →
+    ``(node, hub_micro, auth_micro)`` — the hubs/authorities
+    complement to :func:`pagerank`: directories/link farms score as
+    hubs, the pages worth crawling score as authorities, and the
+    ASYMMETRY between a node's two scores is the spam signal a
+    single centrality can't see.
+
+    Each round: ``auth(v) = Σ_{u→v} hub(u)``, max-normalized to
+    ``scale``; then ``hub(u) = Σ_{u→v} auth(v)``, max-normalized —
+    max-normalization (not L2) keeps every value an exact BIGINT:
+    ``(raw · scale) div max(raw)``, bit-identical on any engine.
+    Fixed iteration budget like :func:`pagerank` (determinism over
+    convergence tests). Nodes with no in-edges get auth 0, no
+    out-edges hub 0.
+
+    Scale guard: round sums are bounded by ``N·scale``, so
+    ``N·scale²`` must stay under 2^63 — at the default scale that is
+    ~9·10^6 nodes; pass a smaller ``scale`` for bigger graphs (the
+    host graph, not the page graph, is the intended input — rank
+    pages with pagerank).
+
+    Shape per round: two (join + partial-combining sum) passes keyed
+    src/dst + two scalar max aggregations broadcast back;
+    ranks localCheckpoint-ed per round (the iterative-lineage lesson
+    from pagerank/connected components, measured in PLANS.md).
+    """
+    if iters < 1:
+        raise ValueError(f"hits: iters must be >= 1, got {iters}")
+    if scale < 1:
+        raise ValueError(f"hits: scale must be >= 1, got {scale}")
+    e = (edges.select(F.col(src).cast("long").alias("src"),
+                      F.col(dst).cast("long").alias("dst"))
+         .filter(F.col("src") != F.col("dst"))
+         .distinct())
+    e = e.localCheckpoint(eager=True)
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct()
+             .localCheckpoint(eager=True))
+
+    def _norm(raw: DataFrame, out: str) -> DataFrame:
+        """nodes LEFT JOIN raw sums → (node, (raw·scale) div max)."""
+        mx = raw.agg(F.max("__raw").alias("__mx"))
+        return (nodes.join(raw, "node", "left")
+                .join(F.broadcast(mx))
+                .select("node",
+                        F.expr(f"(coalesce(__raw, 0) * {int(scale)})"
+                               " DIV __mx").alias(out)))
+
+    hub = nodes.select("node", F.lit(scale).cast("long").alias("hub"))
+    auth = None
+    for _ in range(iters):
+        a_raw = (e.join(hub.withColumnRenamed("node", "src"), "src")
+                 .groupBy(F.col("dst").alias("node"))
+                 .agg(F.sum("hub").alias("__raw")))
+        auth = _norm(a_raw, "auth").localCheckpoint(eager=True)
+        h_raw = (e.join(auth.withColumnRenamed("node", "dst"), "dst")
+                 .groupBy(F.col("src").alias("node"))
+                 .agg(F.sum("auth").alias("__raw")))
+        hub = _norm(h_raw, "hub").localCheckpoint(eager=True)
+    return (hub.join(auth, "node")
+            .select(F.col("node").alias(id_col),
+                    F.col("hub").alias("hub_micro"),
+                    F.col("auth").alias("auth_micro")))

@@ -6650,3 +6650,71 @@ def percolate_compiled(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (with_percolator(docs, stored, out_col="__mq")
             .select("doc_id", F.explode("__mq").alias("query_id")))
+
+
+def _hits_oracle(iters: int = 3) -> str:
+    """Unrolled fixed-iteration integer HITS mirroring
+    dataops/graph.py::hits: per round an in-sum max-normalized to
+    micro-units, then an out-sum likewise — all BIGINT floor
+    division (same portability rationale as ``_pagerank_oracle``)."""
+    # e/nodes are referenced 2× per unrolled round: without
+    # MATERIALIZED DuckDB inlines the 4-table trade join at every
+    # reference (measured 42 s -> sub-second at sf0.001)
+    parts = [r"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+ar{i} AS (SELECT e.dst AS node, CAST(sum(h.hub) AS BIGINT) AS raw
+         FROM e JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst),
+a{i} AS (SELECT n.node,
+               CAST((coalesce(ar{i}.raw, 0) * 1000000)
+                    // (SELECT max(raw) FROM ar{i}) AS BIGINT) AS auth
+        FROM nodes n LEFT JOIN ar{i} ON ar{i}.node = n.node),
+hr{i} AS (SELECT e.src AS node, CAST(sum(a.auth) AS BIGINT) AS raw
+         FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src),
+h{i} AS (SELECT n.node,
+               CAST((coalesce(hr{i}.raw, 0) * 1000000)
+                    // (SELECT max(raw) FROM hr{i}) AS BIGINT) AS hub
+        FROM nodes n LEFT JOIN hr{i} ON hr{i}.node = n.node)""")
+    parts.append(f"""
+SELECT nn.n_name AS nation, h.hub AS hub_micro, a.auth AS auth_micro
+FROM h{iters} h JOIN a{iters} a ON a.node = h.node
+JOIN nation nn ON nn.n_nationkey = h.node""")
+    return "".join(parts)
+
+
+@query("link_hits", oracle=_hits_oracle(3))
+def link_hits(spark, sf_dir):
+    """Hubs & authorities (:func:`beats_spark.dataops.graph.hits`,
+    Kleinberg's HITS) over the same trade graph as ``link_pagerank``
+    — the second classic web-graph centrality: directories/link
+    farms surface as hubs, crawl-worthy pages as authorities, and
+    hub/authority asymmetry is a spam signal one score can't see.
+    Max-normalization instead of L2 keeps every round's scores exact
+    BIGINTs; the oracle unrolls the identical recurrence one CTE
+    pair per round."""
+    from .dataops.graph import hits
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    edges = (cust.join(orders, orders.o_custkey == cust.c_custkey)
+             .join(li, li.l_orderkey == orders.o_orderkey)
+             .join(supp, supp.s_suppkey == li.l_suppkey)
+             .select(F.col("c_nationkey").alias("src"),
+                     F.col("s_nationkey").alias("dst")))
+    h = hits(edges, iters=3)
+    return (h.join(F.broadcast(nation),
+                   nation.n_nationkey == h.node)
+            .select(F.col("n_name").alias("nation"),
+                    "hub_micro", "auth_micro"))

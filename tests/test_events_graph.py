@@ -646,3 +646,44 @@ def test_merge_intervals_known_values(spark):
     plan = merge_intervals(df, "k", "s", "e") \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_hits_known_values_hub_authority_split(spark):
+    """Star graph: one directory node links to three pages, one page
+    links back to one. Replay the integer recurrence by hand."""
+    from beats_spark.dataops.graph import hits
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (3, 0)],
+        "src long, dst long")
+    out = {r["node"]: (r["hub_micro"], r["auth_micro"])
+           for r in hits(edges, iters=2).collect()}
+
+    S = 1_000_000
+    e = [(0, 1), (0, 2), (0, 3), (1, 2), (3, 0)]
+    nodes = sorted({x for p in e for x in p})
+    hub = {n: S for n in nodes}
+    for _ in range(2):
+        raw_a = {n: sum(hub[s] for s, d in e if d == n) for n in nodes}
+        mx = max(raw_a.values())
+        auth = {n: (raw_a[n] * S) // mx for n in nodes}
+        raw_h = {n: sum(auth[d] for s, d in e if s == n)
+                 for n in nodes}
+        mx = max(raw_h.values())
+        hub = {n: (raw_h[n] * S) // mx for n in nodes}
+    assert out == {n: (hub[n], auth[n]) for n in nodes}
+    # the directory is the top hub; page 2 (two inlinks) top authority
+    assert max(out, key=lambda n: out[n][0]) == 0
+    assert max(out, key=lambda n: out[n][1]) == 2
+    # no in-edges -> zero authority is impossible here (3->0), but
+    # node 2 has no out-edges -> zero hub
+    assert out[2][0] == 0
+
+
+def test_hits_guards(spark):
+    import pytest
+    from beats_spark.dataops.graph import hits
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        hits(e, iters=0)
+    with pytest.raises(ValueError):
+        hits(e, scale=0)
