@@ -27,9 +27,9 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .dedup import tokens, _spread
 
 __all__ = ["bm25_topk", "collocations", "doc_frequency",
-           "inverted_index", "percolate", "phrase_search",
-           "sparse_cosine_pairs", "tfidf_top_terms",
-           "with_percolator"]
+           "inverted_index", "kwic_snippets", "percolate",
+           "phrase_search", "sparse_cosine_pairs", "term_drift",
+           "tfidf_top_terms", "with_percolator"]
 
 
 def doc_frequency(
@@ -381,6 +381,114 @@ def bm25_topk(
     return (top.withColumn("rank", F.row_number().over(w).cast("int"))
             .select(F.col("id").alias(id_col), "n_terms_hit",
                     "score_u12", "rank"))
+
+
+def kwic_snippets(
+    df: DataFrame,
+    phrase: str,
+    window: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keyword-in-context: every occurrence of ``phrase`` (consecutive
+    lowercased whitespace tokens, same normalization as
+    :func:`phrase_search`) with ``window`` tokens of context either
+    side — ``(id, pos, snippet)``, one row per match, 0-based token
+    position. The search-result-rendering step after
+    :func:`bm25_topk`/:func:`phrase_search` rank.
+
+    Where :func:`phrase_search` is the INDEX route (touch only the
+    phrase terms' postings — right when matches are rare and the
+    corpus is huge), this is the single-pass MAP route: positions and
+    snippets come from one codegen projection over each document's
+    own token array (``filter`` over candidate starts + a slice per
+    hit) — zero shuffle, zero join, nothing but the matching rows
+    leave the stage. Right when you already hold the ranked top-k
+    docs or stream pages past a watch phrase.
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("kwic_snippets: empty phrase")
+    if window < 0:
+        raise ValueError(f"kwic_snippets: window must be >= 0, "
+                         f"got {window}")
+    from .dedup import tokens
+    k = len(terms)
+    parr = F.array(*[F.lit(t) for t in terms])
+    toks = tokens(F.col(text_col))
+    # guard: sequence(0, -1) DESCENDS in Spark, and slice(start=0)
+    # throws — a doc shorter than the phrase must yield [] outright
+    starts = F.when(
+        F.size(toks) >= k,
+        F.filter(F.sequence(F.lit(0), F.size(toks) - k),
+                 lambda i: F.slice(toks, i + 1, k) == parr)
+    ).otherwise(F.array().cast("array<int>"))
+    hit = (df.select(F.col(id_col).alias("id"), toks.alias("__t"),
+                     F.explode(starts).alias("pos")))
+    lo = F.greatest(F.col("pos") - window, F.lit(0))
+    ln = F.least(F.col("pos") + k + window, F.size("__t")) - lo
+    return hit.select(
+        "id", F.col("pos").cast("int").alias("pos"),
+        F.array_join(F.slice("__t", lo + 1, ln), " ").alias("snippet"))
+
+
+def term_drift(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """Corpus drift between two snapshots as rising/falling terms:
+    the top-``k`` terms by smoothed frequency-rate ratio in each
+    direction — ``(term, n_old, n_new, score_micro, direction)``.
+    What changed between last month's crawl and this one / which
+    tokens are spiking in today's logs — the lightweight drift
+    monitor run before retraining or re-mixing decisions.
+
+    ``score_micro = ((n_new+1)·(N_old+1)·10^6) div
+    ((n_old+1)·(N_new+1))`` — add-one-smoothed rate ratio (new terms
+    don't divide by zero, corpus-size difference normalized away) as
+    one BIGINT floor division, engine-exact. ``direction`` ∈
+    rising/falling; falling terms are ranked by ascending score.
+    ``min_count`` (on the combined count) drops the typo tail before
+    ranking.
+
+    Shape: two partial-combining term counts (one exchange each), a
+    full-outer join on term, two scalar totals broadcast in-plan, and
+    two TakeOrdered top-k readouts unioned — no global sort.
+    """
+    from .dedup import _spread, tokens
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return (_spread(df)
+                .select(F.explode(tokens(F.col(text_col)))
+                        .alias("term"))
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).alias(out)))
+
+    co = counts(old, "n_old")
+    cn = counts(new, "n_new")
+    tot = (co.agg(F.sum("n_old").alias("__to"))
+           .join(cn.agg(F.sum("n_new").alias("__tn"))))
+    j = (co.join(cn, "term", "full_outer")
+         .select("term",
+                 F.coalesce("n_old", F.lit(0)).alias("n_old"),
+                 F.coalesce("n_new", F.lit(0)).alias("n_new"))
+         .filter(F.col("n_old") + F.col("n_new") >= min_count)
+         .join(F.broadcast(tot))
+         .withColumn(
+             "score_micro",
+             F.expr("((n_new + 1) * (__to + 1) * 1000000) DIV "
+                    "((n_old + 1) * (__tn + 1))"))
+         .select("term", "n_old", "n_new", "score_micro"))
+    j = j.localCheckpoint()  # two top-k consumers
+    rising = (j.orderBy(F.col("score_micro").desc(), "term").limit(k)
+              .withColumn("direction", F.lit("rising")))
+    falling = (j.orderBy(F.col("score_micro").asc(), "term").limit(k)
+               .withColumn("direction", F.lit("falling")))
+    return rising.unionAll(falling)
 
 
 def collocations(

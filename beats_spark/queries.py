@@ -6718,3 +6718,72 @@ def link_hits(spark, sf_dir):
                    nation.n_nationkey == h.node)
             .select(F.col("n_name").alias("nation"),
                     "hub_micro", "auth_micro"))
+
+
+@query("kwic_snippets", oracle="""
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+s AS (SELECT doc_id, toks,
+             unnest(list_filter(
+               generate_series(0, len(toks) - 2),
+               i -> toks[i + 1] = 'batch'
+                    AND toks[i + 2] = 'batch')) AS pos
+      FROM t WHERE len(toks) >= 2)
+SELECT doc_id AS id, CAST(pos AS INT) AS pos,
+       array_to_string(
+         list_slice(toks, greatest(pos - 2, 0) + 1,
+                    least(pos + 4, len(toks))), ' ') AS snippet
+FROM s
+""")
+def kwic_snippets_q(spark, sf_dir):
+    """Keyword-in-context snippets for the phrase ``batch batch``
+    (:func:`beats_spark.dataops.terms.kwic_snippets`): every match
+    with 2 tokens of context either side — the result-rendering
+    step after bm25/phrase rank. Single codegen projection per doc
+    (positions from a filter over candidate starts, snippet a slice
+    per hit): zero shuffle, zero join; overlapping matches each get
+    a row."""
+    from .dataops.terms import kwic_snippets
+    docs = _t(spark, sf_dir, "documents")
+    return kwic_snippets(docs, "batch batch", window=2)
+
+
+@query("term_drift", oracle="""
+WITH old AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+new AS (SELECT text FROM documents WHERE doc_id % 2 = 1),
+co AS (SELECT term, CAST(count(*) AS BIGINT) AS n_old FROM
+       (SELECT unnest(list_filter(string_split_regex(lower(text),
+          '\\s+'), x -> x <> '')) AS term FROM old) GROUP BY term),
+cn AS (SELECT term, CAST(count(*) AS BIGINT) AS n_new FROM
+       (SELECT unnest(list_filter(string_split_regex(lower(text),
+          '\\s+'), x -> x <> '')) AS term FROM new) GROUP BY term),
+tot AS (SELECT (SELECT CAST(sum(n_old) AS BIGINT) FROM co) AS t_o,
+               (SELECT CAST(sum(n_new) AS BIGINT) FROM cn) AS t_n),
+j AS (SELECT coalesce(co.term, cn.term) AS term,
+             coalesce(n_old, 0) AS n_old,
+             coalesce(n_new, 0) AS n_new,
+             CAST(((coalesce(n_new, 0) + 1) * (t_o + 1) * 1000000) //
+                  ((coalesce(n_old, 0) + 1) * (t_n + 1)) AS BIGINT)
+               AS score_micro
+      FROM co FULL OUTER JOIN cn ON co.term = cn.term, tot
+      WHERE coalesce(n_old, 0) + coalesce(n_new, 0) >= 5),
+r AS (SELECT *, 'rising' AS direction FROM j
+      ORDER BY score_micro DESC, term LIMIT 10),
+f AS (SELECT *, 'falling' AS direction FROM j
+      ORDER BY score_micro ASC, term LIMIT 10)
+SELECT * FROM r UNION ALL SELECT * FROM f
+""")
+def term_drift_q(spark, sf_dir):
+    """Rising/falling terms between two crawl snapshots
+    (:func:`beats_spark.dataops.terms.term_drift`, even/odd doc_id
+    halves): add-one-smoothed frequency-rate ratio in integer
+    micro-units (one BIGINT floor division — engine-exact), top-10
+    each direction via TakeOrdered, no global sort. The drift
+    monitor run before retraining/re-mixing decisions."""
+    from .dataops.terms import term_drift
+    docs = _t(spark, sf_dir, "documents")
+    return term_drift(docs.filter(F.col("doc_id") % 2 == 0),
+                      docs.filter(F.col("doc_id") % 2 == 1),
+                      min_count=5, k=10)

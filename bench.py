@@ -81,7 +81,7 @@ BENCH_QUERIES = [
     "chunk_stride", "winnow_fingerprints", "winnow_pairs",
     "mad_outliers", "merge_intervals", "percolate_match", "bm25_rank",
     "boilerplate_strip", "snapshot_diff", "bitext_mine",
-    "percolate_compiled", "link_hits",
+    "percolate_compiled", "link_hits", "kwic_snippets", "term_drift",
     "flagship_routed_counts", "flagship_messages",
 ]
 

@@ -736,3 +736,36 @@ def test_bm25_fixed_point_known_values(spark):
     assert out[2]["score_u12"] == exp2
     assert out[1]["rank"] == 1 and out[1]["n_terms_hit"] == 2
     assert out[2]["rank"] == 2 and out[2]["n_terms_hit"] == 1
+
+
+def test_kwic_snippets_overlaps_edges_and_short_docs(spark):
+    from beats_spark.dataops.terms import kwic_snippets
+    docs = spark.createDataFrame(
+        [(1, "a a a b c"),        # overlapping matches at 0 and 1
+         (2, "x a a"),            # match flush at end
+         (3, "a"),                # shorter than the phrase
+         (4, None)],              # null text
+        "doc_id long, text string")
+    out = sorted((r["id"], r["pos"], r["snippet"]) for r in
+                 kwic_snippets(docs, "a a", window=1).collect())
+    assert out == [(1, 0, "a a a"),    # left edge clipped
+                   (1, 1, "a a a b"),
+                   (2, 1, "x a a")]    # right edge clipped
+
+
+def test_term_drift_known_ratios_and_directions(spark):
+    from beats_spark.dataops.terms import term_drift
+    old = spark.createDataFrame(
+        [(1, "up dn dn dn dn flat flat")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(2, "up up up up dn flat flat")], "doc_id long, text string")
+    out = {(r["term"], r["direction"]): r for r in
+           term_drift(old, new, min_count=2, k=3).collect()}
+    t_o = t_n = 7
+    def score(n_old, n_new):
+        return ((n_new + 1) * (t_o + 1) * 1000000) // \
+               ((n_old + 1) * (t_n + 1))
+    assert out[("up", "rising")]["score_micro"] == score(1, 4)
+    assert out[("dn", "falling")]["score_micro"] == score(4, 1)
+    assert out[("flat", "rising")]["score_micro"] == score(2, 2) \
+        == 1000000
