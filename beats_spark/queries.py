@@ -6787,3 +6787,51 @@ def term_drift_q(spark, sf_dir):
     return term_drift(docs.filter(F.col("doc_id") % 2 == 0),
                       docs.filter(F.col("doc_id") % 2 == 1),
                       min_count=5, k=10)
+
+
+def _ring_literal(hosts, vnodes=64, seed=""):
+    """The consistent-hash ring as a DuckDB sorted struct-list
+    literal — SAME hashlib points the Spark plan burns in (md5 is
+    bit-identical everywhere; ring construction parity is asserted
+    in tests/test_routing.py, this constant just shares it)."""
+    import hashlib
+    ring = sorted(
+        (int(hashlib.md5(f"{h}#{i}#{seed}".encode()).hexdigest()[:15],
+             16), h)
+        for h in hosts for i in range(vnodes))
+    items = ", ".join("{'p': " + str(p) + ", 'h': '" + h + "'}"
+                      for p, h in ring)
+    return "[" + items + "]", ring[0][1]
+
+
+_CR_RING, _CR_FIRST = _ring_literal(
+    ["es-a", "es-b", "es-c", "es-d", "es-e"])
+
+@query("consistent_route", oracle=f"""
+WITH k AS (SELECT event_id,
+                  CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                                           || '#'), 1, 15)) AS BIGINT)
+                    AS kh
+           FROM events WHERE event_id < 2000),
+m AS (SELECT event_id,
+             list_filter({_CR_RING}, s -> s.p >= kh) AS nxt
+      FROM k)
+SELECT event_id,
+       CASE WHEN len(nxt) > 0 THEN nxt[1].h
+            ELSE '{_CR_FIRST}' END AS host
+FROM m
+""")
+def consistent_route_q(spark, sf_dir):
+    """Consistent-hash output balancing
+    (:func:`beats_spark.routing.consistent_route`): 2000 events
+    keyed on event_id spread over five sink hosts via a 64-vnode
+    md5 ring burned into the plan — one hash + one ordered array
+    probe per row, zero shuffle; when a host leaves only its keys
+    move (asserted in test_routing). The affinity-preserving form
+    of beats' output loadbalancing."""
+    from .routing import consistent_route
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 2000)
+          .select("event_id"))
+    return consistent_route(ev, ["es-a", "es-b", "es-c", "es-d",
+                                 "es-e"], key_col="event_id")

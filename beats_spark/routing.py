@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from .conditions import compile_condition
 from .fmtstr import compile_fmtstr
 
-__all__ = ["compile_selector", "route", "Rule"]
+__all__ = ["compile_selector", "consistent_route", "route", "Rule"]
 
 
 def _non_empty(col: Column) -> Column:
@@ -127,3 +127,63 @@ def route(
             sel,
         )
     return df.withColumn(sink_col, sel)
+
+
+def consistent_route(
+    df: DataFrame,
+    hosts: "list[str]",
+    key_col: str,
+    out_col: str = "host",
+    vnodes: int = 64,
+    seed: str = "",
+) -> DataFrame:
+    """Consistent-hash output load balancing — the semantics of
+    beats' multi-host output balancing (`libbeat/outputs/
+    loadbalance.go`, `outputs/logstash/config.go` `hosts:` lists)
+    with the property round-robin lacks: when a host leaves, ONLY
+    the keys that mapped to it move (≈1/N of traffic), everything
+    else keeps its host — which is what preserves downstream
+    affinity (per-host bulk queues, server-side caches) through a
+    topology change.
+
+    Classic Karger ring: each host projects ``vnodes`` virtual
+    points onto a 60-bit circle (md5, the repo's portable-hex
+    trick — any engine reproduces it); a key routes to the first
+    point clockwise from its own hash, wrapping to the ring's first
+    point. Ring points are computed driver-side with hashlib (one
+    md5 per vnode — bit-identical to engine md5) and burned into the
+    plan as a SORTED literal array, so the per-row work is one
+    hash + one ordered array probe: ZERO shuffle, zero join, legal
+    in a streaming projection.
+
+    ``vnodes`` trades assignment smoothness for literal size (64 ×
+    |hosts| structs in the plan; the classic variance bound is
+    ~sqrt(1/vnodes)). NULL keys fail the job loudly (same contract
+    as the deterministic samplers).
+    """
+    import hashlib
+    if not hosts:
+        raise ValueError("consistent_route: empty host list")
+    if len(set(hosts)) != len(hosts):
+        raise ValueError("consistent_route: duplicate hosts")
+    if vnodes < 1:
+        raise ValueError(f"consistent_route: vnodes must be >= 1, "
+                         f"got {vnodes}")
+    ring = sorted(
+        (int(hashlib.md5(f"{h}#{i}#{seed}".encode()).hexdigest()[:15],
+             16), h)
+        for h in hosts for i in range(vnodes))
+    arr = F.array(*[F.struct(F.lit(p).alias("p"), F.lit(h).alias("h"))
+                    for p, h in ring])
+    key = F.col(key_col)
+    guard = F.assert_true(
+        key.isNotNull(),
+        F.lit(f"consistent_route: null {key_col} "
+              "(filter or fill nulls first)"))
+    salted = F.concat(key.cast("string"), F.lit("#"), F.lit(seed))
+    kh = F.conv(F.substring(F.md5(salted), 1, 15), 16, 10) \
+        .cast("long")
+    nxt = F.filter(arr, lambda s: s["p"] >= kh)
+    chosen = F.when(F.size(nxt) > 0, F.element_at(nxt, 1)["h"]) \
+        .otherwise(F.lit(ring[0][1]))
+    return df.withColumn(out_col, F.when(guard.isNull(), chosen))

@@ -92,3 +92,51 @@ def test_constant_selector_folds(events):
     df = events.withColumn("sink", compile_selector(["just-a-constant"]))
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "just-a-constant" in plan
+
+
+def test_consistent_route_matches_hashlib_replay(spark):
+    import hashlib
+    from beats_spark.routing import consistent_route
+    hosts = ["h1", "h2", "h3"]
+    df = spark.createDataFrame([(i,) for i in range(200)],
+                               "k long")
+    got = {r["k"]: r["host"]
+           for r in consistent_route(df, hosts, "k",
+                                     vnodes=16).collect()}
+    ring = sorted(
+        (int(hashlib.md5(f"{h}#{i}#".encode()).hexdigest()[:15], 16),
+         h)
+        for h in hosts for i in range(16))
+    for k in range(200):
+        kh = int(hashlib.md5(f"{k}#".encode()).hexdigest()[:15], 16)
+        exp = next((h for p, h in ring if p >= kh), ring[0][1])
+        assert got[k] == exp, k
+    # every host serves someone at this key count
+    assert set(got.values()) == set(hosts)
+
+
+def test_consistent_route_minimal_disruption_on_host_loss(spark):
+    from beats_spark.routing import consistent_route
+    df = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    full = {r["k"]: r["host"] for r in consistent_route(
+        df, ["h1", "h2", "h3", "h4"], "k").collect()}
+    less = {r["k"]: r["host"] for r in consistent_route(
+        df, ["h1", "h2", "h4"], "k").collect()}
+    moved = {k for k in full if full[k] != less[k]}
+    # ONLY keys that lived on the removed host move
+    assert moved == {k for k, h in full.items() if h == "h3"}
+    # and they spread over the survivors, not one successor
+    assert len({less[k] for k in moved}) > 1
+
+
+def test_consistent_route_guards(spark):
+    import pytest
+    from beats_spark.routing import consistent_route
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        consistent_route(df, [], "k")
+    with pytest.raises(ValueError):
+        consistent_route(df, ["a", "a"], "k")
+    nul = spark.createDataFrame([(None,)], "k string")
+    with pytest.raises(Exception):
+        consistent_route(nul, ["a", "b"], "k").collect()
