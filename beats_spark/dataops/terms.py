@@ -29,7 +29,7 @@ from .dedup import tokens, _spread
 __all__ = ["bm25_topk", "collocations", "doc_frequency",
            "inverted_index", "kwic_snippets", "percolate",
            "phrase_search", "sparse_cosine_pairs", "term_drift",
-           "tfidf_top_terms", "with_percolator"]
+           "tfidf_top_terms", "trigram_grep", "with_percolator"]
 
 
 def doc_frequency(
@@ -381,6 +381,67 @@ def bm25_topk(
     return (top.withColumn("rank", F.row_number().over(w).cast("int"))
             .select(F.col("id").alias(id_col), "n_terms_hit",
                     "score_u12", "rank"))
+
+
+def trigram_grep(
+    df: DataFrame,
+    needle: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring search through a character-trigram index (the
+    Google Code Search technique, Cox 2012 "Regular Expression
+    Matching with a Trigram Index") → ``(id, n_matches)`` for every
+    document containing ``needle``, with exact occurrence counts.
+
+    Route: every document contributes its DISTINCT char trigrams
+    (map-side); the needle's required trigram set filters them AT
+    THE SCAN (a selective IN over ≤ len(needle)−2 values); documents
+    holding ALL required trigrams are candidates (one exchange of
+    (id, trigram-hit) pairs); candidates are verified with a real
+    ``contains`` on their text via a semi join. A raw LIKE scan
+    reads every byte of 100 TB per query; the trigram route reads
+    the needle's posting lists and verifies a candidate sliver —
+    same economics as :func:`phrase_search`, but for substrings that
+    ignore token boundaries (partial words, punctuation, URLs).
+
+    Exactness: candidate pruning can only FALSE-POSITIVE (every true
+    match contains every required trigram), and the verify step
+    removes those, so the result is byte-identical to the direct
+    scan — the oracle IS the direct scan, checking the algorithm
+    against an implementation-independent spelling. Matching is
+    case-sensitive (byte semantics, like grep). ``n_matches`` counts
+    possibly-overlapping occurrences non-overlappingly via
+    replace-and-measure: ``(len(t) − len(replace(t, q))) / len(q)``.
+
+    Needles shorter than 3 chars have no trigram to prune on —
+    refused loudly rather than silently degrading to the full scan.
+    """
+    if len(needle) < 3:
+        raise ValueError("trigram_grep: needle must be >= 3 chars "
+                         "(no trigram to prune on — use a plain "
+                         "contains filter for shorter needles)")
+    req = sorted({needle[i:i + 3] for i in range(len(needle) - 2)})
+    from .dedup import _spread
+    docs = _spread(df).select(F.col(id_col).alias("id"),
+                              F.col(text_col).alias("__t"))
+    tri = docs.select(
+        "id",
+        F.explode(F.array_distinct(F.expr(
+            "transform(sequence(1, greatest(length(__t) - 2, 0)),"
+            " i -> substr(__t, i, 3))"))).alias("__g"))
+    cand = (tri.filter(F.col("__g").isin(req))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("__hits"))
+            .filter(F.col("__hits") == len(req))
+            .select("id"))
+    hits = docs.join(cand, "id", "left_semi")
+    n = ((F.length("__t")
+          - F.length(F.replace(F.col("__t"), F.lit(needle))))
+         / len(needle)).cast("long")
+    return (hits.withColumn("n_matches", n)
+            .filter(F.col("n_matches") > 0)
+            .select("id", "n_matches"))
 
 
 def kwic_snippets(

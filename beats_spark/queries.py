@@ -6835,3 +6835,23 @@ def consistent_route_q(spark, sf_dir):
           .select("event_id"))
     return consistent_route(ev, ["es-a", "es-b", "es-c", "es-d",
                                  "es-e"], key_col="event_id")
+
+
+@query("trigram_grep", oracle="""
+SELECT doc_id AS id,
+       CAST((len(text) - len(replace(text, 'batch batch', '')))
+            // len('batch batch') AS BIGINT) AS n_matches
+FROM documents
+WHERE contains(text, 'batch batch')
+""")
+def trigram_grep_q(spark, sf_dir):
+    """Trigram-index substring search
+    (:func:`beats_spark.dataops.terms.trigram_grep`, the Google Code
+    Search technique) for the needle ``batch batch``: required
+    trigrams prune at the scan, one (id, hit) exchange, contains()
+    verification on the candidate sliver. The oracle is the DIRECT
+    LIKE scan — an implementation-independent spelling that checks
+    the index route returns byte-identical results."""
+    from .dataops.terms import trigram_grep
+    docs = _t(spark, sf_dir, "documents")
+    return trigram_grep(docs, "batch batch")

@@ -769,3 +769,26 @@ def test_term_drift_known_ratios_and_directions(spark):
     assert out[("dn", "falling")]["score_micro"] == score(4, 1)
     assert out[("flat", "rising")]["score_micro"] == score(2, 2) \
         == 1000000
+
+
+def test_trigram_grep_exact_vs_direct_scan_and_guards(spark):
+    import pytest
+    from beats_spark.dataops.terms import trigram_grep
+    docs = spark.createDataFrame(
+        [(1, "xxabcxx"),          # one hit
+         (2, "ababab"),           # "aba": non-overlap count = 1... 
+         (3, "no hit here"),
+         (4, "abcabcabc"),        # three hits of "abc"
+         (5, None),
+         (6, "ab")],              # shorter than needle
+        "doc_id long, text string")
+    got = {r["id"]: r["n_matches"]
+           for r in trigram_grep(docs, "abc").collect()}
+    assert got == {1: 1, 4: 3}
+    # case-sensitive byte semantics
+    up = spark.createDataFrame([(1, "ABC abc")],
+                               "doc_id long, text string")
+    assert {r["id"]: r["n_matches"]
+            for r in trigram_grep(up, "ABC").collect()} == {1: 1}
+    with pytest.raises(ValueError):
+        trigram_grep(docs, "ab")
