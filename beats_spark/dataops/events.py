@@ -27,10 +27,11 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "ewma_smooth", "funnel_steps", "merge_intervals",
+__all__ = ["asof_join", "decayed_counts", "ewma_smooth",
+           "funnel_steps", "merge_intervals",
            "percentile_rollup",
-           "retention_cohorts", "scd2_join", "session_rollup",
-           "sessionize"]
+           "retention_cohorts", "scd2_join", "seasonal_anomaly",
+           "session_rollup", "sessionize"]
 
 
 def _epoch_us(df: DataFrame, ts_col: str) -> Column:
@@ -515,3 +516,104 @@ def merge_intervals(
                  F.max("__e").alias(end_col),
                  F.count(F.lit(1)).alias("n_merged"))
             .drop("__run"))
+
+
+def decayed_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    now: str,
+    halflife_s: int = 86_400,
+    max_halflives: int = 40,
+) -> DataFrame:
+    """Time-decayed frequency per key — the trending-score primitive
+    (rank hosts/queries/templates by recent activity without a hard
+    cutoff window): ``(key, n_events, score_micro)`` where each
+    event contributes ``2^-(age/halflife)`` of weight, quantized to
+    whole half-lives so the whole computation is integer bit-shifts:
+    ``score_micro = Σ shiftright(10^6, min(age div halflife,
+    max_halflives))`` — engine-exact, no ``pow``.
+
+    ``now`` is an explicit ``'YYYY-MM-DD HH:MM:SS'`` anchor (passed
+    in, never wall-clock — deterministic replay is the repo
+    contract). Events after ``now`` clamp to bucket 0 (full weight).
+    Past ``max_halflives`` (default 40: 10^6 >> 40 == 0) events
+    contribute exactly nothing, which also bounds the shift.
+
+    Shape: one map-side bucket projection + one partial-combining
+    groupBy — a single exchange carrying (key, partial long sums);
+    the classic streaming-compatible decay trick of bucketing by
+    half-life instead of re-scoring on every read.
+    """
+    if halflife_s < 1:
+        raise ValueError(f"decayed_counts: halflife_s must be >= 1, "
+                         f"got {halflife_s}")
+    if not 0 <= max_halflives <= 63:
+        raise ValueError("decayed_counts: max_halflives must be in "
+                         "[0, 63] (long shifts wrap mod 64)")
+    age = (F.unix_micros(F.lit(now).cast("timestamp"))
+           - F.unix_micros(F.col(ts_col).cast("timestamp")))
+    staged = df.select(F.col(key_col),
+                       F.greatest(age, F.lit(0)).alias("__age"))
+    # integer DIV, not floor(double /): at an exact multiple of the
+    # halflife a double quotient can round past the boundary before
+    # flooring (the same 2^53 discipline as pagerank)
+    bucket = F.least(
+        F.expr(f"__age DIV {int(halflife_s) * 1_000_000}"),
+        F.lit(max_halflives)).cast("int")
+    # F.shiftright only takes a literal shift — SQL's takes a column.
+    # The shifted value MUST be BIGINT: JVM int shifts wrap the count
+    # mod 32, so shiftright(int 10^6, 40) silently becomes >> 8;
+    # long shifts wrap mod 64, so any max_halflives <= 63 is exact
+    # (and 10^6 >> 40 == 0, matching every non-wrapping engine).
+    w = (staged.withColumn("__b", bucket)
+         .withColumn("__w", F.expr(
+             "shiftright(CAST(1000000 AS BIGINT), __b)")))
+    return (w.select(F.col(key_col), "__w")
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("__w").alias("score_micro")))
+
+
+def seasonal_anomaly(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    z_num: int = 3,
+    z_den: int = 2,
+) -> DataFrame:
+    """Seasonal-baseline spike flags: hourly counts per key compared
+    to the MEDIAN count of the SAME hour-of-day across all days —
+    ``(key, day, hour, n, med2, is_spike)`` with ``is_spike ⇔
+    n · 2 · z_den > z_num · med2`` (``med2 = 2·median``, the
+    integer-median trick from the Hampel flags; defaults flag hours
+    above 1.5× their seasonal median).
+
+    The log-ops anomaly the plain z-test/EWMA misses: traffic has a
+    daily shape, so "high for 3am" matters and "high for noon" may
+    be normal — same-hour-of-day baselining is the standard first
+    seasonal correction (holt-winters' seasonal term, quantized to
+    the hour grid).
+
+    Shape: one (key, day, hour) count aggregation, one (key, hour)
+    median over the per-day counts, one join back keyed (key, hour)
+    — the second agg and the join reuse one partitioning; integer
+    cross-multiplication, no float threshold.
+    """
+    if z_num < 0 or z_den < 1:
+        raise ValueError("seasonal_anomaly: bad z ratio")
+    ts = F.col(ts_col).cast("timestamp")
+    base = df.select(F.col(key_col).alias("key"),
+                     F.to_date(ts).alias("day"),
+                     F.hour(ts).cast("int").alias("hour"))
+    counts = (base.groupBy("key", "day", "hour")
+              .agg(F.count(F.lit(1)).alias("n")))
+    med = (counts.groupBy("key", "hour")
+           .agg((F.percentile(F.col("n"), 0.5) * 2)
+                .cast("long").alias("med2")))
+    return (counts.join(med, ["key", "hour"])
+            .select(F.col("key").alias(key_col), "day", "hour", "n",
+                    "med2",
+                    (F.col("n") * 2 * z_den
+                     > F.lit(z_num) * F.col("med2"))
+                    .alias("is_spike")))

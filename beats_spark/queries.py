@@ -6855,3 +6855,52 @@ def trigram_grep_q(spark, sf_dir):
     from .dataops.terms import trigram_grep
     docs = _t(spark, sf_dir, "documents")
     return trigram_grep(docs, "batch batch")
+
+
+@query("decayed_trending", oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(1000000 >> CAST(least(
+         greatest(epoch_us(TIMESTAMP '2024-01-31 00:00:00')
+                  - epoch_us(ts), 0) // 86400000000,
+         40) AS INT)) AS BIGINT) AS score_micro
+FROM events GROUP BY event_type
+""")
+def decayed_trending(spark, sf_dir):
+    """Half-life-decayed trending scores per event type
+    (:func:`beats_spark.dataops.events.decayed_counts`, 1-day
+    half-life anchored at 2024-01-31): each event contributes
+    ``2^-(age div halflife)`` micro-units via pure integer bit
+    shifts — the recency-ranking primitive with no hard window
+    cutoff and no pow(). One map-side bucket projection + one
+    partial-combining exchange."""
+    from .dataops.events import decayed_counts
+    ev = _t(spark, sf_dir, "events")
+    return decayed_counts(ev, key_col="event_type", ts_col="ts",
+                          now="2024-01-31 00:00:00",
+                          halflife_s=86_400)
+
+
+@query("seasonal_anomaly", oracle="""
+WITH c AS (SELECT event_type AS key, CAST(ts AS DATE) AS day,
+                  CAST(extract(hour FROM ts) AS INT) AS hour,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2, 3),
+m AS (SELECT key, hour, CAST(2 * median(n) AS BIGINT) AS med2
+      FROM c GROUP BY key, hour)
+SELECT c.key AS event_type, c.day, c.hour, c.n, m.med2,
+       c.n * 4 > 3 * m.med2 AS is_spike
+FROM c JOIN m USING (key, hour)
+""")
+def seasonal_anomaly_q(spark, sf_dir):
+    """Hour-of-day seasonal spike flags
+    (:func:`beats_spark.dataops.events.seasonal_anomaly`): hourly
+    counts per event type vs the median of the SAME hour across all
+    days — "high for 3am" flags that a flat z-test/EWMA can't see
+    because noon is always high. 2×median keeps interpolated
+    medians integral; the flag is BIGINT cross-multiplication
+    (defaults: above 1.5× seasonal median). The per-(key,hour)
+    median agg and the join back reuse one partitioning."""
+    from .dataops.events import seasonal_anomaly
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_anomaly(ev, key_col="event_type", ts_col="ts")

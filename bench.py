@@ -82,7 +82,8 @@ BENCH_QUERIES = [
     "mad_outliers", "merge_intervals", "percolate_match", "bm25_rank",
     "boilerplate_strip", "snapshot_diff", "bitext_mine",
     "percolate_compiled", "link_hits", "kwic_snippets", "term_drift",
-    "consistent_route", "trigram_grep",
+    "consistent_route", "trigram_grep", "decayed_trending",
+    "seasonal_anomaly",
     "flagship_routed_counts", "flagship_messages",
 ]
 

@@ -687,3 +687,43 @@ def test_hits_guards(spark):
         hits(e, iters=0)
     with pytest.raises(ValueError):
         hits(e, scale=0)
+
+
+def test_decayed_counts_bucket_weights_and_clamps(spark):
+    from pyspark.sql import functions as F
+    from beats_spark.dataops.events import decayed_counts
+    rows = [
+        ("k", "2024-01-31 00:00:00"),   # age 0       -> 1000000
+        ("k", "2024-01-30 00:00:00"),   # exactly 1hl -> 500000
+        ("k", "2024-01-30 00:00:01"),   # just under  -> 1000000
+        ("k", "2024-01-28 12:00:00"),   # 2.5 hl      -> 250000
+        ("k", "2024-02-05 00:00:00"),   # future      -> clamp 1000000
+        ("z", "2020-01-01 00:00:00"),   # >40 hl      -> 0
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string") \
+        .select("k", F.col("ts").cast("timestamp").alias("ts"))
+    out = {r["k"]: r for r in
+           decayed_counts(df, "k", "ts",
+                          now="2024-01-31 00:00:00").collect()}
+    assert out["k"]["score_micro"] == (1000000 + 500000 + 1000000
+                                       + 250000 + 1000000)
+    assert out["k"]["n_events"] == 5
+    assert out["z"]["score_micro"] == 0
+
+
+def test_seasonal_anomaly_flags_same_hour_baseline(spark):
+    from pyspark.sql import functions as F
+    from beats_spark.dataops.events import seasonal_anomaly
+    rows = []
+    # 5 quiet days at 03:00 with 2 events, then a spike day with 10
+    for d in range(1, 6):
+        rows += [("a", f"2024-01-0{d} 03:00:00")] * 2
+    rows += [("a", "2024-01-06 03:00:00")] * 10
+    # noon is ALWAYS busy (10/day): never a spike vs its own baseline
+    for d in range(1, 7):
+        rows += [("a", f"2024-01-0{d} 12:00:00")] * 10
+    df = spark.createDataFrame(rows, "k string, ts string") \
+        .select("k", F.col("ts").cast("timestamp").alias("ts"))
+    out = seasonal_anomaly(df, "k", "ts").collect()
+    spikes = {(str(r["day"]), r["hour"]) for r in out if r["is_spike"]}
+    assert spikes == {("2024-01-06", 3)}
