@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 __all__ = ["asof_join", "decayed_counts", "ewma_smooth",
            "funnel_steps", "merge_intervals",
            "percentile_rollup",
-           "retention_cohorts", "scd2_join", "seasonal_anomaly",
+           "retention_cohorts", "rolling_quantile", "scd2_join", "seasonal_anomaly", "slo_burn",
            "session_rollup", "sessionize"]
 
 
@@ -617,3 +617,107 @@ def seasonal_anomaly(
                     (F.col("n") * 2 * z_den
                      > F.lit(z_num) * F.col("med2"))
                     .alias("is_spike")))
+
+
+def slo_burn(
+    df: DataFrame,
+    ts_col: str,
+    error_col: str,
+    key_col: "str | None" = None,
+    bucket_s: int = 3600,
+    budget: "tuple[int, int]" = (1, 100),
+    horizon: int = 6,
+) -> DataFrame:
+    """SLO error-budget burn rate (the Google SRE workbook's
+    multiwindow alert input): per time bucket and optional key,
+    ``burn_micro = error_rate / budget_rate`` in integer micro-units
+    — 10^6 means errors are consuming budget exactly at the allowed
+    rate, 14·10^6 is the classic page-now threshold — plus the
+    ``horizon``-bucket rolling burn that makes slow burns visible.
+
+    ``budget`` is the allowed error ratio as a rational ``(num,
+    den)`` (default 1/100 = 99% SLO); both burns are one BIGINT
+    cross-multiplied floor division: ``errs · den · 10^6 div
+    (total · num)``. Empty-traffic buckets cannot occur (buckets
+    exist only where events do); zero-error buckets burn 0.
+
+    Scale shape: the raw 10^12-event stream collapses in ONE
+    partial-combining aggregation to (key, bucket) counter pairs —
+    the rolling window then runs over that tiny aggregated frame
+    (per key: buckets-per-retention rows, thousands not trillions),
+    with an integer RANGE frame so calendar gaps don't silently
+    shrink the horizon. Output: ``(key?, bucket_start, n_events,
+    n_errors, burn_micro, rolling_burn_micro)``.
+    """
+    num, den = budget
+    if num < 1 or den < 1:
+        raise ValueError("slo_burn: budget must be a positive "
+                         "rational (num, den)")
+    if horizon < 1:
+        raise ValueError(f"slo_burn: horizon must be >= 1, "
+                         f"got {horizon}")
+    keys = [key_col] if key_col else []
+    bidx = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) DIV "
+                  f"{int(bucket_s) * 1_000_000}")
+    agg = (df.groupBy(*keys, bidx.cast("long").alias("__b"))
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col(error_col).cast("long"))
+                 .alias("n_errors")))
+    w = (Window.partitionBy(*keys).orderBy("__b")
+         .rangeBetween(-(horizon - 1), 0))
+    re_ = F.sum("n_errors").over(w)
+    rt = F.sum("n_events").over(w)
+    return agg.select(
+        *keys,
+        F.timestamp_micros(F.col("__b") * bucket_s * 1_000_000)
+         .alias("bucket_start"),
+        "n_events", "n_errors",
+        F.expr(f"(n_errors * {den} * 1000000) DIV "
+               f"(n_events * {num})").alias("burn_micro"),
+        (re_ * den * 1_000_000).cast("long").alias("__re"),
+        (rt * num).cast("long").alias("__rt")) \
+        .withColumn("rolling_burn_micro", F.expr("__re DIV __rt")) \
+        .drop("__re", "__rt")
+
+
+def rolling_quantile(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    x_col: str,
+    frame_rows: int = 20,
+    q_pct: int = 95,
+    tie_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Rolling nearest-rank quantile per key: each row gets the
+    ``q_pct``-th percentile of its own trailing ``frame_rows``-row
+    window — the live "p95 latency right now per host" readout.
+    Nearest-rank (the ``ceil(q·n)``-th smallest), NOT interpolated:
+    interpolation multiplies integers by an inexact binary fraction
+    and two engines can disagree in the last ulp; the rank index
+    ``(n·q_pct + 99) div 100`` is pure integer math, so the output
+    VALUE is always an actual observed data point, engine-exact.
+
+    Frame contents are collected and sorted per row — legal because
+    ``frame_rows`` bounds the frame (document cost O(frame·log
+    frame) per row); the exchange is the single key partitioning.
+    Ordering within equal timestamps is pinned by ``tie_cols``
+    (pass the event id — a bare ts order makes the WINDOW CONTENTS
+    nondeterministic under batchy ingest, same rule as
+    event_transitions). Output: input columns + ``q_value``.
+    """
+    if not 1 <= q_pct <= 100:
+        raise ValueError(f"rolling_quantile: q_pct must be in "
+                         f"[1, 100], got {q_pct}")
+    if frame_rows < 1:
+        raise ValueError("rolling_quantile: frame_rows must be >= 1")
+    order = [F.col(ts_col), *[F.col(c) for c in tie_cols]]
+    w = (Window.partitionBy(key_col).orderBy(*order)
+         .rowsBetween(-(frame_rows - 1), 0))
+    arr = F.array_sort(F.collect_list(F.col(x_col)).over(w))
+    return (df.withColumn("__arr", arr)
+            .withColumn(
+                "q_value",
+                F.expr(f"element_at(__arr, CAST((size(__arr) * "
+                       f"{int(q_pct)} + 99) DIV 100 AS INT))"))
+            .drop("__arr"))

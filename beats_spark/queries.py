@@ -6904,3 +6904,74 @@ def seasonal_anomaly_q(spark, sf_dir):
     from .dataops.events import seasonal_anomaly
     ev = _t(spark, sf_dir, "events")
     return seasonal_anomaly(ev, key_col="event_type", ts_col="ts")
+
+
+@query("slo_burn", oracle="""
+WITH agg AS (
+  SELECT user_id % 4 AS shard,
+         epoch_us(ts) // 3600000000 AS b,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(*) FILTER (WHERE event_type = 'error')
+              AS BIGINT) AS n_errors
+  FROM events GROUP BY 1, 2),
+r AS (SELECT *,
+             CAST(sum(n_errors) OVER w AS BIGINT) AS re,
+             CAST(sum(n_events) OVER w AS BIGINT) AS rt
+      FROM agg
+      WINDOW w AS (PARTITION BY shard ORDER BY b
+                   RANGE BETWEEN 5 PRECEDING AND CURRENT ROW))
+SELECT shard, make_timestamp(b * 3600000000) AS bucket_start,
+       n_events, n_errors,
+       CAST((n_errors * 100 * 1000000) // (n_events * 1)
+            AS BIGINT) AS burn_micro,
+       CAST((re * 100 * 1000000) // (rt * 1) AS BIGINT)
+         AS rolling_burn_micro
+FROM r
+""")
+def slo_burn_q(spark, sf_dir):
+    """Error-budget burn rate per service shard
+    (:func:`beats_spark.dataops.events.slo_burn`, 99% SLO, hourly
+    buckets, 6-hour rolling horizon): 10^6 = burning exactly at
+    budget. The raw event stream collapses map-side to (shard,
+    bucket) counters; the rolling RANGE window runs over that tiny
+    frame, so gaps don't shrink the horizon. All burns are BIGINT
+    cross-multiplied divisions."""
+    from .dataops.events import slo_burn
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("shard", F.col("user_id") % 4)
+          .withColumn("is_err", F.col("event_type") == "error"))
+    return slo_burn(ev, ts_col="ts", error_col="is_err",
+                    key_col="shard", bucket_s=3600,
+                    budget=(1, 100), horizon=6)
+
+
+@query("rolling_p95", oracle="""
+WITH b AS (SELECT user_id, event_id, ts,
+                  CAST(round(value * 100) AS BIGINT) AS x
+           FROM events),
+r AS (SELECT user_id, event_id, x,
+             list_sort(list(x) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) AS arr
+      FROM b)
+SELECT user_id, event_id, x,
+       arr[CAST((len(arr) * 95 + 99) // 100 AS INT)] AS q_value
+FROM r
+""")
+def rolling_p95(spark, sf_dir):
+    """Rolling nearest-rank p95 of event value per user
+    (:func:`beats_spark.dataops.events.rolling_quantile`, trailing
+    20 rows): the live per-key latency percentile readout.
+    Nearest-rank, not interpolated — the rank index is pure integer
+    math and the output is an observed value, so engines agree
+    bit-for-bit; window contents pinned by (ts, event_id). One key
+    exchange."""
+    from .dataops.events import rolling_quantile
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id", "event_id", "ts",
+                  F.round(F.col("value") * 100).cast("long")
+                  .alias("x")))
+    return rolling_quantile(ev, key_col="user_id", ts_col="ts",
+                            x_col="x", frame_rows=20, q_pct=95,
+                            tie_cols=["event_id"]) \
+        .select("user_id", "event_id", "x", "q_value")

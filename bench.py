@@ -83,7 +83,7 @@ BENCH_QUERIES = [
     "boilerplate_strip", "snapshot_diff", "bitext_mine",
     "percolate_compiled", "link_hits", "kwic_snippets", "term_drift",
     "consistent_route", "trigram_grep", "decayed_trending",
-    "seasonal_anomaly",
+    "seasonal_anomaly", "slo_burn", "rolling_p95",
     "flagship_routed_counts", "flagship_messages",
 ]
 

@@ -727,3 +727,46 @@ def test_seasonal_anomaly_flags_same_hour_baseline(spark):
     out = seasonal_anomaly(df, "k", "ts").collect()
     spikes = {(str(r["day"]), r["hour"]) for r in out if r["is_spike"]}
     assert spikes == {("2024-01-06", 3)}
+
+
+def test_slo_burn_known_rates_and_gap_safe_horizon(spark):
+    from pyspark.sql import functions as F
+    from beats_spark.dataops.events import slo_burn
+    rows = []
+    # hour 0: 10 events, 1 error -> burn 10x budget (1%)
+    rows += [("2024-01-01 00:00:30", e < 1) for e in range(10)]
+    # hour 1: 10 events, 0 errors
+    rows += [("2024-01-01 01:00:30", False) for _ in range(10)]
+    # hour 9 (calendar GAP): 10 events, 2 errors — horizon 2 must NOT
+    # see hour 1 across the gap (RANGE frame, not ROWS)
+    rows += [("2024-01-01 09:00:30", e < 2) for e in range(10)]
+    df = spark.createDataFrame(rows, "ts string, err boolean") \
+        .select(F.col("ts").cast("timestamp").alias("ts"), "err")
+    out = {str(r["bucket_start"]): r for r in
+           slo_burn(df, "ts", "err", bucket_s=3600,
+                    budget=(1, 100), horizon=2).collect()}
+    h0 = out["2024-01-01 00:00:00"]
+    assert h0["burn_micro"] == 10_000_000          # 10x budget
+    assert h0["rolling_burn_micro"] == 10_000_000
+    h1 = out["2024-01-01 01:00:00"]
+    assert h1["burn_micro"] == 0
+    assert h1["rolling_burn_micro"] == 5_000_000   # (1/20)/0.01
+    h9 = out["2024-01-01 09:00:00"]
+    assert h9["rolling_burn_micro"] == 20_000_000  # gap: alone
+
+
+def test_rolling_quantile_nearest_rank_and_frame(spark):
+    from pyspark.sql import functions as F
+    from beats_spark.dataops.events import rolling_quantile
+    rows = [("k", i, f"2024-01-01 00:{i:02d}:00", v)
+            for i, v in enumerate([10, 20, 30, 40, 50])]
+    df = spark.createDataFrame(
+        rows, "k string, id long, ts string, x long") \
+        .select("k", "id", F.col("ts").cast("timestamp").alias("ts"),
+                "x")
+    out = {r["id"]: r["q_value"] for r in
+           rolling_quantile(df, "k", "ts", "x", frame_rows=3,
+                            q_pct=50, tie_cols=["id"]).collect()}
+    # frames: [10] [10,20] [10,20,30] [20,30,40] [30,40,50]
+    # nearest-rank median = ceil(n/2)-th smallest
+    assert out == {0: 10, 1: 10, 2: 20, 3: 30, 4: 40}
