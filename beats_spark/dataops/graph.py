@@ -29,9 +29,9 @@ join-only. Self-loops and duplicate edges are removed up front.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["hits", "pagerank", "triangle_count"]
+__all__ = ["hits", "label_propagation", "pagerank", "triangle_count"]
 
 
 def pagerank(
@@ -244,3 +244,62 @@ def hits(
             .select(F.col("node").alias(id_col),
                     F.col("hub").alias("hub_micro"),
                     F.col("auth").alias("auth_micro")))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    id_col: str = "node",
+    label_col: str = "community",
+) -> DataFrame:
+    """``iters`` synchronous rounds of deterministic label
+    propagation (Raghavan et al. 2007 LPA, the near-linear community
+    detector) over the undirected view of ``edges`` →
+    ``(node, community)``.
+
+    Communities are finer than :mod:`.components`' connected
+    components (one component can hold many communities) and
+    cheaper than modularity optimizers — the standard first cut for
+    "which hosts form a topical cluster / link ring". Plain LPA is
+    notoriously nondeterministic (random visit order, random tie
+    breaks); this variant is replay-exact: simultaneous (Jacobi)
+    updates, each node adopting the neighbor label with the highest
+    (count, then SMALLEST label) — a total order, no randomness —
+    and a fixed iteration budget (the pagerank determinism
+    contract; Jacobi LPA can oscillate, so the budget IS the spec,
+    not a convergence shortcut).
+
+    Shape per round: one join of the checkpointed edge list to the
+    label frame (keyed on the neighbor end), one partial-combining
+    (node, label) count, one per-node window for the arg-max, then
+    localCheckpoint (iterative-lineage rule). Labels are node ids,
+    so 8-byte keys everywhere.
+    """
+    if iters < 0:
+        raise ValueError(f"label_propagation: iters must be >= 0, "
+                         f"got {iters}")
+    e = (edges.select(F.col(src).cast("long").alias("a"),
+                      F.col(dst).cast("long").alias("b"))
+         .filter(F.col("a") != F.col("b")))
+    und = (e.union(e.select(F.col("b").alias("a"),
+                            F.col("a").alias("b")))
+           .distinct()
+           .localCheckpoint(eager=True))
+    labels = (und.select(F.col("a").alias("node")).distinct()
+              .withColumn("lbl", F.col("node"))
+              .localCheckpoint(eager=True))
+    w = Window.partitionBy("node").orderBy(
+        F.col("__n").desc(), F.col("lbl").asc())
+    for _ in range(iters):
+        nbr = (und.join(labels.withColumnRenamed("node", "b"), "b")
+               .select(F.col("a").alias("node"), "lbl"))
+        counts = (nbr.groupBy("node", "lbl")
+                  .agg(F.count(F.lit(1)).alias("__n")))
+        labels = (counts.withColumn("__r", F.row_number().over(w))
+                  .filter(F.col("__r") == 1)
+                  .select("node", "lbl")
+                  .localCheckpoint(eager=True))
+    return labels.select(F.col("node").alias(id_col),
+                         F.col("lbl").alias(label_col))

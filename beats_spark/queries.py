@@ -6975,3 +6975,62 @@ def rolling_p95(spark, sf_dir):
                             x_col="x", frame_rows=20, q_pct=95,
                             tie_cols=["event_id"]) \
         .select("user_id", "event_id", "x", "q_value")
+
+
+def _lpa_oracle(iters: int = 3) -> str:
+    """Unrolled deterministic synchronous LPA mirroring
+    dataops/graph.py::label_propagation — per round each node adopts
+    the neighbor label with the highest (count, smallest-label)
+    order. MATERIALIZED edge CTE for the same reason as the HITS
+    oracle."""
+    parts = [r"""
+WITH raw AS (SELECT c.c_nationkey AS s, sp.s_nationkey AS d
+             FROM customer c
+             JOIN orders o ON o.o_custkey = c.c_custkey
+             JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             JOIN supplier sp ON sp.s_suppkey = l.l_suppkey
+             WHERE c.c_nationkey <> sp.s_nationkey),
+und AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, d AS b FROM raw
+    UNION ALL SELECT d, s FROM raw)),
+l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM und)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+l{i} AS (SELECT node, lbl FROM (
+  SELECT u.a AS node, l.lbl, count(*) AS n,
+         row_number() OVER (PARTITION BY u.a
+           ORDER BY count(*) DESC, l.lbl ASC) AS rn
+  FROM und u JOIN l{i - 1} l ON l.node = u.b
+  GROUP BY u.a, l.lbl) WHERE rn = 1)""")
+    parts.append(f"""
+SELECT nn.n_name AS nation, CAST(l.lbl AS BIGINT) AS community
+FROM l{iters} l JOIN nation nn ON nn.n_nationkey = l.node""")
+    return "".join(parts)
+
+
+@query("link_communities", oracle=_lpa_oracle(3))
+def link_communities(spark, sf_dir):
+    """Community detection by deterministic label propagation
+    (:func:`beats_spark.dataops.graph.label_propagation`) over the
+    trade graph — finer than connected components (topical clusters
+    / link rings inside one component), near-linear unlike
+    modularity optimizers. Plain LPA is random in visit order and
+    tie breaks; this variant is replay-exact (simultaneous updates,
+    (count desc, smallest label) total order, fixed budget), which
+    is what lets an SQL engine replay it row-for-row."""
+    from .dataops.graph import label_propagation
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    edges = (cust.join(orders, orders.o_custkey == cust.c_custkey)
+             .join(li, li.l_orderkey == orders.o_orderkey)
+             .join(supp, supp.s_suppkey == li.l_suppkey)
+             .select(F.col("c_nationkey").alias("src"),
+                     F.col("s_nationkey").alias("dst")))
+    lp = label_propagation(edges, iters=3)
+    return (lp.join(F.broadcast(nation),
+                    nation.n_nationkey == lp.node)
+            .select(F.col("n_name").alias("nation"), "community"))

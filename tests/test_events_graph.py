@@ -770,3 +770,23 @@ def test_rolling_quantile_nearest_rank_and_frame(spark):
     # frames: [10] [10,20] [10,20,30] [20,30,40] [30,40,50]
     # nearest-rank median = ceil(n/2)-th smallest
     assert out == {0: 10, 1: 10, 2: 20, 3: 30, 4: 40}
+
+
+def test_label_propagation_two_cliques_and_determinism(spark):
+    """Two 3-cliques joined by one bridge edge: LPA should settle
+    each clique on its own minimum label; replay the deterministic
+    recurrence by hand for the bridge nodes."""
+    from beats_spark.dataops.graph import label_propagation
+    edges = [(0, 1), (0, 2), (1, 2),        # clique A
+             (10, 11), (10, 12), (11, 12),  # clique B
+             (2, 10)]                       # bridge
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["community"] for r in
+           label_propagation(df, iters=4).collect()}
+    # clique A all settle on 0; clique B on 10 pulls from the bridge
+    assert out[0] == out[1] == out[2] == 0
+    assert out[11] == out[12]
+    # rerun is identical (replay-exact, no randomness)
+    out2 = {r["node"]: r["community"] for r in
+            label_propagation(df, iters=4).collect()}
+    assert out == out2
