@@ -31,7 +31,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["merge_upsert", "snapshot_diff"]
+__all__ = ["ivm_counts", "merge_upsert", "snapshot_diff"]
 
 
 def _digest(cols: Sequence[str]):
@@ -180,3 +180,56 @@ def merge_upsert(
                .join(delta.select(*keys).distinct(), keys, "left_anti")
                .withColumn(change_col, F.lit("carried")))
     return classified.unionByName(carried)
+
+
+def ivm_counts(
+    base: DataFrame,
+    delta: DataFrame,
+    key_cols: Sequence[str],
+    count_col: str = "n",
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental view maintenance for a COUNT view: apply a
+    changelog of ``+1`` (insert) / ``-1`` (delete/retract) rows to a
+    materialized per-key count table WITHOUT rescanning the base
+    data — the refresh primitive that turns "recompute the 100 TB
+    aggregate nightly" into "fold in today's changelog".
+
+    ``base`` is ``(keys..., count_col)``; ``delta`` is raw changelog
+    rows ``(keys..., op_col ∈ {+1, -1})``. The delta is aggregated
+    first (one partial-combining exchange on the keys — a hot key's
+    million changelog rows arrive at the reducer pre-summed), then
+    one full-outer join against the count table; keys falling to 0
+    vanish (a count view has no zero rows) and a key driven NEGATIVE
+    fails the job in-plan — that is a corrupt changelog (retraction
+    of a row that was never counted), and silently clamping it would
+    let the view drift from the truth forever.
+
+    Output: ``(keys..., count_col)`` — the same shape as ``base``,
+    ready to be written back as the next snapshot. Correctness
+    contract (asserted by the catalog oracle): the result equals a
+    from-scratch recompute over (base's source rows + inserts −
+    deletions).
+    """
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("ivm_counts: key_cols must be non-empty")
+    if count_col in keys or op_col in keys:
+        raise ValueError("ivm_counts: count/op columns clash with "
+                         "keys")
+    d = (delta.groupBy(*keys)
+         .agg(F.sum(F.col(op_col).cast("long")).alias("__d")))
+    j = (base.select(*keys, F.col(count_col).alias("__b"))
+         .join(d, keys, "full_outer")
+         .select(*keys,
+                 (F.coalesce("__b", F.lit(0))
+                  + F.coalesce("__d", F.lit(0))).alias("__n")))
+    guard = F.assert_true(
+        F.col("__n") >= 0,
+        F.lit("ivm_counts: key count driven negative — changelog "
+              "retracts rows the view never counted"))
+    # the guard lives INSIDE the filter predicate: a plain
+    # filter(__n > 0) would discard negative rows before any
+    # guarded projection ever evaluates them
+    return (j.filter(F.when(guard.isNull(), F.col("__n") > 0))
+            .select(*keys, F.col("__n").alias(count_col)))

@@ -84,7 +84,7 @@ BENCH_QUERIES = [
     "percolate_compiled", "link_hits", "kwic_snippets", "term_drift",
     "consistent_route", "trigram_grep", "decayed_trending",
     "seasonal_anomaly", "slo_burn", "rolling_p95",
-    "link_communities",
+    "link_communities", "zonemap_prune", "ivm_refresh",
     "flagship_routed_counts", "flagship_messages",
 ]
 

@@ -162,3 +162,20 @@ def test_global_rank_empty_and_single(spark):
     assert global_rank(empty, ["v", "id"]).count() == 0
     one = spark.createDataFrame([(1, 42)], "id long, v long")
     assert global_rank(one, ["v", "id"]).collect()[0]["rnk"] == 1
+
+
+def test_zonemap_stats_range_prunes_hash_does_not(spark):
+    from beats_spark.dataops.layout import zonemap_stats
+    # values 0..999; predicate selects [100, 199] — 10% of the domain
+    df = spark.createDataFrame([(i, i) for i in range(1000)],
+                               "id long, v long")
+    out = {r["layout"]: r for r in
+           zonemap_stats(df, "v", "id", lo=100, hi=199,
+                         n_buckets=10).collect()}
+    assert out["range"]["rows_matching"] == 100
+    # range layout: the 100 matching rows live in exactly one bucket
+    assert out["range"]["buckets_scanned"] == 1
+    assert out["range"]["rows_scanned"] == 100
+    # hash layout: every bucket spans the domain -> nothing skips
+    assert out["hash"]["buckets_scanned"] == out["hash"]["n_buckets"]
+    assert out["hash"]["rows_scanned"] == 1000

@@ -114,3 +114,21 @@ def test_snapshot_diff_null_vs_value_digest(spark):
     new = spark.createDataFrame([(1, "1")], "url long, text string")
     out = snapshot_diff(old, new, ["url"], ["text"]).collect()
     assert out[0]["status"] == "changed"   # NULL != "1" (presence prefix)
+
+
+def test_ivm_counts_insert_delete_zero_and_negative_guard(spark):
+    import pytest
+    from beats_spark.dataops.merge import ivm_counts
+    base = spark.createDataFrame([("a", 2), ("b", 1), ("c", 1)],
+                                 "k string, n long")
+    delta = spark.createDataFrame(
+        [("a", 1), ("a", 1),          # a: 2 + 2 = 4
+         ("b", -1),                   # b: 1 - 1 = 0 -> vanishes
+         ("d", 1)],                   # d: new key
+        "k string, op int")
+    out = {r["k"]: r["n"] for r in
+           ivm_counts(base, delta, ["k"]).collect()}
+    assert out == {"a": 4, "c": 1, "d": 1}
+    bad = spark.createDataFrame([("c", -2)], "k string, op int")
+    with pytest.raises(Exception, match="negative"):
+        ivm_counts(base, bad, ["k"]).collect()
