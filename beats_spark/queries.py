@@ -7115,3 +7115,82 @@ def ivm_refresh(spark, sf_dir):
                .select("user_id", F.lit(-1).alias("op")))
     return ivm_counts(basev, inserts.unionAll(deletes),
                       key_cols=["user_id"])
+
+
+def _pq_oracle() -> str:
+    """Full SQL replay of pq_topk's catalog instance (dim 64, m=4,
+    8 codes, rerank 40, k 5): same exemplar codebook, same
+    dot-identity L2 (the proven-parity fold), same rounded
+    comparisons and id tie-breaks."""
+    def SUB(x, s):
+        return f"list_slice({x}, {1 + s * 16}, {s * 16 + 16})"
+
+    def L2(a, b):
+        return (f"round(list_dot_product({a}, {a}) - "
+                f"2 * list_dot_product({a}, {b}) + "
+                f"list_dot_product({b}, {b}), 6)")
+
+    d_cols = ", ".join(
+        f"{L2(SUB('v.e', s), SUB('cb.cv', s))} AS d{s}"
+        for s in range(4))
+    c_ctes = ",\n".join(
+        f"c{s} AS (SELECT nid, code AS c{s} FROM ("
+        f"SELECT nid, code, row_number() OVER (PARTITION BY nid "
+        f"ORDER BY d{s}, code) AS rn FROM pairs) WHERE rn = 1)"
+        for s in range(4))
+    adc = " + ".join(L2(SUB("q.qv", s), f"SUB{s}") for s in range(4))
+    for s in range(4):
+        adc = adc.replace(f"SUB{s}", SUB(f"k{s}.cv", s))
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cb AS MATERIALIZED (
+  SELECT vec_id AS code, e AS cv FROM v ORDER BY vec_id LIMIT 8),
+pairs AS MATERIALIZED (
+  SELECT v.vec_id AS nid, cb.code, {d_cols}
+  FROM v CROSS JOIN cb),
+{c_ctes},
+codes AS (SELECT c0.nid, c0.c0, c1.c1, c2.c2, c3.c3, v.e
+          FROM c0 JOIN c1 USING (nid) JOIN c2 USING (nid)
+               JOIN c3 USING (nid) JOIN v ON v.vec_id = c0.nid),
+q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 10),
+cand AS (SELECT q.query_id, codes.nid, codes.e, q.qv,
+                round({adc}, 6) AS adc
+         FROM codes
+         JOIN cb k0 ON k0.code = codes.c0
+         JOIN cb k1 ON k1.code = codes.c1
+         JOIN cb k2 ON k2.code = codes.c2
+         JOIN cb k3 ON k3.code = codes.c3
+         CROSS JOIN q WHERE codes.nid <> q.query_id),
+short AS (SELECT * FROM (
+  SELECT query_id, nid, e, qv,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc, nid) AS rn
+  FROM cand) WHERE rn <= 40),
+exact AS (SELECT query_id, nid AS neighbor_id,
+                 round(list_dot_product(qv, e) /
+                       (sqrt(list_dot_product(qv, qv)) *
+                        sqrt(list_dot_product(e, e))), 6) AS cosine
+          FROM short)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id) AS rn FROM exact)
+WHERE rn <= 5
+"""
+
+
+@query("ann_pq_topk", oracle=_pq_oracle())
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN
+    (:func:`beats_spark.dataops.similarity.pq_topk`, Jégou et al.
+    2011): 64-dim vectors compressed to 4 subspace codes, asymmetric
+    (ADC) distance over the codes, exact cosine rerank of the top-40
+    shortlist — the compressed-storage member of the ANN family
+    (256 B/vector → 4 B at scan time). Every distance runs through
+    the same dot-product fold the other embedding oracles prove
+    engine-exact, so even PQ replays row-for-row in SQL."""
+    from .dataops.similarity import pq_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(emb, queries, dim=64, k=5, m=4, n_codes=8,
+                   rerank=40)

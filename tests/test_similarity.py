@@ -327,3 +327,26 @@ def test_bitext_margin_known_values_and_hub_penalty(spark):
     # the hub must not win either source despite decent raw cosine
     assert out[0]["tgt_id"] == 1
     assert out[2]["tgt_id"] == 3
+
+
+def test_pq_topk_recall_vs_brute_and_guards(spark):
+    """PQ shortlist + rerank must recover most of the true top-k
+    (recall vs brute force), and the rerank stage must make the
+    returned cosines EXACT (not approximations)."""
+    import pytest
+    from beats_spark.dataops.similarity import cosine_topk, pq_topk
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 5")
+    true = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+            for r in cosine_topk(emb, queries, k=5).collect()}
+    got = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+           for r in pq_topk(emb, queries, dim=64, k=5,
+                            rerank=40).collect()}
+    hits = set(true) & set(got)
+    assert len(hits) >= int(0.6 * len(true))  # coarse-code recall
+    for key in hits:                          # rerank = exact cosine
+        assert got[key] == true[key]
+    with pytest.raises(ValueError):
+        pq_topk(emb, queries, dim=63, m=4)
+    with pytest.raises(ValueError):
+        pq_topk(emb, queries, dim=64, k=10, rerank=5)
