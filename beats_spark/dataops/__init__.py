@@ -40,6 +40,7 @@ from .similarity import (
     rrf_fuse,
 )
 from .textstats import (
+    entropy_stats_arrow,
     gopher_rules,
     lang_id_stopword,
     lang_id_ngram,
@@ -112,7 +113,8 @@ __all__ = [
     "dot", "l2_norm", "normalize",
     "lsh_signature", "lsh_cosine_topk", "rrf_fuse",
     "lang_id_stopword", "lang_id_ngram", "lang_spans",
-    "doc_fingerprint", "text_stats", "token_count",
+    "doc_fingerprint", "entropy_stats_arrow", "text_stats",
+    "token_count",
     "attach_media_meta", "extract_image_features", "sample_video_frames",
     "set_decoder",
     "curate", "CurationResult",

@@ -19,7 +19,7 @@ from pyspark.sql.functions import pandas_udf
 from .dedup import tokens, simhash
 
 __all__ = [
-    "gopher_rules", "repetition_stats_arrow",
+    "gopher_rules", "repetition_stats_arrow", "entropy_stats_arrow",
     "token_count", "text_stats", "text_stats_arrow", "quality_score",
     "readability",
     "lang_id_stopword", "lang_id_ngram", "lang_spans",
@@ -546,6 +546,95 @@ def repetition_stats_arrow(text_col: str = "text") -> Column:
             yield _pd.DataFrame([one(t) for t in s], columns=_REP_COLS)
 
     return _rep(F.col(text_col))
+
+
+_ENT_SCHEMA = ("n_cp bigint, distinct_chars bigint, "
+               "char_ent_micro bigint, char_ent_per_cp_micro bigint, "
+               "n_tokens bigint, distinct_tokens bigint, "
+               "tok_ent_micro bigint, ttr_micro bigint")
+
+_ENT_COLS = ["n_cp", "distinct_chars", "char_ent_micro",
+             "char_ent_per_cp_micro", "n_tokens", "distinct_tokens",
+             "tok_ent_micro", "ttr_micro"]
+
+
+def entropy_stats_arrow(text_col: str = "text") -> Column:
+    """Shannon-entropy gibberish/diversity signals per document, as a
+    struct column — the information-theoretic complement to the ratio
+    heuristics in :func:`text_stats` (RefinedWeb/Gopher-style quality
+    filtering uses both families: a page of one repeated character has
+    near-zero character entropy; base64 soup or key-mash has abnormally
+    high entropy and a token entropy close to its ln(n_tokens) ceiling).
+
+    Fields (reference semantics: Beats has no analog — this is the
+    curation layer):
+
+    - ``n_cp`` — length in Unicode codepoints;
+    - ``distinct_chars`` / ``char_ent_micro`` — distinct codepoints and
+      the character-distribution entropy ``-Σ k·round(ln(k/n)·1e6)``
+      (integer micro-nats, see exactness below);
+    - ``char_ent_per_cp_micro`` — ``char_ent_micro // n_cp``, the mean
+      per-character entropy (what a threshold filter actually uses);
+    - ``n_tokens`` / ``distinct_tokens`` — whitespace-token counts
+      (same tokenization as :func:`beats_spark.dataops.dedup.tokens`);
+    - ``tok_ent_micro`` — token-distribution entropy (vocabulary
+      diversity; boilerplate listings score low);
+    - ``ttr_micro`` — type-token ratio ``floor(1e6·distinct/n_tokens)``.
+
+    Exactness: each distinct value's ``ln(k/n)`` is quantized to
+    integer micro-nats (half-away-from-zero, the Spark/DuckDB round
+    contract) BEFORE the per-document weighted sum, so every output is
+    a bigint an external SQL engine reproduces bit-for-bit — the same
+    cents trick as :mod:`beats_spark.dataops.lm`. ``math.log`` (libm)
+    is used per DISTINCT value rather than a vectorized np.log so the
+    double bits match DuckDB's ``ln`` exactly.
+
+    Scale shape: the histogram of one document never involves another
+    document — the whole operator is ONE ArrowEvalPython projection,
+    zero shuffle, documents never move. At 100 TB this is the cheapest
+    kind of stage there is: map-side, column-pruned to the text column,
+    and the emitted struct is ~64 bytes/doc.
+    """
+    import math
+    from collections import Counter
+    import re as _re
+    from pyspark.sql.functions import pandas_udf
+
+    ws = _re.compile(r"\s+")
+
+    def _ent(counts, n):
+        # round half-away-from-zero like Spark/DuckDB round(); values
+        # are ln(k/n) <= 0 so the boundary form is ceil(v - 0.5)
+        tot = 0
+        for k in counts:
+            v = math.log(k / n) * 1_000_000.0
+            tot += k * int(math.trunc(v + math.copysign(0.5, v)))
+        return -tot
+
+    @pandas_udf(_ENT_SCHEMA)
+    def _stats(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def one(t):
+            if t is None:
+                return (None,) * len(_ENT_COLS)
+            n = len(t)
+            toks = [x for x in ws.split(t.lower()) if x]
+            nt = len(toks)
+            cc = Counter(t)
+            tc = Counter(toks)
+            ce = _ent(cc.values(), n) if n else 0
+            te = _ent(tc.values(), nt) if nt else 0
+            return (
+                n, len(cc), ce, (ce // n) if n else None,
+                nt, len(tc), te,
+                (1_000_000 * len(tc)) // nt if nt else None,
+            )
+
+        for s in it:
+            yield _pd.DataFrame([one(t) for t in s], columns=_ENT_COLS)
+
+    return _stats(F.col(text_col))
 
 
 def lang_spans(df: DataFrame, id_col: str = "doc_id",

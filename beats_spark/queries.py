@@ -3640,6 +3640,63 @@ def lm_quality_score(spark, sf_dir):
     return lm_score(docs)
 
 
+@query("char_entropy", oracle=r"""
+WITH t AS (SELECT doc_id, text,
+                  CAST(length(text) AS BIGINT) AS n,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+       FROM t WHERE n > 0),
+chh AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k
+        FROM ch GROUP BY doc_id, c),
+ce AS (SELECT chh.doc_id,
+              CAST(count(*) AS BIGINT) AS distinct_chars,
+              CAST(-sum(chh.k *
+                        CAST(round(ln(chh.k * 1.0 / t.n) * 1000000)
+                             AS BIGINT)) AS BIGINT) AS char_ent_micro
+       FROM chh JOIN t USING (doc_id) GROUP BY chh.doc_id),
+tn AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS nt FROM t),
+tkh AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k
+        FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+        GROUP BY doc_id, w),
+te AS (SELECT tkh.doc_id,
+              CAST(count(*) AS BIGINT) AS distinct_tokens,
+              CAST(-sum(tkh.k *
+                        CAST(round(ln(tkh.k * 1.0 / tn.nt) * 1000000)
+                             AS BIGINT)) AS BIGINT) AS tok_ent_micro
+       FROM tkh JOIN tn USING (doc_id) GROUP BY tkh.doc_id)
+SELECT t.doc_id, t.n AS n_cp,
+       coalesce(ce.distinct_chars, 0) AS distinct_chars,
+       coalesce(ce.char_ent_micro, 0) AS char_ent_micro,
+       CASE WHEN t.n > 0
+            THEN CAST(coalesce(ce.char_ent_micro, 0) // t.n AS BIGINT)
+       END AS char_ent_per_cp_micro,
+       tn.nt AS n_tokens,
+       coalesce(te.distinct_tokens, 0) AS distinct_tokens,
+       coalesce(te.tok_ent_micro, 0) AS tok_ent_micro,
+       CASE WHEN tn.nt > 0
+            THEN CAST((1000000 * te.distinct_tokens) // tn.nt AS BIGINT)
+       END AS ttr_micro
+FROM t JOIN tn USING (doc_id)
+LEFT JOIN ce USING (doc_id) LEFT JOIN te USING (doc_id)
+""")
+def char_entropy_q(spark, sf_dir):
+    """Entropy-based gibberish/diversity signals
+    (:func:`beats_spark.dataops.textstats.entropy_stats_arrow`):
+    character- and token-distribution Shannon entropy plus type-token
+    ratio per document, every output an integer (micro-nats / micro-
+    ratio) via per-distinct-value ln quantization — the lm.py cents
+    trick — so DuckDB reproduces all six statistics bit-for-bit. One
+    ArrowEvalPython projection, zero shuffle; the oracle pays two
+    explode+groupBys for what the kernel does per-row."""
+    from .dataops import entropy_stats_arrow
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", entropy_stats_arrow("text").alias("s")).select(
+        "doc_id", "s.*")
+
+
 def _unicode_clean_oracle() -> str:
     from .dataops.unicode import unicode_clean_sql
     messy = ("text || ' e' || chr(769) || ' x' || chr(8203) || 'y' "

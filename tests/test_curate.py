@@ -252,3 +252,36 @@ def test_readability_known_values(spark):
     # pure map: whole-stage codegen, no Python stage, no shuffle
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_entropy_known_values(spark):
+    import math
+    from beats_spark.dataops.textstats import entropy_stats_arrow
+
+    df = spark.createDataFrame(
+        [(0, "aaaa"), (1, "abab"), (2, ""), (3, None),
+         (4, "the the cat")],
+        "doc_id int, text string")
+    rows = {r["doc_id"]: r for r in
+            df.select("doc_id",
+                      entropy_stats_arrow("text").alias("s"))
+              .select("doc_id", "s.*").collect()}
+    # one repeated char: ln(4/4)=0 -> entropy exactly 0
+    assert rows[0]["char_ent_micro"] == 0
+    assert rows[0]["distinct_chars"] == 1
+    assert rows[0]["ttr_micro"] == 1_000_000
+    # two chars, uniform: -4*round(ln(0.5)*1e6) = 4*693147
+    assert rows[1]["char_ent_micro"] == 4 * 693147
+    assert rows[1]["char_ent_per_cp_micro"] == 693147
+    # empty text is total: zero counts, NULL per-unit averages
+    assert rows[2]["n_cp"] == 0 and rows[2]["char_ent_micro"] == 0
+    assert rows[2]["char_ent_per_cp_micro"] is None
+    assert rows[2]["n_tokens"] == 0 and rows[2]["ttr_micro"] is None
+    # NULL text stays NULL
+    assert rows[3]["n_cp"] is None
+    # token entropy: counts {the:2, cat:1}, n=3
+    q = lambda p: int(math.trunc(math.log(p) * 1e6
+                                 + math.copysign(0.5, math.log(p))))
+    assert rows[4]["tok_ent_micro"] == -(2 * q(2 / 3) + 1 * q(1 / 3))
+    assert rows[4]["distinct_tokens"] == 2
+    assert rows[4]["ttr_micro"] == (1_000_000 * 2) // 3
