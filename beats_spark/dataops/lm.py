@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .dedup import tokens, _spread
 
-__all__ = ["bigram_model", "lm_score"]
+__all__ = ["bigram_model", "lm_score", "nb_quality"]
 
 
 def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -129,3 +129,84 @@ def lm_score(
         F.when(F.col("n_bigrams") > 0,
                F.floor(F.col("lp_micro") / F.col("n_bigrams"))
                 .cast("bigint")))
+
+
+def nb_quality(
+    df: DataFrame,
+    label: "F.Column",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Naive-Bayes quality classifier, trained in-plan — the
+    curated-vs-crawl quality scorer of the GPT-3 recipe (Brown et al.
+    2020, Appendix A: classify documents by similarity to a curated
+    corpus; positives = curated, negatives = raw crawl), with the
+    fastText/logistic model replaced by multinomial NB so both the
+    training counts AND the scores are exactly reproducible in SQL.
+
+    ``label`` is a boolean Column marking the positive (curated)
+    class. Per token ``w``:
+
+        lw = round(ln((c_pos+1)/(N_pos+V))·1e6)
+           - round(ln((c_neg+1)/(N_neg+V))·1e6)
+
+    (each ln quantized to integer micro-nats BEFORE any cross-row
+    sum — the module's cents trick), and each document scores
+
+        nb_micro = prior_micro + Σ_occurrences lw,
+        pred_quality = nb_micro > 0
+
+    with Laplace-smoothed log-odds priors (total even when one class
+    is empty). Returns ``(id_col, n_tokens, nb_micro, pred_quality)``.
+
+    Scale shape: ONE explode of the corpus into (id, y, w); the token
+    table is a partial-combining groupBy on ``w`` (hot stopword keys
+    arrive pre-summed); totals and priors are one-row broadcast
+    scalars; scoring joins occurrences to the vocab-sized token table
+    on ``w`` (NOT broadcast — at web scale the vocabulary can be
+    100M+ types; AQE picks the strategy) and re-aggregates on the id.
+    Documents never move whole — the exchanges carry (id, w) and
+    (id, lw) pairs only. Reference: Beats has no analog; this is the
+    curation layer over the same routed corpus.
+    """
+    src = _spread(df)
+    lab = src.select(F.col(id_col), F.col(text_col),
+                     label.cast("int").alias("__y"))
+    occ = lab.select(
+        id_col, "__y",
+        F.explode(tokens(F.col(text_col))).alias("w"))
+    tok = occ.groupBy("w").agg(
+        F.sum("__y").cast("bigint").alias("c_pos"),
+        F.sum(1 - F.col("__y")).cast("bigint").alias("c_neg"))
+    tot = tok.agg(F.sum("c_pos").cast("double").alias("np"),
+                  F.sum("c_neg").cast("double").alias("nn"),
+                  F.count(F.lit(1)).cast("double").alias("v"))
+    pri = lab.agg(
+        (F.round(F.log((F.sum("__y") + 1.0)
+                       / (F.count(F.lit(1)) + 2.0)) * 1_000_000.0)
+          .cast("bigint")
+         - F.round(F.log((F.count(F.lit(1)) - F.sum("__y") + 1.0)
+                         / (F.count(F.lit(1)) + 2.0)) * 1_000_000.0)
+            .cast("bigint")).alias("prior_micro"))
+    lw = (F.round(F.log((F.col("c_pos") + 1.0)
+                        / (F.col("np") + F.col("v"))) * 1_000_000.0)
+           .cast("bigint")
+          - F.round(F.log((F.col("c_neg") + 1.0)
+                          / (F.col("nn") + F.col("v"))) * 1_000_000.0)
+             .cast("bigint"))
+    scored = (occ.join(tok, "w")          # self-trained: total by construction
+                 .join(F.broadcast(tot))
+                 .select(id_col, lw.alias("__lw")))
+    agg = (scored.groupBy(id_col)
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                F.sum("__lw").cast("bigint").alias("ll_micro")))
+    nb = F.col("prior_micro") + F.coalesce(
+        F.col("ll_micro"), F.lit(0).cast("bigint"))
+    return (df.select(F.col(id_col)).distinct()
+            .join(agg, id_col, "left")
+            .join(F.broadcast(pri))
+            .select(F.col(id_col),
+                    F.coalesce("n_tokens", F.lit(0).cast("bigint"))
+                     .alias("n_tokens"),
+                    nb.cast("bigint").alias("nb_micro"),
+                    (nb > 0).alias("pred_quality")))

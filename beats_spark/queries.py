@@ -3640,6 +3640,58 @@ def lm_quality_score(spark, sf_dir):
     return lm_score(docs)
 
 
+@query("nb_quality", oracle=r"""
+WITH t AS (SELECT doc_id,
+                  CASE WHEN source IN ('src0', 'src1', 'src2')
+                       THEN 1 ELSE 0 END AS y,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+occ AS (SELECT doc_id, y, unnest(toks) AS w FROM t),
+tok AS (SELECT w, CAST(sum(y) AS BIGINT) AS c_pos,
+               CAST(sum(1 - y) AS BIGINT) AS c_neg
+        FROM occ GROUP BY w),
+tot AS (SELECT CAST(sum(c_pos) AS DOUBLE) AS np,
+               CAST(sum(c_neg) AS DOUBLE) AS nn,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM tok),
+pri AS (SELECT CAST(round(ln((sum(y) + 1.0) / (count(*) + 2.0))
+                          * 1000000) AS BIGINT)
+             - CAST(round(ln((count(*) - sum(y) + 1.0)
+                             / (count(*) + 2.0)) * 1000000) AS BIGINT)
+               AS prior_micro
+        FROM t),
+s AS (SELECT occ.doc_id,
+             CAST(round(ln((tok.c_pos + 1.0) / (tot.np + tot.v))
+                        * 1000000) AS BIGINT)
+           - CAST(round(ln((tok.c_neg + 1.0) / (tot.nn + tot.v))
+                        * 1000000) AS BIGINT) AS lw
+      FROM occ JOIN tok USING (w), tot),
+a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(lw) AS BIGINT) AS ll_micro
+      FROM s GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       CAST(pri.prior_micro + coalesce(a.ll_micro, 0) AS BIGINT)
+         AS nb_micro,
+       (pri.prior_micro + coalesce(a.ll_micro, 0)) > 0 AS pred_quality
+FROM t LEFT JOIN a USING (doc_id), pri
+""")
+def nb_quality_q(spark, sf_dir):
+    """Naive-Bayes quality classifier
+    (:func:`beats_spark.dataops.lm.nb_quality`) — the GPT-3-recipe
+    curated-vs-crawl scorer trained in-plan: positives are the
+    'curated' sources (src0-2), every document scored by the sum of
+    per-token log-odds quantized to integer micro-nats per DISTINCT
+    ln before any cross-row sum, plus Laplace-smoothed priors. One
+    corpus explode, one partial-combining vocab agg, one vocab join,
+    one per-doc re-agg — documents never move whole."""
+    from .dataops import nb_quality
+    docs = _t(spark, sf_dir, "documents")
+    return nb_quality(
+        docs, F.col("source").isin("src0", "src1", "src2"))
+
+
 @query("char_entropy", oracle=r"""
 WITH t AS (SELECT doc_id, text,
                   CAST(length(text) AS BIGINT) AS n,

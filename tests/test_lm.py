@@ -49,3 +49,41 @@ def test_lm_score_partition_invariant(spark):
     b = sorted(map(tuple, lm_score(docs.repartition(13)).collect()))
     # integer micro-nat sums: bit-identical under any partitioning
     assert a == b
+
+
+def test_nb_quality_hand_case(spark):
+    import math
+    from pyspark.sql import functions as F
+    from beats_spark.dataops.lm import nb_quality
+
+    # positives say "good", negatives say "spam"; one ambiguous doc
+    rows = [(0, "good good text", 1), (1, "good text", 1),
+            (2, "spam spam text", 0), (3, "spam text", 0),
+            (4, "text", 0)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    out = {r["doc_id"]: r for r in
+           nb_quality(df, F.col("y") == 1).collect()}
+    # curated-looking docs score positive, spammy ones negative
+    assert out[0]["pred_quality"] is True
+    assert out[2]["pred_quality"] is False
+    # hand-check doc 4 ("text"): counts good(3,0) spam(0,3)
+    # text(2,3); N_pos=5, N_neg=6, V=3
+    q = lambda x: int(math.trunc(math.log(x) * 1e6
+                                 + math.copysign(0.5, math.log(x))))
+    prior = q(3 / 7) - q(4 / 7)
+    lw_text = q((2 + 1) / (5 + 3)) - q((3 + 1) / (6 + 3))
+    assert out[4]["nb_micro"] == prior + lw_text
+    assert out[4]["n_tokens"] == 1
+
+
+def test_nb_quality_partition_invariant(spark):
+    from pyspark.sql import functions as F
+    from beats_spark.dataops.lm import nb_quality
+
+    rows = [(i, f"tok{i % 7} tok{i % 3} common word", i % 4)
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    a = sorted(map(tuple, nb_quality(df, F.col("y") == 0).collect()))
+    b = sorted(map(tuple, nb_quality(
+        df.repartition(17), F.col("y") == 0).collect()))
+    assert a == b and len(a) == 60
