@@ -40,6 +40,7 @@ from .similarity import (
     rrf_fuse,
 )
 from .textstats import (
+    dns_tunnel_flags,
     entropy_stats_arrow,
     gopher_rules,
     lang_id_stopword,
@@ -113,7 +114,8 @@ __all__ = [
     "dot", "l2_norm", "normalize",
     "lsh_signature", "lsh_cosine_topk", "rrf_fuse",
     "lang_id_stopword", "lang_id_ngram", "lang_spans",
-    "doc_fingerprint", "entropy_stats_arrow", "text_stats",
+    "dns_tunnel_flags", "doc_fingerprint", "entropy_stats_arrow",
+    "text_stats",
     "token_count",
     "attach_media_meta", "extract_image_features", "sample_video_frames",
     "set_decoder",

@@ -6138,6 +6138,51 @@ def anchor_texts_q(spark, sf_dir):
                     "top_anchor", "top_n"))
 
 
+@query("dns_tunnel", oracle=r"""
+WITH q AS (SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0
+                       THEN md5(text) || '.t.example.com'
+                       ELSE 'www.' || source || '.example.com'
+                  END AS query_name
+           FROM documents),
+l AS (SELECT doc_id, query_name,
+             string_split(query_name, '.')[1] AS label
+      FROM q),
+n AS (SELECT doc_id, CAST(length(label) AS BIGINT) AS n FROM l),
+h AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k
+      FROM (SELECT doc_id, unnest(string_split(label, '')) AS c
+            FROM l)
+      GROUP BY doc_id, c),
+e AS (SELECT h.doc_id,
+             CAST(-sum(h.k * CAST(round(ln(h.k * 1.0 / n.n) * 1000000)
+                                  AS BIGINT)) AS BIGINT) AS ent
+      FROM h JOIN n USING (doc_id) GROUP BY h.doc_id)
+SELECT l.doc_id, l.query_name, n.n AS label_len,
+       CAST(e.ent // n.n AS BIGINT) AS ent_per_cp_micro,
+       (n.n >= 24 AND (e.ent // n.n) >= 2000000) AS is_tunnel
+FROM l JOIN n USING (doc_id) JOIN e USING (doc_id)
+""")
+def dns_tunnel_q(spark, sf_dir):
+    """DNS-tunneling detection
+    (:func:`beats_spark.dataops.textstats.dns_tunnel_flags`): query
+    names synthesized so every 5th document exfiltrates an md5 blob
+    as its first label; the detector flags labels that are both long
+    (≥24 cp) and high-entropy (mean ≥2.0e6 micro-nats; corpus md5
+    labels measure ≥2.06e6, long natural-word labels ~1.8e6), the packetbeat-DNS downstream
+    detection. Entropy comes from the integer micro-nat kernel, so
+    the FLAG ITSELF is oracle-exact, not just the raw stats. One
+    codegen projection + one Arrow projection, zero shuffle."""
+    from .dataops import dns_tunnel_flags
+    docs = _t(spark, sf_dir, "documents")
+    qname = (F.when(F.col("doc_id") % 5 == 0,
+                    F.concat(F.md5(F.encode(F.col("text"), "UTF-8")),
+                             F.lit(".t.example.com")))
+             .otherwise(F.concat(F.lit("www."), F.col("source"),
+                                 F.lit(".example.com"))))
+    qs = docs.select("doc_id", qname.alias("query_name"))
+    return dns_tunnel_flags(qs, "query_name")
+
+
 @query("typosquat_detect", oracle="""
 WITH hosts AS (
   SELECT DISTINCT

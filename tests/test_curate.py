@@ -285,3 +285,19 @@ def test_entropy_known_values(spark):
     assert rows[4]["tok_ent_micro"] == -(2 * q(2 / 3) + 1 * q(1 / 3))
     assert rows[4]["distinct_tokens"] == 2
     assert rows[4]["ttr_micro"] == (1_000_000 * 2) // 3
+
+
+def test_dns_tunnel_flags_hand_case(spark):
+    from beats_spark.dataops.textstats import dns_tunnel_flags
+
+    rows = [(0, "www.example.com"),                     # short label
+            (1, "a" * 40 + ".t.example.com"),           # long, zero ent
+            (2, "d41d8cd98f00b204e9800998ecf8427e.t.example.com"),
+            (3, "deadbeef.t.example.com")]              # high ent, short
+    df = spark.createDataFrame(rows, "id int, query_name string")
+    out = {r["id"]: r for r in dns_tunnel_flags(df).collect()}
+    assert out[0]["is_tunnel"] is False
+    assert out[1]["is_tunnel"] is False      # long but single-char
+    assert out[2]["is_tunnel"] is True       # md5 blob: long + high ent
+    assert out[3]["is_tunnel"] is False      # entropy-rich but short
+    assert out[2]["label_len"] == 32
