@@ -92,7 +92,9 @@ from .robots import (
     compile_robots_pattern, parse_robots, parse_robots_txt,
     parse_sitemap, parse_sitemap_index, robots_filter, url_path,
 )
-from .layout import cluster_by_zorder, write_bucketed, zorder_key
+from .layout import (byte_balanced_shards, cluster_by_zorder,
+                     global_prefix_sum, global_rank, write_bucketed,
+                     zorder_key)
 from .templates import (
     TEMPLATE_MASKS, count_anomalies, log_templates, template_col,
 )
@@ -139,7 +141,8 @@ __all__ = [
     "pagerank", "triangle_count", "merge_upsert",
     "compile_robots_pattern", "parse_robots", "parse_robots_txt",
     "parse_sitemap", "parse_sitemap_index", "robots_filter", "url_path",
-    "cluster_by_zorder", "write_bucketed", "zorder_key",
+    "byte_balanced_shards", "cluster_by_zorder", "global_prefix_sum",
+    "global_rank", "write_bucketed", "zorder_key",
     "TEMPLATE_MASKS", "count_anomalies", "log_templates",
     "template_col",
     "contamination_flags", "decontaminate",

@@ -21,7 +21,8 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["cluster_by_zorder", "global_rank", "write_bucketed", "zonemap_stats",
+__all__ = ["byte_balanced_shards", "cluster_by_zorder", "global_rank",
+           "global_prefix_sum", "write_bucketed", "zonemap_stats",
            "zorder_key"]
 
 
@@ -300,3 +301,101 @@ def zonemap_stats(
               .cast("long")).alias("rows_matching"))
     return (audit(srt, "range").unionAll(audit(hsh, "hash"))
             .join(F.broadcast(matching)))
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_by: Sequence[str],
+    value_col: str,
+    out_col: str = "prefix",
+    partitions: int = 0,
+) -> DataFrame:
+    """Exact EXCLUSIVE global prefix sum of ``value_col`` over a total
+    order — the running-total sibling of :func:`global_rank`, without
+    the single-task sort a partitionless window costs. Same machinery:
+
+    1. one RANGE exchange on ``order_by`` + in-partition sort,
+       ``localCheckpoint`` to pin the sampled boundaries;
+    2. an Arrow pass computes the exclusive running sum WITHIN each
+       partition (arrival = sorted order) — zero further shuffle;
+    3. per-partition value totals become exclusive offsets via a
+       k-row window, broadcast back and added.
+
+    The result is independent of the sampled boundary placement (a
+    prefix sum over a total order is partitioning-invariant), so it
+    is oracle-exact. ``value_col`` must be non-negative bigint-like
+    and non-null; the last ``order_by`` column must be a unique
+    tiebreaker. Ascending NULLS FIRST like :func:`global_rank`.
+    """
+    from typing import Iterator
+    import pandas as pd
+
+    if not order_by:
+        raise ValueError("global_prefix_sum: order_by must be non-empty")
+    cols = [F.col(c).asc_nulls_first() for c in order_by]
+    base = (df.repartitionByRange(partitions, *cols) if partitions
+            else df.repartitionByRange(*cols))
+    base = base.sortWithinPartitions(*cols)
+    base = base.withColumn("__ps_pid", F.spark_partition_id())
+    base = base.localCheckpoint(eager=False)
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in base.schema.fields)
+    out_schema = f"{fields}, __ps_local bigint"
+
+    def running(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = 0
+        for pdf in batches:
+            out = pdf.copy()
+            v = pdf[value_col].to_numpy("int64")
+            c = v.cumsum()
+            out["__ps_local"] = c - v + acc   # exclusive
+            acc += int(c[-1]) if len(c) else 0
+            yield out
+
+    summed = base.mapInPandas(running, schema=out_schema)
+    totals = base.groupBy("__ps_pid").agg(
+        F.sum(value_col).cast("bigint").alias("__n"))
+    from pyspark.sql import Window
+    w = (Window.orderBy("__ps_pid")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        "__ps_pid",
+        F.coalesce(F.sum("__n").over(w), F.lit(0)).alias("__off"))
+    return (summed.join(F.broadcast(offsets), "__ps_pid")
+            .withColumn(out_col, (F.col("__off") + F.col("__ps_local"))
+                        .cast("long"))
+            .drop("__ps_pid", "__ps_local", "__off"))
+
+
+def byte_balanced_shards(
+    df: DataFrame,
+    order_by: Sequence[str],
+    bytes_col: str,
+    target_bytes: int,
+    out_col: str = "shard",
+) -> DataFrame:
+    """Assign rows to byte-balanced output shards: shard =
+    ``exclusive_prefix_bytes // target_bytes`` over the given total
+    order — the deterministic fix for the small-files/giant-files
+    problem a naive ``repartition(n)`` leaves at 100 TB (hash
+    placement balances ROW counts; documents vary 100× in size, so
+    file BYTES don't balance and downstream scans skew). Guarantee:
+    NO shard exceeds ``target_bytes + max_row_bytes`` (a shard's rows
+    all START inside one target-width prefix window; the last row may
+    overhang by at most one row), so giant output files cannot occur;
+    a row larger than ``target_bytes`` still lands in exactly one
+    shard and the following shard id may be skipped or start small —
+    rare, and harmless next to the skew it removes. Order
+    preservation keeps range-cluster locality (shards stay
+    zone-map-prunable on the order key). Cost: the ONE range exchange
+    of :func:`global_prefix_sum`; the write itself then partitions by
+    ``out_col``.
+    """
+    if target_bytes <= 0:
+        raise ValueError("byte_balanced_shards: target_bytes must be > 0")
+    pre = global_prefix_sum(df, order_by, bytes_col, out_col="__pre")
+    return (pre.withColumn(out_col,
+                           F.floor(F.col("__pre") / F.lit(target_bytes))
+                            .cast("int"))
+            .drop("__pre"))

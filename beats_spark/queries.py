@@ -6138,6 +6138,42 @@ def anchor_texts_q(spark, sf_dir):
                     "top_anchor", "top_n"))
 
 
+@query("shard_balance", oracle="""
+WITH b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS nb
+           FROM documents),
+p AS (SELECT doc_id, nb,
+             coalesce(sum(nb) OVER (ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS pre
+      FROM b)
+SELECT CAST(pre // 4000 AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nb) AS BIGINT) AS bytes_total,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM p GROUP BY 1
+""")
+def shard_balance_q(spark, sf_dir):
+    """Byte-balanced output sharding
+    (:func:`beats_spark.dataops.layout.byte_balanced_shards`): shard
+    = exclusive byte prefix-sum // 4000 over doc_id order — the
+    small-files/giant-files fix a naive repartition(n) leaves at
+    100 TB (hash placement balances ROW counts, not BYTES). The
+    prefix sum is the :func:`global_rank` machinery (ONE range
+    exchange + broadcast per-partition offsets — no single-task
+    sort); contiguous doc_id ranges per shard keep the layout
+    zone-map-prunable. The oracle is the partitionless window this
+    spelling replaces."""
+    from .dataops import byte_balanced_shards
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("bigint").alias("nb"))
+    sh = byte_balanced_shards(docs, ["doc_id"], "nb", 4000)
+    return (sh.groupBy("shard")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("nb").cast("bigint").alias("bytes_total"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))
+
+
 @query("dns_tunnel", oracle=r"""
 WITH q AS (SELECT doc_id,
                   CASE WHEN doc_id % 5 = 0

@@ -179,3 +179,41 @@ def test_zonemap_stats_range_prunes_hash_does_not(spark):
     # hash layout: every bucket spans the domain -> nothing skips
     assert out["hash"]["buckets_scanned"] == out["hash"]["n_buckets"]
     assert out["hash"]["rows_scanned"] == 1000
+
+
+def test_global_prefix_sum_matches_window(spark):
+    from pyspark.sql import Window, functions as F
+    from beats_spark.dataops.layout import global_prefix_sum
+
+    df = spark.range(0, 500).select(
+        F.col("id"), ((F.col("id") * 37) % 113).alias("v"))
+    got = global_prefix_sum(df.repartition(13), ["id"], "v",
+                            out_col="p")
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    want = df.select("id", "v",
+                     F.coalesce(F.sum("v").over(w), F.lit(0)).alias("p"))
+    assert sorted(map(tuple, got.select("id", "v", "p").collect())) \
+        == sorted(map(tuple, want.collect()))
+
+
+def test_byte_balanced_shards_bounds(spark):
+    from pyspark.sql import functions as F
+    from beats_spark.dataops.layout import byte_balanced_shards
+
+    # doc sizes vary 100x: hash-repartition would skew bytes badly
+    df = spark.range(0, 300).select(
+        F.col("id"), (F.when(F.col("id") % 50 == 0, 1000)
+                      .otherwise(10)).cast("bigint").alias("nb"))
+    sh = byte_balanced_shards(df.repartition(7), ["id"], "nb", 500)
+    stats = (sh.groupBy("shard").agg(F.sum("nb").alias("b"),
+                                     F.max("nb").alias("mx"))
+             .collect())
+    total = sum(r["b"] for r in stats)
+    assert total == 300 * 10 + 6 * 990
+    # the guarantee: no shard exceeds target + max_row_bytes
+    for r in stats:
+        assert r["b"] < 500 + 1000
+    # and the balance is real: most shards sit at/above target
+    full = [r for r in stats if r["b"] >= 500]
+    assert len(full) >= len(stats) // 2
+    assert min(r["shard"] for r in stats) == 0
