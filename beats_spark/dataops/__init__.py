@@ -28,6 +28,7 @@ from .similarity import (
     cosine_similarity,
     cosine_topk,
     cosine_topk_blocked,
+    hard_negatives,
     ivf_assign,
     ivf_cosine_topk,
     kmeans_fit,
@@ -112,6 +113,7 @@ __all__ = [
     "ngram_jaccard_prefix_pairs", "shingles", "simhash",
     "simhash_pairs",
     "cosine_similarity", "cosine_topk", "cosine_topk_blocked",
+    "hard_negatives",
     "ivf_assign", "ivf_cosine_topk", "kmeans_fit", "semdedup",
     "dot", "l2_norm", "normalize",
     "lsh_signature", "lsh_cosine_topk", "rrf_fuse",

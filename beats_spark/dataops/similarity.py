@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 __all__ = [
     "bitext_margin_mine",
     "dot", "l2_norm", "normalize", "cosine_similarity", "cosine_topk",
-    "cosine_topk_blocked", "lsh_signature", "lsh_cosine_topk",
+    "cosine_topk_blocked", "hard_negatives", "lsh_signature", "lsh_cosine_topk",
     "ivf_assign", "ivf_cosine_topk", "kmeans_fit",
     "lsh_multiprobe_topk", "pq_topk", "rrf_fuse",
     "semdedup",
@@ -98,6 +98,7 @@ def cosine_topk_blocked(
     query_id_col: str = "query_id",
     round_to: int = 6,
     max_queries: int = 10_000,
+    max_sim: Optional[float] = None,
 ) -> DataFrame:
     """Exact top-k cosine via a numpy block-matmul ``mapInPandas``
     kernel — the hot-path form of :func:`cosine_topk` (same result,
@@ -113,6 +114,11 @@ def cosine_topk_blocked(
     most k rows PER QUERY (partial top-k on the rounded score with the
     same (score desc, id asc) order as the final window), so the only
     shuffled data is k·m·partitions candidate rows.
+
+    ``max_sim`` (optional) excludes candidates whose ROUNDED cosine
+    is ``>= max_sim`` before the top-k — the hard-negative-mining
+    hook (see :func:`hard_negatives`); the comparison happens on the
+    rounded score on both engines, so the exclusion is oracle-exact.
 
     Rounding parity: scores are rounded inside the kernel with
     decimal HALF_UP on the exact binary double — the same rule
@@ -158,6 +164,14 @@ def cosine_topk_blocked(
                 scores = [float(Decimal(x).quantize(
                     quantum, rounding=ROUND_HALF_UP))
                     for x in col[mask]]
+                if max_sim is not None:
+                    # exclusion on the ROUNDED score: engine-exact,
+                    # and filter-then-top-k commutes with the
+                    # per-partition partial top-k
+                    keep = [i for i, x in enumerate(scores)
+                            if x < max_sim]
+                    cand_ids = cand_ids[keep]
+                    scores = [scores[i] for i in keep]
                 order = sorted(range(len(cand_ids)),
                                key=lambda i: (-scores[i], cand_ids[i]))
                 for i in order[:k]:
@@ -175,6 +189,32 @@ def cosine_topk_blocked(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (cand.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k))
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dup_ceiling: float = 0.95,
+    **kw,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training (the
+    DPR/SimCSE recipe, Karpukhin et al. 2020: the most informative
+    negatives are the highest-scoring NON-positives): for every query
+    vector, the top-k cosine neighbors whose similarity stays BELOW
+    ``dup_ceiling`` — candidates at or above the ceiling are
+    positives/near-duplicates (paraphrases, boilerplate twins) and
+    would poison the negative set (false negatives), so they are
+    excluded before ranking.
+
+    Same scale shape as :func:`cosine_topk_blocked` (broadcast query
+    matrix, corpus scanned once and never shuffled, per-partition
+    partial top-k): the ceiling filter runs inside the kernel on the
+    rounded score, so partial top-k stays correct and the exclusion
+    reproduces exactly in SQL.
+    """
+    return cosine_topk_blocked(corpus, queries, k=k,
+                               max_sim=dup_ceiling, **kw)
 
 
 # ----------------------------------------------------------------- IVF

@@ -2044,6 +2044,35 @@ def ann_cosine_topk(spark, sf_dir):
     return cosine_topk_blocked(emb, queries, k=5)
 
 
+@query("hard_negatives", oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+s AS (SELECT query_id, neighbor_id, {_COS} AS cosine
+      FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+r AS (SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM s WHERE cosine < 0.3)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+FROM r WHERE rn <= 5
+""")
+def hard_negatives_q(spark, sf_dir):
+    """Hard-negative mining for contrastive training
+    (:func:`beats_spark.dataops.similarity.hard_negatives`): top-k
+    cosine neighbors per query EXCLUDING candidates at/above the
+    positive ceiling (here 0.3, calibrated to the fixture's random
+    embeddings whose nearest neighbors reach ~0.39 — the exclusion
+    provably bites; production corpora use ~0.95). The ceiling
+    compares the ROUNDED score inside the block-matmul kernel, so
+    the exclusion — not just the scores — is oracle-exact."""
+    from .dataops import hard_negatives
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 10),
+                          k=5, dup_ceiling=0.3)
+
+
 _IVF_COS = ("round(list_dot_product({a}, {b}) / "
             "(sqrt(list_dot_product({a}, {a})) * "
             "sqrt(list_dot_product({b}, {b}))), 6)")

@@ -350,3 +350,25 @@ def test_pq_topk_recall_vs_brute_and_guards(spark):
         pq_topk(emb, queries, dim=63, m=4)
     with pytest.raises(ValueError):
         pq_topk(emb, queries, dim=64, k=10, rerank=5)
+
+
+def test_hard_negatives_excludes_positives(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from beats_spark.dataops.similarity import (cosine_topk_blocked,
+                                                hard_negatives)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    plain = cosine_topk_blocked(emb, q, k=3)
+    hard = hard_negatives(emb, q, k=3, dup_ceiling=0.3)
+    # ceiling bites: no mined negative reaches it, and at least one
+    # query's plain top-1 was excluded
+    assert hard.filter(F.col("cosine") >= 0.3).count() == 0
+    top1_plain = {(r["query_id"], r["neighbor_id"])
+                  for r in plain.filter("rank = 1").collect()}
+    top1_hard = {(r["query_id"], r["neighbor_id"])
+                 for r in hard.filter("rank = 1").collect()}
+    assert top1_plain != top1_hard
+    # every query still got k rows (corpus is big enough below 0.3)
+    assert hard.groupBy("query_id").count().filter("count <> 3") \
+               .count() == 0
