@@ -70,7 +70,7 @@ from .terms import (collocations, doc_frequency, inverted_index,
 from .decontam import contamination_flags, decontaminate
 from .htmltext import (HTML_STRIP_STEPS, extract_links, extract_text,
                        html_strip_sql, html_to_text, link_host)
-from .lm import bigram_model, lm_score, nb_quality
+from .lm import bigram_model, lm_score, nb_quality, token_kl
 from .dsir import (hashed_ngram_buckets, dsir_model, dsir_score,
                    dsir_resample)
 from .unicode import (
@@ -123,7 +123,7 @@ __all__ = [
     "token_count",
     "attach_media_meta", "extract_image_features", "sample_video_frames",
     "set_decoder",
-    "curate", "CurationResult", "nb_quality",
+    "curate", "CurationResult", "nb_quality", "token_kl",
     "canonical_url", "url_dedup", "TRACKING_PARAMS",
     "doc_ngrams", "ngram_duplicate_stats", "remove_duplicate_spans",
     "cap_per_key", "hash_sample", "mixture_plan", "mixture_sample",

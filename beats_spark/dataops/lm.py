@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .dedup import tokens, _spread
 
-__all__ = ["bigram_model", "lm_score", "nb_quality"]
+__all__ = ["bigram_model", "lm_score", "nb_quality", "token_kl"]
 
 
 def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -210,3 +210,72 @@ def nb_quality(
                      .alias("n_tokens"),
                     nb.cast("bigint").alias("nb_micro"),
                     (nb > 0).alias("pred_quality")))
+
+
+def token_kl(
+    df: DataFrame,
+    by: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group token-distribution drift: for every group ``by``
+    (source, snapshot, language…), the KL divergence of its
+    Laplace-smoothed unigram distribution from the whole corpus —
+    the data-mixture diagnostic (which sources are distributionally
+    far from the blend they feed) and the drift monitor (a snapshot
+    whose KL jumps changed its content mix).
+
+    Exactness: KL is reported SCALED by the group's smoothed mass so
+    every cross-row aggregate is an integer sum —
+
+        kl_scaled_micro = Σ_w (c_g(w)+1) · [round(ln p_g(w)·1e6)
+                                           - round(ln q(w)·1e6)]
+
+    with p_g(w) = (c_g(w)+1)/(N_g+V), q(w) = (c(w)+1)/(N+V); divide
+    by ``smoothed_mass`` (= N_g+V, returned) for nats. Each ln is
+    quantized per DISTINCT (group, token) BEFORE summation — the
+    module's cents trick — so SQL reproduces the statistic
+    bit-for-bit. The sum runs over the FULL vocabulary per group
+    (Laplace gives absent tokens positive mass), which is the honest
+    definition: cost is |groups| × |vocab| rows, fine for the
+    low-cardinality groups this diagnostic is for (sources,
+    languages, snapshots — not URLs).
+
+    Returns ``(by, n_tokens, smoothed_mass, kl_scaled_micro)``.
+    Scale shape: one corpus explode; (group, token) counts and vocab
+    counts are partial-combining aggs; the grid is vocab ⋈
+    broadcast(groups) (BroadcastNestedLoop on the SMALL side only);
+    totals ride a broadcast one-row frame; the final agg carries
+    (group, term) pairs.
+    """
+    src = _spread(df)
+    occ = src.select(F.col(by).alias("g"),
+                     F.explode(tokens(F.col(text_col))).alias("w"))
+    gw = occ.groupBy("g", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cgw"))
+    vocab = gw.groupBy("w").agg(F.sum("cgw").cast("bigint").alias("cw"))
+    gtot = gw.groupBy("g").agg(F.sum("cgw").cast("bigint").alias("ng"))
+    tot = vocab.agg(F.sum("cw").cast("double").alias("n"),
+                    F.count(F.lit(1)).cast("double").alias("v"))
+    grid = (vocab.crossJoin(F.broadcast(gtot))
+            .join(gw, ["g", "w"], "left")
+            .join(F.broadcast(tot))
+            .select(
+                "g", "ng",
+                (F.coalesce("cgw", F.lit(0)) + 1).cast("bigint")
+                .alias("cg1"),
+                (F.round(F.log((F.coalesce("cgw", F.lit(0)) + 1.0)
+                               / (F.col("ng") + F.col("v")))
+                         * 1_000_000.0).cast("bigint")
+                 - F.round(F.log((F.col("cw") + 1.0)
+                                 / (F.col("n") + F.col("v")))
+                           * 1_000_000.0).cast("bigint")).alias("t")))
+    out = (grid.groupBy("g", "ng")
+           .agg(F.sum(F.col("cg1") * F.col("t")).cast("bigint")
+                .alias("kl_scaled_micro")))
+    return (out.join(F.broadcast(tot))
+            .select(F.col("g").alias(by),
+                    F.col("ng").alias("n_tokens"),
+                    (F.col("ng") + F.col("v")).cast("bigint")
+                    .alias("smoothed_mass"),
+                    "kl_scaled_micro"))

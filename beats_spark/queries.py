@@ -3721,6 +3721,45 @@ def nb_quality_q(spark, sf_dir):
         docs, F.col("source").isin("src0", "src1", "src2"))
 
 
+@query("corpus_kl_drift", oracle=r"""
+WITH t AS (SELECT source AS g,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+occ AS (SELECT g, unnest(toks) AS w FROM t),
+gw AS (SELECT g, w, CAST(count(*) AS BIGINT) AS cgw
+       FROM occ GROUP BY g, w),
+vocab AS (SELECT w, CAST(sum(cgw) AS BIGINT) AS cw
+          FROM gw GROUP BY w),
+gtot AS (SELECT g, CAST(sum(cgw) AS BIGINT) AS ng FROM gw GROUP BY g),
+tot AS (SELECT CAST(sum(cw) AS DOUBLE) AS n,
+               CAST(count(*) AS DOUBLE) AS v FROM vocab),
+grid AS (SELECT gtot.g, gtot.ng,
+                CAST(coalesce(gw.cgw, 0) + 1 AS BIGINT) AS cg1,
+                CAST(round(ln((coalesce(gw.cgw, 0) + 1.0)
+                              / (gtot.ng + tot.v)) * 1000000) AS BIGINT)
+              - CAST(round(ln((vocab.cw + 1.0) / (tot.n + tot.v))
+                           * 1000000) AS BIGINT) AS t
+         FROM vocab CROSS JOIN gtot
+         LEFT JOIN gw ON gw.g = gtot.g AND gw.w = vocab.w, tot)
+SELECT grid.g AS source, grid.ng AS n_tokens,
+       CAST(grid.ng + tot.v AS BIGINT) AS smoothed_mass,
+       CAST(sum(grid.cg1 * grid.t) AS BIGINT) AS kl_scaled_micro
+FROM grid, tot GROUP BY grid.g, grid.ng, tot.v
+""")
+def corpus_kl_drift_q(spark, sf_dir):
+    """Per-source token-distribution KL drift
+    (:func:`beats_spark.dataops.lm.token_kl`): how far each source's
+    Laplace-smoothed unigram distribution sits from the corpus blend
+    — the data-mixture diagnostic. Reported scaled by the smoothed
+    mass so the aggregate is an integer sum of per-distinct-token
+    quantized ln differences (oracle-exact). One explode, two
+    partial-combining aggs, one vocab × broadcast(groups) grid."""
+    from .dataops import token_kl
+    docs = _t(spark, sf_dir, "documents")
+    return token_kl(docs, by="source")
+
+
 @query("char_entropy", oracle=r"""
 WITH t AS (SELECT doc_id, text,
                   CAST(length(text) AS BIGINT) AS n,

@@ -87,3 +87,39 @@ def test_nb_quality_partition_invariant(spark):
     b = sorted(map(tuple, nb_quality(
         df.repartition(17), F.col("y") == 0).collect()))
     assert a == b and len(a) == 60
+
+
+def test_token_kl_identical_groups_score_near_zero(spark):
+    from pyspark.sql import functions as F
+    from beats_spark.dataops.lm import token_kl
+
+    # two groups with IDENTICAL token distributions: KL must be ~0
+    # (exactly 0 up to the micro-nat quantization of equal ratios)
+    rows = [(i, "alpha beta gamma delta", "a" if i % 2 else "b")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = token_kl(df, by="source").collect()
+    assert len(out) == 2
+    for r in out:
+        # p_g and q differ only through Laplace mass; scaled KL stays
+        # tiny relative to the mass (pure-drift groups score >> this)
+        assert abs(r["kl_scaled_micro"]) < r["smoothed_mass"] // 10
+    # a genuinely drifted group scores much higher
+    rows2 = rows + [(100 + i, "omega omega omega", "c")
+                    for i in range(20)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string, source string")
+    out2 = {r["source"]: r for r in token_kl(df2, by="source").collect()}
+    drift_c = out2["c"]["kl_scaled_micro"] / out2["c"]["smoothed_mass"]
+    drift_a = out2["a"]["kl_scaled_micro"] / out2["a"]["smoothed_mass"]
+    assert drift_c > drift_a * 3
+
+
+def test_token_kl_partition_invariant(spark):
+    from beats_spark.dataops.lm import token_kl
+
+    rows = [(i, f"w{i % 13} w{i % 5} shared", f"s{i % 3}")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    a = sorted(map(tuple, token_kl(df).collect()))
+    b = sorted(map(tuple, token_kl(df.repartition(11)).collect()))
+    assert a == b and len(a) == 3
