@@ -85,7 +85,7 @@ from .checks import check_constraints, profile_columns
 from .events import (
     asof_join, event_transitions, funnel_steps, percentile_rollup,
     retention_cohorts,
-    scd2_join, session_rollup, sessionize,
+    scd2_join, session_rollup, sessionize, winsorize,
 )
 from .graph import pagerank, triangle_count
 from .merge import merge_upsert
@@ -140,6 +140,7 @@ __all__ = [
     "funnel_steps",
     "percentile_rollup",
     "retention_cohorts", "scd2_join", "session_rollup", "sessionize",
+    "winsorize",
     "pagerank", "triangle_count", "merge_upsert",
     "compile_robots_pattern", "parse_robots", "parse_robots_txt",
     "parse_sitemap", "parse_sitemap_index", "robots_filter", "url_path",

@@ -31,7 +31,7 @@ __all__ = ["asof_join", "decayed_counts", "ewma_smooth",
            "funnel_steps", "merge_intervals",
            "percentile_rollup",
            "retention_cohorts", "rolling_quantile", "scd2_join", "seasonal_anomaly", "slo_burn",
-           "session_rollup", "sessionize"]
+           "session_rollup", "sessionize", "winsorize"]
 
 
 def _epoch_us(df: DataFrame, ts_col: str) -> Column:
@@ -721,3 +721,49 @@ def rolling_quantile(
                 F.expr(f"element_at(__arr, CAST((size(__arr) * "
                        f"{int(q_pct)} + 99) DIV 100 AS INT))"))
             .drop("__arr"))
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    by: Optional[str] = None,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    round_to: int = 6,
+    out_col: Optional[str] = None,
+    keep_bounds: bool = False,
+) -> DataFrame:
+    """Winsorize ``value_col``: clip to the [``p_lo``, ``p_hi``]
+    exact interpolated percentiles (optionally per ``by`` group) —
+    the standard robust-statistics cleanup before aggregating metric
+    columns a few corrupt readings would otherwise dominate (a
+    negative duration, a 2^31 sentinel latency).
+
+    Thresholds use the same exact ``percentile`` aggregate as
+    :func:`percentile_rollup` (engine-portable; rounded to
+    ``round_to``), land in a groups-sized frame and BROADCAST back —
+    the big side is never shuffled: one threshold agg over (group,
+    value) pairs, then a codegen ``least(greatest(...))`` projection.
+    Appends ``out_col`` (default ``{value_col}_w``) plus ``clip_lo``/
+    ``clip_hi`` flags so callers can count or audit what moved;
+    ``keep_bounds=True`` also keeps the thresholds as ``lo``/``hi``.
+    """
+    out_col = out_col or f"{value_col}_w"
+    keys = [by] if by else []
+    th = (df.groupBy(*keys).agg(
+        F.round(F.percentile(F.col(value_col), F.lit(p_lo)), round_to)
+         .alias("__lo"),
+        F.round(F.percentile(F.col(value_col), F.lit(p_hi)), round_to)
+         .alias("__hi")))
+    j = (df.join(F.broadcast(th), keys) if keys
+         else df.crossJoin(F.broadcast(th)))
+    v = F.col(value_col)
+    out = (j.withColumn(out_col,
+                        F.least(F.greatest(v, F.col("__lo")),
+                                F.col("__hi")))
+            .withColumn("clip_lo", v < F.col("__lo"))
+            .withColumn("clip_hi", v > F.col("__hi")))
+    if keep_bounds:
+        return (out.withColumnRenamed("__lo", "lo")
+                   .withColumnRenamed("__hi", "hi"))
+    return out.drop("__lo", "__hi")

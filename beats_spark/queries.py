@@ -3721,6 +3721,46 @@ def nb_quality_q(spark, sf_dir):
         docs, F.col("source").isin("src0", "src1", "src2"))
 
 
+@query("winsorize_values", oracle="""
+WITH th AS (SELECT event_type,
+                   round(quantile_cont(value, 0.05), 6) AS lo,
+                   round(quantile_cont(value, 0.95), 6) AS hi
+            FROM events GROUP BY event_type),
+j AS (SELECT e.event_type, e.value, th.lo, th.hi
+      FROM events e JOIN th USING (event_type))
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       any_value(lo) AS lo, any_value(hi) AS hi,
+       CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_lo,
+       CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_hi,
+       CAST(sum(CAST(round(least(greatest(value, lo), hi) * 100)
+                     AS BIGINT)) AS BIGINT) AS wsum_cents
+FROM j GROUP BY event_type
+""")
+def winsorize_values_q(spark, sf_dir):
+    """Winsorization (:func:`beats_spark.dataops.events.winsorize`):
+    clip event values to per-type exact [p5, p95] percentiles — the
+    robust-stats cleanup before metric aggregation. Thresholds ride
+    ONE exact-percentile agg and broadcast back (the big side never
+    shuffles); clipping is a codegen projection. The rollup sums
+    clipped values in integer cents (the money trick) so every
+    output is engine-exact."""
+    from .dataops import winsorize
+    ev = _t(spark, sf_dir, "events")
+    w = winsorize(ev, "value", by="event_type", p_lo=0.05, p_hi=0.95,
+                  keep_bounds=True)
+    return (w.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.any_value("lo").alias("lo"),
+                 F.any_value("hi").alias("hi"),
+                 F.sum(F.col("clip_lo").cast("bigint")).alias("n_clip_lo"),
+                 F.sum(F.col("clip_hi").cast("bigint")).alias("n_clip_hi"),
+                 F.sum(F.round(F.col("value_w") * 100).cast("bigint"))
+                 .alias("wsum_cents")))
+
+
 @query("corpus_kl_drift", oracle=r"""
 WITH t AS (SELECT source AS g,
                   list_filter(string_split_regex(lower(text), '\s+'),

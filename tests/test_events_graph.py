@@ -790,3 +790,38 @@ def test_label_propagation_two_cliques_and_determinism(spark):
     out2 = {r["node"]: r["community"] for r in
             label_propagation(df, iters=4).collect()}
     assert out == out2
+
+
+def test_winsorize_clips_and_preserves_interior(spark):
+    from pyspark.sql import functions as F
+    from beats_spark.dataops.events import winsorize
+
+    vals = list(range(1, 100)) + [10_000]   # one wild outlier
+    df = spark.createDataFrame([(i, float(v)) for i, v in
+                                enumerate(vals)], "id long, value double")
+    w = winsorize(df, "value", p_lo=0.05, p_hi=0.95, keep_bounds=True)
+    rows = {r["id"]: r for r in w.collect()}
+    # the outlier clipped down to the p95 threshold
+    out = rows[99]
+    assert out["clip_hi"] is True and out["value_w"] == out["hi"]
+    assert out["value_w"] < 10_000
+    # interior values untouched
+    mid = rows[49]
+    assert mid["clip_lo"] is False and mid["clip_hi"] is False
+    assert mid["value_w"] == 50.0
+    # counts match the percentile definition's tails
+    n_hi = sum(1 for r in rows.values() if r["clip_hi"])
+    n_lo = sum(1 for r in rows.values() if r["clip_lo"])
+    assert 1 <= n_hi <= 5 and 1 <= n_lo <= 5
+
+
+def test_winsorize_per_group_bounds_differ(spark):
+    from beats_spark.dataops.events import winsorize
+
+    rows = ([(i, "a", float(i % 10)) for i in range(100)]
+            + [(200 + i, "b", 100.0 + i % 10) for i in range(100)])
+    df = spark.createDataFrame(rows, "id long, g string, value double")
+    w = winsorize(df, "value", by="g", keep_bounds=True)
+    bounds = {r["g"]: (r["lo"], r["hi"])
+              for r in w.select("g", "lo", "hi").distinct().collect()}
+    assert bounds["a"][1] < bounds["b"][0]   # groups got own thresholds
