@@ -43,6 +43,7 @@ from .similarity import (
 from .textstats import (
     dns_tunnel_flags,
     entropy_stats_arrow,
+    oov_rate,
     gopher_rules,
     lang_id_stopword,
     lang_id_ngram,
@@ -119,6 +120,7 @@ __all__ = [
     "lsh_signature", "lsh_cosine_topk", "rrf_fuse",
     "lang_id_stopword", "lang_id_ngram", "lang_spans",
     "dns_tunnel_flags", "doc_fingerprint", "entropy_stats_arrow",
+    "oov_rate",
     "text_stats",
     "token_count",
     "attach_media_meta", "extract_image_features", "sample_video_frames",

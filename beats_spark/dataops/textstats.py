@@ -20,7 +20,7 @@ from .dedup import tokens, simhash
 
 __all__ = [
     "gopher_rules", "repetition_stats_arrow", "entropy_stats_arrow",
-    "dns_tunnel_flags",
+    "dns_tunnel_flags", "oov_rate",
     "token_count", "text_stats", "text_stats_arrow", "quality_score",
     "readability",
     "lang_id_stopword", "lang_id_ngram", "lang_spans",
@@ -716,3 +716,49 @@ def lang_spans(df: DataFrame, id_col: str = "doc_id",
                  F.count(F.lit(1)).alias("n_paras"),
                  F.min("pos").cast("int").alias("pos_start"),
                  F.max("pos").cast("int").alias("pos_end")))
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_col: str = "w",
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against a frozen
+    vocabulary — the tokenizer-fit / domain-mismatch diagnostic (a
+    corpus whose OOV rate against the training tokenizer's vocab
+    jumps is about to fragment into character-level tokens and waste
+    sequence length).
+
+    Returns ``(id_col, n_tokens, n_oov, oov_micro)`` with
+    ``oov_micro = floor(1e6 · n_oov / n_tokens)`` (NULL for empty
+    docs) — integer outputs, engine-exact.
+
+    Scale shape: one corpus explode into (id, token); the vocabulary
+    probe is a LEFT join against the vocab table on the token (at
+    web scale the vocab is 32k-256k rows — Spark broadcasts it;
+    spelled as a plain join so AQE decides if it ever grows); one
+    re-agg on the id. Text never moves whole — the exchanges carry
+    (id, token) pairs.
+    """
+    occ = df.select(F.col(id_col),
+                    F.explode(tokens(F.col(text_col))).alias("__w"))
+    v = vocab.select(F.col(vocab_col).alias("__w"),
+                     F.lit(1).alias("__in"))
+    probed = occ.join(v, "__w", "left")
+    agg = (probed.groupBy(id_col)
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+                 .cast("bigint").alias("n_oov")))
+    return (df.select(F.col(id_col)).distinct()
+            .join(agg, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_tokens", F.lit(0).cast("bigint"))
+                     .alias("n_tokens"),
+                    F.coalesce("n_oov", F.lit(0).cast("bigint"))
+                     .alias("n_oov"),
+                    F.when(F.coalesce("n_tokens", F.lit(0)) > 0,
+                           F.floor(F.col("n_oov") * 1_000_000
+                                   / F.col("n_tokens")))
+                     .cast("bigint").alias("oov_micro")))

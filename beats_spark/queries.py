@@ -3721,6 +3721,46 @@ def nb_quality_q(spark, sf_dir):
         docs, F.col("source").isin("src0", "src1", "src2"))
 
 
+@query("oov_rate", oracle=r"""
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+occ AS (SELECT doc_id, unnest(toks) AS w FROM t),
+vocab AS (SELECT w FROM occ GROUP BY w HAVING count(*) >= 5),
+p AS (SELECT occ.doc_id,
+             CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END AS oov
+      FROM occ LEFT JOIN vocab USING (w)),
+a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(oov) AS BIGINT) AS n_oov
+      FROM p GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_oov, 0) AS n_oov,
+       CASE WHEN coalesce(a.n_tokens, 0) > 0
+            THEN CAST((a.n_oov * 1000000) // a.n_tokens AS BIGINT)
+       END AS oov_micro
+FROM t LEFT JOIN a USING (doc_id)
+""")
+def oov_rate_q(spark, sf_dir):
+    """Out-of-vocabulary rate
+    (:func:`beats_spark.dataops.textstats.oov_rate`) against a
+    frozen vocabulary — here the corpus's own frequent types (count
+    ≥ 5), the tokenizer-fit diagnostic: rising OOV means the corpus
+    is drifting off the tokenizer and fragmenting into char-level
+    tokens. One explode, a LEFT probe against the vocab table
+    (32k-256k rows at production scale — broadcastable; spelled as a
+    plain join so AQE decides), one re-agg; exchanges carry
+    (id, token) pairs only. Integer micro-ratios, oracle-exact."""
+    from .dataops import oov_rate
+    from .dataops.dedup import tokens as _toks
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (docs.select(F.explode(_toks(F.col("text"))).alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+             .filter(F.col("c") >= 5).select("w"))
+    return oov_rate(docs, vocab)
+
+
 @query("winsorize_values", oracle="""
 WITH th AS (SELECT event_type,
                    round(quantile_cont(value, 0.05), 6) AS lo,

@@ -301,3 +301,23 @@ def test_dns_tunnel_flags_hand_case(spark):
     assert out[2]["is_tunnel"] is True       # md5 blob: long + high ent
     assert out[3]["is_tunnel"] is False      # entropy-rich but short
     assert out[2]["label_len"] == 32
+
+
+def test_oov_rate_hand_case(spark):
+    from beats_spark.dataops.textstats import oov_rate
+
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat"),   # zebra/quark not in vocab
+         (1, "zebra quark the"),
+         (2, ""),                         # empty doc → 0 tokens, NULL rate
+         (3, "the the the")],
+        "doc_id int, text string")
+    vocab = spark.createDataFrame(
+        [("the",), ("cat",), ("sat",), ("on",), ("mat",)], "w string")
+    out = {r["doc_id"]: r for r in oov_rate(docs, vocab).collect()}
+    assert out[0]["n_tokens"] == 6 and out[0]["n_oov"] == 0
+    assert out[0]["oov_micro"] == 0
+    assert out[1]["n_tokens"] == 3 and out[1]["n_oov"] == 2
+    assert out[1]["oov_micro"] == (2 * 1_000_000) // 3
+    assert out[2]["n_tokens"] == 0 and out[2]["oov_micro"] is None
+    assert out[3]["n_oov"] == 0
