@@ -13,6 +13,9 @@ from .pipeline import (
     stream_countmin,
     stream_hll,
     stream_event_join,
+    stream_ewma,
+    stream_percolate,
+    stream_dns_alerts,
 )
 from .sources import (
     datagram_events,
@@ -32,4 +35,5 @@ __all__ = [
     "stateful_url_dedup", "stream_dedup_against",
     "stream_sessions", "stream_count_anomalies", "stream_countmin",
     "stream_hll", "stream_event_join",
+    "stream_ewma", "stream_percolate", "stream_dns_alerts",
 ]

@@ -869,3 +869,30 @@ def stream_percolate(
                           meta_col=meta_col, out_col="__mq")
     return (hit.select(F.col(id_col),
                        F.explode("__mq").alias("query_id")))
+
+
+def stream_dns_alerts(
+    stream: DataFrame,
+    name_col: str = "query_name",
+    min_label_len: int = 24,
+    min_ent_per_cp_micro: int = 2_000_000,
+) -> DataFrame:
+    """Live DNS-tunneling alerting: flag arriving query names whose
+    FIRST label is long + high-entropy (:func:`beats_spark.dataops
+    .textstats.dns_tunnel_flags`) and emit only the flagged rows —
+    the packetbeat-DNS → SIEM detection loop as one streaming stage.
+
+    Entirely map-side — ``substring_index`` is codegen, the entropy
+    kernel is one ArrowEvalPython projection, the flag filter is
+    codegen; no state, no watermark, no shuffle — so it is
+    trigger-timing-independent and replay-deterministic: the union
+    of alerts over any micro-batch split equals the batch
+    :func:`dns_tunnel_flags` filter on the same rows (asserted in
+    tests). Integer micro-nat thresholds keep the flag
+    bit-reproducible across batch and stream.
+    """
+    from ..dataops.textstats import dns_tunnel_flags
+    flagged = dns_tunnel_flags(
+        stream, name_col=name_col, min_label_len=min_label_len,
+        min_ent_per_cp_micro=min_ent_per_cp_micro)
+    return flagged.filter(F.col("is_tunnel"))

@@ -893,3 +893,40 @@ def test_stream_percolate_matches_batch_and_join_form(spark, tmp_path):
     cnt = Counter(qid for _, qid in got)
     assert jf == {"q_ab": cnt["q_ab"], "q_en": cnt["q_en"],
                   "q_none": 0}
+
+
+def test_stream_dns_alerts_matches_batch(spark, tmp_path):
+    """DNS-tunnel alerts over any micro-batch split equal the batch
+    dns_tunnel_flags filter on the same rows (stateless projection —
+    trigger-timing-independent)."""
+    from beats_spark.streaming.pipeline import stream_dns_alerts
+    from beats_spark.dataops.textstats import dns_tunnel_flags
+
+    rows = [("e0", "www.example.com"),
+            ("e1", "d41d8cd98f00b204e9800998ecf8427e.t.example.com"),
+            ("e2", "a" * 40 + ".t.example.com"),        # long, zero ent
+            ("e3", "9e107d9d372bb6826bd81d3542a419d6.exfil.net"),
+            ("e4", "deadbeef.t.example.com"),           # short
+            ("e5", None)]
+    src, ck, out = (str(tmp_path / d) for d in ("src", "ck", "out"))
+    df = spark.createDataFrame(rows, "id string, query_name string")
+    # three micro-batches
+    for lo, hi in (("e0", "e2"), ("e2", "e4"), ("e4", "e9")):
+        df.filter((F.col("id") >= lo) & (F.col("id") < hi)) \
+          .coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream
+              .schema("id string, query_name string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream_dns_alerts(stream).writeStream
+         .format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted((r["id"], r["label_len"], r["ent_per_cp_micro"])
+                 for r in spark.read.parquet(out).collect())
+    batch = sorted(
+        (r["id"], r["label_len"], r["ent_per_cp_micro"])
+        for r in dns_tunnel_flags(df).filter("is_tunnel").collect())
+    assert got == batch
+    assert [i for i, _, _ in got] == ["e1", "e3"]
