@@ -88,7 +88,7 @@ from .events import (
     retention_cohorts,
     scd2_join, session_rollup, sessionize, winsorize,
 )
-from .graph import pagerank, triangle_count
+from .graph import pagerank, spam_mass, triangle_count, trustrank
 from .merge import merge_upsert
 from .robots import (
     compile_robots_pattern, parse_robots, parse_robots_txt,
@@ -143,7 +143,7 @@ __all__ = [
     "percentile_rollup",
     "retention_cohorts", "scd2_join", "session_rollup", "sessionize",
     "winsorize",
-    "pagerank", "triangle_count", "merge_upsert",
+    "pagerank", "spam_mass", "triangle_count", "trustrank", "merge_upsert",
     "compile_robots_pattern", "parse_robots", "parse_robots_txt",
     "parse_sitemap", "parse_sitemap_index", "robots_filter", "url_path",
     "byte_balanced_shards", "cluster_by_zorder", "global_prefix_sum",

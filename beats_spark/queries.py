@@ -7532,3 +7532,96 @@ def ann_pq_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 10)
     return pq_topk(emb, queries, dim=64, k=5, m=4, n_codes=8,
                    rerank=40)
+
+
+def _trustrank_oracle(iters: int = 3) -> str:
+    """PageRank + TrustRank unrolled side by side (one CTE per round
+    each, same integer recurrence as ``_pagerank_oracle``; the trust
+    run differs only in its seed-restricted init/teleport vector),
+    then the Gyongyi spam-mass arithmetic. Seeds = EUROPE nations
+    present in the graph."""
+    parts = [r"""
+WITH e AS (SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+           FROM customer c
+           JOIN orders o ON o.o_custkey = c.c_custkey
+           JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           WHERE c.c_nationkey <> s.s_nationkey),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*) AS c FROM nodes),
+outd AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+sd AS (SELECT n.n_nationkey AS node
+       FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+       WHERE r.r_name = 'EUROPE'
+         AND n.n_nationkey IN (SELECT node FROM nodes)),
+ns AS (SELECT count(*) AS c FROM sd),
+r0 AS (SELECT node, CAST(1000000 // c AS BIGINT) AS rank,
+              CAST((1000000 * 15) // (100 * c) AS BIGINT) AS base
+       FROM nodes, nn),
+t0 AS (SELECT nodes.node,
+              CAST(CASE WHEN sd.node IS NOT NULL
+                   THEN 1000000 // ns.c ELSE 0 END AS BIGINT) AS rank,
+              CAST(CASE WHEN sd.node IS NOT NULL
+                   THEN (1000000 * 15) // (100 * ns.c)
+                   ELSE 0 END AS BIGINT) AS base
+       FROM nodes LEFT JOIN sd ON sd.node = nodes.node, ns)"""]
+    for w in ("r", "t"):
+        for i in range(1, iters + 1):
+            parts.append(f""",
+{w}{i} AS (SELECT r.node,
+              CAST(r.base + (coalesce(s.s, 0) * 85) // 100 AS BIGINT)
+                AS rank, r.base
+         FROM {w}{i - 1} r LEFT JOIN
+           (SELECT e.dst AS node,
+                   CAST(sum(r2.rank // o.od) AS BIGINT) AS s
+            FROM e JOIN {w}{i - 1} r2 ON r2.node = e.src
+                   JOIN outd o ON o.src = e.src
+            GROUP BY e.dst) s ON s.node = r.node)""")
+    parts.append(f"""
+SELECT n.n_name AS nation, r.rank AS rank_micro,
+       t.rank AS trust_micro,
+       CASE WHEN r.rank > 0 THEN
+         CAST(least(greatest(((r.rank - t.rank) * 1000000) // r.rank,
+                             0), 1000000) AS BIGINT)
+       END AS spam_mass_micro
+FROM r{iters} r
+JOIN t{iters} t ON t.node = r.node
+JOIN nation n ON n.n_nationkey = r.node""")
+    return "".join(parts)
+
+
+@query("link_trustrank", oracle=_trustrank_oracle(3))
+def link_trustrank(spark, sf_dir):
+    """TrustRank + spam mass (:func:`beats_spark.dataops.graph
+    .trustrank`, :func:`~beats_spark.dataops.graph.spam_mass`) — the
+    link-spam demotion signal (Gyongyi et al., VLDB'04): teleport
+    mass restricted to a trusted seed set (EUROPE nations here; in
+    production a vetted host list), so rank a node holds BEYOND what
+    trust flow explains is presumed earned from spam regions.
+    Same per-round plan as pagerank (one exchange on src, one
+    partial-agg on dst, localCheckpoint per round); seeds join in,
+    never collect. Integer micro-units end to end — both power
+    iterations and the mass ratio are bit-exact in SQL."""
+    from .dataops import pagerank, spam_mass, trustrank
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    edges = (cust.join(orders, orders.o_custkey == cust.c_custkey)
+             .join(li, li.l_orderkey == orders.o_orderkey)
+             .join(supp, supp.s_suppkey == li.l_suppkey)
+             .select(F.col("c_nationkey").alias("src"),
+                     F.col("s_nationkey").alias("dst")))
+    seeds = (nation.join(F.broadcast(region),
+                         region.r_regionkey == nation.n_regionkey)
+             .filter(F.col("r_name") == "EUROPE")
+             .select(F.col("n_nationkey").alias("node")))
+    pr = pagerank(edges, iters=3)
+    tr = trustrank(edges, seeds, iters=3)
+    sm = spam_mass(pr, tr)
+    return (sm.join(F.broadcast(nation),
+                    nation.n_nationkey == sm.node)
+              .select(F.col("n_name").alias("nation"), "rank_micro",
+                      "trust_micro", "spam_mass_micro"))

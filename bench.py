@@ -62,7 +62,7 @@ BENCH_QUERIES = [
     "kmeans_assign", "lm_quality_score", "unicode_clean",
     "ccnet_buckets", "dsir_select", "token_budget", "corpus_shuffle",
     "sessionize_events", "latency_percentiles", "asof_enrich",
-    "inverted_index", "link_pagerank", "funnel_steps",
+    "inverted_index", "link_pagerank", "link_trustrank", "funnel_steps",
     "retention_cohorts", "log_templates", "count_anomalies",
     "scd2_enrich", "stratified_sample", "zorder_layout",
     "salted_join_rollup", "counter_rollup", "range_enrich",

@@ -825,3 +825,30 @@ def test_winsorize_per_group_bounds_differ(spark):
     bounds = {r["g"]: (r["lo"], r["hi"])
               for r in w.select("g", "lo", "hi").distinct().collect()}
     assert bounds["a"][1] < bounds["b"][0]   # groups got own thresholds
+
+
+def test_trustrank_spam_mass_hand_case(spark):
+    """Trust flows only out of the seed set: an isolated mutual-link
+    farm earns PageRank (teleport base + self-reinforcement) but zero
+    TrustRank, so its spam mass is exactly 1.0."""
+    from beats_spark.dataops.graph import pagerank, spam_mass, trustrank
+
+    #  seed 1 -> 2 -> 3 ; farm 5 <-> 6 (unreachable from 1)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (6, 5)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    pr = pagerank(edges, iters=3)
+    tr = trustrank(edges, seeds, iters=3)
+    sm = {r["node"]: r for r in spam_mass(pr, tr).collect()}
+    # farm nodes: rank > 0 (teleport + mutual links), trust == 0
+    assert sm[5]["rank_micro"] > 0 and sm[5]["trust_micro"] == 0
+    assert sm[5]["spam_mass_micro"] == 1_000_000
+    assert sm[6]["spam_mass_micro"] == 1_000_000
+    # trusted chain: node 2 and 3 hold trust, mass < 1
+    assert sm[2]["trust_micro"] > 0
+    assert sm[2]["spam_mass_micro"] < 1_000_000
+    assert sm[3]["trust_micro"] > 0
+    # the seed itself: no in-links, all rank is teleport; trust base
+    # is the full seed share so mass is low
+    assert sm[1]["trust_micro"] > sm[1]["rank_micro"]
+    assert sm[1]["spam_mass_micro"] == 0
