@@ -7625,3 +7625,59 @@ def link_trustrank(spark, sf_dir):
                     nation.n_nationkey == sm.node)
               .select(F.col("n_name").alias("nation"), "rank_micro",
                       "trust_micro", "spam_mass_micro"))
+
+
+def _bpe_oracle(n_merges: int = 6) -> str:
+    """The BPE trainer unrolled one (pairs, best, apply) CTE triple
+    per round — same double-space symbol rendering, same literal
+    replace application, same (count desc, pair asc) tie-break as
+    dataops/bpe.py, so the learned merge table is bit-identical."""
+    parts = [r"""
+WITH w AS (SELECT unnest(list_filter(
+                    string_split_regex(lower(text), '\s+'),
+                    x -> x <> '')) AS word
+           FROM documents),
+wc0 AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+               regexp_replace(word, '(.)', ' \1 ', 'g')
+                 || ' </w> ' AS sym
+        FROM w GROUP BY word)"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f""",
+p{i} AS (SELECT t.toks[u.i] AS l, t.toks[u.i + 1] AS r,
+               CAST(sum(t.cnt) AS BIGINT) AS c
+        FROM (SELECT cnt, list_filter(string_split(sym, ' '),
+                                      x -> x <> '') AS toks
+              FROM wc{i - 1}) t,
+             UNNEST(range(1, len(t.toks))) AS u(i)
+        GROUP BY 1, 2),
+b{i} AS (SELECT l, r, c FROM p{i}
+        ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+wc{i} AS (SELECT word, cnt,
+               replace(sym,
+                       (SELECT ' ' || l || '  ' || r || ' ' FROM b{i}),
+                       (SELECT ' ' || l || r || ' ' FROM b{i})) AS sym
+         FROM wc{i - 1})""")
+    parts.append("\n" + "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INTEGER) AS merge_round, l AS left_sym, "
+        f"r AS right_sym, c AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)))
+    return "".join(parts)
+
+
+@query("bpe_merges", oracle=_bpe_oracle(6))
+def bpe_merges_q(spark, sf_dir):
+    """BPE tokenizer training (:func:`beats_spark.dataops.bpe
+    .bpe_merges`): learn the first 6 pair merges from the documents
+    corpus, Sennrich et al. ACL'16. The corpus collapses to a
+    vocab-sized (word, count) table in ONE shuffle — the classic
+    trainer's word-frequency-dict trick, which is what makes BPE
+    training feasible at 100 TB — and every merge round after that is
+    vocab-sized work: pair explode + partial-combining agg +
+    TakeOrdered(1) + broadcast cross join. Fully in-plan (the argmax
+    pair never visits the driver); merge application is a LITERAL
+    replace over double-space-delimited symbols, so greedy
+    left-to-right semantics are engine-exact and the oracle replays
+    the training bit-identically."""
+    from .dataops import bpe_merges
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_merges(docs, n_merges=6)

@@ -321,3 +321,43 @@ def test_oov_rate_hand_case(spark):
     assert out[1]["oov_micro"] == (2 * 1_000_000) // 3
     assert out[2]["n_tokens"] == 0 and out[2]["oov_micro"] is None
     assert out[3]["n_oov"] == 0
+
+
+def test_bpe_merges_sennrich_example(spark):
+    """The canonical BPE walkthrough: {low x3, lower, lowest,
+    newest x3, widest} learns es, est, est</w> first (freq 5 beats
+    everything), with deterministic lexicographic tie-breaks."""
+    from beats_spark.dataops import bpe_merges
+
+    df = spark.createDataFrame(
+        [("low low low lower lowest",), ("newest newest newest widest",)],
+        "text string")
+    got = [(r["merge_round"], r["left_sym"], r["right_sym"],
+            r["pair_count"])
+           for r in bpe_merges(df, n_merges=5)
+           .orderBy("merge_round").collect()]
+    assert got == [(1, "e", "s", 5), (2, "es", "t", 5),
+                   (3, "est", "</w>", 5), (4, "l", "o", 5),
+                   (5, "lo", "w", 5)]
+
+
+def test_bpe_merges_greedy_overlap_and_edge_cases(spark):
+    """Back-to-back pair occurrences merge left-to-right
+    non-overlapping ('aaaa' with merge (a,a) yields 2 pairs consumed,
+    not 3); empty corpus yields no merges; n_merges=0 is legal."""
+    from beats_spark.dataops import bpe_merges
+
+    df = spark.createDataFrame([("aaaa aaaa",)], "text string")
+    got = [(r["merge_round"], r["left_sym"], r["right_sym"],
+            r["pair_count"])
+           for r in bpe_merges(df, n_merges=2)
+           .orderBy("merge_round").collect()]
+    # round 1: (a,a) appears 3 adjacent times per word but greedy
+    # application merges positions 1-2 and 3-4 → 'aa aa </w>'
+    assert got[0] == (1, "a", "a", 6)
+    # round 2: (aa,aa) and (aa,</w>) tie at 2; '<' sorts before 'a'
+    assert got[1] == (2, "aa", "</w>", 2)
+
+    empty = spark.createDataFrame([("",)], "text string")
+    assert bpe_merges(empty, n_merges=3).count() == 0
+    assert bpe_merges(df, n_merges=0).count() == 0
