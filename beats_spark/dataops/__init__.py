@@ -88,7 +88,7 @@ from .events import (
     retention_cohorts,
     scd2_join, session_rollup, sessionize, winsorize,
 )
-from .bpe import bpe_merges
+from .bpe import bpe_encode, bpe_merges
 from .graph import pagerank, spam_mass, triangle_count, trustrank
 from .merge import merge_upsert
 from .robots import (
@@ -144,7 +144,7 @@ __all__ = [
     "percentile_rollup",
     "retention_cohorts", "scd2_join", "session_rollup", "sessionize",
     "winsorize",
-    "bpe_merges",
+    "bpe_merges", "bpe_encode",
     "pagerank", "spam_mass", "triangle_count", "trustrank", "merge_upsert",
     "compile_robots_pattern", "parse_robots", "parse_robots_txt",
     "parse_sitemap", "parse_sitemap_index", "robots_filter", "url_path",

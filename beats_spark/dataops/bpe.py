@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .dedup import tokens
 
-__all__ = ["bpe_merges"]
+__all__ = ["bpe_encode", "bpe_merges"]
 
 _PAIRS = """
 CASE WHEN size(__toks) >= 2 THEN
@@ -113,3 +113,73 @@ def bpe_merges(
     for b in bests[1:]:
         out = out.unionByName(b)
     return out
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    end_mark: str = "</w>",
+) -> DataFrame:
+    """Tokenize a corpus with a learned merge table (the apply half
+    of :func:`bpe_merges`) → ``(id_col, n_bpe_tokens, bpe_text)``
+    where ``bpe_text`` is the space-joined BPE token sequence.
+
+    Scale shape — encode the *vocabulary*, not the corpus: distinct
+    words encode once (each word folds the ordered merge list through
+    the same literal-replace application as training, via the
+    built-in higher-order ``aggregate`` — zero Python), then the
+    corpus joins word → encoding and re-aggregates per document, so
+    the per-document cost is a join + ordered string agg and the
+    O(n_merges × string) fold runs vocab-many times, not
+    corpus-many. The merge list rides in as ONE broadcast row
+    (array of structs, sorted by round).
+
+    Word boundaries are safe by construction: a learned merge's left
+    symbol can never contain ``end_mark`` (training pairs are
+    per-word, and the marker is word-final), so fold application
+    cannot merge across words.
+    """
+    mrow = merges.agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("merge_round"), F.col("left_sym"),
+            F.col("right_sym")))).alias("__ms"))
+    words = (df.select(F.explode(tokens(F.col(text_col)))
+                        .alias("__word")).distinct())
+    sym0 = F.concat(F.regexp_replace("__word", "(.)", " $1 "),
+                    F.lit(f" {end_mark} "))
+    enc = (words.join(F.broadcast(mrow))
+           .select("__word",
+                   F.aggregate(
+                       "__ms", sym0,
+                       lambda acc, m: F.replace(
+                           acc,
+                           F.concat(F.lit(" "), m["left_sym"],
+                                    F.lit("  "), m["right_sym"],
+                                    F.lit(" ")),
+                           F.concat(F.lit(" "), m["left_sym"],
+                                    m["right_sym"], F.lit(" "))))
+                    .alias("__enc")))
+    enc = enc.select(
+        "__word",
+        F.filter(F.split("__enc", " "),
+                 lambda x: x != "").alias("__toks"))
+    occ = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("__pos", "__word"))
+    per_doc = (occ.join(enc, "__word")
+               .groupBy(id_col)
+               .agg(F.sum(F.size("__toks")).cast("bigint")
+                     .alias("n_bpe_tokens"),
+                    F.concat_ws(" ", F.flatten(F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct(F.col("__pos"),
+                                     F.col("__toks")))),
+                        lambda s: s["__toks"]))).alias("bpe_text")))
+    return (df.select(F.col(id_col)).distinct()
+            .join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_bpe_tokens", F.lit(0).cast("bigint"))
+                     .alias("n_bpe_tokens"),
+                    F.coalesce("bpe_text", F.lit("")).alias("bpe_text")))

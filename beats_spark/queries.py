@@ -7627,7 +7627,7 @@ def link_trustrank(spark, sf_dir):
                       "trust_micro", "spam_mass_micro"))
 
 
-def _bpe_oracle(n_merges: int = 6) -> str:
+def _bpe_train_ctes(n_merges: int = 6) -> str:
     """The BPE trainer unrolled one (pairs, best, apply) CTE triple
     per round — same double-space symbol rendering, same literal
     replace application, same (count desc, pair asc) tie-break as
@@ -7657,11 +7657,14 @@ wc{i} AS (SELECT word, cnt,
                        (SELECT ' ' || l || '  ' || r || ' ' FROM b{i}),
                        (SELECT ' ' || l || r || ' ' FROM b{i})) AS sym
          FROM wc{i - 1})""")
-    parts.append("\n" + "\nUNION ALL\n".join(
+    return "".join(parts)
+
+
+def _bpe_oracle(n_merges: int = 6) -> str:
+    return _bpe_train_ctes(n_merges) + "\n" + "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS INTEGER) AS merge_round, l AS left_sym, "
         f"r AS right_sym, c AS pair_count FROM b{i}"
-        for i in range(1, n_merges + 1)))
-    return "".join(parts)
+        for i in range(1, n_merges + 1))
 
 
 @query("bpe_merges", oracle=_bpe_oracle(6))
@@ -7681,3 +7684,53 @@ def bpe_merges_q(spark, sf_dir):
     from .dataops import bpe_merges
     docs = _t(spark, sf_dir, "documents")
     return bpe_merges(docs, n_merges=6)
+
+
+def _bpe_encode_oracle(n_merges: int = 6) -> str:
+    """Training CTEs + the encode half: distinct words fold the
+    learned merges (nested literal replaces in round order — the same
+    application operator as training), then documents join word →
+    encoding and re-aggregate with an ordered string agg."""
+    fold = "regexp_replace(dw.word, '(.)', ' \\1 ', 'g') || ' </w> '"
+    for i in range(1, n_merges + 1):
+        fold = (f"replace({fold},\n"
+                f"  (SELECT ' ' || l || '  ' || r || ' ' FROM b{i}),\n"
+                f"  (SELECT ' ' || l || r || ' ' FROM b{i}))")
+    return _bpe_train_ctes(n_merges) + f""",
+dw AS (SELECT DISTINCT word FROM w),
+encw AS (SELECT word,
+                list_filter(string_split({fold}, ' '),
+                            x -> x <> '') AS toks
+         FROM dw),
+docs AS (SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '') AS toks
+         FROM documents),
+occ AS (SELECT d.doc_id, u.i, d.toks[u.i] AS word
+        FROM docs d, UNNEST(range(1, len(d.toks) + 1)) AS u(i)),
+agg AS (SELECT o.doc_id,
+               CAST(sum(len(e.toks)) AS BIGINT) AS n_bpe_tokens,
+               string_agg(array_to_string(e.toks, ' '), ' '
+                          ORDER BY o.i) AS bpe_text
+        FROM occ o JOIN encw e ON e.word = o.word
+        GROUP BY o.doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+       coalesce(a.bpe_text, '') AS bpe_text
+FROM docs d LEFT JOIN agg a ON a.doc_id = d.doc_id"""
+
+
+@query("bpe_encode", oracle=_bpe_encode_oracle(6))
+def bpe_encode_q(spark, sf_dir):
+    """BPE tokenization with a learned merge table (:func:`beats_spark
+    .dataops.bpe.bpe_encode`): train 6 merges in-plan, then encode
+    every document. The vocabulary encodes ONCE (distinct words fold
+    the broadcast merge list through the built-in higher-order
+    ``aggregate`` — zero Python, zero driver collects) and the corpus
+    joins word → encoding, so the fold cost is vocab-proportional and
+    the 100 TB side pays one join + one ordered string agg. Word
+    boundaries are merge-safe by construction (a merge's left symbol
+    can never contain the word-final marker)."""
+    from .dataops import bpe_encode, bpe_merges
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_encode(docs, bpe_merges(docs, n_merges=6))

@@ -85,7 +85,7 @@ BENCH_QUERIES = [
     "consistent_route", "trigram_grep", "decayed_trending",
     "seasonal_anomaly", "slo_burn", "rolling_p95",
     "link_communities", "zonemap_prune", "ivm_refresh",
-    "ann_pq_topk", "char_entropy", "nb_quality", "dns_tunnel", "shard_balance", "hard_negatives", "corpus_kl_drift", "winsorize_values", "oov_rate", "bpe_merges",
+    "ann_pq_topk", "char_entropy", "nb_quality", "dns_tunnel", "shard_balance", "hard_negatives", "corpus_kl_drift", "winsorize_values", "oov_rate", "bpe_merges", "bpe_encode",
     "flagship_routed_counts", "flagship_messages",
 ]
 

@@ -361,3 +361,28 @@ def test_bpe_merges_greedy_overlap_and_edge_cases(spark):
     empty = spark.createDataFrame([("",)], "text string")
     assert bpe_merges(empty, n_merges=3).count() == 0
     assert bpe_merges(df, n_merges=0).count() == 0
+
+
+def test_bpe_encode_roundtrip_and_boundaries(spark):
+    """Encoding applies merges in round order with greedy semantics;
+    concatenating a doc's BPE tokens and dropping markers recovers the
+    original words (lossless); empty docs encode to 0 tokens."""
+    from beats_spark.dataops import bpe_encode, bpe_merges
+
+    df = spark.createDataFrame(
+        [(0, "low low low lower lowest"),
+         (1, "newest newest newest widest"), (2, "")],
+        "doc_id int, text string")
+    m = bpe_merges(df, n_merges=5)   # es, est, est</w>, lo, low
+    out = {r["doc_id"]: r for r in bpe_encode(df, m).collect()}
+    assert out[0]["bpe_text"].split() == [
+        "low", "</w>", "low", "</w>", "low", "</w>",
+        "low", "e", "r", "</w>", "low", "est</w>"]
+    assert out[0]["n_bpe_tokens"] == 12
+    assert out[2]["n_bpe_tokens"] == 0 and out[2]["bpe_text"] == ""
+    # lossless: strip markers, rejoin
+    for did, text in ((0, "low low low lower lowest"),
+                      (1, "newest newest newest widest")):
+        words = (out[did]["bpe_text"].replace(" ", "")
+                 .split("</w>"))
+        assert [w for w in words if w] == text.split()
