@@ -53,7 +53,8 @@ from .textstats import (
     token_count,
 )
 from .curate import curate, CurationResult
-from .urls import canonical_url, url_dedup, TRACKING_PARAMS
+from .urls import (canonical_url, url_dedup, TRACKING_PARAMS,
+                   lang_url_pairs, lang_url_skeleton)
 from .spans import doc_ngrams, ngram_duplicate_stats, remove_duplicate_spans
 from .sketch import (
     bloom_build, bloom_probe, countmin_build, countmin_estimate,
@@ -128,6 +129,7 @@ __all__ = [
     "set_decoder",
     "curate", "CurationResult", "nb_quality", "token_kl",
     "canonical_url", "url_dedup", "TRACKING_PARAMS",
+    "lang_url_pairs", "lang_url_skeleton",
     "doc_ngrams", "ngram_duplicate_stats", "remove_duplicate_spans",
     "cap_per_key", "hash_sample", "mixture_plan", "mixture_sample",
     "priority_sample", "quantile_buckets", "stratified_sample",

@@ -28,7 +28,8 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["canonical_url", "url_dedup", "TRACKING_PARAMS"]
+__all__ = ["canonical_url", "url_dedup", "TRACKING_PARAMS",
+           "DEFAULT_URL_LANGS", "lang_url_skeleton", "lang_url_pairs"]
 
 # Query parameters that identify a CLICK, not a page: stripping them
 # is standard crawl practice (they are what makes one page spell as
@@ -136,3 +137,71 @@ def url_dedup(
                canonical_url(key, strip_www=strip_www)))
     order = list(order_by) if order_by else [F.col(url_col).asc()]
     return cap_per_key(out, canon_col, 1, order_by=order)
+
+
+DEFAULT_URL_LANGS = ("ar", "de", "en", "es", "fr", "it", "ja", "ko",
+                     "nl", "pl", "pt", "ru", "tr", "zh")
+
+
+def lang_url_skeleton(
+    url: Column,
+    langs: "tuple[str, ...]" = DEFAULT_URL_LANGS,
+) -> Column:
+    """Language-agnostic URL skeleton — the CCAligned/WikiMatrix
+    web-scale prefilter for parallel-corpus mining (El-Kishky et al.,
+    EMNLP'20): multilingual sites publish translations at URLs that
+    differ only in a language marker, so stripping the marker yields
+    a key that aligns translation candidates without touching text.
+
+    Lowercases, then wildcards (a) a leading language subdomain
+    (``https://fr.example.com/`` → ``https://*.example.com/``) and
+    (b) language path segments incl. hyphenated locales
+    (``/en/``, ``/pt-br/`` → ``/*/``). Both rewrites are single-pass
+    left-to-right regexp replaces with alternation + a ``(/|$)``
+    boundary group — no lookahead, so the semantics are identical in
+    Java regex and RE2 and the skeleton is oracle-exact. Pure codegen
+    projection.
+    """
+    alt = "|".join(langs)
+    s = F.lower(url)
+    s = F.regexp_replace(
+        s, f"^(https?://)(?:{alt})(?:-[a-z]{{2}})?\\.", "$1*.")
+    return F.regexp_replace(
+        s, f"/(?:{alt})(?:-[a-z]{{2}})?(/|$)", "/*$1")
+
+
+def lang_url_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    lang_col: str = "lang",
+    langs: "tuple[str, ...]" = DEFAULT_URL_LANGS,
+) -> DataFrame:
+    """Bitext candidate pairs by URL alignment → one row per
+    cross-language pair sharing a :func:`lang_url_skeleton`:
+    ``(skeleton, lang_a, id_a, lang_b, id_b)`` with
+    ``lang_a < lang_b``.
+
+    Scale shape: one rep per (skeleton, lang) — ``min(id)``, a
+    partial-combining agg — BEFORE the self-join, so a skeleton's
+    fan-out is bounded by |langs|² no matter how many pages share it
+    (the hot-template guard); exchanges carry (skeleton, lang, id)
+    triples, never text. Downstream, feed the pairs to
+    :func:`~beats_spark.dataops.similarity.bitext_margin` for
+    embedding-margin verification — URL alignment proposes,
+    similarity disposes.
+    """
+    base = df.select(
+        F.col(id_col), F.col(lang_col),
+        lang_url_skeleton(F.col(url_col), langs).alias("skeleton"))
+    reps = (base.groupBy("skeleton", lang_col)
+            .agg(F.min(id_col).alias("__rep")))
+    a = reps.select("skeleton",
+                    F.col(lang_col).alias("lang_a"),
+                    F.col("__rep").alias("id_a"))
+    b = reps.select("skeleton",
+                    F.col(lang_col).alias("lang_b"),
+                    F.col("__rep").alias("id_b"))
+    return (a.join(b, "skeleton")
+            .filter(F.col("lang_a") < F.col("lang_b"))
+            .select("skeleton", "lang_a", "id_a", "lang_b", "id_b"))

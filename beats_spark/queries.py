@@ -7734,3 +7734,47 @@ def bpe_encode_q(spark, sf_dir):
     from .dataops import bpe_encode, bpe_merges
     docs = _t(spark, sf_dir, "documents")
     return bpe_encode(docs, bpe_merges(docs, n_merges=6))
+
+
+_SQL_LANG_ALT = "ar|de|en|es|fr|it|ja|ko|nl|pl|pt|ru|tr|zh"
+_SQL_LANG_URL = ("'https://' || lang || '.site' || "
+                 "CAST(doc_id % 20 AS VARCHAR) || '.example/' || lang "
+                 "|| '/article/' || CAST(doc_id % 30 AS VARCHAR)")
+
+
+@query("lang_url_pairs", oracle=rf"""
+WITH base AS (
+  SELECT doc_id, lang,
+         regexp_replace(
+           regexp_replace(lower({_SQL_LANG_URL}),
+             '^(https?://)(?:{_SQL_LANG_ALT})(?:-[a-z]{{2}})?\.',
+             '\1*.'),
+           '/(?:{_SQL_LANG_ALT})(?:-[a-z]{{2}})?(/|$)', '/*\1', 'g')
+           AS skeleton
+  FROM documents),
+reps AS (SELECT skeleton, lang, min(doc_id) AS rep
+         FROM base GROUP BY skeleton, lang)
+SELECT a.skeleton, a.lang AS lang_a, a.rep AS id_a,
+       b.lang AS lang_b, b.rep AS id_b
+FROM reps a JOIN reps b ON b.skeleton = a.skeleton
+WHERE a.lang < b.lang
+""")
+def lang_url_pairs_q(spark, sf_dir):
+    """Bitext candidates by URL alignment (:func:`beats_spark.dataops
+    .urls.lang_url_pairs`) — the CCAligned/WikiMatrix prefilter:
+    translations live at URLs differing only in a language marker
+    (subdomain ``fr.`` / path ``/fr/``), so the wildcarded skeleton
+    keys cross-language pairs with ZERO text comparison. Demo URLs
+    derive deterministically from (doc_id, lang). One rep per
+    (skeleton, lang) BEFORE the self-join bounds any hot template's
+    fan-out at |langs|²; exchanges carry (skeleton, lang, id) only.
+    The regexes avoid lookahead so Java and RE2 agree byte-for-byte."""
+    from .dataops import lang_url_pairs
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), F.col("lang"), F.lit(".site"),
+                   (F.col("doc_id") % 20).cast("string"),
+                   F.lit(".example/"), F.col("lang"),
+                   F.lit("/article/"),
+                   (F.col("doc_id") % 30).cast("string"))
+    return lang_url_pairs(docs.select("doc_id", "lang",
+                                      url.alias("url")))

@@ -169,3 +169,43 @@ def test_url_dedup_null_urls_fail_loudly(spark):
                                "url string")
     with pytest.raises(Exception, match="null url|assert"):
         url_dedup(df).collect()
+
+
+def test_lang_url_skeleton_forms(spark):
+    from beats_spark.dataops.urls import lang_url_skeleton
+    from pyspark.sql import functions as F
+
+    cases = [
+        # path segment
+        ("https://example.com/en/about", "https://example.com/*/about"),
+        # hyphenated locale + trailing boundary
+        ("https://example.com/pt-BR/", "https://example.com/*/"),
+        ("https://example.com/docs/fr", "https://example.com/docs/*"),
+        # language subdomain
+        ("https://de.example.com/x", "https://*.example.com/x"),
+        # NOT a lang: longer segment, or lang chars inside a word
+        ("https://example.com/entry/it2", "https://example.com/entry/it2"),
+        ("https://denver.example.com/", "https://denver.example.com/"),
+        # multiple markers
+        ("https://fr.example.com/fr/a", "https://*.example.com/*/a"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["s"] for r in
+           df.select(lang_url_skeleton(F.col("url")).alias("s")).collect()]
+    assert got == [e for _, e in cases]
+
+
+def test_lang_url_pairs_rep_bound_and_order(spark):
+    from beats_spark.dataops.urls import lang_url_pairs
+
+    rows = [(1, "en", "https://s.example/en/p/1"),
+            (2, "fr", "https://s.example/fr/p/1"),
+            (3, "fr", "https://s.example/fr/p/1"),   # dup fr page
+            (4, "de", "https://s.example/de/p/1"),
+            (5, "en", "https://s.example/en/p/2")]   # no partner
+    df = spark.createDataFrame(rows, "doc_id int, lang string, url string")
+    got = sorted((r["lang_a"], r["id_a"], r["lang_b"], r["id_b"])
+                 for r in lang_url_pairs(df).collect())
+    # one rep per (skeleton, lang): fr rep is min(2,3)=2; lang_a<lang_b
+    assert got == [("de", 4, "en", 1), ("de", 4, "fr", 2),
+                   ("en", 1, "fr", 2)]
