@@ -636,3 +636,33 @@ def json_schema_profile(df: DataFrame, field: str = "message",
         walk, schema="path string, jtype string")
     return pairs.groupBy("path", "jtype").agg(
         F.count(F.lit(1)).alias("n"))
+
+
+@register("decode_cef")
+def decode_cef_proc(cfg: Mapping[str, Any]):
+    """Common Event Format decode (x-pack
+    ``processors/decode_cef/decode_cef.go:99-187``; grammar in
+    :mod:`beats_spark.functions.cef`). ``field`` (default
+    ``message``) → ``target_field`` (default ``cef``) header struct
+    plus either ``{target}_ext`` map or, with ``extensions: [keys]``,
+    one pruned ``{target}_{key}`` column per named extension — the
+    form that keeps the whole decode inside codegen with no map
+    build."""
+    from ..functions.cef import cef_extensions, cef_get, cef_header
+
+    fld = cfg.get("field", "message")
+    target = cfg.get("target_field", "cef")
+    keys = cfg.get("extensions")
+
+    def make(df: DataFrame) -> ProcResult:
+        if fld not in df.columns:
+            return ProcResult()
+        line = F.col(fld)
+        assigns = {target: cef_header(line)}
+        if keys is None:
+            assigns[f"{target}_ext"] = cef_extensions(line)
+        else:
+            for k in keys:
+                assigns[f"{target}_{k}"] = cef_get(line, k)
+        return ProcResult(assigns=assigns)
+    return make

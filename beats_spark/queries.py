@@ -7778,3 +7778,139 @@ def lang_url_pairs_q(spark, sf_dir):
                    (F.col("doc_id") % 30).cast("string"))
     return lang_url_pairs(docs.select("doc_id", "lang",
                                       url.alias("url")))
+
+
+_CEF_HDR_RE = (r"(?s)^CEF:(\d+)" + r"\|((?:\\.|[^\\|])*)" * 6
+               + r"\|(.*)$")
+_CEF_KEY_RE = r"[A-Za-z0-9_][A-Za-z0-9_.,\[\]\-]*"
+
+
+def _cef_oracle_key(key: str) -> str:
+    """DuckDB expression replaying the codegen extension pipeline for
+    one key over alias ``m`` (the marked extension block): filter the
+    sentinel-split pieces to well-formed ``key=``, take the last
+    occurrence, decode escapes left-to-right via the stash chain."""
+    piece = (f"list_filter(string_split(m, chr(1)), p -> "
+             f"regexp_extract(p, '^({_CEF_KEY_RE})=', 1) = '{key}' AND "
+             f"regexp_matches(regexp_replace(p, '^{_CEF_KEY_RE}=', ''),"
+             f" '^(?:\\\\[\\\\=nr]|[^\\\\=])*$'))[-1]")
+    raw = f"regexp_replace({piece}, '^{_CEF_KEY_RE}=', '')"
+    return ("regexp_replace(regexp_replace(regexp_replace("
+            "regexp_replace(regexp_replace(" + raw +
+            r", '\\\\', chr(2), 'g'), '\\n', chr(10), 'g'), "
+            r"'\\r', chr(13), 'g'), '\\(.)', '\1', 'g'), "
+            r"chr(2), '\\', 'g')")
+
+
+_CEF_LINE_SQL = (
+    r"'CEF:1|acme|threat\|mgr|2.0|' || event_type || '|detected|' || "
+    "CAST(event_id % 10 AS VARCHAR) || '|src=10.0.' || "
+    "CAST(user_id % 200 AS VARCHAR) || '.' || "
+    "CAST(user_id % 250 AS VARCHAR) || ' spt=' || "
+    "CAST(event_id % 65535 AS VARCHAR) || "
+    r"' msg=status eq\= ' || event_type || '  ok act=allow '")
+
+
+@query("decode_cef", oracle=rf"""
+WITH raw AS (
+  SELECT event_id, {_CEF_LINE_SQL} AS line FROM events),
+hdr AS (
+  SELECT event_id,
+    TRY_CAST(regexp_extract(line, '{_CEF_HDR_RE}', 1) AS INTEGER)
+      AS cef_version,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_extract(line, '{_CEF_HDR_RE}', 3),
+      '\\\\', chr(2), 'g'), '\\n', chr(10), 'g'), '\\r', chr(13), 'g'),
+      '\\(.)', '\1', 'g'), chr(2), '\\', 'g') AS device_product,
+    regexp_extract(line, '{_CEF_HDR_RE}', 5)
+      AS device_event_class_id,
+    regexp_extract(line, '{_CEF_HDR_RE}', 7) AS severity,
+    regexp_replace(
+      regexp_replace(regexp_extract(line, '{_CEF_HDR_RE}', 8),
+                     '[ \t\r\n]+$', ''),
+      '( )({_CEF_KEY_RE})=', chr(1) || '\2=', 'g') AS m
+  FROM raw)
+SELECT event_id, cef_version, device_product, device_event_class_id,
+       severity,
+       {_cef_oracle_key("src")} AS src,
+       {_cef_oracle_key("spt")} AS spt,
+       {_cef_oracle_key("msg")} AS msg,
+       {_cef_oracle_key("act")} AS act
+FROM hdr
+""")
+def decode_cef_q(spark, sf_dir):
+    """CEF decode (:mod:`beats_spark.functions.cef`, reference
+    ``x-pack/filebeat/processors/decode_cef``): header split on
+    escaped pipes, extension tokenization at space-preceded ``key=``
+    boundaries, malformed-field drop, left-to-right escape decode —
+    all pure codegen (~10 regexp passes, zero exchanges, zero
+    Python), so 100 TB of CEF lines decode at scan speed. Demo lines
+    derive deterministically from events rows and exercise an escaped
+    header pipe, an escaped ``=`` in a value, interior double spaces,
+    and final-value rtrim. The oracle replays the identical sentinel
+    pipeline in RE2."""
+    from .functions.cef import cef_get, cef_header
+    ev = _t(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("CEF:1|acme|threat\\|mgr|2.0|"), F.col("event_type"),
+        F.lit("|detected|"), (F.col("event_id") % 10).cast("string"),
+        F.lit("|src=10.0."), (F.col("user_id") % 200).cast("string"),
+        F.lit("."), (F.col("user_id") % 250).cast("string"),
+        F.lit(" spt="), (F.col("event_id") % 65535).cast("string"),
+        F.lit(" msg=status eq\\= "), F.col("event_type"),
+        F.lit("  ok act=allow "))
+    h = cef_header(line)
+    return ev.select(
+        "event_id",
+        h["cef_version"].alias("cef_version"),
+        h["device_product"].alias("device_product"),
+        h["device_event_class_id"].alias("device_event_class_id"),
+        h["severity"].alias("severity"),
+        cef_get(line, "src").alias("src"),
+        cef_get(line, "spt").alias("spt"),
+        cef_get(line, "msg").alias("msg"),
+        cef_get(line, "act").alias("act"))
+
+
+_KV_LINE_SQL = ("'src=' || source || ' tag=\"' || lang || "
+                "' corpus\" n=' || CAST(n_chars AS VARCHAR) || "
+                "' src=' || source || '-2'")
+
+
+@query("kv_extract", oracle=rf"""
+SELECT doc_id,
+  regexp_extract_all(line,
+    '(?:^|[ ])tag=("(?:\\.|[^"\\])*"|[^ ]*)', 1)[-1] AS tag_raw,
+  regexp_extract_all(line,
+    '(?:^|[ ])src=("(?:\\.|[^"\\])*"|[^ ]*)', 1)[-1] AS src,
+  regexp_extract_all(line,
+    '(?:^|[ ])n=("(?:\\.|[^"\\])*"|[^ ]*)', 1)[-1] AS n
+FROM (SELECT doc_id, {_KV_LINE_SQL} AS line FROM documents)
+""")
+def kv_extract_q(spark, sf_dir):
+    """Logstash-style ``key=value`` / ``key="quoted value"``
+    extraction (:func:`beats_spark.functions.cef.kv_get`): quoted
+    values span spaces with ``\\"`` escapes, unquoted stop at the
+    next space, last occurrence wins. One regexp_extract_all per
+    requested key, pure codegen. The oracle keeps the raw quoted
+    token for ``tag`` (quote handling is pinned engine-side by
+    test_cef) and the unquoted values verbatim — identical regex,
+    RE2∩Java-safe."""
+    from .functions.cef import kv_get
+    docs = _t(spark, sf_dir, "documents")
+    line = F.concat(
+        F.lit("src="), F.col("source"), F.lit(' tag="'),
+        F.col("lang"), F.lit(' corpus" n='),
+        F.col("n_chars").cast("string"),
+        F.lit(" src="), F.col("source"), F.lit("-2"))
+    raw = F.try_element_at(
+        F.regexp_extract_all(
+            line,
+            F.lit('(?:^|[ ])tag=("(?:\\\\.|[^"\\\\])*"|[^ ]*)'),
+            F.lit(1)),
+        F.lit(-1))
+    return docs.select(
+        "doc_id",
+        raw.alias("tag_raw"),
+        kv_get(line, "src").alias("src"),
+        kv_get(line, "n").alias("n"))
