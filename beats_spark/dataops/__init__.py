@@ -42,6 +42,7 @@ from .similarity import (
 )
 from .textstats import (
     dns_tunnel_flags,
+    split_sentences,
     entropy_stats_arrow,
     oov_rate,
     gopher_rules,
@@ -85,7 +86,7 @@ from .scrub import (
 )
 from .checks import check_constraints, profile_columns
 from .events import (
-    asof_join, event_transitions, funnel_steps, percentile_rollup,
+    asof_join, clock_skew, event_transitions, funnel_steps, percentile_rollup,
     retention_cohorts,
     scd2_join, session_rollup, sessionize, winsorize,
 )
@@ -121,7 +122,7 @@ __all__ = [
     "dot", "l2_norm", "normalize",
     "lsh_signature", "lsh_cosine_topk", "rrf_fuse",
     "lang_id_stopword", "lang_id_ngram", "lang_spans",
-    "dns_tunnel_flags", "doc_fingerprint", "entropy_stats_arrow",
+    "dns_tunnel_flags", "doc_fingerprint", "split_sentences", "clock_skew", "entropy_stats_arrow",
     "oov_rate",
     "text_stats",
     "token_count",

@@ -27,7 +27,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "decayed_counts", "ewma_smooth",
+__all__ = ["asof_join", "clock_skew", "decayed_counts", "ewma_smooth",
            "funnel_steps", "merge_intervals",
            "percentile_rollup",
            "retention_cohorts", "rolling_quantile", "scd2_join", "seasonal_anomaly", "slo_burn",
@@ -767,3 +767,37 @@ def winsorize(
         return (out.withColumnRenamed("__lo", "lo")
                    .withColumnRenamed("__hi", "hi"))
     return out.drop("__lo", "__hi")
+
+
+def clock_skew(df: DataFrame, host_col: str, event_ts_col: str,
+               recv_ts_col: str,
+               threshold_ms: int = 60_000) -> DataFrame:
+    """Per-host clock-skew detection: the shipper-fleet health check
+    (the reference stamps both the event's own timestamp and the
+    pipeline ingest time — ``libbeat/beat/event.go`` Timestamp vs
+    ``@metadata`` receive path — and drifting host clocks are the
+    classic cause of out-of-order windows downstream).
+
+    Offset = receive − event time in integer milliseconds; per host:
+    event count, exact median offset, and a ``skewed`` flag when
+    ``|median| > threshold_ms``. Median (not mean) so a burst of
+    delayed deliveries doesn't read as clock drift.
+
+    Scale shape: one hash exchange carrying (host, offset_ms) pairs —
+    16 bytes — into an exact-percentile agg (Spark ``percentile``
+    buffers per group; hosts are a bounded fleet, offsets per host
+    fit an executor). DuckDB ``quantile_cont`` parity, same as
+    percentile_rollup."""
+    ev = _epoch_us(df, event_ts_col)
+    rv = _epoch_us(df, recv_ts_col)
+    off = ((rv - ev) / F.lit(1000)).cast("long")
+    pairs = df.select(F.col(host_col).alias("host"),
+                      off.alias("offset_ms"))
+    agg = pairs.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("percentile(offset_ms, 0.5)").alias("median_offset_ms"))
+    return agg.select(
+        "host", "n_events",
+        F.round("median_offset_ms", 1).alias("median_offset_ms"),
+        (F.abs(F.col("median_offset_ms")) > F.lit(threshold_ms))
+        .alias("skewed"))

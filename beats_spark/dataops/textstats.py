@@ -20,7 +20,7 @@ from .dedup import tokens, simhash
 
 __all__ = [
     "gopher_rules", "repetition_stats_arrow", "entropy_stats_arrow",
-    "dns_tunnel_flags", "oov_rate",
+    "dns_tunnel_flags", "oov_rate", "split_sentences", "SENTENCE_RE",
     "token_count", "text_stats", "text_stats_arrow", "quality_score",
     "readability",
     "lang_id_stopword", "lang_id_ngram", "lang_spans",
@@ -762,3 +762,43 @@ def oov_rate(
                            F.floor(F.col("n_oov") * 1_000_000
                                    / F.col("n_tokens")))
                      .cast("bigint").alias("oov_micro")))
+
+
+# a sentence: at least one non-terminator char, then a terminator run
+# (or end of text for the trailing fragment). No lookaround → Java
+# regex and RE2 agree, so the split is oracle-exact.
+SENTENCE_RE = r"([^.!?]+(?:[.!?]+|$))"
+
+
+def split_sentences(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    keep_empty_docs: bool = False) -> DataFrame:
+    """Rule-based sentence segmentation → one row per sentence:
+    ``(id, sent_idx, sentence)``, 0-indexed in document order. The
+    chunking primitive for context-window packing and per-sentence
+    dedup/quality scoring (pairs with
+    :func:`~beats_spark.dataops.packing.pack_greedy`).
+
+    Pure codegen: one ``regexp_extract_all`` + ``posexplode`` +
+    whitespace-trim — no Python, no exchange; segmentation happens at
+    scan speed and the explode multiplies rows map-side. Sentences
+    that trim to empty are dropped; docs with no sentences vanish
+    (posexplode semantics) unless ``keep_empty_docs``.
+    """
+    arr = F.regexp_extract_all(F.col(text_col), F.lit(SENTENCE_RE),
+                               F.lit(1))
+    out = df.select(F.col(id_col),
+                    F.posexplode(arr).alias("sent_idx", "__raw"))
+    sent = F.regexp_replace(
+        F.regexp_replace(F.col("__raw"), r"^[ \t\r\n]+", ""),
+        r"[ \t\r\n]+$", "")
+    out = (out.select(id_col, "sent_idx", sent.alias("sentence"))
+              .filter(F.length("sentence") > 0))
+    if keep_empty_docs:
+        base = df.select(F.col(id_col)).distinct()
+        missing = (base.join(out.select(id_col).distinct(), id_col,
+                             "left_anti")
+                   .select(id_col, F.lit(0).alias("sent_idx"),
+                           F.lit(None).cast("string").alias("sentence")))
+        out = out.unionByName(missing)
+    return out

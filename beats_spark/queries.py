@@ -7914,3 +7914,79 @@ def kv_extract_q(spark, sf_dir):
         raw.alias("tag_raw"),
         kv_get(line, "src").alias("src"),
         kv_get(line, "n").alias("n"))
+
+
+@query("sentence_split", oracle=r"""
+WITH s AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '([^.!?]+(?:[.!?]+|$))', 1) AS arr
+  FROM documents),
+e AS (
+  SELECT doc_id,
+         unnest(range(len(arr))) AS sent_idx,
+         unnest(arr) AS raw
+  FROM s),
+t AS (
+  SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx,
+         regexp_replace(regexp_replace(raw, '^[ \t\r\n]+', ''),
+                        '[ \t\r\n]+$', '') AS sentence
+  FROM e)
+SELECT doc_id, sent_idx, sentence FROM t WHERE length(sentence) > 0
+""")
+def sentence_split_q(spark, sf_dir):
+    """Rule-based sentence segmentation (:func:`beats_spark.dataops
+    .textstats.split_sentences`) — the chunking primitive ahead of
+    packing / per-sentence dedup. One regexp_extract_all +
+    posexplode + trim, all codegen map-side: the explode multiplies
+    rows before any exchange, so 100 TB of documents segment at scan
+    speed. Index is assigned pre-filter so dropped empty fragments
+    don't renumber. The pattern avoids lookaround → Java and RE2
+    agree and the oracle is exact."""
+    from .dataops import split_sentences
+    docs = _t(spark, sf_dir, "documents")
+    out = split_sentences(docs)
+    return out.select("doc_id",
+                      F.col("sent_idx").cast("long").alias("sent_idx"),
+                      "sentence")
+
+
+@query("clock_skew", oracle=r"""
+WITH e AS (
+  SELECT user_id % 40 AS host, ts,
+         ts + to_milliseconds(
+           ((user_id % 40) % 7 - 3) * 45000 + event_id % 1000)
+           AS recv
+  FROM events),
+o AS (
+  SELECT host,
+         CAST((epoch_us(recv) - epoch_us(ts)) / 1000 AS BIGINT)
+           AS offset_ms
+  FROM e),
+a AS (
+  SELECT host, COUNT(*) AS n_events,
+         quantile_cont(offset_ms, 0.5) AS med
+  FROM o GROUP BY host)
+SELECT host, CAST(n_events AS BIGINT) AS n_events,
+       round(med, 1) AS median_offset_ms,
+       abs(med) > 60000 AS skewed
+FROM a
+""")
+def clock_skew_q(spark, sf_dir):
+    """Per-host clock-skew detection (:func:`beats_spark.dataops
+    .events.clock_skew`): receive-vs-event-time offsets, exact median
+    per host, drift flag — the fleet-health check behind the
+    reference's Timestamp-vs-ingest-time split (libbeat/beat/event.go).
+    Demo hosts derive from user_id; a deterministic per-host skew
+    (±45 s steps) plus per-event jitter is added in-plan. One
+    exchange carrying (host, offset_ms) pairs; Spark exact
+    ``percentile`` == DuckDB ``quantile_cont``."""
+    from .dataops import clock_skew
+    ev = _t(spark, sf_dir, "events")
+    host = F.col("user_id") % 40
+    skew_ms = ((host % 7 - 3) * 45000
+               + F.col("event_id") % 1000).cast("long")
+    recv = F.expr("ts + make_interval(0,0,0,0,0,0, __skew/1000.0)")
+    df = (ev.withColumn("host", host)
+            .withColumn("__skew", skew_ms)
+            .withColumn("recv", recv))
+    return clock_skew(df, "host", "ts", "recv")
