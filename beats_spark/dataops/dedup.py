@@ -705,3 +705,101 @@ def winnow_pairs(
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= int(min_shared)))
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    divisor: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (Manber's anchors, TR-94-10; the
+    rsync / LBFS / FastCDC family): cut each document AFTER every
+    ``k``-char gram whose 60-bit md5-prefix hash is ``0 mod
+    divisor`` — so chunk boundaries are a function of LOCAL content
+    only, and an insertion early in a page shifts at most one chunk
+    instead of re-aligning every fixed-stride window. Expected chunk
+    length is ~``divisor`` chars. This is the storage-dedup /
+    delta-crawl primitive: re-crawled pages share every chunk except
+    the ones an edit actually touched (contrast
+    :func:`~beats_spark.dataops.packing.chunk_tokens`, whose fixed
+    stride re-aligns everything after an edit).
+
+    Emits ``(id, chunk_id, start, n_chars, digest)`` — the chunk TEXT
+    is hashed and dropped in the same projection, so nothing heavier
+    than a 32-char digest survives the map stage. Boundary hashing is
+    the stateless basic-CDC rule (no min/max clamp): every cut is
+    decided by one gram in isolation, which is what makes the whole
+    operator a single zero-shuffle, zero-Python JVM projection — a
+    min-size clamp would make cut ``j`` depend on cut ``j-1`` and
+    force a sequential scan. Hash is the repo's portable 60-bit
+    md5-prefix (same spelling as :func:`_token_hash`) so external SQL
+    engines replay the exact cut set.
+
+    Reference parity: beats has no chunker; this extends the dedup
+    family (SURVEY §2 LLM-data ops) the same way winnowing does.
+    """
+    if k < 1 or divisor < 1:
+        raise ValueError("cdc_chunks: k and divisor must be >= 1")
+    kk, dd = int(k), int(divisor)
+    s = F.coalesce(F.col(text_col), F.lit(""))
+    L = F.length(s)
+    m = L - kk + 1  # number of k-grams
+
+    def gram_hash(i):
+        return F.conv(F.substring(F.md5(F.substring(s, i, kk)), 1, 15),
+                      16, 10).cast("long")
+
+    grams = F.when(m >= F.lit(1), F.sequence(F.lit(1), m)) \
+             .otherwise(F.expr("array()").cast("array<int>"))
+    # cut AFTER char i+k-1; i < m keeps the doc-final offset out so the
+    # tail chunk is never empty
+    cuts = F.filter(grams, lambda i: (F.pmod(gram_hash(i), F.lit(dd))
+                                      == F.lit(0)) & (i < m))
+    bounds = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.transform(cuts, lambda i: (i + F.lit(kk - 1)).cast("long")),
+        F.array(L.cast("long")))
+    idx = F.sequence(F.lit(1), F.size(bounds) - 1)
+    chunk = F.transform(idx, lambda j: F.struct(
+        (j - 1).cast("long").alias("chunk_id"),
+        (F.element_at(bounds, j) + 1).alias("start"),
+        (F.element_at(bounds, j + 1)
+         - F.element_at(bounds, j)).alias("n_chars"),
+        F.md5(F.substring(
+            s, (F.element_at(bounds, j) + 1).cast("int"),
+            (F.element_at(bounds, j + 1)
+             - F.element_at(bounds, j)).cast("int"))).alias("digest")))
+    return (df.select(id_col, F.explode(chunk).alias("__c"))
+            .select(id_col, "__c.chunk_id", "__c.start", "__c.n_chars",
+                    "__c.digest")
+            .filter(F.col("n_chars") > 0))
+
+
+def cdc_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    divisor: int = 64,
+    min_copies: int = 2,
+) -> DataFrame:
+    """Cross-document duplicate-chunk ledger over :func:`cdc_chunks`:
+    for every chunk digest stored ``min_copies``+ times, the copy
+    count, distinct documents touched, chunk size, and the chars a
+    content-addressed store would save (``(copies-1) * n_chars``) —
+    the delta-crawl / storage-dedup report.
+
+    Scale shape: the only exchange carries ``(digest, id, n_chars)``
+    — 48-byte rows regardless of document size; chunk text was
+    hashed away map-side by :func:`cdc_chunks`.
+    """
+    ch = cdc_chunks(df, id_col, text_col, k=k, divisor=divisor)
+    return (ch.groupBy("digest")
+            .agg(F.count(F.lit(1)).alias("n_copies"),
+                 F.countDistinct(id_col).alias("n_docs"),
+                 F.min("n_chars").alias("n_chars"))
+            .filter(F.col("n_copies") >= int(min_copies))
+            .withColumn("saved_chars",
+                        (F.col("n_copies") - 1) * F.col("n_chars")))

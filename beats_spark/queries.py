@@ -7990,3 +7990,61 @@ def clock_skew_q(spark, sf_dir):
             .withColumn("__skew", skew_ms)
             .withColumn("recv", recv))
     return clock_skew(df, "host", "ts", "recv")
+
+
+_CDC_CHUNKS_SQL = """
+WITH t AS (SELECT doc_id, coalesce(text,'') AS s,
+                  length(coalesce(text,'')) AS L
+           FROM documents),
+c AS (SELECT doc_id, s, L,
+        CASE WHEN L - 8 + 1 >= 1 THEN
+          list_filter(range(1, L - 8 + 2),
+            i -> (CAST('0x' || substr(md5(s[i:i+7]), 1, 15) AS BIGINT)
+                  % 64 = 0) AND i < L - 8 + 1)
+        ELSE [] END AS cuts
+      FROM t),
+b AS (SELECT doc_id, s,
+             list_concat(list_concat([CAST(0 AS BIGINT)],
+               list_transform(cuts, i -> CAST(i + 7 AS BIGINT))),
+               [CAST(L AS BIGINT)]) AS B
+      FROM c),
+x AS (SELECT doc_id, s, B, unnest(range(1, len(B))) AS j FROM b),
+chunks AS (
+  SELECT doc_id, CAST(j - 1 AS BIGINT) AS chunk_id,
+         B[j] + 1 AS start, B[j+1] - B[j] AS n_chars,
+         md5(s[B[j]+1 : B[j+1]]) AS digest
+  FROM x WHERE B[j+1] - B[j] > 0)
+"""
+
+
+@query("cdc_chunks", oracle=_CDC_CHUNKS_SQL + """
+SELECT * FROM chunks
+""")
+def cdc_chunks_q(spark, sf_dir):
+    """Content-defined chunking (Manber anchors / rsync-LBFS family,
+    :func:`beats_spark.dataops.dedup.cdc_chunks`): cut after every
+    8-gram whose 60-bit md5 hash is 0 mod 64 — boundaries depend on
+    local content only, so a re-crawled page with one edit shares
+    every chunk but the edited one. Single zero-shuffle zero-Python
+    JVM projection; chunk text is hashed away map-side."""
+    from .dataops.dedup import cdc_chunks
+    docs = _t(spark, sf_dir, "documents")
+    return cdc_chunks(docs, k=8, divisor=64)
+
+
+@query("cdc_dup_stats", oracle=_CDC_CHUNKS_SQL + """
+SELECT digest, CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(n_chars) AS n_chars,
+       (count(*) - 1) * min(n_chars) AS saved_chars
+FROM chunks GROUP BY digest HAVING count(*) >= 2
+""")
+def cdc_dup_stats_q(spark, sf_dir):
+    """Duplicate-chunk ledger over CDC chunks
+    (:func:`beats_spark.dataops.dedup.cdc_dup_stats`): per shared
+    digest the copy count, documents touched, and chars a
+    content-addressed store saves. The only exchange carries
+    (digest, id, n_chars) — 48-byte rows whatever the page size."""
+    from .dataops.dedup import cdc_dup_stats
+    docs = _t(spark, sf_dir, "documents")
+    return cdc_dup_stats(docs, k=8, divisor=64, min_copies=2)

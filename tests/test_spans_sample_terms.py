@@ -792,3 +792,65 @@ def test_trigram_grep_exact_vs_direct_scan_and_guards(spark):
             for r in trigram_grep(up, "ABC").collect()} == {1: 1}
     with pytest.raises(ValueError):
         trigram_grep(docs, "ab")
+
+
+def test_cdc_chunks_edit_locality_and_edges(spark):
+    """The CDC property: prepending text to a document changes only
+    the chunks up to the first content-defined cut AFTER the edit —
+    every later chunk digest is identical (fixed-stride chunking
+    would re-align and change all of them). Plus edge cases: empty,
+    NULL, and shorter-than-k texts come back as one chunk (or none
+    when empty) without crashing."""
+    from beats_spark.dataops.dedup import cdc_chunks
+    import random
+    rng = random.Random(7)
+    base = "".join(rng.choice("abcdefgh ") for _ in range(600))
+    df = spark.createDataFrame(
+        [(1, base), (2, "EDITED PREFIX >> " + base)], ["doc_id", "text"])
+    out = cdc_chunks(df, k=8, divisor=64).collect()
+    d1 = [r["digest"] for r in sorted(
+        (r for r in out if r["doc_id"] == 1), key=lambda r: r["chunk_id"])]
+    d2 = [r["digest"] for r in sorted(
+        (r for r in out if r["doc_id"] == 2), key=lambda r: r["chunk_id"])]
+    assert len(d1) > 3, "test text must produce several chunks"
+    # all but the first chunk of doc 1 survive the prefix edit
+    assert set(d1[1:]) <= set(d2), \
+        "chunks after the first cut must be edit-invariant"
+    # doc 2 gained at most extra LEADING chunks; suffix sequence equal
+    assert d2[-len(d1[1:]):] == d1[1:]
+
+    edge = cdc_chunks(spark.createDataFrame(
+        [(3, ""), (4, None), (5, "short")],
+        "doc_id long, text string"), k=8, divisor=64).collect()
+    by_id = {}
+    for r in edge:
+        by_id.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_id and 4 not in by_id
+    assert len(by_id[5]) == 1 and by_id[5][0]["n_chars"] == 5
+    assert by_id[5][0]["start"] == 1
+
+
+def test_cdc_dup_stats_counts_shared_chunks(spark):
+    """Two docs sharing a long middle passage must share duplicate
+    chunk digests, and saved_chars = (copies-1) * n_chars."""
+    from beats_spark.dataops.dedup import cdc_chunks, cdc_dup_stats
+    import random
+    rng = random.Random(11)
+    mid = "".join(rng.choice("abcdefgh ") for _ in range(500))
+    df = spark.createDataFrame(
+        [(1, "headA " + mid + " tailA"),
+         (2, "a different head " + mid + " other tail"),
+         (3, "unrelated " + "".join(
+             rng.choice("pqrstuv ") for _ in range(200)))],
+        ["doc_id", "text"])
+    stats = cdc_dup_stats(df, k=8, divisor=64).collect()
+    assert stats, "shared passage must yield duplicate chunks"
+    for r in stats:
+        assert r["n_copies"] >= 2 and r["n_docs"] >= 2
+        assert r["saved_chars"] == (r["n_copies"] - 1) * r["n_chars"]
+    # the duplicate digests really are the shared-middle chunks
+    ch = cdc_chunks(df, k=8, divisor=64).collect()
+    dup = {r["digest"] for r in stats}
+    owners = {d: {r["doc_id"] for r in ch if r["digest"] == d}
+              for d in dup}
+    assert all(v == {1, 2} for v in owners.values())
