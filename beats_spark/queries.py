@@ -8048,3 +8048,50 @@ def cdc_dup_stats_q(spark, sf_dir):
     from .dataops.dedup import cdc_dup_stats
     docs = _t(spark, sf_dir, "documents")
     return cdc_dup_stats(docs, k=8, divisor=64, min_copies=2)
+
+
+@query("redirect_resolve", oracle="""
+WITH RECURSIVE e AS (
+  SELECT doc_id AS src,
+         greatest(doc_id - (1 + h % 7), 0) AS dst
+  FROM (SELECT doc_id,
+          CAST('0x' || substr(md5('r' || CAST(doc_id AS VARCHAR)),
+               1, 15) AS BIGINT) AS h
+        FROM documents)
+  WHERE doc_id >= 1 AND h % 4 <> 0),
+walk AS (
+  SELECT src, dst AS ptr, CAST(1 AS BIGINT) AS hops FROM e
+  UNION ALL
+  SELECT w.src, e.dst, w.hops + 1
+  FROM walk w JOIN e ON w.ptr = e.src
+  WHERE w.hops < 256),
+f AS (SELECT src, ptr, hops,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY hops DESC) AS rn
+      FROM walk)
+SELECT f.src, f.ptr AS final, f.hops,
+       f.ptr NOT IN (SELECT src FROM e) AS resolved
+FROM f WHERE rn = 1
+""")
+def redirect_resolve_q(spark, sf_dir):
+    """Redirect-chain resolution by pointer doubling
+    (:func:`beats_spark.dataops.graph.resolve_pointers`): every
+    source in a deterministic synthetic redirect map (75% of pages
+    301 to a lower id; chains terminate on non-redirecting pages)
+    resolves to its terminal page in log2(chain) self-joins instead
+    of one pass per hop — 8 rounds cover 256 hops. The oracle is the
+    hop-by-hop recursive CTE capped at the identical 2^rounds budget.
+    Exchanges carry (src, ptr, hops) 24-byte rows only."""
+    from .dataops.graph import resolve_pointers
+    docs = _t(spark, sf_dir, "documents")
+    u = F.col("doc_id")
+    hu = F.conv(F.substring(
+        F.md5(F.concat(F.lit("r"), u.cast("string"))), 1, 15),
+        16, 10).cast("long")
+    edges = (docs.select(u.alias("src"),
+                         F.greatest(u - (1 + F.pmod(hu, F.lit(7))),
+                                    F.lit(0).cast("long")).alias("dst"),
+                         F.pmod(hu, F.lit(4)).alias("__g"))
+             .filter((F.col("src") >= 1) & (F.col("__g") != 0))
+             .drop("__g"))
+    return resolve_pointers(edges, rounds=8)

@@ -852,3 +852,37 @@ def test_trustrank_spam_mass_hand_case(spark):
     # is the full seed share so mass is low
     assert sm[1]["trust_micro"] > sm[1]["rank_micro"]
     assert sm[1]["spam_mass_micro"] == 0
+
+
+def test_resolve_pointers_chains_cycles_and_cap(spark):
+    """Pointer doubling: exact hop counts on a known chain, cycle rows
+    come back resolved=False at the 2^rounds cap, duplicate sources
+    dedup to min(dst), and a chain longer than the cap stays
+    unresolved at exactly cap hops."""
+    from beats_spark.dataops.graph import resolve_pointers
+    # chain 5->4->3->2->1->0 (0 terminal), cycle 10<->11, dup src 20
+    edges = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1), (1, 0),
+         (10, 11), (11, 10),
+         (20, 7), (20, 9)],
+        "src long, dst long")
+    out = {r["src"]: r for r in
+           resolve_pointers(edges, rounds=4).collect()}
+    assert (out[5]["final"], out[5]["hops"], out[5]["resolved"]) \
+        == (0, 5, True)
+    assert (out[2]["final"], out[2]["hops"], out[2]["resolved"]) \
+        == (0, 2, True)
+    assert out[10]["resolved"] is False and out[10]["hops"] == 16
+    assert out[10]["final"] in (10, 11)
+    # dup src: min(dst)=7 wins; 7 is terminal
+    assert (out[20]["final"], out[20]["hops"], out[20]["resolved"]) \
+        == (7, 1, True)
+
+    # chain of 40 with rounds=5 (cap 32): unresolved at exactly 32 hops
+    chain = spark.createDataFrame(
+        [(i, i - 1) for i in range(1, 41)], "src long, dst long")
+    got = {r["src"]: r for r in
+           resolve_pointers(chain, rounds=5).collect()}
+    assert got[40]["resolved"] is False and got[40]["hops"] == 32
+    assert got[40]["final"] == 8  # 40 - 32
+    assert got[30]["resolved"] is True and got[30]["hops"] == 30
