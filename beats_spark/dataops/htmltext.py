@@ -33,8 +33,9 @@ from typing import Optional, Sequence, Tuple
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import BinaryType
 
-__all__ = ["HTML_STRIP_STEPS", "extract_links", "html_to_text",
-           "extract_text", "html_strip_sql", "link_host"]
+__all__ = ["CELL_STRIP_STEPS", "HTML_STRIP_STEPS", "extract_links",
+           "extract_tables", "html_to_text", "extract_text",
+           "cell_strip_sql", "html_strip_sql", "link_host"]
 
 # Ordered (pattern, replacement). '\n' replacements are emitted as
 # chr(10) on the SQL side. Patterns: no backreferences, no lookaround,
@@ -164,3 +165,86 @@ def extract_links(
                         link_host(href, base_host).alias("host"))
 
     return F.transform(matches, one)
+
+
+# ---------------------------------------------------------------- tables
+
+#: RE2 ∩ Java patterns (inline (?is), lazy quantifiers, no
+#: lookaround) — group 1 is the element's inner markup. Nested tables
+#: are out of scope (the lazy match closes at the FIRST </table>,
+#: deterministically in both engines); real-world data tables are
+#: overwhelmingly flat, and a DOM parser doesn't belong in a
+#: 10^12-page map stage (see module docstring).
+_TABLE_RE = r"(?is)<table\b[^>]*>(.*?)</table[ \t\n\x0B\f\r]*>"
+_TR_RE = r"(?is)<tr\b[^>]*>(.*?)</tr[ \t\n\x0B\f\r]*>"
+_CELL_RE = r"(?is)<t[dh]\b[^>]*>(.*?)</t[dh][ \t\n\x0B\f\r]*>"
+_TH_RE = r"(?is)^<th"
+
+#: per-cell cleanup: inner tags become spaces (a <br> inside a cell is
+#: a soft break, not a glue point), the entity table, whitespace
+#: collapse; the caller trims. Same cross-engine pattern discipline
+#: as HTML_STRIP_STEPS.
+CELL_STRIP_STEPS: Sequence[Tuple[str, str]] = (
+    (r"<[^>]*>", " "),
+    (r"&nbsp;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&amp;", "&"),
+    (r"[ \t\n\x0B\f\r]+", " "),
+)
+
+
+def _cell_text(c: Column) -> Column:
+    out = c
+    for pat, rep in CELL_STRIP_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(out)
+
+
+def cell_strip_sql(expr: str) -> str:
+    """The identical per-cell cleanup as a nested DuckDB expression
+    (trim included)."""
+    out = expr
+    for pat, rep in CELL_STRIP_STEPS:
+        out = f"regexp_replace({out}, {_sql_quote(pat)}, {_sql_quote(rep)}, 'g')"
+    return f"trim({out})"
+
+
+def extract_tables(html: Column) -> Column:
+    """``array<struct<table_idx, row_idx, col_idx, header, cell>>`` of
+    every ``<td>``/``<th>`` cell in the page's (non-nested) tables —
+    the structured-data half of HTML extraction: web tables feed
+    QA/tabular corpora and fact extraction, and a text-only strip
+    chain loses their grid structure.
+
+    Indices are 0-based in document order; ``header`` marks ``<th>``
+    cells; cell text is tag-stripped/entity-decoded/collapsed via
+    :data:`CELL_STRIP_STEPS`. Pure codegen — three nested
+    regexp_extract_all + index-aware transforms, flattened; zero
+    shuffle, zero Python. The caller explodes (rows multiply
+    map-side) or aggregates in place.
+    """
+    tables = F.regexp_extract_all(html, F.lit(_TABLE_RE), 1)
+
+    def per_table(tbl: Column, ti: Column) -> Column:
+        rows = F.regexp_extract_all(tbl, F.lit(_TR_RE), 1)
+
+        def per_row(row: Column, ri: Column) -> Column:
+            cells = F.regexp_extract_all(row, F.lit(_CELL_RE), 0)
+
+            def per_cell(c: Column, ci: Column) -> Column:
+                return F.struct(
+                    ti.cast("long").alias("table_idx"),
+                    ri.cast("long").alias("row_idx"),
+                    ci.cast("long").alias("col_idx"),
+                    c.rlike(_TH_RE).alias("header"),
+                    _cell_text(F.regexp_extract(c, _CELL_RE, 1))
+                    .alias("cell"))
+
+            return F.transform(cells, per_cell)
+
+        return F.flatten(F.transform(rows, per_row))
+
+    return F.flatten(F.transform(tables, per_table))

@@ -8095,3 +8095,82 @@ def redirect_resolve_q(spark, sf_dir):
              .filter((F.col("src") >= 1) & (F.col("__g") != 0))
              .drop("__g"))
     return resolve_pointers(edges, rounds=8)
+
+
+def _html_tables_oracle() -> str:
+    from .dataops.htmltext import (_TABLE_RE, _TR_RE, _CELL_RE,
+                                   cell_strip_sql)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    built = (
+        "'<html><body><h1>doc</h1><table id=meta><tr><th>Key</th>"
+        "<th>Value</th></tr><tr><td>lang</td><td>' || lang || "
+        "'</td></tr><tr><td>source</td><td><b>' || source || "
+        "'</b> &amp; co</td></tr><tr><td>n_chars</td><td>' || "
+        "CAST(n_chars AS VARCHAR) || '</td></tr></table><p>' || "
+        "array_to_string(list_slice(string_split(text, ' '), 1, 10),"
+        " ' ') || '</p>' || "
+        "CASE WHEN doc_id % 3 = 0 THEN "
+        "'<table><tr><td>id&nbsp;' || CAST(doc_id AS VARCHAR) || "
+        "'</td></tr></table>' ELSE '' END || '</body></html>'")
+    return f"""
+WITH pages AS (SELECT doc_id, {built} AS h FROM documents),
+t AS (SELECT doc_id,
+        unnest(regexp_extract_all(h, {q(_TABLE_RE)}, 1)) AS tbl,
+        generate_subscripts(
+          regexp_extract_all(h, {q(_TABLE_RE)}, 1), 1) - 1 AS ti
+      FROM pages),
+r AS (SELECT doc_id, ti,
+        unnest(regexp_extract_all(tbl, {q(_TR_RE)}, 1)) AS rw,
+        generate_subscripts(
+          regexp_extract_all(tbl, {q(_TR_RE)}, 1), 1) - 1 AS ri
+      FROM t),
+c AS (SELECT doc_id, ti, ri,
+        unnest(regexp_extract_all(rw, {q(_CELL_RE)}, 0)) AS cl,
+        generate_subscripts(
+          regexp_extract_all(rw, {q(_CELL_RE)}, 0), 1) - 1 AS ci
+      FROM r)
+SELECT doc_id, CAST(ti AS BIGINT) AS table_idx,
+       CAST(ri AS BIGINT) AS row_idx, CAST(ci AS BIGINT) AS col_idx,
+       regexp_matches(cl, '(?is)^<th') AS header,
+       {cell_strip_sql(f"regexp_extract(cl, {q(_CELL_RE)}, 1)")} AS cell
+FROM c
+"""
+
+
+@query("html_tables", oracle=_html_tables_oracle())
+def html_tables_q(spark, sf_dir):
+    """Web-table cell extraction (:func:`beats_spark.dataops.htmltext
+    .extract_tables`): pages built deterministically from table
+    columns carry a key/value metadata table (th header row, markup
+    and entities inside cells) and, on every third page, a second
+    one-cell table; every <td>/<th> lands as an indexed
+    (table_idx, row_idx, col_idx, header, cell) row — the
+    structured-data half of HTML extraction that a text strip chain
+    flattens away. Pure codegen (three nested regexp transforms,
+    flatten, one Generate); zero shuffle, zero Python."""
+    from .dataops.htmltext import extract_tables
+    docs = _t(spark, sf_dir, "documents")
+    istr = F.col("doc_id").cast("string")
+    first10 = F.array_join(
+        F.slice(F.split(F.col("text"), " "), 1, 10), " ")
+    built = F.concat(
+        F.lit("<html><body><h1>doc</h1><table id=meta><tr><th>Key"
+              "</th><th>Value</th></tr><tr><td>lang</td><td>"),
+        F.col("lang"),
+        F.lit("</td></tr><tr><td>source</td><td><b>"),
+        F.col("source"),
+        F.lit("</b> &amp; co</td></tr><tr><td>n_chars</td><td>"),
+        F.col("n_chars").cast("string"),
+        F.lit("</td></tr></table><p>"), first10, F.lit("</p>"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("<table><tr><td>id&nbsp;"), istr,
+                        F.lit("</td></tr></table>")))
+         .otherwise(F.lit("")),
+        F.lit("</body></html>"))
+    return (docs.select("doc_id",
+                        F.explode(extract_tables(built)).alias("c"))
+            .select("doc_id", "c.table_idx", "c.row_idx", "c.col_idx",
+                    "c.header", "c.cell"))

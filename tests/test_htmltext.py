@@ -105,3 +105,33 @@ def test_link_host_non_http_schemes_yield_null(spark):
     # non-http(s) schemes -> NULL (no phantom self-edges); relative ->
     # base
     assert hosts == [None, None, None, None, "base.org"]
+
+
+def test_extract_tables_known_values(spark):
+    """Hand-built page: header flags, 0-based document-order indices,
+    per-cell tag strip/entity decode/whitespace collapse; empty
+    tables and table-less/NULL pages contribute nothing; nested
+    markup inside a cell survives as its text."""
+    from pyspark.sql import functions as F
+    from beats_spark.dataops.htmltext import extract_tables
+    html = ('<html><body><p>intro</p>'
+            '<table class="x"><tr><th>Lang</th><th>N</th></tr>'
+            '<tr><td><b>en</b> &amp; more</td><td>42</td></tr>'
+            '<TR><TD colspan=2>one&nbsp;cell<br>two</TD></TR></table>'
+            'mid<table><tr><td>only</td></tr></table>'
+            '<table></table></body></html>')
+    df = spark.createDataFrame(
+        [(1, html), (2, "no tables here"), (3, None)],
+        "doc_id long, html string")
+    rows = (df.select("doc_id",
+                      F.explode(extract_tables(F.col("html"))).alias("c"))
+            .select("doc_id", "c.*").collect())
+    got = {(r["doc_id"], r["table_idx"], r["row_idx"], r["col_idx"]):
+           (r["header"], r["cell"]) for r in rows}
+    assert got[(1, 0, 0, 0)] == (True, "Lang")
+    assert got[(1, 0, 0, 1)] == (True, "N")
+    assert got[(1, 0, 1, 0)] == (False, "en & more")
+    assert got[(1, 0, 1, 1)] == (False, "42")
+    assert got[(1, 0, 2, 0)] == (False, "one cell two")
+    assert got[(1, 1, 0, 0)] == (False, "only")
+    assert len(got) == 6  # empty table + docs 2/3 add nothing
