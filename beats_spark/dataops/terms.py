@@ -28,8 +28,9 @@ from .dedup import tokens, _spread
 
 __all__ = ["bm25_topk", "collocations", "doc_frequency",
            "inverted_index", "kwic_snippets", "percolate",
-           "phrase_search", "sparse_cosine_pairs", "term_drift",
-           "tfidf_top_terms", "trigram_grep", "with_percolator"]
+           "phrase_search", "rake_keywords", "sparse_cosine_pairs",
+           "term_drift", "tfidf_top_terms", "trigram_grep",
+           "with_percolator"]
 
 
 def doc_frequency(
@@ -666,3 +667,79 @@ def sparse_cosine_pairs(
     return (dots.join(na, "id_a").join(nb, "id_b")
             .filter(cos >= threshold)
             .select("id_a", "id_b", F.round(cos, 6).alias("cosine")))
+
+
+def rake_phrases(text, stopwords=None):
+    """Column expr: RAKE candidate phrases of one document —
+    lowercase, punctuation and stopwords become phrase breaks, each
+    phrase a space-joined run of content words. Pure codegen."""
+    from .textstats import STOPWORDS
+    sw = list(STOPWORDS if stopwords is None else stopwords)
+    brk = r"(?i)\b(?:" + "|".join(sw) + r")\b"
+    s = F.lower(F.coalesce(text, F.lit("")))
+    s = F.regexp_replace(s, r"[^a-z0-9 \t\n\x0B\f\r]", "|")
+    s = F.regexp_replace(s, brk, "|")
+    parts = F.split(s, r"\|")
+    clean = F.transform(
+        parts, lambda p: F.trim(F.regexp_replace(
+            p, r"[ \t\n\x0B\f\r]+", " ")))
+    return F.filter(clean, lambda p: p != "")
+
+
+def rake_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords=None,
+    top_k: int = 5,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    Extraction from Individual Documents"): candidate phrases are the
+    maximal runs of content words between stopwords/punctuation;
+    each word scores ``degree/frequency`` within the document
+    (degree = Σ length of phrases containing it — words that keep
+    company with long phrases win); a phrase scores the sum of its
+    words. The standard zero-training keyphrase extractor for corpus
+    summarization / topic tagging at crawl scale.
+
+    Integer-exact across engines: word scores live in **micro-units**
+    (``degree * 1_000_000 // freq`` — the repo's PageRank/LM
+    discipline; float division sums in partition order and never
+    reproduces bit-for-bit). Returns the ``top_k`` phrases per
+    document by ``(score desc, phrase)`` with dense ranks — the
+    tie-break is total, so rank assignment is deterministic.
+
+    Plan: phrase split is pure codegen; then two hash exchanges on
+    ``(id, word)`` (word stats, then the word→phrase score join — a
+    per-document self-join, NOT corpus-global) and one on ``(id,
+    phrase)``; the final top-k is a single window over (id). All
+    aggregations partial; nothing wider than a phrase string crosses
+    an exchange.
+    """
+    ph = (df.select(F.col(id_col),
+                    F.posexplode(rake_phrases(F.col(text_col),
+                                              stopwords))
+                    .alias("__pid", "phrase")))
+    w = ph.select(id_col, "__pid", "phrase",
+                  F.explode(F.split(F.col("phrase"), " "))
+                  .alias("word"),
+                  F.size(F.split(F.col("phrase"), " ")).alias("__len"))
+    ws = (w.groupBy(id_col, "word")
+          .agg(F.count(F.lit(1)).alias("__freq"),
+               F.sum("__len").alias("__deg"))
+          .withColumn("__wscore",
+                      F.expr("(__deg * 1000000) div __freq")))
+    # duplicate phrase instances score identically (word stats are
+    # document-level), so the distinct-phrase score is max = any
+    scored = (w.join(ws, [id_col, "word"])
+              .groupBy(id_col, "__pid", "phrase")
+              .agg(F.sum("__wscore").alias("score_micro"))
+              .groupBy(id_col, "phrase")
+              .agg(F.max("score_micro").alias("score_micro")))
+    rn = F.row_number().over(
+        Window.partitionBy(id_col)
+        .orderBy(F.col("score_micro").desc(), F.col("phrase")))
+    return (scored.withColumn("rank", rn)
+            .filter(F.col("rank") <= int(top_k))
+            .select(id_col, "phrase", "score_micro",
+                    F.col("rank").cast("long").alias("rank")))

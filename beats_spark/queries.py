@@ -8174,3 +8174,61 @@ def html_tables_q(spark, sf_dir):
                         F.explode(extract_tables(built)).alias("c"))
             .select("doc_id", "c.table_idx", "c.row_idx", "c.col_idx",
                     "c.header", "c.cell"))
+
+
+def _rake_oracle() -> str:
+    from .dataops.textstats import STOPWORDS
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    brk = r"(?i)\b(?:" + "|".join(STOPWORDS) + r")\b"
+    ws_pat = r"[ \t\n\x0B\f\r]+"
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+    list_filter(list_transform(
+      string_split(regexp_replace(regexp_replace(
+        lower(coalesce(text, '')),
+        '[^a-z0-9 \t\n\x0B\f\r]', '|', 'g'),
+        {q(brk)}, '|', 'g'), '|'),
+      p -> trim(regexp_replace(p, {q(ws_pat)}, ' ', 'g'))),
+      p -> p <> '') AS phs
+  FROM documents),
+ph AS (SELECT doc_id, unnest(phs) AS phrase,
+              generate_subscripts(phs, 1) AS pid
+       FROM raw),
+w AS (SELECT doc_id, pid, phrase,
+             unnest(string_split(phrase, ' ')) AS word,
+             len(string_split(phrase, ' ')) AS wl
+      FROM ph),
+ws AS (SELECT doc_id, word,
+              (sum(wl) * 1000000) // count(*) AS wscore
+       FROM w GROUP BY 1, 2),
+inst AS (SELECT w.doc_id, w.pid, w.phrase,
+                sum(ws.wscore) AS score_micro
+         FROM w JOIN ws ON w.doc_id = ws.doc_id AND w.word = ws.word
+         GROUP BY 1, 2, 3),
+ds AS (SELECT doc_id, phrase, max(score_micro) AS score_micro
+       FROM inst GROUP BY 1, 2),
+rk AS (SELECT doc_id, phrase, CAST(score_micro AS BIGINT) AS score_micro,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY score_micro DESC, phrase) AS rank
+       FROM ds)
+SELECT doc_id, phrase, score_micro, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 5
+"""
+
+
+@query("rake_keywords", oracle=_rake_oracle())
+def rake_keywords_q(spark, sf_dir):
+    """RAKE keyphrase extraction (Rose et al. 2010;
+    :func:`beats_spark.dataops.terms.rake_keywords`): top-5 candidate
+    phrases per document scored by summed word degree/frequency in
+    integer micro-units — the zero-training corpus summarization /
+    topic-tagging primitive. Phrase split is pure codegen; word stats
+    and the word→phrase score join shuffle only (id, word/phrase)
+    pairs; one final top-k window per doc."""
+    from .dataops.terms import rake_keywords
+    docs = _t(spark, sf_dir, "documents")
+    return rake_keywords(docs, top_k=5)

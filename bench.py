@@ -88,7 +88,7 @@ BENCH_QUERIES = [
     "ann_pq_topk", "char_entropy", "nb_quality", "dns_tunnel", "shard_balance", "hard_negatives", "corpus_kl_drift", "winsorize_values", "oov_rate", "bpe_merges", "bpe_encode",
     "lang_url_pairs", "decode_cef", "kv_extract", "sentence_split",
     "clock_skew",
-    "cdc_chunks", "cdc_dup_stats", "redirect_resolve", "html_tables",
+    "cdc_chunks", "cdc_dup_stats", "redirect_resolve", "html_tables", "rake_keywords",
     "flagship_routed_counts", "flagship_messages",
 ]
 

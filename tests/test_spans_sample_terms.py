@@ -854,3 +854,37 @@ def test_cdc_dup_stats_counts_shared_chunks(spark):
     owners = {d: {r["doc_id"] for r in ch if r["digest"] == d}
               for d in dup}
     assert all(v == {1, 2} for v in owners.values())
+
+
+def test_rake_keywords_paper_semantics(spark):
+    """RAKE on a hand-checkable doc: phrase split at stopwords and
+    punctuation, degree/frequency word scores, summed phrase scores,
+    deterministic micro-unit integers. 'deep neural networks' must
+    outrank single words (degree rewards co-occurrence)."""
+    from beats_spark.dataops.terms import rake_keywords
+    text = ("Deep neural networks, and deep learning. "
+            "Networks of the future!")
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = {r["phrase"]: (r["score_micro"], r["rank"])
+           for r in rake_keywords(df, top_k=5).collect()}
+    # phrases: 'deep neural networks', 'deep learning', 'networks',
+    # 'future'  (split at ',', '.', 'and', 'of the', '!')
+    # freq: deep=2 networks=2 neural=1 learning=1 future=1
+    # deg:  deep=3+2=5 neural=3 networks=3+1=4 learning=2 future=1
+    # wscore (micro): deep=2.5e6 neural=3e6 networks=2e6
+    #                 learning=2e6 future=1e6
+    assert out["deep neural networks"][0] == 7_500_000
+    assert out["deep learning"][0] == 4_500_000
+    assert out["networks"][0] == 2_000_000
+    assert out["future"][0] == 1_000_000
+    assert out["deep neural networks"][1] == 1
+    # duplicate phrase collapses to ONE keyword row
+    dup = spark.createDataFrame(
+        [(2, "alpha beta. alpha beta. gamma")], ["doc_id", "text"])
+    rows = rake_keywords(dup, top_k=5).collect()
+    assert len([r for r in rows if r["phrase"] == "alpha beta"]) == 1
+    # empty / NULL / all-stopword docs yield nothing, no crash
+    edge = rake_keywords(spark.createDataFrame(
+        [(3, ""), (4, None), (5, "the and of")],
+        "doc_id long, text string"), top_k=5).collect()
+    assert edge == []
