@@ -8232,3 +8232,61 @@ def rake_keywords_q(spark, sf_dir):
     from .dataops.terms import rake_keywords
     docs = _t(spark, sf_dir, "documents")
     return rake_keywords(docs, top_k=5)
+
+
+@query("dedup_canonical", oracle=f"""
+WITH RECURSIVE pairs AS ({{SIMHASH_PAIRS}}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs),
+lp AS (
+  SELECT doc_id AS id, doc_id AS comp FROM documents
+  UNION
+  SELECT e.v AS id, lp.comp FROM lp JOIN edges e ON e.u = lp.id),
+comps AS (SELECT id AS doc_id, min(comp) AS component
+          FROM lp GROUP BY id),
+m AS (SELECT c.component, d.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.component
+               ORDER BY d.n_chars DESC, d.doc_id) AS rn
+      FROM comps c JOIN documents d USING (doc_id))
+SELECT component, max(CASE WHEN rn = 1 THEN doc_id END) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       max(CASE WHEN rn = 1 THEN n_chars END) AS kept_chars,
+       CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END)
+            AS BIGINT) AS removed_chars
+FROM m GROUP BY component
+""".replace("{SIMHASH_PAIRS}", _SIMHASH_PAIRS_SQL))
+def dedup_canonical_q(spark, sf_dir):
+    """The full near-dup canonicalization pipeline in one plan —
+    SimHash candidate pairs → connected components → one keeper per
+    cluster by the longest-copy-wins rule (ties to the smaller id),
+    with per-cluster member counts and the chars dedup removes. This
+    is the FineWeb/Dolma-style cluster-resolution step end-to-end:
+    pair-level dedup alone drops one side of each pair and leaves
+    chains inconsistent; component resolution keeps exactly one
+    representative per transitive cluster.
+
+    Scale shape: pairs are banded (never all-pairs), components
+    shuffle (id, label) pairs only, keeper selection windows
+    (component, id, n_chars) 24-byte rows — document text never
+    crosses an exchange anywhere in the plan."""
+    from .dataops.components import connected_components
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_pairs(docs, max_hamming=10, chunks=12)
+    comps = connected_components(
+        pairs, nodes=docs.select("doc_id"), id_col="doc_id",
+        comp_col="component")
+    m = comps.join(docs.select("doc_id", "n_chars"), "doc_id")
+    rn = F.row_number().over(
+        Window.partitionBy("component")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id")))
+    ranked = m.withColumn("__rn", rn)
+    return (ranked.groupBy("component")
+            .agg(F.max(F.when(F.col("__rn") == 1, F.col("doc_id")))
+                 .alias("keeper_id"),
+                 F.count(F.lit(1)).alias("n_members"),
+                 F.max(F.when(F.col("__rn") == 1, F.col("n_chars")))
+                 .alias("kept_chars"),
+                 F.sum(F.when(F.col("__rn") > 1, F.col("n_chars"))
+                       .otherwise(F.lit(0))).alias("removed_chars")))
