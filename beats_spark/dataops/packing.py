@@ -35,7 +35,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["chunk_tokens", "pack_concat", "pack_greedy"]
+__all__ = ["chunk_tokens", "pack_concat", "pack_greedy",
+           "passage_chunks"]
 
 
 def pack_concat(
@@ -159,3 +160,70 @@ def chunk_tokens(
     return out.select(id_col, "chunk_id",
                       F.size("__c").cast("long").alias("n_tokens"),
                       F.array_join("__c", " ").alias("chunk_text"))
+
+
+def passage_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_chars: int = 200,
+) -> DataFrame:
+    """Sentence-aware passage chunking — the retrieval/RAG prep step
+    that :func:`chunk_tokens` (fixed stride) can't do: passages never
+    cut a sentence in half. Sentences (via
+    :data:`~beats_spark.dataops.textstats.SENTENCE_RE`) are assigned
+    to passages by cumulative-length bucketing: sentence ``i`` joins
+    bucket ``floor(chars_before_i / target_chars)`` where
+    ``chars_before_i`` counts earlier sentences plus joining spaces.
+    Every passage except possibly the last is ≥ ``target_chars`` only
+    when a single sentence overflows it — i.e. passages end AT
+    sentence boundaries at roughly ``target_chars`` pitch, and one
+    giant sentence becomes one giant passage instead of being split
+    mid-word (the documented semantics; greedy first-fit would differ
+    only on the overflow sentence and costs a sequential fold).
+
+    Emits ``(id, passage_id, n_sents, n_chars, passage)``; passage_id
+    is 0-based dense per document. Pure JVM: segmentation, prefix
+    sums, bucket grouping, and joins all happen inside one projection
+    (O(sentences²) work per doc — tens of sentences, trivially
+    map-side); rows multiply at one Generate, zero shuffle, zero
+    Python. 100 TB of documents chunk at scan speed.
+    """
+    if target_chars < 1:
+        raise ValueError("passage_chunks: target_chars must be >= 1")
+    tc = int(target_chars)
+    from .textstats import SENTENCE_RE
+    raw = F.regexp_extract_all(F.coalesce(F.col(text_col), F.lit("")),
+                               F.lit(SENTENCE_RE), F.lit(1))
+    S = F.filter(
+        F.transform(raw, lambda x: F.trim(F.regexp_replace(
+            x, r"[ \t\r\n]+", " "))),
+        lambda x: x != "")
+    n = F.size(S)
+    lens = F.transform(S, lambda x: F.length(x) + 1)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)) \
+         .otherwise(F.expr("array()").cast("array<int>"))
+    # chars before sentence i (1-based): sum of lens[0..i-2]
+    bkt = F.transform(idx, lambda i: F.aggregate(
+        F.slice(lens, 1, (i - 1).cast("int")),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+        .cast("long") / F.lit(tc))
+    bkt = F.transform(bkt, lambda b: F.floor(b).cast("long"))
+    buckets = F.array_sort(F.array_distinct(bkt))
+
+    def per_bucket(b: Column, pid: Column) -> Column:
+        idxs = F.filter(idx, lambda i: F.element_at(bkt, i.cast("int"))
+                        == b)
+        txt = F.array_join(
+            F.transform(idxs, lambda i: F.element_at(S, i.cast("int"))),
+            " ")
+        return F.struct(pid.cast("long").alias("passage_id"),
+                        F.size(idxs).cast("long").alias("n_sents"),
+                        F.length(txt).cast("long").alias("n_chars"),
+                        txt.alias("passage"))
+
+    out = F.transform(buckets, per_bucket)
+    return (df.select(id_col, F.explode(out).alias("__p"))
+            .select(id_col, "__p.passage_id", "__p.n_sents",
+                    "__p.n_chars", "__p.passage")
+            .filter(F.col("n_sents") > 0))

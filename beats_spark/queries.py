@@ -8290,3 +8290,49 @@ def dedup_canonical_q(spark, sf_dir):
                  .alias("kept_chars"),
                  F.sum(F.when(F.col("__rn") > 1, F.col("n_chars"))
                        .otherwise(F.lit(0))).alias("removed_chars")))
+
+
+@query("passage_chunks", oracle=r"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+s0 AS (SELECT doc_id,
+         list_filter(list_transform(
+           regexp_extract_all(t, '([^.!?]+(?:[.!?]+|$))', 1),
+           x -> trim(regexp_replace(x, '[ \t\r\n]+', ' ', 'g'))),
+           x -> x <> '') AS S
+       FROM d),
+s1 AS (SELECT doc_id, S,
+              list_transform(S, x -> length(x) + 1) AS lens,
+              len(S) AS n
+       FROM s0 WHERE len(S) >= 1),
+s2 AS (SELECT doc_id, S,
+         list_transform(range(1, n + 1),
+           i -> coalesce(list_sum(lens[1:i-1]), 0) // 200) AS bkt
+       FROM s1),
+s3 AS (SELECT doc_id, S, bkt,
+              list_sort(list_distinct(bkt)) AS B FROM s2),
+x AS (SELECT doc_id, S, bkt, unnest(B) AS b,
+             generate_subscripts(B, 1) - 1 AS passage_id FROM s3),
+y AS (SELECT doc_id, CAST(passage_id AS BIGINT) AS passage_id,
+             list_filter(range(1, len(bkt) + 1), i -> bkt[i] = b)
+               AS idxs,
+             S
+      FROM x)
+SELECT doc_id, passage_id,
+       CAST(len(idxs) AS BIGINT) AS n_sents,
+       CAST(length(array_to_string(
+         list_transform(idxs, i -> S[i]), ' ')) AS BIGINT) AS n_chars,
+       array_to_string(list_transform(idxs, i -> S[i]), ' ')
+         AS passage
+FROM y
+""")
+def passage_chunks_q(spark, sf_dir):
+    """Sentence-aware passage chunking (:func:`beats_spark.dataops
+    .packing.passage_chunks`): retrieval passages that never cut a
+    sentence — sentences bucket by cumulative start offset at
+    200-char pitch, a giant sentence becomes its own passage instead
+    of splitting mid-word. Segmentation, prefix sums, grouping, and
+    joins all inside ONE projection (pure JVM, one Generate, zero
+    shuffle/Python): 100 TB chunks at scan speed."""
+    from .dataops.packing import passage_chunks
+    docs = _t(spark, sf_dir, "documents")
+    return passage_chunks(docs, target_chars=200)

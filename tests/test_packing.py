@@ -98,3 +98,38 @@ def test_chunk_tokens_known_values(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         chunk_tokens(df, window=0, stride=2)
+
+
+def test_passage_chunks_sentence_boundaries(spark):
+    """Passages never cut sentences; bucketing by cumulative start
+    offset at target pitch; a giant sentence is its own passage;
+    empty/NULL docs vanish; passage_id dense when buckets skip."""
+    from beats_spark.dataops.packing import passage_chunks
+    df = spark.createDataFrame(
+        [(1, "One short. Another sentence here! A third one? "
+             "And a fourth sentence that is longer than the rest. Tail"),
+         (2, ""), (3, None),
+         (4, "x" * 500 + ". after giant")],
+        "doc_id long, text string")
+    rows = passage_chunks(df, target_chars=60).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["doc_id"], []).append(r)
+    ids = {d: sorted(r["passage_id"] for r in v) for d, v in by.items()}
+    assert 2 not in by and 3 not in by
+    # every passage is a join of whole sentences (ends with . ! ? or
+    # the doc-final fragment), none empty
+    for r in rows:
+        assert r["n_chars"] == len(r["passage"]) > 0
+        assert r["n_sents"] >= 1
+    # giant sentence: own passage, not split; ids dense 0..k
+    d4 = sorted(by[4], key=lambda r: r["passage_id"])
+    assert d4[0]["passage"].startswith("xxxx") and d4[0]["n_sents"] == 1
+    assert d4[1]["passage"] == "after giant"
+    assert ids[4] == [0, 1] and ids[1] == list(range(len(ids[1])))
+    # reconstruction: concatenating passages in order re-yields every
+    # sentence in document order
+    d1 = sorted(by[1], key=lambda r: r["passage_id"])
+    joined = " ".join(r["passage"] for r in d1)
+    assert joined.startswith("One short. Another sentence here!")
+    assert joined.endswith("Tail")
