@@ -29,9 +29,10 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["ivm_counts", "merge_upsert", "snapshot_diff"]
+__all__ = ["change_rate", "ivm_counts", "merge_upsert",
+           "snapshot_diff"]
 
 
 def _digest(cols: Sequence[str]):
@@ -233,3 +234,54 @@ def ivm_counts(
     # guarded projection ever evaluates them
     return (j.filter(F.when(guard.isNull(), F.col("__n") > 0))
             .select(*keys, F.col("__n").alias(count_col)))
+
+
+def change_rate(
+    df: DataFrame,
+    key_col: str = "url",
+    snap_col: str = "snap_id",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Per-key content change-rate across crawl snapshots — the
+    re-crawl scheduling signal (Cho & Garcia-Molina, "Estimating
+    Frequency of Change", TOIT 2003: the observed-change fraction is
+    the first-order estimator of a page's change frequency; crawlers
+    allocate revisit budget by it). For each key ordered by snapshot:
+    a change is a digest differing from the previous snapshot's;
+    ``rate_micro = changes * 10^6 div (observations - 1)`` in the
+    repo's integer micro-units (bit-exact across engines), and keys
+    tier into ``hot`` (≥ 2/3 of intervals changed), ``warm`` (≥ 1/3),
+    ``cold`` — the priority classes a frontier feeds back into
+    :func:`~beats_spark.dataops.sample.priority_cap`-style politeness
+    scheduling. Single-observation keys have no interval: rate NULL,
+    tier ``unknown``.
+
+    Scale shape: one hash exchange on ``key`` feeds BOTH the lag
+    window and the final per-key aggregate (same partitioning —
+    Spark reuses the exchange, the digest is the widest column and
+    it's a fixed 32 chars). Snapshots tables are tall-skinny; nothing
+    here touches page bytes.
+    """
+    w = Window.partitionBy(key_col).orderBy(snap_col)
+    lagged = df.select(
+        key_col, snap_col,
+        (F.col(digest_col)
+         != F.lag(digest_col).over(w)).alias("__chg"))
+    agg = (lagged.groupBy(key_col)
+           .agg(F.count(F.lit(1)).alias("n_snaps"),
+                F.sum(F.when(F.col("__chg"), 1).otherwise(0))
+                .cast("long").alias("n_changes")))
+    rate = F.when(F.col("n_snaps") > 1,
+                  F.expr("(n_changes * 1000000) div (n_snaps - 1)"))
+    # tiers compare the EXACT fraction (3*changes vs intervals), not
+    # the floored micro rate — 1/3 floored to 333333 must still be
+    # warm, not nudged under the boundary by quantization
+    iv = F.col("n_snaps") - 1
+    return (agg.withColumn("rate_micro", rate)
+            .withColumn("tier",
+                        F.when(F.col("n_snaps") <= 1, F.lit("unknown"))
+                        .when(F.col("n_changes") * 3 >= iv * 2,
+                              F.lit("hot"))
+                        .when(F.col("n_changes") * 3 >= iv,
+                              F.lit("warm"))
+                        .otherwise(F.lit("cold"))))

@@ -8336,3 +8336,62 @@ def passage_chunks_q(spark, sf_dir):
     from .dataops.packing import passage_chunks
     docs = _t(spark, sf_dir, "documents")
     return passage_chunks(docs, target_chars=200)
+
+
+@query("change_rate", oracle="""
+WITH snaps AS (
+  SELECT doc_id AS url, s.snap_id,
+         md5(text || CASE
+           WHEN CAST('0x' || substr(md5('c' || CAST(doc_id AS VARCHAR)),
+                1, 15) AS BIGINT) % 3 = 1 THEN CAST(s.snap_id AS VARCHAR)
+           WHEN CAST('0x' || substr(md5('c' || CAST(doc_id AS VARCHAR)),
+                1, 15) AS BIGINT) % 3 = 2
+                AND s.snap_id >= 2 THEN 'v2'
+           ELSE '' END) AS digest
+  FROM documents, (SELECT unnest([0, 1, 2, 3]) AS snap_id) s),
+lagged AS (
+  SELECT url, digest <> lag(digest) OVER
+           (PARTITION BY url ORDER BY snap_id) AS chg
+  FROM snaps),
+agg AS (
+  SELECT url, CAST(count(*) AS BIGINT) AS n_snaps,
+         CAST(sum(CASE WHEN chg THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_changes
+  FROM lagged GROUP BY url),
+r AS (SELECT url, n_snaps, n_changes,
+             CASE WHEN n_snaps > 1
+                  THEN (n_changes * 1000000) // (n_snaps - 1) END
+               AS rate_micro
+      FROM agg)
+SELECT url, n_snaps, n_changes, CAST(rate_micro AS BIGINT) AS rate_micro,
+       CASE WHEN n_snaps <= 1 THEN 'unknown'
+            WHEN n_changes * 3 >= (n_snaps - 1) * 2 THEN 'hot'
+            WHEN n_changes * 3 >= (n_snaps - 1) THEN 'warm'
+            ELSE 'cold' END AS tier
+FROM r
+""")
+def change_rate_q(spark, sf_dir):
+    """Re-crawl scheduling signal (:func:`beats_spark.dataops.merge
+    .change_rate`): four deterministic synthetic snapshots per page —
+    one third never change, one third change every crawl, one third
+    change once at snapshot 2 — yield per-URL observed change
+    fractions in integer micro-units and hot/warm/cold revisit tiers
+    (Cho & Garcia-Molina 2003). One hash exchange on url feeds both
+    the lag window and the per-key aggregate."""
+    from .dataops.merge import change_rate
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit("c"), F.col("doc_id").cast("string"))),
+        1, 15), 16, 10).cast("long")
+    snaps = (docs.select(F.col("doc_id").alias("url"), "text",
+                         F.pmod(h, F.lit(3)).alias("__cls"),
+                         F.explode(F.array(*[F.lit(i) for i in range(4)]))
+                         .alias("snap_id"))
+             .withColumn("digest", F.md5(F.concat(
+                 F.col("text"),
+                 F.when(F.col("__cls") == 1,
+                        F.col("snap_id").cast("string"))
+                 .when((F.col("__cls") == 2) & (F.col("snap_id") >= 2),
+                       F.lit("v2"))
+                 .otherwise(F.lit(""))))))
+    return change_rate(snaps, key_col="url")

@@ -132,3 +132,29 @@ def test_ivm_counts_insert_delete_zero_and_negative_guard(spark):
     bad = spark.createDataFrame([("c", -2)], "k string, op int")
     with pytest.raises(Exception, match="negative"):
         ivm_counts(base, bad, ["k"]).collect()
+
+
+def test_change_rate_tiers_and_edges(spark):
+    """Known change patterns land in the right tiers; single-snapshot
+    keys are 'unknown' with NULL rate; identical digests across all
+    snaps give rate 0/'cold'."""
+    from beats_spark.dataops.merge import change_rate
+    rows = []
+    for s in range(4):
+        rows.append(("stable", s, "d0"))
+        rows.append(("always", s, f"d{s}"))
+        rows.append(("once", s, "d0" if s < 2 else "d1"))
+    rows.append(("solo", 0, "dx"))
+    df = spark.createDataFrame(rows, "url string, snap_id int, digest string")
+    got = {r["url"]: r for r in change_rate(df).collect()}
+    assert got["stable"]["n_changes"] == 0
+    assert got["stable"]["rate_micro"] == 0
+    assert got["stable"]["tier"] == "cold"
+    assert got["always"]["n_changes"] == 3
+    assert got["always"]["rate_micro"] == 1_000_000
+    assert got["always"]["tier"] == "hot"
+    assert got["once"]["n_changes"] == 1
+    assert got["once"]["rate_micro"] == 333_333
+    assert got["once"]["tier"] == "warm"  # 333333*3 = 999999 < 1e6?
+    assert got["solo"]["rate_micro"] is None
+    assert got["solo"]["tier"] == "unknown"
