@@ -27,7 +27,8 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "clock_skew", "decayed_counts", "ewma_smooth",
+__all__ = ["asof_join", "bot_cadence", "clock_skew",
+           "decayed_counts", "ewma_smooth",
            "funnel_steps", "merge_intervals",
            "percentile_rollup",
            "retention_cohorts", "rolling_quantile", "scd2_join", "seasonal_anomaly", "slo_burn",
@@ -801,3 +802,60 @@ def clock_skew(df: DataFrame, host_col: str, event_ts_col: str,
         F.round("median_offset_ms", 1).alias("median_offset_ms"),
         (F.abs(F.col("median_offset_ms")) > F.lit(threshold_ms))
         .alias("skewed"))
+
+
+def bot_cadence(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: tuple = ("event_id",),
+    min_gaps: int = 10,
+    max_cadence_micro: int = 100_000,
+) -> DataFrame:
+    """Inter-arrival-regularity bot detection: humans produce bursty,
+    heavy-tailed gaps between actions; schedulers and scrapers tick.
+    Per key, over gaps between consecutive events (ordered by
+    ``(ts, *order_cols)`` — the total order the repo's window
+    spellings always use), the **nearest-rank** p10/median/p90 of the
+    gap distribution and ``cadence_micro = (p90 − p10) · 10^6 div
+    median`` — a scale-free spread measure that is PURE integer
+    arithmetic end-to-end (sort + rank-index + div), so it is
+    bit-exact across engines where variance/stddev (float sums in
+    partition order) never is. ``is_bot`` flags keys with at least
+    ``min_gaps`` observed gaps whose relative spread is at most
+    ``max_cadence_micro`` (default: p90−p10 within 10% of the median
+    — a metronome).
+
+    Scale shape: one hash exchange on key feeds the lag window and
+    the per-key aggregate (same partitioning). The gap list is
+    collected per key for the rank lookup — sized by events-per-key,
+    the same bounded-key assumption every per-user window here makes;
+    for unbounded keys use :func:`percentile_rollup`'s streaming
+    spelling instead (documented trade, not a hidden one).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col), *[F.col(c) for c in order_cols])
+    us = _epoch_us(df, ts_col)
+    gap = ((us - F.lag(us).over(w)) / 1000).cast("long")
+    g = (df.select(F.col(key_col), gap.alias("__gap_ms"))
+         .filter(F.col("__gap_ms").isNotNull()))
+    agg = (g.groupBy(key_col)
+           .agg(F.count(F.lit(1)).alias("n_gaps"),
+                F.sort_array(F.collect_list("__gap_ms")).alias("__a")))
+    n = F.col("n_gaps")
+    p10 = F.element_at("__a", F.expr("CAST((n_gaps + 9) div 10 AS INT)"))
+    med = F.element_at("__a", F.expr("CAST((n_gaps + 1) div 2 AS INT)"))
+    p90 = F.element_at("__a",
+                       F.expr("CAST((9 * n_gaps + 9) div 10 AS INT)"))
+    out = (agg.select(key_col, "n_gaps",
+                      med.alias("median_gap_ms"),
+                      (p90 - p10).alias("spread_ms"))
+           .withColumn("cadence_micro",
+                       F.when(F.col("median_gap_ms") > 0,
+                              F.expr("(spread_ms * 1000000) div "
+                                     "median_gap_ms"))))
+    return out.withColumn(
+        "is_bot",
+        (n >= int(min_gaps))
+        & F.coalesce(F.col("cadence_micro") <= int(max_cadence_micro),
+                     F.col("spread_ms") == 0))

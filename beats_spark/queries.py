@@ -8395,3 +8395,63 @@ def change_rate_q(spark, sf_dir):
                        F.lit("v2"))
                  .otherwise(F.lit(""))))))
     return change_rate(snaps, key_col="url")
+
+
+@query("bot_cadence", oracle="""
+WITH base AS (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS seq
+  FROM events),
+m AS (
+  SELECT user_id, event_id,
+         CASE WHEN user_id % 10 = 0
+              THEN TIMESTAMP '2024-01-01' + to_seconds(seq * 30)
+              ELSE ts END AS ts
+  FROM base),
+g0 AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id)) // 1000
+           AS gap
+  FROM m),
+g AS (SELECT user_id, gap FROM g0 WHERE gap IS NOT NULL),
+a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             list_sort(list(gap)) AS arr
+      FROM g GROUP BY user_id),
+p AS (SELECT user_id, n_gaps,
+             arr[CAST((n_gaps + 1) // 2 AS BIGINT)] AS med,
+             arr[CAST((9 * n_gaps + 9) // 10 AS BIGINT)]
+               - arr[CAST((n_gaps + 9) // 10 AS BIGINT)] AS spr
+      FROM a)
+SELECT user_id, n_gaps,
+       CAST(med AS BIGINT) AS median_gap_ms,
+       CAST(spr AS BIGINT) AS spread_ms,
+       CAST(CASE WHEN med > 0 THEN (spr * 1000000) // med END
+            AS BIGINT) AS cadence_micro,
+       (n_gaps >= 10 AND coalesce(
+          CASE WHEN med > 0 THEN (spr * 1000000) // med END <= 100000,
+          spr = 0)) AS is_bot
+FROM p
+""")
+def bot_cadence_q(spark, sf_dir):
+    """Inter-arrival-regularity bot detection
+    (:func:`beats_spark.dataops.events.bot_cadence`): every tenth
+    user's timestamps are rewritten in-plan to a perfect 30-second
+    metronome; the nearest-rank (p90−p10)/median gap spread — pure
+    integer arithmetic, bit-exact across engines — flags them while
+    organic users' bursty gaps stay above the 10% threshold. One
+    hash exchange on user feeds the lag window and the aggregate."""
+    from .dataops.events import bot_cadence
+    ev = _t(spark, sf_dir, "events")
+    seq = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id"))
+    m = (ev.select("user_id", "event_id",
+                   F.col("ts").cast("timestamp").alias("ts"),
+                   seq.alias("__seq"))
+         .withColumn("ts", F.when(
+             F.col("user_id") % 10 == 0,
+             F.expr("timestampadd(SECOND, __seq * 30, "
+                    "TIMESTAMP '2024-01-01')"))
+             .otherwise(F.col("ts"))))
+    return bot_cadence(m, key_col="user_id", ts_col="ts")

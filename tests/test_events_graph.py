@@ -886,3 +886,30 @@ def test_resolve_pointers_chains_cycles_and_cap(spark):
     assert got[40]["resolved"] is False and got[40]["hops"] == 32
     assert got[40]["final"] == 8  # 40 - 32
     assert got[30]["resolved"] is True and got[30]["hops"] == 30
+
+
+def test_bot_cadence_metronome_vs_bursty(spark):
+    """A perfectly regular key flags as bot (spread 0); a bursty key
+    does not; below min_gaps never flags; zero-median with nonzero
+    spread doesn't crash or flag."""
+    import datetime as dt
+    from beats_spark.dataops.events import bot_cadence
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(12):  # bot: exact 30s ticks
+        rows.append((1, i, t0 + dt.timedelta(seconds=30 * i)))
+    bursty = [0, 5, 6, 100, 101, 130, 400, 401, 402, 900, 1800, 1805]
+    for i, s in enumerate(bursty):  # human: heavy-tailed gaps
+        rows.append((2, i, t0 + dt.timedelta(seconds=s)))
+    for i in range(5):  # too few events
+        rows.append((3, i, t0 + dt.timedelta(seconds=30 * i)))
+    # all events same instant: median gap 0
+    for i in range(12):
+        rows.append((4, i, t0))
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    got = {r["user_id"]: r for r in bot_cadence(df).collect()}
+    assert got[1]["is_bot"] and got[1]["spread_ms"] == 0
+    assert got[1]["median_gap_ms"] == 30_000
+    assert not got[2]["is_bot"] and got[2]["cadence_micro"] > 100_000
+    assert not got[3]["is_bot"] and got[3]["n_gaps"] == 4
+    assert got[4]["is_bot"] and got[4]["median_gap_ms"] == 0
