@@ -8455,3 +8455,104 @@ def bot_cadence_q(spark, sf_dir):
                     "TIMESTAMP '2024-01-01')"))
              .otherwise(F.col("ts"))))
     return bot_cadence(m, key_col="user_id", ts_col="ts")
+
+
+def _meta_tags_oracle() -> str:
+    from .dataops.htmltext import (_TITLE_RE, _CANON_RE, _CANON_RE2,
+                                   _meta_content, cell_strip_sql)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    def first_sql(*pats: str) -> str:
+        expr = "''"
+        for p in reversed(pats):
+            expr = (f"CASE WHEN regexp_extract(h, {q(p)}, 1) <> '' "
+                    f"THEN regexp_extract(h, {q(p)}, 1) ELSE {expr} END")
+        return expr
+
+    d1, d2 = _meta_content("description")
+    o1, o2 = _meta_content("og:title")
+    r1, r2 = _meta_content("robots")
+    robots = f"lower({first_sql(r1, r2)})"
+    built = (
+        "'<html><head><title> Doc &amp; ' || CAST(doc_id AS VARCHAR) ||"
+        " ' of ' || source || ' </title>' || "
+        "CASE WHEN doc_id % 2 = 0 THEN "
+        "'<meta name=\"description\" content=\"A ' || lang || "
+        "' page\">' ELSE "
+        "'<meta content=\"Alt ' || lang || ' desc\" "
+        "name=\"description\">' END || "
+        "CASE WHEN doc_id % 2 = 0 THEN "
+        "'<link rel=\"canonical\" href=\"https://ex.com/' || "
+        "CAST(doc_id AS VARCHAR) || '\">' ELSE "
+        "'<link href=\"https://ex.com/alt/' || "
+        "CAST(doc_id AS VARCHAR) || '\" rel=\"canonical\">' END || "
+        "CASE WHEN doc_id % 4 = 0 THEN "
+        "'<meta property=\"og:title\" content=\"OG ' || "
+        "CAST(doc_id AS VARCHAR) || '\">' ELSE '' END || "
+        "CASE CAST(doc_id % 5 AS INT) "
+        "WHEN 0 THEN '<meta name=\"robots\" content=\"index,follow\">' "
+        "WHEN 1 THEN '<meta name=\"robots\" content=\"noindex\">' "
+        "WHEN 2 THEN '<meta name=\"robots\" "
+        "content=\"NOINDEX, nofollow\">' "
+        "WHEN 3 THEN '<meta content=\"none\" name=\"robots\">' "
+        "ELSE '' END || '</head><body>x</body></html>'")
+    return f"""
+WITH pages AS (SELECT doc_id, {built} AS h FROM documents)
+SELECT doc_id,
+  {cell_strip_sql(f"regexp_extract(h, {q(_TITLE_RE)}, 1)")} AS title,
+  {cell_strip_sql(first_sql(d1, d2))} AS description,
+  {first_sql(_CANON_RE, _CANON_RE2)} AS canonical,
+  {cell_strip_sql(first_sql(o1, o2))} AS og_title,
+  (regexp_matches({robots}, '\\bnoindex\\b')
+   OR regexp_matches({robots}, '\\bnone\\b')) AS noindex,
+  (regexp_matches({robots}, '\\bnofollow\\b')
+   OR regexp_matches({robots}, '\\bnone\\b')) AS nofollow
+FROM pages
+"""
+
+
+@query("meta_tags", oracle=_meta_tags_oracle())
+def meta_tags_q(spark, sf_dir):
+    """<head> metadata extraction (:func:`beats_spark.dataops
+    .htmltext.extract_meta`): title / description / rel=canonical /
+    og:title plus the per-page indexing gate (robots meta noindex /
+    nofollow / none) that robots.txt can't express — pages built
+    deterministically with both attribute orders, entities in the
+    title, and a 5-way robots cycle. Pure codegen projection, zero
+    shuffle/Python."""
+    from .dataops.htmltext import extract_meta
+    docs = _t(spark, sf_dir, "documents")
+    istr = F.col("doc_id").cast("string")
+    built = F.concat(
+        F.lit("<html><head><title> Doc &amp; "), istr,
+        F.lit(" of "), F.col("source"), F.lit(" </title>"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit('<meta name="description" content="A '),
+                        F.col("lang"), F.lit(' page">')))
+         .otherwise(F.concat(F.lit('<meta content="Alt '), F.col("lang"),
+                             F.lit(' desc" name="description">'))),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit('<link rel="canonical" '
+                              'href="https://ex.com/'), istr,
+                        F.lit('">')))
+         .otherwise(F.concat(F.lit('<link href="https://ex.com/alt/'),
+                             istr, F.lit('" rel="canonical">'))),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit('<meta property="og:title" content="OG '),
+                        istr, F.lit('">'))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit('<meta name="robots" content="index,follow">'))
+         .when(F.col("doc_id") % 5 == 1,
+               F.lit('<meta name="robots" content="noindex">'))
+         .when(F.col("doc_id") % 5 == 2,
+               F.lit('<meta name="robots" content="NOINDEX, nofollow">'))
+         .when(F.col("doc_id") % 5 == 3,
+               F.lit('<meta content="none" name="robots">'))
+         .otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"))
+    pages = docs.select("doc_id", built.alias("html"))
+    return extract_meta(pages).select(
+        "doc_id", "title", "description", "canonical", "og_title",
+        "noindex", "nofollow")

@@ -89,7 +89,7 @@ BENCH_QUERIES = [
     "lang_url_pairs", "decode_cef", "kv_extract", "sentence_split",
     "clock_skew",
     "cdc_chunks", "cdc_dup_stats", "redirect_resolve", "html_tables", "rake_keywords",
-    "dedup_canonical", "passage_chunks", "change_rate", "bot_cadence",
+    "dedup_canonical", "passage_chunks", "change_rate", "bot_cadence", "meta_tags",
     "flagship_routed_counts", "flagship_messages",
 ]
 

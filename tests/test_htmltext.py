@@ -135,3 +135,34 @@ def test_extract_tables_known_values(spark):
     assert got[(1, 0, 2, 0)] == (False, "one cell two")
     assert got[(1, 1, 0, 0)] == (False, "only")
     assert len(got) == 6  # empty table + docs 2/3 add nothing
+
+
+def test_extract_meta_known_values(spark):
+    """Both attribute orders, entity/whitespace cleanup in title,
+    first-tag-wins, robots directives incl. 'none', and the
+    no-metadata page yielding empty strings + false gates."""
+    from beats_spark.dataops.htmltext import extract_meta
+    pages = [
+        (1, '<html><head><title> A &amp; B </title>'
+            '<meta name="description" content="first">'
+            '<meta name="description" content="second">'
+            '<link href="https://e.x/c" rel="canonical">'
+            '<meta content="NOINDEX, nofollow" name="robots">'
+            '</head><body>x</body></html>'),
+        (2, '<head><meta property="og:title" content="og here">'
+            '<meta name="robots" content="none"></head>'),
+        (3, '<head><meta name="robots" content="index,follow">'
+            '</head>'),
+        (4, "<p>no head</p>"),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    got = {r["doc_id"]: r for r in extract_meta(df).collect()}
+    assert got[1]["title"] == "A & B"
+    assert got[1]["description"] == "first"
+    assert got[1]["canonical"] == "https://e.x/c"
+    assert got[1]["noindex"] and got[1]["nofollow"]
+    assert got[2]["og_title"] == "og here"
+    assert got[2]["noindex"] and got[2]["nofollow"]  # none == both
+    assert not got[3]["noindex"] and not got[3]["nofollow"]
+    assert got[4]["title"] == "" and got[4]["canonical"] == ""
+    assert not got[4]["noindex"]
