@@ -195,35 +195,46 @@ def passage_chunks(
     from .textstats import SENTENCE_RE
     raw = F.regexp_extract_all(F.coalesce(F.col(text_col), F.lit("")),
                                F.lit(SENTENCE_RE), F.lit(1))
-    S = F.filter(
-        F.transform(raw, lambda x: F.trim(F.regexp_replace(
-            x, r"[ \t\r\n]+", " "))),
-        lambda x: x != "")
+    # STAGED projections (the cdc_chunks lesson): Spark inlines
+    # higher-order-function arguments, so referencing the sentence /
+    # bucket arrays from element_at inside later lambdas would
+    # re-evaluate them once per reference — materialize each per row.
+    s1 = df.select(
+        F.col(id_col),
+        F.filter(F.transform(raw, lambda x: F.trim(F.regexp_replace(
+            x, r"[ \t\r\n]+", " "))), lambda x: x != "").alias("__S"))
+    S = F.col("__S")
     n = F.size(S)
     lens = F.transform(S, lambda x: F.length(x) + 1)
-    idx = F.when(n >= 1, F.sequence(F.lit(1), n)) \
-         .otherwise(F.expr("array()").cast("array<int>"))
+    s2 = s1.select(id_col, "__S", lens.alias("__lens"),
+                   F.when(n >= 1, F.sequence(F.lit(1), n))
+                   .otherwise(F.expr("array()").cast("array<int>"))
+                   .alias("__idx"))
     # chars before sentence i (1-based): sum of lens[0..i-2]
-    bkt = F.transform(idx, lambda i: F.aggregate(
-        F.slice(lens, 1, (i - 1).cast("int")),
+    bkt = F.transform(F.col("__idx"), lambda i: F.floor(F.aggregate(
+        F.slice(F.col("__lens"), 1, (i - 1).cast("int")),
         F.lit(0).cast("long"), lambda a, x: a + x)
-        .cast("long") / F.lit(tc))
-    bkt = F.transform(bkt, lambda b: F.floor(b).cast("long"))
-    buckets = F.array_sort(F.array_distinct(bkt))
+        .cast("long") / F.lit(tc)).cast("long"))
+    s3 = s2.select(id_col, "__S", "__idx", bkt.alias("__bkt"))
+    buckets = F.array_sort(F.array_distinct(F.col("__bkt")))
+    s4 = s3.select(id_col, "__S", "__idx", "__bkt",
+                   buckets.alias("__buckets"))
 
     def per_bucket(b: Column, pid: Column) -> Column:
-        idxs = F.filter(idx, lambda i: F.element_at(bkt, i.cast("int"))
-                        == b)
+        idxs = F.filter(F.col("__idx"),
+                        lambda i: F.element_at(F.col("__bkt"),
+                                               i.cast("int")) == b)
         txt = F.array_join(
-            F.transform(idxs, lambda i: F.element_at(S, i.cast("int"))),
+            F.transform(idxs, lambda i: F.element_at(F.col("__S"),
+                                                     i.cast("int"))),
             " ")
         return F.struct(pid.cast("long").alias("passage_id"),
                         F.size(idxs).cast("long").alias("n_sents"),
                         F.length(txt).cast("long").alias("n_chars"),
                         txt.alias("passage"))
 
-    out = F.transform(buckets, per_bucket)
-    return (df.select(id_col, F.explode(out).alias("__p"))
+    out = F.transform(F.col("__buckets"), per_bucket)
+    return (s4.select(id_col, F.explode(out).alias("__p"))
             .select(id_col, "__p.passage_id", "__p.n_sents",
                     "__p.n_chars", "__p.passage")
             .filter(F.col("n_sents") > 0))

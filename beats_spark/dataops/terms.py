@@ -716,10 +716,10 @@ def rake_keywords(
     aggregations partial; nothing wider than a phrase string crosses
     an exchange.
     """
-    ph = (df.select(F.col(id_col),
-                    F.posexplode(rake_phrases(F.col(text_col),
-                                              stopwords))
-                    .alias("__pid", "phrase")))
+    ph = (_spread(df).select(F.col(id_col),
+                             F.posexplode(rake_phrases(F.col(text_col),
+                                                       stopwords))
+                             .alias("__pid", "phrase")))
     w = ph.select(id_col, "__pid", "phrase",
                   F.explode(F.split(F.col("phrase"), " "))
                   .alias("word"),
