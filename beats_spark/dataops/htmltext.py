@@ -33,7 +33,8 @@ from typing import Optional, Sequence, Tuple
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import BinaryType
 
-__all__ = ["CELL_STRIP_STEPS", "HTML_STRIP_STEPS", "extract_links",
+__all__ = ["CELL_STRIP_STEPS", "HTML_STRIP_STEPS",
+           "extract_hreflang", "extract_links",
            "extract_meta", "extract_tables", "html_to_text", "extract_text",
            "cell_strip_sql", "html_strip_sql", "link_host"]
 
@@ -315,3 +316,33 @@ def extract_meta(df: DataFrame, html_col: str = "html",
                         | robots.rlike(r"\bnone\b"))
             .withColumn("nofollow", robots.rlike(r"\bnofollow\b")
                         | robots.rlike(r"\bnone\b")))
+
+
+#: any <link ...> tag; alternates are filtered and their attributes
+#: re-extracted individually, so rel / hreflang / href may appear in
+#: ANY order — six permutations would otherwise need six patterns
+#: (no lookaround in the RE2 ∩ Java subset).
+_LINKTAG_RE = r"(?is)<link\s[^>]*>"
+
+
+def extract_hreflang(html: Column) -> Column:
+    """``array<struct<hreflang, href>>`` of the page's
+    ``rel="alternate" hreflang`` link tags — the publisher-declared
+    translation graph. This is THE high-precision bitext-mining
+    signal: pages that declare each other as language alternates are
+    parallel by construction (the URL-pattern miner
+    ``lang_url_pairs`` recovers the same pairs only heuristically).
+    Attribute order is free: the tag is matched whole, then each
+    attribute is extracted from the match. Entries missing either
+    attribute are dropped; ``x-default`` entries are kept (callers
+    filter). Pure codegen, zero shuffle / Python."""
+    tags = F.regexp_extract_all(html, F.lit(_LINKTAG_RE), 0)
+    alts = F.filter(
+        tags, lambda t: t.rlike(r'(?is)rel\s*=\s*"alternate"'))
+    out = F.transform(alts, lambda t: F.struct(
+        F.lower(F.regexp_extract(t, r'(?is)hreflang\s*=\s*"([^"]*)"', 1))
+        .alias("hreflang"),
+        F.regexp_extract(t, r'(?is)href\s*=\s*"([^"]*)"', 1)
+        .alias("href")))
+    return F.filter(out, lambda s: (s["hreflang"] != "")
+                    & (s["href"] != ""))

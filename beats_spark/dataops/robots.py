@@ -37,7 +37,8 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["compile_robots_pattern", "parse_robots_txt", "parse_robots",
+__all__ = ["compile_robots_pattern", "parse_feed",
+           "parse_robots_txt", "parse_robots",
            "parse_sitemap", "parse_sitemap_index", "robots_filter",
            "url_path"]
 
@@ -228,3 +229,64 @@ def parse_sitemap_index(xml: Column) -> Column:
             _tag(e, "loc").alias("loc"),
             _tag(e, "lastmod").alias("lastmod"))),
         lambda s: s["loc"].isNotNull())
+
+
+# ---------------------------------------------------------------------
+# feeds (RSS 2.0 <item> / Atom <entry>) — the third crawl-discovery
+# channel next to sitemaps and outlinks: feeds advertise NEW content
+# with timestamps, so crawl schedulers poll them at high frequency
+# ---------------------------------------------------------------------
+
+_RSS_ITEM_RE = r"(?is)<item[\s>](.*?)</item\s*>"
+_ATOM_ENTRY_RE = r"(?is)<entry[\s>](.*?)</entry\s*>"
+_ATOM_LINK_RE = r'(?is)<link\s[^>]*href\s*=\s*"([^"]*)"'
+_CDATA_RE = r"(?is)^<!\[CDATA\[(.*)\]\]>$"
+
+
+def _feed_tag(entry: Column, name: str) -> Column:
+    """Tag text with optional CDATA unwrap, trimmed; NULL when absent
+    or empty."""
+    got = F.trim(F.regexp_extract(
+        entry, rf"(?is)<{name}\s*>(.*?)</{name}\s*>", 1))
+    got = F.trim(F.regexp_replace(got, _CDATA_RE, "$1"))
+    return F.when(got != "", got)
+
+
+def parse_feed(xml: Column) -> Column:
+    """RSS 2.0 and Atom feed entries →
+    ``array<struct<title, link, entry_id, published, kind>>``.
+
+    RSS ``<item>``: title / ``<link>text</link>`` / guid / pubDate.
+    Atom ``<entry>``: title / ``<link href="...">`` / id / updated.
+    Both forms are parsed unconditionally and concatenated — a blob
+    that is one kind simply contributes zero entries of the other —
+    so mixed-feed corpora need no per-row dispatch. CDATA-wrapped
+    titles unwrap; entries without a link are dropped (nothing to
+    crawl). Same scale recipe as :func:`parse_sitemap`: one codegen
+    regexp pass per form, per-entry tag extraction in a transform,
+    zero shuffle / zero Python, RE2 ∩ Java patterns so a SQL oracle
+    replays extraction exactly.
+    """
+    rss = F.regexp_extract_all(xml, F.lit(_RSS_ITEM_RE), 1)
+    atom = F.regexp_extract_all(xml, F.lit(_ATOM_ENTRY_RE), 1)
+
+    def rss_one(e: Column) -> Column:
+        return F.struct(
+            _feed_tag(e, "title").alias("title"),
+            _feed_tag(e, "link").alias("link"),
+            _feed_tag(e, "guid").alias("entry_id"),
+            _feed_tag(e, "pubDate").alias("published"),
+            F.lit("rss").alias("kind"))
+
+    def atom_one(e: Column) -> Column:
+        href = F.regexp_extract(e, _ATOM_LINK_RE, 1)
+        return F.struct(
+            _feed_tag(e, "title").alias("title"),
+            F.when(href != "", href).alias("link"),
+            _feed_tag(e, "id").alias("entry_id"),
+            _feed_tag(e, "updated").alias("published"),
+            F.lit("atom").alias("kind"))
+
+    both = F.concat(F.transform(rss, rss_one),
+                    F.transform(atom, atom_one))
+    return F.filter(both, lambda s: s["link"].isNotNull())

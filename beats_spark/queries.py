@@ -8556,3 +8556,169 @@ def meta_tags_q(spark, sf_dir):
     return extract_meta(pages).select(
         "doc_id", "title", "description", "canonical", "og_title",
         "noindex", "nofollow")
+
+
+@query("feed_items", oracle=r"""
+WITH pages AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN
+      '<rss><channel><title>ch</title>' ||
+      '<item><title><![CDATA[Post ' || CAST(doc_id AS VARCHAR) ||
+      ' & co]]></title><link>https://f.ex/p/' ||
+      CAST(doc_id AS VARCHAR) ||
+      '</link><guid>g-' || CAST(doc_id AS VARCHAR) ||
+      '</guid><pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item>' ||
+      '<item><title>Untracked ' || lang ||
+      '</title><link>https://f.ex/q/' || CAST(doc_id AS VARCHAR) ||
+      '</link></item>' ||
+      '<item><title>no link, dropped</title></item>' ||
+      '</channel></rss>'
+    ELSE
+      '<feed xmlns="http://www.w3.org/2005/Atom"><title>ch</title>' ||
+      '<entry><title>Entry ' || CAST(doc_id AS VARCHAR) ||
+      '</title><link rel="alternate" href="https://f.ex/a/' ||
+      CAST(doc_id AS VARCHAR) || '"/><id>tag:' ||
+      CAST(doc_id AS VARCHAR) ||
+      '</id><updated>2024-01-02T03:04:05Z</updated></entry>' ||
+      '<entry><title>Second</title><link href="https://f.ex/b/' ||
+      CAST(doc_id AS VARCHAR) || '"/></entry>' ||
+      '</feed>'
+    END AS xml
+  FROM documents),
+r AS (SELECT doc_id,
+        unnest(regexp_extract_all(xml,
+          '(?is)<item[\s>](.*?)</item\s*>', 1)) AS e,
+        'rss' AS kind
+      FROM pages
+      UNION ALL
+      SELECT doc_id,
+        unnest(regexp_extract_all(xml,
+          '(?is)<entry[\s>](.*?)</entry\s*>', 1)) AS e,
+        'atom' AS kind
+      FROM pages),
+t AS (SELECT doc_id, kind,
+        nullif(trim(regexp_replace(trim(regexp_extract(e,
+          '(?is)<title\s*>(.*?)</title\s*>', 1)),
+          '(?is)^<!\[CDATA\[(.*)\]\]>$', '\1')), '') AS title,
+        CASE WHEN kind = 'rss'
+             THEN nullif(trim(regexp_extract(e,
+                  '(?is)<link\s*>(.*?)</link\s*>', 1)), '')
+             ELSE nullif(regexp_extract(e,
+                  '(?is)<link\s[^>]*href\s*=\s*"([^"]*)"', 1), '')
+        END AS link,
+        CASE WHEN kind = 'rss'
+             THEN nullif(trim(regexp_extract(e,
+                  '(?is)<guid\s*>(.*?)</guid\s*>', 1)), '')
+             ELSE nullif(trim(regexp_extract(e,
+                  '(?is)<id\s*>(.*?)</id\s*>', 1)), '')
+        END AS entry_id,
+        CASE WHEN kind = 'rss'
+             THEN nullif(trim(regexp_extract(e,
+                  '(?is)<pubDate\s*>(.*?)</pubDate\s*>', 1)), '')
+             ELSE nullif(trim(regexp_extract(e,
+                  '(?is)<updated\s*>(.*?)</updated\s*>', 1)), '')
+        END AS published
+      FROM r)
+SELECT doc_id, title, link, entry_id, published, kind
+FROM t WHERE link IS NOT NULL
+""")
+def feed_items_q(spark, sf_dir):
+    """Feed parsing (:func:`beats_spark.dataops.robots.parse_feed`):
+    even pages carry an RSS 2.0 channel (CDATA title, a guid-less
+    item, a link-less item that must drop), odd pages an Atom feed
+    (href links, ids, updated stamps) — both forms parse in one
+    unconditional pass per blob and concatenate, so mixed-feed
+    corpora need no dispatch. Pure codegen, zero shuffle/Python."""
+    from .dataops.robots import parse_feed
+    docs = _t(spark, sf_dir, "documents")
+    istr = F.col("doc_id").cast("string")
+    rss = F.concat(
+        F.lit("<rss><channel><title>ch</title>"
+              "<item><title><![CDATA[Post "), istr,
+        F.lit(" & co]]></title><link>https://f.ex/p/"), istr,
+        F.lit("</link><guid>g-"), istr,
+        F.lit("</guid><pubDate>Mon, 01 Jan 2024 00:00:00 GMT"
+              "</pubDate></item><item><title>Untracked "),
+        F.col("lang"),
+        F.lit("</title><link>https://f.ex/q/"), istr,
+        F.lit("</link></item>"
+              "<item><title>no link, dropped</title></item>"
+              "</channel></rss>"))
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'
+              "<title>ch</title><entry><title>Entry "), istr,
+        F.lit('</title><link rel="alternate" href="https://f.ex/a/'),
+        istr, F.lit('"/><id>tag:'), istr,
+        F.lit("</id><updated>2024-01-02T03:04:05Z</updated></entry>"
+              '<entry><title>Second</title><link href="https://f.ex/b/'),
+        istr, F.lit('"/></entry></feed>'))
+    pages = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, rss).otherwise(atom)
+        .alias("xml"))
+    return (pages.select("doc_id",
+                         F.explode(parse_feed(F.col("xml"))).alias("e"))
+            .select("doc_id", "e.title", "e.link", "e.entry_id",
+                    "e.published", "e.kind"))
+
+
+@query("hreflang_links", oracle=r"""
+WITH pages AS (
+  SELECT doc_id,
+    '<html><head>' ||
+    '<link rel="alternate" hreflang="' || lang ||
+    '" href="https://ex.com/' || lang || '/' ||
+    CAST(doc_id AS VARCHAR) || '">' ||
+    '<link hreflang="DE" href="https://ex.com/de/' ||
+    CAST(doc_id AS VARCHAR) || '" rel="alternate">' ||
+    CASE WHEN doc_id % 2 = 0 THEN
+      '<link rel="alternate" href="https://ex.com/x/' ||
+      CAST(doc_id AS VARCHAR) || '" hreflang="x-default">'
+    ELSE '' END ||
+    '<link rel="alternate" hreflang="fr">' ||
+    '<link rel="stylesheet" href="/s.css">' ||
+    '</head></html>' AS html
+  FROM documents),
+t AS (SELECT doc_id,
+        unnest(regexp_extract_all(html, '(?is)<link\s[^>]*>', 0)) AS tag
+      FROM pages),
+a AS (SELECT doc_id,
+        lower(regexp_extract(tag,
+          '(?is)hreflang\s*=\s*"([^"]*)"', 1)) AS hreflang,
+        regexp_extract(tag, '(?is)href\s*=\s*"([^"]*)"', 1) AS href
+      FROM t
+      WHERE regexp_matches(tag, '(?is)rel\s*=\s*"alternate"'))
+SELECT doc_id, hreflang, href
+FROM a WHERE hreflang <> '' AND href <> ''
+""")
+def hreflang_links_q(spark, sf_dir):
+    """Publisher-declared translation graph (:func:`beats_spark
+    .dataops.htmltext.extract_hreflang`): rel=alternate hreflang
+    links with free attribute order (tag matched whole, attributes
+    re-extracted), x-default kept, stylesheet links and
+    attribute-incomplete alternates dropped, language codes
+    lowercased — the high-precision bitext-pair signal next to the
+    heuristic lang_url_pairs miner. Pure codegen, zero
+    shuffle/Python."""
+    from .dataops.htmltext import extract_hreflang
+    docs = _t(spark, sf_dir, "documents")
+    istr = F.col("doc_id").cast("string")
+    built = F.concat(
+        F.lit('<html><head><link rel="alternate" hreflang="'),
+        F.col("lang"), F.lit('" href="https://ex.com/'),
+        F.col("lang"), F.lit("/"), istr, F.lit('">'),
+        F.lit('<link hreflang="DE" href="https://ex.com/de/'),
+        istr, F.lit('" rel="alternate">'),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit('<link rel="alternate" '
+                              'href="https://ex.com/x/'), istr,
+                        F.lit('" hreflang="x-default">')))
+         .otherwise(F.lit("")),
+        F.lit('<link rel="alternate" hreflang="fr">'
+              '<link rel="stylesheet" href="/s.css">'
+              "</head></html>"))
+    pages = docs.select("doc_id", built.alias("html"))
+    return (pages.select(
+        "doc_id",
+        F.explode(extract_hreflang(F.col("html"))).alias("a"))
+        .select("doc_id", "a.hreflang", "a.href"))

@@ -89,7 +89,8 @@ BENCH_QUERIES = [
     "lang_url_pairs", "decode_cef", "kv_extract", "sentence_split",
     "clock_skew",
     "cdc_chunks", "cdc_dup_stats", "redirect_resolve", "html_tables", "rake_keywords",
-    "dedup_canonical", "passage_chunks", "change_rate", "bot_cadence", "meta_tags",
+    "dedup_canonical", "passage_chunks", "change_rate", "bot_cadence", "meta_tags", "feed_items",
+    "hreflang_links",
     "flagship_routed_counts", "flagship_messages",
 ]
 

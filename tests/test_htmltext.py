@@ -166,3 +166,23 @@ def test_extract_meta_known_values(spark):
     assert not got[3]["noindex"] and not got[3]["nofollow"]
     assert got[4]["title"] == "" and got[4]["canonical"] == ""
     assert not got[4]["noindex"]
+
+
+def test_extract_hreflang_orders_and_gates(spark):
+    """Attribute order free; stylesheet links and incomplete
+    alternates dropped; lang lowercased; x-default kept."""
+    from pyspark.sql import functions as F
+    from beats_spark.dataops.htmltext import extract_hreflang
+    html = ('<head>'
+            '<link rel="alternate" hreflang="EN" href="https://e.x/en">'
+            '<link href="https://e.x/de" hreflang="de" rel="alternate">'
+            '<link rel="alternate" hreflang="x-default" '
+            'href="https://e.x/">'
+            '<link rel="alternate" hreflang="fr">'
+            '<link rel="stylesheet" href="/s.css"></head>')
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    rows = (df.select(F.explode(extract_hreflang(F.col("html")))
+                      .alias("a")).select("a.*").collect())
+    got = {r["hreflang"]: r["href"] for r in rows}
+    assert got == {"en": "https://e.x/en", "de": "https://e.x/de",
+                   "x-default": "https://e.x/"}

@@ -134,3 +134,39 @@ def test_parse_sitemap_and_index(spark):
     plan = (df.select(parse_sitemap(F.col("xml")).alias("u"))
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_parse_feed_rss_atom_mixed(spark):
+    """RSS items and Atom entries from the same blob set; CDATA
+    unwrap, link-less items dropped, tag absence comes back NULL."""
+    from pyspark.sql import functions as F
+    from beats_spark.dataops.robots import parse_feed
+    rss = ("<rss><channel><item><title><![CDATA[Hello & Co]]></title>"
+           "<link>https://e.x/1</link><guid>g1</guid>"
+           "<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item>"
+           "<item><title>NoGuid</title><link>https://e.x/2</link></item>"
+           "<item><title>dropped</title></item></channel></rss>")
+    atom = ('<feed><entry><title>A1</title>'
+            '<link rel="alternate" href="https://e.x/a1"/>'
+            "<id>t:a1</id><updated>2024-01-02T03:04:05Z</updated>"
+            "</entry><entry><link href=\"https://e.x/a2\"/></entry>"
+            "</feed>")
+    df = spark.createDataFrame([(1, rss), (2, atom), (3, "plain"),
+                                (4, None)],
+                               "doc_id long, xml string")
+    rows = (df.select("doc_id", F.explode(parse_feed(F.col("xml")))
+                      .alias("e")).select("doc_id", "e.*").collect())
+    by = {}
+    for r in rows:
+        by.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by and 4 not in by
+    r1 = sorted(by[1], key=lambda r: r["link"])
+    assert len(r1) == 2  # link-less item dropped
+    assert r1[0]["title"] == "Hello & Co"  # CDATA unwrapped
+    assert r1[0]["entry_id"] == "g1" and r1[0]["kind"] == "rss"
+    assert r1[1]["entry_id"] is None
+    r2 = sorted(by[2], key=lambda r: r["link"])
+    assert len(r2) == 2 and r2[0]["kind"] == "atom"
+    assert r2[0]["title"] == "A1" and r2[0]["published"] \
+        == "2024-01-02T03:04:05Z"
+    assert r2[1]["title"] is None  # absent tag -> NULL
