@@ -49,32 +49,32 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
-    "CEF_HEADER_FIELDS", "cef_header", "cef_pairs", "cef_get",
-    "cef_extensions", "decode_cef", "kv_get",
+    "CEF_HEADER_FIELDS", "cef_header", "cef_header_fields",
+    "cef_header_from", "cef_pairs", "cef_pairs_raw",
+    "cef_get", "cef_extensions", "decode_cef", "kv_get",
 ]
 
 # extension key charset, cef.go:121-124 + hyphenInExtensionKey vector
 _KEY = r"[A-Za-z0-9_][A-Za-z0-9_.,\[\]\-]*"
 
-# one escaped-or-plain header char: backslash escapes anything; a raw
-# pipe terminates the field. (?s) at use-site lets values span newlines.
-_HCHAR = r"(?:\\.|[^\\|])"
-
-_HEADER_RE = (
-    r"(?s)^CEF:(\d+)"
-    + (r"\|(" + _HCHAR + r"*)") * 6
-    + r"\|(.*)$"
-)
-
+# Header grammar (equivalent regex: ^CEF:(\d+) then six
+# \|((?:\\.|[^\\|])*) groups then \|(.*)$ — the oracle replays that
+# regex form in RE2). The engine spelling instead stashes the escape
+# pairs and SPLITS on the remaining (necessarily unescaped) pipes:
+# the 7-group backtracking regex cost ~0.7 ms/row interpreted (HOF
+# projections never enter codegen, so it re-ran per field reference),
+# while stash+split is three linear passes, staged once per row.
 CEF_HEADER_FIELDS = ("cef_version", "device_vendor", "device_product",
                      "device_version", "device_event_class_id", "name",
                      "severity")
 
-# pair-boundary sentinel + backslash stash for the unescape chain.
-# Log lines containing raw \x01/\x02 control bytes are undefined input
-# (the reference's UTF-8 contract); tab/CR/LF are preserved fine.
+# pair-boundary sentinel + backslash stash for the unescape chain, and
+# an escaped-pipe sentinel for the header split. Log lines containing
+# raw \x01/\x02/\x03 control bytes are undefined input (the
+# reference's UTF-8 contract); tab/CR/LF are preserved fine.
 _SEP = "\x01"
 _STASH = "\x02"
+_PIPE = "\x03"
 
 # a value is well-formed iff every backslash opens one of the four
 # legal escapes and every ``=`` is escaped (cef.go:182-220 + the
@@ -96,40 +96,89 @@ def _unescape(col: Column) -> Column:
     return F.regexp_replace(c, _STASH, "\\\\")
 
 
-def cef_header(line: Column) -> Column:
-    """Seven-field header struct; null fields when ``line`` is not a
-    complete CEF header (see module docstring on truncated headers).
-    ``cef_version`` is int (cef_test.go expects ``Version == 26``)."""
-    vals = [F.regexp_extract(line, _HEADER_RE, i) for i in range(1, 8)]
-    # regexp_extract yields '' on no-match; distinguish via a match
-    # probe so genuinely-empty device fields (emptyDeviceFields
-    # vector) survive as '' while non-CEF lines go null.
-    ok = line.rlike(_HEADER_RE)
-    out = [F.when(ok, v) for v in vals]
+def cef_header_fields(line: Column) -> Column:
+    """``array<string>`` of the 8 header slots (``CEF:v``, six header
+    values, extension block), escape pairs sentinel-stashed
+    (``\\\\``→\\x02, ``\\|``→\\x03) so the split only fires on
+    unescaped pipes. Fewer than 8 elements ⇔ incomplete header.
+    STAGE this column when deriving more than one thing from it."""
+    s = F.regexp_replace(line, r"\\\\", _STASH)
+    s = F.regexp_replace(s, r"\\\|", _PIPE)
+    return F.split(s, r"\|", 8)
+
+
+def _hok(fields: Column) -> Column:
+    """Complete-header probe: 7 unescaped pipes and a ``CEF:<int>``
+    prologue — exactly the set the grammar regex matches."""
+    return (F.try_element_at(fields, F.lit(1)).rlike(r"^CEF:\d+$")
+            & (F.size(fields) >= F.lit(8)))
+
+
+def _hfield(fields: Column, i: int) -> Column:
+    """One header slot, escapes decoded (finishes the stash chain:
+    the ``\\\\`` pass already ran in :func:`cef_header_fields`, so
+    decode specials, then the generic escape, then the sentinels)."""
+    v = F.try_element_at(fields, F.lit(i))
+    c = F.regexp_replace(v, r"\\n", "\n")
+    c = F.regexp_replace(c, r"\\r", "\r")
+    c = F.regexp_replace(c, r"\\(.)", "$1")
+    c = F.regexp_replace(c, _PIPE, "|")
+    return F.regexp_replace(c, _STASH, "\\\\")
+
+
+def cef_header_from(fields: Column) -> Column:
+    """Seven-field header struct from a (staged) header-slot array;
+    null fields when the header is incomplete, '' device fields
+    survive (emptyDeviceFields vector). ``cef_version`` is int
+    (cef_test.go expects ``Version == 26``)."""
+    ok = _hok(fields)
+    ver = F.when(ok, F.substring(
+        F.try_element_at(fields, F.lit(1)), 5, 18)).cast("int")
     return F.struct(
-        out[0].cast("int").alias("cef_version"),
-        *[_unescape(v).alias(n)
-          for v, n in zip(out[1:], CEF_HEADER_FIELDS[1:])],
+        ver.alias("cef_version"),
+        *[F.when(ok, _hfield(fields, i)).alias(n)
+          for i, n in zip(range(2, 8), CEF_HEADER_FIELDS[1:])],
     )
 
 
-def _ext_string(line: Column) -> Column:
-    """The raw extension block: everything after the 7th pipe, with
-    the final value's trailing whitespace trimmed (crlf/padded
-    vectors — the rtrim happens once on the block, which preserves
-    interior trailing spaces of non-final values)."""
-    ext = F.when(line.rlike(_HEADER_RE),
-                 F.regexp_extract(line, _HEADER_RE, 8))
+def cef_header(line: Column) -> Column:
+    """Seven-field header struct; null fields when ``line`` is not a
+    complete CEF header (see module docstring on truncated headers).
+    Composition of :func:`cef_header_fields` + :func:`cef_header_from`
+    — stage the fields array yourself when also reading extensions."""
+    return cef_header_from(cef_header_fields(line))
+
+
+def _ext_string(line: Optional[Column],
+                fields: Optional[Column] = None) -> Column:
+    """The raw extension block: everything after the 7th unescaped
+    pipe with sentinels restored (the extension grammar must see the
+    original escape bytes — a ``\\|`` inside a value is a malformed
+    field there, not a sentinel), and the final value's trailing
+    whitespace trimmed (crlf/padded vectors — the rtrim happens once
+    on the block, which preserves interior trailing spaces of
+    non-final values)."""
+    if fields is None:
+        fields = cef_header_fields(line)
+    ext = F.when(_hok(fields), F.try_element_at(fields, F.lit(8)))
+    ext = F.regexp_replace(ext, _PIPE, r"\\|")
+    ext = F.regexp_replace(ext, _STASH, r"\\\\")
     return F.regexp_replace(ext, "[ \t\r\n]+$", "")
 
 
-def cef_pairs(line: Column) -> Column:
+def cef_pairs_raw(line: Optional[Column],
+                  fields: Optional[Column] = None) -> Column:
     """``array<struct<key,value>>`` of well-formed extension pairs, in
-    message order, escapes decoded, malformed fields dropped (the
-    reference drops them and records an error; counters ride the
-    router's error path here). Duplicates are NOT resolved — see
-    :func:`cef_get` / :func:`cef_extensions` for last-wins."""
-    marked = F.regexp_replace(_ext_string(line),
+    message order, values still ESCAPED (decode late, per selected
+    value — see :func:`cef_get`). This is the expression to STAGE in
+    its own projection when more than one key / the map is derived
+    from it: higher-order functions never enter whole-stage codegen,
+    so Catalyst's subexpression elimination does not dedup them —
+    multi-referencing an un-staged pairs build re-runs the whole
+    tokenize chain per reference (measured 18.4 s → 3.6 s at sf0.1
+    for the 4-key decode; same lesson as the cdc_chunks fix).
+    ``fields``: a staged :func:`cef_header_fields` column to reuse."""
+    marked = F.regexp_replace(_ext_string(line, fields),
                               "( )(" + _KEY + ")=", _SEP + "$2=")
     pieces = F.split(marked, _SEP)
     key = lambda p: F.regexp_extract(p, "^(" + _KEY + ")=", 1)
@@ -140,30 +189,56 @@ def cef_pairs(line: Column) -> Column:
     return F.transform(
         good,
         lambda p: F.struct(key(p).alias("key"),
-                           _unescape(rawv(p)).alias("value")))
+                           rawv(p).alias("value")))
 
 
-def cef_get(line: Column, key: str) -> Column:
+def cef_pairs(line: Column) -> Column:
+    """``array<struct<key,value>>`` of well-formed extension pairs, in
+    message order, escapes decoded, malformed fields dropped (the
+    reference drops them and records an error; counters ride the
+    router's error path here). Duplicates are NOT resolved — see
+    :func:`cef_get` / :func:`cef_extensions` for last-wins."""
+    return F.transform(
+        cef_pairs_raw(line),
+        lambda p: F.struct(p["key"].alias("key"),
+                           _unescape(p["value"]).alias("value")))
+
+
+def cef_get(line: Optional[Column], key: str,
+            pairs: Optional[Column] = None) -> Column:
     """Value of extension ``key`` (last occurrence wins, matching the
     reference's map overwrite — cef.go:96-101); null when absent or
-    malformed."""
-    hits = F.filter(cef_pairs(line), lambda p: p["key"] == F.lit(key))
+    malformed. Pass ``pairs`` (a STAGED :func:`cef_pairs_raw` column)
+    when extracting several keys from the same line so the tokenize
+    chain evaluates once per row; the unescape runs only on the
+    selected value (keys never contain escapes — the key charset has
+    no backslash)."""
+    if pairs is None:
+        pairs = cef_pairs_raw(line)
+    hits = F.filter(pairs, lambda p: p["key"] == F.lit(key))
     # try_: ANSI mode (Spark 4 default) errors on out-of-bounds
-    return F.try_element_at(hits, F.lit(-1))["value"]
+    return _unescape(F.try_element_at(hits, F.lit(-1))["value"])
 
 
-def cef_extensions(line: Column) -> Column:
+def cef_extensions(line: Optional[Column],
+                   pairs: Optional[Column] = None) -> Column:
     """All extensions as ``map<string,string>`` with last-wins
     duplicate resolution (bounded O(n²) positional filter — no
-    mapKeyDedupPolicy dependence, pure codegen)."""
-    pairs = cef_pairs(line)
+    mapKeyDedupPolicy dependence, pure codegen). ``pairs`` as in
+    :func:`cef_get`: a staged raw-pairs column keeps the
+    self-referencing dedup filter from re-tokenizing per element."""
+    if pairs is None:
+        pairs = cef_pairs_raw(line)
     n = F.size(pairs)
     last = F.filter(
         pairs,
         lambda p, i: ~F.exists(
             F.slice(pairs, i + F.lit(2), n),
             lambda q: q["key"] == p["key"]))
-    return F.map_from_entries(last)
+    return F.map_from_entries(F.transform(
+        last,
+        lambda p: F.struct(p["key"].alias("key"),
+                           _unescape(p["value"]).alias("value"))))
 
 
 def decode_cef(df: DataFrame, field: str = "message",
@@ -174,15 +249,25 @@ def decode_cef(df: DataFrame, field: str = "message",
     ``{target_field}_ext`` (extensions map) and, when ``keys`` is
     given, one ``{target_field}_{key}`` string column per requested
     extension — the projection form that lets Catalyst prune the map
-    build entirely when only named keys are used."""
+    build entirely when only named keys are used. The raw pairs array
+    is staged in its own projection (see :func:`cef_pairs_raw`) so
+    multi-key extraction tokenizes once per row."""
     line = F.col(field)
-    out = df.withColumn(target_field, cef_header(line))
+    hstage, pstage = (f"__{target_field}_hfields",
+                      f"__{target_field}_pairs_raw")
+    out = (df.withColumn(hstage, cef_header_fields(line))
+             .withColumn(pstage, cef_pairs_raw(None, F.col(hstage)))
+             .withColumn(target_field,
+                         cef_header_from(F.col(hstage))))
+    sp = F.col(pstage)
     if keys is None:
-        return out.withColumn(f"{target_field}_ext",
-                              cef_extensions(line))
-    for k in keys:
-        out = out.withColumn(f"{target_field}_{k}", cef_get(line, k))
-    return out
+        out = out.withColumn(f"{target_field}_ext",
+                             cef_extensions(None, pairs=sp))
+    else:
+        out = out.withColumns({f"{target_field}_{k}":
+                               cef_get(None, k, pairs=sp)
+                               for k in keys})
+    return out.drop(hstage, pstage)
 
 
 def kv_get(col: Column, key: str) -> Column:
