@@ -80,14 +80,29 @@ def tokens(text: Column) -> Column:
 
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word-``n``-gram shingles of ``text``; [] when the doc
-    has fewer than ``n`` tokens."""
+    has fewer than ``n`` tokens.
+
+    Construction is shift-and-zip: ``n`` length-aligned slices of the
+    token array zipped into grams. The obvious spelling —
+    ``transform(sequence(...), i -> array_join(slice(toks, i, n)))`` —
+    references ``toks`` INSIDE the lambda, and higher-order functions
+    never enter whole-stage codegen, so the tokenizer (itself a
+    filter HOF) re-evaluated once per gram: O(len²) per document
+    (measured 4.3 s → 1.3 s for the sf0.1 bigram explode+distinct).
+    Here every ``toks`` reference is an argument expression evaluated
+    once per row — O(n·len)."""
     toks = tokens(text)
     if n == 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)) \
-            .otherwise(F.array().cast("array<string>"))
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, m)
+    for k in range(1, n):
+        grams = F.zip_with(grams, F.slice(toks, 1 + k, m),
+                           lambda a, b: F.concat(a, F.lit(" "), b))
+    # NULL text yielded [] under the old when/otherwise spelling
+    # (n==1 keeps NULL, as before); downstream explodes rely on it
+    return F.coalesce(F.array_distinct(grams),
+                      F.array().cast("array<string>"))
 
 
 # ------------------------------------------------------------------- exact

@@ -5365,8 +5365,8 @@ def corpus_overlap_q(spark, sf_dir):
     Both the estimate AND its error are deterministic functions of
     the data, so the oracle checks them bit-for-bit. The exact side
     is computed here only as the demo comparison."""
-    from .dataops.dedup import shingles
-    docs = _t(spark, sf_dir, "documents")
+    from .dataops.dedup import _spread, shingles
+    docs = _spread(_t(spark, sf_dir, "documents"))
     # five consumers (signature agg, sizes, both exact-join sides);
     # the barrier keeps the scan+explode+distinct from re-running per
     # consumer (14 -> 10 Exchanges)
