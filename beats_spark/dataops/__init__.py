@@ -42,6 +42,7 @@ from .similarity import (
 )
 from .textstats import (
     dns_tunnel_flags,
+    wilson_lower_bound,
     split_sentences,
     entropy_stats_arrow,
     oov_rate,
@@ -71,7 +72,8 @@ from .terms import (collocations, doc_frequency, inverted_index,
                     phrase_search, sparse_cosine_pairs,
                     tfidf_top_terms)
 from .decontam import contamination_flags, decontaminate
-from .htmltext import (HTML_STRIP_STEPS, extract_links, extract_text,
+from .htmltext import (HTML_STRIP_STEPS, dom_fingerprint,
+                       dom_fingerprint_sql, extract_links, extract_text,
                        html_strip_sql, html_to_text, link_host)
 from .lm import bigram_model, lm_score, nb_quality, token_kl
 from .dsir import (hashed_ngram_buckets, dsir_model, dsir_score,
@@ -123,6 +125,7 @@ __all__ = [
     "lsh_signature", "lsh_cosine_topk", "rrf_fuse",
     "lang_id_stopword", "lang_id_ngram", "lang_spans",
     "dns_tunnel_flags", "doc_fingerprint", "split_sentences", "clock_skew", "entropy_stats_arrow",
+    "dom_fingerprint", "dom_fingerprint_sql", "wilson_lower_bound",
     "oov_rate",
     "text_stats",
     "token_count",

@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import BinaryType
 
 __all__ = ["CELL_STRIP_STEPS", "HTML_STRIP_STEPS",
+           "dom_fingerprint", "dom_fingerprint_sql",
            "extract_hreflang", "extract_links",
            "extract_meta", "extract_tables", "html_to_text", "extract_text",
            "cell_strip_sql", "html_strip_sql", "link_host"]
@@ -92,6 +93,47 @@ def extract_text(
     if isinstance(df.schema[html_col].dataType, BinaryType):
         col = F.decode(col, charset)
     return df.withColumn(out_col, html_to_text(col))
+
+
+#: one tag-name occurrence: optional whitespace after ``<`` (explicit
+#: class — RE2/Java \s disagree on \x0B), closing slash kept so
+#: ``<div>..</div>`` and ``<div>..<div>`` fingerprint differently.
+_TAG_NAME_RE = r"<[ \t\n\x0B\f\r]*(/?[A-Za-z][A-Za-z0-9]*)"
+
+
+def dom_fingerprint(html: Column) -> Column:
+    """Structural template fingerprint of a page: md5 of the page's
+    normalized tag sequence — tag names lowercased in document order
+    (closing tags keep their slash), attributes and text dropped.
+
+    Pages generated from the same template hash identically however
+    their content, attribute values, or attribute ORDER differ — the
+    boilerplate/template-cluster detector of web curation (listing
+    pages, tag archives, calendar spam), complementing content dedup:
+    MinHash misses template twins because their TEXT differs; this
+    misses content twins because only structure is hashed. Tags inside
+    comments/scripts count as structure (a deliberate simplification —
+    both engines see the same bytes, so the fingerprint stays
+    deterministic). NULL in, NULL out; a page with no tags hashes the
+    empty string.
+
+    Scale: pure codegen projection (regexp_extract_all → lower →
+    md5), zero shuffle/Python; downstream grouping ships 32-byte
+    hashes, never the page."""
+    tags = F.regexp_extract_all(html, F.lit(_TAG_NAME_RE), 1)
+    return F.md5(F.array_join(F.transform(tags, F.lower), ">"))
+
+
+def dom_fingerprint_sql(expr: str) -> str:
+    """The identical fingerprint as a DuckDB expression over ``expr``
+    (list_transform + lower replays Spark's transform(…, lower)).
+    DuckDB's ``array_to_string([], sep)`` yields NULL where Spark's
+    ``array_join`` yields '' — the coalesce restores the tag-less
+    page hash; the CASE keeps NULL-in-NULL-out."""
+    return (f"md5(CASE WHEN {expr} IS NULL THEN NULL ELSE "
+            "coalesce(array_to_string(list_transform("
+            f"regexp_extract_all({expr}, {_sql_quote(_TAG_NAME_RE)}, 1), "
+            "x -> lower(x)), '>'), '') END)")
 
 
 def _sql_quote(s: str) -> str:

@@ -22,6 +22,7 @@ __all__ = [
     "gopher_rules", "repetition_stats_arrow", "entropy_stats_arrow",
     "dns_tunnel_flags", "oov_rate", "split_sentences", "SENTENCE_RE",
     "token_count", "text_stats", "text_stats_arrow", "quality_score",
+    "wilson_lower_bound",
     "readability",
     "lang_id_stopword", "lang_id_ngram", "lang_spans",
     "doc_fingerprint",
@@ -802,3 +803,26 @@ def split_sentences(df: DataFrame, text_col: str = "text",
                            F.lit(None).cast("string").alias("sentence")))
         out = out.unionByName(missing)
     return out
+
+
+def wilson_lower_bound(k: Column, n: Column, z: float = 1.96) -> Column:
+    """Lower bound of the Wilson score interval (Wilson 1927) for a
+    k-of-n proportion — the uncertainty-penalized quality rate for
+    RANKING groups (domains, sources) by the fraction of rows passing
+    a quality gate. The plain ratio ranks a 3/3 domain above a 97/100
+    one; the Wilson bound shrinks small-sample rates toward zero so
+    confidence rides the rank. ``z=1.96`` ≈ one-sided 97.5%.
+
+    Bit-reproducible across engines: only IEEE correctly-rounded ops
+    (+ - * / sqrt) in the fixed parenthesization below, so a SQL
+    oracle replaying the same expression shape yields the identical
+    double (``z*z`` is folded in Python — emit ``(1.96*1.96)`` on the
+    SQL side, the same product). ``n`` must be > 0; NULL-safe (NULL
+    k or n → NULL)."""
+    p = k.cast("double") / n.cast("double")
+    nn = n.cast("double")
+    z2 = z * z
+    return ((p + F.lit(z2) / (2.0 * nn)
+             - F.lit(z) * F.sqrt((p * (1.0 - p)
+                                  + F.lit(z2) / (4.0 * nn)) / nn))
+            / (1.0 + F.lit(z2) / nn))

@@ -8729,3 +8729,124 @@ def hreflang_links_q(spark, sf_dir):
         "doc_id",
         F.explode(extract_hreflang(F.col("html"))).alias("a"))
         .select("doc_id", "a.hreflang", "a.href"))
+
+
+def _dom_templates_oracle() -> str:
+    from .dataops.htmltext import dom_fingerprint_sql
+    snip = "substr(coalesce(text, ''), 1, 40)"
+    return f"""
+WITH pages AS (
+  SELECT doc_id, source,
+    '<html><head><title>' || {snip} || '</title></head><body>' ||
+    CASE WHEN doc_id % 3 = 0 THEN
+           '<div class="m-' || source || '"><h1>' || {snip} ||
+           '</h1><p>' || {snip} || '</p></div>'
+         WHEN doc_id % 3 = 1 THEN
+           '<div class="m-' || source || '"><h1>' || {snip} ||
+           '</h1><ul><li>' || CAST(doc_id AS VARCHAR) || '</li><li>' ||
+           source || '</li></ul></div>'
+         ELSE
+           '<table class="t"><tr><td>' || {snip} || '</td><td>' ||
+           CAST(doc_id AS VARCHAR) || '</td></tr></table>' END
+    || '</body></html>' AS html
+  FROM documents),
+fp AS (SELECT doc_id, source,
+              {dom_fingerprint_sql('html')} AS template_hash
+       FROM pages)
+SELECT template_hash, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       min(doc_id) AS exemplar
+FROM fp GROUP BY template_hash
+"""
+
+
+@query("dom_templates", oracle=_dom_templates_oracle())
+def dom_templates_q(spark, sf_dir):
+    """Template-cluster detection (:func:`beats_spark.dataops
+    .htmltext.dom_fingerprint`): pages grouped by the md5 of their
+    normalized tag sequence — the structure-only dedup axis that
+    content dedup misses (listing pages, tag archives, calendar spam
+    share a LAYOUT while every page's text differs). Pages are built
+    deterministically with three structural variants whose content,
+    attribute values, and ids all vary per row; exactly the three
+    structures survive as clusters. The fingerprint is a pure codegen
+    projection; the only shuffle carries (32-byte hash, source,
+    doc_id)."""
+    from .dataops.htmltext import dom_fingerprint
+    docs = _t(spark, sf_dir, "documents")
+    istr = F.col("doc_id").cast("string")
+    snip = F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40)
+    main = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit('<div class="m-'), F.col("source"),
+                        F.lit('"><h1>'), snip, F.lit("</h1><p>"), snip,
+                        F.lit("</p></div>")))
+         .when(F.col("doc_id") % 3 == 1,
+               F.concat(F.lit('<div class="m-'), F.col("source"),
+                        F.lit('"><h1>'), snip, F.lit("</h1><ul><li>"),
+                        istr, F.lit("</li><li>"), F.col("source"),
+                        F.lit("</li></ul></div>")))
+         .otherwise(
+               F.concat(F.lit('<table class="t"><tr><td>'), snip,
+                        F.lit("</td><td>"), istr,
+                        F.lit("</td></tr></table>"))))
+    html = F.concat(F.lit("<html><head><title>"), snip,
+                    F.lit("</title></head><body>"), main,
+                    F.lit("</body></html>"))
+    fp = docs.select("doc_id", "source",
+                     dom_fingerprint(html).alias("template_hash"))
+    return (fp.groupBy("template_hash")
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.countDistinct("source").alias("n_sources"),
+                 F.min("doc_id").alias("exemplar")))
+
+
+@query("domain_wilson", oracle="""
+WITH g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(sum(CASE WHEN n_chars >= 300 AND lang = 'en'
+                                THEN 1 ELSE 0 END), 0) AS BIGINT) AS k
+  FROM documents GROUP BY source),
+w AS (
+  SELECT source, n, k,
+    round((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+           + (1.96*1.96) / (2.0 * CAST(n AS DOUBLE))
+           - 1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                          * (1.0 - CAST(k AS DOUBLE)
+                                   / CAST(n AS DOUBLE))
+                          + (1.96*1.96) / (4.0 * CAST(n AS DOUBLE)))
+                         / CAST(n AS DOUBLE)))
+          / (1.0 + (1.96*1.96) / CAST(n AS DOUBLE)), 6) AS wilson_lb
+  FROM g)
+SELECT source, n, k, wilson_lb,
+       CAST(row_number() OVER (ORDER BY wilson_lb DESC, source)
+            AS BIGINT) AS rank
+FROM w
+""")
+def domain_wilson_q(spark, sf_dir):
+    """Domain quality ranking with small-sample shrinkage
+    (:func:`beats_spark.dataops.textstats.wilson_lower_bound`): per
+    source, the Wilson lower bound of the fraction of documents
+    passing a quality gate (here: English with >= 300 chars), ranked
+    descending. The plain pass-rate ranks a 3-of-3 domain above a
+    97-of-100 one; the Wilson bound is the standard fix (the same
+    statistic behind "sort by rating" systems), and at crawl scale it
+    decides which domains feed the curated tier. The Spark expression
+    and the SQL oracle share one parenthesization of IEEE ops, so the
+    doubles agree bit-for-bit before the 6-dp round. The rank window
+    is a single-task sort over the per-source AGGREGATE (one row per
+    domain — thousands, not 10^12), after the distributed groupBy."""
+    from .dataops.textstats import wilson_lower_bound
+    docs = _t(spark, sf_dir, "documents")
+    g = (docs.groupBy("source")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.when((F.col("n_chars") >= 300)
+                           & (F.col("lang") == "en"), 1)
+                     .otherwise(0)).cast("bigint").alias("k")))
+    w = g.withColumn(
+        "wilson_lb",
+        F.round(wilson_lower_bound(F.col("k"), F.col("n")), 6))
+    rank = F.row_number().over(
+        Window.orderBy(F.col("wilson_lb").desc(), F.col("source")))
+    return (w.withColumn("rank", rank.cast("bigint"))
+            .select("source", "n", "k", "wilson_lb", "rank"))

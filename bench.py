@@ -90,7 +90,7 @@ BENCH_QUERIES = [
     "clock_skew",
     "cdc_chunks", "cdc_dup_stats", "redirect_resolve", "html_tables", "rake_keywords",
     "dedup_canonical", "passage_chunks", "change_rate", "bot_cadence", "meta_tags", "feed_items",
-    "hreflang_links",
+    "hreflang_links", "dom_templates", "domain_wilson",
     "flagship_routed_counts", "flagship_messages",
 ]
 

@@ -186,3 +186,62 @@ def test_extract_hreflang_orders_and_gates(spark):
     got = {r["hreflang"]: r["href"] for r in rows}
     assert got == {"en": "https://e.x/en", "de": "https://e.x/de",
                    "x-default": "https://e.x/"}
+
+
+def test_dom_fingerprint_structure_only(spark):
+    from beats_spark.dataops import dom_fingerprint
+    rows = [
+        # same structure, different text / attr values / attr order
+        (1, '<html><body><div class="a"><p>hello</p></div></body></html>'),
+        (2, '<HTML><Body><DIV id="z" class="b"><P>bye now</P>'
+            '</DIV></Body></HTML>'),
+        # extra tag -> different template
+        (3, '<html><body><div><p>x</p><p>y</p></div></body></html>'),
+        # closing slash matters: div open/open vs open/close
+        (4, '<html><body><div><p>x</p><div></div></body></html>'),
+        (5, None),
+        (6, 'no tags at all'),
+        (7, ''),
+    ]
+    df = spark.createDataFrame(rows, "id int, h string")
+    got = {r["id"]: r["fp"] for r in df.select(
+        "id", dom_fingerprint(F.col("h")).alias("fp")).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3] and got[3] != got[4] and got[1] != got[4]
+    assert got[5] is None
+    assert got[6] == got[7]  # both hash the empty tag sequence
+    # pure codegen: no Python eval nodes in the plan
+    plan = df.select(dom_fingerprint(F.col("h")))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_dom_fingerprint_sql_parity(spark):
+    import duckdb
+    from beats_spark.dataops import dom_fingerprint, dom_fingerprint_sql
+    htmls = ['<div class="x"><p>a</p></div>', "<ul><li>1<li>2</ul>",
+             "< notatag", "text only", "<a href='u'>t</a><br/>"]
+    df = spark.createDataFrame([(h,) for h in htmls], "h string")
+    got = [r["fp"] for r in
+           df.select(dom_fingerprint(F.col("h")).alias("fp")).collect()]
+    con = duckdb.connect()
+    want = [con.execute(
+        f"SELECT {dom_fingerprint_sql('?')}", [h, h]).fetchone()[0]
+        for h in htmls]
+    assert got == want
+
+
+def test_wilson_lower_bound_values(spark):
+    from beats_spark.dataops import wilson_lower_bound
+    df = spark.createDataFrame(
+        [(3, 3), (97, 100), (0, 5), (5, 5), (50, 100)], "k long, n long")
+    got = {(r["k"], r["n"]): r["w"] for r in df.select(
+        "k", "n",
+        F.round(wilson_lower_bound(F.col("k"), F.col("n")), 6)
+         .alias("w")).collect()}
+    # the motivating property: 97/100 outranks 3/3
+    assert got[(97, 100)] > got[(3, 3)]
+    # known value: 50/100 at z=1.96 -> 0.40383 at 6 dp
+    assert got[(50, 100)] == 0.40383
+    assert got[(0, 5)] == 0.0
+    assert 0.0 < got[(5, 5)] < 1.0
