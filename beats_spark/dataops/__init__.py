@@ -75,7 +75,8 @@ from .decontam import contamination_flags, decontaminate
 from .htmltext import (HTML_STRIP_STEPS, dom_fingerprint,
                        dom_fingerprint_sql, extract_links, extract_text,
                        html_strip_sql, html_to_text, link_host)
-from .lm import bigram_model, lm_score, nb_quality, token_kl
+from .lm import (bigram_model, domain_weights, lm_score, nb_quality,
+                 token_kl)
 from .dsir import (hashed_ngram_buckets, dsir_model, dsir_score,
                    dsir_resample)
 from .unicode import (
@@ -131,7 +132,7 @@ __all__ = [
     "token_count",
     "attach_media_meta", "extract_image_features", "sample_video_frames",
     "set_decoder",
-    "curate", "CurationResult", "nb_quality", "token_kl",
+    "curate", "CurationResult", "domain_weights", "nb_quality", "token_kl",
     "canonical_url", "url_dedup", "TRACKING_PARAMS",
     "lang_url_pairs", "lang_url_skeleton",
     "doc_ngrams", "ngram_duplicate_stats", "remove_duplicate_spans",

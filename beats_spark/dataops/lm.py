@@ -36,7 +36,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from .dedup import tokens, _spread
 
-__all__ = ["bigram_model", "lm_score", "nb_quality", "token_kl"]
+__all__ = ["bigram_model", "domain_weights", "lm_score", "nb_quality",
+           "token_kl"]
 
 
 def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -279,3 +280,125 @@ def token_kl(
                     (F.col("ng") + F.col("v")).cast("bigint")
                     .alias("smoothed_mass"),
                     "kl_scaled_micro"))
+
+
+def domain_weights(
+    df: DataFrame,
+    curated: "F.Column",
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """DoReMi-style domain mixture weights (Xie et al. 2023,
+    "Doremi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining"), as a one-shot frozen-model analog: instead of the
+    paper's Group-DRO proxy training loop, both models are bigram LMs
+    trained in-plan — the REFERENCE on the ``curated`` subset (the
+    target distribution), the PROXY on the whole corpus — and each
+    domain's excess loss is
+    ``max(0, loss_proxy(d) - loss_ref(d)) = max(0, avg_lp_ref(d) -
+    avg_lp_proxy(d))``: domains the curated reference compresses
+    better than the corpus generalist carry learnable target-aligned
+    signal; domains both models find equally hard (noise) clip to
+    zero. Weights are bigram-mass-scaled and normalized to
+    micro-units: ``weight_micro(d) = round(1e6 * nb_d * excess_d /
+    Σ nb·excess)`` (all zeros when no domain has excess).
+
+    Fused plan (the scale shape): ONE unigram explode and ONE bigram
+    explode train BOTH models via conditional sums (``c_all`` /
+    ``c_cur`` per gram), and one join pass scores both — the corpus
+    text is read once, never duplicated per model. Per-bigram
+    log-probs are quantized to integer micro-nats BEFORE any
+    cross-row sum (the lm_score discipline), so per-domain sums are
+    integer-exact across engines and partitionings. The final
+    normalization joins a broadcast one-row total. ``nb_d × excess_d``
+    products are BIGINT — at true 10^12-doc scale move them to
+    DECIMAL(38,0).
+
+    ``curated`` must select a NON-EMPTY subset (the reference
+    vocabulary backstop ``greatest(v_cur, 1)`` keeps the expression
+    total, but an empty reference makes every excess meaningless).
+    Returns one row per domain: ``(domain, n_bigrams,
+    avg_lp_ref_micro, avg_lp_proxy_micro, excess_micro,
+    weight_micro)``; domains with no bigrams get NULL averages and
+    zero weight."""
+    src = _spread(df)
+    toks = tokens(F.col(text_col))
+    one_if_cur = F.when(curated, 1).otherwise(0)
+
+    # fit tables are CHECKPOINTED (the dsir_select lesson): u/b/v are
+    # vocab-sized aggregates, but left lazy each downstream consumer
+    # re-runs their corpus explode inside one plan — the scoring join
+    # references b AND u AND v, and v aggregates u, so the un-staged
+    # spelling exploded the corpus 4x (measured 31 -> 3.8 s at sf0.1)
+    uocc = src.select(one_if_cur.alias("__cur"),
+                      F.explode(toks).alias("w1"))
+    u = (uocc.groupBy("w1")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("c1_all"),
+              F.sum("__cur").cast("bigint").alias("c1_cur"))
+         .localCheckpoint())
+    v = u.agg(
+        F.count(F.lit(1)).cast("double").alias("v_all"),
+        F.greatest(
+            F.sum(F.when(F.col("c1_cur") > 0, 1).otherwise(0)),
+            F.lit(1)).cast("double").alias("v_cur"))
+
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, (i + 1).cast("int"))
+                         .alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    g = (src.select(F.col(domain_col), one_if_cur.alias("__cur"),
+                    F.explode(pairs).alias("__bg"))
+         .select(domain_col, "__cur", F.col("__bg.w1").alias("w1"),
+                 F.col("__bg.w2").alias("w2")))
+    b = (g.groupBy("w1", "w2")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("c12_all"),
+              F.sum("__cur").cast("bigint").alias("c12_cur"))
+         .localCheckpoint())
+
+    lp = lambda c12, c1, vv: F.round(F.log(  # noqa: E731
+        (F.col(c12) + 1.0) / (F.col(c1) + F.col(vv)))
+        * 1_000_000.0).cast("bigint")
+    s = (g.join(b, ["w1", "w2"]).join(u, "w1").join(F.broadcast(v))
+         .select(F.col(domain_col),
+                 lp("c12_all", "c1_all", "v_all").alias("lp_all"),
+                 lp("c12_cur", "c1_cur", "v_cur").alias("lp_cur")))
+    d = (s.groupBy(domain_col)
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+              F.sum("lp_cur").alias("__sum_cur"),
+              F.sum("lp_all").alias("__sum_all")))
+
+    base = df.select(domain_col).distinct()
+    e = (base.join(d, domain_col, "left")
+         .select(domain_col,
+                 F.coalesce("n_bigrams", F.lit(0).cast("bigint"))
+                  .alias("n_bigrams"),
+                 F.floor(F.col("__sum_cur") / F.col("n_bigrams"))
+                  .cast("bigint").alias("avg_lp_ref_micro"),
+                 F.floor(F.col("__sum_all") / F.col("n_bigrams"))
+                  .cast("bigint").alias("avg_lp_proxy_micro")))
+    # e is DOMAIN-sized (one row per source); the checkpoint keeps the
+    # normalization total + final select from re-running the scoring
+    # join twice
+    e = e.withColumn(
+        "excess_micro",
+        F.when(F.col("n_bigrams") > 0,
+               F.greatest(F.lit(0).cast("bigint"),
+                          F.col("avg_lp_ref_micro")
+                          - F.col("avg_lp_proxy_micro")))
+         .otherwise(F.lit(0).cast("bigint"))).localCheckpoint()
+    tot = e.agg(F.sum(F.col("n_bigrams") * F.col("excess_micro"))
+                .cast("double").alias("__tt"))
+    return (e.join(F.broadcast(tot))
+            .withColumn(
+                "weight_micro",
+                F.when(F.col("__tt") > 0,
+                       F.round((F.col("n_bigrams")
+                                * F.col("excess_micro"))
+                               .cast("double") * 1_000_000.0
+                               / F.col("__tt")).cast("bigint"))
+                 .otherwise(F.lit(0).cast("bigint")))
+            .drop("__tt"))

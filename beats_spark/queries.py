@@ -8850,3 +8850,79 @@ def domain_wilson_q(spark, sf_dir):
         Window.orderBy(F.col("wilson_lb").desc(), F.col("source")))
     return (w.withColumn("rank", rank.cast("bigint"))
             .select("source", "n", "k", "wilson_lb", "rank"))
+
+
+@query("domain_weights", oracle=r"""
+WITH t AS (SELECT doc_id, source,
+                  (source IN ('src0', 'src1', 'src2')) AS cur,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+uocc AS (SELECT cur, unnest(toks) AS w1 FROM t),
+u AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1_all,
+             CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1_cur
+      FROM uocc GROUP BY w1),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS v_all,
+             CAST(greatest(sum(CASE WHEN c1_cur > 0 THEN 1 ELSE 0 END),
+                           1) AS DOUBLE) AS v_cur
+      FROM u),
+g AS (SELECT source, cur, toks[CAST(i AS INT)] AS w1,
+             toks[CAST(i AS INT) + 1] AS w2
+      FROM t, UNNEST(range(1, len(toks))) AS r(i)
+      WHERE len(toks) >= 2),
+b AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12_all,
+             CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT)
+               AS c12_cur
+      FROM g GROUP BY w1, w2),
+s AS (SELECT g.source,
+             CAST(round(ln((b.c12_all + 1.0) / (u.c1_all + v.v_all))
+                        * 1000000) AS BIGINT) AS lp_all,
+             CAST(round(ln((b.c12_cur + 1.0) / (u.c1_cur + v.v_cur))
+                        * 1000000) AS BIGINT) AS lp_cur
+      FROM g JOIN b USING (w1, w2) JOIN u USING (w1), v),
+d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(floor(sum(lp_cur) / count(*)) AS BIGINT)
+               AS avg_lp_ref_micro,
+             CAST(floor(sum(lp_all) / count(*)) AS BIGINT)
+               AS avg_lp_proxy_micro
+      FROM s GROUP BY source),
+base AS (SELECT DISTINCT source FROM documents),
+e AS (SELECT base.source,
+             coalesce(d.n_bigrams, 0) AS n_bigrams,
+             d.avg_lp_ref_micro, d.avg_lp_proxy_micro,
+             CASE WHEN coalesce(d.n_bigrams, 0) > 0
+                  THEN greatest(CAST(0 AS BIGINT),
+                                d.avg_lp_ref_micro
+                                - d.avg_lp_proxy_micro)
+                  ELSE CAST(0 AS BIGINT) END AS excess_micro
+      FROM base LEFT JOIN d USING (source)),
+tot AS (SELECT CAST(sum(n_bigrams * excess_micro) AS DOUBLE) AS tt
+        FROM e)
+SELECT source, n_bigrams, avg_lp_ref_micro, avg_lp_proxy_micro,
+       excess_micro,
+       CASE WHEN tot.tt > 0
+            THEN CAST(round(CAST(n_bigrams * excess_micro AS DOUBLE)
+                            * 1000000.0 / tot.tt) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS weight_micro
+FROM e, tot
+""")
+def domain_weights_q(spark, sf_dir):
+    """DoReMi-style data mixture weights (:func:`beats_spark.dataops
+    .lm.domain_weights`): per-source sampling weights from the excess
+    loss between a curated-reference bigram LM (trained on the
+    curated sources, nb_quality's convention — on the synthetic
+    word-soup corpus a lang gate gives every domain zero excess, while
+    source-curation demonstrates the full dynamic range: curated-
+    aligned domains split ~41/31/28%% of the mass, the rest clip to
+    zero) and a corpus-proxy LM (trained on everything),
+    both fit in-plan from ONE unigram and ONE bigram explode via
+    conditional sums. Domains the reference compresses better than
+    the generalist carry target-aligned signal and get weight;
+    domains both find equally hard clip to zero. Integer micro-nat
+    quantization before every cross-row sum keeps the whole thing
+    engine-exact."""
+    from .dataops import domain_weights
+    docs = _t(spark, sf_dir, "documents")
+    return domain_weights(
+        docs, curated=F.col("source").isin("src0", "src1", "src2"))

@@ -123,3 +123,36 @@ def test_token_kl_partition_invariant(spark):
     a = sorted(map(tuple, token_kl(df).collect()))
     b = sorted(map(tuple, token_kl(df.repartition(11)).collect()))
     assert a == b and len(a) == 3
+
+
+def test_domain_weights_properties(spark):
+    from pyspark.sql import functions as F
+    from beats_spark.dataops import domain_weights
+    rows = []
+    # domain A: exactly the curated distribution (repeat docs)
+    for i in range(6):
+        rows.append((i, "A", "en", "the cat sat on the mat"))
+    # domain B: same language family, partially aligned
+    for i in range(6, 12):
+        rows.append((i, "B", "en", "the dog sat on a rug"))
+    # domain C: gibberish both models find hard
+    for i in range(12, 18):
+        rows.append((i, "C", "xx", f"zz{i} qq{i} vv{i} kk{i}"))
+    # domain D: no bigrams at all (single-token docs)
+    rows.append((18, "D", "xx", "one"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string")
+    out = domain_weights(df, curated=F.col("lang") == "en")
+    got = {r["source"]: r.asDict() for r in out.collect()}
+    assert set(got) == {"A", "B", "C", "D"}
+    # no-bigram domain: zero mass, NULL averages, zero weight
+    assert got["D"]["n_bigrams"] == 0
+    assert got["D"]["avg_lp_ref_micro"] is None
+    assert got["D"]["weight_micro"] == 0
+    # curated-aligned domains outweigh the gibberish domain
+    assert got["A"]["weight_micro"] > got["C"]["weight_micro"]
+    # weights normalize to ~1e6 (rounding slack one unit per domain)
+    total = sum(v["weight_micro"] for v in got.values())
+    assert abs(total - 1_000_000) <= len(got)
+    # excess is clipped non-negative everywhere
+    assert all(v["excess_micro"] >= 0 for v in got.values())
