@@ -18,6 +18,7 @@ from .dedup import (
     exact_dup_groups,
     minhash_signature,
     minhash_lsh_pairs,
+    mirror_hosts,
     ngram_jaccard_pairs,
     ngram_jaccard_prefix_pairs,
     shingles,
@@ -116,7 +117,7 @@ from .multimodal import (
 __all__ = [
     "containment_pairs", "dedup_against", "dedup_exact",
     "exact_dup_groups", "minhash_signature",
-    "minhash_lsh_pairs", "ngram_jaccard_pairs",
+    "minhash_lsh_pairs", "mirror_hosts", "ngram_jaccard_pairs",
     "ngram_jaccard_prefix_pairs", "shingles", "simhash",
     "simhash_pairs",
     "cosine_similarity", "cosine_topk", "cosine_topk_blocked",

@@ -40,6 +40,7 @@ __all__ = [
     "tokens", "shingles", "containment_pairs", "dedup_exact",
     "exact_dup_groups",
     "minhash_signature", "minhash_signature_arrow", "minhash_lsh_pairs",
+    "mirror_hosts",
     "ngram_jaccard_pairs", "ngram_jaccard_prefix_pairs", "simhash", "simhash_col", "simhash_pairs",
     "winnow_fingerprints", "winnow_pairs",
 ]
@@ -835,3 +836,52 @@ def cdc_dup_stats(
             .filter(F.col("n_copies") >= int(min_copies))
             .withColumn("saved_chars",
                         (F.col("n_copies") - 1) * F.col("n_chars")))
+
+
+def mirror_hosts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+    max_hamming: int = 10,
+    chunks: int = 12,
+) -> DataFrame:
+    """Mirror-site detection: cross-host concentration of near-dup
+    pages. SimHash candidate pairs (:func:`simhash_pairs`) whose two
+    sides live on DIFFERENT hosts are rolled up per unordered host
+    pair, and each pair scores ``mirror_micro = round(1e6 · n_pairs /
+    min(|A|, |B|))`` — the overlap coefficient in micro-units: a full
+    mirror of the smaller site reads ≈1e6 however lopsided the sizes.
+    Crawl curation drops or collapses high-scoring pairs (mirrors,
+    CDNs, scraped republishing) BEFORE per-document dedup spends
+    compute on them.
+
+    Scale shape: inherits the banded simhash join (never all-pairs);
+    the host lookups join on the id (broadcast-eligible per AQE), and
+    the rollup shuffles (host_a, host_b) pairs — bytes, not pages.
+    Only host pairs with at least one near-dup pair are emitted."""
+    pairs = simhash_pairs(df, text_col=text_col, id_col=id_col,
+                          max_hamming=max_hamming, chunks=chunks)
+    src = df.select(F.col(id_col), F.col(domain_col))
+    a = src.select(F.col(id_col).alias("id_a"),
+                   F.col(domain_col).alias("__sa"))
+    b = src.select(F.col(id_col).alias("id_b"),
+                   F.col(domain_col).alias("__sb"))
+    x = (pairs.join(a, "id_a").join(b, "id_b")
+         .filter(F.col("__sa") != F.col("__sb"))
+         .select(F.least("__sa", "__sb").alias("host_a"),
+                 F.greatest("__sa", "__sb").alias("host_b")))
+    agg = (x.groupBy("host_a", "host_b")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs")))
+    sz = (df.groupBy(domain_col)
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+    sa = sz.select(F.col(domain_col).alias("host_a"),
+                   F.col("n_docs").alias("__na"))
+    sb = sz.select(F.col(domain_col).alias("host_b"),
+                   F.col("n_docs").alias("__nb"))
+    return (agg.join(sa, "host_a").join(sb, "host_b")
+            .select("host_a", "host_b", "n_pairs",
+                    F.round(F.col("n_pairs").cast("double")
+                            * 1_000_000.0
+                            / F.least("__na", "__nb").cast("double"))
+                     .cast("bigint").alias("mirror_micro")))

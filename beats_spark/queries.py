@@ -8926,3 +8926,36 @@ def domain_weights_q(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return domain_weights(
         docs, curated=F.col("source").isin("src0", "src1", "src2"))
+
+
+@query("mirror_detect", oracle=f"""
+WITH pairs AS ({_SIMHASH_PAIRS_SQL}),
+src AS (SELECT doc_id, source FROM documents),
+x AS (SELECT least(a.source, b.source) AS host_a,
+             greatest(a.source, b.source) AS host_b
+      FROM pairs p JOIN src a ON a.doc_id = p.id_a
+                   JOIN src b ON b.doc_id = p.id_b
+      WHERE a.source <> b.source),
+agg AS (SELECT host_a, host_b, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM x GROUP BY host_a, host_b),
+sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       FROM documents GROUP BY source)
+SELECT agg.host_a, agg.host_b, agg.n_pairs,
+       CAST(round(CAST(agg.n_pairs AS DOUBLE) * 1000000.0
+                  / CAST(least(sa.n_docs, sb.n_docs) AS DOUBLE))
+            AS BIGINT) AS mirror_micro
+FROM agg JOIN sz sa ON sa.source = agg.host_a
+         JOIN sz sb ON sb.source = agg.host_b
+""")
+def mirror_detect_q(spark, sf_dir):
+    """Mirror-site detection (:func:`beats_spark.dataops.dedup
+    .mirror_hosts`): cross-host near-dup concentration per unordered
+    host pair — the overlap coefficient vs the smaller side in
+    micro-units. Inherits the banded SimHash join (same 60-bit/12-
+    chunk parameters as dedup_simhash_pairs, whose oracle this one
+    embeds verbatim as its pairs CTE); the rollup ships (host, host)
+    keys only. The crawl-curation step that collapses mirrors/CDNs
+    BEFORE document-level dedup burns compute on them."""
+    from .dataops import mirror_hosts
+    docs = _t(spark, sf_dir, "documents")
+    return mirror_hosts(docs, max_hamming=10, chunks=12)

@@ -386,3 +386,31 @@ def test_bpe_encode_roundtrip_and_boundaries(spark):
         words = (out[did]["bpe_text"].replace(" ", "")
                  .split("</w>"))
         assert [w for w in words if w] == text.split()
+
+
+def test_mirror_hosts_detects_cross_host_near_dups(spark):
+    from pyspark.sql import functions as F
+    from beats_spark.dataops import mirror_hosts
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark quiet forest tonight")
+    rows = []
+    # hostA: 4 originals; hostB mirrors 3 of them near-verbatim
+    for i in range(4):
+        rows.append((i, "hostA", base + f" page {i}"))
+    for i in range(3):
+        rows.append((10 + i, "hostB", base + f" page {i} x"))
+    # hostC: unrelated content, no mirror pairs
+    for i in range(3):
+        rows.append((20 + i, "hostC",
+                     f"completely different subject {i} about boats "
+                     f"sails harbors tides moons stars {i} maps"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {(r["host_a"], r["host_b"]): r.asDict()
+           for r in mirror_hosts(df).collect()}
+    assert ("hostA", "hostB") in out
+    ab = out[("hostA", "hostB")]
+    # >= the 3 true mirror pairs; overlap vs the smaller side (3 docs)
+    assert ab["n_pairs"] >= 3
+    assert ab["mirror_micro"] >= 1_000_000
+    # hostC pairs with nobody
+    assert not any("hostC" in k for k in out)
