@@ -88,7 +88,7 @@ from .scrub import (
     C4_TERMINAL_RE, PII_PATTERNS, c4_clean, dedup_lines, pii_counts,
     scrub, scrub_pii,
 )
-from .checks import check_constraints, profile_columns
+from .checks import check_constraints, corpus_report, profile_columns
 from .events import (
     asof_join, clock_skew, event_transitions, funnel_steps, percentile_rollup,
     retention_cohorts,
@@ -146,7 +146,7 @@ __all__ = [
     "corpus_shuffle",
     "collocations", "doc_frequency", "inverted_index", "phrase_search",
     "sparse_cosine_pairs", "tfidf_top_terms",
-    "asof_join", "check_constraints", "profile_columns",
+    "asof_join", "check_constraints", "corpus_report", "profile_columns",
     "event_transitions",
     "funnel_steps",
     "percentile_rollup",

@@ -30,7 +30,7 @@ from typing import Any, List, Mapping, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["check_constraints", "profile_columns"]
+__all__ = ["check_constraints", "corpus_report", "profile_columns"]
 
 
 def _scalar_check(spec: Mapping[str, Any]) -> Tuple[str, Column, int]:
@@ -202,3 +202,60 @@ def profile_columns(
             F.col(f"__mx{i}").alias("max_value")))
     return (wide.select(F.explode(F.array(*structs)).alias("r"))
             .select("r.*"))
+
+
+def corpus_report(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    quality_min_chars: int = 300,
+) -> DataFrame:
+    """Per-domain corpus data card in ONE aggregation pass — the
+    summary a curation run publishes next to a snapshot (what Dolma/
+    FineWeb ship as dataset cards): volume, token mass, language
+    share, exact-duplicate rate, emptiness, and a quality-gate share,
+    all per ``domain_col``.
+
+    The module's one-pass rule applies: every signal is an aggregate
+    of the same groupBy — N signals never become N scans. The only
+    extra cost is the distinct-digest count (exact-dup rate), which
+    Spark plans as an expand inside the SAME shuffle, not a second
+    scan; the exchange carries (domain, digest) — 32-byte keys, never
+    text. Ratios are integer micro-units (round toward floor via
+    BIGINT DIV) so every row is engine-exact.
+
+    Returns one row per domain: ``(domain, n_docs, n_chars,
+    n_tokens, avg_doc_tokens, en_share_micro, dup_rate_micro,
+    empty_share_micro, quality_share_micro)`` — NULL text counts as
+    empty, and its docs form one dup group via the digest sentinel
+    (same convention as :func:`~beats_spark.dataops.dedup
+    .dedup_exact`)."""
+    from .dedup import tokens
+    t = F.col(text_col)
+    ntok = F.when(t.isNull(), F.lit(0)) \
+            .otherwise(F.size(tokens(t))).cast("bigint")
+    digest = F.when(t.isNull(), F.lit("__NULL__")).otherwise(F.md5(t))
+    is_empty = (t.isNull() | (F.length(t) == 0)).cast("int")
+    is_en = (F.col(lang_col) == "en").cast("int")
+    is_q = ((~t.isNull())
+            & (F.length(t) >= quality_min_chars)).cast("int")
+    g = (df.groupBy(F.col(domain_col).alias("domain"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+              F.sum(F.coalesce(F.length(t), F.lit(0)))
+               .cast("bigint").alias("n_chars"),
+              F.sum(ntok).cast("bigint").alias("n_tokens"),
+              F.countDistinct(digest).cast("bigint")
+               .alias("__n_distinct"),
+              F.sum(is_empty).cast("bigint").alias("__n_empty"),
+              F.sum(is_en).cast("bigint").alias("__n_en"),
+              F.sum(is_q).cast("bigint").alias("__n_q")))
+    micro = lambda c: F.expr(f"({c} * 1000000) DIV n_docs")  # noqa: E731
+    return g.select(
+        "domain", "n_docs", "n_chars", "n_tokens",
+        F.expr("n_tokens DIV n_docs").alias("avg_doc_tokens"),
+        micro("__n_en").alias("en_share_micro"),
+        F.expr("((n_docs - __n_distinct) * 1000000) DIV n_docs")
+         .alias("dup_rate_micro"),
+        micro("__n_empty").alias("empty_share_micro"),
+        micro("__n_q").alias("quality_share_micro"))

@@ -8959,3 +8959,43 @@ def mirror_detect_q(spark, sf_dir):
     from .dataops import mirror_hosts
     docs = _t(spark, sf_dir, "documents")
     return mirror_hosts(docs, max_hamming=10, chunks=12)
+
+
+@query("corpus_report", oracle=r"""
+WITH g AS (
+  SELECT source AS domain,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS n_chars,
+         CAST(coalesce(sum(CASE WHEN text IS NULL THEN 0
+           ELSE len(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) END), 0) AS BIGINT)
+           AS n_tokens,
+         CAST(count(DISTINCT CASE WHEN text IS NULL THEN '__NULL__'
+                                  ELSE md5(text) END) AS BIGINT)
+           AS n_distinct,
+         CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_en,
+         CAST(sum(CASE WHEN text IS NOT NULL AND length(text) >= 300
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_q
+  FROM documents GROUP BY source)
+SELECT domain, n_docs, n_chars, n_tokens,
+       n_tokens // n_docs AS avg_doc_tokens,
+       (n_en * 1000000) // n_docs AS en_share_micro,
+       ((n_docs - n_distinct) * 1000000) // n_docs AS dup_rate_micro,
+       (n_empty * 1000000) // n_docs AS empty_share_micro,
+       (n_q * 1000000) // n_docs AS quality_share_micro
+FROM g
+""")
+def corpus_report_q(spark, sf_dir):
+    """Per-source corpus data card (:func:`beats_spark.dataops
+    .checks.corpus_report`): volume, token mass, English share,
+    exact-duplicate rate, emptiness, and the quality-gate share — all
+    aggregates of ONE pass per the checks module's rule (N signals
+    never become N scans; the distinct-digest count expands inside
+    the same shuffle and ships 32-byte keys). Integer micro-unit
+    ratios via BIGINT floor division, engine-exact."""
+    from .dataops import corpus_report
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_report(docs)

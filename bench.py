@@ -91,7 +91,7 @@ BENCH_QUERIES = [
     "cdc_chunks", "cdc_dup_stats", "redirect_resolve", "html_tables", "rake_keywords",
     "dedup_canonical", "passage_chunks", "change_rate", "bot_cadence", "meta_tags", "feed_items",
     "hreflang_links", "dom_templates", "domain_wilson",
-    "domain_weights", "mirror_detect",
+    "domain_weights", "mirror_detect", "corpus_report",
     "flagship_routed_counts", "flagship_messages",
 ]
 

@@ -78,3 +78,31 @@ def test_profile_columns_stats_and_one_scan(spark, sf_dir):
         profile_columns(ev, ["nope"])
     with pytest.raises(ValueError, match="no columns"):
         profile_columns(ev, [])
+
+
+def test_corpus_report_one_pass_and_values(spark):
+    from pyspark.sql import functions as F
+    from beats_spark.dataops import corpus_report
+    rows = [
+        (0, "a b c", "en", "h1"), (1, "a b c", "en", "h1"),   # dup pair
+        (2, "x y", "fr", "h1"), (3, None, "en", "h1"),        # null text
+        (4, "", "de", "h2"), (5, "long enough " * 30, "en", "h2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, "
+                                     "lang string, source string")
+    got = {r["domain"]: r.asDict()
+           for r in corpus_report(df, quality_min_chars=10).collect()}
+    h1 = got["h1"]
+    assert h1["n_docs"] == 4 and h1["n_tokens"] == 8
+    # 4 docs, 3 distinct digests (dup pair + null sentinel + "x y")
+    assert h1["dup_rate_micro"] == 250_000
+    assert h1["empty_share_micro"] == 250_000   # the NULL text
+    assert h1["en_share_micro"] == 750_000
+    h2 = got["h2"]
+    assert h2["empty_share_micro"] == 500_000   # the '' text
+    assert h2["quality_share_micro"] == 500_000
+    # one-pass rule: a single pair of aggregate exchanges feeds every
+    # signal (partial+final, plus the distinct expand's extra pair) —
+    # crucially ONE scan of the input
+    plan = corpus_report(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan") <= 2 and "EvalPython" not in plan
