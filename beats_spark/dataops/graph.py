@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["hits", "label_propagation", "pagerank",
+__all__ = ["hits", "kcore", "label_propagation", "pagerank",
            "resolve_pointers", "spam_mass", "triangle_count",
            "trustrank"]
 
@@ -171,6 +171,79 @@ def triangle_count(
             .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
             .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
             .select("n_nodes", "n_edges", "n_triangles"))
+
+
+def kcore(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    rounds: int = 8,
+    id_col: str = "node",
+    deg_col: str = "degree",
+) -> DataFrame:
+    """k-core membership by iterative peeling over an undirected view
+    of ``edges``: repeatedly drop nodes whose residual degree is
+    below ``k``, then return ``(node, degree)`` for the survivors.
+
+    The k-core — the maximal subgraph where every node keeps >= k
+    neighbors INSIDE the subgraph — is the standard link-graph
+    "dense center" extractor: seed hosts for crawl prioritization,
+    spam-farm cores (farms are dense by construction), and the
+    community backbone that survives when one-link stragglers are
+    peeled away. Unlike raw degree it is recursive: a host with 50
+    inlinks all from leaf pages is NOT in the 2-core.
+
+    The k-core is unique (order-independent), so fixed-round peeling
+    is exactly reproducible anywhere: ``rounds`` must be >= the
+    peeling depth for full convergence (each round removes at least
+    one node until fixed point, and in practice depth is tiny — a
+    round strips an entire "layer" of the degeneracy ordering).
+    Callers wanting a proof of convergence compare round counts R
+    and R+1; the catalog query pins a depth the demo graph converges
+    well inside.
+
+    Plan shape per round: one degree aggregation (union of endpoint
+    projections -> groupBy: a single hash exchange on 8-byte node
+    ids), then two LEFT SEMI joins filtering the edge list to
+    surviving endpoints — the exchanges only ever carry (a, b) long
+    pairs, never payload, the same 16-byte-key discipline as
+    :func:`~beats_spark.dataops.components.connected_components`.
+    The shrinking edge frame is ``localCheckpoint``-ed per round so
+    lineage stays flat (the :func:`pagerank` lesson); since the
+    frame only ever SHRINKS, per-round cost is monotonically
+    non-increasing — peeling is cheaper than any fixed-point
+    algorithm that rebuilds the full frame each round.
+
+    Reference anchor: filebeat has no graph ops — this extends the
+    web-corpus curation surface next to :func:`pagerank` /
+    :func:`trustrank` (SURVEY.md LLM-pipeline additions).
+    """
+    if k < 1:
+        raise ValueError(f"kcore: k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"kcore: rounds must be >= 1, got {rounds}")
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .filter(F.col("s") != F.col("d")))
+    und = (e.select(F.least("s", "d").alias("a"),
+                    F.greatest("s", "d").alias("b"))
+           .distinct().localCheckpoint(eager=True))
+
+    def _deg(frame: DataFrame) -> DataFrame:
+        return (frame.select(F.col("a").alias("node"))
+                .unionAll(frame.select(F.col("b").alias("node")))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("__deg")))
+
+    for _ in range(int(rounds)):
+        keep = _deg(und).filter(F.col("__deg") >= k).select("node")
+        und = (und.join(keep.withColumnRenamed("node", "a"),
+                        "a", "left_semi")
+               .join(keep.withColumnRenamed("node", "b"),
+                     "b", "left_semi")
+               .localCheckpoint(eager=True))
+    return (_deg(und).filter(F.col("__deg") >= k)
+            .select(F.col("node").alias(id_col),
+                    F.col("__deg").cast("long").alias(deg_col)))
 
 
 def hits(

@@ -8999,3 +8999,51 @@ def corpus_report_q(spark, sf_dir):
     from .dataops import corpus_report
     docs = _t(spark, sf_dir, "documents")
     return corpus_report(docs)
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 4) -> str:
+    """Unrolled peeling recurrence, one (degree, filter) CTE pair per
+    round — same unrolling discipline as ``_pagerank_oracle``."""
+    parts = [r"""
+WITH e0 AS (SELECT DISTINCT least(o_custkey, l_suppkey + 1000000) AS a,
+                   greatest(o_custkey, l_suppkey + 1000000) AS b
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE l_quantity >= 48)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+d{i} AS (SELECT node, count(*) AS deg FROM
+          (SELECT a AS node FROM e{i - 1}
+           UNION ALL SELECT b FROM e{i - 1}) GROUP BY node),
+e{i} AS (SELECT a, b FROM e{i - 1}
+         WHERE a IN (SELECT node FROM d{i} WHERE deg >= {k})
+           AND b IN (SELECT node FROM d{i} WHERE deg >= {k}))""")
+    parts.append(f""",
+df AS (SELECT node, count(*) AS deg FROM
+        (SELECT a AS node FROM e{rounds}
+         UNION ALL SELECT b FROM e{rounds}) GROUP BY node)
+SELECT node, CAST(deg AS BIGINT) AS degree
+FROM df WHERE deg >= {k}""")
+    return "".join(parts)
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark, sf_dir):
+    """k-core extraction (:func:`beats_spark.dataops.graph.kcore`)
+    over the high-quantity customer--supplier trade graph (supplier
+    ids offset into their own node range): peel nodes with residual
+    degree < 3 to a fixed point, keep the dense center. The
+    recursive "dense backbone" signal next to pagerank/trustrank —
+    raw degree can be farmed with leaf pages, core membership
+    cannot. Peeling is order-independent (the k-core is unique), so
+    the fixed 4-round budget is bit-reproducible and idempotent past
+    the measured depth-2 convergence; the oracle unrolls the same
+    recurrence one CTE pair per round. Per round the plan ships only
+    8-byte node ids and 16-byte edge pairs."""
+    from .dataops.graph import kcore
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (orders.join(li, li.l_orderkey == orders.o_orderkey)
+             .filter(F.col("l_quantity") >= 48)
+             .select(F.col("o_custkey").alias("src"),
+                     (F.col("l_suppkey") + F.lit(1000000)).alias("dst")))
+    return kcore(edges, k=3, rounds=4)

@@ -73,7 +73,7 @@ BENCH_QUERIES = [
     "hll_distinct", "bloom_join_prune", "dedup_jaccard_prefix",
     "anchor_texts", "useragent_parse", "corpus_overlap",
     "dedup_containment", "json_schema_profile", "lang_spans",
-    "graph_triangles", "phrase_search", "collocations",
+    "graph_triangles", "graph_kcore", "phrase_search", "collocations",
     "sparse_cosine", "rank_fusion", "hll_windowed", "latency_histogram",
     "event_transitions", "data_quality", "column_profile",
     "pivot_daily", "hll_set_ops", "unpivot_roundtrip", "ann_multiprobe", "typosquat_detect",

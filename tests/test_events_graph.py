@@ -913,3 +913,37 @@ def test_bot_cadence_metronome_vs_bursty(spark):
     assert not got[2]["is_bot"] and got[2]["cadence_micro"] > 100_000
     assert not got[3]["is_bot"] and got[3]["n_gaps"] == 4
     assert got[4]["is_bot"] and got[4]["median_gap_ms"] == 0
+
+
+def test_kcore_hand_case_peels_recursively(spark):
+    """A triangle (3-clique) plus a tail hanging off it: the 2-core is
+    exactly the triangle — the tail peels in cascading rounds, which
+    raw-degree filtering would get wrong (the first tail node starts
+    at degree 2)."""
+    from beats_spark.dataops.graph import kcore
+    # triangle 1-2-3; tail 3-4, 4-5 (node 4 has degree 2 initially!)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["src", "dst"])
+    out = {r["node"]: r["degree"]
+           for r in kcore(edges, k=2, rounds=4).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_idempotent_past_convergence_and_guards(spark):
+    from beats_spark.dataops.graph import kcore
+    import pytest as _pt
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 3),
+         (10, 11)], ["src", "dst"])
+    a = sorted(map(tuple, kcore(edges, k=2, rounds=2).collect()))
+    b = sorted(map(tuple, kcore(edges, k=2, rounds=6).collect()))
+    assert a == b  # extra rounds past the fixed point are no-ops
+    # k=1 keeps every non-isolated node; dedup/self-loop hygiene
+    loops = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (1, 2)], ["src", "dst"])
+    assert sorted(map(tuple, kcore(loops, k=1, rounds=2).collect())) \
+        == [(1, 1), (2, 1)]
+    with _pt.raises(ValueError):
+        kcore(edges, k=0)
+    with _pt.raises(ValueError):
+        kcore(edges, k=2, rounds=0)
