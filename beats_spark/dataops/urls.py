@@ -29,7 +29,8 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["canonical_url", "url_dedup", "TRACKING_PARAMS",
-           "DEFAULT_URL_LANGS", "lang_url_skeleton", "lang_url_pairs"]
+           "DEFAULT_URL_LANGS", "lang_url_skeleton", "lang_url_pairs",
+           "url_template", "crawl_traps"]
 
 # Query parameters that identify a CLICK, not a page: stripping them
 # is standard crawl practice (they are what makes one page spell as
@@ -137,6 +138,68 @@ def url_dedup(
                canonical_url(key, strip_www=strip_www)))
     order = list(order_by) if order_by else [F.col(url_col).asc()]
     return cap_per_key(out, canon_col, 1, order_by=order)
+
+
+def url_template(url: Column) -> Column:
+    """Structural template of a URL's path+query: long hex runs (>= 16
+    chars — session ids, content hashes, UUID halves) collapse to
+    ``H``, then digit runs collapse to ``N``. ``/cal/2024/07/03/e91``
+    and ``/cal/2019/01/28/e7`` both template to ``/cal/N/N/N/eN``.
+
+    Hex BEFORE digits — the digit pass would otherwise split a hex
+    run at its letter boundaries and leave per-value residue. Both
+    passes are global replaces of a plain character-class regex
+    (identical semantics in Java regex and RE2/DuckDB, the module's
+    oracle-exactness rule). Pure codegen projection.
+    """
+    pq = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    t = F.regexp_replace(pq, "[0-9a-f]{16,}", "H")
+    return F.regexp_replace(t, "[0-9]+", "N")
+
+
+def crawl_traps(
+    df: DataFrame,
+    url_col: str = "url",
+    min_ratio: int = 100,
+) -> DataFrame:
+    """Crawl-trap detection: hosts whose distinct-URL count explodes
+    relative to their distinct structural templates
+    (:func:`url_template`) — calendar traps, session-id params,
+    faceted-search grids, print-view mirrors. A trapped host yields
+    unbounded URLs from a handful of page shapes; fetching it drains
+    the crawl budget on one site. Per host:
+    ``(host, n_urls, n_templates, urls_per_template_micro, trap)``
+    with the ratio in integer micro-units and ``trap`` true when
+    urls-per-template >= ``min_ratio``.
+
+    This is the frontier-side complement of content-side mirror/
+    template detection (``dom_templates`` needs fetched HTML; this
+    fires BEFORE fetching, from the URL list alone) — the two-signal
+    combination is standard crawler practice (Heritrix's
+    PathologicalPathDecideRule is the reference-world analog).
+
+    Scale shape: one groupBy on host with two distinct counts —
+    Spark plans a single Expand (×2) into one shuffle whose rows are
+    (host, url) / (host, template) pairs, bounded at 2× the input
+    and pruned to the two string columns; no self-join, no window.
+    Hot hosts (the traps themselves!) are exactly the skewed keys —
+    distinct-aggregate partials combine map-side, so a 10^9-URL trap
+    host costs its scan, not an executor's memory.
+    """
+    host = F.lower(F.regexp_extract(
+        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    base = df.select(host.alias("host"),
+                     F.col(url_col).alias("__u"),
+                     url_template(F.col(url_col)).alias("__t"))
+    agg = base.groupBy("host").agg(
+        F.countDistinct("__u").alias("n_urls"),
+        F.countDistinct("__t").alias("n_templates"))
+    ratio = F.floor(F.col("n_urls") * F.lit(1_000_000)
+                    / F.col("n_templates")).cast("long")
+    return agg.select(
+        "host", "n_urls", "n_templates",
+        ratio.alias("urls_per_template_micro"),
+        (ratio >= min_ratio * 1_000_000).alias("trap"))
 
 
 DEFAULT_URL_LANGS = ("ar", "de", "en", "es", "fr", "it", "ja", "ko",

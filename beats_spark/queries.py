@@ -9047,3 +9047,81 @@ def graph_kcore(spark, sf_dir):
              .select(F.col("o_custkey").alias("src"),
                      (F.col("l_suppkey") + F.lit(1000000)).alias("dst")))
     return kcore(edges, k=3, rounds=4)
+
+
+_TRAP_URL_SQL = """CASE event_type
+  WHEN 'click' THEN 'https://click.example.com/cal/'
+    || CAST(year(ts) AS VARCHAR) || '/' || CAST(month(ts) AS VARCHAR)
+    || '/' || CAST(day(ts) AS VARCHAR) || '/e'
+    || CAST(event_id AS VARCHAR)
+    || CASE WHEN event_id % 2 = 0 THEN '/print' ELSE '' END
+  WHEN 'view' THEN 'https://view.example.com/p/'
+    || CAST(event_id % 50 AS VARCHAR) || '?s='
+    || md5(CAST(event_id AS VARCHAR))
+  WHEN 'purchase' THEN 'https://buy.example.com/page/'
+    || CAST(event_id % 50 AS VARCHAR)
+  WHEN 'signup' THEN 'https://join.example.com/join?ref='
+    || CAST(event_id % 7 AS VARCHAR)
+  ELSE 'https://err.example.com/status' END"""
+
+
+def _trap_urls(ev: DataFrame) -> DataFrame:
+    """Deterministic per-event crawl URLs with two classic traps baked
+    in (calendar paths + session-id params), rebuilt verbatim by
+    ``_TRAP_URL_SQL`` — the `_messy_urls` fixture discipline."""
+    ts, eid = F.col("ts"), F.col("event_id")
+    estr = eid.cast("string")
+    et = F.col("event_type")
+    url = (
+        F.when(et == "click", F.concat(
+            F.lit("https://click.example.com/cal/"),
+            F.year(ts).cast("string"), F.lit("/"),
+            F.month(ts).cast("string"), F.lit("/"),
+            F.dayofmonth(ts).cast("string"), F.lit("/e"), estr,
+            F.when(eid % 2 == 0, F.lit("/print")).otherwise(F.lit(""))))
+        .when(et == "view", F.concat(
+            F.lit("https://view.example.com/p/"),
+            (eid % 50).cast("string"), F.lit("?s="), F.md5(estr)))
+        .when(et == "purchase", F.concat(
+            F.lit("https://buy.example.com/page/"),
+            (eid % 50).cast("string")))
+        .when(et == "signup", F.concat(
+            F.lit("https://join.example.com/join?ref="),
+            (eid % 7).cast("string")))
+        .otherwise(F.lit("https://err.example.com/status")))
+    return ev.select(url.alias("url"))
+
+
+@query("crawl_traps", oracle=f"""
+WITH u AS (SELECT {_TRAP_URL_SQL} AS url FROM events),
+t AS (SELECT url,
+        lower(regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
+        regexp_replace(regexp_replace(
+          regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*',
+                         ''),
+          '[0-9a-f]{{16,}}', 'H', 'g'), '[0-9]+', 'N', 'g') AS tpl
+      FROM u),
+a AS (SELECT host, CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+             CAST(count(DISTINCT tpl) AS BIGINT) AS n_templates
+      FROM t GROUP BY host)
+SELECT host, n_urls, n_templates,
+       CAST(n_urls * 1000000 // n_templates AS BIGINT)
+         AS urls_per_template_micro,
+       (n_urls * 1000000 // n_templates) >= 100000000 AS trap
+FROM a
+""")
+def crawl_traps_q(spark, sf_dir):
+    """Crawl-trap detection (:func:`beats_spark.dataops.urls
+    .crawl_traps`): hosts whose distinct-URL count explodes relative
+    to their distinct path TEMPLATES (hex runs -> H, digit runs -> N)
+    — the frontier-side budget guard that fires from the URL list
+    alone, before any fetch. The fixture bakes in a calendar trap
+    (every event a fresh /cal/y/m/d/eN URL, 2 shapes) and a
+    session-id trap (md5 param, 1 shape) next to three bounded hosts;
+    the threshold flags exactly the two traps at every sf. One
+    groupBy-host shuffle (Expand x2 for the two distincts), ratio in
+    integer micro-units."""
+    from .dataops.urls import crawl_traps
+    ev = _t(spark, sf_dir, "events")
+    return crawl_traps(_trap_urls(ev), min_ratio=100)

@@ -86,7 +86,8 @@ BENCH_QUERIES = [
     "seasonal_anomaly", "slo_burn", "rolling_p95",
     "link_communities", "zonemap_prune", "ivm_refresh",
     "ann_pq_topk", "char_entropy", "nb_quality", "dns_tunnel", "shard_balance", "hard_negatives", "corpus_kl_drift", "winsorize_values", "oov_rate", "bpe_merges", "bpe_encode",
-    "lang_url_pairs", "decode_cef", "kv_extract", "sentence_split",
+    "lang_url_pairs", "crawl_traps", "decode_cef", "kv_extract",
+    "sentence_split",
     "clock_skew",
     "cdc_chunks", "cdc_dup_stats", "redirect_resolve", "html_tables", "rake_keywords",
     "dedup_canonical", "passage_chunks", "change_rate", "bot_cadence", "meta_tags", "feed_items",

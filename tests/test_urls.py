@@ -209,3 +209,32 @@ def test_lang_url_pairs_rep_bound_and_order(spark):
     # one rep per (skeleton, lang): fr rep is min(2,3)=2; lang_a<lang_b
     assert got == [("de", 4, "en", 1), ("de", 4, "fr", 2),
                    ("en", 1, "fr", 2)]
+
+
+class TestCrawlTraps:
+    def test_url_template_hex_before_digits(self, spark):
+        from beats_spark.dataops.urls import url_template
+        from pyspark.sql import functions as F
+        rows = spark.createDataFrame(
+            [("https://a.com/cal/2024/07/03/e91",),
+             ("https://a.com/p/7?s=0123456789abcdef0123456789abcdef",),
+             ("https://a.com/p/7?s=deadbeef",),  # short hex: digit pass only
+             ("https://a.com/plain",)], ["u"]) \
+            .select(url_template(F.col("u")).alias("t"))
+        assert [r["t"] for r in rows.collect()] == [
+            "/cal/N/N/N/eN", "/p/N?s=H", "/p/N?s=deadbeef", "/plain"]
+
+    def test_crawl_traps_flags_explosive_host_only(self, spark):
+        from beats_spark.dataops.urls import crawl_traps
+        trap = [(f"https://trap.com/cal/2024/{m}/{d}/x{i}",)
+                for i, (m, d) in enumerate((m, d) for m in range(1, 13)
+                                           for d in range(1, 11))]
+        ok = [("https://ok.com/page/%d" % (i % 3),) for i in range(120)]
+        df = spark.createDataFrame(trap + ok, ["url"])
+        out = {r["host"]: r for r in
+               crawl_traps(df, min_ratio=50).collect()}
+        assert out["trap.com"]["trap"] is True
+        assert out["trap.com"]["n_templates"] == 1
+        assert out["trap.com"]["n_urls"] == 120
+        assert out["ok.com"]["trap"] is False
+        assert out["ok.com"]["n_urls"] == 3
