@@ -90,7 +90,7 @@ from .scrub import (
 )
 from .checks import check_constraints, corpus_report, profile_columns
 from .events import (
-    asof_join, clock_skew, event_transitions, funnel_steps, percentile_rollup,
+    asof_join, clock_skew, event_transitions, funnel_steps, interval_join, percentile_rollup,
     retention_cohorts,
     scd2_join, session_rollup, sessionize, winsorize,
 )
@@ -146,7 +146,7 @@ __all__ = [
     "corpus_shuffle",
     "collocations", "doc_frequency", "inverted_index", "phrase_search",
     "sparse_cosine_pairs", "tfidf_top_terms",
-    "asof_join", "check_constraints", "corpus_report", "profile_columns",
+    "asof_join", "interval_join", "check_constraints", "corpus_report", "profile_columns",
     "event_transitions",
     "funnel_steps",
     "percentile_rollup",

@@ -27,7 +27,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "bot_cadence", "clock_skew",
+__all__ = ["asof_join", "bot_cadence", "clock_skew", "interval_join",
            "decayed_counts", "ewma_smooth",
            "funnel_steps", "merge_intervals",
            "percentile_rollup",
@@ -197,6 +197,63 @@ def asof_join(
     keep = [c for c in left.columns] + \
            [F.col("__fp")[o].alias(o) for o in out_names]
     return filled.filter(F.col("__side") == 1).select(*keep)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within_seconds: int = 1800,
+    how: str = "inner",
+    prefix: str = "r_",
+) -> DataFrame:
+    """Event-time interval join: for every left row, ALL right rows
+    of the same ``on`` key whose ``right_ts`` lands in
+    ``[left_ts, left_ts + within_seconds]`` — ad attribution
+    (conversions within the window after an impression), alert
+    correlation (errors within N minutes of a deploy), fraud rings
+    (transactions clustered after a login). Many-to-many, unlike
+    :func:`asof_join` (which picks exactly the latest single match
+    and therefore gets the linear union+window spelling).
+
+    Right columns except ``on`` arrive prefixed (``prefix``) so both
+    sides' timestamps and payloads coexist; ``how`` is ``inner`` or
+    ``left`` (unmatched left rows kept with NULLs).
+
+    Plan: ONE hash exchange per side on the key, the time bound as a
+    join-level post-filter (Spark evaluates it inside the sort-merge
+    join, never materializing out-of-window pairs downstream). A
+    key's cost is its own |L|x|R| — bounded by the window in any real
+    event stream; a pathological hot key is a salting candidate
+    (:mod:`beats_spark.skew`), not a planner problem, because the
+    join never goes nested-loop (equi-key present). The streaming
+    form is :func:`beats_spark.streaming.pipeline.stream_event_join`
+    — same condition plus the two watermarks that bound join state;
+    this batch spelling is its replay/backfill twin (identical pairs
+    on identical data, asserted in tests), so an attribution window
+    computed in-flight can be recomputed over history bit-for-bit.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"interval_join: how must be inner|left, "
+                         f"got {how!r}")
+    if int(within_seconds) < 0:
+        raise ValueError("interval_join: within_seconds must be >= 0")
+    payload = [c for c in right.columns if c != on]
+    clash = sorted({prefix + c for c in payload} & set(left.columns))
+    if clash:
+        raise ValueError(f"interval_join: output columns {clash} "
+                         "already exist on the left — change prefix=")
+    r = right.select(F.col(on).alias("__k"),
+                     *[F.col(c).alias(prefix + c) for c in payload])
+    rts = F.col(prefix + right_ts)
+    cond = ((left[on] == r["__k"])
+            & (rts >= F.col(left_ts))
+            & (rts <= F.col(left_ts)
+               + F.expr(f"INTERVAL {int(within_seconds)} SECONDS")))
+    return left.join(r, cond, "left_outer" if how == "left" else
+                     "inner").drop("__k")
 
 
 def scd2_join(

@@ -9125,3 +9125,40 @@ def crawl_traps_q(spark, sf_dir):
     from .dataops.urls import crawl_traps
     ev = _t(spark, sf_dir, "events")
     return crawl_traps(_trap_urls(ev), min_ratio=100)
+
+
+@query("attribution_join", oracle="""
+SELECT v.user_id, v.event_id AS view_id, b.event_id AS buy_id,
+       CAST((epoch_us(b.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT)
+         AS lag_s
+FROM events v JOIN events b ON b.user_id = v.user_id
+  AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 2700 SECONDS
+WHERE v.event_type = 'view' AND b.event_type = 'purchase'
+""")
+def attribution_join_q(spark, sf_dir):
+    """Attribution-window interval join (:func:`beats_spark.dataops
+    .events.interval_join`): every purchase within 45 minutes AFTER a
+    view by the same user, many-to-many — the batch/backfill twin of
+    the streaming ``stream_event_join`` (same condition; watermarks
+    only bound state, never change pairs). One equi-key exchange per
+    side, the time bound evaluated inside the sort-merge join; unlike
+    ``asof_enrich`` this keeps ALL in-window pairs, which is why it
+    is a real join rather than the linear union+window spelling.
+    Lag in whole seconds via integer epoch-microsecond math."""
+    from .dataops.events import interval_join
+    ev = _t(spark, sf_dir, "events")
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", "ts",
+                     F.col("event_id").alias("view_id")))
+    buys = (ev.filter(F.col("event_type") == "purchase")
+            .select("user_id", "ts",
+                    F.col("event_id").alias("buy_id")))
+    j = interval_join(views, buys, "user_id",
+                      within_seconds=2700, prefix="b_")
+    lag = F.floor(
+        (F.unix_micros(F.col("b_ts").cast("timestamp"))
+         - F.unix_micros(F.col("ts").cast("timestamp")))
+        / F.lit(1_000_000)).cast("long")
+    return j.select("user_id", "view_id",
+                    F.col("b_buy_id").alias("buy_id"),
+                    lag.alias("lag_s"))

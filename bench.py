@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "kmeans_assign", "lm_quality_score", "unicode_clean",
     "ccnet_buckets", "dsir_select", "token_budget", "corpus_shuffle",
     "sessionize_events", "latency_percentiles", "asof_enrich",
+    "attribution_join",
     "inverted_index", "link_pagerank", "link_trustrank", "funnel_steps",
     "retention_cohorts", "log_templates", "count_anomalies",
     "scd2_enrich", "stratified_sample", "zorder_layout",

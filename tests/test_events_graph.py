@@ -947,3 +947,42 @@ def test_kcore_idempotent_past_convergence_and_guards(spark):
         kcore(edges, k=0)
     with _pt.raises(ValueError):
         kcore(edges, k=2, rounds=0)
+
+
+def test_interval_join_known_pairs_and_left_outer(spark):
+    import datetime as _dt
+    from beats_spark.dataops.events import interval_join
+    t0 = _dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + _dt.timedelta(seconds=s)
+
+    views = spark.createDataFrame(
+        [(1, ts(0), "v1"), (1, ts(1000), "v2"), (2, ts(0), "v3")],
+        "user_id long, ts timestamp, vid string")
+    buys = spark.createDataFrame(
+        [(1, ts(50), "b1"),    # in window of v1 only
+         (1, ts(1100), "b2"),  # in window of v1 AND v2 (many-to-many)
+         (2, ts(5000), "b3")], # outside v3's window
+        "user_id long, ts timestamp, bid string")
+    got = sorted((r["vid"], r["r_bid"]) for r in
+                 interval_join(views, buys, "user_id",
+                               within_seconds=1800).collect())
+    assert got == [("v1", "b1"), ("v1", "b2"), ("v2", "b2")]
+    # left outer keeps unmatched v3 with NULL payload
+    lo = {r["vid"]: r["r_bid"] for r in
+          interval_join(views, buys, "user_id", within_seconds=1800,
+                        how="left").collect() if r["vid"] == "v3"}
+    assert lo == {"v3": None}
+    # boundary: exactly at left_ts + within is INCLUSIVE
+    b_edge = spark.createDataFrame([(1, ts(1800), "be")],
+                                   "user_id long, ts timestamp, bid string")
+    edge = [(r["vid"], r["r_bid"]) for r in
+            interval_join(views, b_edge, "user_id",
+                          within_seconds=1800).collect()]
+    assert ("v1", "be") in edge
+    import pytest as _pt
+    with _pt.raises(ValueError, match="how"):
+        interval_join(views, buys, "user_id", how="outer")
+    with _pt.raises(ValueError, match="already exist"):
+        interval_join(views, views, "user_id", prefix="")
