@@ -85,7 +85,8 @@ from .unicode import (
     fold_accents_sql, nfc, unicode_clean, unicode_clean_sql,
 )
 from .scrub import (
-    C4_TERMINAL_RE, PII_PATTERNS, c4_clean, dedup_lines, pii_counts,
+    C4_TERMINAL_RE, PII_PATTERNS, blocklist_filter, c4_clean,
+    dedup_lines, pii_counts,
     scrub, scrub_pii,
 )
 from .checks import check_constraints, corpus_report, profile_columns
@@ -169,5 +170,5 @@ __all__ = [
     "nfc", "unicode_clean",
     "unicode_clean_sql", "clean_text_column",
     "PII_PATTERNS", "scrub_pii", "pii_counts", "scrub", "dedup_lines",
-    "c4_clean", "C4_TERMINAL_RE",
+    "blocklist_filter", "c4_clean", "C4_TERMINAL_RE",
 ]

@@ -36,6 +36,7 @@ from typing import Dict, Iterable, Optional, Tuple
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["PII_PATTERNS", "scrub_pii", "pii_counts", "scrub",
+           "blocklist_filter",
            "dedup_lines", "strip_boilerplate", "c4_clean",
            "C4_TERMINAL_RE"]
 
@@ -302,3 +303,73 @@ def c4_clean(
     if keep_dropped:
         return res
     return res.filter(F.col("drop_reason").isNull()).drop("drop_reason")
+
+
+def blocklist_filter(
+    df: DataFrame,
+    terms: Iterable[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hits: int = 0,
+    keep_blocked: bool = False,
+) -> DataFrame:
+    """The C4 blocklist gate (Raffel et al. 2020 §2.2: "any page that
+    contained any word on the [blocklist]" is removed) as a pure
+    zero-exchange projection: tokenize once (lowercase, split on
+    non-alphanumeric, apostrophes kept so "don't" stays one token),
+    intersect the distinct token set with the literal term array, and
+    block any page whose count of distinct matched terms exceeds
+    ``max_hits`` (default 0 = the paper's any-hit rule; raise it for
+    a score-threshold variant).
+
+    Word-boundary semantics come from the tokenization, NOT from a
+    ``%term%`` substring test — "classic" never trips a block on
+    "ass", the classic false-positive of the naive spelling. Terms
+    must therefore be single tokens (validated loudly): a multi-word
+    phrase has no boundary-safe zero-shuffle spelling and belongs in
+    ``c4_clean(drop_page_substrings=...)`` instead.
+
+    Returns ``(id_col, hits, hit_terms, blocked)`` with ``hit_terms``
+    the sorted comma-joined matched terms (a string, so results stay
+    hash-comparable cross-engine). ``keep_blocked=True`` keeps every
+    page with the audit columns (rule-tuning / funnel metrics form);
+    default returns only surviving pages, mirroring ``c4_clean``.
+
+    Scale: the term array rides the plan as a literal (broadcast with
+    the task binary — fine for the ~400-entry public lists; a
+    million-term lexicon wants the broadcast-join spelling of
+    :func:`beats_spark.dataops.decontam.decontaminate` instead, also
+    validated loudly). Zero exchanges, zero Python, whole-stage
+    codegen end to end; composes with scan pushdown on other columns.
+    NULL text = empty page = zero hits.
+    """
+    terms = sorted({t.lower() for t in terms})
+    if not terms:
+        raise ValueError("blocklist_filter: terms must be non-empty")
+    bad = [t for t in terms if not t or any(c.isspace() for c in t)]
+    if bad:
+        raise ValueError(
+            f"blocklist_filter: terms must be single non-empty tokens "
+            f"(word boundaries come from tokenization); got {bad[:5]} — "
+            "use c4_clean(drop_page_substrings=...) for phrases")
+    if len(terms) > 100_000:
+        raise ValueError(
+            f"blocklist_filter: {len(terms)} terms is past the "
+            "plan-literal design point; use a broadcast semi-join "
+            "(see dataops.decontam) for lexicon-sized lists")
+    if int(max_hits) < 0:
+        raise ValueError("blocklist_filter: max_hits must be >= 0")
+    toks = F.array_distinct(F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                r"[^a-z0-9']+"),
+        lambda x: x != ""))
+    inter = F.array_sort(F.array_intersect(
+        toks, F.array(*[F.lit(t) for t in terms])))
+    res = df.select(
+        F.col(id_col),
+        F.size(inter).cast("bigint").alias("hits"),
+        F.array_join(inter, ",").alias("hit_terms"),
+        (F.size(inter) > max_hits).alias("blocked"))
+    if keep_blocked:
+        return res
+    return res.filter(~F.col("blocked")).drop("blocked")

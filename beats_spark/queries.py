@@ -9162,3 +9162,32 @@ def attribution_join_q(spark, sf_dir):
     return j.select("user_id", "view_id",
                     F.col("b_buy_id").alias("buy_id"),
                     lag.alias("lag_s"))
+
+
+@query("blocklist_gate", oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_sort(list_intersect(list_distinct(list_filter(
+           string_split_regex(lower(coalesce(text, '')),
+                              '[^a-z0-9'']+'),
+           x -> x <> '')), ['dup', 'slow', 'stale'])) AS hit
+  FROM documents)
+SELECT doc_id,
+       CAST(len(hit) AS BIGINT) AS hits,
+       coalesce(array_to_string(hit, ','), '') AS hit_terms,
+       len(hit) > 1 AS blocked
+FROM t
+""")
+def blocklist_gate_q(spark, sf_dir):
+    """C4 word-boundary blocklist gate (:func:`beats_spark.dataops
+    .scrub.blocklist_filter`, Raffel et al. 2020 §2.2's badword rule)
+    in audit form (``keep_blocked=True``): tokenize once, intersect
+    distinct tokens with the literal term array, block past
+    ``max_hits=1`` — boundary-safe (never a substring test), zero
+    exchanges, zero Python, term list riding the plan as a literal.
+    'stale' is deliberately absent from the corpus vocabulary so the
+    no-hit path is exercised alongside single- and multi-hit docs."""
+    from .dataops import blocklist_filter
+    docs = _t(spark, sf_dir, "documents")
+    return blocklist_filter(docs, ["dup", "slow", "stale"],
+                            max_hits=1, keep_blocked=True)

@@ -192,3 +192,41 @@ def test_strip_boilerplate_rejects_bad_ratio(spark):
                                  "text string")
     with pytest.raises(ValueError):
         strip_boilerplate(docs, min_ratio=(0, 2))
+
+
+def test_blocklist_filter_boundaries_hits_and_guards(spark):
+    import pytest
+    from beats_spark.dataops.scrub import blocklist_filter
+    docs = spark.createDataFrame(
+        [(1, "a classic passage, nothing bad"),   # substring != word
+         (2, "SPAM here and don't stop"),         # case + apostrophe
+         (3, "spam and scam together"),           # two distinct hits
+         (4, None),                               # NULL text
+         (5, "spam spam spam")],                  # repeats count once
+        "doc_id long, text string")
+    terms = ["spam", "scam", "ass", "don't"]
+    out = {r["doc_id"]: r
+           for r in blocklist_filter(docs, terms,
+                                     keep_blocked=True).collect()}
+    assert out[1]["hits"] == 0 and not out[1]["blocked"]   # "classic"
+    assert out[2]["hits"] == 2 and out[2]["hit_terms"] == "don't,spam"
+    assert out[3]["hits"] == 2 and out[3]["blocked"]
+    assert out[4]["hits"] == 0 and out[4]["hit_terms"] == ""
+    assert out[5]["hits"] == 1                      # distinct terms
+    # filtering form drops blocked pages and the audit column
+    kept = blocklist_filter(docs, terms)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 4]
+    assert "blocked" not in kept.columns
+    # max_hits threshold: allow up to 2 distinct hits
+    lax = blocklist_filter(docs, terms, max_hits=2)
+    assert sorted(r["doc_id"] for r in lax.collect()) == [1, 2, 3, 4, 5]
+    with pytest.raises(ValueError, match="non-empty"):
+        blocklist_filter(docs, [])
+    with pytest.raises(ValueError, match="single non-empty tokens"):
+        blocklist_filter(docs, ["two words"])
+    with pytest.raises(ValueError, match="max_hits"):
+        blocklist_filter(docs, ["spam"], max_hits=-1)
+    # zero-exchange plan: pure projection/filter
+    plan = blocklist_filter(docs, terms)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
