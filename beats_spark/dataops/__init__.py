@@ -69,7 +69,8 @@ from .sample import (
     mixture_sample, priority_sample, quantile_buckets,
     stratified_sample, token_budget_sample,
 )
-from .terms import (collocations, doc_frequency, inverted_index,
+from .terms import (collocations, doc_frequency, gazetteer_match,
+                    inverted_index,
                     phrase_search, sparse_cosine_pairs,
                     tfidf_top_terms)
 from .decontam import contamination_flags, decontaminate
@@ -145,7 +146,8 @@ __all__ = [
     "hdr_histogram", "hdr_percentiles", "hll_distinct", "hll_estimate",
     "hll_merge", "hll_registers", "kmv_distinct", "gopher_rules",
     "corpus_shuffle",
-    "collocations", "doc_frequency", "inverted_index", "phrase_search",
+    "collocations", "doc_frequency", "gazetteer_match",
+    "inverted_index", "phrase_search",
     "sparse_cosine_pairs", "tfidf_top_terms",
     "asof_join", "interval_join", "check_constraints", "corpus_report", "profile_columns",
     "event_transitions",

@@ -9191,3 +9191,53 @@ def blocklist_gate_q(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return blocklist_filter(docs, ["dup", "slow", "stale"],
                             max_hits=1, keep_blocked=True)
+
+
+@query("gazetteer_entities", oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text,
+         '')), '[^a-z0-9'']+'), x -> x <> '') AS t FROM documents),
+ent(entity, label) AS (VALUES ('table scan', 'scan_op'),
+    ('scan', 'unit'), ('hash join', 'join_op'), ('join', 'unit'),
+    ('spark', 'engine')),
+cand AS (
+  SELECT doc_id, 1 AS n, s.i AS pos,
+         array_to_string(t[s.i+1:s.i+1], ' ') AS phrase
+  FROM toks, LATERAL (SELECT UNNEST(generate_series(0, len(t)-1))
+                      AS i) s
+  WHERE len(t) >= 1
+  UNION ALL
+  SELECT doc_id, 2, s.i, array_to_string(t[s.i+1:s.i+2], ' ')
+  FROM toks, LATERAL (SELECT UNNEST(generate_series(0, len(t)-2))
+                      AS i) s
+  WHERE len(t) >= 2
+  UNION ALL
+  SELECT doc_id, 3, s.i, array_to_string(t[s.i+1:s.i+3], ' ')
+  FROM toks, LATERAL (SELECT UNNEST(generate_series(0, len(t)-3))
+                      AS i) s
+  WHERE len(t) >= 3),
+m AS (SELECT c.doc_id, c.pos, e.entity, e.label, c.n
+      FROM cand c JOIN ent e ON c.phrase = e.entity),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id, pos
+                                   ORDER BY n DESC, label) AS rn
+      FROM m)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, entity, label
+FROM r WHERE rn = 1
+""")
+def gazetteer_entities_q(spark, sf_dir):
+    """Dictionary NER (:func:`beats_spark.dataops.terms
+    .gazetteer_match`): every occurrence of a gazetteer phrase as
+    (doc, token position, entity, label), longest-match-wins at the
+    same start ('table scan' shadows 'scan' at its own position;
+    the inner 'scan' one position later still reports — standard
+    dictionary-matcher semantics). Candidate n-grams are built
+    map-side with the positional shift-and-zip spelling, ONE
+    broadcast hash join against the entity list; the corpus never
+    shuffles on text, and the longest-match window runs over matches
+    only."""
+    from .dataops.terms import gazetteer_match
+    docs = _t(spark, sf_dir, "documents")
+    ents = [("table scan", "scan_op"), ("scan", "unit"),
+            ("hash join", "join_op"), ("join", "unit"),
+            ("spark", "engine")]
+    return gazetteer_match(docs, ents)

@@ -888,3 +888,46 @@ def test_rake_keywords_paper_semantics(spark):
         [(3, ""), (4, None), (5, "the and of")],
         "doc_id long, text string"), top_k=5).collect()
     assert edge == []
+
+
+def test_gazetteer_match_longest_overlaps_and_guards(spark):
+    import pytest
+    from beats_spark.dataops.terms import gazetteer_match
+    docs = spark.createDataFrame(
+        [(1, "visit New York City and new york today"),
+         (2, "the big apple"),          # no entity
+         (3, None),                     # NULL text
+         (4, "york new york")],         # overlap at different starts
+        "doc_id long, text string")
+    ents = [("new york city", "city"), ("new york", "city"),
+            ("york", "borough"), ("apple", "org")]
+    out = sorted((r["doc_id"], r["pos"], r["entity"], r["label"])
+                 for r in gazetteer_match(docs, ents).collect())
+    # doc 1: "new york city" wins at pos 1 (longest at same start);
+    # "york" still matches inside it at pos 2 (different start),
+    # trailing "new york" at pos 5, its "york" at pos 6
+    assert (1, 1, "new york city", "city") in out
+    assert (1, 1, "new york", "city") not in out
+    assert (1, 2, "york", "borough") in out
+    assert (1, 5, "new york", "city") in out
+    assert (2, 2, "apple", "org") in out
+    assert not any(d == 3 for d, *_ in out)
+    # doc 4: "york" at 0, "new york" wins at 1, "york" at 2
+    assert [(p, e) for d, p, e, _ in out if d == 4] == \
+        [(0, "york"), (1, "new york"), (2, "york")]
+    # longest_only=False reports the shadowed shorter matches too
+    full = sorted((r["doc_id"], r["pos"], r["entity"])
+                  for r in gazetteer_match(docs, ents,
+                                           longest_only=False).collect())
+    assert (1, 1, "new york") in full and (1, 1, "new york city") in full
+    with pytest.raises(ValueError, match="non-empty"):
+        gazetteer_match(docs, [])
+    with pytest.raises(ValueError, match="tokenization"):
+        gazetteer_match(docs, [("bad–dash", "x")])
+    with pytest.raises(ValueError, match="max_ngram"):
+        gazetteer_match(docs, [("a b c d", "x")], max_ngram=3)
+    # plan: ONE broadcast join, corpus never exchanged before it
+    plan = gazetteer_match(docs, ents)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
