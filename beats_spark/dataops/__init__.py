@@ -77,6 +77,7 @@ from .decontam import contamination_flags, decontaminate
 from .htmltext import (HTML_STRIP_STEPS, dom_fingerprint,
                        dom_fingerprint_sql, extract_links, extract_text,
                        html_strip_sql, html_to_text, link_host)
+from .labeling import lf_summary, weak_label_vote
 from .lm import (bigram_model, domain_weights, lm_score, nb_quality,
                  token_kl)
 from .dsir import (hashed_ngram_buckets, dsir_model, dsir_score,
@@ -166,7 +167,7 @@ __all__ = [
     "contamination_flags", "decontaminate",
     "HTML_STRIP_STEPS", "html_to_text", "extract_text", "html_strip_sql",
     "extract_links", "link_host",
-    "bigram_model", "lm_score",
+    "bigram_model", "lf_summary", "lm_score", "weak_label_vote",
     "hashed_ngram_buckets", "dsir_model", "dsir_score", "dsir_resample",
     "UNICODE_CLEAN_STEPS", "fold_accents", "fold_accents_sql",
     "nfc", "unicode_clean",

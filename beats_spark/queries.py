@@ -9241,3 +9241,113 @@ def gazetteer_entities_q(spark, sf_dir):
             ("hash join", "join_op"), ("join", "unit"),
             ("spark", "engine")]
     return gazetteer_match(docs, ents)
+
+
+_SQL_WEAK_RULES = """
+  SELECT doc_id,
+         CASE WHEN contains(text, 'slow') THEN 1 ELSE -1 END AS r1,
+         CASE WHEN n_chars > 400 THEN 0
+              WHEN n_chars > 200 THEN 1 ELSE -1 END AS r2,
+         CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 0
+              ELSE -1 END AS r3
+  FROM documents
+"""
+
+
+def _weak_rule_docs(docs):
+    return docs.select(
+        "doc_id",
+        F.when(F.col("text").contains("slow"), 1).otherwise(-1)
+         .cast("int").alias("r1"),
+        F.when(F.col("n_chars") > 400, 0)
+         .when(F.col("n_chars") > 200, 1).otherwise(-1)
+         .cast("int").alias("r2"),
+        F.when(F.col("lang") == "en", 1)
+         .when(F.col("lang") == "de", 0).otherwise(-1)
+         .cast("int").alias("r3"))
+
+
+@query("weak_labels", oracle=f"""
+WITH rules AS ({_SQL_WEAK_RULES}),
+v AS (
+  SELECT doc_id,
+         (CASE WHEN r1 = 0 THEN 1 ELSE 0 END
+          + CASE WHEN r2 = 0 THEN 1 ELSE 0 END
+          + CASE WHEN r3 = 0 THEN 1 ELSE 0 END) AS v0,
+         (CASE WHEN r1 = 1 THEN 1 ELSE 0 END
+          + CASE WHEN r2 = 1 THEN 1 ELSE 0 END
+          + CASE WHEN r3 = 1 THEN 1 ELSE 0 END) AS v1
+  FROM rules)
+SELECT doc_id,
+       CAST(v0 + v1 AS BIGINT) AS n_votes,
+       CASE WHEN v1 > v0 THEN 1 WHEN v0 > v1 THEN 0 END AS label,
+       CAST(CASE WHEN v0 + v1 > 0 THEN abs(v1 - v0) ELSE 0 END
+            AS BIGINT) AS margin,
+       CASE WHEN v0 + v1 > 0
+            THEN CAST(greatest(v0, v1) * 1000000 // (v0 + v1)
+                      AS BIGINT) END AS confidence_micro
+FROM v
+""")
+def weak_labels_q(spark, sf_dir):
+    """Snorkel-style weak-supervision majority vote (:func:`beats_spark
+    .dataops.labeling.weak_label_vote`) over three deterministic
+    labeling functions (keyword, length band, language); ties and
+    all-abstain rows come back NULL (a tie is a disagreement, not a
+    coin flip), margin and confidence as exact integer micro-units.
+    Pure zero-exchange projection — the oracle hand-rolls the
+    two-label case the generic spelling must agree with."""
+    from .dataops.labeling import weak_label_vote
+    docs = _t(spark, sf_dir, "documents")
+    out = weak_label_vote(_weak_rule_docs(docs), ["r1", "r2", "r3"])
+    return out.select("doc_id", "n_votes", "label", "margin",
+                      "confidence_micro")
+
+
+@query("lf_analysis", oracle=f"""
+WITH rules AS ({_SQL_WEAK_RULES}),
+s AS (
+  SELECT count(*) AS n,
+    sum(CASE WHEN r1 <> -1 THEN 1 ELSE 0 END) AS c1,
+    sum(CASE WHEN r1 <> -1 AND (r2 <> -1 OR r3 <> -1)
+             THEN 1 ELSE 0 END) AS o1,
+    sum(CASE WHEN r1 <> -1 AND ((r2 <> -1 AND r2 <> r1)
+                                OR (r3 <> -1 AND r3 <> r1))
+             THEN 1 ELSE 0 END) AS x1,
+    sum(CASE WHEN r2 <> -1 THEN 1 ELSE 0 END) AS c2,
+    sum(CASE WHEN r2 <> -1 AND (r1 <> -1 OR r3 <> -1)
+             THEN 1 ELSE 0 END) AS o2,
+    sum(CASE WHEN r2 <> -1 AND ((r1 <> -1 AND r1 <> r2)
+                                OR (r3 <> -1 AND r3 <> r2))
+             THEN 1 ELSE 0 END) AS x2,
+    sum(CASE WHEN r3 <> -1 THEN 1 ELSE 0 END) AS c3,
+    sum(CASE WHEN r3 <> -1 AND (r1 <> -1 OR r2 <> -1)
+             THEN 1 ELSE 0 END) AS o3,
+    sum(CASE WHEN r3 <> -1 AND ((r1 <> -1 AND r1 <> r3)
+                                OR (r2 <> -1 AND r2 <> r3))
+             THEN 1 ELSE 0 END) AS x3
+  FROM rules),
+u AS (
+  SELECT 'r1' AS "rule", n, c1 AS coverage, o1 AS "overlaps",
+         x1 AS conflicts FROM s
+  UNION ALL SELECT 'r2', n, c2, o2, x2 FROM s
+  UNION ALL SELECT 'r3', n, c3, o3, x3 FROM s)
+SELECT "rule", CAST(n AS BIGINT) AS n_rows,
+       CAST(coverage AS BIGINT) AS coverage,
+       CAST("overlaps" AS BIGINT) AS "overlaps",
+       CAST(conflicts AS BIGINT) AS conflicts,
+       CAST(coverage * 1000000 // n AS BIGINT) AS coverage_micro,
+       CAST("overlaps" * 1000000 // n AS BIGINT) AS overlap_micro,
+       CAST(conflicts * 1000000 // n AS BIGINT) AS conflict_micro
+FROM u
+""")
+def lf_analysis_q(spark, sf_dir):
+    """The Snorkel LF-analysis table (:func:`beats_spark.dataops
+    .labeling.lf_summary`): per labeling function, how often it
+    votes (coverage), votes alongside another rule (overlap), and
+    votes against one (conflict) — the table that decides which
+    rules survive into the label model. ONE global partial-combining
+    aggregate; the per-rule unpivot runs on the single aggregated
+    row, and the micro fractions are exact integer `div`s."""
+    from .dataops.labeling import lf_summary
+    docs = _t(spark, sf_dir, "documents")
+    return lf_summary(_weak_rule_docs(docs), ["r1", "r2", "r3"])

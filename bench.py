@@ -58,7 +58,8 @@ BENCH_QUERIES = [
     "script_js", "pii_scrub", "dedup_lines",
     "url_canonicalize", "url_dedup", "dup_ngram_spans", "tfidf_terms",
     "deterministic_sample", "dedup_span_removal", "c4_clean",
-    "blocklist_gate", "gazetteer_entities",
+    "blocklist_gate", "gazetteer_entities", "weak_labels",
+    "lf_analysis",
     "mixture_sample", "dedup_incremental", "html_extract",
     "kmeans_assign", "lm_quality_score", "unicode_clean",
     "ccnet_buckets", "dsir_select", "token_budget", "corpus_shuffle",
