@@ -65,7 +65,8 @@ from .sketch import (
     hll_merge, hll_registers, kmv_distinct,
 )
 from .sample import (
-    cap_per_key, corpus_shuffle, hash_sample, mixture_plan,
+    cap_per_key, corpus_shuffle, filter_sweep, hash_sample,
+    mixture_plan,
     mixture_sample, priority_sample, quantile_buckets,
     stratified_sample, token_budget_sample,
 )
@@ -140,7 +141,8 @@ __all__ = [
     "canonical_url", "url_dedup", "TRACKING_PARAMS",
     "lang_url_pairs", "lang_url_skeleton",
     "doc_ngrams", "ngram_duplicate_stats", "remove_duplicate_spans",
-    "cap_per_key", "hash_sample", "mixture_plan", "mixture_sample",
+    "cap_per_key", "filter_sweep", "hash_sample", "mixture_plan",
+    "mixture_sample",
     "priority_sample", "quantile_buckets", "stratified_sample",
     "token_budget_sample",
     "bloom_build", "bloom_probe", "countmin_build", "countmin_estimate",

@@ -37,7 +37,8 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
-__all__ = ["cap_per_key", "corpus_shuffle", "hash_sample",
+__all__ = ["cap_per_key", "corpus_shuffle", "filter_sweep",
+           "hash_sample",
            "priority_sample", "stratified_sample",
            "mixture_plan", "mixture_sample", "quantile_buckets",
            "token_budget_sample"]
@@ -578,3 +579,66 @@ def corpus_shuffle(
                         F.col("__off")
                         + F.row_number().over(wb).cast("long"))
             .drop("__h", "__b", "__off"))
+
+
+def filter_sweep(
+    df: DataFrame,
+    score_col: str,
+    thresholds: Sequence[int],
+    weight_col: Optional[str] = None,
+) -> DataFrame:
+    """Retention curve for a quality filter: for each candidate
+    threshold, how many documents (and how much weight — tokens,
+    bytes) survive ``score >= t``. This is the table a curation team
+    reads before freezing a cutoff (the FineWeb/Gopher ablation
+    loop's first artifact): too-aggressive thresholds show up as a
+    cliff in retained tokens long before a training run would.
+
+    ``thresholds`` are integers (micro-unit scores are the repo
+    convention — float thresholds invite cross-engine drift).
+    Returns one row per threshold: ``(threshold, docs_retained,
+    weight_retained, docs_micro, weight_micro)`` with the micro
+    columns exact integer fractions of the totals (SQL ``div``).
+    NULL scores never survive any threshold (an unscored doc is not
+    a high-quality doc); NULL weights count 0 toward retained weight
+    but the doc still counts.
+
+    ONE partial-combining global aggregate for ALL thresholds — a
+    per-threshold ``filter().count()`` loop would scan the corpus
+    ``len(thresholds)`` times; this scans once and ships
+    ``2·len(thresholds)+2`` longs per map task. The per-threshold
+    unpivot happens on the single aggregated row.
+    """
+    ts = [int(t) for t in thresholds]
+    if not ts:
+        raise ValueError("filter_sweep: thresholds must be non-empty")
+    if len(set(ts)) != len(ts):
+        raise ValueError("filter_sweep: duplicate thresholds")
+    s = F.col(score_col)
+    w = (F.coalesce(F.col(weight_col), F.lit(0)).cast("bigint")
+         if weight_col else F.lit(1).cast("bigint"))
+    aggs = [F.count(F.lit(1)).alias("__n"),
+            F.sum(w).alias("__wn")]
+    for j, t in enumerate(sorted(ts)):
+        keep = s.isNotNull() & (s >= t)
+        aggs += [F.sum(keep.cast("long")).alias(f"__d{j}"),
+                 F.sum(F.when(keep, w).otherwise(0)).alias(f"__w{j}")]
+    row = df.agg(*aggs)
+    per_t = F.array(*[
+        F.struct(F.lit(t).cast("bigint").alias("threshold"),
+                 F.col(f"__d{j}").alias("docs_retained"),
+                 F.col(f"__w{j}").alias("weight_retained"))
+        for j, t in enumerate(sorted(ts))])
+    flat = (row.select(F.col("__n").alias("__n"),
+                       F.col("__wn").alias("__wn"),
+                       F.explode(per_t).alias("r"))
+            .select(F.col("r.threshold").alias("threshold"),
+                    F.col("r.docs_retained").alias("docs_retained"),
+                    F.col("r.weight_retained").alias("weight_retained"),
+                    "__n", "__wn"))
+    return flat.select(
+        "threshold", "docs_retained", "weight_retained",
+        F.expr("CASE WHEN __n > 0 THEN docs_retained * 1000000 div "
+               "__n ELSE 0 END").alias("docs_micro"),
+        F.expr("CASE WHEN __wn > 0 THEN weight_retained * 1000000 "
+               "div __wn ELSE 0 END").alias("weight_micro"))

@@ -9351,3 +9351,42 @@ def lf_analysis_q(spark, sf_dir):
     from .dataops.labeling import lf_summary
     docs = _t(spark, sf_dir, "documents")
     return lf_summary(_weak_rule_docs(docs), ["r1", "r2", "r3"])
+
+
+@query("filter_sweep", oracle="""
+WITH s AS (SELECT count(*) AS n,
+                  sum(coalesce(n_chars, 0)) AS wn FROM documents),
+t(threshold) AS (VALUES (100), (200), (400), (800)),
+r AS (
+  SELECT t.threshold,
+         sum(CASE WHEN d.n_chars IS NOT NULL
+                   AND d.n_chars >= t.threshold
+                  THEN 1 ELSE 0 END) AS docs_retained,
+         sum(CASE WHEN d.n_chars IS NOT NULL
+                   AND d.n_chars >= t.threshold
+                  THEN coalesce(d.n_chars, 0) ELSE 0 END)
+           AS weight_retained
+  FROM t, documents d GROUP BY t.threshold)
+SELECT CAST(r.threshold AS BIGINT) AS threshold,
+       CAST(docs_retained AS BIGINT) AS docs_retained,
+       CAST(weight_retained AS BIGINT) AS weight_retained,
+       CAST(CASE WHEN s.n > 0
+                 THEN docs_retained * 1000000 // s.n
+                 ELSE 0 END AS BIGINT) AS docs_micro,
+       CAST(CASE WHEN s.wn > 0
+                 THEN weight_retained * 1000000 // s.wn
+                 ELSE 0 END AS BIGINT) AS weight_micro
+FROM r, s
+""")
+def filter_sweep_q(spark, sf_dir):
+    """Quality-filter retention curve (:func:`beats_spark.dataops
+    .sample.filter_sweep`): docs and chars surviving each candidate
+    ``n_chars >= t`` cutoff, with exact integer micro fractions —
+    the ablation table read before freezing a filter threshold.
+    ONE partial-combining scan computes every threshold at once
+    (2·|T|+2 longs per map task cross the exchange); a per-threshold
+    filter-count loop would scan the corpus |T| times."""
+    from .dataops.sample import filter_sweep
+    docs = _t(spark, sf_dir, "documents")
+    return filter_sweep(docs, "n_chars", [100, 200, 400, 800],
+                        weight_col="n_chars")

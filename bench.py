@@ -59,7 +59,7 @@ BENCH_QUERIES = [
     "url_canonicalize", "url_dedup", "dup_ngram_spans", "tfidf_terms",
     "deterministic_sample", "dedup_span_removal", "c4_clean",
     "blocklist_gate", "gazetteer_entities", "weak_labels",
-    "lf_analysis",
+    "lf_analysis", "filter_sweep",
     "mixture_sample", "dedup_incremental", "html_extract",
     "kmeans_assign", "lm_quality_score", "unicode_clean",
     "ccnet_buckets", "dsir_select", "token_budget", "corpus_shuffle",

@@ -67,3 +67,35 @@ def test_lf_summary_coverage_overlap_conflict(spark):
     assert out["r2"]["coverage"] == 5
     assert out["r2"]["overlaps"] == 4
     assert out["r2"]["conflicts"] == 2
+
+
+def test_filter_sweep_retention_and_guards(spark):
+    from beats_spark.dataops.sample import filter_sweep
+    df = spark.createDataFrame(
+        [(1, 10, 100), (2, 20, 200), (3, 30, None),
+         (4, None, 400), (5, 20, 50)],
+        "id long, score int, toks int")
+    out = {r["threshold"]: r for r in
+           filter_sweep(df, "score", [30, 10, 20],
+                        weight_col="toks").collect()}
+    assert sorted(out) == [10, 20, 30]
+    # t=10: docs 1,2,3,5 (NULL score excluded); weight 100+200+0+50
+    assert out[10]["docs_retained"] == 4
+    assert out[10]["weight_retained"] == 350
+    assert out[10]["docs_micro"] == 800_000          # 4/5
+    assert out[10]["weight_micro"] == 466_666        # 350/750
+    assert out[20]["docs_retained"] == 3
+    assert out[30]["docs_retained"] == 1
+    assert out[30]["weight_retained"] == 0           # doc 3 NULL toks
+    # no weight col: weight == doc count
+    unw = {r["threshold"]: r
+           for r in filter_sweep(df, "score", [20]).collect()}
+    assert unw[20]["weight_retained"] == unw[20]["docs_retained"] == 3
+    with pytest.raises(ValueError, match="non-empty"):
+        filter_sweep(df, "score", [])
+    with pytest.raises(ValueError, match="duplicate"):
+        filter_sweep(df, "score", [10, 10])
+    # single aggregate: exactly one exchange pair, one scan
+    plan = filter_sweep(df, "score", [10, 20, 30], weight_col="toks") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2
