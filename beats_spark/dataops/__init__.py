@@ -114,8 +114,11 @@ from .templates import (
 from .multimodal import (
     attach_media_meta,
     extract_image_features,
+    media_fingerprints,
+    media_phash_pairs,
     sample_video_frames,
     set_decoder,
+    set_fingerprinter,
 )
 
 __all__ = [
@@ -136,7 +139,8 @@ __all__ = [
     "text_stats",
     "token_count",
     "attach_media_meta", "extract_image_features", "sample_video_frames",
-    "set_decoder",
+    "set_decoder", "set_fingerprinter", "media_fingerprints",
+    "media_phash_pairs",
     "curate", "CurationResult", "domain_weights", "nb_quality", "token_kl",
     "canonical_url", "url_dedup", "TRACKING_PARAMS",
     "lang_url_pairs", "lang_url_skeleton",

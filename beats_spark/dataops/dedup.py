@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 __all__ = [
+    "banded_hamming_pairs",
     "tokens", "shingles", "containment_pairs", "dedup_exact",
     "exact_dup_groups",
     "minhash_signature", "minhash_signature_arrow", "minhash_lsh_pairs",
@@ -517,33 +518,27 @@ def simhash(text: Column) -> Column:
     return _sh(text)
 
 
-def simhash_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    max_hamming: int = 3,
-    chunks: int = 4,
+def banded_hamming_pairs(
+    base: DataFrame,
+    bits: int,
+    max_hamming: int,
+    chunks: int,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 60-bit signature into
-    ``chunks`` equal chunks; any pair within Hamming distance
-    ``chunks-1`` shares ≥1 exact chunk (pigeonhole), so the candidate
-    join is equality on (chunk index, chunk value) — no O(n²) scan.
-    Verified with an exact popcount filter.
-
-    Completeness bound: pairs at Hamming distance > ``chunks-1`` may
-    share no chunk and would be silently missed — rejected explicitly
-    instead (raise), so callers pick ``chunks`` ≥ max_hamming+1.
-    """
+    """Pigeonhole-banded Hamming candidate join over a signature frame
+    ``base`` with columns ``(id, sh)``: split the ``bits``-bit signature
+    into ``chunks`` equal chunks; any pair within Hamming distance
+    ``chunks-1`` shares ≥1 exact chunk, so candidates come from an
+    equality join on (chunk index, chunk value) — no O(n²) scan. The
+    only exchange carries (id, sh, chunk) = ~24 bytes/row × chunks;
+    verification is an exact popcount filter, map-side."""
     if max_hamming > chunks - 1:
         raise ValueError(
             f"banding into {chunks} chunks only guarantees candidates up "
             f"to Hamming distance {chunks - 1}; raise `chunks` to at "
             f"least {max_hamming + 1} for max_hamming={max_hamming}")
-    if _SIMHASH_BITS % chunks:
-        raise ValueError(f"chunks must divide {_SIMHASH_BITS}")
-    w = _SIMHASH_BITS // chunks
-    base = _spread(df).select(F.col(id_col).alias("id"),
-                              simhash(F.col(text_col)).alias("sh"))
+    if bits % chunks:
+        raise ValueError(f"chunks must divide {bits}")
+    w = bits // chunks
     chunk_structs = [
         F.struct(F.lit(c).alias("c"),
                  F.shiftright(F.col("sh"), c * w)
@@ -561,6 +556,26 @@ def simhash_pairs(
     return (cand.withColumn("hamming", ham)
                 .filter(F.col("hamming") <= max_hamming)
                 .select("id_a", "id_b", "hamming"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 60-bit signature via
+    :func:`banded_hamming_pairs` (pigeonhole candidates, exact popcount
+    verify).
+
+    Completeness bound: pairs at Hamming distance > ``chunks-1`` may
+    share no chunk and would be silently missed — rejected explicitly
+    instead (raise), so callers pick ``chunks`` ≥ max_hamming+1.
+    """
+    base = _spread(df).select(F.col(id_col).alias("id"),
+                              simhash(F.col(text_col)).alias("sh"))
+    return banded_hamming_pairs(base, _SIMHASH_BITS, max_hamming, chunks)
 
 
 def dedup_against(

@@ -30,6 +30,7 @@ __all__ = [
     "MEDIA_META_SCHEMA", "set_decoder", "set_batch_decoder",
     "attach_media_meta", "extract_image_features",
     "sample_video_frames",
+    "set_fingerprinter", "media_fingerprints", "media_phash_pairs",
 ]
 
 # The typed metadata struct every media column carries alongside the
@@ -260,3 +261,80 @@ def sample_video_frames(df: DataFrame, binary_col: str = "payload",
                 "frame_ts_ms": tss})
 
     return df.select(id_col, binary_col).mapInPandas(fn, out_schema)
+
+
+# ---------------------------------------------------------------------
+# perceptual-hash-style media near-dup
+# ---------------------------------------------------------------------
+
+# fingerprinter(payload: bytes) -> int, a _FP_BITS-bit code where
+# near-identical media land within small Hamming distance. The swap
+# seam for a real perceptual hash (pHash/aHash DCT over decoded pixels,
+# chromaprint over audio frames) — inherently per-item codec work, like
+# the decoders above. The default is a deterministic byte-sampling stub
+# whose arithmetic an ANSI-SQL oracle reproduces exactly, so the
+# banding/verify machinery is testable end-to-end without codecs.
+_Fingerprinter = Callable[[bytes], int]
+_FINGERPRINTERS: Dict[str, _Fingerprinter] = {}
+
+_FP_BITS = 60           # signed-BIGINT-safe, like the text SimHash
+_FP_MULT = 2654435761   # Knuth multiplicative constant
+
+
+def _fake_fingerprint(payload: bytes) -> int:
+    """Stub: 60 sampled-byte bits. Bit j reads byte ((j+1)*_FP_MULT) %
+    n, bit (j % 8). NOT perceptual — a deterministic stand-in with the
+    correct type/width contract."""
+    n = len(payload)
+    if n == 0:
+        return 0
+    acc = 0
+    for j in range(_FP_BITS):
+        pos = ((j + 1) * _FP_MULT) % n
+        acc |= ((payload[pos] >> (j % 8)) & 1) << j
+    return acc
+
+
+def set_fingerprinter(media_type: str, fn: _Fingerprinter) -> None:
+    """Install a real perceptual hash, e.g.
+    ``set_fingerprinter("image", phash_fn)``. Must return an int in
+    [0, 2**60) so banding and signed-BIGINT storage stay valid."""
+    _FINGERPRINTERS[media_type] = fn
+
+
+def media_fingerprints(df: DataFrame, binary_col: str = "payload",
+                       id_col: str = "doc_id",
+                       media_type: str = "image") -> DataFrame:
+    """payload → (id, 60-bit fingerprint) via one Arrow-batched pass;
+    the binary column is dropped in the SAME stage so bytes never cross
+    an exchange (only the 8-byte code shuffles downstream). NULL
+    payloads yield NULL fingerprints."""
+    fp_fn = _FINGERPRINTERS.get(media_type, _fake_fingerprint)
+    out_schema = f"{id_col} bigint, fp bigint"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = pd.array(
+                [None if p is None else fp_fn(bytes(p))
+                 for p in pdf[binary_col]], dtype="Int64")
+            yield pd.DataFrame({id_col: pdf[id_col].values, "fp": fps})
+
+    return df.select(id_col, binary_col).mapInPandas(fn, out_schema)
+
+
+def media_phash_pairs(df: DataFrame, binary_col: str = "payload",
+                      id_col: str = "doc_id",
+                      media_type: str = "image",
+                      max_hamming: int = 5,
+                      chunks: int = 6) -> DataFrame:
+    """Near-duplicate media pairs: fingerprint map-side, then the same
+    pigeonhole banding as the text SimHash path
+    (:func:`beats_spark.dataops.dedup.banded_hamming_pairs`) — the
+    candidate join is equality on (chunk index, 10-bit chunk value), so
+    no O(n²) scan and no payload bytes ever shuffle. Rows with NULL
+    payloads (NULL fingerprints) are excluded."""
+    from .dedup import banded_hamming_pairs
+    base = (media_fingerprints(df, binary_col, id_col, media_type)
+            .filter(F.col("fp").isNotNull())
+            .select(F.col(id_col).alias("id"), F.col("fp").alias("sh")))
+    return banded_hamming_pairs(base, _FP_BITS, max_hamming, chunks)

@@ -36,7 +36,7 @@ from .dataops import (
     lang_id_stopword, lang_id_ngram, text_stats, token_count,
     doc_fingerprint,
 )
-from .dataops.multimodal import sample_video_frames
+from .dataops.multimodal import media_phash_pairs, sample_video_frames
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: Dict[str, str] = {}
@@ -2210,6 +2210,49 @@ def multimodal_frames(spark, sf_dir):
     with_payload = docs.filter(F.col("doc_id") < 200).select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     return sample_video_frames(with_payload, every_n=8)
+
+
+@query("media_phash_pairs", oracle=r"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+  WHERE doc_id % 7 = 0),
+d AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM src),
+fp AS (
+  SELECT doc_id,
+         CASE WHEN n = 0 THEN 0 ELSE
+           CAST(list_sum(list_transform(range(0, 60), j ->
+             (CAST(ascii(substr(text,
+                    CAST(1 + ((j + 1) * 2654435761) % n AS INT), 1))
+                   >> (j % 8) AS BIGINT) & 1) << j)) AS BIGINT)
+         END AS fp
+  FROM d),
+chunks AS (
+  SELECT doc_id, fp, u.c AS c, (fp >> (u.c * 10)) & 1023 AS v
+  FROM fp, unnest(range(0, 6)) AS u(c)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.fp AS fa, b.fp AS fb
+  FROM chunks a JOIN chunks b
+    ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 5
+""")
+def media_phash_pairs_q(spark, sf_dir):
+    """Media near-dup pairs over the binary payload column: the
+    fingerprint kernel is the perceptual-hash seam (stub = byte-sampled
+    60-bit code, SQL-reproducible), banding/verify is the shared
+    pigeonhole machinery (`dataops/dedup.py` banded_hamming_pairs). A
+    shifted copy of every 7th document is unioned in so the expected
+    output contains real duplicate pairs, not just band noise."""
+    docs = _t(spark, sf_dir, "documents")
+    dups = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    src = docs.select("doc_id", "text").unionByName(dups)
+    with_payload = src.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return media_phash_pairs(with_payload)
 
 
 # =====================================================================

@@ -69,7 +69,7 @@ BENCH_QUERIES = [
     "retention_cohorts", "log_templates", "count_anomalies",
     "scd2_enrich", "stratified_sample", "zorder_layout",
     "salted_join_rollup", "counter_rollup", "range_enrich",
-    "socket_frames", "ttl_batch_split",
+    "socket_frames", "ttl_batch_split", "media_phash_pairs",
     "kmv_distinct", "countmin_freq", "bloom_membership",
     "priority_sample", "journald_export", "udp_datagrams",
     "gopher_quality", "warc_extract", "robots_filter", "html_links", "sitemap_urls", "crawl_frontier", "merge_upsert", "warc_ingest",

@@ -201,3 +201,46 @@ def test_sample_video_frames_on_null_meta(spark):
             sample_video_frames(_payloads(spark), on_null_meta="nope")
     finally:
         _DECODERS.pop("video", None)
+
+
+def test_media_fingerprints_null_and_determinism(spark):
+    from beats_spark.dataops.multimodal import (
+        media_fingerprints, _fake_fingerprint)
+    out = {r["doc_id"]: r["fp"]
+           for r in media_fingerprints(_payloads(spark)).collect()}
+    assert out[3] is None                      # NULL payload → NULL fp
+    assert out[1] == _fake_fingerprint(b"\x89PNG fake bytes here")
+    assert 0 <= out[1] < 2 ** 60
+    # empty payload is the documented fixed point
+    empty = spark.createDataFrame([(9, b"")], "doc_id bigint, payload binary")
+    assert media_fingerprints(empty).collect()[0]["fp"] == 0
+
+
+def test_media_phash_pairs_finds_duplicates(spark):
+    from beats_spark.dataops.multimodal import media_phash_pairs
+    df = spark.createDataFrame(
+        [(1, b"same bytes payload AAAA"), (2, b"same bytes payload AAAA"),
+         (3, b"utterly different content zzzz qqqq"), (4, None)],
+        "doc_id bigint, payload binary")
+    rows = media_phash_pairs(df).collect()
+    assert {(r["id_a"], r["id_b"], r["hamming"]) for r in rows} >= {(1, 2, 0)}
+    assert all(r["hamming"] <= 5 for r in rows)
+    assert not any(4 in (r["id_a"], r["id_b"]) for r in rows)  # NULL excluded
+    # banded candidate join, never a cartesian scan over fingerprints
+    plan = media_phash_pairs(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_set_fingerprinter_seam(spark):
+    from beats_spark.dataops import multimodal as mm
+    mm.set_fingerprinter("audio", lambda p: len(p) % 7)
+    try:
+        out = {r["doc_id"]: r["fp"]
+               for r in mm.media_fingerprints(
+                   _payloads(spark), media_type="audio").collect()}
+        assert out[1] == len(b"\x89PNG fake bytes here") % 7
+        assert out[3] is None
+    finally:
+        mm._FINGERPRINTERS.pop("audio", None)
