@@ -71,7 +71,7 @@ from .sample import (
     stratified_sample, token_budget_sample,
 )
 from .terms import (collocations, doc_frequency, gazetteer_match,
-                    inverted_index,
+                    inverted_index, ndcg_at_k,
                     phrase_search, sparse_cosine_pairs,
                     tfidf_top_terms)
 from .decontam import contamination_flags, decontaminate
@@ -154,7 +154,7 @@ __all__ = [
     "hll_merge", "hll_registers", "kmv_distinct", "gopher_rules",
     "corpus_shuffle",
     "collocations", "doc_frequency", "gazetteer_match",
-    "inverted_index", "phrase_search",
+    "inverted_index", "ndcg_at_k", "phrase_search",
     "sparse_cosine_pairs", "tfidf_top_terms",
     "asof_join", "interval_join", "check_constraints", "corpus_report", "profile_columns",
     "event_transitions",

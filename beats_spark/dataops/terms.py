@@ -28,7 +28,7 @@ from .dedup import tokens, _spread
 
 __all__ = ["bm25_topk", "collocations", "doc_frequency",
            "gazetteer_match",
-           "inverted_index", "kwic_snippets", "percolate",
+           "inverted_index", "kwic_snippets", "ndcg_at_k", "percolate",
            "phrase_search", "rake_keywords", "sparse_cosine_pairs",
            "term_drift", "tfidf_top_terms", "trigram_grep",
            "with_percolator"]
@@ -383,6 +383,64 @@ def bm25_topk(
     return (top.withColumn("rank", F.row_number().over(w).cast("int"))
             .select(F.col("id").alias(id_col), "n_terms_hit",
                     "score_u12", "rank"))
+
+
+def ndcg_at_k(
+    runs: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """nDCG@k retrieval evaluation (Järvelin & Kekäläinen) in
+    engine-exact fixed point: per query,
+    ``DCG = Σ_{r≤k} (2^rel − 1)/log2(r+1)`` over the retrieved
+    ranking, ``IDCG`` the same over the ideal (rel-desc) ordering of
+    judged-relevant docs, ``ndcg_micro = 10^6·DCG div IDCG``.
+
+    Exactness: each per-position gain is rounded to integer
+    micro-units FIRST, then summed — an integer sum is
+    order-independent, where a float DCG sum would vary with partition
+    order at scale. Queries with no positively-judged docs get
+    ``idcg_micro = 0`` and NULL ndcg.
+
+    Scale shape: ``runs`` is pre-filtered to rank ≤ k map-side (k rows
+    per query survive the scan); ``qrels`` (human judgments — small by
+    nature) joins broadcast; DCG/IDCG are single partial-combining
+    groupBys on the query key; the final join is query-keyed. Nothing
+    corpus-sized crosses an exchange.
+
+    Output: ``(query, dcg_micro, idcg_micro, ndcg_micro)``.
+    """
+    q, i, r, g = query_col, id_col, rank_col, rel_col
+
+    def gain(rel, rank):
+        return F.round(
+            F.lit(1e6) * (F.pow(F.lit(2.0), rel.cast("double")) - 1.0)
+            / F.log2(rank.cast("double") + 1.0)).cast("long")
+
+    hits = (runs.filter(F.col(r) <= k)
+            .join(F.broadcast(qrels.select(q, i, g)), [q, i], "left")
+            .withColumn("__g", gain(F.coalesce(F.col(g), F.lit(0)),
+                                    F.col(r))))
+    dcg = hits.groupBy(q).agg(F.sum("__g").alias("dcg_micro"))
+    w = Window.partitionBy(q).orderBy(F.col(g).desc(), F.col(i))
+    ideal = (qrels.filter(F.col(g) > 0)
+             .withColumn("__ir", F.row_number().over(w))
+             .filter(F.col("__ir") <= k)
+             .withColumn("__ig", gain(F.col(g), F.col("__ir")))
+             .groupBy(q).agg(F.sum("__ig").alias("idcg_micro")))
+    out = (dcg.join(ideal, q, "left")
+           .withColumn("idcg_micro",
+                       F.coalesce(F.col("idcg_micro"), F.lit(0))
+                        .cast("long")))
+    return out.withColumn(
+        "ndcg_micro",
+        F.when(F.col("idcg_micro") > 0,
+               F.expr("(1000000 * dcg_micro) DIV idcg_micro"))
+         .cast("long"))
 
 
 def trigram_grep(

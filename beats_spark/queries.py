@@ -6841,6 +6841,74 @@ def bm25_rank(spark, sf_dir):
     return bm25_topk(docs, ["vector", "customer", "spark"], k=10)
 
 
+@query("ndcg_eval", oracle=r"""
+WITH base AS (SELECT doc_id AS id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+tf AS (SELECT id, term, count(*) AS tf
+       FROM (SELECT id, unnest(toks) AS term FROM base)
+       WHERE term IN ('vector', 'customer', 'spark')
+       GROUP BY id, term),
+runs AS (SELECT term AS query, id,
+                row_number() OVER (PARTITION BY term
+                                   ORDER BY tf DESC, id) AS rank
+         FROM tf),
+qrels AS (SELECT term AS query, id, id % 4 AS rel FROM tf),
+hits AS (SELECT r.query, r.rank, coalesce(q.rel, 0) AS rel
+         FROM runs r LEFT JOIN qrels q
+           ON r.query = q.query AND r.id = q.id
+         WHERE r.rank <= 10),
+dcg AS (SELECT query,
+               CAST(sum(CAST(round(1000000 * (pow(2, rel) - 1)
+                                   / log2(rank + 1)) AS BIGINT))
+                    AS BIGINT) AS dcg_micro
+        FROM hits GROUP BY query),
+ideal AS (
+  SELECT query,
+         CAST(sum(CAST(round(1000000 * (pow(2, rel) - 1)
+                             / log2(irank + 1)) AS BIGINT))
+              AS BIGINT) AS idcg_micro
+  FROM (SELECT query, rel,
+               row_number() OVER (PARTITION BY query
+                                  ORDER BY rel DESC, id) AS irank
+        FROM qrels WHERE rel > 0)
+  WHERE irank <= 10 GROUP BY query)
+SELECT d.query AS query, d.dcg_micro,
+       coalesce(i.idcg_micro, 0) AS idcg_micro,
+       CASE WHEN coalesce(i.idcg_micro, 0) > 0
+            THEN (1000000 * d.dcg_micro) // i.idcg_micro
+       END AS ndcg_micro
+FROM dcg d LEFT JOIN ideal i ON d.query = i.query
+""")
+def ndcg_eval(spark, sf_dir):
+    """Retrieval-quality evaluation
+    (:func:`beats_spark.dataops.terms.ndcg_at_k`): nDCG@10 per query
+    for a deterministic tf ranking against graded relevance labels
+    (``doc_id % 4`` — synthetic qrels). Per-position gains are rounded
+    to integer micro-units BEFORE summation so the DCG sums are
+    order-independent; qrels join broadcast; nothing corpus-sized
+    shuffles past the tf aggregation."""
+    from .dataops.dedup import _spread, tokens
+    from .dataops.terms import ndcg_at_k
+    terms = ["vector", "customer", "spark"]
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    tf = (docs.select(F.col("doc_id").alias("id"),
+                      F.explode(tokens(F.col("text"))).alias("term"))
+          .filter(F.col("term").isin(terms))
+          .groupBy("id", "term")
+          .agg(F.count(F.lit(1)).alias("tf"))
+          # two consumers (runs + qrels) — tokenize the corpus once
+          .localCheckpoint())
+    w = Window.partitionBy("query").orderBy(F.col("tf").desc(), "id")
+    runs = (tf.select(F.col("term").alias("query"), "id", "tf")
+            .withColumn("rank", F.row_number().over(w))
+            .select("query", "id", "rank"))
+    qrels = tf.select(F.col("term").alias("query"), "id",
+                      (F.col("id") % 4).cast("long").alias("rel"))
+    return ndcg_at_k(runs, qrels, k=10, query_col="query", id_col="id")
+
+
 @query("boilerplate_strip", oracle="""
 WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS toks
            FROM documents),

@@ -931,3 +931,33 @@ def test_gazetteer_match_longest_overlaps_and_guards(spark):
         .executedPlan().toString()
     assert plan.count("BroadcastHashJoin") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_ndcg_at_k_known_values(spark):
+    """Hand-computed nDCG@3: gains rounded to micro-units first, NULL
+    ndcg for queries with no positive judgments, unjudged = rel 0."""
+    from beats_spark.dataops.terms import ndcg_at_k
+    runs = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3), ("q1", 13, 4),
+         ("q2", 20, 1)],
+        "query string, doc_id bigint, rank int")
+    qrels = spark.createDataFrame(
+        # q1: doc 11 rel 2, doc 99 rel 3 (not retrieved); doc 10
+        # unjudged → 0. q2: only a rel-0 judgment → idcg 0, NULL ndcg.
+        [("q1", 11, 2), ("q1", 99, 3), ("q2", 20, 0)],
+        "query string, doc_id bigint, rel bigint")
+    out = {r["query"]: r for r in ndcg_at_k(runs, qrels, k=3).collect()}
+    # q1 DCG = round(1e6*(2^0-1)/log2(2)) + round(1e6*3/log2(3))
+    #        + round(1e6*0/log2(4)) = 0 + 1892789 + 0
+    assert out["q1"]["dcg_micro"] == 1892789
+    # q1 IDCG: ideal order rel 3 then 2 → 7e6 + 1892789
+    assert out["q1"]["idcg_micro"] == 7000000 + 1892789
+    assert out["q1"]["ndcg_micro"] == (1_000_000 * 1892789) // 8892789
+    assert out["q2"]["idcg_micro"] == 0
+    assert out["q2"]["ndcg_micro"] is None
+    # rank 4 was excluded by k=3: adding rel to doc 13 must not matter
+    qrels2 = qrels.union(spark.createDataFrame(
+        [("q1", 13, 3)], "query string, doc_id bigint, rel bigint"))
+    out2 = {r["query"]: r
+            for r in ndcg_at_k(runs, qrels2, k=3).collect()}
+    assert out2["q1"]["dcg_micro"] == out["q1"]["dcg_micro"]
