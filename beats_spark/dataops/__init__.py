@@ -39,6 +39,7 @@ from .similarity import (
     lsh_signature,
     lsh_cosine_topk,
     normalize,
+    random_projection,
     rrf_fuse,
 )
 from .textstats import (
@@ -131,7 +132,7 @@ __all__ = [
     "hard_negatives",
     "ivf_assign", "ivf_cosine_topk", "kmeans_fit", "semdedup",
     "dot", "l2_norm", "normalize",
-    "lsh_signature", "lsh_cosine_topk", "rrf_fuse",
+    "lsh_signature", "lsh_cosine_topk", "random_projection", "rrf_fuse",
     "lang_id_stopword", "lang_id_ngram", "lang_spans",
     "dns_tunnel_flags", "doc_fingerprint", "split_sentences", "clock_skew", "entropy_stats_arrow",
     "dom_fingerprint", "dom_fingerprint_sql", "wilson_lower_bound",

@@ -2044,6 +2044,32 @@ def ann_cosine_topk(spark, sf_dir):
     return cosine_topk_blocked(emb, queries, k=5)
 
 
+@query("random_projection", oracle="""
+WITH e AS (SELECT vec_id,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> CAST(round(1000000 * x) AS BIGINT))
+                    AS em
+           FROM embeddings)
+SELECT vec_id, CAST(u.j AS INT) AS out_dim,
+       CAST(list_sum(list_transform(range(1, len(em) + 1), i ->
+         em[i] * (CASE WHEN (i * i * (u.j + 1)
+                             + i * 31 * (u.j + 1) * (u.j + 1)
+                             + i * 7 + 11 * u.j) % 101 % 2 = 0
+                       THEN 1 ELSE -1 END))) AS BIGINT) AS proj_micro
+FROM e, unnest(range(0, 8)) AS u(j)
+""")
+def random_projection_q(spark, sf_dir):
+    """JL-style dimensionality reduction 64→8
+    (:func:`beats_spark.dataops.similarity.random_projection`): the
+    Rademacher sign matrix is regenerated from integer arithmetic on
+    (i, j), inputs quantized to micro-units first so the projections
+    are exact integer sums. Zero-exchange JVM-side projection — the
+    shape that precedes ANN indexing at 100 TB."""
+    from .dataops.similarity import random_projection
+    emb = _t(spark, sf_dir, "embeddings")
+    return random_projection(emb, out_dims=8)
+
+
 @query("hard_negatives", oracle=f"""
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id < 10),

@@ -77,7 +77,7 @@ BENCH_QUERIES = [
     "anchor_texts", "useragent_parse", "corpus_overlap",
     "dedup_containment", "json_schema_profile", "lang_spans",
     "graph_triangles", "graph_kcore", "phrase_search", "collocations",
-    "sparse_cosine", "rank_fusion", "ndcg_eval", "hll_windowed", "latency_histogram",
+    "sparse_cosine", "rank_fusion", "ndcg_eval", "random_projection", "hll_windowed", "latency_histogram",
     "event_transitions", "data_quality", "column_profile",
     "pivot_daily", "hll_set_ops", "unpivot_roundtrip", "ann_multiprobe", "typosquat_detect",
     "accent_fold", "readability_score", "ewma_anomaly", "global_rank",

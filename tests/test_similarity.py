@@ -372,3 +372,51 @@ def test_hard_negatives_excludes_positives(spark, sf_dir):
     # every query still got k rows (corpus is big enough below 0.3)
     assert hard.groupBy("query_id").count().filter("count <> 3") \
                .count() == 0
+
+
+def test_random_projection_exactness_and_edges(spark):
+    from beats_spark.dataops.similarity import random_projection
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0]), (3, []), (4, None)],
+        "vec_id bigint, embedding array<float>")
+    out = random_projection(df, out_dims=2)
+    rows = {(r["vec_id"], r["out_dim"]): r["proj_micro"]
+            for r in out.collect()}
+
+    def sign(i, j):
+        return (1 if (i * i * (j + 1) + i * 31 * (j + 1) * (j + 1)
+                      + i * 7 + 11 * j) % 101 % 2 == 0 else -1)
+
+    em = [1_000_000, -2_000_000, 500_000]
+    for j in range(2):
+        want = sum(e * sign(i + 1, j) for i, e in enumerate(em))
+        assert rows[(1, j)] == want
+    assert rows[(2, 0)] == 0          # zero vector → 0
+    assert rows[(3, 0)] == 0          # empty vector → 0 (not a crash)
+    assert rows[(4, 0)] is None       # NULL vector → NULL
+    assert out.count() == 8
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL sanity: relative pairwise distances in the projected space
+    correlate with the original space (signs are pseudo-random enough)."""
+    import itertools
+    import numpy as np
+    from beats_spark.dataops.similarity import random_projection
+    rng = np.random.default_rng(7)
+    # structured points (varying norms), so pairwise distances have
+    # real spread — true-random Rademacher scores only r~0.5 on
+    # near-equidistant gaussian points, which tests nothing
+    vecs = {i: rng.standard_normal(64).astype("float64") * (1.0 + i)
+            for i in range(12)}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id bigint, embedding array<float>")
+    proj = random_projection(df, out_dims=16).toPandas()
+    pv = {i: g.sort_values("out_dim")["proj_micro"].to_numpy(dtype="float64")
+          for i, g in proj.groupby("vec_id")}
+    pairs = list(itertools.combinations(sorted(vecs), 2))
+    d_orig = np.array([np.linalg.norm(vecs[a] - vecs[b]) for a, b in pairs])
+    d_proj = np.array([np.linalg.norm(pv[a] - pv[b]) for a, b in pairs])
+    r = np.corrcoef(d_orig, d_proj)[0, 1]
+    assert r > 0.5, f"projected distances uncorrelated (r={r:.3f})"
