@@ -80,6 +80,7 @@ from .htmltext import (HTML_STRIP_STEPS, dom_fingerprint,
                        dom_fingerprint_sql, extract_links, extract_text,
                        html_strip_sql, html_to_text, link_host)
 from .labeling import lf_summary, weak_label_vote
+from .linkage import blocked_link
 from .lm import (bigram_model, domain_weights, lm_score, nb_quality,
                  token_kl)
 from .dsir import (hashed_ngram_buckets, dsir_model, dsir_score,
@@ -155,6 +156,7 @@ __all__ = [
     "hll_merge", "hll_registers", "kmv_distinct", "gopher_rules",
     "corpus_shuffle",
     "collocations", "doc_frequency", "gazetteer_match",
+    "blocked_link",
     "inverted_index", "ndcg_at_k", "phrase_search",
     "sparse_cosine_pairs", "tfidf_top_terms",
     "asof_join", "interval_join", "check_constraints", "corpus_report", "profile_columns",

@@ -6935,6 +6935,62 @@ def ndcg_eval(spark, sf_dir):
     return ndcg_at_k(runs, qrels, k=10, query_col="query", id_col="id")
 
 
+@query("record_linkage", oracle=r"""
+WITH names AS (
+  SELECT doc_id AS id,
+         array_to_string(list_slice(
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x <> ''), 1, 4), ' ') AS name
+  FROM documents),
+dirty AS (
+  SELECT id + 500000 AS did,
+         CASE WHEN 3 + (id // 5) % 6 <= len(name)
+              THEN substr(name, 1, CAST(2 + (id // 5) % 6 AS INT))
+                   || substr(name, CAST(4 + (id // 5) % 6 AS INT))
+              ELSE name END AS name
+  FROM names WHERE id % 5 = 0),
+cand AS (
+  SELECT d.did AS dirty_id, c.id AS clean_id,
+         levenshtein(d.name, c.name) AS lev
+  FROM dirty d JOIN names c
+    ON substr(d.name, 1, 2) = substr(c.name, 1, 2)
+  WHERE levenshtein(d.name, c.name) <= 2),
+best AS (SELECT dirty_id, clean_id, lev,
+                row_number() OVER (PARTITION BY dirty_id
+                                   ORDER BY lev, clean_id) AS rn
+         FROM cand)
+SELECT dirty_id, clean_id, CAST(lev AS INT) AS lev FROM best WHERE rn = 1
+""")
+def record_linkage(spark, sf_dir):
+    """Entity resolution (:func:`beats_spark.dataops.linkage
+    .blocked_link`): a deterministically-corrupted copy of every 5th
+    entity name (one character deleted past the blocking prefix) is
+    linked back to the clean registry via prefix blocking + built-in
+    ``levenshtein`` (JVM codegen) + best-match window over candidates.
+    The only join is blocking-key equality — candidate volume, never
+    corpus², crosses the exchange."""
+    from .dataops.dedup import _spread, tokens
+    from .dataops.linkage import blocked_link
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    names = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_join(F.slice(tokens(F.col("text")), 1, 4), " ")
+         .alias("name"))
+    p = F.expr("3 + (id DIV 5) % 6")
+    cut = (names.filter(F.col("id") % 5 == 0)
+           .withColumn("__name2", F.when(
+               p <= F.length("name"),
+               F.concat(
+                   F.expr("substring(name, 1, "
+                          "CAST(2 + (id DIV 5) % 6 AS INT))"),
+                   F.expr("substring(name, "
+                          "CAST(4 + (id DIV 5) % 6 AS INT), 1000000)")))
+             .otherwise(F.col("name"))))
+    dirty = cut.select((F.col("id") + 500000).alias("id"),
+                       F.col("__name2").alias("name"))
+    return blocked_link(dirty, names, id_col="id", name_col="name")
+
+
 @query("boilerplate_strip", oracle="""
 WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS toks
            FROM documents),
