@@ -79,6 +79,7 @@ from .decontam import contamination_flags, decontaminate
 from .htmltext import (HTML_STRIP_STEPS, dom_fingerprint,
                        dom_fingerprint_sql, extract_links, extract_text,
                        html_strip_sql, html_to_text, link_host)
+from .governance import k_anonymize, k_violations, purge_ids
 from .labeling import lf_summary, weak_label_vote
 from .linkage import blocked_link
 from .lm import (bigram_model, domain_weights, lm_score, nb_quality,
@@ -96,7 +97,8 @@ from .scrub import (
 )
 from .checks import check_constraints, corpus_report, profile_columns
 from .events import (
-    asof_join, clock_skew, event_transitions, funnel_steps, interval_join, percentile_rollup,
+    asof_join, clock_skew, covisitation, event_transitions,
+    funnel_steps, interval_join, percentile_rollup,
     retention_cohorts,
     scd2_join, session_rollup, sessionize, winsorize,
 )
@@ -157,7 +159,9 @@ __all__ = [
     "corpus_shuffle",
     "collocations", "doc_frequency", "gazetteer_match",
     "blocked_link",
-    "inverted_index", "ndcg_at_k", "phrase_search",
+    "covisitation",
+    "inverted_index", "k_anonymize", "k_violations", "ndcg_at_k",
+    "phrase_search", "purge_ids",
     "sparse_cosine_pairs", "tfidf_top_terms",
     "asof_join", "interval_join", "check_constraints", "corpus_report", "profile_columns",
     "event_transitions",

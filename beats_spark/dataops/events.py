@@ -27,7 +27,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "bot_cadence", "clock_skew", "interval_join",
+__all__ = ["asof_join", "bot_cadence", "clock_skew", "covisitation", "interval_join",
            "decayed_counts", "ewma_smooth",
            "funnel_steps", "merge_intervals",
            "percentile_rollup",
@@ -916,3 +916,68 @@ def bot_cadence(
         (n >= int(min_gaps))
         & F.coalesce(F.col("cadence_micro") <= int(max_cadence_micro),
                      F.col("spread_ms") == 0))
+
+
+def covisitation(
+    df: DataFrame,
+    session_cols: Sequence[str] = ("user_id",),
+    item_col: str = "item",
+    max_items_per_session: int = 50,
+    top_n: int = 25,
+) -> DataFrame:
+    """Item co-occurrence over sessions (co-visitation — the
+    association signal behind related-items / market-basket tables):
+    for every unordered item pair, the number of sessions containing
+    both, plus confidence and lift in integer micro-units.
+
+    Exact fixed-point spec (both engines compute THIS, documented
+    nested floor division — a single-expression lift would overflow
+    BIGINT at ``10^6·N·c_ab``):
+    ``conf_micro = (10^6·c_ab) div c_a`` (P(b|a) — requires
+    c_ab ≤ 9.2·10^12) and ``lift_micro = (conf_micro · N) div c_b``
+    (requires N < 9.2·10^12 sessions — comfortably above 100 TB of
+    web logs).
+
+    Scale shape: the pair census is a SELF-JOIN on the session key
+    with ``item_a < item_b`` — candidates are bounded per session by
+    ``max_items_per_session`` (deterministic keep: lowest item ids),
+    so a pathological session can't go quadratic; everything after is
+    partial-combining aggregation on (item, item) / item keys. The
+    final top-``top_n`` is TakeOrderedAndProject, never a global
+    sort.
+    """
+    sess = [F.col(c) for c in session_cols]
+    items = (df.select(*sess, F.col(item_col).alias("__it"))
+             .filter(F.col("__it").isNotNull())
+             .distinct())
+    wcap = Window.partitionBy(*session_cols).orderBy("__it")
+    items = (items.withColumn("__rn", F.row_number().over(wcap))
+             .filter(F.col("__rn") <= max_items_per_session)
+             .drop("__rn")
+             # consumed three times (pair self-join ×2 + item census)
+             .localCheckpoint())
+    n_sessions = items.select(*session_cols).distinct() \
+                      .agg(F.count(F.lit(1)).alias("n_total"))
+    c_item = items.groupBy("__it").agg(F.count(F.lit(1)).alias("c"))
+    a = items.select(*sess, F.col("__it").alias("item_a"))
+    b = items.select(*sess, F.col("__it").alias("item_b"))
+    pairs = (a.join(b, list(session_cols))
+             .filter(F.col("item_a") < F.col("item_b"))
+             .groupBy("item_a", "item_b")
+             .agg(F.count(F.lit(1)).alias("c_ab")))
+    out = (pairs
+           .join(F.broadcast(c_item.select(
+               F.col("__it").alias("item_a"), F.col("c").alias("c_a"))),
+               "item_a")
+           .join(F.broadcast(c_item.select(
+               F.col("__it").alias("item_b"), F.col("c").alias("c_b"))),
+               "item_b")
+           .join(F.broadcast(n_sessions))
+           .withColumn("conf_micro",
+                       F.expr("(1000000 * c_ab) DIV c_a"))
+           .withColumn("lift_micro",
+                       F.expr("(conf_micro * n_total) DIV c_b")))
+    return (out.select("item_a", "item_b", "c_ab", "c_a", "c_b",
+                       "conf_micro", "lift_micro")
+            .orderBy(F.col("c_ab").desc(), "item_a", "item_b")
+            .limit(top_n))

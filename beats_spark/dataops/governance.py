@@ -1,0 +1,65 @@
+"""Data-governance primitives: k-anonymity suppression and
+deletion-request (right-to-be-forgotten) propagation.
+
+Both are join-shaped, not scan-shaped, so they hold at 100 TB: the
+group-size census shuffles only the quasi-identifier columns (+ one
+long), and the row-level verdict is a SEMI/ANTI join that AQE turns
+into a broadcast probe whenever the violating-group / tombstone side
+is small — the common case (suppression lists and deletion requests
+are tiny next to the corpus).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["k_anonymize", "k_violations", "purge_ids"]
+
+
+def _census(df: DataFrame, quasi_cols: Sequence[str]) -> DataFrame:
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    return (df.groupBy(*quasi_cols)
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def k_anonymize(df: DataFrame, quasi_cols: Sequence[str],
+                k: int) -> DataFrame:
+    """Suppression-mode k-anonymity (Sweeney): keep only rows whose
+    quasi-identifier combination occurs in ≥ ``k`` rows — every
+    surviving record hides among at least k-1 others. Generalization
+    (coarsening the QI columns) is the caller's move: pre-bucket the
+    columns (hour-of-day, value decile, ZIP prefix) and re-run until
+    the retention is acceptable.
+
+    Plan: one partial-combining census on the QI key (only QI columns
+    + a long cross that exchange), then a LEFT SEMI join of the corpus
+    against qualifying groups."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ok = _census(df, quasi_cols).filter(F.col("n") >= k) \
+                                .select(*quasi_cols)
+    return df.join(ok, list(quasi_cols), "left_semi")
+
+
+def k_violations(df: DataFrame, quasi_cols: Sequence[str],
+                 k: int) -> DataFrame:
+    """The audit view: quasi-identifier groups that violate
+    k-anonymity, with their sizes — what a privacy review reads before
+    choosing between suppression and further generalization."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return _census(df, quasi_cols).filter(F.col("n") < k)
+
+
+def purge_ids(df: DataFrame, tombstones: DataFrame,
+              id_col: str) -> DataFrame:
+    """Deletion-request propagation: drop every row whose ``id_col``
+    appears in ``tombstones`` (same column name). LEFT ANTI join —
+    tombstone sets are small, so the probe broadcasts; the corpus is
+    never shuffled. Run once per derived table; the snapshot catalog
+    records the purge as a new snapshot (no in-place mutation)."""
+    return df.join(tombstones.select(id_col).distinct(),
+                   [id_col], "left_anti")

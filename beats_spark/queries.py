@@ -4718,7 +4718,7 @@ b AS (SELECT e.user_id,
                AS cohort_week,
              CAST(date_trunc('week', e.ts) AS DATE) AS aw
       FROM events e JOIN f USING (user_id))
-SELECT cohort_week,
+SELECT CAST(cohort_week AS VARCHAR) AS cohort_week,
        CAST((aw - cohort_week) // 7 AS INT) AS week_offset,
        count(DISTINCT user_id) AS n_active
 FROM b GROUP BY cohort_week, week_offset
@@ -4728,10 +4728,15 @@ def retention_cohorts_q(spark, sf_dir):
     .retention_cohorts`): cohort = Monday week of each user's first
     event; rows are (cohort_week, week_offset, distinct active
     users). Week offsets computed in whole days / 7 on DATE values so
-    engines agree exactly (both truncate weeks to Monday)."""
+    engines agree exactly (both truncate weeks to Monday). The cohort
+    date is emitted as a STRING — the catalog convention for
+    date-valued output columns (a Spark DATE reaches pandas as
+    object-dtype ``datetime.date`` while DuckDB's is datetime64,
+    which the value-hash compare can't unify)."""
     from .dataops import retention_cohorts
     ev = _t(spark, sf_dir, "events")
-    return retention_cohorts(ev)
+    return retention_cohorts(ev).withColumn(
+        "cohort_week", F.col("cohort_week").cast("string"))
 
 
 @query("log_templates", oracle=r"""
@@ -6989,6 +6994,75 @@ def record_linkage(spark, sf_dir):
     dirty = cut.select((F.col("id") + 500000).alias("id"),
                        F.col("__name2").alias("name"))
     return blocked_link(dirty, names, id_col="id", name_col="name")
+
+
+@query("k_anonymity", oracle="""
+WITH base AS (
+  SELECT event_id, user_id, strftime(ts, '%Y-%m-%d') AS d
+  FROM events),
+census AS (
+  SELECT user_id, d, count(*) AS n FROM base GROUP BY user_id, d)
+SELECT b.event_id, b.user_id, b.d
+FROM base b JOIN census c ON b.user_id = c.user_id AND b.d = c.d
+WHERE c.n >= 3
+""")
+def k_anonymity(spark, sf_dir):
+    """Suppression-mode k-anonymity
+    (:func:`beats_spark.dataops.governance.k_anonymize`): keep only
+    events whose quasi-identifier combination (user pseudonym, day)
+    occurs ≥ 3 times — a user-day seen fewer times is singled out and
+    suppressed. The census shuffles only QI columns; the verdict is a
+    LEFT SEMI join that broadcasts when the qualifying-group list is
+    small."""
+    from .dataops.governance import k_anonymize
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("d"))
+    return k_anonymize(ev, ["user_id", "d"], k=3)
+
+
+@query("covisitation", oracle="""
+WITH it0 AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d,
+         CAST(json_extract(props, '$.k') AS INT) % 25 AS item
+  FROM events),
+it AS (SELECT * FROM it0 WHERE item IS NOT NULL),
+capped AS (
+  SELECT user_id, d, item FROM (
+    SELECT user_id, d, item,
+           row_number() OVER (PARTITION BY user_id, d
+                              ORDER BY item) AS rn
+    FROM it) WHERE rn <= 50),
+ns AS (SELECT count(*) AS n_total
+       FROM (SELECT DISTINCT user_id, d FROM capped)),
+ci AS (SELECT item, count(*) AS c FROM capped GROUP BY item),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS c_ab
+  FROM capped a JOIN capped b
+    ON a.user_id = b.user_id AND a.d = b.d AND a.item < b.item
+  GROUP BY a.item, b.item),
+sc AS (SELECT p.item_a, p.item_b, p.c_ab, ca.c AS c_a, cb.c AS c_b,
+              (1000000 * p.c_ab) // ca.c AS conf_micro, ns.n_total
+       FROM pairs p JOIN ci ca ON ca.item = p.item_a
+                    JOIN ci cb ON cb.item = p.item_b, ns)
+SELECT item_a, item_b, c_ab, c_a, c_b, conf_micro,
+       (conf_micro * n_total) // c_b AS lift_micro
+FROM sc ORDER BY c_ab DESC, item_a, item_b LIMIT 25
+""")
+def covisitation_q(spark, sf_dir):
+    """Session co-visitation
+    (:func:`beats_spark.dataops.events.covisitation`): item pairs
+    co-occurring in (user, day) sessions with confidence and lift in
+    the documented nested-floor-div fixed point. The pair census is a
+    session-keyed self-join capped per session — bounded candidates,
+    no explode, top-25 via TakeOrdered."""
+    from .dataops.events import covisitation
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d"),
+        (F.get_json_object("props", "$.k").cast("int") % 25)
+         .alias("item"))
+    return covisitation(ev, session_cols=("user_id", "d"),
+                        item_col="item", top_n=25)
 
 
 @query("boilerplate_strip", oracle="""
