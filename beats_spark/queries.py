@@ -7021,6 +7021,33 @@ def k_anonymity(spark, sf_dir):
     return k_anonymize(ev, ["user_id", "d"], k=3)
 
 
+@query("rtbf_purge", oracle="""
+WITH tomb AS (SELECT DISTINCT user_id FROM events
+              WHERE user_id % 17 = 0)
+SELECT e.user_id, count(*) AS n_events,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events e LEFT JOIN tomb t ON e.user_id = t.user_id
+WHERE t.user_id IS NULL
+GROUP BY e.user_id
+""")
+def rtbf_purge(spark, sf_dir):
+    """Right-to-be-forgotten propagation
+    (:func:`beats_spark.dataops.governance.purge_ids`): a tombstone
+    list (deletion requests — every 17th user here) is LEFT
+    ANTI-joined against the corpus; the small side broadcasts so the
+    corpus never shuffles for the purge. Output: per-surviving-user
+    rollup proving the tombstoned users are gone."""
+    from .dataops.governance import purge_ids
+    ev = _t(spark, sf_dir, "events")
+    tomb = ev.filter(F.col("user_id") % 17 == 0).select("user_id")
+    return (purge_ids(ev, tomb, "user_id")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                  .alias("value_cents")))
+
+
 @query("covisitation", oracle="""
 WITH it0 AS (
   SELECT DISTINCT user_id, date_trunc('day', ts) AS d,
