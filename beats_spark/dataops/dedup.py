@@ -38,7 +38,7 @@ from pyspark.sql import types as T
 
 __all__ = [
     "banded_hamming_pairs",
-    "tokens", "shingles", "containment_pairs", "dedup_exact",
+    "tokens", "shingles", "word_ngrams", "containment_pairs", "dedup_exact",
     "exact_dup_groups",
     "minhash_signature", "minhash_signature_arrow", "minhash_lsh_pairs",
     "mirror_hosts",
@@ -80,9 +80,10 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word-``n``-gram shingles of ``text``; [] when the doc
-    has fewer than ``n`` tokens.
+def word_ngrams(text: Column, n: int) -> Column:
+    """ALL word-``n``-gram occurrences in order (duplicates kept);
+    [] when the doc has fewer than ``n`` tokens (NULL text → NULL for
+    n=1, [] otherwise — matching the historical shingles contract).
 
     Construction is shift-and-zip: ``n`` length-aligned slices of the
     token array zipped into grams. The obvious spelling —
@@ -95,16 +96,24 @@ def shingles(text: Column, n: int = 3) -> Column:
     once per row — O(n·len)."""
     toks = tokens(text)
     if n == 1:
-        return F.array_distinct(toks)
+        return toks
     m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     grams = F.slice(toks, 1, m)
     for k in range(1, n):
         grams = F.zip_with(grams, F.slice(toks, 1 + k, m),
                            lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.coalesce(grams, F.array().cast("array<string>"))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word-``n``-gram shingles of ``text``
+    (:func:`word_ngrams` deduplicated per document); [] when the doc
+    has fewer than ``n`` tokens."""
+    if n == 1:
+        return F.array_distinct(tokens(text))
     # NULL text yielded [] under the old when/otherwise spelling
     # (n==1 keeps NULL, as before); downstream explodes rely on it
-    return F.coalesce(F.array_distinct(grams),
-                      F.array().cast("array<string>"))
+    return F.array_distinct(word_ngrams(text, n))
 
 
 # ------------------------------------------------------------------- exact

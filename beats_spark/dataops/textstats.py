@@ -13,7 +13,7 @@ from typing import Dict, Iterator, List, Mapping, Optional, Sequence
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 
 from .dedup import tokens, simhash
@@ -21,7 +21,7 @@ from .dedup import tokens, simhash
 __all__ = [
     "gopher_rules", "repetition_stats_arrow", "entropy_stats_arrow",
     "dns_tunnel_flags", "oov_rate", "split_sentences", "SENTENCE_RE",
-    "token_count", "text_stats", "text_stats_arrow", "quality_score",
+    "token_count", "vocab_coverage", "text_stats", "text_stats_arrow", "quality_score",
     "wilson_lower_bound",
     "readability",
     "lang_id_stopword", "lang_id_ngram", "lang_spans",
@@ -826,3 +826,60 @@ def wilson_lower_bound(k: Column, n: Column, z: float = 1.96) -> Column:
              - F.lit(z) * F.sqrt((p * (1.0 - p)
                                   + F.lit(z2) / (4.0 * nn)) / nn))
             / (1.0 + F.lit(z2) / nn))
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    ngram: int = 3,
+    vocab_sizes: Sequence[int] = (100, 1000, 4000, 16000),
+) -> DataFrame:
+    """Tokenizer-design analytics: corpus coverage (and its
+    complement, the OOV rate) for EVERY candidate vocabulary size in
+    one scan — vocab size v covers the v most frequent n-grams
+    (ties broken lexicographically, a total order both engines
+    share).
+
+    Scale shape: one corpus-sized explode feeds ONE partial-combining
+    frequency aggregation (the only data-proportional exchange; the
+    gram table is consumed twice — total + top — so it is
+    localCheckpoint-ed, not recomputed). The top-``max(vocab_sizes)``
+    cut is TakeOrderedAndProject — per-partition heaps, never a
+    global sort; the cumulative census then runs over at most
+    max(vocab_sizes) rows (bounded by the PARAMETER, not the data —
+    the documented reason the single-partition window is safe), with
+    all |V| thresholds answered by conditional sums in one pass and
+    unpivoted from the single aggregated row (the filter_sweep
+    idiom). Output: ``(vocab_size, covered, total,
+    coverage_micro)``, coverage in exact integer micro-units.
+    """
+    from .dedup import word_ngrams
+    sizes = sorted({int(v) for v in vocab_sizes})
+    if not sizes or sizes[0] < 1:
+        raise ValueError(
+            f"vocab_sizes must be positive ints, got {vocab_sizes!r}")
+    grams = df.select(
+        F.explode(word_ngrams(F.col(text_col), ngram)).alias("gram"))
+    tf = (grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+          .localCheckpoint())
+    total = tf.agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long")
+                   .alias("total"))
+    w = Window.orderBy(F.col("c").desc(), "gram")
+    ranked = (tf.orderBy(F.col("c").desc(), "gram").limit(sizes[-1])
+              .withColumn("__rn", F.row_number().over(w)))
+    one = ranked.agg(*[
+        F.coalesce(F.sum(F.when(F.col("__rn") <= v, F.col("c"))
+                         .otherwise(F.lit(0))), F.lit(0))
+         .cast("long").alias(f"__c{v}")
+        for v in sizes])
+    pairs = ", ".join(f"{v}, __c{v}" for v in sizes)
+    out = (one.join(F.broadcast(total))
+           .selectExpr(
+               f"stack({len(sizes)}, {pairs}) "
+               "AS (vocab_size, covered)", "total"))
+    return (out.select(
+        F.col("vocab_size").cast("int").alias("vocab_size"),
+        "covered", "total",
+        F.when(F.col("total") > 0,
+               F.expr("(1000000 * covered) DIV total"))
+         .cast("long").alias("coverage_micro")))

@@ -7048,6 +7048,43 @@ def rtbf_purge(spark, sf_dir):
                   .alias("value_cents")))
 
 
+@query("vocab_coverage", oracle=r"""
+WITH toks AS (SELECT list_filter(string_split_regex(lower(text),
+                                                    '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+g AS (SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+      FROM toks WHERE len(t) >= 3),
+tf AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS total FROM tf),
+rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, gram) AS rn
+       FROM tf)
+SELECT CAST(v.vs AS INT) AS vocab_size,
+       CAST(coalesce(sum(c) FILTER (rn <= v.vs), 0) AS BIGINT)
+         AS covered,
+       tot.total,
+       CASE WHEN tot.total > 0 THEN
+         (1000000 * CAST(coalesce(sum(c) FILTER (rn <= v.vs), 0)
+                         AS BIGINT)) // tot.total
+       END AS coverage_micro
+FROM rk CROSS JOIN (VALUES (100), (1000), (4000), (16000)) v(vs), tot
+GROUP BY v.vs, tot.total
+""")
+def vocab_coverage_q(spark, sf_dir):
+    """Vocabulary-size sweep
+    (:func:`beats_spark.dataops.textstats.vocab_coverage`): corpus
+    coverage of the top-v word trigrams for every candidate vocab
+    size in ONE scan — one corpus-sized explode + frequency agg, a
+    TakeOrdered top-cut bounded by max(v) (never a global sort), all
+    thresholds answered by conditional sums unpivoted from a single
+    aggregated row."""
+    from .dataops.textstats import vocab_coverage
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage(docs, ngram=3,
+                          vocab_sizes=(100, 1000, 4000, 16000))
+
+
 @query("covisitation", oracle="""
 WITH it0 AS (
   SELECT DISTINCT user_id, date_trunc('day', ts) AS d,

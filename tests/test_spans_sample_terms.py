@@ -961,3 +961,26 @@ def test_ndcg_at_k_known_values(spark):
     out2 = {r["query"]: r
             for r in ndcg_at_k(runs, qrels2, k=3).collect()}
     assert out2["q1"]["dcg_micro"] == out["q1"]["dcg_micro"]
+
+
+def test_vocab_coverage_known_values(spark):
+    from beats_spark.dataops.textstats import vocab_coverage
+    df = spark.createDataFrame(
+        # trigrams: "a b c"×2 (docs 1,2), "b c d"×1 (doc 2), plus NULL
+        # and too-short docs contributing nothing
+        [(1, "a b c"), (2, "a b c d"), (3, "x y"), (4, None)],
+        "doc_id bigint, text string")
+    out = {r["vocab_size"]: r
+           for r in vocab_coverage(df, vocab_sizes=(1, 2)).collect()}
+    assert out[1]["total"] == 3 and out[1]["covered"] == 2
+    assert out[1]["coverage_micro"] == 666666
+    assert out[2]["covered"] == 3 and out[2]["coverage_micro"] == 1000000
+    # empty corpus: zero totals, NULL coverage (no divide-by-zero)
+    empty = spark.createDataFrame([(1, "x y")],
+                                  "doc_id bigint, text string")
+    row = vocab_coverage(empty, vocab_sizes=(10,)).collect()[0]
+    assert row["total"] == 0 and row["covered"] == 0
+    assert row["coverage_micro"] is None
+    import pytest
+    with pytest.raises(ValueError, match="vocab_sizes"):
+        vocab_coverage(df, vocab_sizes=())
