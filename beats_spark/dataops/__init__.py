@@ -45,6 +45,7 @@ from .similarity import (
 from .textstats import (
     dns_tunnel_flags,
     vocab_coverage,
+    zipf_fit,
     wilson_lower_bound,
     split_sentences,
     entropy_stats_arrow,
@@ -142,7 +143,7 @@ __all__ = [
     "dom_fingerprint", "dom_fingerprint_sql", "wilson_lower_bound",
     "oov_rate",
     "text_stats",
-    "token_count", "vocab_coverage",
+    "token_count", "vocab_coverage", "zipf_fit",
     "attach_media_meta", "extract_image_features", "sample_video_frames",
     "set_decoder", "set_fingerprinter", "media_fingerprints",
     "media_phash_pairs",

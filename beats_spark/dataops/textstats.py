@@ -21,7 +21,7 @@ from .dedup import tokens, simhash
 __all__ = [
     "gopher_rules", "repetition_stats_arrow", "entropy_stats_arrow",
     "dns_tunnel_flags", "oov_rate", "split_sentences", "SENTENCE_RE",
-    "token_count", "vocab_coverage", "text_stats", "text_stats_arrow", "quality_score",
+    "token_count", "vocab_coverage", "zipf_fit", "text_stats", "text_stats_arrow", "quality_score",
     "wilson_lower_bound",
     "readability",
     "lang_id_stopword", "lang_id_ngram", "lang_spans",
@@ -883,3 +883,66 @@ def vocab_coverage(
         F.when(F.col("total") > 0,
                F.expr("(1000000 * covered) DIV total"))
          .cast("long").alias("coverage_micro")))
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    ngram: int = 3,
+    top_n: int = 10000,
+) -> DataFrame:
+    """Power-law diagnostic: least-squares slope of log-frequency vs
+    log-rank over the ``top_n`` most frequent n-grams — natural text
+    sits near Zipf's α ≈ 1; template farms and synthetic spam flatten
+    or steepen the curve, making α a cheap corpus-quality signal.
+
+    Exact fixed-point spec (both engines compute THIS): x =
+    round(1000·ln(rank)), y = round(1000·ln(freq)) in MILLI-nats
+    (milli, not micro, so the centered cross-products stay far inside
+    BIGINT: |Σdx·dy| ≤ top_n·(ln top_n·1000)² ≈ 10^12 at the default),
+    means are floor divisions, and
+    ``alpha_micro = −(10^6·Σdxdy) div Σdxdx``.
+
+    Scale shape: identical to :func:`vocab_coverage` — one
+    corpus-sized explode into one partial-combining frequency agg,
+    the rank table cut to ``top_n`` by TakeOrderedAndProject, the
+    regression itself a single aggregation over ≤ top_n rows (bounded
+    by the PARAMETER). Output: one row
+    ``(n_grams, alpha_micro, x_mean_milli, y_mean_milli)``.
+    """
+    from .dedup import word_ngrams
+    if top_n < 2:
+        raise ValueError(f"top_n must be >= 2, got {top_n}")
+    grams = df.select(
+        F.explode(word_ngrams(F.col(text_col), ngram)).alias("gram"))
+    tf = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), "gram")
+    ranked = (tf.orderBy(F.col("c").desc(), "gram").limit(top_n)
+              .withColumn("__rn", F.row_number().over(w))
+              .select(
+                  F.round(F.lit(1000.0) * F.log(F.col("__rn")
+                                                .cast("double")))
+                   .cast("long").alias("x"),
+                  F.round(F.lit(1000.0) * F.log(F.col("c")
+                                                .cast("double")))
+                   .cast("long").alias("y")))
+    means = ranked.agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.expr("sum(x) DIV count(1)").alias("x_mean_milli"),
+        F.expr("sum(y) DIV count(1)").alias("y_mean_milli"))
+    fit = (ranked.join(F.broadcast(means))
+           .agg(F.max("n_grams").alias("n_grams"),
+                F.max("x_mean_milli").alias("x_mean_milli"),
+                F.max("y_mean_milli").alias("y_mean_milli"),
+                F.sum((F.col("x") - F.col("x_mean_milli"))
+                      * (F.col("y") - F.col("y_mean_milli")))
+                 .alias("__sxy"),
+                F.sum((F.col("x") - F.col("x_mean_milli"))
+                      * (F.col("x") - F.col("x_mean_milli")))
+                 .alias("__sxx")))
+    return fit.select(
+        "n_grams",
+        F.when(F.col("__sxx") > 0,
+               F.expr("-((1000000 * __sxy) DIV __sxx)"))
+         .cast("long").alias("alpha_micro"),
+        "x_mean_milli", "y_mean_milli")

@@ -7085,6 +7085,47 @@ def vocab_coverage_q(spark, sf_dir):
                           vocab_sizes=(100, 1000, 4000, 16000))
 
 
+@query("zipf_fit", oracle=r"""
+WITH toks AS (SELECT list_filter(string_split_regex(lower(text),
+                                                    '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+g AS (SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+      FROM toks WHERE len(t) >= 3),
+tf AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, gram) AS rn
+       FROM (SELECT gram, c FROM tf
+             ORDER BY c DESC, gram LIMIT 10000)),
+xy AS (SELECT CAST(round(1000 * ln(rn)) AS BIGINT) AS x,
+              CAST(round(1000 * ln(c)) AS BIGINT) AS y
+       FROM rk),
+m AS (SELECT count(*) AS n_grams,
+             sum(x) // count(*) AS xm,
+             sum(y) // count(*) AS ym
+      FROM xy)
+SELECT m.n_grams,
+       CAST(CASE WHEN sum((x - m.xm) * (x - m.xm)) > 0 THEN
+         -((1000000 * sum((x - m.xm) * (y - m.ym)))
+           // sum((x - m.xm) * (x - m.xm)))
+       END AS BIGINT) AS alpha_micro,
+       CAST(m.xm AS BIGINT) AS x_mean_milli,
+       CAST(m.ym AS BIGINT) AS y_mean_milli
+FROM xy, m GROUP BY m.n_grams, m.xm, m.ym
+""")
+def zipf_fit_q(spark, sf_dir):
+    """Zipf power-law fit (:func:`beats_spark.dataops.textstats
+    .zipf_fit`): least-squares slope of log-freq vs log-rank over the
+    top-10k trigrams in milli-nat fixed point (floor-mean centering,
+    truncating integer division — verified identical toward-zero
+    semantics in both engines for the negative covariance). Natural
+    corpora sit near α≈1; the synthetic fixture's flatter curve is
+    itself the signal a quality monitor would alert on."""
+    from .dataops.textstats import zipf_fit
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_fit(docs, ngram=3, top_n=10000)
+
+
 @query("covisitation", oracle="""
 WITH it0 AS (
   SELECT DISTINCT user_id, date_trunc('day', ts) AS d,

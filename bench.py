@@ -88,7 +88,7 @@ BENCH_QUERIES = [
     "consistent_route", "trigram_grep", "decayed_trending",
     "seasonal_anomaly", "slo_burn", "rolling_p95",
     "link_communities", "zonemap_prune", "ivm_refresh",
-    "ann_pq_topk", "char_entropy", "nb_quality", "dns_tunnel", "shard_balance", "hard_negatives", "corpus_kl_drift", "winsorize_values", "oov_rate", "vocab_coverage", "bpe_merges", "bpe_encode",
+    "ann_pq_topk", "char_entropy", "nb_quality", "dns_tunnel", "shard_balance", "hard_negatives", "corpus_kl_drift", "winsorize_values", "oov_rate", "vocab_coverage", "zipf_fit", "bpe_merges", "bpe_encode",
     "lang_url_pairs", "crawl_traps", "decode_cef", "kv_extract",
     "sentence_split",
     "clock_skew",

@@ -984,3 +984,39 @@ def test_vocab_coverage_known_values(spark):
     import pytest
     with pytest.raises(ValueError, match="vocab_sizes"):
         vocab_coverage(df, vocab_sizes=())
+
+
+def test_zipf_fit_known_slope(spark):
+    """A constructed corpus with freq(rank) = 64 >> rank (halving) has
+    slope -ln2/ln2 steps... verify against a hand-computed fixed-point
+    regression on the exact same integer spec."""
+    import math
+    from beats_spark.dataops.textstats import zipf_fit
+    # grams: "g1 g1 g1" repeated 8x, "g2 g2 g2" 4x, "g3 g3 g3" 2x,
+    # "g4 g4 g4" 1x -> freq/rank: (1,8),(2,4),(3,2),(4,1)
+    rows = []
+    did = 0
+    for g, n in (("a b c", 8), ("d e f", 4), ("g h i", 2), ("j k l", 1)):
+        for _ in range(n):
+            did += 1
+            rows.append((did, g))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = zipf_fit(df, ngram=3, top_n=10).collect()[0]
+    xs = [round(1000 * math.log(r)) for r in (1, 2, 3, 4)]
+    ys = [round(1000 * math.log(c)) for c in (8, 4, 2, 1)]
+    xm, ym = sum(xs) // 4, sum(ys) // 4
+    sxy = sum((x - xm) * (y - ym) for x, y in zip(xs, ys))
+    sxx = sum((x - xm) ** 2 for x in xs)
+
+    def tdiv(a, b):          # both engines truncate toward zero,
+        q = abs(a) // abs(b)  # Python // floors — not the same for
+        return -q if (a < 0) != (b < 0) else q  # negative covariance
+    want = -tdiv(1000000 * sxy, sxx)
+    assert out["n_grams"] == 4
+    assert out["alpha_micro"] == want
+    # freq halves per rank-doubling -> slope ~ -1.5 (log2 spacing of
+    # ranks 1..4 vs log2 freqs 8..1): sanity band
+    assert 1_300_000 < out["alpha_micro"] < 1_700_000
+    # degenerate: single gram -> sxx == 0 -> NULL alpha
+    one = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    assert zipf_fit(one, top_n=10).collect()[0]["alpha_micro"] is None
