@@ -81,7 +81,8 @@ from .decontam import contamination_flags, decontaminate
 from .htmltext import (HTML_STRIP_STEPS, dom_fingerprint,
                        dom_fingerprint_sql, extract_links, extract_text,
                        html_strip_sql, html_to_text, link_host)
-from .governance import k_anonymize, k_violations, purge_ids
+from .governance import (dp_counts, k_anonymize, k_violations,
+                         purge_ids)
 from .labeling import lf_summary, weak_label_vote
 from .linkage import blocked_link
 from .lm import (bigram_model, domain_weights, lm_score, nb_quality,
@@ -99,7 +100,7 @@ from .scrub import (
 )
 from .checks import check_constraints, corpus_report, profile_columns
 from .events import (
-    asof_join, clock_skew, covisitation, event_transitions,
+    ab_test, asof_join, clock_skew, covisitation, event_transitions,
     funnel_steps, interval_join, percentile_rollup,
     retention_cohorts,
     scd2_join, session_rollup, sessionize, winsorize,
@@ -162,10 +163,10 @@ __all__ = [
     "collocations", "doc_frequency", "gazetteer_match",
     "blocked_link",
     "covisitation",
-    "inverted_index", "k_anonymize", "k_violations", "ndcg_at_k",
+    "dp_counts", "inverted_index", "k_anonymize", "k_violations", "ndcg_at_k",
     "phrase_search", "purge_ids",
     "sparse_cosine_pairs", "tfidf_top_terms",
-    "asof_join", "interval_join", "check_constraints", "corpus_report", "profile_columns",
+    "ab_test", "asof_join", "interval_join", "check_constraints", "corpus_report", "profile_columns",
     "event_transitions",
     "funnel_steps",
     "percentile_rollup",

@@ -27,7 +27,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "bot_cadence", "clock_skew", "covisitation", "interval_join",
+__all__ = ["ab_test", "asof_join", "bot_cadence", "clock_skew", "covisitation", "interval_join",
            "decayed_counts", "ewma_smooth",
            "funnel_steps", "merge_intervals",
            "percentile_rollup",
@@ -981,3 +981,62 @@ def covisitation(
                        "conf_micro", "lift_micro")
             .orderBy(F.col("c_ab").desc(), "item_a", "item_b")
             .limit(top_n))
+
+
+def ab_test(
+    df: DataFrame,
+    variant_col: str = "variant",
+    key_col: str = "user_id",
+    success_col: str = "converted",
+    z: int = 2,
+) -> DataFrame:
+    """Two-proportion z-test between experiment arms (conversion-rate
+    A/B readout) with the significance DECISION evaluated as an
+    integer cross-multiplied inequality — the count_anomalies trick —
+    so both engines flag identically, where a float
+    ``|p̂₁−p̂₂| > z·√(p̂(1−p̂)(1/n₁+1/n₂))`` could disagree at the
+    boundary:
+
+    ``significant ⟺ d²·N > z²·C·(N−C)·n_a·n_b`` with
+    ``d = c_a·n_b − c_b·n_a``, ``C = c_a+c_b``, ``N = n_a+n_b``, all
+    in decimal(38,0) (≡ HUGEINT) — exact up to ~4·10^7 keys per arm
+    (d²·N ≤ n⁵); beyond that, test on a deterministic key sample
+    (documented bound, not a silent overflow: decimal overflow raises).
+
+    Uses the lexicographic MIN and MAX variants; ``n_variants`` is
+    emitted so a frame with a forgotten third arm is visible, not
+    silently mis-read. Per-arm n/c are DISTINCT-key counts (a user
+    converts once no matter how many purchase events they emit).
+
+    Plan: one distinct-collapse exchange on (variant, key) — the only
+    data-sized shuffle — then a 2-row aggregate and a single-row
+    projection."""
+    per_key = (df.groupBy(variant_col, key_col)
+               .agg(F.max(F.col(success_col).cast("int")).alias("__s")))
+    per_var = (per_key.groupBy(variant_col)
+               .agg(F.count(F.lit(1)).alias("__n"),
+                    F.sum("__s").alias("__c")))
+    row = per_var.agg(
+        F.count(F.lit(1)).cast("int").alias("n_variants"),
+        F.min(variant_col).alias("variant_a"),
+        F.max(variant_col).alias("variant_b"),
+        F.min_by("__n", F.col(variant_col)).alias("n_a"),
+        F.min_by("__c", F.col(variant_col)).alias("c_a"),
+        F.max_by("__n", F.col(variant_col)).alias("n_b"),
+        F.max_by("__c", F.col(variant_col)).alias("c_b"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    d = dec("c_a") * dec("n_b") - dec("c_b") * dec("n_a")
+    big_c = dec("c_a") + dec("c_b")
+    big_n = dec("n_a") + dec("n_b")
+    lhs = d * d * big_n
+    rhs = (F.lit(int(z) * int(z)).cast("decimal(38,0)")
+           * big_c * (big_n - big_c) * dec("n_a") * dec("n_b"))
+    p = lambda c, n: F.when(
+        F.col(n) > 0,
+        F.expr(f"(1000000 * {c}) DIV {n}")).cast("long")
+    return row.select(
+        "variant_a", "variant_b", "n_variants",
+        "n_a", "c_a", "n_b", "c_b",
+        p("c_a", "n_a").alias("p_a_micro"),
+        p("c_b", "n_b").alias("p_b_micro"),
+        (lhs > rhs).alias("significant"))

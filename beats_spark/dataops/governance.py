@@ -15,7 +15,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["k_anonymize", "k_violations", "purge_ids"]
+__all__ = ["dp_counts", "k_anonymize", "k_violations", "purge_ids"]
 
 
 def _census(df: DataFrame, quasi_cols: Sequence[str]) -> DataFrame:
@@ -63,3 +63,49 @@ def purge_ids(df: DataFrame, tombstones: DataFrame,
     records the purge as a new snapshot (no in-place mutation)."""
     return df.join(tombstones.select(id_col).distinct(),
                    [id_col], "left_anti")
+
+
+def dp_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    epsilon_micro: int = 1_000_000,
+    seed: int = 42,
+) -> DataFrame:
+    """Differential-privacy-shaped noisy group counts: per group,
+    ``count + Laplace(1/ε)`` — the sensitivity-1 count release every
+    privacy-preserving analytics surface starts from.
+
+    The noise here is SEEDED, not secret: the Laplace draw comes from
+    an inverse-CDF over an md5-derived uniform of (group key, seed),
+    so results are reproducible and oracle-checkable — the same
+    stub-seam pattern as the multimodal decoders. A REAL deployment
+    must swap in secure randomness (a seeded release is NOT
+    differentially private: the noise is recomputable by anyone who
+    knows the seed); the plumbing — sensitivity-bounded census,
+    noise column, micro-unit release — is what this operator ships.
+
+    Noise spec (both engines compute THIS): ``u = v/2^60 − ½`` with
+    ``v`` the first 15 md5 hex digits of ``key'|'seed``;
+    ``noise = −b·sign(u)·ln(1−2|u|)``, ``b = 10^6/epsilon_micro``;
+    release ``noisy_micro = 10^6·n + round(10^6·noise)``.
+
+    Plan: ONE partial-combining census on the group key (the only
+    exchange), noise applied as a map-side projection on the
+    aggregated (small) table."""
+    if epsilon_micro < 1:
+        raise ValueError(
+            f"epsilon_micro must be >= 1, got {epsilon_micro}")
+    census = _census(df, group_cols)
+    key = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in group_cols],
+        F.lit(f"seed{seed}"))
+    v = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    u = v / F.lit(float(1 << 60)) - F.lit(0.5)
+    b = 1_000_000.0 / float(epsilon_micro)
+    noise = (-F.lit(b) * F.signum(u)
+             * F.log(F.lit(1.0) - 2.0 * F.abs(u)))
+    return census.select(
+        *group_cols, F.col("n"),
+        (F.col("n") * 1_000_000
+         + F.round(F.lit(1e6) * noise).cast("long"))
+        .cast("long").alias("noisy_micro"))

@@ -7085,6 +7085,78 @@ def vocab_coverage_q(spark, sf_dir):
                           vocab_sizes=(100, 1000, 4000, 16000))
 
 
+@query("ab_test", oracle="""
+WITH pk AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS variant,
+         user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s
+  FROM events GROUP BY 1, 2),
+pv AS (SELECT variant, count(*) AS n, sum(s) AS c
+       FROM pk GROUP BY variant),
+r AS (SELECT CAST(count(*) AS INT) AS n_variants,
+             min(variant) AS variant_a, max(variant) AS variant_b,
+             CAST(min_by(n, variant) AS BIGINT) AS n_a,
+             CAST(min_by(c, variant) AS BIGINT) AS c_a,
+             CAST(max_by(n, variant) AS BIGINT) AS n_b,
+             CAST(max_by(c, variant) AS BIGINT) AS c_b
+      FROM pv)
+SELECT variant_a, variant_b, n_variants, n_a, c_a, n_b, c_b,
+       CASE WHEN n_a > 0 THEN (1000000 * c_a) // n_a END AS p_a_micro,
+       CASE WHEN n_b > 0 THEN (1000000 * c_b) // n_b END AS p_b_micro,
+       ((c_a * n_b - c_b * n_a) * (c_a * n_b - c_b * n_a)
+        * (n_a + n_b))
+       > (4 * (c_a + c_b) * ((n_a + n_b) - (c_a + c_b)) * n_a * n_b)
+         AS significant
+FROM r
+""")
+def ab_test_q(spark, sf_dir):
+    """Experiment readout (:func:`beats_spark.dataops.events.ab_test`):
+    users split into two arms by id parity, conversion = any purchase
+    event; the z=2 significance decision is the integer
+    cross-multiplied inequality in decimal(38,0)/HUGEINT, so both
+    engines flag identically at the boundary."""
+    from .dataops.events import ab_test
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("a"))
+         .otherwise(F.lit("b")).alias("variant"),
+        "user_id",
+        (F.col("event_type") == "purchase").alias("converted"))
+    return ab_test(ev, z=2)
+
+
+@query("dp_counts", oracle="""
+WITH census AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hr, count(*) AS n
+  FROM events GROUP BY event_type, hr),
+x AS (
+  SELECT event_type, hr, n,
+         CAST('0x' || substr(md5(concat_ws('|', event_type,
+                CAST(hr AS VARCHAR), 'seed42')), 1, 15) AS BIGINT) AS v
+  FROM census),
+uu AS (SELECT event_type, hr, n,
+              v / 1152921504606846976.0 - 0.5 AS u
+       FROM x)
+SELECT event_type, hr, n,
+       CAST(n * 1000000
+            + CAST(round(1000000 * (-(1.0) * sign(u)
+                                    * ln(1 - 2 * abs(u))))
+                   AS BIGINT) AS BIGINT) AS noisy_micro
+FROM uu
+""")
+def dp_counts_q(spark, sf_dir):
+    """DP-shaped noisy counter release
+    (:func:`beats_spark.dataops.governance.dp_counts`): per
+    (event_type, hour) counts + inverse-CDF Laplace noise at ε=1 from
+    a SEEDED md5 uniform — reproducible by design (the documented
+    not-actually-private test seam; production swaps secure
+    randomness). One census exchange; noise is a projection on the
+    aggregated table."""
+    from .dataops.governance import dp_counts
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("int").alias("hr"))
+    return dp_counts(ev, ["event_type", "hr"])
+
+
 @query("zipf_fit", oracle=r"""
 WITH toks AS (SELECT list_filter(string_split_regex(lower(text),
                                                     '\s+'),

@@ -78,3 +78,68 @@ def test_covisitation_session_cap(spark):
     # c_ab for (i00,i01): both sessions
     c = {(r["item_a"], r["item_b"]): r["c_ab"] for r in out}
     assert c[("i00", "i01")] == 2
+
+
+def test_dp_counts_noise_spec(spark):
+    """Noise must follow the documented md5 inverse-CDF spec exactly."""
+    import hashlib
+    import math
+    from beats_spark.dataops.governance import dp_counts
+    df = spark.createDataFrame(
+        [("x",)] * 5 + [("y",)] * 2, "g string")
+    out = {r["g"]: r for r in dp_counts(df, ["g"]).collect()}
+
+    def expected(g, n):
+        v = int(hashlib.md5(f"{g}|seed42".encode()).hexdigest()[:15], 16)
+        u = v / float(1 << 60) - 0.5
+        noise = -1.0 * math.copysign(1.0, u) * math.log(1 - 2 * abs(u))
+        if u == 0:
+            noise = 0.0
+        return n * 1_000_000 + round(1e6 * noise)
+
+    assert out["x"]["n"] == 5
+    assert out["x"]["noisy_micro"] == expected("x", 5)
+    assert out["y"]["noisy_micro"] == expected("y", 2)
+    # epsilon scales the noise magnitude: smaller eps -> more noise
+    loose = {r["g"]: r["noisy_micro"]
+             for r in dp_counts(df, ["g"],
+                                epsilon_micro=100_000).collect()}
+    assert abs(abs(loose["x"] - 5_000_000)
+               - 10 * abs(out["x"]["noisy_micro"] - 5_000_000)) <= 10
+    import pytest
+    with pytest.raises(ValueError, match="epsilon_micro"):
+        dp_counts(df, ["g"], epsilon_micro=0)
+
+
+def test_ab_test_decision_boundary(spark):
+    from beats_spark.dataops.events import ab_test
+
+    def build(n_a, c_a, n_b, c_b):
+        rows = []
+        for i in range(n_a):
+            rows.append(("a", i, i < c_a))
+        for i in range(n_b):
+            rows.append(("b", 10_000 + i, i < c_b))
+        return spark.createDataFrame(
+            rows, "variant string, user_id bigint, converted boolean")
+
+    # wildly different: 80/100 vs 20/100 -> significant at z=2
+    r = ab_test(build(100, 80, 100, 20)).collect()[0]
+    assert r["significant"] is True
+    assert r["p_a_micro"] == 800000 and r["p_b_micro"] == 200000
+    assert (r["variant_a"], r["variant_b"]) == ("a", "b")
+    # identical arms -> not significant (d == 0)
+    r2 = ab_test(build(100, 30, 100, 30)).collect()[0]
+    assert r2["significant"] is False
+    # duplicate events per user collapse: same user converting twice
+    df = build(50, 10, 50, 10).union(
+        spark.createDataFrame([("a", 0, True)] * 5,
+                              "variant string, user_id bigint, "
+                              "converted boolean"))
+    r3 = ab_test(df).collect()[0]
+    assert r3["n_a"] == 50 and r3["c_a"] == 10
+    # a third arm is visible, not silently dropped
+    df3 = build(50, 10, 50, 10).union(spark.createDataFrame(
+        [("c", 99_999, True)],
+        "variant string, user_id bigint, converted boolean"))
+    assert ab_test(df3).collect()[0]["n_variants"] == 3
