@@ -158,7 +158,12 @@ class Table:
         if not chain:
             raise ValueError(f"table {self.name!r} has no snapshots")
         paths = [self._snap_dir(s.snapshot_id) for s in chain]
-        return spark.read.parquet(*paths)
+        # additive schema evolution (Iceberg semantics): a later
+        # append may add columns; mergeSchema unions the per-snapshot
+        # schemas and older rows surface NULL for the new columns.
+        # Without it Spark takes one file's schema and silently drops
+        # the rest. Cost is one footer read per file at planning time.
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def read_incremental(
         self, spark: SparkSession, processed: Set[str],
@@ -169,7 +174,7 @@ class Table:
         if not todo:
             return None, []
         paths = [self._snap_dir(s.snapshot_id) for s in todo]
-        return (spark.read.parquet(*paths),
+        return (spark.read.option("mergeSchema", "true").parquet(*paths),
                 [s.snapshot_id for s in todo])
 
 

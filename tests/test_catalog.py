@@ -94,3 +94,23 @@ def test_incremental_per_snapshot_granularity(spark, tmp_path):
     wm = [_json.load(open(p))
           for p in _glob.glob(os.path.join(out, "_watermarks", "*.json"))]
     assert sorted(w["events_total"] for w in wm) == [50, 100, 200]
+
+
+def test_schema_evolution_additive(spark, tmp_path):
+    """Iceberg-style additive evolution: an append with a new column
+    reads back with NULLs for pre-evolution rows; time travel to the
+    old snapshot still sees the old schema."""
+    cat = Catalog(str(tmp_path))
+    t = cat.table("ev")
+    s1 = t.append(spark.range(0, 3).withColumnRenamed("id", "x"))
+    t.append(spark.range(3, 5).withColumnRenamed("id", "x")
+             .withColumn("lang", F.lit("en")))
+    full = t.read(spark)
+    assert set(full.columns) == {"x", "lang"}
+    rows = {r["x"]: r["lang"] for r in full.collect()}
+    assert rows[0] is None and rows[4] == "en"
+    # time travel to pre-evolution snapshot: old schema only
+    assert t.read(spark, as_of=s1).columns == ["x"]
+    # incremental resume also merges schemas
+    df, ids = t.read_incremental(spark, processed=set())
+    assert set(df.columns) == {"x", "lang"} and len(ids) == 2
