@@ -56,9 +56,14 @@ def iceberg_available(spark: SparkSession) -> bool:
 class Snapshot:
     snapshot_id: str
     parent_id: Optional[str]
-    operation: str           # append | overwrite
+    operation: str           # append | overwrite | compact | delete
     rows: int
     wall_time: float
+
+
+# operations whose snapshot materializes the FULL table state, so the
+# live chain restarts at them
+_RESET_OPS = {"overwrite", "compact", "delete"}
 
 
 class Table:
@@ -108,7 +113,7 @@ class Table:
             snaps = keep
         chain: List[Snapshot] = []
         for s in snaps:
-            if s.operation == "overwrite":
+            if s.operation in _RESET_OPS:
                 chain = [s]
             else:
                 chain.append(s)
@@ -149,6 +154,54 @@ class Table:
     def overwrite(self, df: DataFrame,
                   partition_by: Sequence[str] = ()) -> str:
         return self._commit(df, "overwrite", partition_by)
+
+    # -- maintenance (the Iceberg operational trio) --------------------
+
+    def compact(self, spark: SparkSession,
+                partition_by: Sequence[str] = ()) -> Optional[str]:
+        """Small-file compaction: rewrite the live append chain into
+        ONE snapshot (Iceberg's ``rewrite_data_files``). History is
+        preserved — time travel to pre-compaction snapshots still
+        works. Returns the new snapshot id, or None when the chain is
+        already a single snapshot (no write, no new snapshot)."""
+        if len(self._live_chain()) <= 1:
+            return None
+        return self._commit(self.read(spark), "compact", partition_by)
+
+    def delete_where(self, spark: SparkSession, condition: str,
+                     partition_by: Sequence[str] = ()) -> str:
+        """Row-level delete as copy-on-write (Iceberg COW ``DELETE
+        WHERE``): materialize the live state minus matching rows as a
+        new snapshot. Rows where ``condition`` is NULL are KEPT (a
+        delete predicate must affirmatively match — ``NOT (x)`` alone
+        would silently drop NULL-predicate rows). Time travel to the
+        pre-delete snapshot still shows the deleted rows; combine
+        with :func:`~beats_spark.dataops.governance.purge_ids` +
+        :meth:`expire_snapshots` for an RTBF purge that actually
+        removes bytes."""
+        from pyspark.sql import functions as F
+        kept = self.read(spark).filter(
+            ~F.coalesce(F.expr(condition), F.lit(False)))
+        return self._commit(kept, "delete", partition_by)
+
+    def expire_snapshots(self) -> List[str]:
+        """Remove the DATA of snapshots no longer referenced by the
+        current live chain (Iceberg's ``expire_snapshots``) — the
+        reclaim step after compaction/overwrite/delete. The manifest
+        rows are kept as the audit trail, but time travel to an
+        expired snapshot now raises (its data is gone). Returns the
+        expired snapshot ids."""
+        import shutil
+        live = {s.snapshot_id for s in self._live_chain()}
+        expired: List[str] = []
+        for s in self.snapshots():
+            if s.snapshot_id in live:
+                continue
+            d = self._snap_dir(s.snapshot_id)
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+                expired.append(s.snapshot_id)
+        return expired
 
     # -- reads ---------------------------------------------------------
 

@@ -101,7 +101,7 @@ from .scrub import (
 from .checks import check_constraints, corpus_report, profile_columns
 from .events import (
     ab_test, asof_join, clock_skew, covisitation, event_transitions,
-    funnel_steps, interval_join, percentile_rollup,
+    funnel_steps, interval_join, km_survival, percentile_rollup,
     retention_cohorts,
     scd2_join, session_rollup, sessionize, winsorize,
 )
@@ -168,7 +168,7 @@ __all__ = [
     "sparse_cosine_pairs", "tfidf_top_terms",
     "ab_test", "asof_join", "interval_join", "check_constraints", "corpus_report", "profile_columns",
     "event_transitions",
-    "funnel_steps",
+    "funnel_steps", "km_survival",
     "percentile_rollup",
     "retention_cohorts", "scd2_join", "session_rollup", "sessionize",
     "winsorize",

@@ -27,7 +27,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["ab_test", "asof_join", "bot_cadence", "clock_skew", "covisitation", "interval_join",
+__all__ = ["ab_test", "asof_join", "km_survival", "bot_cadence", "clock_skew", "covisitation", "interval_join",
            "decayed_counts", "ewma_smooth",
            "funnel_steps", "merge_intervals",
            "percentile_rollup",
@@ -1040,3 +1040,81 @@ def ab_test(
         p("c_a", "n_a").alias("p_a_micro"),
         p("c_b", "n_b").alias("p_b_micro"),
         (lhs > rhs).alias("significant"))
+
+
+def km_survival(
+    df: DataFrame,
+    cohort_col: str = "cohort",
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Kaplan–Meier product-limit survival estimate per cohort
+    (time-to-conversion / churn curves with right-censoring — the
+    standard way to read "how long until a crawled page converts /
+    a user purchases" without throwing censored subjects away).
+
+    Input: one row per subject — integer ``duration`` (time units
+    observed) and ``event`` (true = the event happened at that time,
+    false = censored). Output: one row per (cohort, event time) with
+    the risk-set size, event count, and the survival probability in
+    integer micro-units.
+
+    Exact fixed-point spec (both engines): event times ascending;
+    ``n_i = N − Σ_{t<t_i} ended(t)`` (risk set),
+    ``S_0 = 10^6; S_i = (S_{i−1}·(n_i − d_i)) div n_i`` — the
+    per-step integer rounding IS the spec, mirrored by a recursive
+    CTE in the oracle.
+
+    Scale shape: one exchange keyed on (cohort, duration) for the
+    per-time census; the risk set is a window cumsum on the CENSUS
+    (rows = distinct durations per cohort, not subjects); the
+    sequential product folds over a per-cohort collected array —
+    bounded by distinct EVENT times per cohort, the same bounded-key
+    assumption bot_cadence documents (a cohort with 10^9 distinct
+    event times needs a coarser time unit, not this operator).
+    """
+    ev = F.col(event_col).cast("int")
+    census = (df.groupBy(cohort_col, duration_col)
+              .agg(F.count(F.lit(1)).alias("__ended"),
+                   F.sum(ev).alias("__d")))
+    wcum = (Window.partitionBy(cohort_col).orderBy(duration_col)
+            .rowsBetween(Window.unboundedPreceding, -1))
+    wall = Window.partitionBy(cohort_col)
+    at_risk = (census
+               .withColumn("__n",
+                           F.sum("__ended").over(wall)
+                           - F.coalesce(F.sum("__ended").over(wcum),
+                                        F.lit(0)))
+               .filter(F.col("__d") > 0))
+    steps = (at_risk.groupBy(cohort_col)
+             .agg(F.sort_array(F.collect_list(F.struct(
+                 F.col(duration_col).cast("long").alias("t"),
+                 F.col("__n").cast("long").alias("n"),
+                 F.col("__d").cast("long").alias("d")))).alias("__a")))
+    zero = F.struct(
+        F.lit(1_000_000).cast("long").alias("s"),
+        F.array().cast(
+            "array<struct<t:bigint,n:bigint,d:bigint,s:bigint>>")
+         .alias("out"))
+
+    def fold(acc, x):
+        # S_i = (S_{i-1}·(n−d)) div n, exactly: subtract the modulus
+        # first so the double division is exact (quotient ≤ 10^6,
+        # far under 2^53) — HOF lambdas have no DIV operator
+        num = acc["s"] * (x["n"] - x["d"])
+        s2 = ((num - num % x["n"]) / x["n"]).cast("long")
+        return F.struct(
+            s2.alias("s"),
+            F.concat(acc["out"], F.array(F.struct(
+                x["t"].alias("t"), x["n"].alias("n"),
+                x["d"].alias("d"), s2.alias("s")))).alias("out"))
+
+    folded = steps.select(
+        cohort_col,
+        F.explode(F.aggregate("__a", zero, fold)["out"]).alias("__k"))
+    return folded.select(
+        cohort_col,
+        F.col("__k.t").alias(duration_col),
+        F.col("__k.n").alias("n_risk"),
+        F.col("__k.d").alias("d_events"),
+        F.col("__k.s").alias("surv_micro"))

@@ -7085,6 +7085,74 @@ def vocab_coverage_q(spark, sf_dir):
                           vocab_sizes=(100, 1000, 4000, 16000))
 
 
+@query("km_survival", oracle="""
+WITH RECURSIVE pu AS (
+  SELECT user_id, min(ts) AS first_ts,
+         min(CASE WHEN event_type = 'purchase' THEN ts END)
+           AS purch_ts,
+         max(ts) AS last_ts
+  FROM events GROUP BY user_id),
+subj AS (
+  SELECT 'g' || CAST(user_id % 3 AS VARCHAR) AS cohort,
+         CAST(date_diff('second', first_ts,
+                        coalesce(purch_ts, last_ts)) // 3600
+              AS BIGINT) AS duration,
+         purch_ts IS NOT NULL AS event
+  FROM pu),
+census AS (
+  SELECT cohort, duration, count(*) AS ended,
+         sum(CASE WHEN event THEN 1 ELSE 0 END) AS d
+  FROM subj GROUP BY cohort, duration),
+ar AS (
+  SELECT cohort, duration, CAST(d AS BIGINT) AS d,
+         CAST(sum(ended) OVER (PARTITION BY cohort)
+              - coalesce(sum(ended) OVER (
+                  PARTITION BY cohort ORDER BY duration
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS n
+  FROM census),
+evs AS (
+  SELECT cohort, duration, n, d,
+         row_number() OVER (PARTITION BY cohort
+                            ORDER BY duration) AS rn
+  FROM ar WHERE d > 0),
+km AS (
+  SELECT cohort, duration, n, d, rn,
+         CAST((1000000 * (n - d)) // n AS BIGINT) AS s
+  FROM evs WHERE rn = 1
+  UNION ALL
+  SELECT e.cohort, e.duration, e.n, e.d, e.rn,
+         CAST((km.s * (e.n - e.d)) // e.n AS BIGINT)
+  FROM evs e JOIN km
+    ON e.cohort = km.cohort AND e.rn = km.rn + 1)
+SELECT cohort, duration, n AS n_risk, d AS d_events,
+       s AS surv_micro
+FROM km
+""")
+def km_survival_q(spark, sf_dir):
+    """Kaplan–Meier time-to-purchase curves
+    (:func:`beats_spark.dataops.events.km_survival`): per user,
+    duration = whole hours from first event to first purchase (or to
+    last observed event, censored); cohorts by user-id bucket. The
+    sequential product-limit recurrence is the documented per-step
+    integer rounding, mirrored by the oracle's recursive CTE."""
+    from .dataops.events import km_survival
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(F.when(F.col("event_type") == "purchase",
+                     F.col("ts"))).alias("purch_ts"),
+        F.max("ts").alias("last_ts"))
+    subj = per_user.select(
+        F.concat(F.lit("g"), (F.col("user_id") % 3).cast("string"))
+         .alias("cohort"),
+        F.expr("(unix_timestamp(coalesce(purch_ts, last_ts)) "
+               "- unix_timestamp(first_ts)) DIV 3600")
+         .cast("long").alias("duration"),
+        F.col("purch_ts").isNotNull().alias("event"))
+    return km_survival(subj)
+
+
 @query("ab_test", oracle="""
 WITH pk AS (
   SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS variant,

@@ -114,3 +114,42 @@ def test_schema_evolution_additive(spark, tmp_path):
     # incremental resume also merges schemas
     df, ids = t.read_incremental(spark, processed=set())
     assert set(df.columns) == {"x", "lang"} and len(ids) == 2
+
+
+def test_compact_and_expire(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    t = cat.table("c")
+    s1 = t.append(spark.range(0, 5).withColumnRenamed("id", "x"))
+    s2 = t.append(spark.range(5, 8).withColumnRenamed("id", "x"))
+    cid = t.compact(spark)
+    assert cid is not None
+    assert t.read(spark).count() == 8
+    assert [s.operation for s in t.snapshots()][-1] == "compact"
+    # live chain collapsed to one snapshot; compacting again no-ops
+    assert t.compact(spark) is None
+    # history intact until expiry
+    assert t.read(spark, as_of=s1).count() == 5
+    expired = set(t.expire_snapshots())
+    assert expired == {s1, s2}
+    assert t.read(spark).count() == 8          # live state unaffected
+    import pytest
+    with pytest.raises(Exception):
+        t.read(spark, as_of=s1).count()        # data gone, loudly
+
+
+def test_delete_where_copy_on_write(spark, tmp_path):
+    from pyspark.sql import functions as F
+    cat = Catalog(str(tmp_path))
+    t = cat.table("d")
+    s1 = t.append(spark.range(0, 10).withColumnRenamed("id", "x")
+                  .withColumn("flag", F.when(F.col("x") % 3 == 0, True)))
+    did = t.delete_where(spark, "flag")      # NULL flag rows are KEPT
+    assert did is not None
+    left = sorted(r["x"] for r in t.read(spark).collect())
+    assert left == [x for x in range(10) if x % 3 != 0]
+    # pre-delete time travel still shows everything
+    assert t.read(spark, as_of=s1).count() == 10
+    # delete is a reset op: a later append chains on top of it
+    t.append(spark.range(100, 101).withColumnRenamed("id", "x")
+             .withColumn("flag", F.lit(False)))
+    assert t.read(spark).count() == len(left) + 1

@@ -986,3 +986,24 @@ def test_interval_join_known_pairs_and_left_outer(spark):
         interval_join(views, buys, "user_id", how="outer")
     with _pt.raises(ValueError, match="already exist"):
         interval_join(views, views, "user_id", prefix="")
+
+
+def test_km_survival_hand_computed(spark):
+    """Product-limit estimate on a hand-worked cohort: events at t=1
+    (2 of 5 at risk) and t=3 (1 of 2 at risk), censoring at t=2 and
+    t=5; S = 3/5 then (3/5)·(1/2) with per-step integer rounding."""
+    from beats_spark.dataops.events import km_survival
+    df = spark.createDataFrame(
+        [("c", 1, True), ("c", 1, True), ("c", 2, False),
+         ("c", 3, True), ("c", 5, False),
+         # all-censored cohort produces no curve rows
+         ("z", 4, False)],
+        "cohort string, duration int, event boolean")
+    rows = {(r["cohort"], r["duration"]):
+            (r["n_risk"], r["d_events"], r["surv_micro"])
+            for r in km_survival(df).collect()}
+    assert rows[("c", 1)] == (5, 2, 600000)
+    assert rows[("c", 3)] == (2, 1, 300000)
+    assert len(rows) == 2
+    # monotone non-increasing, and exact per-step floor: (600000*1)//2
+    assert rows[("c", 3)][2] == (600000 * (2 - 1)) // 2
