@@ -100,7 +100,8 @@ from .scrub import (
 )
 from .checks import check_constraints, corpus_report, profile_columns
 from .events import (
-    ab_test, asof_join, clock_skew, covisitation, event_transitions,
+    ab_test, asof_join, clock_skew, covisitation, cusum_alarms,
+    event_transitions,
     funnel_steps, interval_join, km_survival, percentile_rollup,
     retention_cohorts,
     scd2_join, session_rollup, sessionize, winsorize,
@@ -166,7 +167,7 @@ __all__ = [
     "dp_counts", "inverted_index", "k_anonymize", "k_violations", "ndcg_at_k",
     "phrase_search", "purge_ids",
     "sparse_cosine_pairs", "tfidf_top_terms",
-    "ab_test", "asof_join", "interval_join", "check_constraints", "corpus_report", "profile_columns",
+    "ab_test", "asof_join", "cusum_alarms", "interval_join", "check_constraints", "corpus_report", "profile_columns",
     "event_transitions",
     "funnel_steps", "km_survival",
     "percentile_rollup",

@@ -27,7 +27,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["ab_test", "asof_join", "km_survival", "bot_cadence", "clock_skew", "covisitation", "interval_join",
+__all__ = ["ab_test", "asof_join", "km_survival", "bot_cadence", "clock_skew", "covisitation", "cusum_alarms", "interval_join",
            "decayed_counts", "ewma_smooth",
            "funnel_steps", "merge_intervals",
            "percentile_rollup",
@@ -1118,3 +1118,78 @@ def km_survival(
         F.col("__k.n").alias("n_risk"),
         F.col("__k.d").alias("d_events"),
         F.col("__k.s").alias("surv_micro"))
+
+
+def cusum_alarms(
+    df: DataFrame,
+    key_col: str = "key",
+    order_col: str = "seq",
+    value_col: str = "x_micro",
+    target_micro: int = 0,
+    slack_micro: int = 0,
+    threshold_micro: int = 1_000_000,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection per key (Page 1954) —
+    the drift detector that catches slow mean shifts the z-test and
+    EWMA spike flags miss:
+    ``S⁺_i = max(0, S⁺_{i−1} + (x_i − μ − k))``,
+    ``S⁻_i = max(0, S⁻_{i−1} − (x_i − μ) − k)``; an alarm fires when
+    either statistic exceeds ``h``, and BOTH reset to 0 after an
+    alarm (restart detection, the standard practice). All integer
+    micro-units — the recurrence is pure integer arithmetic, so both
+    engines flag identical change points.
+
+    Output: one row per alarm — ``(key, order, direction ('up' /
+    'down'), stat_micro)`` (the exceeding statistic's value).
+
+    Scale shape: one exchange keyed on ``key``; the sequential
+    recurrence folds over a per-key collected array, bounded by
+    events-per-key (bot_cadence's documented bounded-key assumption;
+    for unbounded keys run it on a pre-bucketed counter table where
+    rows-per-key = time buckets). The oracle replays the fold with a
+    recursive CTE."""
+    mu, k, h = int(target_micro), int(slack_micro), int(threshold_micro)
+    if k < 0 or h <= 0:
+        raise ValueError("slack_micro must be >= 0 and "
+                         "threshold_micro > 0")
+    pts = (df.groupBy(key_col)
+           .agg(F.sort_array(F.collect_list(F.struct(
+               F.col(order_col).cast("long").alias("o"),
+               F.col(value_col).cast("long").alias("x"))))
+               .alias("__a")))
+    zero = F.struct(
+        F.lit(0).cast("long").alias("sp"),
+        F.lit(0).cast("long").alias("sn"),
+        F.array().cast(
+            "array<struct<o:bigint,d:string,s:bigint>>").alias("out"))
+
+    def fold(acc, x):
+        sp = F.greatest(F.lit(0).cast("long"),
+                        acc["sp"] + (x["x"] - F.lit(mu) - F.lit(k)))
+        sn = F.greatest(F.lit(0).cast("long"),
+                        acc["sn"] - (x["x"] - F.lit(mu)) - F.lit(k))
+        up = sp > F.lit(h)
+        dn = sn > F.lit(h)
+        alarm = F.when(up, F.array(F.struct(
+            x["o"].alias("o"), F.lit("up").alias("d"),
+            sp.alias("s")))) \
+            .when(dn, F.array(F.struct(
+                x["o"].alias("o"), F.lit("down").alias("d"),
+                sn.alias("s")))) \
+            .otherwise(F.array().cast(
+                "array<struct<o:bigint,d:string,s:bigint>>"))
+        reset = up | dn
+        return F.struct(
+            F.when(reset, F.lit(0).cast("long")).otherwise(sp)
+             .alias("sp"),
+            F.when(reset, F.lit(0).cast("long")).otherwise(sn)
+             .alias("sn"),
+            F.concat(acc["out"], alarm).alias("out"))
+
+    return (pts.select(
+        key_col,
+        F.explode(F.aggregate("__a", zero, fold)["out"]).alias("__k"))
+        .select(key_col,
+                F.col("__k.o").alias(order_col),
+                F.col("__k.d").alias("direction"),
+                F.col("__k.s").alias("stat_micro")))

@@ -7085,6 +7085,93 @@ def vocab_coverage_q(spark, sf_dir):
                           vocab_sizes=(100, 1000, 4000, 16000))
 
 
+@query("cusum_drift", oracle="""
+WITH RECURSIVE base AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS INT)
+           AS day_idx,
+         count(*) AS n0
+  FROM events GROUP BY event_type, day_idx),
+inj AS (
+  SELECT event_type, day_idx,
+         n0 + CASE WHEN event_type = 'error' AND day_idx >= 20
+                   THEN 30 ELSE 0 END AS n
+  FROM base),
+st AS (SELECT event_type,
+              CAST((1000000 * sum(n)) // count(*) AS BIGINT) AS mu
+       FROM inj GROUP BY event_type),
+x AS (SELECT i.event_type, i.day_idx,
+             CAST(1000000 * i.n - st.mu AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY i.event_type
+                                ORDER BY i.day_idx) AS rn
+      FROM inj i JOIN st USING (event_type)),
+cu AS (
+  SELECT event_type, rn, day_idx,
+         greatest(0, x - 1000000) AS spr,
+         greatest(0, -x - 1000000) AS snr,
+         CASE WHEN greatest(0, x - 1000000) > 20000000
+                OR greatest(0, -x - 1000000) > 20000000
+              THEN CAST(0 AS BIGINT)
+              ELSE greatest(0, x - 1000000) END AS sp,
+         CASE WHEN greatest(0, x - 1000000) > 20000000
+                OR greatest(0, -x - 1000000) > 20000000
+              THEN CAST(0 AS BIGINT)
+              ELSE greatest(0, -x - 1000000) END AS sn
+  FROM x WHERE rn = 1
+  UNION ALL
+  SELECT e.event_type, e.rn, e.day_idx,
+         greatest(0, cu.sp + (e.x - 1000000)),
+         greatest(0, cu.sn - e.x - 1000000),
+         CASE WHEN greatest(0, cu.sp + (e.x - 1000000)) > 20000000
+                OR greatest(0, cu.sn - e.x - 1000000) > 20000000
+              THEN CAST(0 AS BIGINT)
+              ELSE greatest(0, cu.sp + (e.x - 1000000)) END,
+         CASE WHEN greatest(0, cu.sp + (e.x - 1000000)) > 20000000
+                OR greatest(0, cu.sn - e.x - 1000000) > 20000000
+              THEN CAST(0 AS BIGINT)
+              ELSE greatest(0, cu.sn - e.x - 1000000) END
+  FROM x e JOIN cu
+    ON e.event_type = cu.event_type AND e.rn = cu.rn + 1)
+SELECT event_type,
+       CAST(day_idx AS BIGINT) AS day_idx,
+       CASE WHEN spr > 20000000 THEN 'up' ELSE 'down' END
+         AS direction,
+       CAST(CASE WHEN spr > 20000000 THEN spr ELSE snr END AS BIGINT)
+         AS stat_micro
+FROM cu WHERE spr > 20000000 OR snr > 20000000
+""")
+def cusum_drift(spark, sf_dir):
+    """CUSUM drift detection (:func:`beats_spark.dataops.events
+    .cusum_alarms`): daily per-type event counts, mean-centered
+    in-plan, with a +30/day shift injected into 'error' from day 20 —
+    the slow drift a spike z-test misses; CUSUM accumulates it and
+    alarms. Slack 1.0, threshold 20.0 (micro-units of daily count).
+    The oracle replays the alarm-and-reset recurrence with a
+    recursive CTE."""
+    from .dataops.events import cusum_alarms
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"),
+                   F.lit("2024-01-01").cast("date")).alias("day_idx"))
+        .agg(F.count(F.lit(1)).alias("n0")))
+    inj = daily.withColumn(
+        "n", F.col("n0") + F.when(
+            (F.col("event_type") == "error") & (F.col("day_idx") >= 20),
+            F.lit(30)).otherwise(F.lit(0)))
+    st = inj.groupBy("event_type").agg(
+        F.expr("(1000000 * sum(n)) DIV count(1)").alias("mu"))
+    x = (inj.join(F.broadcast(st), "event_type")
+         .select("event_type", "day_idx",
+                 (F.lit(1_000_000) * F.col("n") - F.col("mu"))
+                 .cast("long").alias("x_micro")))
+    return cusum_alarms(x, key_col="event_type", order_col="day_idx",
+                        value_col="x_micro", target_micro=0,
+                        slack_micro=1_000_000,
+                        threshold_micro=20_000_000)
+
+
 @query("km_survival", oracle="""
 WITH RECURSIVE pu AS (
   SELECT user_id, min(ts) AS first_ts,

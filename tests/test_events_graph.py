@@ -1007,3 +1007,35 @@ def test_km_survival_hand_computed(spark):
     assert len(rows) == 2
     # monotone non-increasing, and exact per-step floor: (600000*1)//2
     assert rows[("c", 3)][2] == (600000 * (2 - 1)) // 2
+
+
+def test_cusum_alarms_hand_computed(spark):
+    """Alarm + reset on a hand-worked drift: k=1, h=5 (micro scale
+    1:1 for readability); values drift up by 3/step from t=4."""
+    from beats_spark.dataops.events import cusum_alarms
+    vals = [0, 0, 0, 3, 3, 3, 3, -9, -9, -9]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)],
+        "key string, seq int, x_micro long")
+    out = cusum_alarms(df, key_col="key", order_col="seq",
+                       value_col="x_micro", target_micro=0,
+                       slack_micro=1, threshold_micro=5)
+    rows = [(r["seq"], r["direction"], r["stat_micro"])
+            for r in out.orderBy("seq").collect()]
+    # S+ : t3 +2, t4 +2 (4), t5 +2 (6 > 5 -> ALARM, reset)
+    # after reset: t6 +2 (2), t7: S+ max(0,2-10)=0, S- grows:
+    # t7 (-9): S- = max(0, 0 +9 -1) = 8 > 5 -> ALARM down, reset
+    # t8: S- = 8 again -> ALARM, t9 same
+    assert rows == [(5, "up", 6), (7, "down", 8),
+                    (8, "down", 8), (9, "down", 8)]
+    # monotone drift below slack never alarms
+    quiet = spark.createDataFrame(
+        [("k", i, 1) for i in range(20)],
+        "key string, seq int, x_micro long")
+    assert cusum_alarms(quiet, key_col="key", order_col="seq",
+                        value_col="x_micro", slack_micro=1,
+                        threshold_micro=5).count() == 0
+    import pytest
+    with pytest.raises(ValueError, match="slack_micro"):
+        cusum_alarms(df, key_col="key", order_col="seq",
+                     value_col="x_micro", threshold_micro=0)
