@@ -174,3 +174,43 @@ def test_decode_json_deep_matches_reference_recursion(spark):
                                       ensure_ascii=False))
                        for k, v in ref.items()}
                 assert got[i] == enc, (i, max_depth, pa, text)
+
+
+def test_banded_hamming_pairs_pigeonhole_complete(spark):
+    """Safety property of the LSH banding: EVERY pair within
+    max_hamming is found when chunks >= max_hamming + 1 (pigeonhole),
+    and nothing beyond max_hamming appears — checked against a brute
+    all-pairs popcount over seeded random code sets, including
+    adversarial near-collisions (codes differing in exactly
+    max_hamming bits)."""
+    from itertools import combinations
+    from beats_spark.dataops.dedup import banded_hamming_pairs
+    rng = random.Random(2024)
+    for trial in range(6):
+        max_hamming = trial % 6
+        codes = set()
+        while len(codes) < 10:
+            codes.add(rng.getrandbits(60))
+        # adversarial: for some codes add a partner at EXACTLY
+        # max_hamming bit flips (must be found) and one at
+        # max_hamming+1 (must not be)
+        base_code = next(iter(codes))
+        flip = lambda c, k: c ^ sum(1 << b for b in
+                                    rng.sample(range(60), k))
+        if max_hamming:
+            codes.add(flip(base_code, max_hamming))
+        codes.add(flip(base_code, max_hamming + 1))
+        codes = sorted(codes)
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(codes)],
+            "id bigint, sh bigint")
+        got = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in banded_hamming_pairs(
+                   df, bits=60, max_hamming=max_hamming,
+                   chunks=6).collect()}
+        want = {}
+        for (i, a), (j, b) in combinations(enumerate(codes), 2):
+            h = bin(a ^ b).count("1")
+            if h <= max_hamming:
+                want[(i, j)] = h
+        assert got == want, (trial, max_hamming)
