@@ -100,9 +100,11 @@ from .scrub import (
 )
 from .checks import check_constraints, corpus_report, profile_columns
 from .events import (
-    ab_test, asof_join, clock_skew, covisitation, cusum_alarms,
+    ab_test, asof_join, clock_skew, coec_scores, covisitation,
+    cusum_alarms,
     event_transitions,
     funnel_steps, interval_join, km_survival, percentile_rollup,
+    position_attribution,
     retention_cohorts,
     scd2_join, session_rollup, sessionize, winsorize,
 )
@@ -167,10 +169,10 @@ __all__ = [
     "dp_counts", "inverted_index", "k_anonymize", "k_violations", "ndcg_at_k",
     "phrase_search", "purge_ids",
     "sparse_cosine_pairs", "tfidf_top_terms",
-    "ab_test", "asof_join", "cusum_alarms", "interval_join", "check_constraints", "corpus_report", "profile_columns",
+    "ab_test", "asof_join", "coec_scores", "cusum_alarms", "interval_join", "check_constraints", "corpus_report", "profile_columns",
     "event_transitions",
     "funnel_steps", "km_survival",
-    "percentile_rollup",
+    "percentile_rollup", "position_attribution",
     "retention_cohorts", "scd2_join", "session_rollup", "sessionize",
     "winsorize",
     "bpe_merges", "bpe_encode",

@@ -27,10 +27,10 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["ab_test", "asof_join", "km_survival", "bot_cadence", "clock_skew", "covisitation", "cusum_alarms", "interval_join",
+__all__ = ["ab_test", "asof_join", "km_survival", "bot_cadence", "clock_skew", "coec_scores", "covisitation", "cusum_alarms", "interval_join",
            "decayed_counts", "ewma_smooth",
            "funnel_steps", "merge_intervals",
-           "percentile_rollup",
+           "percentile_rollup", "position_attribution",
            "retention_cohorts", "rolling_quantile", "scd2_join", "seasonal_anomaly", "slo_burn",
            "session_rollup", "sessionize", "winsorize"]
 
@@ -1193,3 +1193,101 @@ def cusum_alarms(
                 F.col("__k.o").alias(order_col),
                 F.col("__k.d").alias("direction"),
                 F.col("__k.s").alias("stat_micro")))
+
+
+def coec_scores(
+    df: DataFrame,
+    item_col: str = "item",
+    position_col: str = "position",
+    clicked_col: str = "clicked",
+) -> DataFrame:
+    """COEC — Clicks Over Expected Clicks (Zhang & Jones 2007), the
+    standard position-bias correction for search/feed logs: an item's
+    raw CTR is confounded by where it was shown; COEC divides its
+    clicks by the clicks EXPECTED from its positions (the global
+    per-position CTR), so > 10^6 micro means "better than position
+    alone explains".
+
+    Fixed point (documented nested floor divisions — the
+    single-expression ``10^12·clicks div expected`` would overflow
+    BIGINT past ~9·10^6 clicks/item): position prior
+    ``ctr_micro[p] = (10^6·clicks_p) div imps_p``; per item
+    ``expected_micro = Σ ctr_micro[position]`` over its impressions;
+    ``coec_micro = 10^12 div greatest(1, expected_micro div
+    clicks)`` — 0 when the item has no clicks; the greatest(1,·)
+    caps COEC at 10^12 (10^6× expectation) when the prior predicts
+    less than one micro-click per actual click, instead of dividing
+    by zero.
+
+    Plan: the position prior is a tiny aggregate (positions, not
+    impressions) joined back BROADCAST; per-item rollup is one
+    partial-combining groupBy. Two data-proportional map passes, one
+    item-keyed exchange."""
+    clk = F.col(clicked_col).cast("int")
+    prior = (df.groupBy(position_col)
+             .agg(F.count(F.lit(1)).alias("__imps"),
+                  F.sum(clk).alias("__clicks"))
+             .select(position_col,
+                     F.expr("(1000000 * __clicks) DIV __imps")
+                      .alias("__ctr_micro")))
+    per_item = (df.join(F.broadcast(prior), position_col)
+                .groupBy(item_col)
+                .agg(F.count(F.lit(1)).alias("imps"),
+                     F.sum(clk).cast("long").alias("clicks"),
+                     F.sum("__ctr_micro").cast("long")
+                      .alias("expected_micro")))
+    return per_item.select(
+        item_col, "imps", "clicks", "expected_micro",
+        F.when(F.col("clicks") == 0, F.lit(0).cast("long"))
+         .otherwise(F.expr("1000000000000 DIV "
+                           "greatest(1, expected_micro DIV clicks)"))
+         .cast("long").alias("coec_micro"))
+
+
+def position_attribution(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    channel_col: str = "channel",
+    conv_col: str = "converted",
+    order_cols: tuple = ("event_id",),
+) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) multi-touch attribution:
+    for each key's FIRST conversion, credit the touchpoints strictly
+    before it — 40% to the first touch, 40% to the last, the middle
+    20% split across interior touches. Exact micro-unit spec (credits
+    per conversion sum to exactly 10^6): 1 touch → 10^6; 2 touches →
+    500000 each; m ≥ 3 → 400000 / 400000, interior base
+    ``200000 div (m−2)`` with the ``200000 mod (m−2)`` remainder
+    given to the EARLIEST interiors, one micro each.
+
+    Output: per channel — ``(channel, touches, credit_micro)``
+    totals. Keys without a conversion contribute nothing.
+
+    Plan: one partitionBy(key) exchange feeds the conversion-time
+    window, the touch ranking, and the touch count; the final rollup
+    is a partial-combining groupBy on channel. No joins, no
+    explode."""
+    w = Window.partitionBy(key_col)
+    conv_ts = F.min(F.when(F.col(conv_col), F.col(ts_col))).over(w)
+    base = (df.withColumn("__cts", conv_ts)
+            .filter(F.col("__cts").isNotNull()
+                    & (F.col(ts_col) < F.col("__cts"))))
+    order = [F.col(ts_col)] + [F.col(c) for c in order_cols]
+    wo = Window.partitionBy(key_col).orderBy(*order)
+    wn = Window.partitionBy(key_col)
+    ranked = (base.withColumn("__r", F.row_number().over(wo))
+              .withColumn("__m", F.count(F.lit(1)).over(wn)))
+    m, r = F.col("__m"), F.col("__r")
+    interior = F.expr("200000 DIV (__m - 2)") \
+        + F.when(r - 1 <= F.expr("200000 % (__m - 2)"), F.lit(1)) \
+           .otherwise(F.lit(0))
+    credit = (F.when(m == 1, F.lit(1_000_000))
+              .when(m == 2, F.lit(500_000))
+              .when(r == 1, F.lit(400_000))
+              .when(r == m, F.lit(400_000))
+              .otherwise(interior)).cast("long")
+    return (ranked.withColumn("__credit", credit)
+            .groupBy(channel_col)
+            .agg(F.count(F.lit(1)).alias("touches"),
+                 F.sum("__credit").cast("long").alias("credit_micro")))

@@ -7085,6 +7085,86 @@ def vocab_coverage_q(spark, sf_dir):
                           vocab_sizes=(100, 1000, 4000, 16000))
 
 
+@query("multi_touch", oracle="""
+WITH conv AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS cts
+  FROM events GROUP BY user_id),
+t AS (SELECT e.user_id, e.event_type AS channel, e.ts, e.event_id
+      FROM events e JOIN conv c USING (user_id)
+      WHERE c.cts IS NOT NULL AND e.ts < c.cts),
+rk AS (SELECT user_id, channel,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS r,
+              count(*) OVER (PARTITION BY user_id) AS m
+       FROM t),
+cr AS (SELECT channel,
+              CASE WHEN m = 1 THEN 1000000
+                   WHEN m = 2 THEN 500000
+                   WHEN r = 1 THEN 400000
+                   WHEN r = m THEN 400000
+                   ELSE 200000 // (m - 2)
+                        + CASE WHEN r - 1 <= 200000 % (m - 2)
+                               THEN 1 ELSE 0 END
+              END AS credit
+       FROM rk)
+SELECT channel, count(*) AS touches,
+       CAST(sum(credit) AS BIGINT) AS credit_micro
+FROM cr GROUP BY channel
+""")
+def multi_touch(spark, sf_dir):
+    """U-shaped multi-touch attribution
+    (:func:`beats_spark.dataops.events.position_attribution`):
+    credit each user's pre-first-purchase touches 40/20/40 in exact
+    micro-units (per-conversion credits sum to exactly 10^6; the
+    interior remainder goes to the earliest interiors), rolled up by
+    channel. One partitionBy(user) exchange, no joins."""
+    from .dataops.events import position_attribution
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.col("event_type").alias("channel"),
+        (F.col("event_type") == "purchase").alias("converted"))
+    return position_attribution(ev)
+
+
+@query("coec_bias", oracle="""
+WITH imp AS (
+  SELECT CAST(json_extract(props, '$.k') AS INT) % 25 AS item,
+         1 + event_id % 10 AS position,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS clk
+  FROM events),
+prior AS (
+  SELECT position,
+         CAST((1000000 * sum(clk)) // count(*) AS BIGINT) AS ctr
+  FROM imp GROUP BY position),
+pi AS (
+  SELECT item, count(*) AS imps,
+         CAST(sum(clk) AS BIGINT) AS clicks,
+         CAST(sum(ctr) AS BIGINT) AS expected_micro
+  FROM imp JOIN prior USING (position) GROUP BY item)
+SELECT item, imps, clicks, expected_micro,
+       CAST(CASE WHEN clicks = 0 THEN 0
+            ELSE 1000000000000
+                 // greatest(1, expected_micro // clicks) END
+            AS BIGINT) AS coec_micro
+FROM pi
+""")
+def coec_bias(spark, sf_dir):
+    """Position-bias click model
+    (:func:`beats_spark.dataops.events.coec_scores`): COEC per item
+    over synthetic impression logs (item from props, position from
+    event id, click events as clicks). Position prior joins
+    broadcast; the only data-proportional exchange is the item
+    rollup."""
+    from .dataops.events import coec_scores
+    ev = _t(spark, sf_dir, "events").select(
+        (F.get_json_object("props", "$.k").cast("int") % 25)
+         .alias("item"),
+        (F.lit(1) + F.col("event_id") % 10).alias("position"),
+        (F.col("event_type") == "click").alias("clicked"))
+    return coec_scores(ev)
+
+
 @query("cusum_drift", oracle="""
 WITH RECURSIVE base AS (
   SELECT event_type,

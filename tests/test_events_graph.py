@@ -1039,3 +1039,53 @@ def test_cusum_alarms_hand_computed(spark):
     with pytest.raises(ValueError, match="slack_micro"):
         cusum_alarms(df, key_col="key", order_col="seq",
                      value_col="x_micro", threshold_micro=0)
+
+
+def test_position_attribution_credit_spec(spark):
+    """Hand-worked U-shape: 4 touches -> 400k/100k+/100k/400k with the
+    remainder rule; credits per conversion sum to exactly 1e6."""
+    from beats_spark.dataops.events import position_attribution
+    rows = [
+        # user 1: touches c1,c2,c3,c4 then converts
+        (1, 1, "c1", False), (1, 2, "c2", False), (1, 3, "c3", False),
+        (1, 4, "c4", False), (1, 5, "x", True),
+        # user 2: single touch
+        (2, 1, "c1", False), (2, 2, "x", True),
+        # user 3: two touches
+        (3, 1, "c2", False), (3, 2, "c3", False), (3, 3, "x", True),
+        # user 4: never converts -> contributes nothing
+        (4, 1, "c1", False),
+        # user 5: converts with NO prior touches -> nothing
+        (5, 1, "x", True),
+    ]
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        rows, "user_id bigint, seq int, channel string, converted boolean"
+    ).withColumn("ts", F.timestamp_seconds(F.col("seq") * 60)) \
+     .withColumn("event_id", F.col("seq").cast("long"))
+    out = {r["channel"]: (r["touches"], r["credit_micro"])
+           for r in position_attribution(df).collect()}
+    # m=4: interior base 200000 DIV 2 = 100000, rem 0
+    # c1: u1 first (400000) + u2 single (1000000) = 1400000, 2 touches
+    assert out["c1"] == (2, 1_400_000)
+    # c2: u1 interior (100000) + u3 first-of-two (500000)
+    assert out["c2"] == (2, 600_000)
+    # c3: u1 interior (100000) + u3 last-of-two (500000)
+    assert out["c3"] == (2, 600_000)
+    # c4: u1 last (400000)
+    assert out["c4"] == (1, 400_000)
+    assert "x" not in out            # the conversion itself, not a touch
+    # total credit = 1e6 per converting-with-touches user (3 of them)
+    assert sum(v[1] for v in out.values()) == 3_000_000
+    # remainder rule: m=5 -> interior base 66666 rem 2: earliest two
+    # interiors get +1
+    rows5 = [(9, i, f"k{i}", False) for i in range(1, 6)] \
+        + [(9, 6, "x", True)]
+    df5 = spark.createDataFrame(
+        rows5, "user_id bigint, seq int, channel string, converted boolean"
+    ).withColumn("ts", F.timestamp_seconds(F.col("seq") * 60)) \
+     .withColumn("event_id", F.col("seq").cast("long"))
+    o5 = {r["channel"]: r["credit_micro"]
+          for r in position_attribution(df5).collect()}
+    assert o5 == {"k1": 400000, "k2": 66667, "k3": 66667,
+                  "k4": 66666, "k5": 400000}
