@@ -111,6 +111,7 @@ from .events import (
 from .bpe import bpe_encode, bpe_merges
 from .graph import pagerank, spam_mass, triangle_count, trustrank
 from .merge import merge_upsert
+from .mleval import calibration_bins, ips_value
 from .robots import (
     compile_robots_pattern, parse_robots, parse_robots_txt,
     parse_sitemap, parse_sitemap_index, robots_filter, url_path,
@@ -166,10 +167,10 @@ __all__ = [
     "collocations", "doc_frequency", "gazetteer_match",
     "blocked_link",
     "covisitation",
-    "dp_counts", "inverted_index", "k_anonymize", "k_violations", "ndcg_at_k",
+    "dp_counts", "inverted_index", "ips_value", "k_anonymize", "k_violations", "ndcg_at_k",
     "phrase_search", "purge_ids",
     "sparse_cosine_pairs", "tfidf_top_terms",
-    "ab_test", "asof_join", "coec_scores", "cusum_alarms", "interval_join", "check_constraints", "corpus_report", "profile_columns",
+    "ab_test", "asof_join", "calibration_bins", "coec_scores", "cusum_alarms", "interval_join", "check_constraints", "corpus_report", "profile_columns",
     "event_transitions",
     "funnel_steps", "km_survival",
     "percentile_rollup", "position_attribution",

@@ -7085,6 +7085,85 @@ def vocab_coverage_q(spark, sf_dir):
                           vocab_sizes=(100, 1000, 4000, 16000))
 
 
+@query("calibration_ece", oracle="""
+WITH s AS (
+  SELECT (event_id * 2654435761) % 1000001 AS p_micro,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+  FROM events),
+b AS (SELECT least((p_micro * 10) // 1000000, 9) AS bin, p_micro, y
+      FROM s),
+g AS (SELECT CAST(bin AS INT) AS bin, count(*) AS n,
+             CAST(sum(p_micro) // count(*) AS BIGINT) AS conf_micro,
+             CAST((1000000 * sum(y)) // count(*) AS BIGINT)
+               AS acc_micro
+      FROM b GROUP BY bin),
+e AS (SELECT CAST(sum(n * abs(conf_micro - acc_micro)) // sum(n)
+              AS BIGINT) AS ece_micro
+      FROM g)
+SELECT g.bin, g.n, g.conf_micro, g.acc_micro, e.ece_micro
+FROM g, e
+""")
+def calibration_ece(spark, sf_dir):
+    """Reliability bins + ECE
+    (:func:`beats_spark.dataops.mleval.calibration_bins`): a
+    deterministic synthetic model score per event vs the click
+    outcome; ≤ 10 groups after one partial-combining aggregate, ECE
+    broadcast back onto every bin row."""
+    from .dataops.mleval import calibration_bins
+    ev = _t(spark, sf_dir, "events").select(
+        ((F.col("event_id") * 2654435761) % 1000001)
+         .alias("p_micro"),
+        (F.col("event_type") == "click").alias("label"))
+    return calibration_bins(ev, n_bins=10)
+
+
+@query("ips_eval", oracle="""
+WITH logs AS (
+  SELECT event_type AS action,
+         CASE WHEN user_id % 2 = 0 THEN 'click' ELSE 'view' END
+           AS target_action,
+         CASE event_type WHEN 'click' THEN 300000
+              WHEN 'view' THEN 250000 ELSE 150000 END
+           AS propensity_micro,
+         CAST(round(value * 100) AS BIGINT) * 10000 AS reward_micro
+  FROM events),
+w AS (SELECT *,
+             CASE WHEN action = target_action
+                  THEN least(1000000000000 // propensity_micro,
+                             100000000)
+                  ELSE 0 END AS wm
+      FROM logs)
+SELECT count(*) AS n,
+       CAST(sum(CASE WHEN wm > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched,
+       CAST(sum(wm * reward_micro // 1000000) // count(*) AS BIGINT)
+         AS ips_micro,
+       CAST(CASE WHEN sum(wm) > 0 THEN
+         sum(wm * reward_micro // 1000000)
+         // greatest(1, sum(wm) // 1000000)
+       END AS BIGINT) AS snips_micro
+FROM w
+""")
+def ips_eval(spark, sf_dir):
+    """Off-policy evaluation
+    (:func:`beats_spark.dataops.mleval.ips_value`): IPS and SNIPS
+    value of a target policy (even users → click, odd → view) from
+    logs under the behavioral event mix, with the standard weight
+    clip. Map-side projection + one global partial-combining
+    aggregate — nothing keyed."""
+    from .dataops.mleval import ips_value
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("action"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("click"))
+         .otherwise(F.lit("view")).alias("target_action"),
+        F.when(F.col("event_type") == "click", F.lit(300000))
+         .when(F.col("event_type") == "view", F.lit(250000))
+         .otherwise(F.lit(150000)).alias("propensity_micro"),
+        (F.round(F.col("value") * 100).cast("long") * 10000)
+         .alias("reward_micro"))
+    return ips_value(ev)
+
+
 @query("multi_touch", oracle="""
 WITH conv AS (
   SELECT user_id,

@@ -143,3 +143,49 @@ def test_ab_test_decision_boundary(spark):
         [("c", 99_999, True)],
         "variant string, user_id bigint, converted boolean"))
     assert ab_test(df3).collect()[0]["n_variants"] == 3
+
+
+def test_calibration_bins_known_values(spark):
+    from beats_spark.dataops.mleval import calibration_bins
+    df = spark.createDataFrame(
+        # bin 0: two negatives at p=0.05 ([0, 0.1) is bin 0)
+        [(50000, 0), (50000, 0),
+         # bin 9: p=0.95 and p=1.0 (clamped into bin 9), both positive
+         (950000, 1), (1000000, 1)],
+        "p_micro bigint, label int")
+    out = {r["bin"]: r for r in calibration_bins(df).collect()}
+    assert out[0]["conf_micro"] == 50000 and out[0]["acc_micro"] == 0
+    assert out[9]["conf_micro"] == 975000
+    assert out[9]["acc_micro"] == 1000000
+    # ECE = (2*50000 + 2*25000) // 4 = 37500, on every row
+    assert {r["ece_micro"] for r in out.values()} == {37500}
+    import pytest
+    with pytest.raises(ValueError, match="n_bins"):
+        calibration_bins(df, n_bins=0)
+
+
+def test_ips_value_known_values(spark):
+    from beats_spark.dataops.mleval import ips_value
+    df = spark.createDataFrame(
+        # matched: p=0.5 w=2.0 r=1.0 -> wr 2.0; p=0.25 w=4.0 r=0.5 -> 2.0
+        [("a", "a", 500000, 1000000),
+         ("b", "b", 250000, 500000),
+         # unmatched row contributes only to N
+         ("a", "b", 500000, 1000000)],
+        "action string, target_action string, "
+        "propensity_micro bigint, reward_micro bigint")
+    r = ips_value(df).collect()[0]
+    assert r["n"] == 3 and r["n_matched"] == 2
+    assert r["ips_micro"] == (2_000_000 + 2_000_000) // 3
+    # SNIPS: Σwr / Σw = 4.0 / 6.0
+    assert r["snips_micro"] == 4_000_000 // 6
+    # nothing matched -> NULL snips, 0 ips
+    none = ips_value(df.filter("action <> target_action")).collect()[0]
+    assert none["snips_micro"] is None and none["ips_micro"] == 0
+    # weight clip engages at tiny propensities
+    tiny = spark.createDataFrame(
+        [("a", "a", 1, 1_000_000)],
+        "action string, target_action string, "
+        "propensity_micro bigint, reward_micro bigint")
+    clipped = ips_value(tiny).collect()[0]
+    assert clipped["ips_micro"] == 100_000_000  # cap 1e8 * r 1.0
