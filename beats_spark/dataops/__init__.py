@@ -98,7 +98,8 @@ from .scrub import (
     dedup_lines, pii_counts,
     scrub, scrub_pii,
 )
-from .checks import check_constraints, corpus_report, profile_columns
+from .checks import (check_constraints, corpus_report,
+                     gini_concentration, profile_columns)
 from .events import (
     ab_test, asof_join, clock_skew, coec_scores, covisitation,
     cusum_alarms,
@@ -171,7 +172,7 @@ __all__ = [
     "phrase_search", "purge_ids",
     "sparse_cosine_pairs", "tfidf_top_terms",
     "ab_test", "asof_join", "calibration_bins", "coec_scores", "cusum_alarms", "interval_join", "check_constraints", "corpus_report", "profile_columns",
-    "event_transitions",
+    "event_transitions", "gini_concentration",
     "funnel_steps", "km_survival",
     "percentile_rollup", "position_attribution",
     "retention_cohorts", "scd2_join", "session_rollup", "sessionize",

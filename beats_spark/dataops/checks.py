@@ -28,9 +28,9 @@ from __future__ import annotations
 
 from typing import Any, List, Mapping, Sequence, Tuple
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["check_constraints", "corpus_report", "profile_columns"]
+__all__ = ["check_constraints", "corpus_report", "gini_concentration", "profile_columns"]
 
 
 def _scalar_check(spec: Mapping[str, Any]) -> Tuple[str, Column, int]:
@@ -259,3 +259,49 @@ def corpus_report(
          .alias("dup_rate_micro"),
         micro("__n_empty").alias("empty_share_micro"),
         micro("__n_q").alias("quality_share_micro"))
+
+
+def gini_concentration(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Gini coefficient of a weight's concentration across keys (how
+    dominated is the corpus by its biggest domains / users / shards —
+    the one-number diagnostic behind "should I cap per-domain?").
+
+    Exact spec: keys sorted by (weight asc, key asc) — a total order
+    both engines share — ranked 1..n;
+    ``G_micro = (10^6·(2·Σ i·x_i − (n+1)·Σx)) div (n·Σx)`` in
+    decimal(38,0)/HUGEINT (Σ i·x_i reaches n²·x̄ — BIGINT dies at
+    ~10^7 web-scale domains; exact wide arithmetic on the AGGREGATED
+    table costs nothing). 0 = perfectly even, →1 = one key holds
+    everything.
+
+    Plan: one partial-combining rollup to the key table, ONE ordered
+    window over that table (rows = keys, bounded far below the
+    corpus; for 10^9+ keys swap in layout.global_rank's sampled-sort
+    ranking), one global aggregate. Output one row:
+    ``(n_keys, total, gini_micro)``."""
+    per_key = (df.groupBy(key_col)
+               .agg(F.sum(F.col(weight_col)).cast("long").alias("x")))
+    w = Window.orderBy(F.col("x"), F.col(key_col))
+    ranked = per_key.withColumn("i", F.row_number().over(w))
+    dec = "decimal(38,0)"
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("x").cast("long").alias("total"),
+        F.sum(F.col("i").cast(dec) * F.col("x").cast(dec))
+         .alias("__ix"))
+    # decimal `div` truncates toward zero, exactly like DuckDB's
+    # HUGEINT `//` (verified cross-engine) — no float division anywhere
+    return agg.select(
+        "n_keys", "total",
+        F.when(F.col("total") > 0,
+               F.expr("CAST(1000000 AS DECIMAL(38,0)) * "
+                      "(CAST(2 AS DECIMAL(38,0)) * __ix - "
+                      "(CAST(n_keys AS DECIMAL(38,0)) + 1) * "
+                      "CAST(total AS DECIMAL(38,0))) div "
+                      "(CAST(n_keys AS DECIMAL(38,0)) * "
+                      "CAST(total AS DECIMAL(38,0)))"))
+         .cast("long").alias("gini_micro"))

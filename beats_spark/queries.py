@@ -7085,6 +7085,38 @@ def vocab_coverage_q(spark, sf_dir):
                           vocab_sizes=(100, 1000, 4000, 16000))
 
 
+@query("traffic_gini", oracle="""
+WITH pk AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY user_id),
+rk AS (SELECT x, user_id,
+              row_number() OVER (ORDER BY x, user_id) AS i
+       FROM pk),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(x) AS BIGINT) AS total,
+             sum(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS ix
+      FROM rk)
+SELECT n_keys, total,
+       CAST(CASE WHEN total > 0 THEN
+         (1000000 * (2 * ix
+                     - (CAST(n_keys AS HUGEINT) + 1)
+                       * CAST(total AS HUGEINT)))
+         // (CAST(n_keys AS HUGEINT) * CAST(total AS HUGEINT))
+       END AS BIGINT) AS gini_micro
+FROM a
+""")
+def traffic_gini(spark, sf_dir):
+    """Traffic concentration
+    (:func:`beats_spark.dataops.checks.gini_concentration`): Gini of
+    per-user event volume in decimal(38,0)/HUGEINT exact arithmetic
+    (Spark decimal `div` and DuckDB HUGEINT `//` verified to share
+    truncation semantics). The window runs over the aggregated key
+    table, never raw events."""
+    from .dataops.checks import gini_concentration
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.lit(1).cast("long").alias("w"))
+    return gini_concentration(ev, key_col="user_id", weight_col="w")
+
+
 @query("calibration_ece", oracle="""
 WITH s AS (
   SELECT (event_id * 2654435761) % 1000001 AS p_micro,

@@ -106,3 +106,28 @@ def test_corpus_report_one_pass_and_values(spark):
     # crucially ONE scan of the input
     plan = corpus_report(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan") <= 2 and "EvalPython" not in plan
+
+
+def test_gini_concentration_known_values(spark):
+    from beats_spark.dataops.checks import gini_concentration
+    from pyspark.sql import functions as F
+
+    def gini_of(weights):
+        df = spark.createDataFrame(
+            [(f"k{i}", w) for i, w in enumerate(weights)],
+            "k string, w bigint")
+        return gini_concentration(df, "k", "w").collect()[0]
+
+    # perfectly even -> 0
+    even = gini_of([10, 10, 10, 10])
+    assert even["gini_micro"] == 0 and even["total"] == 40
+    # total concentration in 1 of 4 keys -> (n-1)/n = 0.75
+    conc = gini_of([0, 0, 0, 100])
+    assert conc["gini_micro"] == 750000
+    # hand case [1,2,3,4]: G = (2*(1+4+9+16) - 5*10) / (4*10) = 0.25
+    assert gini_of([1, 2, 3, 4])["gini_micro"] == 250000
+    # duplicate rows per key are summed first
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 9), ("b", 10)], "k string, w bigint")
+    r = gini_concentration(df, "k", "w").collect()[0]
+    assert r["n_keys"] == 2 and r["gini_micro"] == 0
