@@ -118,8 +118,8 @@ from .robots import (
     parse_sitemap, parse_sitemap_index, robots_filter, url_path,
 )
 from .layout import (byte_balanced_shards, cluster_by_zorder,
-                     global_prefix_sum, global_rank, write_bucketed,
-                     zorder_key)
+                     global_prefix_sum, global_rank, skyline_2d,
+                     write_bucketed, zorder_key)
 from .templates import (
     TEMPLATE_MASKS, count_anomalies, log_templates, template_col,
 )
@@ -182,7 +182,7 @@ __all__ = [
     "compile_robots_pattern", "parse_robots", "parse_robots_txt",
     "parse_sitemap", "parse_sitemap_index", "robots_filter", "url_path",
     "byte_balanced_shards", "cluster_by_zorder", "global_prefix_sum",
-    "global_rank", "write_bucketed", "zorder_key",
+    "global_rank", "skyline_2d", "write_bucketed", "zorder_key",
     "TEMPLATE_MASKS", "count_anomalies", "log_templates",
     "template_col",
     "contamination_flags", "decontaminate",

@@ -19,9 +19,9 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["byte_balanced_shards", "cluster_by_zorder", "global_rank",
+__all__ = ["byte_balanced_shards", "cluster_by_zorder", "global_rank", "skyline_2d",
            "global_prefix_sum", "write_bucketed", "zonemap_stats",
            "zorder_key"]
 
@@ -399,3 +399,83 @@ def byte_balanced_shards(
                            F.floor(F.col("__pre") / F.lit(target_bytes))
                             .cast("int"))
             .drop("__pre"))
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str = "doc_id",
+    partitions: int = 0,
+) -> DataFrame:
+    """2-D skyline / Pareto front (Börzsönyi et al., ICDE 2001),
+    maximizing both dimensions — "the documents no other document
+    beats on BOTH quality and length", the multi-objective selection
+    a curation pipeline runs when two scores cannot be collapsed into
+    one.
+
+    Semantics: over DISTINCT (x, y) points (min id as
+    representative), keep exactly the points no other point
+    dominates (≥ in both dims, > in at least one).
+
+    Scale spelling — the 2-D skyline IS a prefix-max scan, so it
+    reuses the :func:`global_prefix_sum` machinery instead of the
+    O(n²) NOT-EXISTS join or a single-task global window:
+
+    1. one RANGE exchange on (x desc, y desc) + in-partition sort
+       (localCheckpoint pins the sampled boundaries);
+    2. an Arrow pass computes each row's EXCLUSIVE running max of y
+       within its partition;
+    3. per-partition y-maxima become exclusive cross-partition
+       maxima via a k-row window, broadcast back;
+    4. a point survives iff y > max(everything sorted before it) —
+       sorted-before means x greater, or x equal with y greater, so
+       the exclusive max is exactly the best dominating candidate.
+
+    ``y_col`` must be bigint-like with |y| < 2^53 (the running max
+    transits float64 in the Arrow pass). Output:
+    ``(x_col, y_col, id_col)``."""
+    from typing import Iterator
+    import numpy as np
+    import pandas as pd
+
+    pts = df.groupBy(x_col, y_col).agg(F.min(id_col).alias(id_col))
+    cols = [F.col(x_col).desc(), F.col(y_col).desc()]
+    base = (pts.repartitionByRange(partitions, *cols) if partitions
+            else pts.repartitionByRange(*cols))
+    base = base.sortWithinPartitions(*cols)
+    base = base.withColumn("__sk_pid", F.spark_partition_id())
+    base = base.localCheckpoint(eager=False)
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in base.schema.fields)
+    out_schema = f"{fields}, __sk_prev bigint"
+
+    def running(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
+        for pdf in batches:
+            out = pdf.copy()
+            y = pdf[y_col].to_numpy("int64")
+            n = len(y)
+            ex = np.full(n, np.nan)
+            if n:
+                r = np.maximum.accumulate(y.astype("float64"))
+                ex[1:] = r[:-1]
+                if acc is not None:
+                    ex[0] = acc
+                    ex = np.fmax(ex, float(acc))
+                acc = float(r[-1]) if acc is None \
+                    else max(acc, float(r[-1]))
+            out["__sk_prev"] = pd.Series(ex).astype("Int64").values
+            yield out
+
+    scanned = base.mapInPandas(running, schema=out_schema)
+    totals = base.groupBy("__sk_pid").agg(
+        F.max(y_col).cast("long").alias("__m"))
+    w = (Window.orderBy("__sk_pid")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select("__sk_pid",
+                            F.max("__m").over(w).alias("__off"))
+    joined = scanned.join(F.broadcast(offsets), "__sk_pid")
+    m = F.greatest(F.col("__sk_prev"), F.col("__off"))
+    return (joined.filter(m.isNull() | (F.col(y_col) > m))
+            .select(x_col, y_col, id_col))

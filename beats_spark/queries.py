@@ -7085,6 +7085,34 @@ def vocab_coverage_q(spark, sf_dir):
                           vocab_sizes=(100, 1000, 4000, 16000))
 
 
+@query("skyline_docs", oracle="""
+WITH p AS (
+  SELECT n_chars,
+         (doc_id * 2654435761) % 1000001 AS score,
+         min(doc_id) AS doc_id
+  FROM documents
+  GROUP BY n_chars, (doc_id * 2654435761) % 1000001)
+SELECT p.n_chars, p.score, p.doc_id
+FROM p
+WHERE NOT EXISTS (
+  SELECT 1 FROM p q
+  WHERE q.n_chars >= p.n_chars AND q.score >= p.score
+    AND (q.n_chars > p.n_chars OR q.score > p.score))
+""")
+def skyline_docs(spark, sf_dir):
+    """2-D Pareto front (:func:`beats_spark.dataops.layout
+    .skyline_2d`): documents no other document beats on BOTH length
+    and a synthetic quality score — the multi-objective selection
+    spelled as a range-partitioned prefix-max scan (one range
+    exchange + Arrow pass + k-row offset window), while the oracle
+    states the quadratic NOT-EXISTS dominance definition directly."""
+    from .dataops.layout import skyline_2d
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars",
+        ((F.col("doc_id") * 2654435761) % 1000001).alias("score"))
+    return skyline_2d(docs, x_col="n_chars", y_col="score")
+
+
 @query("traffic_gini", oracle="""
 WITH pk AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x
             FROM events GROUP BY user_id),

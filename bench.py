@@ -83,7 +83,7 @@ BENCH_QUERIES = [
     "accent_fold", "readability_score", "ewma_anomaly", "global_rank",
     "chunk_stride", "winnow_fingerprints", "winnow_pairs",
     "mad_outliers", "merge_intervals", "percolate_match", "bm25_rank",
-    "boilerplate_strip", "snapshot_diff", "bitext_mine", "record_linkage", "k_anonymity", "covisitation", "rtbf_purge", "dp_counts", "ab_test", "km_survival", "cusum_drift", "coec_bias", "multi_touch", "calibration_ece", "ips_eval", "traffic_gini",
+    "boilerplate_strip", "snapshot_diff", "bitext_mine", "record_linkage", "k_anonymity", "covisitation", "rtbf_purge", "dp_counts", "ab_test", "km_survival", "cusum_drift", "coec_bias", "multi_touch", "calibration_ece", "ips_eval", "traffic_gini", "skyline_docs",
     "percolate_compiled", "link_hits", "kwic_snippets", "term_drift",
     "consistent_route", "trigram_grep", "decayed_trending",
     "seasonal_anomaly", "slo_burn", "rolling_p95",

@@ -217,3 +217,32 @@ def test_byte_balanced_shards_bounds(spark):
     full = [r for r in stats if r["b"] >= 500]
     assert len(full) >= len(stats) // 2
     assert min(r["shard"] for r in stats) == 0
+
+
+def test_skyline_2d_known_front(spark):
+    from beats_spark.dataops.layout import skyline_2d
+    pts = [
+        (1, 10, 100), (2, 20, 90), (3, 30, 80),   # the Pareto front
+        (4, 10, 90),   # dominated by (10,100) and (20,90)
+        (5, 19, 90),   # dominated by (20,90)
+        (6, 30, 70),   # dominated by (30,80): same x, lower y
+        (7, 10, 100),  # duplicate of (10,100) -> collapses, min id
+        (8, 5, 100),   # same y as (10,100), lower x -> dominated
+    ]
+    df = spark.createDataFrame(pts, "doc_id bigint, x bigint, y bigint")
+    out = {(r["x"], r["y"]): r["doc_id"]
+           for r in skyline_2d(df, "x", "y").collect()}
+    assert out == {(10, 100): 1, (20, 90): 2, (30, 80): 3}
+    # single point is its own front
+    one = spark.createDataFrame([(9, 1, 1)],
+                                "doc_id bigint, x bigint, y bigint")
+    assert skyline_2d(one, "x", "y").count() == 1
+    # anti-chain: everything survives
+    anti = spark.createDataFrame(
+        [(i, i, 100 - i) for i in range(10)],
+        "doc_id bigint, x bigint, y bigint")
+    assert skyline_2d(anti, "x", "y").count() == 10
+    # results identical under forced multi-partition ranges
+    multi = {(r["x"], r["y"])
+             for r in skyline_2d(df, "x", "y", partitions=4).collect()}
+    assert multi == set(out)
