@@ -64,8 +64,8 @@ from .urls import (canonical_url, url_dedup, TRACKING_PARAMS,
 from .spans import doc_ngrams, ngram_duplicate_stats, remove_duplicate_spans
 from .sketch import (
     bloom_build, bloom_probe, countmin_build, countmin_estimate,
-    hdr_histogram, hdr_percentiles, hll_distinct, hll_estimate,
-    hll_merge, hll_registers, kmv_distinct,
+    hdr_histogram, hdr_percentiles, heavy_hitters, hll_distinct,
+    hll_estimate, hll_merge, hll_registers, kmv_distinct,
 )
 from .sample import (
     cap_per_key, corpus_shuffle, filter_sweep, hash_sample,
@@ -112,7 +112,7 @@ from .events import (
 from .bpe import bpe_encode, bpe_merges
 from .graph import pagerank, spam_mass, triangle_count, trustrank
 from .merge import merge_upsert
-from .mleval import calibration_bins, ips_value
+from .mleval import auc_roc, calibration_bins, ips_value
 from .robots import (
     compile_robots_pattern, parse_robots, parse_robots_txt,
     parse_sitemap, parse_sitemap_index, robots_filter, url_path,
@@ -162,7 +162,7 @@ __all__ = [
     "priority_sample", "quantile_buckets", "stratified_sample",
     "token_budget_sample",
     "bloom_build", "bloom_probe", "countmin_build", "countmin_estimate",
-    "hdr_histogram", "hdr_percentiles", "hll_distinct", "hll_estimate",
+    "hdr_histogram", "hdr_percentiles", "heavy_hitters", "hll_distinct", "hll_estimate",
     "hll_merge", "hll_registers", "kmv_distinct", "gopher_rules",
     "corpus_shuffle",
     "collocations", "doc_frequency", "gazetteer_match",
@@ -171,7 +171,7 @@ __all__ = [
     "dp_counts", "inverted_index", "ips_value", "k_anonymize", "k_violations", "ndcg_at_k",
     "phrase_search", "purge_ids",
     "sparse_cosine_pairs", "tfidf_top_terms",
-    "ab_test", "asof_join", "calibration_bins", "coec_scores", "cusum_alarms", "interval_join", "check_constraints", "corpus_report", "profile_columns",
+    "ab_test", "asof_join", "auc_roc", "calibration_bins", "coec_scores", "cusum_alarms", "interval_join", "check_constraints", "corpus_report", "profile_columns",
     "event_transitions", "gini_concentration",
     "funnel_steps", "km_survival",
     "percentile_rollup", "position_attribution",

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["calibration_bins", "ips_value"]
+__all__ = ["auc_roc", "calibration_bins", "ips_value"]
 
 
 def calibration_bins(
@@ -97,3 +97,60 @@ def ips_value(
         F.when(F.sum("__w") > 0,
                F.expr("sum(__wr) DIV greatest(1, sum(__w) DIV 1000000)"))
          .cast("long").alias("snips_micro"))
+
+
+def auc_roc(
+    df: DataFrame,
+    score_col: str = "score_micro",
+    label_col: str = "label",
+) -> DataFrame:
+    """EXACT ROC AUC with tie handling — the Mann-Whitney rank-sum
+    identity ``AUC = (concordant + ties/2) / (n_pos·n_neg)`` computed
+    in integer fixed point: ``auc_micro = ((2·concordant + tie_pairs)
+    · 10^6) div (2·n_pos·n_neg)``. One row out: ``(n_pos, n_neg,
+    auc_micro)``; ``auc_micro`` is NULL when either class is empty.
+
+    Scale shape — never sorts the raw rows and never runs a
+    partitionless window:
+
+    1. one partial-combining groupBy on the score collapses the data
+       to ``(score, n_pos_g, n_neg_g)`` — at most |score domain| rows
+       (micro scores: ≤ 10^6 + 1) no matter the input size;
+    2. :func:`beats_spark.dataops.layout.global_prefix_sum` gives each
+       score group the EXCLUSIVE count of negatives below it (range
+       exchange + Arrow running sum over the tall-skinny group table —
+       the same machinery as ``global_rank``, no single-task window);
+    3. concordant pairs = Σ n_pos_g · cum_neg_below and tie pairs =
+       Σ n_pos_g · n_neg_g fold in ONE scalar aggregate.
+
+    Products are carried as DECIMAL(38,0): at 10^12 rows
+    ``2 · concordant · 10^6`` reaches ~10^30, far past int64 but
+    inside decimal-38 (and DuckDB's HUGEINT), so both engines agree
+    bit-for-bit. Labels must be 0/1 after ``cast("int")``; NULL
+    scores are rejected by the range exchange's total order
+    (ascending NULLS FIRST) and count as the lowest score.
+    """
+    from .layout import global_prefix_sum
+
+    y = F.col(label_col).cast("int")
+    g = (df.select(F.col(score_col).alias("__s"), y.alias("__y"))
+         .groupBy("__s")
+         .agg(F.sum("__y").cast("long").alias("__np"),
+              F.sum(1 - F.col("__y")).cast("long").alias("__nn")))
+    cum = global_prefix_sum(g, order_by=["__s"], value_col="__nn",
+                            out_col="__below")
+    d38 = "decimal(38,0)"
+    tot = cum.agg(
+        F.sum("__np").cast("long").alias("n_pos"),
+        F.sum("__nn").cast("long").alias("n_neg"),
+        F.sum(F.expr(f"cast(__np as {d38}) * cast(__below as {d38})"))
+         .cast(d38).alias("__conc"),
+        F.sum(F.expr(f"cast(__np as {d38}) * cast(__nn as {d38})"))
+         .cast(d38).alias("__ties"))
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.expr(f"cast((2 * __conc + __ties) * 1000000 as {d38}) DIV "
+               f"cast(2 * cast(n_pos as {d38}) * cast(n_neg as {d38}) "
+               f"as {d38})"))
+    return tot.select("n_pos", "n_neg",
+                      auc.cast("long").alias("auc_micro"))

@@ -53,7 +53,7 @@ from .dedup import _spread
 
 __all__ = [
     "bloom_build", "bloom_probe", "countmin_build", "countmin_estimate",
-    "h60", "hdr_histogram", "hdr_percentiles",
+    "h60", "hdr_histogram", "hdr_percentiles", "heavy_hitters",
     "hll_distinct", "hll_estimate", "hll_merge", "hll_registers",
     "kmv_distinct",
 ]
@@ -558,3 +558,88 @@ def hdr_percentiles(
     return (hit.groupBy(*agg_keys)
             .agg(F.min(upper).alias("upper_micro"),
                  F.min("n").alias("n")))
+
+
+# ---------------------------------------------------------------------
+# Misra-Gries heavy hitters (exact phi-frequent items in two passes)
+# ---------------------------------------------------------------------
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """EXACT phi-heavy hitters (phi = 1/k): every item whose count
+    strictly exceeds ``n/k``, with its exact count — found without
+    ever shuffling the full key set. ``(value_col, n, n_total,
+    freq_micro)``.
+
+    Two passes over the data, both bounded:
+
+    1. **Candidate generation** — a zero-shuffle Arrow partial runs
+       Misra-Gries summaries (Misra & Gries 1982; the batched prune is
+       the SpaceSaving-style merge of Berinde et al., PODS 2009) with
+       ``k`` counters per partition. Each batch's value counts merge
+       into the summary; past ``k`` entries the (k+1)-th largest count
+       ``m`` is subtracted from everything and non-positives drop.
+       Every prune discards ≥ (k+1)·m weight, so per-partition
+       decrements total ≤ n_p/(k+1) — any item with local count
+       > n_p/(k+1) survives. If an item's GLOBAL count exceeds n/k,
+       then by averaging some partition holds it with local count
+       > n_p/k ≥ n_p/(k+1): the global candidate set has **no false
+       negatives**. Output is ≤ partitions·k rows no matter the input.
+    2. **Exact recount** — the candidate ids broadcast back as a LEFT
+       SEMI join (the big side never shuffles); one partial-combining
+       groupBy over the ≤ partitions·k surviving keys recounts them
+       exactly, and ``count·k > n_total`` drops the false positives.
+
+    The result is therefore NOT an approximation: it equals the exact
+    ``GROUP BY HAVING count·k > n`` answer, at the cost of two scans
+    instead of one full-key shuffle. Contrast with
+    :func:`countmin_build`: count-min answers point queries with
+    bounded overestimates; this enumerates the over-threshold set
+    exactly. NULL values are rejected loudly (``_not_null``).
+
+    Reference scope: Beats has no frequency sketches; this serves the
+    hot-key / hot-domain diagnosis its monitoring counters motivate
+    (``libbeat/monitoring/`` exposes only scalar totals).
+    """
+    if k < 2:
+        raise ValueError(f"heavy_hitters: k must be >= 2, got {k}")
+    import numpy as np
+    import pandas as pd
+
+    vtype = dict(df.dtypes)[value_col]
+    base = df.select(
+        _not_null(F.col(value_col), "heavy_hitters", value_col)
+        .alias("v"))
+    kk = int(k)
+
+    def partial(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        acc = None
+        for pdf in batches:
+            vals, cnts = np.unique(pdf["v"].to_numpy(), return_counts=True)
+            s = pd.Series(cnts.astype("int64"), index=vals)
+            # aligned add promotes to float64 — exact below 2^53,
+            # far above any per-partition row count
+            acc = s if acc is None else acc.add(s, fill_value=0)
+            if len(acc) > kk:
+                a = acc.to_numpy()
+                m = np.partition(a, -kk - 1)[-kk - 1]  # (k+1)-th largest
+                acc = acc[acc > m] - m
+        if acc is not None and len(acc):
+            yield pd.DataFrame({"v": acc.index.to_numpy(),
+                                "est": acc.to_numpy("int64")})
+
+    cand = (_spread(base)
+            .mapInPandas(partial, schema=f"v {vtype}, est long")
+            .select("v").distinct())
+    tot = base.agg(F.count(F.lit(1)).alias("n_total"))
+    exact = (base.join(F.broadcast(cand), "v", "left_semi")
+             .groupBy("v")
+             .agg(F.count(F.lit(1)).alias("n")))
+    return (exact.join(F.broadcast(tot))
+            .filter(F.col("n") * kk > F.col("n_total"))
+            .select(F.col("v").alias(value_col), "n", "n_total",
+                    F.expr("n * 1000000 DIV n_total")
+                    .cast("long").alias("freq_micro")))

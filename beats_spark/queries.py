@@ -7224,6 +7224,70 @@ def ips_eval(spark, sf_dir):
     return ips_value(ev)
 
 
+@query("auc_eval", oracle="""
+WITH s AS (
+  SELECT (event_id * 2654435761) % 500001
+         + CASE WHEN event_type = 'click' THEN 300000 ELSE 0 END AS sc,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+  FROM events),
+g AS (SELECT sc, sum(y) AS np, sum(1 - y) AS nn FROM s GROUP BY sc),
+c AS (SELECT *, coalesce(sum(nn) OVER (ORDER BY sc
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM g)
+SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       CAST(sum(nn) AS BIGINT) AS n_neg,
+       CAST((2 * sum(np * below) + sum(np * nn)) * 1000000
+            // (2 * sum(np) * sum(nn)) AS BIGINT) AS auc_micro
+FROM c
+""")
+def auc_eval(spark, sf_dir):
+    """Exact tie-aware ROC AUC
+    (:func:`beats_spark.dataops.mleval.auc_roc`): a deterministic
+    synthetic score (hash noise + a click bonus, so the AUC is
+    meaningfully above ½) vs the click label. Rank-sum identity over
+    the score-grouped table: groupBy collapses to ≤ |score domain|
+    rows, ``global_prefix_sum`` supplies cum-negatives-below without
+    a single-task window, decimal(38,0) carries the pair products."""
+    from .dataops.mleval import auc_roc
+    ev = _t(spark, sf_dir, "events").select(
+        ((F.col("event_id") * 2654435761) % 500001
+         + F.when(F.col("event_type") == "click", 300000).otherwise(0))
+        .alias("score_micro"),
+        (F.col("event_type") == "click").alias("label"))
+    return auc_roc(ev)
+
+
+@query("heavy_hitters", oracle="""
+WITH t AS (
+  SELECT CASE WHEN event_id % 2 = 0
+              THEN 'hot_' || CAST(event_id % 3 AS VARCHAR)
+              ELSE 'v' || CAST(event_id AS VARCHAR) END AS item
+  FROM events),
+tot AS (SELECT count(*) AS n_total FROM t)
+SELECT item, count(*) AS n, tot.n_total,
+       CAST(count(*) * 1000000 // tot.n_total AS BIGINT) AS freq_micro
+FROM t, tot GROUP BY item, tot.n_total
+HAVING count(*) * 10 > tot.n_total
+""")
+def heavy_hitters_q(spark, sf_dir):
+    """Exact 1/k-heavy hitters via two-phase Misra-Gries
+    (:func:`beats_spark.dataops.sketch.heavy_hitters`): a skewed
+    synthetic item column (3 hot values over a singleton tail). The
+    MG partial bounds candidates to partitions·k with no false
+    negatives; the broadcast LEFT SEMI recount makes the answer the
+    EXACT ``HAVING count·k > n`` set — the oracle is that very SQL,
+    no sketch error to model."""
+    from .dataops.sketch import heavy_hitters
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 2 == 0,
+               F.concat(F.lit("hot_"),
+                        (F.col("event_id") % 3).cast("string")))
+        .otherwise(F.concat(F.lit("v"),
+                            F.col("event_id").cast("string")))
+        .alias("item"))
+    return heavy_hitters(ev, "item", k=10)
+
+
 @query("multi_touch", oracle="""
 WITH conv AS (
   SELECT user_id,

@@ -189,3 +189,47 @@ def test_ips_value_known_values(spark):
         "propensity_micro bigint, reward_micro bigint")
     clipped = ips_value(tiny).collect()[0]
     assert clipped["ips_micro"] == 100_000_000  # cap 1e8 * r 1.0
+
+
+def test_auc_roc_known_values(spark):
+    from beats_spark.dataops.mleval import auc_roc
+    # perfect separation: every positive above every negative -> 1.0
+    df = spark.createDataFrame(
+        [(10, 0), (20, 0), (30, 1), (40, 1)],
+        "score_micro bigint, label int")
+    r = auc_roc(df).collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc_micro"]) == (2, 2, 1_000_000)
+    # all scores tied -> pure ties, AUC exactly 1/2
+    tied = spark.createDataFrame(
+        [(5, 1), (5, 0), (5, 1), (5, 0)],
+        "score_micro bigint, label int")
+    assert auc_roc(tied).collect()[0]["auc_micro"] == 500_000
+    # hand case: scores pos {3, 1}, neg {2, 1}
+    # pairs: (3>2),(3>1) concordant; (1,1) tie; (1<2) discordant
+    # AUC = (2 + 0.5)/4 = 0.625
+    mix = spark.createDataFrame(
+        [(3, 1), (1, 1), (2, 0), (1, 0)],
+        "score_micro bigint, label int")
+    assert auc_roc(mix).collect()[0]["auc_micro"] == 625_000
+    # single-class input -> NULL, not a crash or a division error
+    pos_only = spark.createDataFrame(
+        [(7, 1), (9, 1)], "score_micro bigint, label int")
+    r = auc_roc(pos_only).collect()[0]
+    assert r["n_neg"] == 0 and r["auc_micro"] is None
+
+
+def test_auc_roc_matches_pandas_rank_sum(spark, sf_dir):
+    from beats_spark.dataops.mleval import auc_roc
+    from pyspark.sql import functions as F
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        ((F.col("event_id") * 48271) % 99991).alias("score_micro"),
+        (F.col("value") > 50).alias("label"))
+    got = auc_roc(ev).collect()[0]
+    pdf = ev.toPandas()
+    y = pdf["label"].astype(int)
+    ranks = pdf["score_micro"].rank(method="average")
+    n_pos, n_neg = int(y.sum()), int((1 - y).sum())
+    u = float(ranks[y == 1].sum()) - n_pos * (n_pos + 1) / 2
+    want = int(u * 2 * 1_000_000 // (2 * n_pos * n_neg))
+    assert (got["n_pos"], got["n_neg"]) == (n_pos, n_neg)
+    assert got["auc_micro"] == want

@@ -575,3 +575,53 @@ def test_hdr_histogram_negative_fails_loud(spark):
         hdr_percentiles(hdr_histogram(df.limit(1), "v"), [])
     with pytest.raises(ValueError, match="q must"):
         hdr_percentiles(hdr_histogram(df.limit(1), "v"), [1.5])
+
+
+# ------------------------------------------------------ heavy hitters
+
+def test_heavy_hitters_exact_vs_groupby(spark, sf_dir):
+    from beats_spark.dataops.sketch import heavy_hitters
+    ev = _events(spark, sf_dir).select(
+        (F.col("user_id") % 23).cast("string").alias("item"))
+    k = 15
+    out = {r["item"]: r["n"]
+           for r in heavy_hitters(ev, "item", k=k).collect()}
+    n = ev.count()
+    exact = {r["item"]: r["cnt"]
+             for r in ev.groupBy("item")
+             .agg(F.count(F.lit(1)).alias("cnt")).collect()
+             if r["cnt"] * k > n}
+    # no false negatives AND no false positives — the recount makes
+    # the sketch answer the exact HAVING set
+    assert out == exact and len(out) > 0
+
+
+def test_heavy_hitters_partition_invariance_and_fields(spark, sf_dir):
+    from beats_spark.dataops.sketch import heavy_hitters
+    ev = _events(spark, sf_dir).select(
+        F.when(F.col("event_id") % 4 == 0, F.lit("hot"))
+        .otherwise(F.col("event_id").cast("string")).alias("item"))
+    a = sorted(map(tuple, heavy_hitters(ev, "item", k=8).collect()))
+    b = sorted(map(tuple,
+                   heavy_hitters(ev.repartition(17), "item",
+                                 k=8).collect()))
+    assert a == b and len(a) == 1
+    item, cnt, tot, freq = a[0]
+    assert item == "hot" and tot == ev.count()
+    assert freq == cnt * 1_000_000 // tot
+
+
+def test_heavy_hitters_plan_and_validation(spark, sf_dir):
+    from beats_spark.dataops.sketch import heavy_hitters
+    ev = _events(spark, sf_dir).select(
+        (F.col("user_id") % 5).cast("string").alias("item"))
+    plan = _plan(heavy_hitters(ev, "item", k=4))
+    # the recount probes candidates via a broadcast semi join — the
+    # big side must not shuffle on the raw item key
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        heavy_hitters(ev, "item", k=1)
+    nulls = spark.createDataFrame(
+        [("a",), (None,)], "item string")
+    with pytest.raises(Exception, match="null item"):
+        heavy_hitters(nulls, "item", k=4).collect()
