@@ -101,13 +101,13 @@ from .scrub import (
 from .checks import (check_constraints, corpus_report,
                      gini_concentration, profile_columns)
 from .events import (
-    ab_test, asof_join, clock_skew, coec_scores, covisitation,
-    cusum_alarms,
+    ab_test, apdex, asof_join, clock_skew, coec_scores, counter_rates,
+    covisitation, cusum_alarms,
     event_transitions,
     funnel_steps, interval_join, km_survival, percentile_rollup,
     position_attribution,
     retention_cohorts,
-    scd2_join, session_rollup, sessionize, winsorize,
+    scd2_join, session_rollup, sessionize, trend_slope, winsorize,
 )
 from .bpe import bpe_encode, bpe_merges
 from .graph import pagerank, spam_mass, triangle_count, trustrank
@@ -171,7 +171,7 @@ __all__ = [
     "dp_counts", "inverted_index", "ips_value", "k_anonymize", "k_violations", "ndcg_at_k",
     "phrase_search", "purge_ids",
     "sparse_cosine_pairs", "tfidf_top_terms",
-    "ab_test", "asof_join", "auc_roc", "calibration_bins", "coec_scores", "cusum_alarms", "interval_join", "check_constraints", "corpus_report", "profile_columns",
+    "ab_test", "apdex", "asof_join", "auc_roc", "calibration_bins", "counter_rates", "trend_slope", "coec_scores", "cusum_alarms", "interval_join", "check_constraints", "corpus_report", "profile_columns",
     "event_transitions", "gini_concentration",
     "funnel_steps", "km_survival",
     "percentile_rollup", "position_attribution",

@@ -27,7 +27,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["ab_test", "asof_join", "km_survival", "bot_cadence", "clock_skew", "coec_scores", "covisitation", "cusum_alarms", "interval_join",
+__all__ = ["ab_test", "apdex", "asof_join", "counter_rates", "km_survival", "bot_cadence", "clock_skew", "coec_scores", "covisitation", "cusum_alarms", "interval_join", "trend_slope",
            "decayed_counts", "ewma_smooth",
            "funnel_steps", "merge_intervals",
            "percentile_rollup", "position_attribution",
@@ -1291,3 +1291,142 @@ def position_attribution(
             .groupBy(channel_col)
             .agg(F.count(F.lit(1)).alias("touches"),
                  F.sum("__credit").cast("long").alias("credit_micro")))
+
+
+def counter_rates(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    counter_col: str,
+) -> DataFrame:
+    """Monotonic-counter → per-second rate with counter-reset
+    detection — what every metrics consumer does first with the
+    cumulative counters a collector ships (the reference's metricbeat
+    emits point-in-time counter SAMPLES — e.g.
+    ``metricbeat/module/system/network/network.go`` ships raw
+    interface byte counters — and leaves differentiation to the
+    backend; this engine does it natively). Per key ordered by time:
+    ``delta = counter − prev``, unless the counter went BACKWARDS —
+    a daemon restart reset it — in which case the sample's own value
+    is the best lower bound for the interval (the standard
+    Prometheus/rrdtool reset rule). ``rate_micro = delta · 10^12 div
+    dt_us`` (micro-units per second, exact integer; the product rides
+    decimal(38,0) so a 10^18 counter times 10^12 cannot overflow).
+
+    Output: one row per CLOSED interval ``(key, ts, delta, dt_us,
+    was_reset, rate_micro)`` — each key's first sample opens the
+    series and emits nothing. Zero-dt duplicate timestamps yield NULL
+    rate (undefined, not ±inf), flagged by ``dt_us = 0``.
+
+    Plan: ONE hash exchange on the key + in-partition sort; both lags
+    share the same Window frame (a single Window node) and everything
+    after is a codegen projection — per-key cost linear in its own
+    samples, no skew amplification.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    us = _epoch_us(df, ts_col)
+    base = (df.select(key_col, ts_col,
+                      F.col(counter_col).cast("long").alias("__c"))
+            .withColumn("__us", us)
+            .withColumn("__pc", F.lag("__c").over(w))
+            .withColumn("__pus", F.lag("__us").over(w))
+            .filter(F.col("__pc").isNotNull()))
+    reset = F.col("__c") < F.col("__pc")
+    delta = F.when(reset, F.col("__c")) \
+             .otherwise(F.col("__c") - F.col("__pc"))
+    dt = F.col("__us") - F.col("__pus")
+    rate = F.when(
+        F.col("dt_us") > 0,
+        F.expr("cast(delta as decimal(38,0)) * 1000000000000 DIV "
+               "cast(dt_us as decimal(38,0))"))
+    return (base.withColumn("delta", delta.cast("long"))
+            .withColumn("dt_us", dt.cast("long"))
+            .withColumn("was_reset", reset)
+            .withColumn("rate_micro", rate.cast("long"))
+            .select(key_col, ts_col, "delta", "dt_us", "was_reset",
+                    "rate_micro"))
+
+
+def trend_slope(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend slope in exact integer
+    fixed point — the capacity-planning readout over per-day metric
+    rollups (is this host's error rate / this domain's crawl volume
+    trending up, and how fast): ``slope_micro = 10^6 · (n·Σxy −
+    Σx·Σy) div (n·Σx² − (Σx)²)`` — micro-y-units per x-unit, integer
+    division truncated toward zero (Spark decimal ``DIV`` ≡ DuckDB
+    ``//``, the repo-wide fixed-point convention — exact on negative
+    slopes too), NULL when a key has a single distinct x (the
+    Cauchy-Schwarz denominator is otherwise strictly positive).
+    Output: ``(key, n, slope_micro)``.
+
+    Exactness: the five sufficient statistics (n, Σx, Σy, Σxy, Σx²)
+    accumulate as decimal(38,0) (DuckDB: HUGEINT), so both engines
+    produce the identical BIGINT slope with no float path anywhere.
+    Intended inputs are pre-aggregated series — x as a small index
+    (day number), y as a bounded rollup — keeping every product
+    within decimal-38 even at 10^12 source rows (the rollup feeding
+    this is where the data-proportional work happens).
+
+    Plan: ONE partial-combining groupBy on the key; the slope is a
+    scalar expression over the aggregate row. Nothing sorted, nothing
+    windowed, nothing joined.
+    """
+    d38 = "decimal(38,0)"
+    x = F.expr(f"cast({x_col} as {d38})")
+    yv = F.expr(f"cast({y_col} as {d38})")
+    agg = (df.groupBy(key_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(x).alias("__sx"),
+                F.sum(yv).alias("__sy"),
+                F.sum(x * yv).alias("__sxy"),
+                F.sum(x * x).alias("__sxx")))
+    den = F.expr(f"cast(n as {d38}) * __sxx - __sx * __sx")
+    num_micro = (f"(cast(n as {d38}) * __sxy - __sx * __sy) "
+                 f"* cast(1000000 as {d38})")
+    slope = F.when(
+        den != 0,
+        F.expr(f"{num_micro} DIV "
+               f"(cast(n as {d38}) * __sxx - __sx * __sx)"))
+    return agg.select(key_col, "n", slope.cast("long")
+                      .alias("slope_micro"))
+
+
+def apdex(
+    df: DataFrame,
+    key_col: str,
+    latency_col: str,
+    threshold_micro: int,
+) -> DataFrame:
+    """Apdex score per key (the Apdex Alliance spec every APM tool
+    implements): with target latency T, a request is *satisfied*
+    (≤ T), *tolerating* (≤ 4T) or frustrated; ``apdex = (satisfied +
+    tolerating/2) / n``, carried exactly as ``apdex_micro =
+    (2·satisfied + tolerating) · 10^6 div (2·n)`` — ties to the spec's
+    half-weight without a float. Output: ``(key, n, satisfied,
+    tolerating, apdex_micro)``.
+
+    Plan: a map-side CASE projection + ONE partial-combining groupBy;
+    the classic dashboard query shape that must stay a single
+    exchange at any scale.
+    """
+    if threshold_micro <= 0:
+        raise ValueError("apdex: threshold_micro must be positive, "
+                         f"got {threshold_micro}")
+    lat = F.col(latency_col)
+    sat = (lat <= threshold_micro).cast("int")
+    tol = ((lat > threshold_micro)
+           & (lat <= 4 * threshold_micro)).cast("int")
+    return (df.select(F.col(key_col), sat.alias("__s"),
+                      tol.alias("__t"))
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("__s").cast("long").alias("satisfied"),
+                 F.sum("__t").cast("long").alias("tolerating"),
+                 F.expr("(2 * sum(__s) + sum(__t)) * 1000000 DIV "
+                        "(2 * count(1))").cast("long")
+                 .alias("apdex_micro")))

@@ -7288,6 +7288,97 @@ def heavy_hitters_q(spark, sf_dir):
     return heavy_hitters(ev, "item", k=10)
 
 
+@query("counter_rates", oracle="""
+WITH s AS (SELECT user_id AS host, ts,
+    (event_id % 7) * 100 + user_id % 50 AS c FROM events),
+l AS (SELECT host, ts, c,
+    lag(c) OVER (PARTITION BY host ORDER BY ts) AS pc,
+    lag(epoch_us(ts)) OVER (PARTITION BY host ORDER BY ts) AS pus,
+    epoch_us(ts) AS us FROM s)
+SELECT host, ts,
+  CAST(CASE WHEN c < pc THEN c ELSE c - pc END AS BIGINT) AS delta,
+  CAST(us - pus AS BIGINT) AS dt_us,
+  c < pc AS was_reset,
+  CAST(CASE WHEN us - pus > 0 THEN
+    (CASE WHEN c < pc THEN c ELSE c - pc END)::HUGEINT
+    * 1000000000000 // (us - pus)::HUGEINT END AS BIGINT)
+    AS rate_micro
+FROM l WHERE pc IS NOT NULL
+""")
+def counter_rates_q(spark, sf_dir):
+    """Monotonic-counter → per-second rate with reset detection
+    (:func:`beats_spark.dataops.events.counter_rates`): a synthetic
+    sawtooth counter per host exercises the reset rule on real
+    timestamps. One key exchange, both lags in one Window node,
+    decimal(38,0) rate product."""
+    from .dataops.events import counter_rates
+    ev = _t(spark, sf_dir, "events")
+    return counter_rates(
+        ev.select(F.col("user_id").alias("host"), "ts",
+                  ((F.col("event_id") % 7) * 100
+                   + F.col("user_id") % 50).alias("ctr")),
+        "host", "ts", "ctr")
+
+
+@query("trend_slope", oracle="""
+WITH d AS (SELECT event_type, date_diff('day', DATE '2024-01-01',
+             CAST(ts AS DATE)) AS day, count(*) AS y
+           FROM events GROUP BY 1, 2),
+a AS (SELECT event_type, count(*) AS n,
+        sum(day::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+        sum(day::HUGEINT * y::HUGEINT) AS sxy,
+        sum(day::HUGEINT * day::HUGEINT) AS sxx
+      FROM d GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+  CAST(CASE WHEN n::HUGEINT * sxx - sx * sx != 0 THEN
+    (n::HUGEINT * sxy - sx * sy) * 1000000
+    // (n::HUGEINT * sxx - sx * sx) END AS BIGINT) AS slope_micro
+FROM a
+""")
+def trend_slope_q(spark, sf_dir):
+    """Per-key OLS trend slope in exact fixed point
+    (:func:`beats_spark.dataops.events.trend_slope`) over per-type
+    daily event counts — the capacity-planning readout. Rollup
+    exchange + ONE partial-combining groupBy; sufficient statistics
+    ride decimal(38,0)/HUGEINT so negative slopes truncate
+    identically on both engines."""
+    from .dataops.events import trend_slope
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.datediff(F.col("ts").cast("date"),
+                                   F.lit("2024-01-01").cast("date"))
+                        .alias("day"))
+             .agg(F.count(F.lit(1)).alias("y")))
+    return trend_slope(daily, "event_type", "day", "y")
+
+
+@query("apdex_score", oracle="""
+WITH s AS (SELECT event_type,
+    CAST(round(value * 100) AS BIGINT) * 10 AS lat FROM events)
+SELECT event_type, count(*) AS n,
+  CAST(sum(CASE WHEN lat <= 50000 THEN 1 ELSE 0 END) AS BIGINT)
+    AS satisfied,
+  CAST(sum(CASE WHEN lat > 50000 AND lat <= 200000
+           THEN 1 ELSE 0 END) AS BIGINT) AS tolerating,
+  CAST((2 * sum(CASE WHEN lat <= 50000 THEN 1 ELSE 0 END)
+        + sum(CASE WHEN lat > 50000 AND lat <= 200000
+              THEN 1 ELSE 0 END))
+       * 1000000 // (2 * count(*)) AS BIGINT) AS apdex_micro
+FROM s GROUP BY event_type
+""")
+def apdex_score(spark, sf_dir):
+    """Apdex per service (:func:`beats_spark.dataops.events.apdex`):
+    the APM satisfaction score at T = 50 ms over cent-exact synthetic
+    latencies. Map-side CASE projection + one partial-combining
+    groupBy — single exchange at any scale."""
+    from .dataops.events import apdex
+    ev = _t(spark, sf_dir, "events")
+    return apdex(ev.select("event_type",
+                           (F.round(F.col("value") * 100)
+                            .cast("long") * 10).alias("lat")),
+                 "event_type", "lat", 50_000)
+
+
 @query("multi_touch", oracle="""
 WITH conv AS (
   SELECT user_id,

@@ -1089,3 +1089,72 @@ def test_position_attribution_credit_spec(spark):
           for r in position_attribution(df5).collect()}
     assert o5 == {"k1": 400000, "k2": 66667, "k3": 66667,
                   "k4": 66666, "k5": 400000}
+
+
+# --------------------------------------------------- telemetry trio
+
+def test_counter_rates_reset_and_rate(spark):
+    from pyspark.sql import functions as F
+    from beats_spark.dataops.events import counter_rates
+    df = spark.createDataFrame(
+        [("h", "2024-01-01 00:00:00", 100),
+         ("h", "2024-01-01 00:00:10", 160),   # +60 over 10 s -> 6/s
+         ("h", "2024-01-01 00:00:20", 40),    # reset: delta = 40
+         ("g", "2024-01-01 00:00:00", 5)],    # single sample -> no row
+        "host string, ts string, ctr long") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = {(r["host"], str(r["ts"])): r
+            for r in counter_rates(df, "host", "ts", "ctr").collect()}
+    assert len(rows) == 2
+    r1 = rows[("h", "2024-01-01 00:00:10")]
+    assert (r1["delta"], r1["was_reset"]) == (60, False)
+    assert r1["rate_micro"] == 6_000_000
+    r2 = rows[("h", "2024-01-01 00:00:20")]
+    assert (r2["delta"], r2["was_reset"]) == (40, True)
+    assert r2["rate_micro"] == 4_000_000
+    # duplicate timestamp -> dt 0 -> NULL rate, not a crash
+    dup = spark.createDataFrame(
+        [("h", "2024-01-01 00:00:00", 1),
+         ("h", "2024-01-01 00:00:00", 3)],
+        "host string, ts string, ctr long") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = counter_rates(dup, "host", "ts", "ctr").collect()
+    assert len(out) == 1 and out[0]["dt_us"] == 0
+    assert out[0]["rate_micro"] is None
+
+
+def test_trend_slope_known_values(spark):
+    from beats_spark.dataops.events import trend_slope
+    df = spark.createDataFrame(
+        # perfect line y = 3x + 1 -> slope 3.0
+        [("up", 0, 1), ("up", 1, 4), ("up", 2, 7),
+         # perfect negative line y = -2x -> slope -2.0
+         ("down", 0, 0), ("down", 1, -2), ("down", 2, -4),
+         # single x -> NULL
+         ("flat", 5, 9)],
+        "k string, x long, y long")
+    out = {r["k"]: r["slope_micro"]
+           for r in trend_slope(df, "k", "x", "y").collect()}
+    assert out == {"up": 3_000_000, "down": -2_000_000, "flat": None}
+    # non-integral slope truncates toward zero on both engines:
+    # points (0,0),(1,1),(2,1): slope = 1/2 -> 500000
+    frac = spark.createDataFrame(
+        [("f", 0, 0), ("f", 1, 1), ("f", 2, 1)],
+        "k string, x long, y long")
+    assert trend_slope(frac, "k", "x", "y").collect()[0][
+        "slope_micro"] == 500_000
+
+
+def test_apdex_known_values_and_validation(spark):
+    import pytest
+    from beats_spark.dataops.events import apdex
+    df = spark.createDataFrame(
+        # T=100: sat 100, tol 150/400, frustrated 401
+        [("svc", 100), ("svc", 150), ("svc", 400), ("svc", 401)],
+        "k string, lat long")
+    r = apdex(df, "k", "lat", 100).collect()[0]
+    assert (r["n"], r["satisfied"], r["tolerating"]) == (4, 1, 2)
+    # (2*1 + 2) * 1e6 // 8 = 500000
+    assert r["apdex_micro"] == 500_000
+    with pytest.raises(ValueError, match="threshold_micro"):
+        apdex(df, "k", "lat", 0)
