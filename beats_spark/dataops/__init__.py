@@ -82,8 +82,8 @@ from .htmltext import (HTML_STRIP_STEPS, dom_fingerprint,
                        dom_fingerprint_sql, extract_links, extract_text,
                        html_strip_sql, html_to_text, link_host)
 from .governance import (dp_counts, k_anonymize, k_violations,
-                         purge_ids)
-from .labeling import lf_summary, weak_label_vote
+                         l_diversify, l_violations, purge_ids)
+from .labeling import cohen_kappa, lf_summary, weak_label_vote
 from .linkage import blocked_link
 from .lm import (bigram_model, domain_weights, lm_score, nb_quality,
                  token_kl)
@@ -168,7 +168,7 @@ __all__ = [
     "collocations", "doc_frequency", "gazetteer_match",
     "blocked_link",
     "covisitation",
-    "dp_counts", "inverted_index", "ips_value", "k_anonymize", "k_violations", "ndcg_at_k",
+    "dp_counts", "inverted_index", "ips_value", "k_anonymize", "k_violations", "l_diversify", "l_violations", "cohen_kappa", "ndcg_at_k",
     "phrase_search", "purge_ids",
     "sparse_cosine_pairs", "tfidf_top_terms",
     "ab_test", "apdex", "asof_join", "auc_roc", "calibration_bins", "counter_rates", "trend_slope", "coec_scores", "cusum_alarms", "interval_join", "check_constraints", "corpus_report", "profile_columns",

@@ -15,7 +15,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["dp_counts", "k_anonymize", "k_violations", "purge_ids"]
+__all__ = ["dp_counts", "k_anonymize", "k_violations", "l_diversify", "l_violations", "purge_ids"]
 
 
 def _census(df: DataFrame, quasi_cols: Sequence[str]) -> DataFrame:
@@ -109,3 +109,47 @@ def dp_counts(
         (F.col("n") * 1_000_000
          + F.round(F.lit(1e6) * noise).cast("long"))
         .cast("long").alias("noisy_micro"))
+
+
+def l_violations(df: DataFrame, quasi_cols: Sequence[str],
+                 sensitive_col: str, l: int) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., ICDE 2006): the
+    quasi-identifier groups whose SENSITIVE attribute takes fewer
+    than ``l`` distinct values — k-anonymity's blind spot, where a
+    group is large enough to hide in but everyone in it shares the
+    secret (the homogeneity attack). Output: ``(quasi_cols..., n,
+    n_sensitive)`` for violating groups.
+
+    Plan: one partial-combining exchange on (QI..., sensitive) — the
+    distinct-count shuffle carries QI columns + the sensitive value,
+    never full rows — then a second tiny aggregate over the distinct
+    pairs. This is exact distinct counting; for a profiling-grade
+    answer at 10^12 rows use the sketch layer instead."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+    qs = list(quasi_cols)
+    return (df.groupBy(*qs)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count_distinct(F.col(sensitive_col))
+                 .alias("n_sensitive"))
+            .filter(F.col("n_sensitive") < l))
+
+
+def l_diversify(df: DataFrame, quasi_cols: Sequence[str],
+                sensitive_col: str, l: int) -> DataFrame:
+    """Suppression-mode l-diversity: keep only rows whose QI group
+    carries at least ``l`` distinct sensitive values. The companion
+    of :func:`k_anonymize` — run AFTER it (a group can be large yet
+    homogeneous). Same plan shape: distinct census on the QI key +
+    LEFT SEMI join back; the corpus itself is never shuffled on the
+    sensitive value."""
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+    qs = list(quasi_cols)
+    ok = (df.groupBy(*qs)
+          .agg(F.count_distinct(F.col(sensitive_col)).alias("__d"))
+          .filter(F.col("__d") >= l)
+          .select(*qs))
+    return df.join(ok, qs, "left_semi")

@@ -30,7 +30,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["lf_summary", "weak_label_vote"]
+__all__ = ["cohen_kappa", "lf_summary", "weak_label_vote"]
 
 _MICRO = 1_000_000
 
@@ -173,3 +173,63 @@ def lf_summary(
             .alias("overlap_micro"),
         F.expr(f"conflicts * {_MICRO} div n_rows")
             .alias("conflict_micro"))
+
+
+def cohen_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+) -> DataFrame:
+    """Cohen's kappa between two labelers — inter-annotator agreement
+    corrected for chance, the first number a labeling effort reports
+    (Cohen 1960; Landis & Koch's 0.6/0.8 rule-of-thumb bands). One
+    row out: ``(n, po_micro, pe_micro, kappa_micro)`` in the repo's
+    exact integer micro-units:
+
+    - ``po_micro = 10^6 · agreements div n`` (observed agreement);
+    - ``pe_micro = Σ_c n_a(c)·n_b(c) · 10^6 div n²`` (chance
+      agreement from the two raters' marginals, products in
+      decimal(38,0) — n² at 10^12 rows is 10^24, fine);
+    - ``kappa_micro = (po_micro − pe_micro) · 10^6 div (10^6 −
+      pe_micro)`` — NULL when ``pe_micro = 10^6`` (a constant pair of
+      raters has no chance-corrected signal), matching the undefined
+      0/0 in the real-valued formula.
+
+    Rows where either label is NULL (abstains) are excluded first —
+    kappa is defined over co-labeled items.
+
+    Plan: one global partial-combining aggregate for (n, agreements),
+    two label-marginal aggregates (≤ |label space| rows each) joined
+    broadcast on the class, and a scalar combine — the corpus crosses
+    one exchange as (label_a, label_b) pairs, nothing wider.
+    """
+    base = (df.select(F.col(rater_a).alias("__a"),
+                      F.col(rater_b).alias("__b"))
+            .filter(F.col("__a").isNotNull()
+                    & F.col("__b").isNotNull()))
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("__a") == F.col("__b")).cast("long"))
+         .cast("long").alias("__agree"))
+    ma = base.groupBy(F.col("__a").alias("__cls")) \
+             .agg(F.count(F.lit(1)).alias("__na"))
+    mb = base.groupBy(F.col("__b").alias("__cls")) \
+             .agg(F.count(F.lit(1)).alias("__nb"))
+    d38 = "decimal(38,0)"
+    pe_num = (ma.join(F.broadcast(mb), "__cls")
+              .agg(F.sum(F.expr(
+                  f"cast(__na as {d38}) * cast(__nb as {d38})"))
+                  .cast(d38).alias("__pe_num")))
+    j = tot.join(F.broadcast(pe_num))
+    po = F.expr("1000000 * __agree DIV n")
+    pe = F.expr(f"__pe_num * 1000000 DIV "
+                f"(cast(n as {d38}) * cast(n as {d38}))")
+    out = (j.withColumn("po_micro", po.cast("long"))
+           .withColumn("pe_micro", pe.cast("long"))
+           .withColumn(
+               "kappa_micro",
+               F.when(F.col("pe_micro") < 1_000_000,
+                      F.expr("(po_micro - pe_micro) * 1000000 DIV "
+                             "(1000000 - pe_micro)"))
+               .cast("long")))
+    return out.select("n", "po_micro", "pe_micro", "kappa_micro")

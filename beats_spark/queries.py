@@ -7379,6 +7379,61 @@ def apdex_score(spark, sf_dir):
                  "event_type", "lat", 50_000)
 
 
+@query("l_diversity", oracle="""
+WITH s AS (SELECT event_type, user_id % 10 AS ubucket,
+    CAST(floor(value) AS INT) % 7 AS sens FROM events)
+SELECT event_type, ubucket, count(*) AS n,
+       CAST(count(DISTINCT sens) AS BIGINT) AS n_sensitive
+FROM s GROUP BY 1, 2 HAVING count(DISTINCT sens) < 7
+""")
+def l_diversity_q(spark, sf_dir):
+    """l-diversity audit
+    (:func:`beats_spark.dataops.governance.l_violations`): QI groups
+    whose sensitive attribute is too homogeneous — the homogeneity
+    attack k-anonymity misses. One (QI, sensitive) distinct-census
+    exchange; floor() guards the double→int cast both engines round
+    differently."""
+    from .dataops.governance import l_violations
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 10).alias("ubucket"),
+        (F.floor(F.col("value")).cast("int") % 7).alias("sens"))
+    return l_violations(ev, ["event_type", "ubucket"], "sens", 7)
+
+
+@query("annotator_kappa", oracle="""
+WITH s AS (SELECT lang AS a,
+    CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS b
+  FROM documents),
+tot AS (SELECT count(*) AS n,
+        sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree FROM s),
+ma AS (SELECT a AS cls, count(*)::HUGEINT AS na FROM s GROUP BY 1),
+mb AS (SELECT b AS cls, count(*)::HUGEINT AS nb FROM s GROUP BY 1),
+pe AS (SELECT sum(na * nb) AS pe_num FROM ma JOIN mb USING (cls)),
+m AS (SELECT n, CAST(1000000 * agree // n AS BIGINT) AS po_micro,
+        CAST(pe_num * 1000000 // (n::HUGEINT * n::HUGEINT) AS BIGINT)
+          AS pe_micro
+      FROM tot, pe)
+SELECT n, po_micro, pe_micro,
+  CAST(CASE WHEN pe_micro < 1000000 THEN
+    (po_micro - pe_micro) * 1000000 // (1000000 - pe_micro)
+  END AS BIGINT) AS kappa_micro
+FROM m
+""")
+def annotator_kappa(spark, sf_dir):
+    """Cohen's kappa between two labelers
+    (:func:`beats_spark.dataops.labeling.cohen_kappa`): the language
+    column vs a deterministically corrupted copy (1-in-7 relabeled
+    'xx'), so agreement is high but chance-corrected. One global
+    aggregate + two broadcast-joined label marginals; pe products in
+    decimal(38,0)/HUGEINT."""
+    from .dataops.labeling import cohen_kappa
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("a"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("xx"))
+         .otherwise(F.col("lang")).alias("b"))
+    return cohen_kappa(docs, "a", "b")
+
+
 @query("multi_touch", oracle="""
 WITH conv AS (
   SELECT user_id,

@@ -233,3 +233,44 @@ def test_auc_roc_matches_pandas_rank_sum(spark, sf_dir):
     want = int(u * 2 * 1_000_000 // (2 * n_pos * n_neg))
     assert (got["n_pos"], got["n_neg"]) == (n_pos, n_neg)
     assert got["auc_micro"] == want
+
+
+def test_l_diversity_violations_and_keep(spark):
+    import pytest
+    from beats_spark.dataops.governance import l_diversify, l_violations
+    df = spark.createDataFrame(
+        # group (a): 3 rows, 1 distinct sensitive -> violates l=2
+        [("a", "flu"), ("a", "flu"), ("a", "flu"),
+         # group (b): 2 rows, 2 distinct -> ok
+         ("b", "flu"), ("b", "cold")],
+        "zip string, dx string")
+    v = l_violations(df, ["zip"], "dx", 2).collect()
+    assert len(v) == 1
+    assert (v[0]["zip"], v[0]["n"], v[0]["n_sensitive"]) == ("a", 3, 1)
+    kept = l_diversify(df, ["zip"], "dx", 2)
+    assert sorted(r["zip"] for r in kept.collect()) == ["b", "b"]
+    with pytest.raises(ValueError, match="l must be >= 1"):
+        l_violations(df, ["zip"], "dx", 0)
+    with pytest.raises(ValueError, match="quasi_cols"):
+        l_violations(df, [], "dx", 2)
+
+
+def test_cohen_kappa_known_values(spark):
+    from beats_spark.dataops.labeling import cohen_kappa
+    # classic textbook 2x2: a/b counts yes-yes 20, yes-no 5,
+    # no-yes 10, no-no 15 -> po=0.7, pe=(25*30 + 25*20)/2500=0.5,
+    # kappa = 0.4
+    rows = ([("y", "y")] * 20 + [("y", "n")] * 5
+            + [("n", "y")] * 10 + [("n", "n")] * 15)
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohen_kappa(df, "a", "b").collect()[0]
+    assert (r["n"], r["po_micro"], r["pe_micro"]) == (50, 700000, 500000)
+    assert r["kappa_micro"] == 400000
+    # constant raters: pe = 1.0 -> kappa NULL, not a crash
+    const = spark.createDataFrame([("y", "y")] * 4, "a string, b string")
+    r = cohen_kappa(const, "a", "b").collect()[0]
+    assert r["po_micro"] == 1_000_000 and r["kappa_micro"] is None
+    # abstains (NULLs) drop before anything else
+    ab = spark.createDataFrame(
+        [("y", "y"), ("y", None), (None, "n")], "a string, b string")
+    assert cohen_kappa(ab, "a", "b").collect()[0]["n"] == 1
