@@ -59,7 +59,7 @@ from .textstats import (
     token_count,
 )
 from .curate import curate, CurationResult
-from .urls import (canonical_url, url_dedup, TRACKING_PARAMS,
+from .urls import (canonical_url, url_dedup, url_path_rollup, TRACKING_PARAMS,
                    lang_url_pairs, lang_url_skeleton)
 from .spans import doc_ngrams, ngram_duplicate_stats, remove_duplicate_spans
 from .sketch import (
@@ -118,7 +118,7 @@ from .robots import (
     parse_sitemap, parse_sitemap_index, robots_filter, url_path,
 )
 from .layout import (byte_balanced_shards, cluster_by_zorder,
-                     global_prefix_sum, global_rank, skyline_2d,
+                     equidepth_hist, global_prefix_sum, global_rank, skyline_2d,
                      write_bucketed, zorder_key)
 from .templates import (
     TEMPLATE_MASKS, count_anomalies, log_templates, template_col,
@@ -182,7 +182,7 @@ __all__ = [
     "compile_robots_pattern", "parse_robots", "parse_robots_txt",
     "parse_sitemap", "parse_sitemap_index", "robots_filter", "url_path",
     "byte_balanced_shards", "cluster_by_zorder", "global_prefix_sum",
-    "global_rank", "skyline_2d", "write_bucketed", "zorder_key",
+    "equidepth_hist", "global_rank", "skyline_2d", "url_path_rollup", "write_bucketed", "zorder_key",
     "TEMPLATE_MASKS", "count_anomalies", "log_templates",
     "template_col",
     "contamination_flags", "decontaminate",

@@ -28,7 +28,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["canonical_url", "url_dedup", "TRACKING_PARAMS",
+__all__ = ["canonical_url", "url_dedup", "url_path_rollup", "TRACKING_PARAMS",
            "DEFAULT_URL_LANGS", "lang_url_skeleton", "lang_url_pairs",
            "url_template", "crawl_traps"]
 
@@ -268,3 +268,51 @@ def lang_url_pairs(
     return (a.join(b, "skeleton")
             .filter(F.col("lang_a") < F.col("lang_b"))
             .select("skeleton", "lang_a", "id_a", "lang_b", "id_b"))
+
+
+def url_path_rollup(
+    df: DataFrame,
+    url_col: str = "url",
+    max_depth: int = 3,
+) -> DataFrame:
+    """Hierarchical path-prefix census: for every URL, emit its host
+    and each path prefix up to ``max_depth`` segments, then count
+    pages per ``(host, depth, prefix)`` — which subtrees of a site
+    dominate the crawl, the drill-down view a frontier budget or a
+    trap investigation starts from (the flat-template cousin is
+    :func:`crawl_traps`). Root-only URLs (no path segments) emit
+    nothing; duplicate URLs count once per occurrence.
+
+    Output: ``(host, depth, prefix, n_pages)`` with ``prefix`` like
+    ``/cal/2024``.
+
+    Plan: pure codegen — regex host/path split, split+filter on
+    ``/``, a bounded 1→``max_depth`` explode (sequence guarded
+    against the empty-parts case because Spark's ``sequence(1, 0)``
+    DESCENDS rather than being empty), one partial-combining groupBy.
+    Fan-out is ≤ max_depth rows per page, fixed up front; nothing
+    wider than (host, prefix) crosses the exchange.
+    """
+    if max_depth < 1:
+        raise ValueError(f"url_path_rollup: max_depth must be >= 1, "
+                         f"got {max_depth}")
+    u = F.col(url_col)
+    host = F.lower(F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    path = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    parts = F.filter(F.split(path, "/"), lambda x: x != "")
+    depths = F.when(
+        F.size(parts) > 0,
+        F.sequence(F.lit(1), F.least(F.size(parts),
+                                     F.lit(int(max_depth)))))\
+        .otherwise(F.array().cast("array<int>"))
+    base = (df.select(host.alias("host"), parts.alias("__p"),
+                      F.explode(depths).alias("depth"))
+            .select("host", "depth",
+                    F.concat(F.lit("/"),
+                             F.array_join(F.slice("__p", 1,
+                                                  F.col("depth")),
+                                          "/")).alias("prefix")))
+    return (base.groupBy("host", "depth", "prefix")
+            .agg(F.count(F.lit(1)).alias("n_pages")))

@@ -7434,6 +7434,26 @@ def annotator_kappa(spark, sf_dir):
     return cohen_kappa(docs, "a", "b")
 
 
+@query("equidepth_hist", oracle="""
+WITH r AS (SELECT n_chars AS v,
+    row_number() OVER (ORDER BY n_chars, doc_id) AS rk,
+    count(*) OVER () AS n FROM documents)
+SELECT CAST((rk - 1) * 8 // n + 1 AS INT) AS bucket,
+       count(*) AS n_rows, min(v) AS lo, max(v) AS hi
+FROM r GROUP BY 1
+""")
+def equidepth_hist_q(spark, sf_dir):
+    """Exact equi-depth histogram of document lengths
+    (:func:`beats_spark.dataops.layout.equidepth_hist`): the CBO /
+    zone-map statistics primitive. Rank-based buckets via
+    global_rank's range exchange (never a single-task ntile window);
+    tie rows are interchangeable so the result is
+    tiebreaker-invariant."""
+    from .dataops.layout import equidepth_hist
+    docs = _t(spark, sf_dir, "documents")
+    return equidepth_hist(docs, "n_chars", "doc_id", n_buckets=8)
+
+
 @query("multi_touch", oracle="""
 WITH conv AS (
   SELECT user_id,
@@ -10153,6 +10173,34 @@ def crawl_traps_q(spark, sf_dir):
     from .dataops.urls import crawl_traps
     ev = _t(spark, sf_dir, "events")
     return crawl_traps(_trap_urls(ev), min_ratio=100)
+
+
+@query("url_path_rollup", oracle=f"""
+WITH u AS (SELECT {_TRAP_URL_SQL} AS url FROM events),
+t AS (SELECT lower(regexp_extract(url,
+        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
+      list_filter(string_split(regexp_extract(url,
+        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/'),
+        x -> x <> '') AS parts
+      FROM u),
+x AS (SELECT host, d AS depth,
+        '/' || array_to_string(parts[1:d], '/') AS prefix
+      FROM t, UNNEST(generate_series(1,
+        least(len(parts), 3))) AS s(d)
+      WHERE len(parts) > 0)
+SELECT host, CAST(depth AS INT) AS depth, prefix,
+       count(*) AS n_pages
+FROM x GROUP BY 1, 2, 3
+""")
+def url_path_rollup_q(spark, sf_dir):
+    """Hierarchical path-prefix census
+    (:func:`beats_spark.dataops.urls.url_path_rollup`) over the trap
+    fixture URLs: which subtrees of each host dominate the crawl —
+    the drill-down companion of `crawl_traps`. Pure codegen split +
+    bounded ≤ max_depth explode + one partial-combining groupBy."""
+    from .dataops.urls import url_path_rollup
+    ev = _t(spark, sf_dir, "events")
+    return url_path_rollup(_trap_urls(ev), "url", max_depth=3)
 
 
 @query("attribution_join", oracle="""

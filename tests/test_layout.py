@@ -246,3 +246,27 @@ def test_skyline_2d_known_front(spark):
     multi = {(r["x"], r["y"])
              for r in skyline_2d(df, "x", "y", partitions=4).collect()}
     assert multi == set(out)
+
+
+def test_equidepth_hist_exactness_and_invariance(spark, sf_dir):
+    import pytest
+    from pyspark.sql import functions as F
+    from beats_spark.dataops.layout import equidepth_hist
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = equidepth_hist(docs, "n_chars", "doc_id", n_buckets=7)
+    rows = sorted(map(tuple, out.collect()))
+    n = docs.count()
+    # sizes differ by at most one and sum to n
+    sizes = [r[1] for r in rows]
+    assert sum(sizes) == n and max(sizes) - min(sizes) <= 1
+    # bucket bounds are non-decreasing across buckets
+    for (b1, _, _, hi1), (b2, _, lo2, _) in zip(rows, rows[1:]):
+        assert b2 == b1 + 1 and lo2 >= hi1 - 0  # sorted value order
+        assert lo2 >= rows[0][2]
+    # layout-invariant: same histogram at a different partitioning
+    again = sorted(map(tuple,
+                       equidepth_hist(docs.repartition(13), "n_chars",
+                                      "doc_id", 7).collect()))
+    assert again == rows
+    with pytest.raises(ValueError, match="n_buckets"):
+        equidepth_hist(docs, "n_chars", "doc_id", 0)

@@ -238,3 +238,25 @@ class TestCrawlTraps:
         assert out["trap.com"]["n_urls"] == 120
         assert out["ok.com"]["trap"] is False
         assert out["ok.com"]["n_urls"] == 3
+
+
+def test_url_path_rollup_prefixes_and_guards(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from beats_spark.dataops.urls import url_path_rollup
+    df = spark.createDataFrame(
+        [("https://a.example/x/y/z/deep",),   # depth capped at 3
+         ("https://a.example/x/y?q=1",),      # query stripped
+         ("https://a.example/x#frag",),       # fragment stripped
+         ("https://b.example/",),             # root only: no rows
+         ("https://b.example",)],             # no path at all: no rows
+        "url string")
+    out = {(r["host"], r["depth"], r["prefix"]): r["n_pages"]
+           for r in url_path_rollup(df, "url", max_depth=3).collect()}
+    assert out == {
+        ("a.example", 1, "/x"): 3,
+        ("a.example", 2, "/x/y"): 2,
+        ("a.example", 3, "/x/y/z"): 1,
+    }
+    with pytest.raises(ValueError, match="max_depth"):
+        url_path_rollup(df, "url", max_depth=0)
