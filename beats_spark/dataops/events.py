@@ -27,7 +27,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["ab_test", "apdex", "asof_join", "counter_rates", "km_survival", "bot_cadence", "clock_skew", "coec_scores", "covisitation", "cusum_alarms", "interval_join", "trend_slope",
+__all__ = ["ab_test", "apdex", "asof_join", "counter_rates", "fano_burstiness", "km_survival", "bot_cadence", "clock_skew", "coec_scores", "covisitation", "cusum_alarms", "interval_join", "trend_slope",
            "decayed_counts", "ewma_smooth",
            "funnel_steps", "merge_intervals",
            "percentile_rollup", "position_attribution",
@@ -1430,3 +1430,52 @@ def apdex(
                  F.expr("(2 * sum(__s) + sum(__t)) * 1000000 DIV "
                         "(2 * count(1))").cast("long")
                  .alias("apdex_micro")))
+
+
+def fano_burstiness(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    bucket_s: int = 60,
+) -> DataFrame:
+    """Per-key burstiness as the Fano factor (index of dispersion) of
+    per-bucket event counts — variance/mean over the key's OWN active
+    span, empty buckets included: a Poisson-steady source reads
+    ~10^6 micro, machine-gun bursts read far above, a metronome bot
+    (cf. :func:`bot_cadence`) far below. The classic traffic-shape
+    screen over parsed logs.
+
+    With ``m`` = buckets spanning the key's first..last event
+    (inclusive) and counts ``c_i`` (Σc = n): population variance over
+    all m buckets — zeros included without materializing them — gives
+    ``fano = (m·Σc² − n²) / (m·n)``, reported exactly as
+    ``fano_micro = (m·Σc² − n²) · 10^6 div (m·n)`` with the products
+    in decimal(38,0). A key whose events all land in one bucket has
+    zero variance → fano 0 (m = 1 makes m·Σc² = n² exactly). Output:
+    ``(key, n, m_buckets, fano_micro)``.
+
+    Plan: one partial-combining groupBy on (key, bucket) — the
+    shuffle carries key + a long — then one groupBy on the key.
+    Empty buckets enter through arithmetic (m from min/max bucket),
+    never through a generate/explode.
+    """
+    if bucket_s < 1:
+        raise ValueError(f"fano_burstiness: bucket_s must be >= 1, "
+                         f"got {bucket_s}")
+    us = _epoch_us(df, ts_col)
+    b = (us / F.lit(int(bucket_s) * 1_000_000)).cast("long")
+    per = (df.select(F.col(key_col), b.alias("__b"))
+           .groupBy(key_col, "__b")
+           .agg(F.count(F.lit(1)).alias("__c")))
+    d38 = "decimal(38,0)"
+    agg = (per.groupBy(key_col)
+           .agg(F.sum("__c").cast("long").alias("n"),
+                (F.max("__b") - F.min("__b") + 1).alias("m_buckets"),
+                F.sum(F.expr(f"cast(__c as {d38}) * cast(__c as {d38})"))
+                .cast(d38).alias("__cc")))
+    fano = F.expr(
+        f"(cast(m_buckets as {d38}) * __cc "
+        f"- cast(n as {d38}) * cast(n as {d38})) * 1000000 DIV "
+        f"(cast(m_buckets as {d38}) * cast(n as {d38}))")
+    return agg.select(key_col, "n", "m_buckets",
+                      fano.cast("long").alias("fano_micro"))

@@ -7454,6 +7454,31 @@ def equidepth_hist_q(spark, sf_dir):
     return equidepth_hist(docs, "n_chars", "doc_id", n_buckets=8)
 
 
+@query("fano_burstiness", oracle="""
+WITH per AS (SELECT user_id, epoch_us(ts) // 3600000000 AS b,
+    count(*)::HUGEINT AS c FROM events GROUP BY 1, 2),
+a AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+        CAST(max(b) - min(b) + 1 AS BIGINT) AS m_buckets,
+        sum(c * c) AS cc
+      FROM per GROUP BY 1)
+SELECT user_id, n, m_buckets,
+  CAST((m_buckets::HUGEINT * cc - n::HUGEINT * n::HUGEINT) * 1000000
+       // (m_buckets::HUGEINT * n::HUGEINT) AS BIGINT)
+    AS fano_micro
+FROM a
+""")
+def fano_burstiness_q(spark, sf_dir):
+    """Per-user traffic burstiness as the Fano factor
+    (:func:`beats_spark.dataops.events.fano_burstiness`) of hourly
+    event counts, empty buckets entering through arithmetic (span
+    from min/max bucket) rather than a generate. Two bounded
+    exchanges: (key, bucket) partial counts, then the per-key
+    sufficient statistics in decimal(38,0)/HUGEINT."""
+    from .dataops.events import fano_burstiness
+    ev = _t(spark, sf_dir, "events")
+    return fano_burstiness(ev, "user_id", "ts", bucket_s=3600)
+
+
 @query("multi_touch", oracle="""
 WITH conv AS (
   SELECT user_id,
@@ -10201,6 +10226,36 @@ def url_path_rollup_q(spark, sf_dir):
     from .dataops.urls import url_path_rollup
     ev = _t(spark, sf_dir, "events")
     return url_path_rollup(_trap_urls(ev), "url", max_depth=3)
+
+
+def _geohash_rollup_oracle() -> str:
+    from .dataops.geo import geohash_oracle_sql
+    cell = geohash_oracle_sql(
+        "(user_id * 7919) % 180000001 - 90000000",
+        "(event_id * 104729) % 360000001 - 180000000", 4)
+    return (f"SELECT {cell} AS cell, count(*) AS n\n"
+            f"FROM events GROUP BY 1")
+
+
+@query("geohash_cells", oracle=_geohash_rollup_oracle())
+def geohash_cells(spark, sf_dir):
+    """Traffic per geohash cell
+    (:func:`beats_spark.dataops.geo.geohash_rollup`): the grid
+    heatmap over deterministic synthetic micro-degree coordinates.
+    Exact integer quantization + bit interleave + base32, staged
+    through named columns so every projection stays inside codegen
+    limits (the one-expression spelling trips janino past precision
+    4); ONE partial-combining groupBy on the ≤ 32^4 cell key. The
+    oracle replays the identical bit fold via the module's SQL
+    emitter — parity pinned to the public spec by the u4pruydqqvj
+    known vector in test_geo."""
+    from .dataops.geo import geohash_rollup
+    ev = _t(spark, sf_dir, "events")
+    lat = ((F.col("user_id") * 7919) % 180_000_001 - 90_000_000)
+    lon = ((F.col("event_id") * 104729) % 360_000_001 - 180_000_000)
+    return geohash_rollup(
+        ev.select(lat.alias("lat"), lon.alias("lon")),
+        "lat", "lon", precision=4)
 
 
 @query("attribution_join", oracle="""

@@ -1158,3 +1158,31 @@ def test_apdex_known_values_and_validation(spark):
     assert r["apdex_micro"] == 500_000
     with pytest.raises(ValueError, match="threshold_micro"):
         apdex(df, "k", "lat", 0)
+
+
+def test_fano_burstiness_known_values(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from beats_spark.dataops.events import fano_burstiness
+    rows = (
+        # "steady": 1 event per bucket x4 -> variance 0 -> fano 0
+        [("steady", f"2024-01-01 00:{m:02d}:30") for m in range(4)]
+        # "burst": 4 events in one bucket, span 4 buckets
+        # counts [4,0,0,0]: mean 1, var 3 -> fano 3.0
+        + [("burst", "2024-01-01 00:00:01"),
+           ("burst", "2024-01-01 00:00:02"),
+           ("burst", "2024-01-01 00:00:03"),
+           ("burst", "2024-01-01 00:00:04"),
+           ("burst", "2024-01-01 00:03:30")])
+    # give "burst" a 5th event in bucket 3 so counts are [4,0,0,1]:
+    # n=5, m=4, cc=17 -> (4*17-25)*1e6 // (4*5) = 2150000
+    df = spark.createDataFrame(rows, "k string, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["k"]: r for r in
+           fano_burstiness(df, "k", "ts", bucket_s=60).collect()}
+    assert out["steady"]["fano_micro"] == 0
+    assert (out["steady"]["n"], out["steady"]["m_buckets"]) == (4, 4)
+    assert (out["burst"]["n"], out["burst"]["m_buckets"]) == (5, 4)
+    assert out["burst"]["fano_micro"] == 2_150_000
+    with pytest.raises(ValueError, match="bucket_s"):
+        fano_burstiness(df, "k", "ts", bucket_s=0)
