@@ -896,3 +896,92 @@ def stream_dns_alerts(
         stream, name_col=name_col, min_label_len=min_label_len,
         min_ent_per_cp_micro=min_ent_per_cp_micro)
     return flagged.filter(F.col("is_tunnel"))
+
+
+def stateful_heavy_hitters(
+    items: DataFrame,
+    item_col: str = "item",
+    shards: int = 8,
+    k: int = 64,
+) -> DataFrame:
+    """Streaming Misra-Gries heavy-hitter candidates — the live form
+    of :func:`beats_spark.dataops.sketch.heavy_hitters` phase 1, as
+    ``applyInPandasWithState`` keyed by a deterministic hash shard:
+    every occurrence of an item lands in exactly ONE shard (portable
+    60-bit md5 hash mod ``shards``), each shard folds its arriving
+    counts into a ``k``-counter MG summary (same batched prune as the
+    batch op: subtract the (k+1)-th largest, drop non-positives), and
+    after every micro-batch the shard emits its CURRENT summary
+    ``(shard, item, est, shard_n, seq)`` — ``seq`` increments per
+    emission, so "latest summary" = max seq per shard.
+
+    No-false-negative contract, carried over from the batch op: an
+    item with global count > n/k has all its weight in one shard s,
+    where count > n/k ≥ n_s/k > n_s/(k+1) — it survives shard s's
+    summary. The union of latest per-shard survivors is therefore a
+    complete candidate set at any point in the stream; the exact
+    recount (batch phase 2) runs as a periodic batch job over the
+    candidates. State per shard is ≤ k (item, count) pairs + two
+    longs — bounded for any stream length.
+
+    Items are carried as strings in state (cast on the way in);
+    NULL items are dropped before sharding (a NULL can't be a key).
+    """
+    if shards < 1:
+        raise ValueError(f"stateful_heavy_hitters: shards must be "
+                         f">= 1, got {shards}")
+    if k < 2:
+        raise ValueError(f"stateful_heavy_hitters: k must be >= 2, "
+                         f"got {k}")
+    import numpy as np
+
+    kk = int(k)
+    h = F.conv(F.substring(F.md5(F.concat(
+        F.col(item_col).cast("string"), F.lit("#hh"))), 1, 15),
+        16, 10).cast("long")
+    base = (items.filter(F.col(item_col).isNotNull())
+            .select(F.col(item_col).cast("string").alias("__it"),
+                    (h % shards).cast("int").alias("__shard")))
+    out_schema = ("shard int, item string, est long, shard_n long, "
+                  "seq long")
+    state_schema = ("its array<string>, cnts array<bigint>, "
+                    "total bigint, seq bigint")
+
+    def fn(key: Tuple, batches: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            its, cnts, total, seq = state.get
+            acc = pd.Series(list(cnts), index=list(its), dtype="int64")
+        else:
+            acc, total, seq = None, 0, 0
+        got = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            got = True
+            vals, c = np.unique(pdf["__it"].to_numpy(),
+                                return_counts=True)
+            total += int(c.sum())
+            s = pd.Series(c.astype("int64"), index=vals)
+            # float64 via aligned add — exact below 2^53
+            acc = s if acc is None else acc.add(s, fill_value=0)
+            if len(acc) > kk:
+                a = acc.to_numpy()
+                m = np.partition(a, -kk - 1)[-kk - 1]
+                acc = acc[acc > m] - m
+        if not got or acc is None or not len(acc):
+            return
+        seq += 1
+        state.update((list(acc.index.astype(str)),
+                      [int(v) for v in acc.to_numpy()],
+                      int(total), int(seq)))
+        yield pd.DataFrame({
+            "shard": np.full(len(acc), key[0], dtype="int32"),
+            "item": acc.index.to_numpy(),
+            "est": acc.to_numpy("int64"),
+            "shard_n": np.full(len(acc), total, dtype="int64"),
+            "seq": np.full(len(acc), seq, dtype="int64")})
+
+    return (base.groupBy("__shard").applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout))

@@ -96,6 +96,10 @@ BENCH_QUERIES = [
     "dedup_canonical", "passage_chunks", "change_rate", "bot_cadence", "meta_tags", "feed_items",
     "hreflang_links", "dom_templates", "domain_wilson",
     "domain_weights", "mirror_detect", "corpus_report",
+    "heavy_hitters", "auc_eval", "counter_rates", "trend_slope",
+    "apdex_score", "l_diversity", "annotator_kappa",
+    "equidepth_hist", "url_path_rollup", "geohash_cells",
+    "fano_burstiness",
     "flagship_routed_counts", "flagship_messages",
 ]
 

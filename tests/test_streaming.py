@@ -930,3 +930,62 @@ def test_stream_dns_alerts_matches_batch(spark, tmp_path):
         for r in dns_tunnel_flags(df).filter("is_tunnel").collect())
     assert got == batch
     assert [i for i, _, _ in got] == ["e1", "e3"]
+
+
+def test_stateful_heavy_hitters_candidates_complete(spark, tmp_path):
+    """Cross-micro-batch + restart: the union of each shard's LATEST
+    MG summary contains every global 1/k-heavy item (no false
+    negatives), and an exact recount over the candidates equals the
+    exact HAVING set — the batch op's contract, live."""
+    from beats_spark.streaming.pipeline import stateful_heavy_hitters
+    src_dir = str(tmp_path / "items")
+    ck = str(tmp_path / "ck_hh")
+    out_dir = str(tmp_path / "hh")
+    os.makedirs(src_dir)
+
+    def mk(ids, fname):
+        rows = [("hot_" + str(i % 3),) if i % 2 == 0
+                else ("v" + str(i),) for i in ids]
+        spark.createDataFrame(rows, "item string").coalesce(1) \
+            .write.mode("overwrite").parquet(
+                os.path.join(src_dir, fname))
+
+    def run():
+        stream = (spark.readStream.schema("item string")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(src_dir + "/*"))
+        hh = stateful_heavy_hitters(stream, "item", shards=4, k=6)
+        q = (hh.writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    mk(range(0, 400), "b1")
+    run()
+    mk(range(400, 1000), "b2")     # restart restores MG state
+    run()
+
+    from pyspark.sql import Window
+    out = spark.read.parquet(out_dir)
+    latest = (out.withColumn(
+        "__r", F.row_number().over(
+            Window.partitionBy("shard").orderBy(F.desc("seq"))))
+        .filter("__r = 1").select("shard", "seq").distinct())
+    cands = {r["item"] for r in out.join(
+        latest, ["shard", "seq"], "left_semi").collect()}
+
+    all_items = [("hot_" + str(i % 3),) if i % 2 == 0
+                 else ("v" + str(i),) for i in range(1000)]
+    batch = spark.createDataFrame(all_items, "item string")
+    n = batch.count()
+    exact = {r["item"]: r["c"] for r in
+             batch.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+             .collect() if r["c"] * 6 > n}
+    assert set(exact) <= cands          # no false negatives
+    # exact recount over candidates reproduces the exact answer
+    recount = {r["item"]: r["c"] for r in
+               batch.filter(F.col("item").isin(list(cands)))
+               .groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+               .collect() if r["c"] * 6 > n}
+    assert recount == exact and len(exact) == 2
