@@ -27,7 +27,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["ab_test", "apdex", "asof_join", "counter_rates", "fano_burstiness", "km_survival", "bot_cadence", "clock_skew", "coec_scores", "covisitation", "cusum_alarms", "interval_join", "trend_slope",
+__all__ = ["ab_test", "apdex", "asof_join", "counter_rates", "fano_burstiness", "holt_smooth", "km_survival", "bot_cadence", "clock_skew", "coec_scores", "covisitation", "cusum_alarms", "interval_join", "trend_slope",
            "decayed_counts", "ewma_smooth",
            "funnel_steps", "merge_intervals",
            "percentile_rollup", "position_attribution",
@@ -1479,3 +1479,80 @@ def fano_burstiness(
         f"(cast(m_buckets as {d38}) * cast(n as {d38}))")
     return agg.select(key_col, "n", "m_buckets",
                       fano.cast("long").alias("fano_micro"))
+
+
+def holt_smooth(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    x_col: str = "x",
+    order_by: Sequence[str] = ("event_id",),
+    alpha_num: int = 2,
+    alpha_den: int = 10,
+    beta_num: int = 1,
+    beta_den: int = 10,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-key Holt double-exponential smoothing (level + trend) in
+    integer fixed point — :func:`ewma_smooth` plus the trend term,
+    i.e. the one-step capacity forecast (``level + trend``) every
+    "will this host/domain blow its budget tomorrow" dashboard runs.
+
+    Recurrence, all BIGINT with division TRUNCATED TOWARD ZERO
+    (trend goes negative, and Python's ``//`` floors while DuckDB's
+    ``//`` and Spark's ``DIV`` truncate — the kernel spells
+    truncation explicitly so the recursive-CTE oracle replays it
+    bit-for-bit):
+
+    - ``l_1 = x_1·scale``, ``b_1 = 0``;
+    - ``l_t = trunc((α_n·x_t·scale + (α_d−α_n)·(l+b)) / α_d)``
+    - ``b_t = trunc((β_n·(l_t−l) + (β_d−β_n)·b) / β_d)``
+
+    Adds ``level_milli`` and ``trend_milli`` per row (``scale`` =
+    1000 by default). No closed form exists (per-step truncation),
+    exactly like the EWMA — this is the genuinely sequential class.
+
+    Scale shape: one hash exchange on the key, Arrow kernel per key;
+    keys parallelize, a key's cost is linear in its own rows. NULL
+    observations count as 0 (``coalesce(x, 0)`` in the oracle).
+    """
+    from pyspark.sql import types as T
+    import pandas as pd
+
+    schema_out = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("level_milli", T.LongType()),
+           T.StructField("trend_milli", T.LongType())])
+    a_n, a_d = int(alpha_num), int(alpha_den)
+    b_n, b_d = int(beta_num), int(beta_den)
+    sc = int(scale)
+    sort_cols = [ts_col, *order_by]
+
+    def tdiv(a: int, d: int) -> int:
+        q = a // d
+        if q < 0 and q * d != a:
+            q += 1
+        return q
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        levels, trends = [], []
+        lv = tr = None
+        for x in pdf[x_col].fillna(0).astype("int64").tolist():
+            xs = x * sc
+            if lv is None:
+                lv, tr = xs, 0
+            else:
+                prev = lv
+                lv = tdiv(a_n * xs + (a_d - a_n) * (lv + tr), a_d)
+                tr = tdiv(b_n * (lv - prev) + (b_d - b_n) * tr, b_d)
+            levels.append(lv)
+            trends.append(tr)
+        out = pdf.copy()
+        out["level_milli"] = pd.Series(levels, index=pdf.index,
+                                       dtype="int64")
+        out["trend_milli"] = pd.Series(trends, index=pdf.index,
+                                       dtype="int64")
+        return out
+
+    return df.groupBy(key_col).applyInPandas(scan, schema=schema_out)

@@ -4927,6 +4927,55 @@ def ewma_anomaly(spark, sf_dir):
                  F.sum(F.col("spike").cast("long")).alias("n_spikes")))
 
 
+@query("holt_forecast", oracle="""
+WITH RECURSIVE ev AS (
+  SELECT user_id AS k, event_id AS id,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT) AS rn,
+         CAST(round(value * 100) AS BIGINT) AS x
+  FROM events),
+scan AS (
+  SELECT k, id, rn, x * 1000 AS l, CAST(0 AS BIGINT) AS b
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.k, e.id, e.rn,
+         (2 * e.x * 1000 + 8 * (s.l + s.b)) // 10,
+         (1 * ((2 * e.x * 1000 + 8 * (s.l + s.b)) // 10 - s.l)
+          + 9 * s.b) // 10
+  FROM scan s JOIN ev e ON e.k = s.k AND e.rn = s.rn + 1),
+fin AS (SELECT *, max(rn) OVER (PARTITION BY k) AS mx FROM scan)
+SELECT k AS user_id, count(*) AS n,
+       CAST(max(CASE WHEN rn = mx THEN l END) AS BIGINT)
+         AS level_milli,
+       CAST(max(CASE WHEN rn = mx THEN b END) AS BIGINT)
+         AS trend_milli,
+       CAST(max(CASE WHEN rn = mx THEN l + b END) AS BIGINT)
+         AS forecast_milli
+FROM fin GROUP BY k
+""")
+def holt_forecast(spark, sf_dir):
+    """Per-user Holt level+trend smoothing with the one-step
+    capacity forecast (:func:`beats_spark.dataops.events
+    .holt_smooth`): alpha=0.2, beta=0.1 in integer milli fixed
+    point. Per-step truncation makes the scan genuinely recursive;
+    the oracle replays it as a recursive CTE — and DuckDB's ``//``
+    truncates toward zero like the kernel's explicit tdiv, so
+    negative trends agree bit-for-bit (the EWMA never went
+    negative; this one does)."""
+    from .dataops.events import holt_smooth
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "x", F.round(F.col("value") * 100).cast("long"))
+    sm = holt_smooth(ev, key_col="user_id", ts_col="ts", x_col="x")
+    last = F.struct("ts", "event_id")
+    return (sm.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.max_by("level_milli", last).alias("level_milli"),
+                 F.max_by("trend_milli", last).alias("trend_milli"),
+                 (F.max_by("level_milli", last)
+                  + F.max_by("trend_milli", last))
+                 .alias("forecast_milli")))
+
+
 @query("chunk_stride", oracle=f"""
 WITH t AS (SELECT doc_id, {_SH_TOKS} AS toks FROM documents),
 c AS (SELECT doc_id, toks, len(toks) AS n,

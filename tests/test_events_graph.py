@@ -1186,3 +1186,36 @@ def test_fano_burstiness_known_values(spark):
     assert out["burst"]["fano_micro"] == 2_150_000
     with pytest.raises(ValueError, match="bucket_s"):
         fano_burstiness(df, "k", "ts", bucket_s=0)
+
+
+def test_holt_smooth_known_values_and_negative_trend(spark):
+    from pyspark.sql import functions as F
+    from beats_spark.dataops.events import holt_smooth
+    # decreasing series drives the trend negative; replicate the
+    # recurrence with explicit truncation in plain python
+    xs = [100, 80, 60, 40, 20]
+    df = spark.createDataFrame(
+        [("k", f"2024-01-01 00:00:{i:02d}", i, x)
+         for i, x in enumerate(xs)],
+        "k string, ts string, event_id long, x long") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["event_id"]: (r["level_milli"], r["trend_milli"])
+           for r in holt_smooth(df, "k", "ts", "x").collect()}
+
+    def tdiv(a, d):
+        q = a // d
+        if q < 0 and q * d != a:
+            q += 1
+        return q
+
+    lv = tr = None
+    for i, x in enumerate(xs):
+        xv = x * 1000
+        if lv is None:
+            lv, tr = xv, 0
+        else:
+            prev = lv
+            lv = tdiv(2 * xv + 8 * (lv + tr), 10)
+            tr = tdiv(1 * (lv - prev) + 9 * tr, 10)
+        assert out[i] == (lv, tr), (i, out[i], (lv, tr))
+    assert tr < 0          # the point of the tdiv discipline
