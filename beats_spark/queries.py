@@ -7528,6 +7528,86 @@ def fano_burstiness_q(spark, sf_dir):
     return fano_burstiness(ev, "user_id", "ts", bucket_s=3600)
 
 
+@query("flow_records", oracle="""
+WITH pk0 AS (SELECT
+  '10.0.0.' || CAST(user_id % 50 AS VARCHAR) AS s_ip,
+  '10.1.1.' || CAST(user_id % 20 AS VARCHAR) AS d_ip,
+  CAST(user_id % 1000 + 1024 AS INT) AS s_p,
+  CAST(443 AS INT) AS d_p, 'tcp' AS proto, ts,
+  CAST(round(value * 10) AS BIGINT) + 40 AS nb,
+  event_id % 2 = 0 AS swap FROM events),
+pk AS (SELECT proto, ts, nb,
+  CASE WHEN swap THEN d_ip ELSE s_ip END AS src_ip,
+  CASE WHEN swap THEN s_ip ELSE d_ip END AS dst_ip,
+  CASE WHEN swap THEN d_p ELSE s_p END AS src_port,
+  CASE WHEN swap THEN s_p ELSE d_p END AS dst_port FROM pk0),
+canon AS (SELECT proto,
+  CASE WHEN src_ip < dst_ip OR (src_ip = dst_ip AND src_port <= dst_port)
+       THEN src_ip ELSE dst_ip END AS a_ip,
+  CASE WHEN src_ip < dst_ip OR (src_ip = dst_ip AND src_port <= dst_port)
+       THEN src_port ELSE dst_port END AS a_port,
+  CASE WHEN src_ip < dst_ip OR (src_ip = dst_ip AND src_port <= dst_port)
+       THEN dst_ip ELSE src_ip END AS b_ip,
+  CASE WHEN src_ip < dst_ip OR (src_ip = dst_ip AND src_port <= dst_port)
+       THEN dst_port ELSE src_port END AS b_port,
+  (src_ip < dst_ip OR (src_ip = dst_ip AND src_port <= dst_port))
+    AS fwd,
+  epoch_us(ts) AS us, nb FROM pk),
+g AS (SELECT *, CASE WHEN us - lag(us) OVER
+        (PARTITION BY proto, a_ip, a_port, b_ip, b_port ORDER BY us)
+        > 1800000000 OR lag(us) OVER
+        (PARTITION BY proto, a_ip, a_port, b_ip, b_port ORDER BY us)
+        IS NULL THEN 1 ELSE 0 END AS nf FROM canon),
+s AS (SELECT *, sum(nf) OVER
+        (PARTITION BY proto, a_ip, a_port, b_ip, b_port ORDER BY us
+         ROWS UNBOUNDED PRECEDING) AS flow FROM g)
+SELECT proto, a_ip, a_port, b_ip, b_port,
+  CAST(min(us) AS BIGINT) AS flow_start_us,
+  CAST(sum(CASE WHEN fwd THEN 1 ELSE 0 END) AS BIGINT)
+    AS packets_fwd,
+  CAST(sum(CASE WHEN fwd THEN 0 ELSE 1 END) AS BIGINT)
+    AS packets_rev,
+  CAST(sum(CASE WHEN fwd THEN nb ELSE 0 END) AS BIGINT) AS bytes_fwd,
+  CAST(sum(CASE WHEN fwd THEN 0 ELSE nb END) AS BIGINT) AS bytes_rev,
+  CAST(max(us) - min(us) AS BIGINT) AS duration_us
+FROM s GROUP BY proto, a_ip, a_port, b_ip, b_port, flow
+""")
+def flow_records(spark, sf_dir):
+    """Bidirectional flow aggregation
+    (:func:`beats_spark.dataops.flows.flow_aggregate`, porting
+    packetbeat's flow table: ``flows/flowid.go:244`` sorted-endpoint
+    canonical key + direction flag, ``flows/flows.go:35`` idle
+    timeout): synthetic packets with half the directions swapped so
+    canonicalization is exercised. One canonical-key exchange feeds
+    both the gap window and the flow aggregate."""
+    from .dataops.flows import flow_aggregate
+    ev = _t(spark, sf_dir, "events")
+    pk = ev.select(
+        F.concat(F.lit("10.0.0."),
+                 (F.col("user_id") % 50).cast("string"))
+         .alias("s_ip"),
+        F.concat(F.lit("10.1.1."),
+                 (F.col("user_id") % 20).cast("string"))
+         .alias("d_ip"),
+        (F.col("user_id") % 1000 + 1024).cast("int").alias("s_p"),
+        F.lit(443).cast("int").alias("d_p"),
+        F.lit("tcp").alias("proto"), "ts",
+        (F.round(F.col("value") * 10).cast("long") + 40)
+        .alias("n_bytes"),
+        (F.col("event_id") % 2 == 0).alias("swap"))
+    pk = pk.select(
+        F.when(F.col("swap"), F.col("d_ip")).otherwise(F.col("s_ip"))
+         .alias("src_ip"),
+        F.when(F.col("swap"), F.col("s_ip")).otherwise(F.col("d_ip"))
+         .alias("dst_ip"),
+        F.when(F.col("swap"), F.col("d_p")).otherwise(F.col("s_p"))
+         .alias("src_port"),
+        F.when(F.col("swap"), F.col("s_p")).otherwise(F.col("d_p"))
+         .alias("dst_port"),
+        "proto", "ts", "n_bytes")
+    return flow_aggregate(pk, timeout_s=1800)
+
+
 @query("multi_touch", oracle="""
 WITH conv AS (
   SELECT user_id,
