@@ -11,13 +11,13 @@ fact table entirely.
 
 from __future__ import annotations
 
-from typing import Any, Mapping
+from typing import Any, Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
 from . import ProcResult, register
 
-__all__ = ["broadcast_enrich", "registered_domain_col", "url_host"]
+__all__ = ["broadcast_enrich", "cidr_enrich", "registered_domain_col", "url_host"]
 
 
 def url_host(col: Column) -> Column:
@@ -289,3 +289,72 @@ def registered_domain_col(host: Column, target: str,
             rd.isNotNull() & (host != rd),
             F.substring(host, F.lit(1), F.length(host) - F.length(rd) - 1))
     return out
+
+
+def cidr_enrich(
+    df: DataFrame,
+    prefixes: DataFrame,
+    ip_col: str,
+    cidr_col: str = "cidr",
+    attach: "Sequence[str] | None" = None,
+) -> DataFrame:
+    """Longest-prefix-match CIDR enrichment — attach ASN / network /
+    geo attributes to every event by its IPv4 address, the engine
+    form of the geoip-style lookups Beats defers to the backend
+    (``add_fields``/geoip enrich family; the v4 mask arithmetic is
+    shared with ``conditions._v4_cidr_col`` so membership semantics
+    cannot drift). ``prefixes`` is a small dim table with a
+    ``cidr_col`` like ``10.0.0.0/8`` plus attribute columns; rows
+    whose IP matches several prefixes get the LONGEST one (routing
+    semantics). Non-IPv4 / unmatched rows keep NULL attributes.
+
+    Scale shape — the routing-table trick, not a range join: group
+    the dim by masklen; for each masklen present (≤ 33 of them),
+    compute ``ip & mask`` map-side and LEFT broadcast-join on the
+    masked base. The big side never shuffles and never explodes;
+    longest-match resolves as a coalesce over joins ordered masklen
+    DESC. Cost = (#distinct masklens) broadcast hash joins — bounded
+    by 33 whatever the table size; real ASN/geo tables concentrate
+    in a handful of masklens.
+
+    The dim is collected to the driver to read its masklens (it is a
+    broadcast-sized table by contract — same bound as any broadcast
+    join); each masklen's slice broadcasts separately.
+    """
+    from ..conditions import _IPV4_RE, ip_to_long
+
+    attach = list(attach) if attach is not None else [
+        c for c in prefixes.columns if c != cidr_col]
+    pfx = prefixes.select(
+        F.split(F.col(cidr_col), "/").getItem(0).alias("__base_ip"),
+        F.split(F.col(cidr_col), "/").getItem(1).cast("int")
+        .alias("__mlen"),
+        *[F.col(c) for c in attach])
+    pfx = pfx.withColumn("__base", ip_to_long(F.col("__base_ip")))
+    mlens = sorted({r["__mlen"] for r in
+                    pfx.select("__mlen").distinct().collect()},
+                   reverse=True)
+    for m in mlens:
+        if not 0 <= m <= 32:
+            raise ValueError(f"cidr_enrich: bad masklen /{m}")
+
+    ip = F.col(ip_col)
+    valid = ip.rlike(_IPV4_RE)
+    out = df.withColumn("__ipl",
+                        F.when(valid, ip_to_long(ip)))
+    joined = out
+    for m in mlens:
+        mask = ((0xFFFFFFFF << (32 - m)) & 0xFFFFFFFF) if m else 0
+        side = (pfx.filter(F.col("__mlen") == m)
+                .select(F.col("__base").alias(f"__b{m}"),
+                        *[F.col(c).alias(f"__{c}_{m}")
+                          for c in attach]))
+        joined = joined.join(
+            F.broadcast(side),
+            joined["__ipl"].bitwiseAND(F.lit(mask)) == side[f"__b{m}"],
+            "left").drop(f"__b{m}")
+    for c in attach:
+        joined = joined.withColumn(
+            c, F.coalesce(*[F.col(f"__{c}_{m}") for m in mlens]))
+    drop = ["__ipl"] + [f"__{c}_{m}" for c in attach for m in mlens]
+    return joined.drop(*drop)

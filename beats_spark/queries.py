@@ -7608,6 +7608,52 @@ def flow_records(spark, sf_dir):
     return flow_aggregate(pk, timeout_s=1800)
 
 
+@query("cidr_enrich", oracle="""
+WITH src AS (SELECT '10.' || CAST(user_id % 3 AS VARCHAR) || '.'
+        || CAST(event_id % 3 AS VARCHAR) || '.'
+        || CAST(event_id % 200 AS VARCHAR) AS ip, event_id
+      FROM events),
+ipl AS (SELECT *,
+  CAST(string_split(ip,'.')[1] AS BIGINT)*16777216
+  + CAST(string_split(ip,'.')[2] AS BIGINT)*65536
+  + CAST(string_split(ip,'.')[3] AS BIGINT)*256
+  + CAST(string_split(ip,'.')[4] AS BIGINT) AS v FROM src),
+m AS (SELECT *,
+  CASE WHEN (v // 256) * 256 = 167837952 THEN 3
+       WHEN (v // 65536) * 65536 = 167837696 THEN 2
+       WHEN (v // 16777216) * 16777216 = 167772160 THEN 1
+       ELSE 0 END AS tier FROM ipl)
+SELECT ip, event_id,
+  CASE tier WHEN 3 THEN 64498 WHEN 2 THEN 64497
+            WHEN 1 THEN 64496 END AS asn,
+  CASE tier WHEN 3 THEN 'lb-pool' WHEN 2 THEN 'dmz'
+            WHEN 1 THEN 'corp-net' END AS net_name
+FROM m
+""")
+def cidr_enrich_q(spark, sf_dir):
+    """Longest-prefix-match CIDR enrichment
+    (:func:`beats_spark.processors.enrich.cidr_enrich`): synthetic
+    event IPs against a nested /8-/16-/24 prefix table, longest
+    match winning (routing semantics). One broadcast hash join per
+    distinct masklen (≤ 33 ever), big side never shuffles; the
+    oracle spells the same mask arithmetic as tiered CASE."""
+    from .processors.enrich import cidr_enrich
+    ev = _t(spark, sf_dir, "events")
+    prefixes = spark.createDataFrame([
+        ("10.0.0.0/8", 64496, "corp-net"),
+        ("10.1.0.0/16", 64497, "dmz"),
+        ("10.1.1.0/24", 64498, "lb-pool"),
+        ("192.168.0.0/16", 64499, "lab"),
+    ], "cidr string, asn int, net_name string")
+    src = ev.select(
+        F.concat(F.lit("10."), (F.col("user_id") % 3).cast("string"),
+                 F.lit("."), (F.col("event_id") % 3).cast("string"),
+                 F.lit("."),
+                 (F.col("event_id") % 200).cast("string"))
+        .alias("ip"), "event_id")
+    return cidr_enrich(src, prefixes, "ip")
+
+
 @query("multi_touch", oracle="""
 WITH conv AS (
   SELECT user_id,

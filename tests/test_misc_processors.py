@@ -296,3 +296,36 @@ def test_user_agent_null_and_codegen(spark):
     # zero Python in the plan: a pure codegen expression chain
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_cidr_enrich_longest_match_and_nulls(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from beats_spark.processors.enrich import cidr_enrich
+    prefixes = spark.createDataFrame([
+        ("10.0.0.0/8", "wide"),
+        ("10.1.0.0/16", "mid"),
+        ("10.1.1.0/24", "narrow"),
+        ("0.0.0.0/0", "default"),
+    ], "cidr string, label string")
+    src = spark.createDataFrame(
+        [("10.1.1.7",),   # matches /8, /16, /24 -> narrow wins
+         ("10.1.9.7",),   # /8 and /16 -> mid
+         ("10.9.9.9",),   # /8 -> wide
+         ("11.0.0.1",),   # only /0 -> default
+         ("not-an-ip",),  # invalid -> NULL attrs
+         (None,)],
+        "ip string")
+    out = {r["ip"]: r["label"]
+           for r in cidr_enrich(src, prefixes, "ip").collect()}
+    assert out == {"10.1.1.7": "narrow", "10.1.9.7": "mid",
+                   "10.9.9.9": "wide", "11.0.0.1": "default",
+                   "not-an-ip": None, None: None}
+    bad = spark.createDataFrame([("1.2.3.0/33", "x")],
+                                "cidr string, label string")
+    with pytest.raises(ValueError, match="bad masklen"):
+        cidr_enrich(src, bad, "ip")
+    # plan: broadcast-only joins, big side never shuffles
+    plan = cidr_enrich(src, prefixes, "ip") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
