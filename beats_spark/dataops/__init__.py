@@ -107,7 +107,8 @@ from .events import (
     funnel_steps, interval_join, km_survival, percentile_rollup,
     position_attribution,
     retention_cohorts,
-    scd2_join, session_rollup, sessionize, trend_slope, winsorize,
+    scd2_join, session_rollup, sessionize, trend_slope,
+    weighted_percentiles, winsorize,
 )
 from .bpe import bpe_encode, bpe_merges
 from .graph import pagerank, spam_mass, triangle_count, trustrank
@@ -173,7 +174,7 @@ __all__ = [
     "dp_counts", "inverted_index", "ips_value", "k_anonymize", "k_violations", "l_diversify", "l_violations", "cohen_kappa", "ndcg_at_k",
     "phrase_search", "purge_ids",
     "sparse_cosine_pairs", "tfidf_top_terms",
-    "ab_test", "apdex", "asof_join", "auc_roc", "calibration_bins", "counter_rates", "fano_burstiness", "flow_aggregate", "geohash_col", "holt_smooth", "geohash_oracle_sql", "geohash_rollup", "trend_slope", "coec_scores", "cusum_alarms", "interval_join", "check_constraints", "corpus_report", "profile_columns",
+    "ab_test", "apdex", "asof_join", "auc_roc", "calibration_bins", "counter_rates", "fano_burstiness", "flow_aggregate", "geohash_col", "holt_smooth", "weighted_percentiles", "geohash_oracle_sql", "geohash_rollup", "trend_slope", "coec_scores", "cusum_alarms", "interval_join", "check_constraints", "corpus_report", "profile_columns",
     "event_transitions", "gini_concentration",
     "funnel_steps", "km_survival",
     "percentile_rollup", "position_attribution",

@@ -27,7 +27,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["ab_test", "apdex", "asof_join", "counter_rates", "fano_burstiness", "holt_smooth", "km_survival", "bot_cadence", "clock_skew", "coec_scores", "covisitation", "cusum_alarms", "interval_join", "trend_slope",
+__all__ = ["ab_test", "apdex", "asof_join", "counter_rates", "fano_burstiness", "holt_smooth", "weighted_percentiles", "km_survival", "bot_cadence", "clock_skew", "coec_scores", "covisitation", "cusum_alarms", "interval_join", "trend_slope",
            "decayed_counts", "ewma_smooth",
            "funnel_steps", "merge_intervals",
            "percentile_rollup", "position_attribution",
@@ -1556,3 +1556,59 @@ def holt_smooth(
         return out
 
     return df.groupBy(key_col).applyInPandas(scan, schema=schema_out)
+
+
+def weighted_percentiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    weight_col: str,
+    quantiles: Sequence[float] = (0.5, 0.95),
+    order_by: Sequence[str] = (),
+) -> DataFrame:
+    """Exact WEIGHTED per-key percentiles — the lower weighted
+    quantile: smallest value whose cumulative weight reaches
+    ``ceil(q·W)``. What byte-weighted response-size or
+    duration-weighted latency dashboards need where the unweighted
+    :func:`percentile_rollup` misleads (one 10 GB response matters
+    more than a thousand 1 KB ones). Output: ``(key, q_micro, value,
+    n, total_weight)``.
+
+    All integer: weights must be non-negative BIGINTs; the rank
+    threshold is ``(q_micro·W + 999999) div 10^6`` — the same
+    ceil-rank rule as :func:`beats_spark.dataops.sketch
+    .hdr_percentiles`, but exact over raw values instead of bucketed.
+    Zero-weight rows cannot be selected (they add nothing to the
+    cumulative weight and the threshold is ≥ 1 whenever W ≥ 1).
+
+    Plan: ONE hash exchange on the key + in-partition sort feeds the
+    cumulative-weight window; the ≤ |qs| explode fans each row out
+    only after the window, and one partial-combining groupBy on
+    (key, q) takes the min qualifying value. Per-key cost is linear
+    in its own rows × |qs|.
+    """
+    if not quantiles:
+        raise ValueError("weighted_percentiles: need at least one "
+                         "quantile")
+    for q in quantiles:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"weighted_percentiles: q must be in "
+                             f"(0, 1], got {q}")
+    order = [F.col(value_col)] + [F.col(c) for c in order_by]
+    w = Window.partitionBy(key_col).orderBy(*order) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    wk = Window.partitionBy(key_col)
+    qs = F.array(*[F.lit(int(round(q * 1_000_000)))
+                   for q in quantiles])
+    cum = (df.select(key_col, value_col,
+                     F.col(weight_col).cast("long").alias("__w"))
+           .withColumn("__cum", F.sum("__w").over(w))
+           .withColumn("__W", F.sum("__w").over(wk))
+           .withColumn("__n", F.count(F.lit(1)).over(wk))
+           .withColumn("q_micro", F.explode(qs)))
+    need = F.expr("(q_micro * __W + 999999) DIV 1000000")
+    hit = cum.filter(F.col("__cum") >= need)
+    return (hit.groupBy(key_col, "q_micro")
+            .agg(F.min(value_col).alias("value"),
+                 F.min("__n").alias("n"),
+                 F.min("__W").alias("total_weight")))

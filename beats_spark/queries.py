@@ -7654,6 +7654,42 @@ def cidr_enrich_q(spark, sf_dir):
     return cidr_enrich(src, prefixes, "ip")
 
 
+@query("weighted_percentiles", oracle="""
+WITH s AS (SELECT event_type,
+    CAST(round(value*100) AS BIGINT) AS lat,
+    event_id % 100 + 1 AS w
+  FROM events),
+c AS (SELECT *, sum(w) OVER (PARTITION BY event_type ORDER BY lat
+        ROWS UNBOUNDED PRECEDING) AS cum,
+      sum(w) OVER (PARTITION BY event_type) AS tw,
+      count(*) OVER (PARTITION BY event_type) AS n FROM s),
+x AS (SELECT c.*, q AS q_micro
+      FROM c, UNNEST([500000, 900000, 990000]) AS t(q)),
+h AS (SELECT * FROM x
+      WHERE cum >= (q_micro * tw + 999999) // 1000000)
+SELECT event_type, CAST(q_micro AS INT) AS q_micro,
+       min(lat) AS value, CAST(min(n) AS BIGINT) AS n,
+       CAST(min(tw) AS BIGINT) AS total_weight
+FROM h GROUP BY 1, 2
+""")
+def weighted_percentiles_q(spark, sf_dir):
+    """Exact weighted per-key percentiles
+    (:func:`beats_spark.dataops.events.weighted_percentiles`):
+    byte-weighted latency quantiles, lower-weighted-quantile rule
+    with the ceil-rank threshold. One key exchange feeds the
+    cumulative-weight window; the ≤ |qs| explode happens after it.
+    (Oracle note: DuckDB identifiers are case-insensitive, so the
+    total-weight alias must not be ``W`` next to column ``w``.)"""
+    from .dataops.events import weighted_percentiles
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("lat"),
+        (F.col("event_id") % 100 + 1).alias("w"))
+    return weighted_percentiles(src, "event_type", "lat", "w",
+                                quantiles=(0.5, 0.9, 0.99))
+
+
 @query("multi_touch", oracle="""
 WITH conv AS (
   SELECT user_id,

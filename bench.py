@@ -99,7 +99,7 @@ BENCH_QUERIES = [
     "heavy_hitters", "auc_eval", "counter_rates", "trend_slope",
     "apdex_score", "l_diversity", "annotator_kappa",
     "equidepth_hist", "url_path_rollup", "geohash_cells",
-    "fano_burstiness", "holt_forecast", "flow_records", "cidr_enrich",
+    "fano_burstiness", "holt_forecast", "flow_records", "cidr_enrich", "weighted_percentiles",
     "flagship_routed_counts", "flagship_messages",
 ]
 

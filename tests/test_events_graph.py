@@ -1219,3 +1219,33 @@ def test_holt_smooth_known_values_and_negative_trend(spark):
             tr = tdiv(1 * (lv - prev) + 9 * tr, 10)
         assert out[i] == (lv, tr), (i, out[i], (lv, tr))
     assert tr < 0          # the point of the tdiv discipline
+
+
+def test_weighted_percentiles_known_values(spark):
+    import pytest
+    from beats_spark.dataops.events import weighted_percentiles
+    # one heavy row dominates: values 1..4, weights 1,1,1,97
+    df = spark.createDataFrame(
+        [("k", 1, 1), ("k", 2, 1), ("k", 3, 1), ("k", 4, 97)],
+        "k string, v long, w long")
+    out = {r["q_micro"]: r for r in weighted_percentiles(
+        df, "k", "v", "w", quantiles=(0.01, 0.03, 0.04, 0.5, 1.0))
+        .collect()}
+    # need(q) = ceil(q*100): 1->v1, 3->v3, 4->v4, 50->v4, 100->v4
+    assert out[10_000]["value"] == 1
+    assert out[30_000]["value"] == 3
+    assert out[40_000]["value"] == 4
+    assert out[500_000]["value"] == 4
+    assert out[1_000_000]["value"] == 4
+    assert out[500_000]["total_weight"] == 100
+    assert out[500_000]["n"] == 4
+    # unweighted degenerate case (all weights 1) = classic lower
+    # quantile: median of [1,2,3,4] at q=0.5 -> ceil(2)=rank 2 -> 2
+    uw = spark.createDataFrame(
+        [("k", i, 1) for i in (1, 2, 3, 4)], "k string, v long, w long")
+    assert weighted_percentiles(uw, "k", "v", "w", (0.5,)) \
+        .collect()[0]["value"] == 2
+    with pytest.raises(ValueError, match="q must be"):
+        weighted_percentiles(df, "k", "v", "w", (1.5,))
+    with pytest.raises(ValueError, match="at least one"):
+        weighted_percentiles(df, "k", "v", "w", ())
