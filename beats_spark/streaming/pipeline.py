@@ -985,3 +985,89 @@ def stateful_heavy_hitters(
     return (base.groupBy("__shard").applyInPandasWithState(
         fn, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout))
+
+
+def stateful_counter_rates(
+    samples: DataFrame,
+    key_col: str = "host",
+    ts_col: str = "ts",
+    counter_col: str = "ctr",
+) -> DataFrame:
+    """Streaming form of :func:`beats_spark.dataops.events
+    .counter_rates`: turn arriving monotonic-counter samples into
+    per-second rates live, with the same reset rule (a counter that
+    went backwards restarts the interval at its own value) and the
+    same integer arithmetic — Python ints are arbitrary-precision, so
+    the emitted rates match the batch decimal(38,0) spelling
+    bit-for-bit on in-order input (asserted in the test).
+
+    State per key is two longs (last timestamp, last counter) —
+    stream-length independent. Samples are sorted within a
+    micro-batch; a sample at or before the key's last seen timestamp
+    ACROSS batches is emitted with ``dt_us = -1`` and NULL
+    delta/rate and does not touch state (the late-data rule of
+    ``stream_count_anomalies``). Each key's first-ever sample opens
+    the series and emits nothing.
+    """
+    in_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in samples.schema.fields)
+    out_schema = (f"{in_fields}, delta bigint, dt_us bigint, "
+                  f"was_reset boolean, rate_micro bigint")
+    state_schema = "last_us bigint, last_c bigint"
+
+    def fn(key: Tuple, batches: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_us, last_c = state.get
+        else:
+            last_us, last_c = None, None
+        chunks = [pdf for pdf in batches]
+        if not chunks:
+            return
+        pdf = _concat_chunks(chunks)
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        tcol = pdf[ts_col]
+        if getattr(tcol.dtype, "tz", None) is not None:
+            tcol = tcol.dt.tz_convert("UTC").dt.tz_localize(None)
+        us = (tcol.values.astype("datetime64[ns]")
+              .astype("int64") // 1000)
+        cs = pdf[counter_col].astype("int64").tolist()
+        first = last_us is None
+        deltas, dts, resets, rates = [], [], [], []
+        drop_first = False
+        for i, (t, c) in enumerate(zip(us, cs)):
+            t = int(t)
+            c = int(c)
+            if last_us is None:
+                last_us, last_c = t, c
+                drop_first = True
+                deltas.append(None); dts.append(None)
+                resets.append(None); rates.append(None)
+                continue
+            if t <= last_us:
+                deltas.append(None); dts.append(-1)
+                resets.append(None); rates.append(None)
+                continue
+            reset = c < last_c
+            d = c if reset else c - last_c
+            dt = t - last_us
+            deltas.append(d); dts.append(dt); resets.append(reset)
+            rates.append(d * 1_000_000_000_000 // dt if dt > 0
+                         else None)
+            last_us, last_c = t, c
+        out = pdf.copy()
+        out["delta"] = pd.array(deltas, dtype="Int64")
+        out["dt_us"] = pd.array(dts, dtype="Int64")
+        out["was_reset"] = pd.array(resets, dtype="boolean")
+        out["rate_micro"] = pd.array(rates, dtype="Int64")
+        if first and drop_first:
+            # the key's very first sample only opens the series
+            keep = ~(pd.Series(range(len(out)), index=out.index) == 0)
+            out = out[keep.values]
+        state.update((int(last_us), int(last_c)))
+        if len(out):
+            yield out
+
+    return (samples.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout))

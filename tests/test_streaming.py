@@ -989,3 +989,69 @@ def test_stateful_heavy_hitters_candidates_complete(spark, tmp_path):
                .groupBy("item").agg(F.count(F.lit(1)).alias("c"))
                .collect() if r["c"] * 6 > n}
     assert recount == exact and len(exact) == 2
+
+
+def test_stateful_counter_rates_matches_batch(spark, tmp_path):
+    """Streaming reset-rate emission matches the batch operator
+    row-for-row on in-order input, with state carried across
+    micro-batches AND a restart; a replayed sample is late-marked
+    (dt_us = -1) and leaves state untouched."""
+    from beats_spark.dataops.events import counter_rates
+    from beats_spark.streaming.pipeline import stateful_counter_rates
+    src_dir = str(tmp_path / "ctr")
+    ck = str(tmp_path / "ck_cr")
+    out_dir = str(tmp_path / "rates")
+    os.makedirs(src_dir)
+    t0 = 1_700_000_000_000_000
+    # (host, us offset s, counter) — includes a reset for h1
+    rows_all = [("h1", 0, 100), ("h1", 10, 160), ("h1", 20, 40),
+                ("h2", 0, 5), ("h1", 30, 75), ("h2", 40, 25),
+                ("h1", 50, 95)]
+
+    def mk(rows, fname):
+        spark.createDataFrame(
+            [(h, t0 + s * 1_000_000, c) for h, s, c in rows],
+            "host string, us bigint, ctr bigint") \
+            .select("host", F.timestamp_micros(F.col("us"))
+                    .alias("ts"), "ctr") \
+            .coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src_dir, fname))
+
+    def run():
+        stream = (spark.readStream
+                  .schema("host string, ts timestamp, ctr bigint")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(src_dir + "/*"))
+        q = (stateful_counter_rates(stream, "host", "ts", "ctr")
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    mk(rows_all[:4], "b1")
+    run()
+    mk(rows_all[4:], "b2")      # restart restores (last_us, last_c)
+    run()
+    got = {(r.host, r.ts.isoformat()): (r.delta, r.dt_us,
+                                        r.was_reset, r.rate_micro)
+           for r in spark.read.parquet(out_dir).collect()}
+
+    batch_in = spark.createDataFrame(
+        [(h, t0 + s * 1_000_000, c) for h, s, c in rows_all],
+        "host string, us bigint, ctr bigint") \
+        .select("host", F.timestamp_micros(F.col("us")).alias("ts"),
+                "ctr")
+    want = {(r.host, r.ts.isoformat()): (r.delta, r.dt_us,
+                                         r.was_reset, r.rate_micro)
+            for r in counter_rates(batch_in, "host", "ts",
+                                   "ctr").collect()}
+    assert got == want and len(got) == 5
+    assert any(w for _, _, w, _ in got.values())    # the reset seen
+
+    # replay an old sample in a third run: late-marked, state intact
+    mk([("h1", 10, 999)], "b3")
+    run()
+    rows3 = [r for r in spark.read.parquet(out_dir).collect()
+             if r.ctr == 999]
+    assert len(rows3) == 1 and rows3[0].dt_us == -1
+    assert rows3[0].rate_micro is None
