@@ -27,7 +27,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["ab_test", "apdex", "asof_join", "counter_rates", "fano_burstiness", "holt_smooth", "weighted_percentiles", "km_survival", "bot_cadence", "clock_skew", "coec_scores", "covisitation", "cusum_alarms", "interval_join", "trend_slope",
+__all__ = ["ab_test", "apdex", "asof_join", "counter_rates", "fano_burstiness", "gapfill_series", "holt_smooth", "sequence_gaps", "weighted_percentiles", "km_survival", "bot_cadence", "clock_skew", "coec_scores", "covisitation", "cusum_alarms", "interval_join", "trend_slope",
            "decayed_counts", "ewma_smooth",
            "funnel_steps", "merge_intervals",
            "percentile_rollup", "position_attribution",
@@ -1612,3 +1612,99 @@ def weighted_percentiles(
             .agg(F.min(value_col).alias("value"),
                  F.min("__n").alias("n"),
                  F.min("__W").alias("total_weight")))
+
+
+def sequence_gaps(
+    df: DataFrame,
+    key_col: str,
+    seq_col: str,
+) -> DataFrame:
+    """Per-key sequence-number gap audit — did we lose events? The
+    winlogbeat bookkeeping question (``winlogbeat/checkpoint/
+    checkpoint.go:63`` persists the per-channel ``record_number``
+    exactly so a reader can prove continuity; kafka offsets and
+    syslog msg ids pose the same audit). For each key ordered by the
+    sequence number: a gap is ``seq − prev_seq − 1`` missing records;
+    duplicates (``seq = prev``) are counted separately.
+
+    Output one row per key: ``(key, n, first_seq, last_seq,
+    n_missing, n_dups, n_gaps)`` where ``n_missing = Σ gaps``,
+    ``n_gaps`` counts the gap intervals, and for a duplicate-free
+    key ``n + n_missing = last_seq − first_seq + 1`` (the identity
+    the audit rests on; unit-tested).
+
+    Plan: ONE hash exchange on the key feeds both the lag window and
+    the per-key rollup (same partitioning — Spark reuses the
+    exchange); only (key, seq) longs move.
+    """
+    w = Window.partitionBy(key_col).orderBy("__s")
+    base = (df.select(key_col,
+                      F.col(seq_col).cast("long").alias("__s"))
+            .withColumn("__p", F.lag("__s").over(w)))
+    gap = F.when(F.col("__p").isNotNull()
+                 & (F.col("__s") > F.col("__p") + 1),
+                 F.col("__s") - F.col("__p") - 1).otherwise(0)
+    dup = (F.col("__p").isNotNull()
+           & (F.col("__s") == F.col("__p"))).cast("long")
+    return (base.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("__s").alias("first_seq"),
+                 F.max("__s").alias("last_seq"),
+                 F.sum(gap).cast("long").alias("n_missing"),
+                 F.sum(dup).cast("long").alias("n_dups"),
+                 F.sum((gap > 0).cast("long")).cast("long")
+                 .alias("n_gaps")))
+
+
+def gapfill_series(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    step: int = 1,
+) -> DataFrame:
+    """Dense per-key time series: fill the missing buckets between
+    each key's first and last observed bucket with zero rows — what
+    every charting/alerting consumer needs before rate math or
+    moving windows (a missing bucket is a 0, not an absent point;
+    cf. :func:`fano_burstiness`, which handles emptiness
+    arithmetically instead because it only needs moments). Output:
+    ``(key, bucket, value, is_filled)``.
+
+    Plan: per-key min/max aggregate (one exchange on the key) →
+    ``sequence()`` explode generates the dense spine (fan-out =
+    span/step per key, the inherent output size) → LEFT broadcast?
+    no — the spine and the observations hash-join on (key, bucket),
+    both sides already partitioned by key. Duplicate (key, bucket)
+    observations are rejected loudly via an assert column — fill
+    semantics are undefined over duplicates (pre-aggregate first).
+    """
+    if step < 1:
+        raise ValueError(f"gapfill_series: step must be >= 1, "
+                         f"got {step}")
+    b = F.col(bucket_col).cast("long")
+    obs = df.select(F.col(key_col), b.alias("__b"),
+                    F.col(value_col).alias("__v"))
+    dup_guard = (obs.groupBy(key_col, "__b")
+                 .agg(F.count(F.lit(1)).alias("__c"),
+                      F.first("__v").alias("__v")))
+    checked = dup_guard.withColumn(
+        "__v",
+        F.when(F.assert_true(
+            F.col("__c") == 1,
+            F.lit("gapfill_series: duplicate (key, bucket) rows — "
+                  "pre-aggregate first")).isNull(), F.col("__v")))
+    spine = (obs.groupBy(key_col)
+             .agg(F.min("__b").alias("__lo"),
+                  F.max("__b").alias("__hi"))
+             .select(key_col,
+                     F.explode(F.sequence(
+                         F.col("__lo"), F.col("__hi"),
+                         F.lit(int(step)))).alias("__b")))
+    joined = spine.join(checked.select(key_col, "__b", "__v"),
+                        [key_col, "__b"], "left")
+    return joined.select(
+        F.col(key_col),
+        F.col("__b").alias(bucket_col),
+        F.coalesce("__v", F.lit(0)).alias(value_col),
+        F.col("__v").isNull().alias("is_filled"))

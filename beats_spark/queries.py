@@ -7690,6 +7690,67 @@ def weighted_percentiles_q(spark, sf_dir):
                                 quantiles=(0.5, 0.9, 0.99))
 
 
+@query("sequence_gaps", oracle="""
+WITH s AS (SELECT event_type, event_id AS rec FROM events),
+l AS (SELECT event_type, rec,
+    lag(rec) OVER (PARTITION BY event_type ORDER BY rec) AS p
+  FROM s)
+SELECT event_type, count(*) AS n,
+  min(rec) AS first_seq, max(rec) AS last_seq,
+  CAST(sum(CASE WHEN p IS NOT NULL AND rec > p + 1
+                THEN rec - p - 1 ELSE 0 END) AS BIGINT)
+    AS n_missing,
+  CAST(sum(CASE WHEN p IS NOT NULL AND rec = p THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_dups,
+  CAST(sum(CASE WHEN p IS NOT NULL AND rec > p + 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps
+FROM l GROUP BY event_type
+""")
+def sequence_gaps_q(spark, sf_dir):
+    """Per-channel sequence-number continuity audit
+    (:func:`beats_spark.dataops.events.sequence_gaps`, the
+    winlogbeat record_number bookkeeping —
+    ``winlogbeat/checkpoint/checkpoint.go:63``): event ids sharded by
+    type have guaranteed gaps, so the audit identity
+    n + n_missing = span is exercised at every sf. One key exchange
+    feeds the lag window and the rollup."""
+    from .dataops.events import sequence_gaps
+    ev = _t(spark, sf_dir, "events")
+    return sequence_gaps(
+        ev.select("event_type", F.col("event_id").alias("rec")),
+        "event_type", "rec")
+
+
+@query("gapfill_series", oracle="""
+WITH h AS (SELECT event_type,
+    epoch_us(ts) // 3600000000 AS hb, count(*) AS c
+  FROM events GROUP BY 1, 2),
+sp AS (SELECT event_type, min(hb) AS lo, max(hb) AS hi
+       FROM h GROUP BY 1),
+spine AS (SELECT event_type, b AS hb
+          FROM sp, UNNEST(generate_series(lo, hi)) AS t(b))
+SELECT spine.event_type, CAST(spine.hb AS BIGINT) AS hb,
+       CAST(coalesce(h.c, 0) AS BIGINT) AS c,
+       h.c IS NULL AS is_filled
+FROM spine LEFT JOIN h USING (event_type, hb)
+""")
+def gapfill_series_q(spark, sf_dir):
+    """Dense hourly count series per event type
+    (:func:`beats_spark.dataops.events.gapfill_series`): missing
+    buckets between each key's first and last observation become
+    explicit zero rows flagged ``is_filled``. Per-key min/max +
+    sequence explode spine, hash join back on (key, bucket);
+    duplicate observations fail loudly."""
+    from .dataops.events import gapfill_series
+    ev = _t(spark, sf_dir, "events")
+    hourly = (ev.groupBy(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / 3_600_000_000).cast("long").alias("hb"))
+        .agg(F.count(F.lit(1)).alias("c")))
+    return gapfill_series(hourly, "event_type", "hb", "c")
+
+
 @query("multi_touch", oracle="""
 WITH conv AS (
   SELECT user_id,

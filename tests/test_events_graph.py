@@ -1249,3 +1249,44 @@ def test_weighted_percentiles_known_values(spark):
         weighted_percentiles(df, "k", "v", "w", (1.5,))
     with pytest.raises(ValueError, match="at least one"):
         weighted_percentiles(df, "k", "v", "w", ())
+
+
+def test_sequence_gaps_identity_and_dups(spark):
+    from beats_spark.dataops.events import sequence_gaps
+    df = spark.createDataFrame(
+        # key a: 1,2,5,5,9 -> gaps (3,4) and (6,7,8): missing 5,
+        # 2 gap intervals, 1 dup
+        [("a", 1), ("a", 2), ("a", 5), ("a", 5), ("a", 9),
+         # key b: contiguous
+         ("b", 10), ("b", 11), ("b", 12)],
+        "k string, rec long")
+    out = {r["k"]: r for r in sequence_gaps(df, "k", "rec").collect()}
+    a = out["a"]
+    assert (a["n"], a["first_seq"], a["last_seq"]) == (5, 1, 9)
+    assert (a["n_missing"], a["n_dups"], a["n_gaps"]) == (5, 1, 2)
+    # audit identity for dup-free keys: n + missing = span
+    b = out["b"]
+    assert b["n_missing"] == 0 and b["n_dups"] == 0
+    assert b["n"] + b["n_missing"] == b["last_seq"] - b["first_seq"] + 1
+
+
+def test_gapfill_series_zeros_and_dup_guard(spark):
+    import pytest
+    from beats_spark.dataops.events import gapfill_series
+    df = spark.createDataFrame(
+        [("k", 10, 5), ("k", 13, 7), ("q", 1, 1)],
+        "k string, b long, v long")
+    out = {(r["k"], r["b"]): (r["v"], r["is_filled"])
+           for r in gapfill_series(df, "k", "b", "v").collect()}
+    assert out[("k", 10)] == (5, False)
+    assert out[("k", 11)] == (0, True)
+    assert out[("k", 12)] == (0, True)
+    assert out[("k", 13)] == (7, False)
+    assert out[("q", 1)] == (1, False)
+    assert len(out) == 5
+    dup = spark.createDataFrame(
+        [("k", 1, 1), ("k", 1, 2)], "k string, b long, v long")
+    with pytest.raises(Exception, match="duplicate"):
+        gapfill_series(dup, "k", "b", "v").collect()
+    with pytest.raises(ValueError, match="step"):
+        gapfill_series(df, "k", "b", "v", step=0)
