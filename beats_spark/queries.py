@@ -7751,6 +7751,28 @@ def gapfill_series_q(spark, sf_dir):
     return gapfill_series(hourly, "event_type", "hb", "c")
 
 
+@query("rolling_actives", oracle="""
+WITH pairs AS (SELECT DISTINCT user_id AS u,
+    epoch_us(ts) // 86400000000 AS d FROM events),
+mx AS (SELECT max(d) AS m FROM pairs),
+x AS (SELECT u, rd AS day FROM pairs, mx,
+      UNNEST(generate_series(d, least(d + 6, m))) AS t(rd))
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(count(DISTINCT u) AS BIGINT) AS n_active
+FROM x GROUP BY 1
+""")
+def rolling_actives(spark, sf_dir):
+    """Exact trailing-7-day active users per day
+    (:func:`beats_spark.dataops.events.rolling_active_users`): the
+    DAU/WAU family. Distinct-pair exchange, bounded ×W explode,
+    count_distinct per report day; the sketch path for 100 TB
+    dashboards is hll_windowed (register unions instead of the
+    fan-out)."""
+    from .dataops.events import rolling_active_users
+    ev = _t(spark, sf_dir, "events")
+    return rolling_active_users(ev, "user_id", "ts", window_days=7)
+
+
 @query("multi_touch", oracle="""
 WITH conv AS (
   SELECT user_id,

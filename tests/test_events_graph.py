@@ -1290,3 +1290,22 @@ def test_gapfill_series_zeros_and_dup_guard(spark):
         gapfill_series(dup, "k", "b", "v").collect()
     with pytest.raises(ValueError, match="step"):
         gapfill_series(df, "k", "b", "v", step=0)
+
+
+def test_rolling_active_users_known_values(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from beats_spark.dataops.events import rolling_active_users
+    # users on days: u1 on d0 and d3; u2 on d0; day range clips at d3
+    rows = [("u1", 0), ("u2", 0), ("u1", 3), ("u1", 3)]
+    df = spark.createDataFrame(rows, "u string, d long").select(
+        "u", F.timestamp_micros(F.col("d") * 86_400_000_000)
+        .alias("ts"))
+    out = {r["day"]: r["n_active"]
+           for r in rolling_active_users(df, "u", "ts",
+                                         window_days=3).collect()}
+    # d0: {u1,u2}=2; d1: trailing {d0}: 2; d2: {d0}: 2
+    # d3: trailing days {1,2,3} -> only d3's u1 -> 1
+    assert out == {0: 2, 1: 2, 2: 2, 3: 1}
+    with pytest.raises(ValueError, match="window_days"):
+        rolling_active_users(df, "u", "ts", window_days=0)
