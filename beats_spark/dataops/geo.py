@@ -45,6 +45,32 @@ def _quant(micro: Column, off: int, span: int, bits: int) -> Column:
                       F.lit(span - off - 1).cast("long"), bits)
 
 
+def _interleave(qlon: Column, qlat: Column, lon_bits: int,
+                lat_bits: int) -> Column:
+    """MSB-first spec interleave (longitude owns the even positions)
+    of two already-quantized coordinate Columns into one long."""
+    total = lon_bits + lat_bits
+    val = F.lit(0).cast("long")
+    for i in range(total):
+        if i % 2 == 0:
+            bit = F.shiftright(qlon, lon_bits - 1 - i // 2)
+        else:
+            bit = F.shiftright(qlat, lat_bits - 1 - i // 2)
+        val = val.bitwiseOR(
+            F.shiftleft(bit.bitwiseAND(F.lit(1)), total - 1 - i)
+            .cast("long"))
+    return val
+
+
+def _base32(val: Column, precision: int) -> Column:
+    alphabet = F.array(*[F.lit(c) for c in GEOHASH_BASE32])
+    return F.concat(*[
+        F.element_at(alphabet,
+                     (F.shiftright(val, 5 * (precision - 1 - ci))
+                      .bitwiseAND(F.lit(31)) + 1).cast("int"))
+        for ci in range(precision)])
+
+
 def geohash_col(lat_micro: Column, lon_micro: Column,
                 precision: int = 6) -> Column:
     """Geohash string of integer micro-degree coordinates at
@@ -60,22 +86,8 @@ def geohash_col(lat_micro: Column, lon_micro: Column,
     lat_bits = total // 2
     qlon = _quant(lon_micro, 180_000_000, 360_000_000, lon_bits)
     qlat = _quant(lat_micro, 90_000_000, 180_000_000, lat_bits)
-    val = F.lit(0).cast("long")
-    for i in range(total):
-        if i % 2 == 0:
-            bit = F.shiftright(qlon, lon_bits - 1 - i // 2)
-        else:
-            bit = F.shiftright(qlat, lat_bits - 1 - i // 2)
-        val = val.bitwiseOR(
-            F.shiftleft(bit.bitwiseAND(F.lit(1)), total - 1 - i)
-            .cast("long"))
-    alphabet = F.array(*[F.lit(c) for c in GEOHASH_BASE32])
-    chars = [
-        F.element_at(alphabet,
-                     (F.shiftright(val, 5 * (precision - 1 - ci))
-                      .bitwiseAND(F.lit(31)) + 1).cast("int"))
-        for ci in range(precision)]
-    out = F.concat(*chars)
+    out = _base32(_interleave(qlon, qlat, lon_bits, lat_bits),
+                  precision)
     return F.when(lat_micro.isNotNull() & lon_micro.isNotNull(), out)
 
 
@@ -133,24 +145,13 @@ def with_geohash(
                             360_000_000, lon_bits),
         "__gh_qlat": _quant(F.col(lat_col), 90_000_000,
                             180_000_000, lat_bits)})
-    val = F.lit(0).cast("long")
-    for i in range(total):
-        src, nbits = (("__gh_qlon", lon_bits) if i % 2 == 0
-                      else ("__gh_qlat", lat_bits))
-        bit = F.shiftright(F.col(src), nbits - 1 - i // 2)
-        val = val.bitwiseOR(
-            F.shiftleft(bit.bitwiseAND(F.lit(1)), total - 1 - i)
-            .cast("long"))
-    st2 = st1.withColumn("__gh_val", val)
-    alphabet = F.array(*[F.lit(c) for c in GEOHASH_BASE32])
-    chars = [
-        F.element_at(alphabet,
-                     (F.shiftright(F.col("__gh_val"),
-                                   5 * (precision - 1 - ci))
-                      .bitwiseAND(F.lit(31)) + 1).cast("int"))
-        for ci in range(precision)]
+    st2 = st1.withColumn(
+        "__gh_val", _interleave(F.col("__gh_qlon"),
+                                F.col("__gh_qlat"),
+                                lon_bits, lat_bits))
     cell = F.when(F.col(lat_col).isNotNull()
-                  & F.col(lon_col).isNotNull(), F.concat(*chars))
+                  & F.col(lon_col).isNotNull(),
+                  _base32(F.col("__gh_val"), precision))
     return (st2.withColumn(out_col, cell)
             .drop("__gh_qlon", "__gh_qlat", "__gh_val"))
 
