@@ -103,7 +103,7 @@ from .checks import (check_constraints, corpus_report,
 from .events import (
     ab_test, apdex, asof_join, clock_skew, coec_scores, counter_rates,
     covisitation, cusum_alarms, fano_burstiness, gapfill_series,
-    holt_smooth, rolling_active_users, sequence_gaps,
+    holt_smooth, metric_correlation, rolling_active_users, sequence_gaps,
     event_transitions,
     funnel_steps, interval_join, km_survival, percentile_rollup,
     position_attribution,
@@ -175,7 +175,7 @@ __all__ = [
     "dp_counts", "inverted_index", "ips_value", "k_anonymize", "k_violations", "l_diversify", "l_violations", "cohen_kappa", "ndcg_at_k",
     "phrase_search", "purge_ids",
     "sparse_cosine_pairs", "tfidf_top_terms",
-    "ab_test", "apdex", "asof_join", "auc_roc", "calibration_bins", "counter_rates", "fano_burstiness", "flow_aggregate", "gapfill_series", "geohash_col", "holt_smooth", "rolling_active_users", "sequence_gaps", "weighted_percentiles", "geohash_oracle_sql", "geohash_rollup", "trend_slope", "coec_scores", "cusum_alarms", "interval_join", "check_constraints", "corpus_report", "profile_columns",
+    "ab_test", "apdex", "asof_join", "auc_roc", "calibration_bins", "counter_rates", "fano_burstiness", "flow_aggregate", "gapfill_series", "geohash_col", "holt_smooth", "metric_correlation", "rolling_active_users", "sequence_gaps", "weighted_percentiles", "geohash_oracle_sql", "geohash_rollup", "trend_slope", "coec_scores", "cusum_alarms", "interval_join", "check_constraints", "corpus_report", "profile_columns",
     "event_transitions", "gini_concentration",
     "funnel_steps", "km_survival",
     "percentile_rollup", "position_attribution",

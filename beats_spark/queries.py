@@ -7773,6 +7773,44 @@ def rolling_actives(spark, sf_dir):
     return rolling_active_users(ev, "user_id", "ts", window_days=7)
 
 
+@query("metric_correlation", oracle="""
+WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hb,
+    event_type AS metric, count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2),
+p AS (SELECT a.hb, a.metric AS metric_a, b.metric AS metric_b,
+        a.y::HUGEINT AS x, b.y::HUGEINT AS y
+      FROM h a JOIN h b USING (hb) WHERE a.metric < b.metric),
+g AS (SELECT metric_a, metric_b, count(*) AS n,
+        sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+        sum(x*x) AS sxx, sum(y*y) AS syy
+      FROM p GROUP BY 1, 2)
+SELECT metric_a, metric_b, CAST(n AS BIGINT) AS n,
+  CAST(CASE WHEN n::HUGEINT*sxx - sx*sx > 0
+             AND n::HUGEINT*syy - sy*sy > 0 THEN
+    (n::HUGEINT*sxy - sx*sy) * (n::HUGEINT*sxy - sx*sy) * 1000000
+    // ((n::HUGEINT*sxx - sx*sx) * (n::HUGEINT*syy - sy*sy))
+  END AS BIGINT) AS r2_micro,
+  CAST(CASE WHEN n::HUGEINT*sxy - sx*sy > 0 THEN 1
+            WHEN n::HUGEINT*sxy - sx*sy < 0 THEN -1
+            ELSE 0 END AS INT) AS sign
+FROM g
+""")
+def metric_correlation_q(spark, sf_dir):
+    """Pairwise Pearson r² + sign between hourly event-type series
+    (:func:`beats_spark.dataops.events.metric_correlation`): the
+    incident-correlation readout, exact in fixed point (r² not r —
+    no square root enters the engine). One bucket-join exchange with
+    #metrics²-bounded fan-out, one pair groupBy."""
+    from .dataops.events import metric_correlation
+    ev = _t(spark, sf_dir, "events")
+    hourly = (ev.groupBy(
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / 3_600_000_000).cast("long").alias("hb"),
+        F.col("event_type").alias("metric"))
+        .agg(F.count(F.lit(1)).alias("y")))
+    return metric_correlation(hourly, "hb", "metric", "y")
+
+
 @query("multi_touch", oracle="""
 WITH conv AS (
   SELECT user_id,

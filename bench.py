@@ -100,7 +100,7 @@ BENCH_QUERIES = [
     "apdex_score", "l_diversity", "annotator_kappa",
     "equidepth_hist", "url_path_rollup", "geohash_cells",
     "fano_burstiness", "holt_forecast", "flow_records", "cidr_enrich", "weighted_percentiles",
-    "sequence_gaps", "gapfill_series", "rolling_actives",
+    "sequence_gaps", "gapfill_series", "rolling_actives", "metric_correlation",
     "flagship_routed_counts", "flagship_messages",
 ]
 

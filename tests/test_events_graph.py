@@ -1309,3 +1309,23 @@ def test_rolling_active_users_known_values(spark):
     assert out == {0: 2, 1: 2, 2: 2, 3: 1}
     with pytest.raises(ValueError, match="window_days"):
         rolling_active_users(df, "u", "ts", window_days=0)
+
+
+def test_metric_correlation_known_values(spark):
+    from beats_spark.dataops.events import metric_correlation
+    rows = []
+    for t in range(6):
+        rows.append((t, "up", t))           # x = t
+        rows.append((t, "double", 2 * t))   # y = 2t: r = +1
+        rows.append((t, "down", 10 - t))    # r = -1 vs up
+        rows.append((t, "flat", 7))         # constant -> NULL r2
+    df = spark.createDataFrame(rows, "b long, m string, v long")
+    out = {(r["metric_a"], r["metric_b"]): r
+           for r in metric_correlation(df, "b", "m", "v").collect()}
+    r = out[("double", "up")]
+    assert (r["r2_micro"], r["sign"], r["n"]) == (1_000_000, 1, 6)
+    r = out[("down", "up")]
+    assert (r["r2_micro"], r["sign"]) == (1_000_000, -1)
+    r = out[("flat", "up")]
+    assert r["r2_micro"] is None and r["sign"] == 0
+    assert len(out) == 6    # all unordered pairs of 4 metrics
