@@ -1322,8 +1322,13 @@ def counter_rates(
     share the same Window frame (a single Window node) and everything
     after is a codegen projection — per-key cost linear in its own
     samples, no skew amplification.
+
+    Tied timestamps (duplicate ``(key, ts)`` samples) are ordered by
+    the counter value itself so the lag — and therefore ``delta`` /
+    ``was_reset`` on the tied rows — is deterministic across runs and
+    engines; the catalog oracle carries the identical tiebreaker.
     """
-    w = Window.partitionBy(key_col).orderBy(ts_col)
+    w = Window.partitionBy(key_col).orderBy(ts_col, "__c")
     us = _epoch_us(df, ts_col)
     base = (df.select(key_col, ts_col,
                       F.col(counter_col).cast("long").alias("__c"))
@@ -1678,6 +1683,12 @@ def gapfill_series(
     both sides already partitioned by key. Duplicate (key, bucket)
     observations are rejected loudly via an assert column — fill
     semantics are undefined over duplicates (pre-aggregate first).
+
+    ``is_filled`` is driven by a literal presence marker on the
+    observation side of the join, NOT by the value being NULL — an
+    observed row whose value is NULL keeps its NULL (and
+    ``is_filled = false``) instead of being silently conflated with
+    an absent bucket.
     """
     if step < 1:
         raise ValueError(f"gapfill_series: step must be >= 1, "
@@ -1701,13 +1712,16 @@ def gapfill_series(
                      F.explode(F.sequence(
                          F.col("__lo"), F.col("__hi"),
                          F.lit(int(step)))).alias("__b")))
-    joined = spine.join(checked.select(key_col, "__b", "__v"),
-                        [key_col, "__b"], "left")
+    joined = spine.join(
+        checked.select(key_col, "__b", "__v",
+                       F.lit(True).alias("__obs")),
+        [key_col, "__b"], "left")
     return joined.select(
         F.col(key_col),
         F.col("__b").alias(bucket_col),
-        F.coalesce("__v", F.lit(0)).alias(value_col),
-        F.col("__v").isNull().alias("is_filled"))
+        F.when(F.col("__obs").isNull(), F.lit(0))
+        .otherwise(F.col("__v")).alias(value_col),
+        F.col("__obs").isNull().alias("is_filled"))
 
 
 def rolling_active_users(

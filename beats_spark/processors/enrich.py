@@ -319,7 +319,15 @@ def cidr_enrich(
 
     The dim is collected to the driver to read its masklens (it is a
     broadcast-sized table by contract — same bound as any broadcast
-    join); each masklen's slice broadcasts separately.
+    join); each masklen's slice broadcasts separately. Non-canonical
+    CIDRs (host bits set in the base, e.g. ``10.1.1.7/24``) are
+    canonicalised per masklen (``base & mask``) when building each
+    join side, so they match their covering prefix instead of
+    silently never matching; duplicate canonical (base, masklen)
+    rows in the dim are rejected loudly — a LEFT join against a
+    duplicated prefix would silently duplicate fact rows. An empty
+    dim short-circuits to NULL attach columns (``coalesce`` over an
+    empty list is ill-defined).
     """
     from ..conditions import _IPV4_RE, ip_to_long
 
@@ -337,6 +345,15 @@ def cidr_enrich(
     for m in mlens:
         if not 0 <= m <= 32:
             raise ValueError(f"cidr_enrich: bad masklen /{m}")
+    if not mlens:
+        types = {f.name: f.dataType for f in prefixes.schema.fields}
+        out = df
+        for c in attach:
+            out = out.withColumn(c, F.lit(None).cast(types[c]))
+        return out
+
+    def _mask(m):
+        return ((0xFFFFFFFF << (32 - m)) & 0xFFFFFFFF) if m else 0
 
     ip = F.col(ip_col)
     valid = ip.rlike(_IPV4_RE)
@@ -344,11 +361,19 @@ def cidr_enrich(
                         F.when(valid, ip_to_long(ip)))
     joined = out
     for m in mlens:
-        mask = ((0xFFFFFFFF << (32 - m)) & 0xFFFFFFFF) if m else 0
+        mask = _mask(m)
         side = (pfx.filter(F.col("__mlen") == m)
-                .select(F.col("__base").alias(f"__b{m}"),
+                .select(F.col("__base").bitwiseAND(F.lit(mask))
+                        .alias(f"__b{m}"),
                         *[F.col(c).alias(f"__{c}_{m}")
                           for c in attach]))
+        ndup = (side.groupBy(f"__b{m}")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1).limit(1).count())
+        if ndup:
+            raise ValueError(
+                f"cidr_enrich: duplicate canonical prefix at /{m} — "
+                "a LEFT join against it would duplicate fact rows")
         joined = joined.join(
             F.broadcast(side),
             joined["__ipl"].bitwiseAND(F.lit(mask)) == side[f"__b{m}"],

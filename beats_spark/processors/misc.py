@@ -16,7 +16,7 @@ from pyspark.sql import types as T
 from . import ProcResult, register
 from ..conditions import cidr_match, ip_to_long
 
-__all__ = ["community_id_col"]
+__all__ = ["community_id_col", "community_id_md5_col"]
 
 
 # ------------------------------------------------------------- community_id
@@ -29,15 +29,11 @@ def _be_bytes(col: Column, width_hex: int) -> Column:
     return F.unhex(F.lpad(F.hex(col.cast("bigint")), width_hex, "0"))
 
 
-def community_id_col(src_ip: Column, src_port: Column, dst_ip: Column,
-                     dst_port: Column, proto: Column,
-                     seed: int = 0) -> Column:
-    """Community ID v1 flow hash (``communityid/communityid.go:90``):
-    ``"1:" + base64(sha1(seed . min_ep . max_ep . proto . 0 . ports))``
-    with the (ip, port) endpoint pair ordered so the flow hash is
-    direction-independent. Entirely JVM-side: IPv4 strings become
-    4-byte big-endian values via hex packing, sha1/base64 are built-ins
-    — no UDF in a per-flow hot path."""
+def _flow_endpoints(src_ip: Column, src_port: Column, dst_ip: Column,
+                    dst_port: Column, proto: Column):
+    """Direction-independent endpoint ordering + protocol number —
+    shared by the sha1 (spec) and md5 (oracle-exact) flow hashes so
+    their byte layouts cannot drift."""
     proto_n = F.coalesce(
         *[F.when(F.lower(proto) == name, F.lit(num))
           for name, num in _PROTO_NUM.items()],
@@ -48,12 +44,50 @@ def community_id_col(src_ip: Column, src_port: Column, dst_ip: Column,
     ip2 = F.when(flip, s_ip).otherwise(d_ip)
     p1 = F.when(flip, dst_port).otherwise(src_port)
     p2 = F.when(flip, src_port).otherwise(dst_port)
+    return ip1, ip2, p1, p2, proto_n
+
+
+def community_id_col(src_ip: Column, src_port: Column, dst_ip: Column,
+                     dst_port: Column, proto: Column,
+                     seed: int = 0) -> Column:
+    """Community ID v1 flow hash (``communityid/communityid.go:90``):
+    ``"1:" + base64(sha1(seed . min_ep . max_ep . proto . 0 . ports))``
+    with the (ip, port) endpoint pair ordered so the flow hash is
+    direction-independent. Entirely JVM-side: IPv4 strings become
+    4-byte big-endian values via hex packing, sha1/base64 are built-ins
+    — no UDF in a per-flow hot path."""
+    ip1, ip2, p1, p2, proto_n = _flow_endpoints(
+        src_ip, src_port, dst_ip, dst_port, proto)
     payload = F.concat(
         _be_bytes(F.lit(seed), 4),
         _be_bytes(ip1, 8), _be_bytes(ip2, 8),
         _be_bytes(proto_n, 2), _be_bytes(F.lit(0), 2),
         _be_bytes(p1, 4), _be_bytes(p2, 4))
     return F.concat(F.lit("1:"), F.base64(F.unhex(F.sha1(payload))))
+
+
+def community_id_md5_col(src_ip: Column, src_port: Column,
+                         dst_ip: Column, dst_port: Column,
+                         proto: Column, seed: int = 0) -> Column:
+    """md5 twin of :func:`community_id_col` for engines without sha1
+    (DuckDB ships md5 but no sha1, so this variant is the
+    oracle-exact one): identical endpoint ordering and byte layout,
+    but the digest input is the UPPERCASE hex spelling of the payload
+    (portable across engines whose hex() case differs from their
+    blob semantics) hashed with md5, and the prefix is ``"1m:"`` so
+    the value can never be mistaken for a spec Community ID. Same
+    zero-UDF JVM-side shape."""
+    ip1, ip2, p1, p2, proto_n = _flow_endpoints(
+        src_ip, src_port, dst_ip, dst_port, proto)
+
+    def hx(col: Column, w: int) -> Column:
+        return F.lpad(F.hex(col.cast("bigint")), w, "0")
+
+    payload_hex = F.concat(
+        hx(F.lit(seed), 4), hx(ip1, 8), hx(ip2, 8),
+        hx(proto_n, 2), F.lit("00"), hx(p1, 4), hx(p2, 4))
+    return F.concat(F.lit("1m:"),
+                    F.base64(F.unhex(F.md5(payload_hex))))
 
 
 @register("community_id")

@@ -3020,6 +3020,68 @@ def community_id_flows(spark, sf_dir):
                     .alias("n_distinct_flows")))
 
 
+@query("community_id_md5", oracle="""
+WITH f AS (
+  SELECT '10.0.0.' || (event_id % 200) AS src,
+         '10.1.1.' || (user_id % 200) AS dst,
+         CAST(event_id % 40000 + 1024 AS BIGINT) AS sp,
+         CAST(443 AS BIGINT) AS dp
+  FROM events),
+n AS (SELECT dst, sp, dp,
+    split_part(src,'.',1)::BIGINT*16777216
+      + split_part(src,'.',2)::BIGINT*65536
+      + split_part(src,'.',3)::BIGINT*256
+      + split_part(src,'.',4)::BIGINT AS s_l,
+    split_part(dst,'.',1)::BIGINT*16777216
+      + split_part(dst,'.',2)::BIGINT*65536
+      + split_part(dst,'.',3)::BIGINT*256
+      + split_part(dst,'.',4)::BIGINT AS d_l
+  FROM f),
+o AS (SELECT dst,
+    CASE WHEN s_l > d_l OR (s_l = d_l AND sp > dp)
+         THEN d_l ELSE s_l END AS ip1,
+    CASE WHEN s_l > d_l OR (s_l = d_l AND sp > dp)
+         THEN s_l ELSE d_l END AS ip2,
+    CASE WHEN s_l > d_l OR (s_l = d_l AND sp > dp)
+         THEN dp ELSE sp END AS p1,
+    CASE WHEN s_l > d_l OR (s_l = d_l AND sp > dp)
+         THEN sp ELSE dp END AS p2
+  FROM n),
+h AS (SELECT dst, '1m:' || to_base64(unhex(md5(
+    '0000' || lpad(to_hex(ip1),8,'0') || lpad(to_hex(ip2),8,'0')
+    || '06' || '00' || lpad(to_hex(p1),4,'0')
+    || lpad(to_hex(p2),4,'0')))) AS cid
+  FROM o)
+SELECT dst, min(cid) AS cid_min, max(cid) AS cid_max,
+       CAST(count(DISTINCT cid) AS BIGINT) AS n_ids
+FROM h GROUP BY dst
+""")
+def community_id_md5_q(spark, sf_dir):
+    """Oracle-exact md5 twin of the Community ID flow hash
+    (:func:`beats_spark.processors.misc.community_id_md5_col`;
+    layout per ``communityid/communityid.go:90``): DuckDB ships no
+    sha1, so this variant hashes the identical endpoint-ordered byte
+    layout (as uppercase hex) with md5 — the oracle recomputes the
+    whole pipeline including base64, making the flow-hash family
+    value-checked end to end (the sha1 form stays spec-vector-tested
+    in pytest). Grouped per destination so the compare covers actual
+    hash strings (min/max) at bounded output size. Zero UDF."""
+    from .processors.misc import community_id_md5_col
+    ev = _t(spark, sf_dir, "events")
+    oct_ = (F.col("event_id") % 200).cast("string")
+    src = F.concat(F.lit("10.0.0."), oct_)
+    dst = F.concat(F.lit("10.1.1."), (F.col("user_id") % 200)
+                   .cast("string"))
+    sport = (F.col("event_id") % 40000 + 1024).cast("int")
+    dport = F.lit(443).cast("int")
+    cid = community_id_md5_col(src, sport, dst, dport, F.lit("tcp"))
+    return (ev.select(dst.alias("dst"), cid.alias("cid"))
+              .groupBy("dst")
+              .agg(F.min("cid").alias("cid_min"),
+                   F.max("cid").alias("cid_max"),
+                   F.countDistinct("cid").alias("n_ids")))
+
+
 def flagship_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full routed event frame (entry() surface)."""
     from .pipeline import build_routed
@@ -7341,8 +7403,8 @@ def heavy_hitters_q(spark, sf_dir):
 WITH s AS (SELECT user_id AS host, ts,
     (event_id % 7) * 100 + user_id % 50 AS c FROM events),
 l AS (SELECT host, ts, c,
-    lag(c) OVER (PARTITION BY host ORDER BY ts) AS pc,
-    lag(epoch_us(ts)) OVER (PARTITION BY host ORDER BY ts) AS pus,
+    lag(c) OVER (PARTITION BY host ORDER BY ts, c) AS pc,
+    lag(epoch_us(ts)) OVER (PARTITION BY host ORDER BY ts, c) AS pus,
     epoch_us(ts) AS us FROM s)
 SELECT host, ts,
   CAST(CASE WHEN c < pc THEN c ELSE c - pc END AS BIGINT) AS delta,

@@ -1052,8 +1052,13 @@ def stateful_counter_rates(
             d = c if reset else c - last_c
             dt = t - last_us
             deltas.append(d); dts.append(dt); resets.append(reset)
-            rates.append(d * 1_000_000_000_000 // dt if dt > 0
-                         else None)
+            # truncate toward zero like the batch decimal DIV (Python
+            # // floors, so a negative delta — a reset sample whose
+            # counter value is itself negative — would diverge by one)
+            num = d * 1_000_000_000_000
+            trunc = (-((-num) // dt) if num < 0 else num // dt) \
+                if dt > 0 else None
+            rates.append(trunc)
             last_us, last_c = t, c
         out = pdf.copy()
         out["delta"] = pd.array(deltas, dtype="Int64")
