@@ -5430,6 +5430,76 @@ def socket_frames(spark, sf_dir):
                     (F.length("frame") > max_sz).alias("truncated")))
 
 
+@query("kafka_events", oracle="""
+WITH wire AS (
+  SELECT 'm ' || CAST(event_id AS VARCHAR) || ' ' || event_type
+           AS value,
+         'logs-' || event_type AS topic,
+         CAST(user_id % 8 AS INT) AS part,
+         CAST(event_id AS BIGINT) AS off,
+         CASE WHEN event_id % 3 = 0 THEN NULL
+              ELSE 'k' || CAST(user_id AS VARCHAR) END AS key,
+         ts
+  FROM events)
+SELECT value AS message, topic AS kafka_topic,
+       part AS kafka_partition, off AS kafka_offset,
+       key AS kafka_key,
+       'trace_id: t' || CAST(off AS VARCHAR) || '|src: beats'
+         AS hdrs,
+       ts AS event_time,
+       topic || '/' || CAST(part AS VARCHAR) AS log_source_address,
+       off AS log_offset
+FROM wire
+""")
+def kafka_events_q(spark, sf_dir):
+    """Kafka input event shaping
+    (:func:`beats_spark.streaming.sources.kafka_events`, porting
+    ``filebeat/input/kafka/input.go:436-470`` composeEventMetadata /
+    composeMessage + ``arrayForKafkaHeaders`` ``:226-241``): a
+    Kafka-wire frame (binary key/value, topic, partition, offset,
+    headers) synthesized from events — no broker in-sandbox, exactly
+    how ``datagram_events`` replays capture tables — shaped into the
+    reference's event: message text, flattened kafka_* metadata,
+    headers serialized ``"key: value"`` with ``:`` masked in the key,
+    and the chain-reuse columns (log_source_address =
+    topic/partition, log_offset = offset) that let socket_pipeline
+    order per partition by offset. NULL keys (unkeyed producers)
+    pass through. Pure codegen projection — zero Python, zero
+    shuffle; the oracle rebuilds every column from the same
+    construction."""
+    from .streaming.sources import kafka_events
+    ev = _t(spark, sf_dir, "events")
+    wire = ev.select(
+        F.encode(F.concat(F.lit("m "),
+                          F.col("event_id").cast("string"),
+                          F.lit(" "), F.col("event_type")), "utf-8")
+        .alias("value"),
+        F.concat(F.lit("logs-"), F.col("event_type")).alias("topic"),
+        (F.col("user_id") % 8).cast("int").alias("partition"),
+        F.col("event_id").cast("long").alias("offset"),
+        F.when(F.col("event_id") % 3 == 0, F.lit(None))
+         .otherwise(F.encode(F.concat(F.lit("k"),
+                                      F.col("user_id").cast("string")),
+                             "utf-8")).alias("key"),
+        F.col("ts").alias("timestamp"),
+        F.array(
+            F.struct(F.lit("trace:id").alias("key"),
+                     F.encode(F.concat(F.lit("t"),
+                                       F.col("event_id")
+                                       .cast("string")), "utf-8")
+                     .alias("value")),
+            F.struct(F.lit("src").alias("key"),
+                     F.encode(F.lit("beats"), "utf-8").alias("value")))
+        .alias("headers"))
+    out = kafka_events(wire)
+    return out.select(
+        "message", "kafka_topic", "kafka_partition", "kafka_offset",
+        "kafka_key",
+        F.concat_ws("|", "kafka_headers").alias("hdrs"),
+        F.col("@timestamp").alias("event_time"),
+        "log_source_address", "log_offset")
+
+
 @query("ttl_batch_split", oracle="""
 WITH e AS (
   SELECT event_id,

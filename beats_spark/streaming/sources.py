@@ -42,7 +42,8 @@ from ..processors import compile_processors
 from ..routing import route
 
 __all__ = ["datagram_events", "split_frames", "frames_arrow",
-           "truncate_frames", "socket_lines", "socket_pipeline"]
+           "truncate_frames", "socket_lines", "socket_pipeline",
+           "kafka_source", "kafka_events", "expand_event_list"]
 
 
 def split_frames(data: "str | None", framing: str = "delimiter",
@@ -266,6 +267,148 @@ def datagram_events(
             if c not in (value_col, source_col, ts_col)]
     out = df.select(*keep, F.col(value_col).alias("message"), src, ts)
     return truncate_frames(out, int(max_message_size))
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: "str | Sequence[str]",
+    include_headers: bool = True,
+    streaming: bool = True,
+    **options: Any,
+) -> DataFrame:
+    """Kafka input front door (``filebeat/input/kafka/input.go``;
+    SURVEY §2.1 "other inputs"): a thin, config-pass-through wrapper
+    over Spark's own Kafka connector — ``readStream.format("kafka")``
+    (or ``read`` for a bounded replay) with the subscription and any
+    extra connector options applied verbatim. Returns the RAW wire
+    frame (``key/value binary, topic, partition, offset, timestamp,
+    headers``) so :func:`kafka_events` can shape it; keeping the two
+    steps separate is what makes the shaping testable in-sandbox
+    (no broker here — tests inject wire-shaped rows through the same
+    :func:`kafka_events`, exactly as ``datagram_events`` replays
+    capture tables).
+
+    The reference's consumer-group options (group_id, initial_offset,
+    rebalance, isolation_level — ``input/kafka/config.go``) map to
+    connector options (``kafka.group.id``, ``startingOffsets``,
+    ``kafka.isolation.level``); pass them through ``options``.
+    """
+    topic_list = ([topics] if isinstance(topics, str) else list(topics))
+    reader = (spark.readStream if streaming else spark.read)
+    r = (reader.format("kafka")
+         .option("kafka.bootstrap.servers", bootstrap_servers)
+         .option("subscribe", ",".join(topic_list))
+         .option("includeHeaders", "true" if include_headers
+                 else "false"))
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def expand_event_list(col, field: str):
+    """``expand_event_list_from_field`` (``input/kafka/input.go:416``
+    ``parseMultipleMessages``): the payload is one JSON object whose
+    ``field`` holds an array of events; each element re-serializes to
+    its own compact JSON message. Un-parseable payloads yield an
+    EMPTY list (the reference logs and returns nothing — the row
+    disappears rather than poisoning the chain). One Arrow kernel:
+    arbitrary JSON elements can't re-serialize JVM-side, and the
+    per-element ``json.Marshal`` is exactly a fused map step.
+
+    Engine note: Go marshals map keys sorted; ``json.dumps(...,
+    sort_keys=True)`` with compact separators reproduces that byte
+    layout for string-keyed objects (the only kind JSON has).
+    """
+    import json
+
+    @F.pandas_udf("array<string>")
+    def _f(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        def one(v):
+            if v is None:
+                return []
+            if isinstance(v, (bytes, bytearray)):
+                v = bytes(v).decode("utf-8", errors="replace")
+            try:
+                obj = json.loads(v)
+                items = obj[field]
+                if not isinstance(items, list):
+                    return []
+            except (ValueError, KeyError, TypeError):
+                return []
+            return [json.dumps(m, sort_keys=True,
+                               separators=(",", ":")) for m in items]
+        for ser in it:
+            yield ser.map(one)
+    return _f(col)
+
+
+def kafka_events(
+    df: DataFrame,
+    expand_event_list_from_field: Optional[str] = None,
+    include_headers: bool = True,
+) -> DataFrame:
+    """Shape Kafka wire frames into the reference's kafka-input event
+    (``input/kafka/input.go:436-470`` composeEventMetadata /
+    composeMessage): ``message`` = the value bytes as text,
+    ``@timestamp`` = the broker message timestamp, and the ``kafka``
+    field group flattened to ``kafka_topic / kafka_partition /
+    kafka_offset / kafka_key`` plus ``kafka_headers`` — each header
+    serialized ``"<key>: <value>"`` with ``:`` in the key masked to
+    ``_`` (``arrayForKafkaHeaders``, ``input.go:226-241``).
+
+    ``expand_event_list_from_field`` splits a JSON-array payload into
+    one event per element (all elements share the frame's metadata,
+    as the reference's ``listFromFieldReader`` does).
+
+    Chain reuse: attaches ``log_source_address = topic/partition``
+    and ``log_offset = offset`` so :func:`socket_pipeline` orders an
+    order-sensitive parser (multiline) per Kafka partition by offset —
+    Kafka's own ordering guarantee, the shape the reference consumes
+    under. Everything except the optional expand kernel is a codegen
+    projection: zero shuffle, zero Python on the default path."""
+    cols = set(df.columns)
+
+    def maybe(name, expr, typ):
+        return (expr if name in cols
+                else F.lit(None).cast(typ))
+
+    key = maybe("key", F.col("key").cast("string"), "string")
+    ts = maybe("timestamp", F.col("timestamp"), "timestamp")
+    headers = None
+    if include_headers and "headers" in cols:
+        h = F.col("headers")
+        headers = F.transform(
+            h, lambda s: F.concat(
+                F.regexp_replace(s["key"], ":", "_"),
+                F.lit(": "),
+                F.coalesce(s["value"].cast("string"), F.lit(""))))
+    if headers is None:
+        headers = F.lit(None).cast("array<string>")
+
+    base = df.select(
+        F.col("value").cast("string").alias("__payload"),
+        maybe("topic", F.col("topic"), "string").alias("kafka_topic"),
+        maybe("partition", F.col("partition").cast("int"), "int")
+        .alias("kafka_partition"),
+        maybe("offset", F.col("offset").cast("long"), "bigint")
+        .alias("kafka_offset"),
+        key.alias("kafka_key"),
+        headers.alias("kafka_headers"),
+        F.coalesce(ts, F.current_timestamp()).alias("@timestamp"))
+    if expand_event_list_from_field:
+        msg = F.explode(expand_event_list(
+            F.col("__payload"), expand_event_list_from_field))
+    else:
+        msg = F.col("__payload")
+    return (base.select(msg.alias("message"), "kafka_topic",
+                        "kafka_partition", "kafka_offset", "kafka_key",
+                        "kafka_headers", "@timestamp")
+            .withColumn("log_source_address",
+                        F.concat(F.col("kafka_topic"), F.lit("/"),
+                                 F.col("kafka_partition")
+                                 .cast("string")))
+            .withColumn("log_offset", F.col("kafka_offset")))
 
 
 def socket_pipeline(

@@ -1,0 +1,125 @@
+"""Kafka input shaping (streaming/sources.py::kafka_source /
+kafka_events / expand_event_list) — ports of
+``filebeat/input/kafka/input.go``: composeEventMetadata/composeMessage
+event shape (:436-470), arrayForKafkaHeaders ``key: value``
+serialization with ``:`` masking (:226-241), and
+``expand_event_list_from_field`` (listFromFieldReader /
+parseMultipleMessages :380-434). No broker in-sandbox: wire-shaped
+rows inject through the same shaping path, as the reference's own
+input_test.go drives the handler without sarama."""
+
+import json
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from beats_spark.streaming.sources import (
+    expand_event_list, kafka_events, socket_pipeline)
+
+
+def _wire(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp, "
+        "headers array<struct<key:string,value:binary>>")
+
+
+def _b(s):
+    return s.encode() if s is not None else None
+
+
+def test_kafka_events_shape_and_headers(spark):
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (_b("k1"), _b("hello"), "logs", 0, 7, t0,
+         [("trace:id", _b("abc")), ("src", _b("beats"))]),
+        (None, _b("world"), "logs", 3, 9, t0, []),
+    ]
+    out = kafka_events(_wire(spark, rows)).orderBy("kafka_offset")
+    a, b = out.collect()
+    assert a["message"] == "hello" and a["kafka_key"] == "k1"
+    assert a["kafka_topic"] == "logs" and a["kafka_partition"] == 0
+    assert a["kafka_offset"] == 7
+    # arrayForKafkaHeaders: ":" in the key masked to "_"
+    assert a["kafka_headers"] == ["trace_id: abc", "src: beats"]
+    assert a["log_source_address"] == "logs/0"
+    assert a["log_offset"] == 7
+    assert a["@timestamp"] == t0
+    # unkeyed producer → NULL key survives; empty headers stay []
+    assert b["kafka_key"] is None and b["kafka_headers"] == []
+
+
+def test_expand_event_list_from_field(spark):
+    payload = json.dumps({"records": [
+        {"msg": "a", "n": 1}, {"n": 2, "msg": "b"}]})
+    rows = [(None, _b(payload), "t", 0, 1, None, None),
+            (None, _b("not json"), "t", 0, 2, None, None),
+            (None, _b('{"other": [1]}'), "t", 0, 3, None, None)]
+    out = kafka_events(_wire(spark, rows),
+                       expand_event_list_from_field="records")
+    got = [(r["message"], r["kafka_offset"])
+           for r in out.orderBy("kafka_offset", "message").collect()]
+    # elements re-serialize compact with sorted keys (Go json.Marshal
+    # of a map marshals keys sorted); bad/missing-field payloads
+    # vanish like the reference's logged-and-skipped path
+    assert got == [('{"msg":"a","n":1}', 1), ('{"msg":"b","n":2}', 1)]
+
+
+def test_kafka_chain_parity_with_file_pipeline(spark):
+    """A kafka topic and a log file with the same
+    parsers/processors/rules produce identical events — the same
+    invariant test_socket_pipeline_matches_file_pipeline asserts for
+    tcp (chain reuse is the point of the input family)."""
+    from beats_spark.functions.parsers import compile_parsers
+    from beats_spark.processors import compile_processors
+    from beats_spark.routing import route
+
+    lines = ['{"level":"info","msg":"started"}',
+             '{"level":"error","msg":"boom"}',
+             '{"level":"info","msg":"done"}']
+    parsers = [{"ndjson": {"schema": "level string, msg string",
+                           "add_error_key": True}}]
+    processors = [{"uppercase": {"fields": ["level"]}}]
+    rules = [{"index": "sink_err",
+              "when": {"equals": {"level": "ERROR"}}}]
+
+    wire = _wire(spark, [
+        (None, _b(m), "logs", 0, i, None, None)
+        for i, m in enumerate(lines)])
+    via_kafka = socket_pipeline(
+        kafka_events(wire), parsers=parsers, processors=processors,
+        rules=rules, default_sink="sink_ok")
+
+    file_df = spark.createDataFrame(
+        [Row(message=m, line_no=i) for i, m in enumerate(lines)])
+    file_df = compile_parsers(parsers, field="message")(file_df)
+    file_df = compile_processors(processors)(file_df)
+    file_df = route(file_df, list(rules), default="sink_ok")
+
+    cols = ["message", "level", "msg", "sink"]
+    got = [tuple(r) for r in
+           via_kafka.select(*cols).orderBy("message").collect()]
+    expect = [tuple(r) for r in
+              file_df.select(*cols).orderBy("message").collect()]
+    assert got == expect
+    assert {r["sink"] for r in via_kafka.select("sink").collect()} \
+        == {"sink_ok", "sink_err"}
+
+
+def test_kafka_source_is_config_passthrough(spark):
+    """kafka_source wires the connector options verbatim; without a
+    broker the load() must at least build the plan with the kafka
+    provider resolved or fail with the provider-missing error —
+    either way the wrapper's own wiring is exercised."""
+    try:
+        df = kafka_events(__import__(
+            "beats_spark.streaming.sources", fromlist=["kafka_source"]
+        ).kafka_source(spark, "localhost:9092", ["logs"],
+                       streaming=False))
+        df.schema  # plan must analyze if the connector is present
+    except Exception as e:
+        msg = str(e)
+        assert ("kafka" in msg.lower()
+                or "DATA_SOURCE_NOT_FOUND" in msg), msg
