@@ -29,7 +29,7 @@ from typing import Dict, List, Optional, Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .dedup import minhash_lsh_pairs
+from .dedup import dedup_exact, minhash_lsh_pairs
 from .textstats import text_stats_arrow
 
 __all__ = ["curate", "CurationResult"]
@@ -147,10 +147,13 @@ def curate(
     if langs:
         kept = kept.filter(F.col(lang_col).isin(*langs))
 
-    # 3. exact dedup — shuffle carries (digest, id) only
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
-    kept = (kept.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1).drop("__rn"))
+    # 3. exact dedup — dedup_exact's narrow shape: the keep decision
+    # ships only (digest, id) pairs and survivors come back via LEFT
+    # SEMI, so full text never rides the exchange (the old
+    # Window.partitionBy(md5(text)) spelling here moved and sorted
+    # full rows — caught by the wide_text_exchange plan-lint rule).
+    # Winner rule unchanged: min id per digest, one NULL-text keeper.
+    kept = dedup_exact(kept, text_col=text_col, id_col=id_col)
     if with_metrics:
         kept = kept.persist()
         cached.append(kept)

@@ -19,6 +19,17 @@ and reports the patterns that break 100 TB jobs:
                        partial-combined global aggregate.
 - ``unpushed_scan``    a parquet scan with pushable filters above it
                        but ``PushedFilters: []``.
+- ``wide_text_exchange`` a shuffle Exchange whose input carries a
+                       known wide text/payload column (``text``,
+                       ``message``, ``html``, …) as a PASSENGER — the
+                       column is not itself the (bare) partitioning
+                       key. The dedup_exact class of bug: full
+                       document bodies riding a keyed shuffle that
+                       only needed (digest, id). Keyed-BY-the-column
+                       exchanges are exempt (the key must cross), as
+                       are round-robin rebalances (payload movement
+                       is their purpose) and broadcast exchanges
+                       (bounded by contract).
 
 ``assert_scale_safe(df)`` raises on the first two severities unless
 explicitly allowed — the test-suite form; CI-grade enforcement of what
@@ -48,11 +59,100 @@ RULES = {
     "nested_loop": "warn",
     "single_partition": "warn",
     "unpushed_scan": "warn",
+    "wide_text_exchange": "error",
 }
+
+# payload-width column names whose presence in a keyed shuffle's
+# input (as a non-key passenger) flags the exchange. Name-based by
+# design: the engine's own conventions (documents.text, message,
+# html bodies) are what the rule guards.
+WIDE_TEXT_COLS = frozenset(
+    {"text", "message", "html", "body", "content", "payload"})
+
+_ATTR = r"[A-Za-z_@$][\w.@$\- ]*"
+_ATTR_RE = re.compile(rf"({_ATTR})#\d+")
+_BARE_ATTR_RE = re.compile(rf"^({_ATTR})#\d+L?$")
 
 
 def _plan_string(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted_plan(df: DataFrame) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def _split_top_level(s: str) -> List[str]:
+    """Split an argument list on top-level commas (not inside
+    parentheses)."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def wide_text_exchanges(df: DataFrame) -> List[Dict[str, str]]:
+    """Scan the formatted plan for keyed shuffle Exchanges whose
+    input carries a :data:`WIDE_TEXT_COLS` column as a passenger
+    (the column is not itself a bare partitioning key). Returns
+    ``[{exchange, carried, keys}, ...]``."""
+    plan = _formatted_plan(df)
+    findings: List[Dict[str, str]] = []
+    blocks = re.split(r"\n\n+", plan)
+    for block in blocks:
+        m = re.match(r"\(\d+\) Exchange\b", block.strip())
+        if not m:
+            continue
+        inp = re.search(r"Input \[\d+\]: \[(.*?)\]\n", block + "\n",
+                        re.S)
+        args = re.search(r"Arguments: (.*)", block)
+        if not inp or not args:
+            continue
+        arg_s = args.group(1)
+        part = re.search(r"(hashpartitioning|rangepartitioning)"
+                         r"\((.*)\)", arg_s)
+        if part is None:
+            if "SinglePartition" not in arg_s:
+                continue  # roundrobin / other: payload movement is
+                          # the stated purpose, not a passenger leak
+            keys: set = set()
+        else:
+            keys = set()
+            for comp in _split_top_level(part.group(2)):
+                comp = re.sub(r"\s+(ASC|DESC)(\s+NULLS"
+                              r"\s+(FIRST|LAST))?$", "", comp)
+                bare = _BARE_ATTR_RE.match(comp)
+                if bare:
+                    keys.add(bare.group(1).strip())
+        # bare attributes only: an aliased expression (e.g. the
+        # digest "CASE WHEN isnull(text#1) ... END#32") mentions the
+        # text column inside its NAME without carrying the column —
+        # splitting top-level and matching whole components avoids
+        # that false positive
+        in_cols = set()
+        for comp in _split_top_level(inp.group(1)):
+            bare = _BARE_ATTR_RE.match(comp.strip())
+            if bare:
+                in_cols.add(bare.group(1).strip())
+        carried = sorted((in_cols - keys) & WIDE_TEXT_COLS)
+        if carried:
+            findings.append({
+                "exchange": arg_s.strip()[:120],
+                "carried": ",".join(carried),
+                "keys": ",".join(sorted(keys))})
+    return findings
 
 
 def lint_plan(df: DataFrame) -> List[Dict[str, str]]:
@@ -83,6 +183,11 @@ def lint_plan(df: DataFrame) -> List[Dict[str, str]]:
             if "PushedFilters: []" in line:
                 hit("unpushed_scan", line)
                 break
+
+    for w in wide_text_exchanges(df):
+        hit("wide_text_exchange",
+            f"carries [{w['carried']}] keyed on [{w['keys']}] "
+            f"({w['exchange']})")
     return findings
 
 

@@ -39,7 +39,9 @@ __all__ = ["PAGES_SCHEMA", "stream_routed", "run_stream_pipeline",
            "stateful_multiline", "stateful_container_partial",
            "stateful_url_dedup", "stream_dedup_against",
            "stream_sessions", "stream_count_anomalies",
-           "stream_countmin", "stream_percolate"]
+           "stream_countmin", "stream_percolate",
+           "stateful_heavy_hitters", "stateful_counter_rates",
+           "stateful_ewma_smooth", "stateful_sequence_gaps"]
 
 PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                 "text string, lang string")
@@ -1074,5 +1076,163 @@ def stateful_counter_rates(
             yield out
 
     return (samples.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout))
+
+
+def stateful_ewma_smooth(
+    samples: DataFrame,
+    key_col: str = "host",
+    ts_col: str = "ts",
+    x_col: str = "x",
+    alpha_num: int = 2,
+    alpha_den: int = 10,
+    scale: int = 1000,
+    spike_num: int = 25,
+    spike_den: int = 10,
+) -> DataFrame:
+    """Streaming form of :func:`beats_spark.dataops.events
+    .ewma_smooth` — the live telemetry smoother + spike alarm
+    (VERDICT r4 item 6). The batch recurrence replays bit-for-bit:
+    ``s_t = (alpha_num·x_t·scale + (alpha_den−alpha_num)·s_{t−1})
+    // alpha_den`` with spike ⇔ ``x·scale·spike_den >
+    spike_num·s_prev`` — Python ints are arbitrary-precision and
+    floor division here only ever sees non-negative smoothed values
+    when inputs are non-negative; NEGATIVE observations floor the
+    same way the batch kernel's Python ``//`` does (both kernels
+    share the spelling), so streaming==batch on ALL inputs, asserted
+    in the test.
+
+    State per key is two longs (last event-time µs, last smoothed
+    value) — stream-length independent. Within a micro-batch samples
+    sort by event time; a sample at or before the key's last seen
+    timestamp ACROSS batches is emitted with NULL ewma/spike and a
+    ``late = true`` marker and does not touch state (the
+    ``stateful_counter_rates`` late rule). NULL observations count
+    as 0, the batch rule.
+    """
+    in_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in samples.schema.fields)
+    out_schema = (f"{in_fields}, ewma_milli bigint, spike boolean, "
+                  f"late boolean")
+    state_schema = "last_us bigint, s_prev bigint"
+    a_n, a_d = int(alpha_num), int(alpha_den)
+    sc, sp_n, sp_d = int(scale), int(spike_num), int(spike_den)
+
+    def fn(key: Tuple, batches: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_us, s_prev = state.get
+        else:
+            last_us, s_prev = None, None
+        chunks = [pdf for pdf in batches]
+        if not chunks:
+            return
+        pdf = _concat_chunks(chunks)
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        tcol = pdf[ts_col]
+        if getattr(tcol.dtype, "tz", None) is not None:
+            tcol = tcol.dt.tz_convert("UTC").dt.tz_localize(None)
+        us = (tcol.values.astype("datetime64[ns]")
+              .astype("int64") // 1000)
+        xs_raw = pdf[x_col].fillna(0).astype("int64").tolist()
+        smooths, spikes, lates = [], [], []
+        for t, x in zip(us, xs_raw):
+            t = int(t)
+            if last_us is not None and t <= last_us:
+                smooths.append(None); spikes.append(None)
+                lates.append(True)
+                continue
+            xs = int(x) * sc
+            if s_prev is None:
+                s, spike = xs, False
+            else:
+                spike = xs * sp_d > sp_n * s_prev
+                s = (a_n * xs + (a_d - a_n) * s_prev) // a_d
+            smooths.append(s); spikes.append(spike)
+            lates.append(False)
+            s_prev, last_us = s, t
+        out = pdf.copy()
+        out["ewma_milli"] = pd.array(smooths, dtype="Int64")
+        out["spike"] = pd.array(spikes, dtype="boolean")
+        out["late"] = pd.array(lates, dtype="boolean")
+        if last_us is not None:
+            state.update((int(last_us), int(s_prev)))
+        yield out
+
+    return (samples.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout))
+
+
+def stateful_sequence_gaps(
+    records: DataFrame,
+    key_col: str = "channel",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Streaming form of :func:`beats_spark.dataops.events
+    .sequence_gaps` — the live did-we-lose-events audit over per-key
+    sequence numbers (winlogbeat record_number / kafka offset
+    continuity; VERDICT r4 item 6). Each micro-batch that touches a
+    key emits that key's UPDATED running totals: ``(key, n,
+    first_seq, last_seq, n_missing, n_dups, n_gaps, n_late)`` — the
+    latest row per key (the one with the max ``n``) is the audit.
+
+    State per key is six longs — stream-length independent. Within a
+    micro-batch records sort by sequence number (matching the batch
+    operator's ORDER BY seq); ACROSS batches the stream is assumed
+    ordered per key — exactly Kafka's per-partition guarantee, the
+    transport this audit rides. A record whose seq is BELOW the
+    key's running last_seq is counted in ``n_late`` (streaming-only
+    column) and otherwise ignored: the batch operator would have
+    sorted it into place, a stream cannot retroactively un-count a
+    gap. ``seq == last_seq`` is a duplicate, as in batch. On input
+    ordered per key, the final totals equal the batch operator's row
+    bit-for-bit (asserted in the test).
+    """
+    out_schema = (f"{key_col} string, n bigint, first_seq bigint, "
+                  f"last_seq bigint, n_missing bigint, n_dups bigint, "
+                  f"n_gaps bigint, n_late bigint")
+    state_schema = ("n bigint, first_seq bigint, last_seq bigint, "
+                    "n_missing bigint, n_dups bigint, n_gaps bigint, "
+                    "n_late bigint")
+
+    def fn(key: Tuple, batches: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, first, last, miss, dups, gaps, late = state.get
+        else:
+            n = first = last = miss = dups = gaps = late = None
+        chunks = [pdf for pdf in batches]
+        if not chunks:
+            return
+        pdf = _concat_chunks(chunks)
+        seqs = sorted(int(s) for s in
+                      pdf[seq_col].astype("int64").tolist())
+        for s in seqs:
+            if first is None:
+                n, first, last = 1, s, s
+                miss = dups = gaps = late = 0
+                continue
+            if s < last:
+                late += 1
+                continue
+            n += 1
+            if s == last:
+                dups += 1
+            elif s > last + 1:
+                miss += s - last - 1
+                gaps += 1
+            last = s
+        if first is None:
+            return
+        state.update((int(n), int(first), int(last), int(miss),
+                      int(dups), int(gaps), int(late)))
+        yield pd.DataFrame([{
+            key_col: key[0], "n": n, "first_seq": first,
+            "last_seq": last, "n_missing": miss, "n_dups": dups,
+            "n_gaps": gaps, "n_late": late}])
+
+    return (records.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout))

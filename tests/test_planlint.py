@@ -62,15 +62,60 @@ def test_clean_plan_has_no_findings(spark):
     assert findings == []
 
 
+def test_detects_wide_text_exchange(spark):
+    """The dedup_exact class of bug: full document text rides a
+    shuffle keyed on something else (digest/rank). Keyed-BY-text,
+    round-robin rebalances, aggregate-buffer renames, and aliased
+    digest EXPRESSIONS that merely mention the text column in their
+    name must NOT trigger."""
+    from pyspark.sql import Window
+    df = spark.createDataFrame([("doc body", "d1")],
+                               "text string, id string")
+    # offender: survivor pick via window over full rows
+    w = Window.partitionBy("digest").orderBy("id")
+    bad = (df.withColumn("digest", F.sha2("text", 256))
+           .withColumn("rn", F.row_number().over(w)).filter("rn=1"))
+    assert "wide_text_exchange" in _rules(lint_plan(bad))
+    with pytest.raises(AssertionError, match="wide_text_exchange"):
+        assert_scale_safe(bad)
+    # keyed by the text column itself: the key must cross — exempt
+    assert "wide_text_exchange" not in _rules(
+        lint_plan(df.groupBy("text").count()))
+    # round-robin rebalance: payload movement is the purpose — exempt
+    assert "wide_text_exchange" not in _rules(
+        lint_plan(df.repartition(4)))
+    # a digest EXPRESSION naming text inside its alias (the
+    # corpus_report shape) is not a carried column — exempt
+    g = (df.groupBy("id",
+                    F.when(F.col("text").isNull(), "__NULL__")
+                    .otherwise(F.md5("text")).alias("dg"))
+         .count())
+    assert "wide_text_exchange" not in _rules(lint_plan(g))
+    # narrow keep-form (the fix): only (digest, id) cross
+    ok = (df.withColumn("digest", F.sha2("text", 256))
+          .select("digest", "id").groupBy("digest")
+          .agg(F.min("id").alias("id")))
+    assert "wide_text_exchange" not in _rules(lint_plan(ok))
+
+
 def test_catalog_sweep_no_silent_scale_killers(spark, sf_dir):
     """EVERY catalog query's plan must be free of CartesianProduct and
     row-wise Python. The documented-bounded exceptions carry their
     justification here, not buried in prose."""
     from beats_spark.queries import QUERIES
-    # no allowances: CartesianProduct and row-wise Python must not
-    # appear in ANY catalog plan (nested-loop broadcasts are
-    # warn-severity and reviewed via PLANS.md instead)
-    allowed = {}
+    # CartesianProduct and row-wise Python have NO allowances.
+    # wide_text_exchange allowances: multiline/partial-line
+    # REASSEMBLY queries must co-locate each file's lines to join
+    # them — the message column crossing the path-keyed exchange IS
+    # the operator's data-proportional work (one exchange, in-plan),
+    # not a passenger leak. (curation_pipeline's former hit was a
+    # REAL instance of the bug — full text riding the exact-dedup
+    # window — fixed by switching curate() to dedup_exact's
+    # (digest, id) keep form.)
+    allowed = {
+        "container_partial": ("wide_text_exchange",),
+        "yaml_inputs": ("wide_text_exchange",),
+    }
     failures = []
     for name, fn in sorted(QUERIES.items()):
         try:

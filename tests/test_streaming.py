@@ -1055,3 +1055,131 @@ def test_stateful_counter_rates_matches_batch(spark, tmp_path):
              if r.ctr == 999]
     assert len(rows3) == 1 and rows3[0].dt_us == -1
     assert rows3[0].rate_micro is None
+
+
+def test_stateful_ewma_matches_batch(spark, tmp_path):
+    """Streaming EWMA+spike emission replays the batch integer
+    recurrence bit-for-bit across micro-batches and a restart; a
+    replayed sample is late-marked and leaves state untouched."""
+    from beats_spark.dataops.events import ewma_smooth
+    from beats_spark.streaming.pipeline import stateful_ewma_smooth
+    src_dir = str(tmp_path / "ewma_src")
+    ck = str(tmp_path / "ck_ewma")
+    out_dir = str(tmp_path / "ewma_out")
+    os.makedirs(src_dir)
+    t0 = 1_700_000_000_000_000
+    rows_all = [("h1", 0, 10), ("h1", 10, 12), ("h1", 20, 100),
+                ("h2", 0, 5), ("h1", 30, 9), ("h2", 40, 50),
+                ("h1", 50, -4)]   # negative: floor-division parity
+
+    def mk(rows, fname):
+        spark.createDataFrame(
+            [(h, t0 + s * 1_000_000, x) for h, s, x in rows],
+            "host string, us bigint, x bigint") \
+            .select("host", F.timestamp_micros(F.col("us"))
+                    .alias("ts"), "x") \
+            .coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src_dir, fname))
+
+    def run():
+        stream = (spark.readStream
+                  .schema("host string, ts timestamp, x bigint")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(src_dir + "/*"))
+        q = (stateful_ewma_smooth(stream, "host", "ts", "x")
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    mk(rows_all[:4], "b1")
+    run()
+    mk(rows_all[4:], "b2")      # restart restores (last_us, s_prev)
+    run()
+    got = {(r.host, r.ts.isoformat()): (r.ewma_milli, r.spike)
+           for r in spark.read.parquet(out_dir).collect()
+           if not r.late}
+
+    batch_in = spark.createDataFrame(
+        [(h, t0 + s * 1_000_000, x, i)
+         for i, (h, s, x) in enumerate(rows_all)],
+        "host string, us bigint, x bigint, event_id bigint") \
+        .select("host", F.timestamp_micros(F.col("us")).alias("ts"),
+                "x", "event_id")
+    want = {(r.host, r.ts.isoformat()): (r.ewma_milli, r.spike)
+            for r in ewma_smooth(batch_in, "host", "ts", "x")
+            .collect()}
+    assert got == want and len(got) == len(rows_all)
+    assert any(s for _, s in got.values())          # the spike seen
+
+    # replay an old sample: late-marked, state untouched
+    mk([("h1", 10, 999)], "b3")
+    run()
+    lates = [r for r in spark.read.parquet(out_dir).collect()
+             if r.late]
+    assert len(lates) == 1 and lates[0].ewma_milli is None
+
+
+def test_stateful_sequence_gaps_matches_batch(spark, tmp_path):
+    """Running per-key gap audit totals converge to the batch
+    operator's row on per-key-ordered input; a below-last_seq record
+    is late-counted without disturbing the audit."""
+    from beats_spark.dataops.events import sequence_gaps
+    from beats_spark.streaming.pipeline import stateful_sequence_gaps
+    src_dir = str(tmp_path / "seq_src")
+    ck = str(tmp_path / "ck_seq")
+    out_dir = str(tmp_path / "seq_out")
+    os.makedirs(src_dir)
+    rows_all = [("c1", 10), ("c1", 11), ("c1", 14),   # gap of 2
+                ("c2", 5), ("c1", 14),                # dup
+                ("c1", 15), ("c2", 9)]                # gap of 3
+
+    def mk(rows, fname):
+        spark.createDataFrame(rows, "channel string, seq bigint") \
+            .coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src_dir, fname))
+
+    def run():
+        stream = (spark.readStream
+                  .schema("channel string, seq bigint")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(src_dir + "/*"))
+        q = (stateful_sequence_gaps(stream, "channel", "seq")
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    mk(rows_all[:3], "b1")
+    run()
+    mk(rows_all[3:], "b2")      # restart restores the six counters
+    run()
+    pdf = spark.read.parquet(out_dir).toPandas()
+    # latest totals per key = the row with max n
+    latest = {r.channel: r for _, r in
+              pdf.sort_values("n").groupby("channel").tail(1)
+              .iterrows()}
+
+    batch_in = spark.createDataFrame(rows_all,
+                                     "channel string, seq bigint")
+    want = {r.channel: r for r in
+            sequence_gaps(batch_in, "channel", "seq").collect()}
+    for ch in ("c1", "c2"):
+        g, w = latest[ch], want[ch]
+        assert (g.n, g.first_seq, g.last_seq, g.n_missing,
+                g.n_dups, g.n_gaps) == \
+               (w.n, w.first_seq, w.last_seq, w.n_missing,
+                w.n_dups, w.n_gaps), ch
+        assert g.n_late == 0
+    assert latest["c1"].n_missing == 2 and latest["c1"].n_dups == 1
+    assert latest["c2"].n_missing == 3
+
+    # a below-last_seq record: late-counted, audit untouched
+    mk([("c1", 12)], "b3")
+    run()
+    pdf3 = spark.read.parquet(out_dir).toPandas()
+    last_c1 = pdf3[pdf3.channel == "c1"].sort_values(
+        ["n", "n_late"]).iloc[-1]
+    assert last_c1.n_late == 1
+    assert last_c1.n == want["c1"].n
+    assert last_c1.n_missing == want["c1"].n_missing
