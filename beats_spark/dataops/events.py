@@ -1327,6 +1327,10 @@ def counter_rates(
     the counter value itself so the lag — and therefore ``delta`` /
     ``was_reset`` on the tied rows — is deterministic across runs and
     engines; the catalog oracle carries the identical tiebreaker.
+    (The streaming form ``stateful_counter_rates`` instead marks a
+    tied sample late (``dt_us = -1``) — its state cannot order ties
+    across micro-batches — so batch↔streaming parity holds on
+    strictly increasing per-key timestamps.)
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, "__c")
     us = _epoch_us(df, ts_col)

@@ -1001,7 +1001,15 @@ def stateful_counter_rates(
     went backwards restarts the interval at its own value) and the
     same integer arithmetic — Python ints are arbitrary-precision, so
     the emitted rates match the batch decimal(38,0) spelling
-    bit-for-bit on in-order input (asserted in the test).
+    bit-for-bit on in-order input — STRICTLY increasing per-key
+    timestamps (asserted in the test). A duplicate (key, ts)
+    timestamp is NOT in-order here: the late rule below marks it
+    ``dt_us = -1`` (state keeps only the last timestamp, so a tie
+    arriving in a later micro-batch could never be ordered
+    consistently; emitting it as late in-batch too keeps emission
+    independent of batch boundaries). The batch operator instead
+    orders ties by counter value and emits a ``dt_us = 0`` NULL-rate
+    row — the one documented divergence between the two forms.
 
     State per key is two longs (last timestamp, last counter) —
     stream-length independent. Samples are sorted within a
@@ -1027,7 +1035,11 @@ def stateful_counter_rates(
         if not chunks:
             return
         pdf = _concat_chunks(chunks)
-        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        # (ts, counter) sort order — the batch operator's tied-
+        # timestamp tiebreaker, so duplicate (key, ts) samples within
+        # a micro-batch lag identically in both engines
+        pdf = pdf.sort_values([ts_col, counter_col],
+                              kind="mergesort")
         tcol = pdf[ts_col]
         if getattr(tcol.dtype, "tz", None) is not None:
             tcol = tcol.dt.tz_convert("UTC").dt.tz_localize(None)

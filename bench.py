@@ -20,6 +20,11 @@ identical input and report throughput at both plus scaling efficiency
 ``(thr_hi / thr_lo) / (hi / lo)`` — the in-sandbox proxy for the
 north_rule's N→4N executor criterion (see BASELINE.md). Results are
 appended to BENCH.md.
+
+The NORMATIVE measurement protocol (flagship-first, warmup and
+repeat counts, scaling controls, scale-curve procedure) is
+``BENCH.md §"Measurement protocol"`` — numbers recorded any other
+way must say so.
 """
 
 from __future__ import annotations

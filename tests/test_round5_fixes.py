@@ -101,3 +101,38 @@ def test_stateful_counter_rates_negative_reset_parity(spark, tmp_path):
     assert r["was_reset"] and r["delta"] == -7
     # batch decimal DIV truncates toward zero
     assert r["rate_micro"] == -(7 * 1_000_000_000_000 // 3_000_000)
+
+
+def test_stateful_counter_rates_tie_is_late(spark, tmp_path):
+    """Streaming counter-rates marks a duplicate (key, ts) sample
+    late (dt_us = -1, state untouched) — the documented divergence
+    from the batch tiebreaker: state cannot order ties across
+    micro-batches, and in-batch ties follow the same rule so
+    emission never depends on batch boundaries."""
+    import os
+    from pyspark.sql import functions as F
+    from beats_spark.streaming.pipeline import stateful_counter_rates
+
+    t0 = 1_700_000_000_000_000
+    rows = [("h", t0, 10), ("h", t0 + 1_000_000, 30),
+            ("h", t0 + 1_000_000, 20), ("h", t0 + 2_000_000, 40)]
+    src = str(tmp_path / "src"); os.makedirs(src)
+    (spark.createDataFrame(rows, "host string, us long, ctr long")
+     .select("host", F.timestamp_micros("us").alias("ts"), "ctr")
+     .coalesce(1).write.parquet(os.path.join(src, "b1")))
+    stream = (spark.readStream
+              .schema("host string, ts timestamp, ctr long")
+              .parquet(src + "/*"))
+    q = (stateful_counter_rates(stream, "host", "ts", "ctr")
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    lates = out.filter("dt_us = -1").collect()
+    # the tie sorts (ts, ctr): 20 processes first, 30 arrives tied
+    assert len(lates) == 1 and lates[0].ctr == 30
+    ok = {(r.ctr): (r.delta, r.dt_us)
+          for r in out.filter("dt_us >= 0").collect()}
+    assert ok == {20: (10, 1_000_000), 40: (20, 1_000_000)}
