@@ -666,3 +666,33 @@ def decode_cef_proc(cfg: Mapping[str, Any]):
                 assigns[f"{target}_{k}"] = cef_get(line, k)
         return ProcResult(assigns=assigns)
     return make
+
+
+@register("parse_aws_vpc_flow_log")
+def parse_aws_vpc_flow_log(cfg: Mapping[str, Any]):
+    """AWS VPC Flow Log parse (x-pack
+    ``processors/aws_vpcflow/parse_aws_vpc_flow_log.go``; field table
+    + compiler in :mod:`beats_spark.functions.vpcflow`). Config keys
+    mirror the reference (``config.go:56-66``): ``format`` (string or
+    list, matched by field count), ``mode``
+    (original/ecs/ecs_and_original, default ecs), ``field`` (default
+    message), ``target_field`` (default aws_vpcflow — dotted targets
+    flatten to underscores per the repo convention). A non-matching
+    or unparseable message yields NULL outputs + ``error_message``
+    with the event passing through — ``ignore_failure`` semantics,
+    the only kind a columnar engine needs. Pure codegen."""
+    from ..functions.vpcflow import vpc_flow_columns
+
+    fmt = cfg.get("format")
+    if not fmt:
+        raise ValueError("parse_aws_vpc_flow_log: format is required")
+    mode = cfg.get("mode", "ecs")
+    fld = cfg.get("field", "message")
+    target = cfg.get("target_field", "aws_vpcflow")
+
+    def make(df: DataFrame) -> ProcResult:
+        if fld not in df.columns:
+            return ProcResult()
+        return ProcResult(assigns=vpc_flow_columns(
+            F.col(fld), fmt, mode=mode, target=target))
+    return make

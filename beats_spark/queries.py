@@ -3082,6 +3082,101 @@ def community_id_md5_q(spark, sf_dir):
                    F.countDistinct("cid").alias("n_ids")))
 
 
+@query("vpcflow_parse", oracle="""
+WITH wire AS (
+  SELECT event_id,
+         CASE WHEN event_id % 13 = 0 THEN 'notanip'
+              ELSE '10.0.' || (event_id % 4) || '.'
+                   || (user_id % 200) END AS src,
+         '10.1.0.' || (user_id % 100) AS dst,
+         CASE WHEN event_id % 11 = 0 THEN '-'
+              ELSE CAST(event_id % 40000 + 1024 AS VARCHAR) END AS sp,
+         CASE WHEN event_id % 4 = 0 THEN 6 WHEN event_id % 4 = 1
+              THEN 17 WHEN event_id % 4 = 2 THEN 1
+              ELSE 132 END AS proto,
+         CASE WHEN event_id % 3 = 0 THEN 'ACCEPT'
+              WHEN event_id % 3 = 1 THEN 'REJECT'
+              ELSE '-' END AS act,
+         epoch_us(ts) // 1000000 AS st,
+         epoch_us(ts) // 1000000 + event_id % 600 AS en
+  FROM events),
+parsed AS (
+  SELECT event_id, src <> 'notanip' AS ok, src, dst, sp, proto, act,
+         st, en
+  FROM wire)
+SELECT event_id,
+  CASE WHEN ok THEN src END AS source_ip,
+  CASE WHEN ok THEN CAST(443 AS INT) END AS destination_port,
+  CASE WHEN ok AND sp <> '-'
+       THEN CAST(sp AS INT) END AS source_port,
+  CASE WHEN ok THEN CAST(proto AS VARCHAR) END AS network_iana_number,
+  CASE WHEN ok THEN CASE proto WHEN 6 THEN 'tcp' WHEN 17 THEN 'udp'
+       WHEN 1 THEN 'icmp' ELSE 'sctp' END END AS network_transport,
+  CASE WHEN ok AND act = 'ACCEPT' THEN 'success'
+       WHEN ok AND act = 'REJECT' THEN 'failure' END AS event_outcome,
+  CASE WHEN ok AND act <> '-' THEN lower(act) END AS event_action,
+  CASE WHEN ok THEN
+    CASE act WHEN 'ACCEPT' THEN 'connection|allowed'
+             WHEN 'REJECT' THEN 'connection|denied'
+             ELSE 'connection' END END AS ev_types,
+  CASE WHEN ok THEN make_timestamp(en * 1000000) END AS ev_end,
+  CASE WHEN NOT ok
+       THEN 'log did not match the specified format' END AS err
+FROM parsed
+""")
+def vpcflow_parse_q(spark, sf_dir):
+    """AWS VPC Flow Log parse (x-pack
+    ``aws_vpcflow/parse_aws_vpc_flow_log.go`` via
+    :func:`beats_spark.functions.vpcflow.vpc_flow_columns`): flow-log
+    lines synthesized from events — with ``-`` placeholders, an
+    ACCEPT/REJECT/- action mix, all four transport protocols, and an
+    invalid-IP row class exercising the error contract — parsed in
+    ecs mode. The oracle recomputes every ECS mapping (iana number,
+    transport name, outcome/action/type transforms, epoch-second
+    timestamps, NULL-on-error) from the same construction. Pure
+    codegen: zero Python, zero shuffle."""
+    from .functions.vpcflow import vpc_flow_columns
+    ev = _t(spark, sf_dir, "events")
+    fmt = ("version srcaddr dstaddr srcport dstport protocol "
+           "packets bytes start end action log-status")
+    src = F.when(F.col("event_id") % 13 == 0, F.lit("notanip")) \
+        .otherwise(F.concat(F.lit("10.0."),
+                            (F.col("event_id") % 4).cast("string"),
+                            F.lit("."),
+                            (F.col("user_id") % 200).cast("string")))
+    sp = F.when(F.col("event_id") % 11 == 0, F.lit("-")) \
+        .otherwise((F.col("event_id") % 40000 + 1024).cast("string"))
+    proto = F.when(F.col("event_id") % 4 == 0, 6) \
+        .when(F.col("event_id") % 4 == 1, 17) \
+        .when(F.col("event_id") % 4 == 2, 1).otherwise(132)
+    act = F.when(F.col("event_id") % 3 == 0, "ACCEPT") \
+        .when(F.col("event_id") % 3 == 1, "REJECT").otherwise("-")
+    st = (F.unix_micros(F.col("ts").cast("timestamp"))
+          / 1_000_000).cast("long")
+    line = F.concat_ws(
+        " ", F.lit("2"), src,
+        F.concat(F.lit("10.1.0."), (F.col("user_id") % 100)
+                 .cast("string")),
+        sp, F.lit("443"), proto.cast("string"), F.lit("10"),
+        F.lit("840"), st.cast("string"),
+        (st + F.col("event_id") % 600).cast("string"), act,
+        F.lit("OK"))
+    wire = ev.select("event_id", line.alias("message"))
+    cols = vpc_flow_columns(F.col("message"), fmt, mode="ecs")
+    return wire.select(
+        "event_id",
+        cols["source_ip"].alias("source_ip"),
+        cols["destination_port"].alias("destination_port"),
+        cols["source_port"].alias("source_port"),
+        cols["network_iana_number"].alias("network_iana_number"),
+        cols["network_transport"].alias("network_transport"),
+        cols["event_outcome"].alias("event_outcome"),
+        cols["event_action"].alias("event_action"),
+        F.array_join(cols["event_type"], "|").alias("ev_types"),
+        cols["event_end"].alias("ev_end"),
+        cols["error_message"].alias("err"))
+
+
 def flagship_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full routed event frame (entry() surface)."""
     from .pipeline import build_routed
