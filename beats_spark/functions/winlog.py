@@ -1,0 +1,161 @@
+"""Windows Event Log input — the winlogbeat event shape over a table
+of exported Event XML records (SURVEY §2.1's last ◐ input), treated
+exactly like the journald input: the PLATFORM collector (EvtQuery /
+``wevtutil qe /f:xml``) is a deployment concern; the engine's job is
+the record→event mapping, which is pure structure.
+
+Reference mapping (``winlogbeat/sys/winevent/event.go``):
+
+- XML schema: ``event.go:60-88`` (System / EventData / UserData /
+  RenderingInfo / ProcessingErrorData);
+- field composition: ``Event.Fields()`` ``event.go:91-152`` —
+  channel, stringified event_id, provider name/guid, record_id,
+  computer_name, time_created, activity ids, execution pids, the
+  keyword-bit audit outcome (``:107-111``,
+  ``keywordAuditFailure/Success event.go:45-46``), lowercased level,
+  message with Windows line endings normalized
+  (``sys.RemoveWindowsLineEndings``), user SID, event_data pairs;
+- winmeta fallback tables: ``winevent/winmeta.go:29-63`` — when
+  RenderingInfo carries no rendered strings, level/opcode/keywords
+  resolve from the static Windows SDK tables.
+
+Spark-first: the whole parse is the JVM ``xpath_*`` expression
+family over the record — zero Python anywhere. Java XPath is
+namespace-strict, so the default ``xmlns`` is stripped first (one
+regexp_replace; the winevent namespace carries no information).
+``event_data`` uses ``Data/@Name`` + ``Data/text()`` arrays zipped
+to a map — correct whenever every Data element is non-empty (an
+empty ``<Data/>`` would misalign text() with @Name; such records
+yield a NULL map rather than silently shifted pairs, asserted by
+the size guard).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["winlog_columns", "winlog_events"]
+
+# winmeta.go:52-59 (0 renders as Information, as Event Viewer does)
+LEVELS = {0: "information", 1: "critical", 2: "error", 3: "warning",
+          4: "information", 5: "verbose"}
+# winmeta.go:41-51
+OPCODES = {0: "Info", 1: "Start", 2: "Stop", 3: "DCStart",
+           4: "DCStop", 5: "Extension", 6: "Reply", 7: "Resume",
+           8: "Suspend", 9: "Send"}
+# winmeta.go:31-40 (bit mask -> name)
+KEYWORD_BITS = [(0x1000000000000, "Response Time"),
+                (0x4000000000000, "WDI Diag"),
+                (0x8000000000000, "SQM"),
+                (0x10000000000000, "Audit Failure"),
+                (0x20000000000000, "Audit Success"),
+                (0x40000000000000, "Correlation Hint"),
+                (0x80000000000000, "Classic")]
+_AUDIT_FAILURE = 0x10000000000000
+_AUDIT_SUCCESS = 0x20000000000000
+
+
+def _chain(raw: Column, table: Dict[int, str]) -> Column:
+    chain = None
+    for k, v in table.items():
+        w = F.when(raw == k, F.lit(v))
+        chain = w if chain is None else chain.when(raw == k, F.lit(v))
+    return chain
+
+
+def winlog_columns(xml: Column) -> Dict[str, Column]:
+    """Compile one exported Event XML record into the winlogbeat
+    field set (flattened ``winlog_*`` columns per the repo's
+    underscore convention). Pure codegen."""
+    x = F.regexp_replace(xml, r'\sxmlns="[^"]*"', "")
+
+    def s(path: str) -> Column:
+        v = F.xpath_string(x, F.lit(path))
+        return F.when(v != "", v)
+
+    def n(path: str) -> Column:
+        return s(path).try_cast("long")
+
+    # Keywords is a hex bitmask ("0x8020000000000000"); values reach
+    # bit 63, so parse via conv() into decimal(38,0) and bit-test
+    # with DIV/MOD (exact, sign-free)
+    kw_hex = F.regexp_replace(
+        F.lower(F.xpath_string(x, F.lit("Event/System/Keywords"))),
+        "^0x", "")
+    kw = F.when(kw_hex != "",
+                F.conv(kw_hex, 16, 10).cast("decimal(38,0)"))
+
+    def bset(mask: int) -> Column:
+        # exact bit test in decimal(38,0): floor-divide by the bit's
+        # value, then parity
+        return (F.floor(kw / F.lit(mask)).cast("decimal(38,0)")
+                % 2 == 1)
+
+    level_raw = n("Event/System/Level").cast("int")
+    opcode_raw = n("Event/System/Opcode").cast("int")
+    rendered_level = s("Event/RenderingInfo/Level")
+    rendered_opcode = s("Event/RenderingInfo/Opcode")
+    rendered_kw = F.xpath(
+        x, F.lit("Event/RenderingInfo/Keywords/Keyword/text()"))
+    meta_kw = F.array_compact(F.array(*[
+        F.when(bset(mask), F.lit(name))
+        for mask, name in KEYWORD_BITS]))
+
+    names = F.xpath(x, F.lit("Event/EventData/Data/@Name"))
+    vals = F.xpath(x, F.lit("Event/EventData/Data/text()"))
+    event_data = F.when(F.size(names) == F.size(vals),
+                        F.map_from_arrays(names, vals))
+
+    out: Dict[str, Column] = {
+        "winlog_channel": s("Event/System/Channel"),
+        "winlog_event_id": s("Event/System/EventID"),
+        "winlog_provider_name": s("Event/System/Provider/@Name"),
+        "winlog_provider_guid": s("Event/System/Provider/@Guid"),
+        "winlog_record_id": n("Event/System/EventRecordID"),
+        "winlog_computer_name": s("Event/System/Computer"),
+        "winlog_version": n("Event/System/Version").cast("int"),
+        "winlog_task_raw": n("Event/System/Task").cast("int"),
+        "winlog_task": F.coalesce(
+            s("Event/RenderingInfo/Task"),
+            F.when(n("Event/System/Task") == 0, "None")),
+        "winlog_time_created": F.to_timestamp(
+            s("Event/System/TimeCreated/@SystemTime")),
+        "winlog_activity_id": s("Event/System/Correlation/@ActivityID"),
+        "winlog_related_activity_id":
+            s("Event/System/Correlation/@RelatedActivityID"),
+        "winlog_process_pid":
+            n("Event/System/Execution/@ProcessID").cast("int"),
+        "winlog_process_thread_id":
+            n("Event/System/Execution/@ThreadID").cast("int"),
+        "winlog_user_identifier": s("Event/System/Security/@UserID"),
+        # level: rendered string, else the winmeta table — lowercased
+        # either way (Fields() event.go:113)
+        "winlog_level": F.lower(F.coalesce(
+            rendered_level, _chain(level_raw, LEVELS))),
+        "winlog_opcode": F.coalesce(rendered_opcode,
+                                    _chain(opcode_raw, OPCODES)),
+        # RemoveWindowsLineEndings: \r\n -> \n
+        "winlog_message": F.regexp_replace(
+            s("Event/RenderingInfo/Message"), "\r\n", "\n"),
+        "winlog_keywords": F.when(
+            F.size(rendered_kw) > 0, rendered_kw)
+            .otherwise(F.when(kw.isNotNull(), meta_kw)),
+        "winlog_keywords_raw": kw.cast("string"),
+        "winlog_outcome": F.when(bset(_AUDIT_FAILURE), "failure")
+            .when(bset(_AUDIT_SUCCESS), "success"),
+        "winlog_event_data": event_data,
+        "winlog_error_code":
+            n("Event/ProcessingErrorData/ErrorCode").cast("int"),
+    }
+    return out
+
+
+def winlog_events(df: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """Shape a table/stream of exported Event XML records into
+    winlogbeat events — the journald_export treatment for the last
+    platform input: every column from one codegen xpath pass, the
+    raw record preserved. Zero shuffle, zero Python."""
+    cols = winlog_columns(F.col(xml_col))
+    return df.select("*", *[v.alias(k) for k, v in cols.items()])

@@ -3177,6 +3177,84 @@ def vpcflow_parse_q(spark, sf_dir):
         cols["error_message"].alias("err"))
 
 
+@query("winlog_export", oracle="""
+SELECT event_id,
+  'Security' AS channel,
+  CAST(4624 + event_id % 5 AS VARCHAR) AS win_event_id,
+  'Microsoft-Windows-Security-Auditing' AS provider,
+  CAST(event_id AS BIGINT) AS record_id,
+  CASE event_id % 6 WHEN 0 THEN 'information' WHEN 1 THEN 'critical'
+    WHEN 2 THEN 'error' WHEN 3 THEN 'warning'
+    WHEN 4 THEN 'information' WHEN 5 THEN 'verbose' END AS level,
+  CASE event_id % 10 WHEN 0 THEN 'Info' WHEN 1 THEN 'Start'
+    WHEN 2 THEN 'Stop' WHEN 3 THEN 'DCStart' WHEN 4 THEN 'DCStop'
+    WHEN 5 THEN 'Extension' WHEN 6 THEN 'Reply' WHEN 7 THEN 'Resume'
+    WHEN 8 THEN 'Suspend' WHEN 9 THEN 'Send' END AS opcode,
+  CASE event_id % 3 WHEN 0 THEN 'failure' WHEN 1 THEN 'success'
+    END AS outcome,
+  date_trunc('second', ts) AS time_created,
+  CAST(user_id % 30000 AS INT) AS pid,
+  'user' || CAST(user_id AS VARCHAR) AS logon_user,
+  CAST(2 AS INT) AS n_data
+FROM events
+""")
+def winlog_export_q(spark, sf_dir):
+    """Windows Event Log input (winlogbeat
+    ``sys/winevent/event.go:91-152`` Fields() composition via
+    :func:`beats_spark.functions.winlog.winlog_events`): exported
+    Event XML records synthesized from events — exercising the
+    winmeta level/opcode fallback tables (``winmeta.go:29-63``), the
+    keyword-bit audit outcome (failure/success/neither), timestamp
+    parse, Execution/EventData extraction — parsed by one codegen
+    xpath pass; the oracle inverts the construction, the same
+    discipline as journald_export. Zero Python, zero shuffle."""
+    from .functions.winlog import winlog_events
+    ev = _t(spark, sf_dir, "events")
+    kw = F.when(F.col("event_id") % 3 == 0,
+                F.lit("0x10000000000000")) \
+        .when(F.col("event_id") % 3 == 1, F.lit("0x20000000000000")) \
+        .otherwise(F.lit("0x80000000000000"))
+    tstr = F.date_format(F.col("ts").cast("timestamp"),
+                         "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    xml = F.concat(
+        F.lit('<Event xmlns="http://schemas.microsoft.com/win/2004/'
+              '08/events/event"><System><Provider '
+              'Name="Microsoft-Windows-Security-Auditing"/>'
+              '<EventID>'),
+        (4624 + F.col("event_id") % 5).cast("string"),
+        F.lit("</EventID><Level>"),
+        (F.col("event_id") % 6).cast("string"),
+        F.lit("</Level><Opcode>"),
+        (F.col("event_id") % 10).cast("string"),
+        F.lit("</Opcode><Task>0</Task><Keywords>"), kw,
+        F.lit('</Keywords><TimeCreated SystemTime="'), tstr,
+        F.lit('"/><EventRecordID>'),
+        F.col("event_id").cast("string"),
+        F.lit('</EventRecordID><Execution ProcessID="'),
+        (F.col("user_id") % 30000).cast("string"),
+        F.lit('" ThreadID="4"/><Channel>Security</Channel>'
+              "<Computer>host-a</Computer></System><EventData>"
+              '<Data Name="TargetUserName">user'),
+        F.col("user_id").cast("string"),
+        F.lit('</Data><Data Name="LogonType">3</Data>'
+              "</EventData></Event>"))
+    parsed = winlog_events(ev.select("event_id", xml.alias("xml")))
+    return parsed.select(
+        "event_id",
+        F.col("winlog_channel").alias("channel"),
+        F.col("winlog_event_id").alias("win_event_id"),
+        F.col("winlog_provider_name").alias("provider"),
+        F.col("winlog_record_id").alias("record_id"),
+        F.col("winlog_level").alias("level"),
+        F.col("winlog_opcode").alias("opcode"),
+        F.col("winlog_outcome").alias("outcome"),
+        F.col("winlog_time_created").alias("time_created"),
+        F.col("winlog_process_pid").alias("pid"),
+        F.col("winlog_event_data").getItem("TargetUserName")
+        .alias("logon_user"),
+        F.size("winlog_event_data").alias("n_data"))
+
+
 def flagship_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full routed event frame (entry() surface)."""
     from .pipeline import build_routed
