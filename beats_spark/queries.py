@@ -3255,6 +3255,74 @@ def winlog_export_q(spark, sf_dir):
         F.size("winlog_event_data").alias("n_data"))
 
 
+@query("redis_slowlog", oracle="""
+WITH w AS (
+  SELECT event_id AS slow_id,
+         epoch_us(ts) // 1000000 AS ts_epoch,
+         (event_id % 5000) * 10 + 50 AS duration_us,
+         CASE WHEN event_id % 7 = 0 THEN ['ping']
+              WHEN event_id % 7 = 1
+                THEN ['get', 'k' || CAST(user_id AS VARCHAR)]
+              ELSE ['setex', 'k' || CAST(user_id AS VARCHAR), '60',
+                    'v' || CAST(event_id AS VARCHAR)] END AS args,
+         CASE WHEN event_id % 2 = 0
+              THEN '10.0.0.9:' || CAST(1024 + event_id % 100
+                                       AS VARCHAR)
+              ELSE '' END AS client_addr
+  FROM events)
+SELECT array_to_string(args, ' ') AS message,
+       CAST(slow_id AS BIGINT) AS redis_slowlog_id,
+       args[1] AS redis_slowlog_cmd,
+       CASE WHEN len(args) > 1 THEN args[2] END AS redis_slowlog_key,
+       CASE WHEN len(args) > 2
+            THEN array_to_string(list_slice(args, 3, len(args)), ',')
+            END AS tail_args,
+       CAST(duration_us AS BIGINT) AS redis_slowlog_duration_us,
+       'master' AS redis_slowlog_role,
+       make_timestamp(ts_epoch * 1000000) AS event_time,
+       CASE WHEN client_addr <> '' THEN client_addr END
+           AS redis_slowlog_client_addr
+FROM w
+""")
+def redis_slowlog_q(spark, sf_dir):
+    """Redis slowlog input (``filebeat/input/redis/harvester.go:
+    160-240`` via :func:`beats_spark.streaming.sources
+    .redis_slowlog_events`): SLOWLOG GET entries synthesized from
+    events — 1/2/4-arg command mixes exercising the cmd/key/args
+    split boundaries, epoch-second timestamps, and the Redis-6-only
+    client address presence rule. The oracle inverts the
+    construction with DuckDB list functions. Pure codegen."""
+    from .streaming.sources import redis_slowlog_events
+    ev = _t(spark, sf_dir, "events")
+    k = F.concat(F.lit("k"), F.col("user_id").cast("string"))
+    args = F.when(F.col("event_id") % 7 == 0,
+                  F.array(F.lit("ping"))) \
+        .when(F.col("event_id") % 7 == 1,
+              F.array(F.lit("get"), k)) \
+        .otherwise(F.array(F.lit("setex"), k, F.lit("60"),
+                           F.concat(F.lit("v"),
+                                    F.col("event_id").cast("string"))))
+    wire = ev.select(
+        F.col("event_id").alias("slow_id"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long").alias("ts_epoch"),
+        ((F.col("event_id") % 5000) * 10 + 50).alias("duration_us"),
+        args.alias("args"),
+        F.when(F.col("event_id") % 2 == 0,
+               F.concat(F.lit("10.0.0.9:"),
+                        (1024 + F.col("event_id") % 100)
+                        .cast("string"))).otherwise(F.lit(""))
+        .alias("client_addr"))
+    out = redis_slowlog_events(wire, client_name_col=None)
+    return out.select(
+        "message", "redis_slowlog_id", "redis_slowlog_cmd",
+        "redis_slowlog_key",
+        F.array_join("redis_slowlog_args", ",").alias("tail_args"),
+        "redis_slowlog_duration_us", "redis_slowlog_role",
+        F.col("@timestamp").alias("event_time"),
+        "redis_slowlog_client_addr")
+
+
 def flagship_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full routed event frame (entry() surface)."""
     from .pipeline import build_routed

@@ -43,7 +43,8 @@ from ..routing import route
 
 __all__ = ["datagram_events", "split_frames", "frames_arrow",
            "truncate_frames", "socket_lines", "socket_pipeline",
-           "kafka_source", "kafka_events", "expand_event_list"]
+           "kafka_source", "kafka_events", "expand_event_list",
+           "redis_slowlog_events"]
 
 
 def split_frames(data: "str | None", framing: str = "delimiter",
@@ -437,4 +438,57 @@ def socket_pipeline(
     if rules or default_sink is not None:
         out = route(out, list(rules), default=default_sink,
                     sink_col=sink_col)
+    return out
+
+
+def redis_slowlog_events(
+    df: DataFrame,
+    id_col: str = "slow_id",
+    ts_col: str = "ts_epoch",
+    duration_col: str = "duration_us",
+    args_col: str = "args",
+    client_addr_col: Optional[str] = "client_addr",
+    client_name_col: Optional[str] = "client_name",
+    role: str = "master",
+) -> DataFrame:
+    """Redis slowlog input (``filebeat/input/redis/harvester.go:
+    160-240``): each SLOWLOG GET entry becomes one event — ``message``
+    is the args joined with spaces, ``args[0]`` the command,
+    ``args[1]`` the key, the remainder the (possibly confidential)
+    argument tail which a drop_fields processor can remove, duration
+    in µs, ``@timestamp`` the entry's epoch-second timestamp
+    (``time.Unix(log.timestamp, 0)``), and the Redis 6.0+ client
+    address/name attached only when non-empty (``:205-210``). The
+    live SLOWLOG GET/RESET polling loop is connection plumbing (the
+    same deployment-side stance as the tcp listener direction); this
+    shapes a replay/capture table of entries — or a Kafka topic of
+    them — into the reference's event, after which
+    :func:`socket_pipeline` applies the shared chain. Pure codegen
+    projection: zero Python, zero shuffle."""
+    a = F.col(args_col)
+    n = F.size(a)
+    out = df.select(
+        F.array_join(a, " ").alias("message"),
+        F.col(id_col).cast("long").alias("redis_slowlog_id"),
+        F.when(n > 0, a.getItem(0)).alias("redis_slowlog_cmd"),
+        F.when(n > 1, a.getItem(1)).alias("redis_slowlog_key"),
+        F.when(n > 2, F.slice(a, 3, F.greatest(n - 2, F.lit(0))))
+        .alias("redis_slowlog_args"),
+        F.col(duration_col).cast("long")
+        .alias("redis_slowlog_duration_us"),
+        F.lit(role).alias("redis_slowlog_role"),
+        F.timestamp_seconds(F.col(ts_col).cast("long"))
+        .alias("@timestamp"),
+        *([F.when((F.col(client_addr_col) != "")
+                  & F.col(client_addr_col).isNotNull(),
+                  F.col(client_addr_col))
+           .alias("redis_slowlog_client_addr")]
+          if client_addr_col and client_addr_col in df.columns
+          else []),
+        *([F.when((F.col(client_name_col) != "")
+                  & F.col(client_name_col).isNotNull(),
+                  F.col(client_name_col))
+           .alias("redis_slowlog_client_name")]
+          if client_name_col and client_name_col in df.columns
+          else []))
     return out

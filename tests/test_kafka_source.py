@@ -123,3 +123,36 @@ def test_kafka_source_is_config_passthrough(spark):
         msg = str(e)
         assert ("kafka" in msg.lower()
                 or "DATA_SOURCE_NOT_FOUND" in msg), msg
+
+
+def test_redis_slowlog_reference_shape(spark):
+    """The harvester.go doc-comment entry (:44-55): (13, 1309448128,
+    30, [slowlog, get, 100], addr, name) → cmd/key/args split,
+    epoch-second timestamp, message join; empty client fields absent
+    (:205-210)."""
+    from beats_spark.streaming.sources import redis_slowlog_events
+    rows = [(13, 1309448128, 30, ["slowlog", "get", "100"],
+             "100.1.1.1:12345", "client-name"),
+            (14, 1309448129, 5, ["ping"], "", "")]
+    df = spark.createDataFrame(
+        rows, "slow_id long, ts_epoch long, duration_us long, "
+              "args array<string>, client_addr string, "
+              "client_name string")
+    out = {r["redis_slowlog_id"]: r
+           for r in redis_slowlog_events(df).collect()}
+    a = out[13]
+    assert a["message"] == "slowlog get 100"
+    assert a["redis_slowlog_cmd"] == "slowlog"
+    assert a["redis_slowlog_key"] == "get"
+    assert a["redis_slowlog_args"] == ["100"]
+    assert a["redis_slowlog_duration_us"] == 30
+    assert a["redis_slowlog_client_addr"] == "100.1.1.1:12345"
+    assert a["redis_slowlog_client_name"] == "client-name"
+    assert a["@timestamp"].isoformat() == "2011-06-30T15:35:28"
+    b = out[14]
+    assert b["redis_slowlog_cmd"] == "ping"
+    assert b["redis_slowlog_key"] is None
+    assert b["redis_slowlog_args"] is None
+    # Redis <6: empty client fields stay NULL, never empty strings
+    assert b["redis_slowlog_client_addr"] is None
+    assert b["redis_slowlog_client_name"] is None
