@@ -146,3 +146,42 @@ def test_single_python_stage_in_plan(spark, frames):
     assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_gzip_source_chain_parity(spark, tmp_path):
+    """GZIP log sources (SURVEY §2.1): Spark's text source reads .gz
+    natively (Hadoop GzipCodec), so a gzipped log and its plain twin
+    produce identical events through the same compiled chain — the
+    engine-side meaning of the reference's gzip reader
+    (filestream's compression support); no code needed, proven here.
+    """
+    import gzip
+    import os
+    from beats_spark.functions.parsers import compile_parsers
+    from beats_spark.processors import compile_processors
+
+    lines = ['{"level":"info","msg":"started"}',
+             '{"level":"error","msg":"boom"}',
+             'not json',
+             '{"level":"info","msg":"done"}']
+    payload = ("\n".join(lines) + "\n").encode()
+    plain = tmp_path / "app.log"
+    plain.write_bytes(payload)
+    gz = tmp_path / "app.log.gz"
+    with gzip.open(gz, "wb") as f:
+        f.write(payload)
+
+    parsers = [{"ndjson": {"schema": "level string, msg string",
+                           "add_error_key": True}}]
+    procs = [{"uppercase": {"fields": ["level"]}}]
+
+    def run(path):
+        df = spark.read.text(str(path)) \
+            .withColumnRenamed("value", "message")
+        df = compile_parsers(parsers, field="message")(df)
+        df = compile_processors(procs)(df)
+        return sorted(tuple(r) for r in
+                      df.select("message", "level", "msg").collect())
+
+    assert run(gz) == run(plain)
+    assert len(run(gz)) == 4
