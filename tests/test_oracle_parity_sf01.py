@@ -46,6 +46,7 @@ SMOKE = [
     "zonemap_prune",
     # round-5 additions
     "kafka_events", "community_id_md5", "cidr_enrich",
+    "vpcflow_parse", "winlog_export", "redis_slowlog",
 ]
 
 
