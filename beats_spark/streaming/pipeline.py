@@ -41,7 +41,8 @@ __all__ = ["PAGES_SCHEMA", "stream_routed", "run_stream_pipeline",
            "stream_sessions", "stream_count_anomalies",
            "stream_countmin", "stream_percolate",
            "stateful_heavy_hitters", "stateful_counter_rates",
-           "stateful_ewma_smooth", "stateful_sequence_gaps"]
+           "stateful_ewma_smooth", "stateful_sequence_gaps",
+           "stream_seasonal_anomaly"]
 
 PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                 "text string, lang string")
@@ -1248,3 +1249,52 @@ def stateful_sequence_gaps(
     return (records.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout))
+
+
+def stream_seasonal_anomaly(
+    counts: DataFrame,
+    baseline: DataFrame,
+    key_col: str = "key",
+    hour_col: str = "hour",
+    count_col: str = "n",
+    z_num: int = 3,
+    z_den: int = 2,
+) -> DataFrame:
+    """Streaming form of :func:`beats_spark.dataops.events
+    .seasonal_anomaly` under the offline-baseline/online-score
+    topology every production seasonal detector uses: the per-(key,
+    hour-of-day) median baseline is computed BATCH-side (a median
+    needs the day history; recomputing it inside the stream would be
+    unbounded state) and broadcast-joined against the live bucketed
+    counter stream, which then applies the IDENTICAL integer
+    cross-multiplication as the batch operator — ``n · 2 · z_den >
+    z_num · med2`` — so a bucket flags in the stream exactly iff the
+    batch op flags it against the same baseline (asserted in the
+    test).
+
+    ``counts`` is an already-bucketed stream (the output of a
+    windowed count — the same two-stage topology as
+    :func:`stream_count_anomalies`) carrying ``key_col``,
+    ``hour_col`` (hour-of-day 0–23) and ``count_col``; ``baseline``
+    is the batch frame ``(key, hour, med2)`` — the distinct (key,
+    hour, med2) rows of the batch operator's output. Keys/hours
+    absent from the baseline emit a NULL flag (no basis to judge —
+    surfacing them beats silently defaulting to "normal").
+
+    Plan: ONE broadcast hash join + codegen comparison — no shuffle,
+    no state, watermark-agnostic; works identically under batch for
+    backtesting.
+    """
+    if z_num < 0 or z_den < 1:
+        raise ValueError("stream_seasonal_anomaly: bad z ratio")
+    b = F.broadcast(baseline.select(
+        F.col(key_col).alias("__k"), F.col(hour_col).alias("__h"),
+        F.col("med2").cast("long").alias("med2")))
+    joined = counts.join(
+        b, (F.col(key_col) == F.col("__k"))
+        & (F.col(hour_col).cast("int") == F.col("__h")), "left")
+    flag = F.when(
+        F.col("med2").isNotNull(),
+        F.col(count_col).cast("long") * 2 * z_den
+        > F.lit(z_num) * F.col("med2"))
+    return joined.drop("__k", "__h").withColumn("is_spike", flag)

@@ -1183,3 +1183,71 @@ def test_stateful_sequence_gaps_matches_batch(spark, tmp_path):
     assert last_c1.n_late == 1
     assert last_c1.n == want["c1"].n
     assert last_c1.n_missing == want["c1"].n_missing
+
+
+def test_stream_seasonal_anomaly_matches_batch(spark, tmp_path):
+    """Streaming seasonal scoring against a batch-computed baseline
+    flags exactly the buckets the batch operator flags: offline
+    median baseline, online integer cross-multiplication, one
+    broadcast join."""
+    from beats_spark.dataops.events import seasonal_anomaly
+    from beats_spark.streaming.pipeline import stream_seasonal_anomaly
+
+    # history: two keys, hourly counts over several days with one
+    # hot (key, day, hour) cell
+    rows = []
+    for day in range(1, 5):
+        for hour in (3, 12):
+            for k in ("web", "db"):
+                n = 10 if k == "web" else 4
+                if k == "web" and hour == 3 and day == 4:
+                    n = 100                      # the anomaly
+                for i in range(n):
+                    rows.append((k, f"2024-01-0{day}T"
+                                 f"{hour:02d}:00:{i % 60:02d}"))
+    hist = spark.createDataFrame(rows, "k string, ts string") \
+        .select("k", F.col("ts").cast("timestamp").alias("ts"))
+    batch = seasonal_anomaly(hist, "k", "ts")
+    baseline = batch.select(F.col("k").alias("key"), "hour", "med2") \
+        .distinct()
+
+    # live stream: replay the SAME bucketed counts as a file stream
+    counts = (hist.groupBy(F.col("k").alias("key"),
+                           F.to_date("ts").alias("day"),
+                           F.hour("ts").cast("int").alias("hour"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    src = str(tmp_path / "cnt"); os.makedirs(src)
+    counts.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    stream = (spark.readStream
+              .schema("key string, day date, hour int, n bigint")
+              .parquet(src + "/*"))
+    q = (stream_seasonal_anomaly(stream, baseline, "key", "hour", "n")
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.key, str(r.day), r.hour): r.is_spike
+           for r in spark.read.parquet(str(tmp_path / "out"))
+           .collect()}
+    want = {(r.k, str(r.day), r.hour): r.is_spike
+            for r in batch.collect()}
+    assert got == want
+    assert got[("web", "2024-01-04", 3)] is True
+    assert sum(1 for v in got.values() if v) == 1
+
+    # a key absent from the baseline scores NULL, not "normal"
+    src2 = str(tmp_path / "cnt2"); os.makedirs(src2)
+    spark.createDataFrame([("new", 12, 999)],
+                          "key string, hour int, n long") \
+        .coalesce(1).write.parquet(os.path.join(src2, "b1"))
+    st2 = (spark.readStream.schema("key string, hour int, n long")
+           .parquet(src2 + "/*"))
+    q2 = (stream_seasonal_anomaly(st2, baseline, "key", "hour", "n")
+          .writeStream.format("parquet")
+          .option("path", str(tmp_path / "out2"))
+          .option("checkpointLocation", str(tmp_path / "ck2"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination()
+    r = spark.read.parquet(str(tmp_path / "out2")).collect()[0]
+    assert r.is_spike is None
