@@ -3323,6 +3323,65 @@ def redis_slowlog_q(spark, sf_dir):
         "redis_slowlog_client_addr")
 
 
+@query("es_bulk", oracle="""
+WITH w AS (
+  SELECT event_id,
+         'logs-' || event_type AS idx,
+         CASE WHEN event_id % 4 = 0 THEN NULL
+              ELSE 'doc' || CAST(event_id AS VARCHAR) END AS doc_id,
+         CASE WHEN event_id % 5 = 0 THEN 'index'
+              WHEN event_id % 5 = 1 THEN 'delete'
+              ELSE 'create' END AS op,
+         CASE WHEN event_id % 3 = 0 THEN 'geoip' END AS pipe,
+         'm' || CAST(event_id AS VARCHAR) AS msg
+  FROM events)
+SELECT event_id, idx AS _index,
+  CASE WHEN op = 'delete' AND doc_id IS NULL THEN NULL ELSE
+    '{"' || op || '":{"_index":"' || idx || '"'
+    || CASE WHEN doc_id IS NOT NULL
+            THEN ',"_id":"' || doc_id || '"' ELSE '' END
+    || CASE WHEN pipe IS NOT NULL
+            THEN ',"pipeline":"' || pipe || '"' ELSE '' END
+    || '}}' END AS bulk_action,
+  CASE WHEN op = 'delete' THEN NULL ELSE
+    '{"msg":"' || msg || '","n":'
+    || CAST(event_id AS VARCHAR) || '}' END AS bulk_source,
+  CASE WHEN op = 'delete' AND doc_id IS NULL
+       THEN 'delete requires _id' END AS bulk_error
+FROM w
+""")
+def es_bulk_q(spark, sf_dir):
+    """Elasticsearch ``_bulk`` request encoding
+    (:func:`beats_spark.sinks.es_bulk_shape`; reference
+    ``outputs/elasticsearch/client.go:361-423``): a routed frame with
+    a create/index/delete op mix, optional ids and ingest pipelines —
+    the oracle rebuilds both JSON lines by string concatenation
+    (values are escape-free by construction), covering omitempty
+    field omission, the source-less delete, and the
+    delete-without-id encode error. Pure codegen, zero shuffle."""
+    from .sinks import es_bulk_shape
+    ev = _t(spark, sf_dir, "events")
+    w = ev.select(
+        "event_id",
+        F.concat(F.lit("logs-"), F.col("event_type")).alias("sink"),
+        F.when(F.col("event_id") % 4 == 0, F.lit(None))
+        .otherwise(F.concat(F.lit("doc"),
+                            F.col("event_id").cast("string")))
+        .alias("doc_id"),
+        F.when(F.col("event_id") % 5 == 0, F.lit("index"))
+        .when(F.col("event_id") % 5 == 1, F.lit("delete"))
+        .otherwise(F.lit("create")).alias("op"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("geoip"))
+        .alias("pipe"),
+        F.concat(F.lit("m"), F.col("event_id").cast("string"))
+        .alias("msg"),
+        F.col("event_id").cast("int").alias("n"))
+    return es_bulk_shape(
+        w.withColumn("n", F.col("event_id").cast("int")),
+        "sink", id_col="doc_id", op_col="op", pipeline_col="pipe",
+        columns=["msg", "n"], keep=["event_id"])
+
+
 def flagship_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full routed event frame (entry() surface)."""
     from .pipeline import build_routed

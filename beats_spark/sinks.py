@@ -33,6 +33,7 @@ from .fmtstr import compile_fmtstr
 
 __all__ = [
     "codec_json", "codec_format", "write_fileout", "kafka_shape",
+    "es_bulk_shape",
     "split_dead_letter", "ttl_batch_split", "write_sinks",
     "write_console", "write_discard",
 ]
@@ -220,3 +221,58 @@ def write_sinks(routed: DataFrame, out_dir: str,
         if max_records_per_file:
             w = w.option("maxRecordsPerFile", int(max_records_per_file))
         w.parquet(os.path.join(out_dir, name))
+
+
+def es_bulk_shape(df: DataFrame, index_col: str = "sink",
+                  id_col: Optional[str] = None,
+                  op_col: Optional[str] = None,
+                  pipeline_col: Optional[str] = None,
+                  columns: Optional[Sequence[str]] = None,
+                  keep: Optional[Sequence[str]] = None) -> DataFrame:
+    """Shape a routed frame into Elasticsearch ``_bulk`` request
+    pairs — the output-side encoding of
+    ``libbeat/outputs/elasticsearch/client.go:361-423``
+    (bulkEncodePublishRequest / createEventBulkMeta): per event one
+    ACTION line ``{"<op>":{"_index":…,"_id":…,"pipeline":…}}`` and
+    one SOURCE line (the doc as JSON) — except ``delete``, which has
+    no source and REQUIRES an id (``:409-414``; a delete without one
+    is an encode error: here ``bulk_error`` is set and both lines are
+    NULL, the row-level form of the reference dropping the event).
+
+    Op semantics per the reference on modern ES (≥7.5): ``create`` is
+    the default action, ``index`` when the event meta asks for it
+    (``op_type: index``), ``delete`` for tombstones. Absent
+    id/pipeline are OMITTED from the action JSON (``to_json`` drops
+    NULL fields), matching the omitempty encoding.
+
+    Output: ``(bulk_action, bulk_source, bulk_error)`` plus the
+    index column — a ``foreachBatch`` sink concatenates
+    action+"\\n"+source per row and POSTs per index group; the
+    batch-size split for ``http.max_content_length`` is
+    :func:`ttl_batch_split`. Pure codegen, zero shuffle."""
+    vcols = list(columns) if columns else \
+        [c for c in df.columns
+         if c not in (index_col, id_col, op_col, pipeline_col)]
+    idx = F.col(index_col)
+    did = F.col(id_col) if id_col else F.lit(None).cast("string")
+    pipe = (F.col(pipeline_col) if pipeline_col
+            else F.lit(None).cast("string"))
+    op = (F.lower(F.coalesce(F.col(op_col), F.lit("create")))
+          if op_col else F.lit("create"))
+
+    meta = F.struct(idx.alias("_index"), did.alias("_id"),
+                    pipe.alias("pipeline"))
+    action = F.when(op == "delete",
+                    F.to_json(F.struct(meta.alias("delete")))) \
+        .when(op == "index", F.to_json(F.struct(meta.alias("index")))) \
+        .otherwise(F.to_json(F.struct(meta.alias("create"))))
+    source = F.when(op != "delete",
+                    F.to_json(F.struct(*[F.col(c) for c in vcols])))
+    bad_delete = (op == "delete") & (did.isNull() | (did == ""))
+    return df.select(
+        *[F.col(c) for c in (keep or [])],
+        idx.alias("_index"),
+        F.when(~bad_delete, action).alias("bulk_action"),
+        F.when(~bad_delete, source).alias("bulk_source"),
+        F.when(bad_delete,
+               F.lit("delete requires _id")).alias("bulk_error"))

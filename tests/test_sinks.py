@@ -177,3 +177,32 @@ def test_ttl_batch_split_plan_single_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_es_bulk_shape_reference_encoding(spark):
+    """Bulk action/source encoding per
+    ``outputs/elasticsearch/client.go:361-423``: create default,
+    index on request, delete without source, omitempty id/pipeline,
+    delete-without-id is an encode error (the event-drop case)."""
+    from beats_spark.sinks import es_bulk_shape
+    df = spark.createDataFrame(
+        [("logs-a", "id1", "create", None, "hello", 7),
+         ("logs-b", None, "index", "geoip", "world", 8),
+         ("logs-c", None, "delete", None, "x", 9),
+         ("logs-d", "id4", "delete", None, "y", 10)],
+        "sink string, doc_id string, op string, pipe string, "
+        "msg string, n int")
+    out = {r["_index"]: r for r in es_bulk_shape(
+        df, "sink", id_col="doc_id", op_col="op",
+        pipeline_col="pipe", columns=["msg", "n"]).collect()}
+    assert out["logs-a"]["bulk_action"] == \
+        '{"create":{"_index":"logs-a","_id":"id1"}}'
+    assert out["logs-a"]["bulk_source"] == '{"msg":"hello","n":7}'
+    assert out["logs-b"]["bulk_action"] == \
+        '{"index":{"_index":"logs-b","pipeline":"geoip"}}'
+    # delete: no source line; requires _id
+    assert out["logs-d"]["bulk_action"] == \
+        '{"delete":{"_index":"logs-d","_id":"id4"}}'
+    assert out["logs-d"]["bulk_source"] is None
+    assert out["logs-c"]["bulk_error"] == "delete requires _id"
+    assert out["logs-c"]["bulk_action"] is None
