@@ -31,6 +31,7 @@ __all__ = [
     "attach_media_meta", "extract_image_features",
     "sample_video_frames",
     "set_fingerprinter", "media_fingerprints", "media_phash_pairs",
+    "bmp_color_stats", "wav_audio_stats",
 ]
 
 # The typed metadata struct every media column carries alongside the
@@ -338,3 +339,111 @@ def media_phash_pairs(df: DataFrame, binary_col: str = "payload",
             .filter(F.col("fp").isNotNull())
             .select(F.col(id_col).alias("id"), F.col("fp").alias("sh")))
     return banded_hamming_pairs(base, _FP_BITS, max_hamming, chunks)
+
+
+def bmp_color_stats(df: DataFrame, binary_col: str = "payload",
+                    id_col: str = "media_id") -> DataFrame:
+    """REAL image decode → per-image color statistics, no codec
+    library required: uncompressed BMP payloads
+    (:mod:`beats_spark.dataops.codecs`, pure numpy) decode to actual
+    pixel arrays and reduce to exact integer stats — ``(id, width,
+    height, mean_r_milli, mean_g_milli, mean_b_milli, luma_milli)``
+    with ``mean_c_milli = 1000·Σc // n_pixels`` and ITU-R BT.601
+    integer luma ``(299·R + 587·G + 114·B) // 1000`` on the milli
+    means. Non-BMP / truncated payloads yield NULL stats (real-codec
+    semantics: unknown is unknown, never fake).
+
+    One Arrow stage; the binary column is projected away inside it so
+    only fixed-width stats ever shuffle. Exact arithmetic makes a
+    closed-form DuckDB oracle possible for constructed images — the
+    catalog entry builds solid/banded BMPs from table columns and the
+    oracle predicts the stats analytically."""
+    import numpy as np
+
+    from .codecs import bmp_pixels
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs = [], [], []
+            mr, mg, mb, ly = [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[binary_col]):
+                ids.append(i)
+                px = bmp_pixels(payload) if payload is not None \
+                    else None
+                if px is None:
+                    ws.append(None); hs.append(None)
+                    mr.append(None); mg.append(None); mb.append(None)
+                    ly.append(None)
+                    continue
+                h, w, _ = px.shape
+                n = h * w
+                s = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                r, g, b = (int(s[0]) * 1000 // n,
+                           int(s[1]) * 1000 // n,
+                           int(s[2]) * 1000 // n)
+                ws.append(w); hs.append(h)
+                mr.append(r); mg.append(g); mb.append(b)
+                ly.append((299 * r + 587 * g + 114 * b) // 1000)
+            yield pd.DataFrame({
+                id_col: pd.array(ids, dtype="Int64"),
+                "width": pd.array(ws, dtype="Int32"),
+                "height": pd.array(hs, dtype="Int32"),
+                "mean_r_milli": pd.array(mr, dtype="Int64"),
+                "mean_g_milli": pd.array(mg, dtype="Int64"),
+                "mean_b_milli": pd.array(mb, dtype="Int64"),
+                "luma_milli": pd.array(ly, dtype="Int64")})
+
+    return df.select(id_col, binary_col).mapInPandas(
+        fn, schema=f"{id_col} bigint, width int, height int, "
+                   "mean_r_milli bigint, mean_g_milli bigint, "
+                   "mean_b_milli bigint, luma_milli bigint")
+
+
+def wav_audio_stats(df: DataFrame, binary_col: str = "payload",
+                    id_col: str = "media_id") -> DataFrame:
+    """REAL audio decode → per-clip PCM statistics, no codec library
+    required: RIFF/WAVE 16-bit PCM payloads decode to actual sample
+    arrays and reduce to exact integers — ``(id, n_frames,
+    sample_rate, duration_ms, mean_abs_milli, peak_abs, energy)``
+    with ``mean_abs_milli = 1000·Σ|s| // n`` over all channels and
+    ``energy = Σ s²`` (int64; report the sum, not an inexact RMS —
+    callers divide/sqrt at display time). Non-WAV payloads yield NULL
+    stats. Same single-Arrow-stage shape as the image kernel."""
+    import numpy as np
+
+    from .codecs import decode_wav_meta, wav_samples
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nf, sr, dm, ma, pk, en = [], [], [], [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[binary_col]):
+                ids.append(i)
+                dec = wav_samples(payload) if payload is not None \
+                    else None
+                if dec is None:
+                    nf.append(None); sr.append(None); dm.append(None)
+                    ma.append(None); pk.append(None); en.append(None)
+                    continue
+                arr, rate = dec
+                meta = decode_wav_meta(payload)
+                flat = arr.astype(np.int64).ravel()
+                n = len(flat) if len(flat) else 1
+                nf.append(meta["n_frames"]); sr.append(rate)
+                dm.append(meta["duration_ms"])
+                ma.append(int(np.abs(flat).sum()) * 1000 // n)
+                pk.append(int(np.abs(flat).max()) if len(flat) else 0)
+                en.append(int((flat * flat).sum()))
+            yield pd.DataFrame({
+                id_col: pd.array(ids, dtype="Int64"),
+                "n_frames": pd.array(nf, dtype="Int64"),
+                "sample_rate": pd.array(sr, dtype="Int32"),
+                "duration_ms": pd.array(dm, dtype="Int64"),
+                "mean_abs_milli": pd.array(ma, dtype="Int64"),
+                "peak_abs": pd.array(pk, dtype="Int64"),
+                "energy": pd.array(en, dtype="Int64")})
+
+    return df.select(id_col, binary_col).mapInPandas(
+        fn, schema=f"{id_col} bigint, n_frames bigint, "
+                   "sample_rate int, duration_ms bigint, "
+                   "mean_abs_milli bigint, peak_abs bigint, "
+                   "energy bigint")

@@ -3382,6 +3382,111 @@ def es_bulk_q(spark, sf_dir):
         columns=["msg", "n"], keep=["event_id"])
 
 
+@query("bmp_stats", oracle="""
+WITH p AS (
+  SELECT event_id AS media_id,
+         4 + event_id % 9 AS w, 2 * (1 + event_id % 4) AS h,
+         CAST(event_id % 256 AS BIGINT) AS ca,
+         CAST((event_id * 7) % 256 AS BIGINT) AS cb
+  FROM events WHERE event_id % 50 < 8)
+SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+  (ca + cb) * 500 AS mean_r_milli,
+  (ca + cb) * 500 AS mean_g_milli,
+  (ca + cb) * 500 AS mean_b_milli,
+  (299 * (ca + cb) * 500 + 587 * (ca + cb) * 500
+   + 114 * (ca + cb) * 500) // 1000 AS luma_milli
+FROM p
+""")
+def bmp_stats_q(spark, sf_dir):
+    """REAL image decode under an exact oracle: two-band BMPs (top
+    half gray value A, bottom half B, equal halves) are ENCODED from
+    table columns by the pure-numpy codec, then DECODED back by
+    :func:`beats_spark.dataops.multimodal.bmp_color_stats` — actual
+    pixel bytes through actual header/stride/row-order parsing — and
+    the oracle predicts every statistic analytically (mean of an
+    equal A/B split is (A+B)·500 milli). This is the catalog's proof
+    that the multimodal decode step is no longer a stub for
+    codec-free formats (dataops/codecs.py). Two Arrow stages, zero
+    shuffle; the subsample keeps encode cost out of the bench's way."""
+    import numpy as np
+
+    from .dataops.codecs import encode_bmp
+    from .dataops.multimodal import bmp_color_stats
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 50 < 8)
+    base = ev.select(
+        F.col("event_id").alias("media_id"),
+        (4 + F.col("event_id") % 9).cast("int").alias("w"),
+        (2 * (1 + F.col("event_id") % 4)).cast("int").alias("h"),
+        (F.col("event_id") % 256).cast("int").alias("ca"),
+        ((F.col("event_id") * 7) % 256).cast("int").alias("cb"))
+
+    def make(batches):
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for w, h, ca, cb in zip(pdf.w, pdf.h, pdf.ca, pdf.cb):
+                px = np.empty((int(h), int(w), 3), np.uint8)
+                px[: int(h) // 2] = int(ca)
+                px[int(h) // 2:] = int(cb)
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame({"media_id": pdf.media_id,
+                                "payload": payloads})
+
+    media = base.mapInPandas(
+        make, schema="media_id bigint, payload binary")
+    return bmp_color_stats(media)
+
+
+@query("wav_stats", oracle="""
+WITH p AS (
+  SELECT event_id AS media_id,
+         20 + 2 * (event_id % 40) AS n,
+         CAST(100 + event_id % 2000 AS BIGINT) AS a
+  FROM events WHERE event_id % 50 >= 8 AND event_id % 50 < 14)
+SELECT media_id, CAST(n AS BIGINT) AS n_frames,
+  CAST(8000 AS INT) AS sample_rate,
+  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+  a * 1000 AS mean_abs_milli, a AS peak_abs,
+  n * a * a AS energy
+FROM p
+""")
+def wav_stats_q(spark, sf_dir):
+    """REAL audio decode under an exact oracle: ±a square waves are
+    ENCODED from table columns as 16-bit PCM WAV by the pure-numpy
+    codec and DECODED by :func:`beats_spark.dataops.multimodal
+    .wav_audio_stats` — actual RIFF chunk walking over actual sample
+    bytes — with analytically predicted statistics (mean |s| of a
+    square wave is its amplitude, energy is n·a²). Companion proof to
+    ``bmp_stats`` on the audio side. Two Arrow stages, zero shuffle."""
+    import numpy as np
+
+    from .dataops.codecs import encode_wav
+    from .dataops.multimodal import wav_audio_stats
+
+    ev = _t(spark, sf_dir, "events") \
+        .filter((F.col("event_id") % 50 >= 8)
+                & (F.col("event_id") % 50 < 14))
+    base = ev.select(
+        F.col("event_id").alias("media_id"),
+        (20 + 2 * (F.col("event_id") % 40)).cast("int").alias("n"),
+        (100 + F.col("event_id") % 2000).cast("int").alias("a"))
+
+    def make(batches):
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for n, a in zip(pdf.n, pdf.a):
+                s = np.tile(np.array([a, -a], np.int16), int(n) // 2)
+                payloads.append(encode_wav(s, 8000))
+            yield pd.DataFrame({"media_id": pdf.media_id,
+                                "payload": payloads})
+
+    media = base.mapInPandas(
+        make, schema="media_id bigint, payload binary")
+    return wav_audio_stats(media)
+
+
 def flagship_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full routed event frame (entry() surface)."""
     from .pipeline import build_routed
