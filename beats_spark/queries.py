@@ -3487,6 +3487,50 @@ def wav_stats_q(spark, sf_dir):
     return wav_audio_stats(media)
 
 
+@query("lumberjack_frames", oracle="""
+WITH w AS (
+  SELECT event_id // 64 AS batch,
+         row_number() OVER (PARTITION BY event_id // 64
+                            ORDER BY event_id) AS seq,
+         'm' || CAST(event_id AS VARCHAR) AS msg
+  FROM events),
+data AS (
+  SELECT batch, 'J' AS kind, CAST(seq AS BIGINT) AS seq,
+    '324A' || lpad(to_hex(seq), 8, '0')
+    || lpad(to_hex(10 + length(CAST(msg AS VARCHAR))), 8, '0')
+    || to_hex(encode('{"msg":"' || msg || '"}')) AS frame_hex
+  FROM w),
+win AS (
+  SELECT batch, 'W' AS kind, CAST(NULL AS BIGINT) AS seq,
+         '3257' || lpad(to_hex(count(*)), 8, '0') AS frame_hex
+  FROM w GROUP BY batch)
+SELECT * FROM win UNION ALL SELECT * FROM data
+""")
+def lumberjack_frames_q(spark, sf_dir):
+    """Lumberjack v2 wire framing
+    (:func:`beats_spark.sinks.lumberjack_frames`; the logstash
+    output's transport encoding — protocol via the go-lumber client
+    ``outputs/logstash/sync.go:28`` links): events batched 64-wide
+    get per-batch window frames ('2W' + BE count) and per-event JSON
+    data frames ('2J' + BE seq + BE len + payload), hex-compared
+    byte-for-byte against an oracle that rebuilds every frame with
+    string arithmetic (payload is escape-free by construction; '{'
+    "msg":...'}' adds 10 bytes around it). One 12-byte-row count
+    exchange for the window frames; data frames are a projection."""
+    from .sinks import lumberjack_frames
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy((F.col("event_id") / 64).cast("long")) \
+        .orderBy("event_id")
+    base = ev.select(
+        (F.col("event_id") / 64).cast("long").alias("batch"),
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.concat(F.lit("m"), F.col("event_id").cast("string"))
+        .alias("msg"))
+    out = lumberjack_frames(base, "batch", "seq")
+    return out.select("batch", "kind", "seq",
+                      F.hex("frame").alias("frame_hex"))
+
+
 def flagship_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full routed event frame (entry() surface)."""
     from .pipeline import build_routed

@@ -33,7 +33,7 @@ from .fmtstr import compile_fmtstr
 
 __all__ = [
     "codec_json", "codec_format", "write_fileout", "kafka_shape",
-    "es_bulk_shape",
+    "es_bulk_shape", "lumberjack_frames", "LumberjackWindow",
     "split_dead_letter", "ttl_batch_split", "write_sinks",
     "write_console", "write_discard",
 ]
@@ -276,3 +276,93 @@ def es_bulk_shape(df: DataFrame, index_col: str = "sink",
         F.when(~bad_delete, source).alias("bulk_source"),
         F.when(bad_delete,
                F.lit("delete requires _id")).alias("bulk_error"))
+
+
+class LumberjackWindow:
+    """The logstash output's sliding window-size policy, ported
+    exactly (``outputs/logstash/window.go:37-91``): grow by ×1.5
+    toward the smaller of the current batch size and the max —
+    but only past ``max_ok`` once the current size has actually
+    succeeded — and halve on failure with a floor of 1
+    (``logstash.go:30`` minWindowSize). This is the per-connection
+    batch sizing a foreachBatch lumberjack sink consults before
+    calling :func:`lumberjack_frames`; vectors from window_test.go
+    are ported in tests/test_sinks.py."""
+
+    MIN = 1
+    DEFAULT_START = 10
+
+    def __init__(self, start: int = DEFAULT_START,
+                 max_window: int = 2048):
+        self.window_size = int(start)
+        self.max_ok_window_size = 0
+        self.max_window_size = int(max_window)
+
+    def get(self) -> int:
+        return self.window_size
+
+    def try_grow(self, batch_size: int) -> None:
+        import math
+        ws = self.window_size
+        if ws <= batch_size:
+            if self.max_ok_window_size < ws:
+                self.max_ok_window_size = ws
+                new = int(math.ceil(1.5 * ws))
+                if ws <= batch_size < new:
+                    new = batch_size
+                if new > self.max_window_size:
+                    new = self.max_window_size
+                ws = new
+            elif ws < self.max_ok_window_size:
+                ws = int(math.ceil(1.5 * ws))
+                if ws > self.max_ok_window_size:
+                    ws = self.max_ok_window_size
+            self.window_size = ws
+
+    def shrink(self) -> None:
+        ws = self.window_size // 2
+        if ws < self.MIN:
+            ws = self.MIN
+        self.window_size = ws
+
+
+def lumberjack_frames(df: DataFrame, batch_col: str, seq_col: str,
+                      columns: Optional[Sequence[str]] = None
+                      ) -> DataFrame:
+    """Lumberjack v2 wire frames, engine-side (the logstash output's
+    encoding; protocol per the public go-lumber client the reference
+    links from ``outputs/logstash/sync.go:28``): per event one JSON
+    data frame ``'2' 'J' seq(uint32 BE) len(uint32 BE) payload`` with
+    1-based sequence numbers the ACK protocol ranges over, plus one
+    window frame ``'2' 'W' count(uint32 BE)`` per batch announcing
+    how many data frames follow. Output: ``(batch, kind, seq,
+    frame binary)`` — the window row (kind='W', seq NULL) and the
+    batch's data rows; a foreachBatch sink writes them in (batch,
+    W-first, seq) order onto the socket. Optional zlib compression
+    ('2C' frames) wraps the concatenated data frames transport-side.
+
+    Frame bytes assemble JVM-side (the hex-pack spelling shared with
+    community_id): data frames are a pure projection; the window
+    frames are one partial-combining count per batch — the only
+    exchange, carrying 12-byte rows."""
+    vcols = list(columns) if columns else \
+        [c for c in df.columns if c not in (batch_col, seq_col)]
+    payload = F.to_json(F.struct(*[F.col(c) for c in vcols]))
+
+    def be4(col: Column) -> Column:
+        return F.unhex(F.lpad(F.hex(col.cast("bigint")), 8, "0"))
+
+    data = df.select(
+        F.col(batch_col).alias("batch"),
+        F.lit("J").alias("kind"),
+        F.col(seq_col).cast("long").alias("seq"),
+        F.concat(F.lit(b"2J"), be4(F.col(seq_col)),
+                 be4(F.octet_length(payload)),
+                 F.encode(payload, "utf-8")).alias("frame"))
+    window = (df.groupBy(F.col(batch_col).alias("batch"))
+              .agg(F.count(F.lit(1)).alias("__n"))
+              .select("batch", F.lit("W").alias("kind"),
+                      F.lit(None).cast("long").alias("seq"),
+                      F.concat(F.lit(b"2W"), be4(F.col("__n")))
+                      .alias("frame")))
+    return window.unionByName(data)

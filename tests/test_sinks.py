@@ -206,3 +206,40 @@ def test_es_bulk_shape_reference_encoding(spark):
     assert out["logs-d"]["bulk_source"] is None
     assert out["logs-c"]["bulk_error"] == "delete requires _id"
     assert out["logs-c"]["bulk_action"] is None
+
+
+def test_lumberjack_window_policy_reference_vectors():
+    """window_test.go ported: shrink floors at 1; growth converges to
+    min(batch, max); an unproven max_ok caps growth."""
+    from beats_spark.sinks import LumberjackWindow
+    w = LumberjackWindow(124, 2048)
+    for _ in range(100):
+        w.shrink()
+    assert w.get() == 1
+
+    def grow(initial, max_ok, max_w, batch, expected):
+        w = LumberjackWindow(initial, max_w)
+        w.max_ok_window_size = max_ok
+        for _ in range(100):
+            w.try_grow(batch)
+        assert w.get() == expected
+        assert w.max_ok_window_size == expected
+
+    grow(10, 0, 1024, 114, 114)   # up to batch size
+    grow(10, 0, 64, 114, 64)      # up to max window
+    grow(1, 0, 1024, 114, 114)    # from 1
+    grow(1, 71, 1024, 114, 71)    # capped by unproven max_ok
+
+
+def test_lumberjack_frames_wire_layout(spark):
+    from beats_spark.sinks import lumberjack_frames
+    df = spark.createDataFrame(
+        [(7, 1, "a"), (7, 2, "b")], "b long, seq long, msg string")
+    rows = {(r["kind"], r["seq"]): bytes(r["frame"]) for r in
+            lumberjack_frames(df, "b", "seq").collect()}
+    # window frame: '2' 'W' + BE count
+    assert rows[("W", None)] == b"2W" + (2).to_bytes(4, "big")
+    f = rows[("J", 1)]
+    payload = b'{"msg":"a"}'
+    assert f == (b"2J" + (1).to_bytes(4, "big")
+                 + len(payload).to_bytes(4, "big") + payload)
