@@ -65,24 +65,50 @@ def _chain(raw: Column, table: Dict[int, str]) -> Column:
     return chain
 
 
+WINEVENT_SCHEMA = (
+    "struct<System: struct<"
+    "Provider: struct<_Name: string, _Guid: string>, "
+    "EventID: string, Version: int, Level: int, Task: int, "
+    "Opcode: int, Keywords: string, "
+    "TimeCreated: struct<_SystemTime: string>, "
+    "EventRecordID: long, "
+    "Correlation: struct<_ActivityID: string, "
+    "_RelatedActivityID: string>, "
+    "Execution: struct<_ProcessID: int, _ThreadID: int>, "
+    "Channel: string, Computer: string, "
+    "Security: struct<_UserID: string>>, "
+    "EventData: struct<Data: array<struct<_Name: string, "
+    "_VALUE: string>>>, "
+    "RenderingInfo: struct<Message: string, Level: string, "
+    "Task: string, Opcode: string, "
+    "Keywords: struct<Keyword: array<string>>>, "
+    "ProcessingErrorData: struct<ErrorCode: int>>")
+
+
 def winlog_columns(xml: Column) -> Dict[str, Column]:
     """Compile one exported Event XML record into the winlogbeat
     field set (flattened ``winlog_*`` columns per the repo's
-    underscore convention). Pure codegen."""
-    x = F.regexp_replace(xml, r'\sxmlns="[^"]*"', "")
+    underscore convention). ONE ``from_xml`` parse per record — the
+    original spelling used ~20 independent ``xpath_*`` calls, each of
+    which re-parses the document (measured 212 s vs ~2 s at sf0.1 on
+    the catalog entry); every field below is a struct accessor over
+    the single parsed value, pure codegen. ``from_xml`` also pairs
+    ``Data`` names with values structurally, so an empty
+    ``<Data/>`` simply carries a NULL value instead of the positional
+    misalignment the xpath text() arrays suffered."""
+    x = F.from_xml(F.regexp_replace(xml, r'\sxmlns="[^"]*"', ""),
+                   WINEVENT_SCHEMA)
+    sysf = x.getField("System")
+    rend = x.getField("RenderingInfo")
 
-    def s(path: str) -> Column:
-        v = F.xpath_string(x, F.lit(path))
-        return F.when(v != "", v)
-
-    def n(path: str) -> Column:
-        return s(path).try_cast("long")
+    def s(col: Column) -> Column:
+        return F.when(col.isNotNull() & (col != ""), col)
 
     # Keywords is a hex bitmask ("0x8020000000000000"); values reach
     # bit 63, so parse via conv() into decimal(38,0) and bit-test
     # with DIV/MOD (exact, sign-free)
     kw_hex = F.regexp_replace(
-        F.lower(F.xpath_string(x, F.lit("Event/System/Keywords"))),
+        F.lower(F.coalesce(sysf.getField("Keywords"), F.lit(""))),
         "^0x", "")
     kw = F.when(kw_hex != "",
                 F.conv(kw_hex, 16, 10).cast("decimal(38,0)"))
@@ -93,43 +119,52 @@ def winlog_columns(xml: Column) -> Dict[str, Column]:
         return (F.floor(kw / F.lit(mask)).cast("decimal(38,0)")
                 % 2 == 1)
 
-    level_raw = n("Event/System/Level").cast("int")
-    opcode_raw = n("Event/System/Opcode").cast("int")
-    rendered_level = s("Event/RenderingInfo/Level")
-    rendered_opcode = s("Event/RenderingInfo/Opcode")
-    rendered_kw = F.xpath(
-        x, F.lit("Event/RenderingInfo/Keywords/Keyword/text()"))
+    level_raw = sysf.getField("Level")
+    opcode_raw = sysf.getField("Opcode")
+    rendered_level = s(rend.getField("Level"))
+    rendered_opcode = s(rend.getField("Opcode"))
+    rendered_kw = rend.getField("Keywords").getField("Keyword")
     meta_kw = F.array_compact(F.array(*[
         F.when(bset(mask), F.lit(name))
         for mask, name in KEYWORD_BITS]))
 
-    names = F.xpath(x, F.lit("Event/EventData/Data/@Name"))
-    vals = F.xpath(x, F.lit("Event/EventData/Data/text()"))
-    event_data = F.when(F.size(names) == F.size(vals),
-                        F.map_from_arrays(names, vals))
+    data = x.getField("EventData").getField("Data")
+    event_data = F.when(
+        data.isNotNull(),
+        F.map_from_entries(F.transform(
+            data, lambda d: F.struct(
+                d.getField("_Name").alias("key"),
+                d.getField("_VALUE").alias("value")))))
 
+    task_raw = sysf.getField("Task")
     out: Dict[str, Column] = {
-        "winlog_channel": s("Event/System/Channel"),
-        "winlog_event_id": s("Event/System/EventID"),
-        "winlog_provider_name": s("Event/System/Provider/@Name"),
-        "winlog_provider_guid": s("Event/System/Provider/@Guid"),
-        "winlog_record_id": n("Event/System/EventRecordID"),
-        "winlog_computer_name": s("Event/System/Computer"),
-        "winlog_version": n("Event/System/Version").cast("int"),
-        "winlog_task_raw": n("Event/System/Task").cast("int"),
+        "winlog_channel": s(sysf.getField("Channel")),
+        "winlog_event_id": s(sysf.getField("EventID")),
+        "winlog_provider_name":
+            s(sysf.getField("Provider").getField("_Name")),
+        "winlog_provider_guid":
+            s(sysf.getField("Provider").getField("_Guid")),
+        "winlog_record_id":
+            sysf.getField("EventRecordID").cast("long"),
+        "winlog_computer_name": s(sysf.getField("Computer")),
+        "winlog_version": sysf.getField("Version"),
+        "winlog_task_raw": task_raw,
         "winlog_task": F.coalesce(
-            s("Event/RenderingInfo/Task"),
-            F.when(n("Event/System/Task") == 0, "None")),
+            s(rend.getField("Task")),
+            F.when(task_raw == 0, "None")),
         "winlog_time_created": F.to_timestamp(
-            s("Event/System/TimeCreated/@SystemTime")),
-        "winlog_activity_id": s("Event/System/Correlation/@ActivityID"),
+            s(sysf.getField("TimeCreated").getField("_SystemTime"))),
+        "winlog_activity_id":
+            s(sysf.getField("Correlation").getField("_ActivityID")),
         "winlog_related_activity_id":
-            s("Event/System/Correlation/@RelatedActivityID"),
+            s(sysf.getField("Correlation")
+              .getField("_RelatedActivityID")),
         "winlog_process_pid":
-            n("Event/System/Execution/@ProcessID").cast("int"),
+            sysf.getField("Execution").getField("_ProcessID"),
         "winlog_process_thread_id":
-            n("Event/System/Execution/@ThreadID").cast("int"),
-        "winlog_user_identifier": s("Event/System/Security/@UserID"),
+            sysf.getField("Execution").getField("_ThreadID"),
+        "winlog_user_identifier":
+            s(sysf.getField("Security").getField("_UserID")),
         # level: rendered string, else the winmeta table — lowercased
         # either way (Fields() event.go:113)
         "winlog_level": F.lower(F.coalesce(
@@ -138,16 +173,18 @@ def winlog_columns(xml: Column) -> Dict[str, Column]:
                                     _chain(opcode_raw, OPCODES)),
         # RemoveWindowsLineEndings: \r\n -> \n
         "winlog_message": F.regexp_replace(
-            s("Event/RenderingInfo/Message"), "\r\n", "\n"),
+            s(rend.getField("Message")), "\r\n", "\n"),
         "winlog_keywords": F.when(
-            F.size(rendered_kw) > 0, rendered_kw)
+            F.size(F.coalesce(rendered_kw,
+                              F.array().cast("array<string>"))) > 0,
+            rendered_kw)
             .otherwise(F.when(kw.isNotNull(), meta_kw)),
         "winlog_keywords_raw": kw.cast("string"),
         "winlog_outcome": F.when(bset(_AUDIT_FAILURE), "failure")
             .when(bset(_AUDIT_SUCCESS), "success"),
         "winlog_event_data": event_data,
         "winlog_error_code":
-            n("Event/ProcessingErrorData/ErrorCode").cast("int"),
+            x.getField("ProcessingErrorData").getField("ErrorCode"),
     }
     return out
 

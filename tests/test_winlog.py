@@ -97,14 +97,16 @@ def test_crlf_message_normalized(spark):
     assert r["winlog_message"] == "line one\nline two"
 
 
-def test_empty_data_element_yields_null_map_not_shifted(spark):
+def test_empty_data_element_pairs_structurally(spark):
     xml = ("<Event><System><EventID>7</EventID></System><EventData>"
            '<Data Name="a">1</Data><Data Name="b"/>'
            "</EventData></Event>")
     r = _one(spark, xml)
-    # text() skips the empty element: pairs would misalign — the
-    # guard yields NULL instead of silently wrong pairs
-    assert r["winlog_event_data"] is None
+    # from_xml pairs names with values structurally, so an empty
+    # <Data/> carries a NULL value (the old per-field xpath spelling
+    # could only guard against positional misalignment with a NULL
+    # map; the single-parse rewrite makes the correct answer cheap)
+    assert r["winlog_event_data"] == {"a": "1", "b": None}
 
 
 def test_plan_is_pure_codegen(spark):
