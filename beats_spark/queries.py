@@ -3205,9 +3205,11 @@ def winlog_export_q(spark, sf_dir):
     Event XML records synthesized from events — exercising the
     winmeta level/opcode fallback tables (``winmeta.go:29-63``), the
     keyword-bit audit outcome (failure/success/neither), timestamp
-    parse, Execution/EventData extraction — parsed by one codegen
-    xpath pass; the oracle inverts the construction, the same
-    discipline as journald_export. Zero Python, zero shuffle."""
+    parse, Execution/EventData extraction — parsed by ONE from_xml
+    parse per record (struct accessors after it; the per-field xpath
+    spelling re-parsed the document ~20x and cost 212 s at sf0.1);
+    the oracle inverts the construction, the same discipline as
+    journald_export. Zero Python, zero shuffle."""
     from .functions.winlog import winlog_events
     ev = _t(spark, sf_dir, "events")
     kw = F.when(F.col("event_id") % 3 == 0,
