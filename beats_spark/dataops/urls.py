@@ -316,3 +316,96 @@ def url_path_rollup(
                                           "/")).alias("prefix")))
     return (base.groupBy("host", "depth", "prefix")
             .agg(F.count(F.lit(1)).alias("n_pages")))
+
+
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the
+    web-archive world's canonical URL spelling, used by Common
+    Crawl's CDX index and every wayback-style prefix query:
+    ``http://www.example.com/path?b=2&a=1`` →
+    ``com,example)/path?a=1&b=2``. Rules per the public SURT spec as
+    the CC index applies it: scheme and a leading ``www.`` (any
+    ``www\\d*.``) drop, the host reverses on dots and joins with
+    commas, ``)`` separates host from path, the path lowercases,
+    query parameters sort bytewise and a trailing ``?`` drops, the
+    default-port suffix drops, a bare host keys as ``host)/``.
+
+    Pure codegen (split + array ops + transform/sort); NULL or
+    schemeless-garbage input yields NULL. The companion of
+    :func:`canonical_url` for archive workflows — canonical_url
+    dedupes live-crawl URLs, surt_key addresses the ARCHIVE index."""
+    u = F.lower(F.trim(url))
+    no_scheme = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://", "")
+    rest = F.when(no_scheme != u, no_scheme)   # require a scheme
+    hostport = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    path_q = F.substring(rest, F.length(hostport) + 1, 1 << 20)
+    hostport_nd = F.regexp_replace(
+        F.regexp_replace(hostport, r":(80|443)$", ""),
+        r"^www\d*\.", "")
+    # a non-default port survives AFTER the reversed host
+    # (com,example:8080)/...), so split it off before reversing
+    host = F.regexp_replace(hostport_nd, r":\d+$", "")
+    port = F.regexp_extract(hostport_nd, r"(:\d+)$", 1)
+    rev_host = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","), port)
+    path = F.regexp_extract(path_q, r"^([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(path_q, r"\?([^#]*)", 1)
+    sorted_q = F.array_join(
+        F.array_sort(F.split(query, "&")), "&")
+    with_q = F.when((query != "") & (sorted_q != ""),
+                    F.concat(path, F.lit("?"), sorted_q)) \
+        .otherwise(path)
+    return F.when(host != "",
+                  F.concat(rev_host, F.lit(")"), with_q))
+
+
+def cdx_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Parse CDX-JSON index lines — the Common Crawl / wayback index
+    format: ``<urlkey> <timestamp14> <json>`` where the JSON block
+    carries url, mime, status, content digest, WARC filename/offset/
+    length. Output columns: ``(urlkey, capture_ts, url, mime, status,
+    digest, warc_filename, warc_offset, warc_length)`` — timestamps
+    parse from the 14-digit ``yyyyMMddHHmmss`` spelling; malformed
+    lines yield NULL fields (untrusted input, the
+    ``decode_json_fields`` contract). Pure codegen: two splits + one
+    ``from_json``; the schema prunes to exactly the consumed keys so
+    Jackson skips the rest."""
+    l = F.col(line_col)
+    urlkey = F.regexp_extract(l, r"^(\S+) ", 1)
+    ts14 = F.regexp_extract(l, r"^\S+ (\d{14}) ", 1)
+    js = F.regexp_extract(l, r"^\S+ \d{14} (\{.*\})\s*$", 1)
+    obj = F.from_json(js, "struct<url: string, mime: string, "
+                          "status: string, digest: string, "
+                          "filename: string, offset: string, "
+                          "length: string>")
+    ok = (urlkey != "") & (ts14 != "") & (js != "")
+    return df.select(
+        "*",
+        F.when(ok, urlkey).alias("urlkey"),
+        F.to_timestamp(F.when(ok, ts14),
+                       "yyyyMMddHHmmss").alias("capture_ts"),
+        obj.getField("url").alias("url"),
+        obj.getField("mime").alias("mime"),
+        obj.getField("status").try_cast("int").alias("status"),
+        obj.getField("digest").alias("digest"),
+        obj.getField("filename").alias("warc_filename"),
+        obj.getField("offset").try_cast("long").alias("warc_offset"),
+        obj.getField("length").try_cast("long").alias("warc_length"))
+
+
+def cdx_latest(parsed: DataFrame,
+               statuses: "Sequence[int] | None" = (200,)) -> DataFrame:
+    """Latest successful capture per urlkey — the dedupe every
+    CDX-driven fetch plan starts with (fetch each page once, at its
+    freshest 200). Keep decision ships only (urlkey, ts) through the
+    exchange; rows come back via the max-timestamp semi-join, the
+    dedup_exact discipline (ties on capture_ts keep every tied row —
+    distinct WARC offsets of one instant are distinct captures;
+    callers needing one add a digest tiebreak)."""
+    base = parsed
+    if statuses is not None:
+        base = base.filter(F.col("status").isin(*statuses))
+    latest = (base.groupBy("urlkey")
+              .agg(F.max("capture_ts").alias("capture_ts")))
+    return base.join(latest, ["urlkey", "capture_ts"], "left_semi")

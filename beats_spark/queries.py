@@ -3533,6 +3533,102 @@ def lumberjack_frames_q(spark, sf_dir):
                       F.hex("frame").alias("frame_hex"))
 
 
+@query("surt_keys", oracle="""
+WITH u AS (
+  SELECT doc_id, source,
+         'http://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE ''
+           END || 'h' || CAST(doc_id % 40 AS VARCHAR)
+         || '.' || source || '.com/p/'
+         || CAST(doc_id % 7 AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0
+                 THEN '?z=1&a=' || CAST(doc_id % 5 AS VARCHAR)
+                 ELSE '' END AS url
+  FROM documents),
+p AS (
+  SELECT doc_id, url,
+    'com,' || lower(source) || ',h' || CAST(doc_id % 40 AS VARCHAR)
+      AS rev_host,
+    '/p/' || CAST(doc_id % 7 AS VARCHAR) AS path,
+    CASE WHEN doc_id % 2 = 0
+         THEN '?a=' || CAST(doc_id % 5 AS VARCHAR) || '&z=1'
+         ELSE '' END AS q
+  FROM u)
+SELECT doc_id, url, rev_host || ')' || path || q AS surt
+FROM p
+""")
+def surt_keys_q(spark, sf_dir):
+    """SURT canonical URL keys
+    (:func:`beats_spark.dataops.urls.surt_key` — the Common Crawl /
+    wayback index spelling): URLs constructed from documents with a
+    www-prefix mix, multi-label hosts, and unsorted query params;
+    the oracle rebuilds the reversed-host form and bytewise-sorted
+    query analytically. Pure codegen, zero shuffle."""
+    from .dataops.urls import surt_key
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("http://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www."))
+        .otherwise(F.lit("")),
+        F.lit("h"), (F.col("doc_id") % 40).cast("string"),
+        F.lit("."), F.col("source"), F.lit(".com/p/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("?z=1&a="),
+                        (F.col("doc_id") % 5).cast("string")))
+        .otherwise(F.lit("")))
+    return d.select("doc_id", url.alias("url"),
+                    surt_key(url).alias("surt"))
+
+
+@query("cdx_latest", oracle="""
+WITH lines AS (
+  SELECT 'com,site' || CAST(event_id % 120 AS VARCHAR) || ')/p'
+           || CAST(event_id % 4 AS VARCHAR) AS urlkey,
+         strftime(ts, '%Y%m%d%H%M%S') AS ts14,
+         CASE WHEN event_id % 9 = 0 THEN 404 ELSE 200 END AS status,
+         'D' || CAST(event_id % 50 AS VARCHAR) AS digest,
+         ts, event_id
+  FROM events),
+ok AS (SELECT * FROM lines WHERE status = 200),
+latest AS (
+  SELECT urlkey, max(date_trunc('second', ts)) AS capture_ts
+  FROM ok GROUP BY urlkey)
+SELECT o.urlkey, date_trunc('second', o.ts) AS capture_ts,
+       o.status, o.digest,
+       CAST(o.event_id AS BIGINT) AS warc_offset
+FROM ok o JOIN latest l
+  ON o.urlkey = l.urlkey
+ AND date_trunc('second', o.ts) = l.capture_ts
+""")
+def cdx_latest_q(spark, sf_dir):
+    """CDX index → freshest-200-per-urlkey fetch plan
+    (:func:`beats_spark.dataops.urls.cdx_parse` / ``cdx_latest``):
+    CDX-JSON lines built from events (status mix, repeated urlkeys,
+    14-digit timestamps), parsed by two regexes + one pruned
+    from_json, then the narrow (urlkey, ts) keep decision + semi
+    join — the dedup_exact discipline. The oracle replays the
+    construction and the max-per-key semantics, tied captures kept
+    on both sides. One exchange of 30-byte keys."""
+    from .dataops.urls import cdx_latest, cdx_parse
+    ev = _t(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("com,site"), (F.col("event_id") % 120).cast("string"),
+        F.lit(")/p"), (F.col("event_id") % 4).cast("string"),
+        F.lit(" "),
+        F.date_format(F.col("ts").cast("timestamp"), "yyyyMMddHHmmss"),
+        F.lit(' {"url":"http://x/","mime":"text/html","status":"'),
+        F.when(F.col("event_id") % 9 == 0, F.lit("404"))
+        .otherwise(F.lit("200")),
+        F.lit('","digest":"D'), (F.col("event_id") % 50).cast("string"),
+        F.lit('","filename":"f.warc.gz","offset":"'),
+        F.col("event_id").cast("string"),
+        F.lit('","length":"100"}'))
+    parsed = cdx_parse(ev.select(line.alias("line")))
+    out = cdx_latest(parsed)
+    return out.select("urlkey", "capture_ts", "status", "digest",
+                      "warc_offset")
+
+
 def flagship_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full routed event frame (entry() surface)."""
     from .pipeline import build_routed

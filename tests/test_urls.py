@@ -260,3 +260,53 @@ def test_url_path_rollup_prefixes_and_guards(spark):
     }
     with pytest.raises(ValueError, match="max_depth"):
         url_path_rollup(df, "url", max_depth=0)
+
+
+def test_surt_key_spec_vectors(spark):
+    """SURT spelling per the public spec as the CC index applies it:
+    scheme+www drop, host reverses, query sorts, default ports drop,
+    bare host keys as host)/ ."""
+    from beats_spark.dataops.urls import surt_key
+    cases = {
+        "http://www.Example.com/Path?b=2&a=1":
+            "com,example)/path?a=1&b=2",
+        "https://sub.host.org:443/": "org,host,sub)/",
+        "http://example.com": "com,example)/",
+        "http://www2.example.com/x": "com,example)/x",
+        "http://example.com:8080/x": "com,example:8080)/x",
+        "ftp://example.com/f": "com,example)/f",
+        "no scheme here": None,
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "u string")
+    got = {r["u"]: r["k"] for r in
+           df.select("u", surt_key(F.col("u")).alias("k")).collect()}
+    for u, want in cases.items():
+        assert got[u] == want, (u, got[u], want)
+    # NULL in, NULL out
+    n = spark.createDataFrame([(None,)], "u string")
+    assert n.select(surt_key(F.col("u")).alias("k")) \
+        .collect()[0]["k"] is None
+
+
+def test_cdx_parse_and_latest(spark):
+    from beats_spark.dataops.urls import cdx_latest, cdx_parse
+    lines = [
+        'com,a)/ 20240101120000 {"url":"http://a/","status":"200",'
+        '"digest":"D1","filename":"f1","offset":"10","length":"5"}',
+        'com,a)/ 20240301120000 {"url":"http://a/","status":"200",'
+        '"digest":"D2","filename":"f2","offset":"20","length":"5"}',
+        'com,a)/ 20240401120000 {"url":"http://a/","status":"404",'
+        '"digest":"D3","filename":"f3","offset":"30","length":"5"}',
+        "malformed",
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    parsed = cdx_parse(df)
+    rows = parsed.collect()
+    bad = [r for r in rows if r["line"] == "malformed"][0]
+    assert bad["urlkey"] is None and bad["digest"] is None
+    ok = [r for r in rows if r["digest"] == "D1"][0]
+    assert ok["warc_offset"] == 10 and ok["status"] == 200
+    assert ok["capture_ts"].isoformat() == "2024-01-01T12:00:00"
+    # latest keeps the freshest 200, not the fresher 404
+    latest = cdx_latest(parsed).collect()
+    assert len(latest) == 1 and latest[0]["digest"] == "D2"
