@@ -106,6 +106,9 @@ BENCH_QUERIES = [
     "equidepth_hist", "url_path_rollup", "geohash_cells",
     "fano_burstiness", "holt_forecast", "flow_records", "cidr_enrich", "weighted_percentiles",
     "sequence_gaps", "gapfill_series", "rolling_actives", "metric_correlation",
+    "community_id_md5", "kafka_events", "vpcflow_parse",
+    "winlog_export", "redis_slowlog", "es_bulk", "bmp_stats",
+    "wav_stats", "lumberjack_frames", "surt_keys", "cdx_latest",
     "flagship_routed_counts", "flagship_messages",
 ]
 

@@ -47,6 +47,8 @@ SMOKE = [
     # round-5 additions
     "kafka_events", "community_id_md5", "cidr_enrich",
     "vpcflow_parse", "winlog_export", "redis_slowlog",
+    "es_bulk", "bmp_stats", "wav_stats", "lumberjack_frames",
+    "surt_keys", "cdx_latest",
 ]
 
 
