@@ -62,6 +62,10 @@ def _bmp_header(payload: bytes):
      compression) = struct.unpack_from("<IiiHHI", payload, 14)
     if hdr_size < 40 or compression != 0 or bpp not in (24, 32):
         return None
+    # zero/negative width or zero height is malformed (negative
+    # HEIGHT is the legal top-down flag; negative width is not)
+    if w <= 0 or h == 0:
+        return None
     return pixel_off, w, h, bpp
 
 
@@ -139,9 +143,13 @@ def decode_wav_meta(payload: bytes) -> Optional[Dict[str, object]]:
         return None
     fmt_code, channels, rate, _, block, bits = \
         struct.unpack_from("<HHIIHH", payload, off)
-    if fmt_code != 1 or bits != 16 or channels < 1:
+    if fmt_code != 1 or bits != 16 or channels < 1 or rate < 1:
         return None
     doff, dsz = ch[b"data"]
+    # a data chunk declaring more bytes than the payload holds is a
+    # truncated file: NULL, not a buffer error (the BMP twin's guard)
+    if doff + dsz > len(payload):
+        return None
     frames = dsz // (channels * 2)
     return {"mime": "audio/wav", "width": None, "height": None,
             "n_frames": int(frames),

@@ -411,7 +411,7 @@ def wav_audio_stats(df: DataFrame, binary_col: str = "payload",
     stats. Same single-Arrow-stage shape as the image kernel."""
     import numpy as np
 
-    from .codecs import decode_wav_meta, wav_samples
+    from .codecs import wav_samples
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -425,11 +425,12 @@ def wav_audio_stats(df: DataFrame, binary_col: str = "payload",
                     ma.append(None); pk.append(None); en.append(None)
                     continue
                 arr, rate = dec
-                meta = decode_wav_meta(payload)
+                # frames/duration derive from the decoded array — a
+                # second (and third) chunk walk per row bought nothing
                 flat = arr.astype(np.int64).ravel()
                 n = len(flat) if len(flat) else 1
-                nf.append(meta["n_frames"]); sr.append(rate)
-                dm.append(meta["duration_ms"])
+                nf.append(int(arr.shape[0])); sr.append(rate)
+                dm.append(int(arr.shape[0]) * 1000 // rate)
                 ma.append(int(np.abs(flat).sum()) * 1000 // n)
                 pk.append(int(np.abs(flat).max()) if len(flat) else 0)
                 en.append(int((flat * flat).sum()))

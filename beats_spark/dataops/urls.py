@@ -337,8 +337,11 @@ def surt_key(url: Column) -> Column:
     u = F.lower(F.trim(url))
     no_scheme = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://", "")
     rest = F.when(no_scheme != u, no_scheme)   # require a scheme
-    hostport = F.regexp_extract(rest, r"^([^/?#]*)", 1)
-    path_q = F.substring(rest, F.length(hostport) + 1, 1 << 20)
+    # the FULL authority fixes the path offset; userinfo then drops
+    # from the host side only (SURT keys carry no credentials)
+    authority = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    hostport = F.regexp_replace(authority, r"^[^/?#@]*@", "")
+    path_q = F.substring(rest, F.length(authority) + 1, 1 << 20)
     hostport_nd = F.regexp_replace(
         F.regexp_replace(hostport, r":(80|443)$", ""),
         r"^www\d*\.", "")

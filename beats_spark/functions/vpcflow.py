@@ -111,8 +111,12 @@ V5_FORMAT = ("version account-id interface-id srcaddr dstaddr "
              "srcport dstport protocol packets bytes start end "
              "action log-status")
 
-_IPV4 = r"^(\d{1,3}\.){3}\d{1,3}$"
-_IPV6 = r"^[0-9A-Fa-f:.]*:[0-9A-Fa-f:.]*$"
+# reuse the strict anchored IP shapes from the conditions module
+# (documented there as mirroring Go net.ParseIP — the reference's
+# types.go validates with exactly that); a home-rolled loose regex
+# here accepted 999.999.999.999 and bare ':'
+from ..conditions import _IPV4_RE as _IPV4           # noqa: E402
+from ..conditions import _IPV6_RE as _IPV6           # noqa: E402
 
 
 def parse_vpc_format(format_str: str) -> List[Tuple[str, str]]:

@@ -333,9 +333,12 @@ def cidr_enrich(
 
     attach = list(attach) if attach is not None else [
         c for c in prefixes.columns if c != cidr_col]
+    # try_element_at: a cidr without '/' must reach the named
+    # bad-masklen error as a NULL, not die in ANSI getItem(1)
+    parts = F.split(F.col(cidr_col), "/")
     pfx = prefixes.select(
-        F.split(F.col(cidr_col), "/").getItem(0).alias("__base_ip"),
-        F.split(F.col(cidr_col), "/").getItem(1).cast("int")
+        F.try_element_at(parts, F.lit(1)).alias("__base_ip"),
+        F.try_element_at(parts, F.lit(2)).try_cast("int")
         .alias("__mlen"),
         *[F.col(c) for c in attach])
     pfx = pfx.withColumn("__base", ip_to_long(F.col("__base_ip")))
@@ -350,10 +353,14 @@ def cidr_enrich(
                " & CAST(4294967295 AS BIGINT)) END").alias("__cb"))
         .groupBy("__mlen", "__cb")
         .agg(F.count(F.lit(1)).alias("__n")).collect())
-    mlens = sorted({r["__mlen"] for r in census}, reverse=True)
-    for m in mlens:
+    raw_mlens = {r["__mlen"] for r in census}
+    # check BEFORE sorting: sorted() over a set containing None (a
+    # cidr without '/') would raise a bare TypeError instead of the
+    # named error
+    for m in raw_mlens:
         if m is None or not 0 <= m <= 32:
             raise ValueError(f"cidr_enrich: bad masklen /{m}")
+    mlens = sorted(raw_mlens, reverse=True)
     dups = [r for r in census if r["__n"] > 1]
     if dups:
         r = dups[0]

@@ -1142,7 +1142,10 @@ def stateful_ewma_smooth(
         if not chunks:
             return
         pdf = _concat_chunks(chunks)
-        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        # (ts, x) sort — pins which of two tied-timestamp samples is
+        # smoothed vs late-marked, independent of shuffle arrival
+        # order (the stateful_counter_rates tiebreak discipline)
+        pdf = pdf.sort_values([ts_col, x_col], kind="mergesort")
         tcol = pdf[ts_col]
         if getattr(tcol.dtype, "tz", None) is not None:
             tcol = tcol.dt.tz_convert("UTC").dt.tz_localize(None)
