@@ -16,7 +16,7 @@ from pyspark.sql import types as T
 from . import ProcResult, register
 from ..conditions import cidr_match, ip_to_long
 
-__all__ = ["community_id_col", "community_id_md5_col"]
+__all__ = ["community_id_col", "community_id_md5_col", "be_bytes"]
 
 
 # ------------------------------------------------------------- community_id
@@ -24,9 +24,14 @@ __all__ = ["community_id_col", "community_id_md5_col"]
 _PROTO_NUM = {"icmp": 1, "tcp": 6, "udp": 17, "sctp": 132, "icmpv6": 58}
 
 
-def _be_bytes(col: Column, width_hex: int) -> Column:
-    """Big-endian fixed-width bytes of an integer column, JVM-side."""
+def be_bytes(col: Column, width_hex: int) -> Column:
+    """Big-endian fixed-width bytes of an integer column, JVM-side —
+    the shared binary-packing spelling (community ID payloads,
+    lumberjack frame fields)."""
     return F.unhex(F.lpad(F.hex(col.cast("bigint")), width_hex, "0"))
+
+
+_be_bytes = be_bytes     # internal alias, existing call sites
 
 
 def _flow_endpoints(src_ip: Column, src_port: Column, dst_ip: Column,

@@ -345,12 +345,14 @@ def lumberjack_frames(df: DataFrame, batch_col: str, seq_col: str,
     community_id): data frames are a pure projection; the window
     frames are one partial-combining count per batch — the only
     exchange, carrying 12-byte rows."""
+    from .processors.misc import be_bytes
+
     vcols = list(columns) if columns else \
         [c for c in df.columns if c not in (batch_col, seq_col)]
     payload = F.to_json(F.struct(*[F.col(c) for c in vcols]))
 
     def be4(col: Column) -> Column:
-        return F.unhex(F.lpad(F.hex(col.cast("bigint")), 8, "0"))
+        return be_bytes(col, 8)
 
     data = df.select(
         F.col(batch_col).alias("batch"),

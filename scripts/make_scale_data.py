@@ -41,7 +41,6 @@ SRC = "/root/testdata/sf0.1"
 OFF = 10_000_000
 
 
-
 def build(sf: float, out: str) -> None:
     k = round(sf / 0.1)
     assert k >= 1
