@@ -42,7 +42,8 @@ __all__ = ["PAGES_SCHEMA", "stream_routed", "run_stream_pipeline",
            "stream_countmin", "stream_percolate",
            "stateful_heavy_hitters", "stateful_counter_rates",
            "stateful_ewma_smooth", "stateful_sequence_gaps",
-           "stream_seasonal_anomaly"]
+           "stream_seasonal_anomaly", "stateful_rolling_quantile",
+           "stateful_cusum"]
 
 PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                 "text string, lang string")
@@ -1301,3 +1302,148 @@ def stream_seasonal_anomaly(
         F.col(count_col).cast("long") * 2 * z_den
         > F.lit(z_num) * F.col("med2"))
     return joined.drop("__k", "__h").withColumn("is_spike", flag)
+
+
+def stateful_rolling_quantile(
+    samples: DataFrame,
+    key_col: str = "host",
+    ts_col: str = "ts",
+    x_col: str = "x",
+    frame_rows: int = 20,
+    q_pct: int = 95,
+) -> DataFrame:
+    """Streaming form of :func:`beats_spark.dataops.events
+    .rolling_quantile` — the live "p95 latency right now per host"
+    readout. Each arriving sample emits the nearest-rank
+    ``q_pct``-th percentile of its key's trailing ``frame_rows``
+    samples — the batch operator's exact spelling (``ceil(q·n)``-th
+    smallest, an actual observed value, never interpolated), so
+    streaming output matches the batch window row-for-row on
+    strictly-increasing per-key timestamps (asserted in the test).
+
+    State per key is the ring buffer of the last ``frame_rows``
+    values — bounded, stream-length independent (the
+    ``stream_count_anomalies`` state discipline). Within a
+    micro-batch samples sort by (ts, x) — the tied-timestamp
+    tiebreak; ACROSS batches a sample at or before the key's last
+    seen timestamp is emitted with NULL quantile and ``late = true``
+    and does not touch state.
+    """
+    if frame_rows < 1 or not 1 <= q_pct <= 100:
+        raise ValueError("stateful_rolling_quantile: frame_rows >= 1 "
+                         "and 1 <= q_pct <= 100 required")
+    in_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in samples.schema.fields)
+    out_schema = f"{in_fields}, q_value bigint, late boolean"
+    state_schema = "last_us bigint, buf array<bigint>"
+    fr, q = int(frame_rows), int(q_pct)
+
+    def fn(key: Tuple, batches: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_us, buf = state.get
+            buf = list(buf)
+        else:
+            last_us, buf = None, []
+        chunks = [pdf for pdf in batches]
+        if not chunks:
+            return
+        pdf = _concat_chunks(chunks)
+        pdf = pdf.sort_values([ts_col, x_col], kind="mergesort")
+        tcol = pdf[ts_col]
+        if getattr(tcol.dtype, "tz", None) is not None:
+            tcol = tcol.dt.tz_convert("UTC").dt.tz_localize(None)
+        us = (tcol.values.astype("datetime64[ns]")
+              .astype("int64") // 1000)
+        xs = pdf[x_col].astype("int64").tolist()
+        qs, lates = [], []
+        for t, x in zip(us, xs):
+            t = int(t)
+            if last_us is not None and t <= last_us:
+                qs.append(None); lates.append(True)
+                continue
+            buf.append(int(x))
+            if len(buf) > fr:
+                buf.pop(0)
+            s = sorted(buf)
+            # nearest rank: the ceil(q*n/100)-th smallest, exactly
+            # the batch (n*q + 99) DIV 100 spelling
+            qs.append(s[(len(s) * q + 99) // 100 - 1])
+            lates.append(False)
+            last_us = t
+        out = pdf.copy()
+        out["q_value"] = pd.array(qs, dtype="Int64")
+        out["late"] = pd.array(lates, dtype="boolean")
+        if last_us is not None:
+            state.update((int(last_us), buf))
+        yield out
+
+    return (samples.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout))
+
+
+def stateful_cusum(
+    samples: DataFrame,
+    key_col: str = "key",
+    order_col: str = "seq",
+    value_col: str = "x_micro",
+    target_micro: int = 0,
+    slack_micro: int = 0,
+    threshold_micro: int = 1_000_000,
+) -> DataFrame:
+    """Streaming form of :func:`beats_spark.dataops.events
+    .cusum_alarms` — live two-sided CUSUM drift detection. State per
+    key is two longs (S⁺, S⁻) plus the last sequence number; the
+    recurrence replays the batch integer spelling exactly (max(0,·)
+    accumulation, both statistics reset after an alarm), so the
+    alarm set matches the batch operator on per-key-ordered input
+    (asserted in the test). Emits one row PER ALARM — ``(key, order,
+    direction, stat_micro)`` — matching the batch output shape; an
+    out-of-order sample (at or below the key's last seen order) is
+    silently skipped like the other late rules, since a fold cannot
+    retroactively reorder."""
+    mu, k, h = int(target_micro), int(slack_micro), int(threshold_micro)
+    if k < 0 or h <= 0:
+        raise ValueError("slack_micro must be >= 0 and "
+                         "threshold_micro > 0")
+    out_schema = (f"{key_col} string, {order_col} bigint, "
+                  f"direction string, stat_micro bigint")
+    state_schema = "last_o bigint, sp bigint, sn bigint"
+
+    def fn(key: Tuple, batches: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_o, sp, sn = state.get
+        else:
+            last_o, sp, sn = None, 0, 0
+        chunks = [pdf for pdf in batches]
+        if not chunks:
+            return
+        pdf = _concat_chunks(chunks)
+        pdf = pdf.sort_values([order_col, value_col],
+                              kind="mergesort")
+        alarms = []
+        for o, x in zip(pdf[order_col].astype("int64"),
+                        pdf[value_col].astype("int64")):
+            o, x = int(o), int(x)
+            if last_o is not None and o <= last_o:
+                continue
+            sp = max(0, sp + (x - mu - k))
+            sn = max(0, sn - (x - mu) - k)
+            if sp > h:
+                alarms.append((key[0], o, "up", sp))
+                sp = sn = 0
+            elif sn > h:
+                alarms.append((key[0], o, "down", sn))
+                sp = sn = 0
+            last_o = o
+        if last_o is not None:
+            state.update((int(last_o), int(sp), int(sn)))
+        if alarms:
+            yield pd.DataFrame(alarms, columns=[
+                key_col, order_col, "direction", "stat_micro"])
+
+    return (samples.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout))

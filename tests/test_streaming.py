@@ -1251,3 +1251,105 @@ def test_stream_seasonal_anomaly_matches_batch(spark, tmp_path):
     q2.awaitTermination()
     r = spark.read.parquet(str(tmp_path / "out2")).collect()[0]
     assert r.is_spike is None
+
+
+def test_stateful_rolling_quantile_matches_batch(spark, tmp_path):
+    """Streaming trailing-window nearest-rank quantile matches the
+    batch window row-for-row across micro-batches and a restart; a
+    replayed sample late-marks without touching the ring buffer."""
+    from beats_spark.dataops.events import rolling_quantile
+    from beats_spark.streaming.pipeline import stateful_rolling_quantile
+    src = str(tmp_path / "rq_src"); os.makedirs(src)
+    t0 = 1_700_000_000_000_000
+    vals = [50, 10, 90, 30, 70, 20, 80, 40]
+    rows_all = [("h", t0 + i * 1_000_000, v)
+                for i, v in enumerate(vals)]
+
+    def mk(rows, fname):
+        spark.createDataFrame(rows, "host string, us long, x long") \
+            .select("host", F.timestamp_micros("us").alias("ts"), "x") \
+            .coalesce(1).write.parquet(os.path.join(src, fname))
+
+    def run():
+        stream = (spark.readStream
+                  .schema("host string, ts timestamp, x long")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(src + "/*"))
+        q = (stateful_rolling_quantile(stream, "host", "ts", "x",
+                                       frame_rows=4, q_pct=75)
+             .writeStream.format("parquet")
+             .option("path", str(tmp_path / "rq_out"))
+             .option("checkpointLocation", str(tmp_path / "rq_ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    mk(rows_all[:5], "b1")
+    run()
+    mk(rows_all[5:], "b2")          # restart restores the ring buffer
+    run()
+    got = {r.ts.isoformat(): r.q_value for r in
+           spark.read.parquet(str(tmp_path / "rq_out")).collect()
+           if not r.late}
+
+    batch_in = spark.createDataFrame(
+        rows_all, "host string, us long, x long") \
+        .select("host", F.timestamp_micros("us").alias("ts"), "x")
+    want = {r.ts.isoformat(): r.q_value for r in
+            rolling_quantile(batch_in, "host", "ts", "x",
+                             frame_rows=4, q_pct=75).collect()}
+    assert got == want and len(got) == len(vals)
+
+    mk([("h", t0, 999)], "b3")       # replay: late, state untouched
+    run()
+    lates = [r for r in spark.read.parquet(str(tmp_path / "rq_out"))
+             .collect() if r.late]
+    assert len(lates) == 1 and lates[0].q_value is None
+
+
+def test_stateful_cusum_matches_batch(spark, tmp_path):
+    """Streaming CUSUM fires the identical alarm set as the batch
+    fold across micro-batches and a restart (both statistics reset
+    after an alarm, integer spelling shared)."""
+    from beats_spark.dataops.events import cusum_alarms
+    from beats_spark.streaming.pipeline import stateful_cusum
+    src = str(tmp_path / "cu_src"); os.makedirs(src)
+    # mean shift upward after seq 5 → one 'up' alarm, then reset
+    vals = [0, 100_000, -50_000, 0, 50_000,
+            900_000, 900_000, 900_000, 0, -900_000, -900_000,
+            -900_000, -900_000]
+    rows_all = [("k", i, v) for i, v in enumerate(vals)]
+
+    def mk(rows, fname):
+        spark.createDataFrame(
+            rows, "key string, seq long, x_micro long") \
+            .coalesce(1).write.parquet(os.path.join(src, fname))
+
+    def run():
+        stream = (spark.readStream
+                  .schema("key string, seq long, x_micro long")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(src + "/*"))
+        q = (stateful_cusum(stream, "key", "seq", "x_micro",
+                            threshold_micro=1_000_000)
+             .writeStream.format("parquet")
+             .option("path", str(tmp_path / "cu_out"))
+             .option("checkpointLocation", str(tmp_path / "cu_ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    mk(rows_all[:7], "b1")
+    run()
+    mk(rows_all[7:], "b2")           # restart restores (S+, S-)
+    run()
+    got = sorted((r.seq, r.direction, r.stat_micro) for r in
+                 spark.read.parquet(str(tmp_path / "cu_out"))
+                 .collect())
+    want = sorted((r.seq, r.direction, r.stat_micro) for r in
+                  cusum_alarms(
+                      spark.createDataFrame(
+                          rows_all,
+                          "key string, seq long, x_micro long"),
+                      "key", "seq", "x_micro",
+                      threshold_micro=1_000_000).collect())
+    assert got == want
+    assert {d for _, d, _ in got} == {"up", "down"}
