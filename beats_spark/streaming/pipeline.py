@@ -43,7 +43,7 @@ __all__ = ["PAGES_SCHEMA", "stream_routed", "run_stream_pipeline",
            "stateful_heavy_hitters", "stateful_counter_rates",
            "stateful_ewma_smooth", "stateful_sequence_gaps",
            "stream_seasonal_anomaly", "stateful_rolling_quantile",
-           "stateful_cusum"]
+           "stateful_cusum", "stateful_slo_burn"]
 
 PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                 "text string, lang string")
@@ -1445,5 +1445,91 @@ def stateful_cusum(
                 key_col, order_col, "direction", "stat_micro"])
 
     return (samples.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout))
+
+
+def stateful_slo_burn(
+    buckets: DataFrame,
+    key_col: str = "key",
+    bucket_col: str = "bucket",
+    events_col: str = "n_events",
+    errors_col: str = "n_errors",
+    budget: "tuple[int, int]" = (1, 100),
+    horizon: int = 6,
+) -> DataFrame:
+    """Streaming form of :func:`beats_spark.dataops.events.slo_burn`
+    — live error-budget burn alerting (the Google SRE multiwindow
+    page/ticket input), consuming an already-bucketed counter stream
+    (the output of a windowed count, the two-stage monitoring
+    topology). Per arriving bucket: the instantaneous and the
+    trailing-``horizon`` rolling burn in exact integer micro-units —
+    the SAME cross-multiplied floor divisions as the batch operator
+    (``errs·den·10^6 div (total·num)``), so emissions match the
+    batch rows bit-for-bit on per-key-ordered buckets (asserted in
+    the test).
+
+    State per key is the ring of the last ``horizon`` (bucket index,
+    errors, events) triples — bounded, stream-length independent.
+    Calendar GAPS between buckets evict ring entries older than
+    ``horizon − 1`` bucket indexes, matching the batch RANGE frame
+    (a quiet hour must shrink the window's contents, not stretch
+    it). A bucket at or before the key's last seen index emits NULL
+    burns with ``late = true`` and leaves state untouched."""
+    num, den = budget
+    if num < 1 or den < 1:
+        raise ValueError("stateful_slo_burn: budget must be a "
+                         "positive rational (num, den)")
+    if horizon < 1:
+        raise ValueError("stateful_slo_burn: horizon must be >= 1")
+    in_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in buckets.schema.fields)
+    out_schema = (f"{in_fields}, burn_micro bigint, "
+                  f"rolling_burn_micro bigint, late boolean")
+    state_schema = ("last_b bigint, bs array<bigint>, "
+                    "es array<bigint>, ts array<bigint>")
+    h = int(horizon)
+
+    def fn(key: Tuple, batches: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_b, bs, es, ts = state.get
+            ring = [list(x) for x in zip(bs, es, ts)]
+        else:
+            last_b, ring = None, []
+        chunks = [pdf for pdf in batches]
+        if not chunks:
+            return
+        pdf = _concat_chunks(chunks)
+        pdf = pdf.sort_values(bucket_col, kind="mergesort")
+        burns, rolls, lates = [], [], []
+        for b, ev, er in zip(pdf[bucket_col].astype("int64"),
+                             pdf[events_col].astype("int64"),
+                             pdf[errors_col].astype("int64")):
+            b, ev, er = int(b), int(ev), int(er)
+            if last_b is not None and b <= last_b:
+                burns.append(None); rolls.append(None)
+                lates.append(True)
+                continue
+            ring.append([b, er, ev])
+            ring = [r for r in ring if r[0] > b - h]
+            re_ = sum(r[1] for r in ring)
+            rt = sum(r[2] for r in ring)
+            burns.append(er * den * 1_000_000 // (ev * num))
+            rolls.append(re_ * den * 1_000_000 // (rt * num))
+            lates.append(False)
+            last_b = b
+        out = pdf.copy()
+        out["burn_micro"] = pd.array(burns, dtype="Int64")
+        out["rolling_burn_micro"] = pd.array(rolls, dtype="Int64")
+        out["late"] = pd.array(lates, dtype="boolean")
+        if last_b is not None:
+            state.update((int(last_b),
+                          [r[0] for r in ring],
+                          [r[1] for r in ring],
+                          [r[2] for r in ring]))
+        yield out
+
+    return (buckets.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout))
