@@ -139,7 +139,9 @@ def decode_wav_meta(payload: bytes) -> Optional[Dict[str, object]]:
     if not ch or b"fmt " not in ch or b"data" not in ch:
         return None
     off, sz = ch[b"fmt "]
-    if sz < 16:
+    # declared size must be backed by actual bytes: a file truncated
+    # INSIDE the fmt chunk is NULL, not a struct.error
+    if sz < 16 or off + 16 > len(payload):
         return None
     fmt_code, channels, rate, _, block, bits = \
         struct.unpack_from("<HHIIHH", payload, off)

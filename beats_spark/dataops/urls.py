@@ -338,9 +338,12 @@ def surt_key(url: Column) -> Column:
     no_scheme = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://", "")
     rest = F.when(no_scheme != u, no_scheme)   # require a scheme
     # the FULL authority fixes the path offset; userinfo then drops
-    # from the host side only (SURT keys carry no credentials)
+    # from the host side only (SURT keys carry no credentials).
+    # Greedy to the LAST '@' — WHATWG treats everything before it as
+    # userinfo, and '/?#' cannot appear inside the extracted
+    # authority, so '.*@' is safe
     authority = F.regexp_extract(rest, r"^([^/?#]*)", 1)
-    hostport = F.regexp_replace(authority, r"^[^/?#@]*@", "")
+    hostport = F.regexp_replace(authority, r"^.*@", "")
     path_q = F.substring(rest, F.length(authority) + 1, 1 << 20)
     hostport_nd = F.regexp_replace(
         F.regexp_replace(hostport, r":(80|443)$", ""),

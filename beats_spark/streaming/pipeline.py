@@ -62,6 +62,34 @@ def _concat_chunks(chunks):
     return pd.concat(nonempty, ignore_index=False)
 
 
+def _drain_sorted_us(batches, ts_col, tie_col):
+    """Drain a state group's chunks, sort by (event time, tie
+    column) — the family's tied-timestamp discipline — and return
+    ``(pdf, epoch-µs int64 array)``; ``(None, None)`` when the group
+    delivered nothing. Shared by the event-time stateful kernels so
+    the tz-normalize / ns→µs handling lives in ONE place."""
+    chunks = [pdf for pdf in batches]
+    if not chunks:
+        return None, None
+    pdf = _concat_chunks(chunks)
+    pdf = pdf.sort_values([ts_col, tie_col], kind="mergesort")
+    tcol = pdf[ts_col]
+    if getattr(tcol.dtype, "tz", None) is not None:
+        tcol = tcol.dt.tz_convert("UTC").dt.tz_localize(None)
+    us = (tcol.values.astype("datetime64[ns]")
+          .astype("int64") // 1000)
+    return pdf, us
+
+
+def _nullable_ints(series):
+    """Column → list of Optional[int] — Arrow delivers a long column
+    containing NULLs as float64-with-NaN, which ``astype('int64')``
+    rejects loudly; the nullable Int64 path keeps NULLs as None so
+    each kernel can apply its own NULL rule instead of crashing."""
+    return [None if v is pd.NA else int(v)
+            for v in pd.array(series, dtype="Int64")]
+
+
 def stream_routed(spark: SparkSession, input_path: str,
                   host_meta: DataFrame, lang_meta: DataFrame,
                   max_files_per_trigger: Optional[int] = None) -> DataFrame:
@@ -1033,20 +1061,12 @@ def stateful_counter_rates(
             last_us, last_c = state.get
         else:
             last_us, last_c = None, None
-        chunks = [pdf for pdf in batches]
-        if not chunks:
-            return
-        pdf = _concat_chunks(chunks)
         # (ts, counter) sort order — the batch operator's tied-
         # timestamp tiebreaker, so duplicate (key, ts) samples within
         # a micro-batch lag identically in both engines
-        pdf = pdf.sort_values([ts_col, counter_col],
-                              kind="mergesort")
-        tcol = pdf[ts_col]
-        if getattr(tcol.dtype, "tz", None) is not None:
-            tcol = tcol.dt.tz_convert("UTC").dt.tz_localize(None)
-        us = (tcol.values.astype("datetime64[ns]")
-              .astype("int64") // 1000)
+        pdf, us = _drain_sorted_us(batches, ts_col, counter_col)
+        if pdf is None:
+            return
         cs = pdf[counter_col].astype("int64").tolist()
         first = last_us is None
         deltas, dts, resets, rates = [], [], [], []
@@ -1139,20 +1159,12 @@ def stateful_ewma_smooth(
             last_us, s_prev = state.get
         else:
             last_us, s_prev = None, None
-        chunks = [pdf for pdf in batches]
-        if not chunks:
+        pdf, us = _drain_sorted_us(batches, ts_col, x_col)
+        if pdf is None:
             return
-        pdf = _concat_chunks(chunks)
-        # (ts, x) sort — pins which of two tied-timestamp samples is
-        # smoothed vs late-marked, independent of shuffle arrival
-        # order (the stateful_counter_rates tiebreak discipline)
-        pdf = pdf.sort_values([ts_col, x_col], kind="mergesort")
-        tcol = pdf[ts_col]
-        if getattr(tcol.dtype, "tz", None) is not None:
-            tcol = tcol.dt.tz_convert("UTC").dt.tz_localize(None)
-        us = (tcol.values.astype("datetime64[ns]")
-              .astype("int64") // 1000)
-        xs_raw = pdf[x_col].fillna(0).astype("int64").tolist()
+        # NULL observations count as 0, the batch rule
+        xs_raw = [0 if x is None else x
+                  for x in _nullable_ints(pdf[x_col])]
         smooths, spikes, lates = [], [], []
         for t, x in zip(us, xs_raw):
             t = int(t)
@@ -1327,7 +1339,10 @@ def stateful_rolling_quantile(
     micro-batch samples sort by (ts, x) — the tied-timestamp
     tiebreak; ACROSS batches a sample at or before the key's last
     seen timestamp is emitted with NULL quantile and ``late = true``
-    and does not touch state.
+    and does not touch state. A NULL sample value advances the
+    key's clock but never enters the ring (the batch operator's
+    collect_list drops NULLs the same way) and emits a NULL
+    quantile.
     """
     if frame_rows < 1 or not 1 <= q_pct <= 100:
         raise ValueError("stateful_rolling_quantile: frame_rows >= 1 "
@@ -1345,22 +1360,19 @@ def stateful_rolling_quantile(
             buf = list(buf)
         else:
             last_us, buf = None, []
-        chunks = [pdf for pdf in batches]
-        if not chunks:
+        pdf, us = _drain_sorted_us(batches, ts_col, x_col)
+        if pdf is None:
             return
-        pdf = _concat_chunks(chunks)
-        pdf = pdf.sort_values([ts_col, x_col], kind="mergesort")
-        tcol = pdf[ts_col]
-        if getattr(tcol.dtype, "tz", None) is not None:
-            tcol = tcol.dt.tz_convert("UTC").dt.tz_localize(None)
-        us = (tcol.values.astype("datetime64[ns]")
-              .astype("int64") // 1000)
-        xs = pdf[x_col].astype("int64").tolist()
+        xs = _nullable_ints(pdf[x_col])
         qs, lates = [], []
         for t, x in zip(us, xs):
             t = int(t)
             if last_us is not None and t <= last_us:
                 qs.append(None); lates.append(True)
+                continue
+            if x is None:
+                qs.append(None); lates.append(False)
+                last_us = t
                 continue
             buf.append(int(x))
             if len(buf) > fr:
@@ -1399,15 +1411,19 @@ def stateful_cusum(
     accumulation, both statistics reset after an alarm), so the
     alarm set matches the batch operator on per-key-ordered input
     (asserted in the test). Emits one row PER ALARM — ``(key, order,
-    direction, stat_micro)`` — matching the batch output shape; an
-    out-of-order sample (at or below the key's last seen order) is
-    silently skipped like the other late rules, since a fold cannot
-    retroactively reorder."""
+    direction, stat_micro)`` — matching the batch output shape, with
+    the key column keeping the INPUT's type; an out-of-order sample
+    (at or below the key's last seen order) is silently skipped like
+    the other late rules, since a fold cannot retroactively reorder,
+    and a NULL value advances the key's clock without touching the
+    statistics."""
     mu, k, h = int(target_micro), int(slack_micro), int(threshold_micro)
     if k < 0 or h <= 0:
         raise ValueError("slack_micro must be >= 0 and "
                          "threshold_micro > 0")
-    out_schema = (f"{key_col} string, {order_col} bigint, "
+    key_type = {f.name: f.dataType.simpleString()
+                for f in samples.schema.fields}[key_col]
+    out_schema = (f"{key_col} {key_type}, {order_col} bigint, "
                   f"direction string, stat_micro bigint")
     state_schema = "last_o bigint, sp bigint, sn bigint"
 
@@ -1424,10 +1440,14 @@ def stateful_cusum(
         pdf = pdf.sort_values([order_col, value_col],
                               kind="mergesort")
         alarms = []
-        for o, x in zip(pdf[order_col].astype("int64"),
-                        pdf[value_col].astype("int64")):
-            o, x = int(o), int(x)
+        for o, x in zip(_nullable_ints(pdf[order_col]),
+                        _nullable_ints(pdf[value_col])):
+            if o is None:
+                continue              # no position: nothing to fold
             if last_o is not None and o <= last_o:
+                continue
+            if x is None:
+                last_o = o
                 continue
             sp = max(0, sp + (x - mu - k))
             sn = max(0, sn - (x - mu) - k)
@@ -1475,7 +1495,11 @@ def stateful_slo_burn(
     ``horizon − 1`` bucket indexes, matching the batch RANGE frame
     (a quiet hour must shrink the window's contents, not stretch
     it). A bucket at or before the key's last seen index emits NULL
-    burns with ``late = true`` and leaves state untouched."""
+    burns with ``late = true`` and leaves state untouched; a
+    zero-event or NULL-counter bucket (heartbeat emitters,
+    outer-joined calendars — shapes the batch operator cannot even
+    produce) emits NULL burns, advances the clock, and never enters
+    the rolling window."""
     num, den = budget
     if num < 1 or den < 1:
         raise ValueError("stateful_slo_burn: budget must be a "
@@ -1501,22 +1525,38 @@ def stateful_slo_burn(
         if not chunks:
             return
         pdf = _concat_chunks(chunks)
-        pdf = pdf.sort_values(bucket_col, kind="mergesort")
+        # (bucket, errors, events) sort: tied same-bucket rows split
+        # deterministically into processed/late, the family tiebreak
+        pdf = pdf.sort_values([bucket_col, errors_col, events_col],
+                              kind="mergesort")
         burns, rolls, lates = [], [], []
-        for b, ev, er in zip(pdf[bucket_col].astype("int64"),
-                             pdf[events_col].astype("int64"),
-                             pdf[errors_col].astype("int64")):
-            b, ev, er = int(b), int(ev), int(er)
+        for b, ev, er in zip(_nullable_ints(pdf[bucket_col]),
+                             _nullable_ints(pdf[events_col]),
+                             _nullable_ints(pdf[errors_col])):
+            if b is None:
+                burns.append(None); rolls.append(None)
+                lates.append(False)
+                continue
             if last_b is not None and b <= last_b:
                 burns.append(None); rolls.append(None)
                 lates.append(True)
+                continue
+            if not ev or er is None:
+                # zero-traffic / NULL-counter bucket: nothing burns
+                # and nothing enters the rolling window (the batch
+                # operator cannot even produce such buckets); the
+                # key's clock still advances
+                burns.append(None); rolls.append(None)
+                lates.append(False)
+                last_b = b
                 continue
             ring.append([b, er, ev])
             ring = [r for r in ring if r[0] > b - h]
             re_ = sum(r[1] for r in ring)
             rt = sum(r[2] for r in ring)
             burns.append(er * den * 1_000_000 // (ev * num))
-            rolls.append(re_ * den * 1_000_000 // (rt * num))
+            rolls.append(re_ * den * 1_000_000 // (rt * num)
+                         if rt else None)
             lates.append(False)
             last_b = b
         out = pdf.copy()

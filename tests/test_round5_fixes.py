@@ -245,3 +245,109 @@ def test_stateful_ewma_tied_timestamps_deterministic(spark, tmp_path):
     # (ts, x) order: 5 processes first (opens the series), 100 ties
     assert out[5] == (5000, False)
     assert out[100] == (None, True)
+
+
+# ---- third-review fixes (streaming NULL/zero robustness) ----------
+
+def test_wav_fmt_chunk_truncation_yields_null():
+    import struct
+    from beats_spark.dataops.codecs import decode_wav_meta
+    body = (b"data" + struct.pack("<I", 0)
+            + b"fmt " + struct.pack("<I", 16) + b"\x01\x00")
+    payload = (b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE"
+               + body)
+    assert decode_wav_meta(payload) is None
+
+
+def test_surt_key_multiple_at_signs(spark):
+    from beats_spark.dataops.urls import surt_key
+    df = spark.createDataFrame(
+        [("http://a@b@example.com/x",)], "u string")
+    assert df.select(surt_key(F.col("u")).alias("k")) \
+        .collect()[0]["k"] == "com,example)/x"
+
+
+def test_stateful_slo_burn_zero_and_null_buckets(spark, tmp_path):
+    import os
+    from beats_spark.streaming.pipeline import stateful_slo_burn
+    rows = [("s", 0, 100, 1), ("s", 1, 0, 0),     # zero-traffic
+            ("s", 2, None, None),                  # NULL counters
+            ("s", 3, 100, 2)]
+    src = str(tmp_path / "z"); os.makedirs(src)
+    (spark.createDataFrame(rows, "key string, bucket long, "
+                                 "n_events long, n_errors long")
+     .coalesce(1).write.parquet(os.path.join(src, "b1")))
+    stream = (spark.readStream
+              .schema("key string, bucket long, n_events long, "
+                      "n_errors long").parquet(src + "/*"))
+    q = (stateful_slo_burn(stream, "key", "bucket", "n_events",
+                           "n_errors", horizon=3)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "o"))
+         .option("checkpointLocation", str(tmp_path / "c"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r.bucket: (r.burn_micro, r.rolling_burn_micro, r.late)
+           for r in spark.read.parquet(str(tmp_path / "o"))
+           .collect()}
+    assert got[0] == (1_000_000, 1_000_000, False)
+    # zero/NULL buckets: NULL burns, clock advances, no crash
+    assert got[1] == (None, None, False)
+    assert got[2] == (None, None, False)
+    # bucket 3's rolling window holds buckets 1..3 → only bucket 3's
+    # real counters (zero/NULL never entered the ring)
+    assert got[3] == (2_000_000, 2_000_000, False)
+
+
+def test_stateful_rolling_quantile_null_value(spark, tmp_path):
+    import os
+    from beats_spark.streaming.pipeline import stateful_rolling_quantile
+    t0 = 1_700_000_000_000_000
+    rows = [("h", t0, 10), ("h", t0 + 1_000_000, None),
+            ("h", t0 + 2_000_000, 30)]
+    src = str(tmp_path / "nq"); os.makedirs(src)
+    (spark.createDataFrame(rows, "host string, us long, x long")
+     .select("host", F.timestamp_micros("us").alias("ts"), "x")
+     .coalesce(1).write.parquet(os.path.join(src, "b1")))
+    stream = (spark.readStream
+              .schema("host string, ts timestamp, x long")
+              .parquet(src + "/*"))
+    q = (stateful_rolling_quantile(stream, "host", "ts", "x",
+                                   frame_rows=5, q_pct=50)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "o"))
+         .option("checkpointLocation", str(tmp_path / "c"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r.ts.isoformat(): (r.q_value, r.late) for r in
+           spark.read.parquet(str(tmp_path / "o")).collect()}
+    vals = sorted(got.values(), key=lambda v: (v[0] is None, v[0]))
+    # NULL sample: NULL quantile, not late, ring skips it so the
+    # median after [10, 30] is 10 (ceil(0.5*2)=1st smallest)
+    assert (None, False) in got.values()
+    assert sorted(v for v, _ in got.values() if v is not None) \
+        == [10, 10]
+
+
+def test_stateful_cusum_nonstring_key_and_null_value(spark, tmp_path):
+    import os
+    from beats_spark.streaming.pipeline import stateful_cusum
+    rows = [(7, 0, 0), (7, 1, None), (7, 2, 2_000_000)]
+    src = str(tmp_path / "ck"); os.makedirs(src)
+    (spark.createDataFrame(rows, "key long, seq long, x_micro long")
+     .coalesce(1).write.parquet(os.path.join(src, "b1")))
+    stream = (spark.readStream
+              .schema("key long, seq long, x_micro long")
+              .parquet(src + "/*"))
+    q = (stateful_cusum(stream, "key", "seq", "x_micro",
+                        threshold_micro=1_000_000)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "o"))
+         .option("checkpointLocation", str(tmp_path / "c"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.read.parquet(str(tmp_path / "o")).collect()
+    # bigint key survives with its type; the NULL sample advanced
+    # the clock without folding, the shift at seq 2 still alarms
+    assert len(out) == 1 and out[0].key == 7
+    assert out[0].seq == 2 and out[0].direction == "up"
